@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time individual queries and print plans. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val names = if (args.nonEmpty) args.toSeq else Seq("b04_cube")
+    for (n <- names; fn <- SparkEntry.queries.get(n)) {
+      time(s"$n/noop1") { fn(spark, dir).write.format("noop").mode("overwrite").save() }
+      time(s"$n/noop2") { fn(spark, dir).write.format("noop").mode("overwrite").save() }
+      time(s"$n/count") { fn(spark, dir).count() }
+    }
+    if (sys.env.contains("PROBE_EXPLAIN"))
+      for (n <- names; fn <- SparkEntry.queries.get(n)) fn(spark, dir).explain("formatted")
+    spark.stop()
+  }
+}

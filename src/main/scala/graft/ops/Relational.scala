@@ -1,0 +1,624 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator surface (SURVEY.md §2 Part B, B1–B9) expressed
+  * as declarative DataFrame plans so Catalyst supplies pushdown, pruning,
+  * join selection and whole-stage codegen.
+  *
+  * Determinism rules (oracle hash-parity with DuckDB):
+  * - every DOUBLE aggregate goes through DECIMAL(38,2): per-row cast is
+  *   deterministic in both engines, decimal addition is exact (so shuffle /
+  *   partial-agg order cannot change the result), and the final cast back to
+  *   DOUBLE is deterministic. Plain double sums would be order-dependent.
+  * - every query ends in a total ORDER BY on a unique key, with explicit
+  *   null ordering mirrored in the SQL.
+  */
+object Relational {
+  private val Dec = "decimal(38,2)"
+  /** The testdata money/rate columns are clean 2-decimal values stored as
+    * double; casting to decimal recovers the exact decimal in BOTH engines
+    * (the stored double is within half an ulp of the true 2dp value).
+    * All downstream arithmetic then stays in decimal — exact, and immune
+    * to both shuffle-order effects and cross-engine double-rounding
+    * differences. Sums pre-cast to DECIMAL(28,s) so the engine sum type is
+    * DECIMAL(38,s) in Spark and DuckDB alike.
+    */
+  private def money(c: Column): Column = c.cast("decimal(12,2)")
+  private def rate(c: Column): Column = c.cast("decimal(4,2)")
+  private val one = lit(1.0).cast("decimal(3,2)")
+  /** Exact sum of a 2dp column → DECIMAL(38,2). */
+  private def sum2(c: Column): Column = sum(money(c).cast("decimal(28,2)"))
+  /** Exact sum of price*(1-disc) → DECIMAL(38,4). */
+  private def sumRev(p: Column, d: Column): Column =
+    sum((money(p) * (one - rate(d))).cast("decimal(28,4)"))
+  /** Exact sum of price*(1-disc)*(1+tax) → DECIMAL(38,6). */
+  private def sumCharge(p: Column, d: Column, t: Column): Column =
+    sum((money(p) * (one - rate(d)) * (one + rate(t))).cast("decimal(28,6)"))
+  /** Exact sum of price*rate → DECIMAL(38,4). */
+  private def sumProd(p: Column, d: Column): Column =
+    sum((money(p) * rate(d)).cast("decimal(28,4)"))
+  private def tsLit(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  // ---------------------------------------------------------------- queries
+
+  /** TPC-H Q1-style pricing summary — the flagship scan+agg query (B4). */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= tsLit("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum2($"l_quantity").as("sum_qty"),
+        sum2($"l_extendedprice").as("sum_base_price"),
+        sumRev($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+        sumCharge($"l_extendedprice", $"l_discount", $"l_tax").as("sum_charge"),
+        (sum2($"l_quantity").cast("double") / count(lit(1))).as("avg_qty"),
+        (sum2($"l_extendedprice").cast("double") / count(lit(1))).as("avg_price"),
+        (sum2($"l_discount").cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3-style: 3-way join + agg + top-k (B3/B4/B7). Customer side is
+    * small → Catalyst broadcasts it; lineitem never shuffles twice. */
+  def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(s, dir).filter($"o_orderdate" < tsLit("2000-01-01"))
+    val l = Tables.lineitem(s, dir).filter($"l_shipdate" > tsLit("2000-01-01"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sumRev($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-way join, revenue per nation (B3/B4). Dimension
+    * tables (region/nation/supplier/customer) broadcast; the single big
+    * shuffle is lineitem⋈orders on orderkey. */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= tsLit("1996-01-01") && $"o_orderdate" < tsLit("1997-01-01"))
+    val l = Tables.lineitem(s, dir)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sumRev($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** TPC-H Q6-style scalar filter+agg; predicates all push to parquet (B2). */
+  def q6RevenueDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= tsLit("1997-01-01") && $"l_shipdate" < tsLit("1998-01-01") &&
+        $"l_discount" >= 0.02 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(sumProd($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Projection + filter pushed into the parquet scan (A1/B1/B2). */
+  def scanProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+      .filter($"l_quantity" > 45.0)
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Left-semi join: customers that have at least one order (B3). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-anti join: customers with no orders (B3). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Full-outer join nation⟗supplier: nations with no suppliers and vice
+    * versa survive with nulls (B3). */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.nation(s, dir)
+      .join(Tables.supplier(s, dir), $"n_nationkey" === $"s_nationkey", "full_outer")
+      .select($"n_nationkey", $"n_name", $"s_suppkey", $"s_name")
+      .orderBy($"n_nationkey".asc_nulls_first, $"s_suppkey".asc_nulls_first)
+  }
+
+  /** Band (range) join on top of an equi key: hash join + range residual,
+    * no cartesian blow-up (B3). */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey" &&
+        $"l_quantity" >= $"p_size" - 2 && $"l_quantity" <= $"p_size" + 2)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_rows"), sum2($"l_extendedprice").as("sum_price"))
+      .orderBy($"p_brand")
+  }
+
+  /** Pure theta join (non-equi): nation pairs within a region (B3). Tiny
+    * inputs → broadcast nested-loop is the right plan. */
+  def joinTheta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = Tables.nation(s, dir).select($"n_nationkey".as("k1"), $"n_name".as("name1"), $"n_regionkey".as("r1"))
+    val n2 = Tables.nation(s, dir).select($"n_nationkey".as("k2"), $"n_name".as("name2"), $"n_regionkey".as("r2"))
+    n1.join(n2, $"r1" === $"r2" && $"k1" < $"k2")
+      .select($"k1", $"k2", $"name1", $"name2")
+      .orderBy($"k1", $"k2")
+  }
+
+  /** As-of join expressed as a running MAX window: for each purchase event,
+    * the most recent click by the same user at ts <= purchase ts (B3).
+    * Scales: one shuffle on user_id, no range-join blow-up. */
+  def joinAsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).filter($"event_type".isin("click", "purchase"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_ts",
+        max(when($"event_type" === "click", $"ts")).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"last_click_ts")
+      .orderBy($"event_id")
+  }
+
+  /** ROLLUP hierarchy totals (B4). */
+  def rollupSales(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .rollup($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum2($"c_acctbal").as("sum_bal"))
+      .orderBy($"n_name".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
+  }
+
+  /** CUBE over two low-cardinality dims (B4). */
+  def cubeFlags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), sum2($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** GROUPING SETS via SQL (B4). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(s"""
+      SELECT o_orderstatus, o_orderpriority,
+             COUNT(*) AS n_orders,
+             ${sum2Sql("o_totalprice")} AS sum_price
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """)
+  }
+
+  /** Exact median + min/max (B5 exact side). */
+  def medianQuantity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Approximate aggregates — HLL distinct + approx quantiles (B5). Sketch
+    * implementations differ across engines, so no SQL oracle (rows-only). */
+  def approxStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 1000)").as("price_quartiles"),
+        stddev_pop($"l_quantity").as("qty_stddev"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Ranking window functions: row_number / rank / dense_rank / lag / lead
+    * over a per-customer frame (B6). */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Running sum with an explicit ROWS frame (B6). */
+  def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        sum($"o_totalprice".cast(Dec)).over(w).cast("double").as("running_spend"),
+        count(lit(1)).over(w).as("order_seq"))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  /** Top-k per group = ranking window + filter (B7). */
+  def topKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_mktsegment", $"rn", $"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_mktsegment", $"rn")
+  }
+
+  /** Global sort + limit/offset pagination (A6/A7/B7). */
+  def orderLimitOffset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .offset(10)
+      .limit(20)
+  }
+
+  /** UNION ALL with provenance tags (B8). */
+  def unionTagged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+      .select(lit("urgent").as("src"), $"o_orderkey".as("key"))
+    val high = Tables.orders(s, dir).filter($"o_orderpriority" === "2-HIGH")
+      .select(lit("high").as("src"), $"o_orderkey".as("key"))
+    urgent.unionByName(high).orderBy($"src", $"key")
+  }
+
+  /** INTERSECT (distinct semantics) (B8). */
+  def intersectKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val building = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val withOrders = Tables.orders(s, dir).select($"o_custkey".as("c_custkey"))
+    building.intersect(withOrders).orderBy($"c_custkey")
+  }
+
+  /** EXCEPT (distinct semantics) (B8). */
+  def exceptKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withOrders = Tables.orders(s, dir).select($"o_custkey".as("c_custkey"))
+    val building = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    withOrders.except(building).orderBy($"c_custkey")
+  }
+
+  /** String scalar functions (B9): case, concat, split, regexp, levenshtein. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey",
+        lower($"p_name").as("lname"),
+        upper($"p_type").as("utype"),
+        concat($"p_brand", lit(":"), $"p_name").as("tagged"),
+        element_at(split($"p_name", " "), 1).as("first_tok"),
+        regexp_extract($"p_brand", "#(\\d+)", 1).cast("int").as("brand_num"),
+        length($"p_name").as("name_len"),
+        levenshtein($"p_brand", lit("Brand#13")).as("lev_dist"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/time scalar functions (B9). */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey",
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"),
+        dayofmonth($"o_orderdate").as("dom"),
+        date_trunc("month", $"o_orderdate").cast("timestamp_ntz").as("month_start"),
+        datediff($"o_orderdate", tsLit("1995-01-01")).as("days_since_epoch_start"),
+        ($"o_orderdate" + expr("INTERVAL 1 MONTH")).cast("timestamp_ntz").as("plus_month"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Array functions over tokenized text (B9). Arrays are rendered to
+    * strings in the output for engine-portable hashing. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_distinct_tokens"),
+        array_contains($"toks", "spark").as("has_spark"),
+        concat_ws(",", slice($"toks", 1, 3)).as("first3"),
+        array_min($"toks").as("min_tok"),
+        array_max($"toks").as("max_tok"))
+      .orderBy($"doc_id")
+  }
+
+  /** JSON extraction from `events.props` (B9). get_json_object for the
+    * engine path; the oracle uses an equivalent regexp so both engines
+    * compute the identical value. */
+  def jsonFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("bigint").as("k"),
+        length($"props").as("props_len"))
+      .orderBy($"event_id")
+  }
+
+  /** DISTINCT over a projection (A5/B8). */
+  def distinctFlags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus")
+      .distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** COUNT(DISTINCT) exact (A8/B4). */
+  def countDistinctOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "q3_top_revenue" -> (q3TopRevenue _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q6_revenue_delta" -> (q6RevenueDelta _),
+    "b01_scan_project" -> (scanProject _),
+    "b03_join_semi" -> (joinSemi _),
+    "b03_join_anti" -> (joinAnti _),
+    "b03_join_full" -> (joinFull _),
+    "b03_join_range" -> (joinRange _),
+    "b03_join_theta" -> (joinTheta _),
+    "b03_join_asof" -> (joinAsOf _),
+    "b04_rollup" -> (rollupSales _),
+    "b04_cube" -> (cubeFlags _),
+    "b04_grouping_sets" -> (groupingSets _),
+    "b05_median" -> (medianQuantity _),
+    "b05_approx_stats" -> (approxStats _),
+    "b06_window_rank" -> (windowRank _),
+    "b06_running_sum" -> (windowRunningSum _),
+    "b07_topk_per_group" -> (topKPerGroup _),
+    "b07_order_limit_offset" -> (orderLimitOffset _),
+    "b08_union_tagged" -> (unionTagged _),
+    "b08_intersect" -> (intersectKeys _),
+    "b08_except" -> (exceptKeys _),
+    "b09_string_funcs" -> (stringFuncs _),
+    "b09_date_funcs" -> (dateFuncs _),
+    "b09_array_funcs" -> (arrayFuncs _),
+    "b09_json_funcs" -> (jsonFuncs _),
+    "a05_distinct" -> (distinctFlags _),
+    "a08_count_distinct" -> (countDistinctOrders _),
+  )
+
+  // SQL mirrors of the exact-decimal aggregation helpers above — the
+  // oracle must perform the IDENTICAL arithmetic, not just an equivalent
+  // one, so hash comparison is exact.
+  private def sum2Sql(c: String) =
+    s"SUM(CAST(CAST($c AS DECIMAL(12,2)) AS DECIMAL(28,2)))"
+  private def sumRevSql(p: String, d: String) =
+    s"SUM(CAST(CAST($p AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST($d AS DECIMAL(4,2))) AS DECIMAL(28,4)))"
+  private def sumChargeSql(p: String, d: String, t: String) =
+    s"SUM(CAST(CAST($p AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST($d AS DECIMAL(4,2))) * (CAST(1.0 AS DECIMAL(3,2)) + CAST($t AS DECIMAL(4,2))) AS DECIMAL(28,6)))"
+  private def sumProdSql(p: String, d: String) =
+    s"SUM(CAST(CAST($p AS DECIMAL(12,2)) * CAST($d AS DECIMAL(4,2)) AS DECIMAL(28,4)))"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${sum2Sql("l_quantity")} AS sum_qty,
+        ${sum2Sql("l_extendedprice")} AS sum_base_price,
+        ${sumRevSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+        ${sumChargeSql("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
+        CAST(${sum2Sql("l_quantity")} AS DOUBLE)/COUNT(*) AS avg_qty,
+        CAST(${sum2Sql("l_extendedprice")} AS DOUBLE)/COUNT(*) AS avg_price,
+        CAST(${sum2Sql("l_discount")} AS DOUBLE)/COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q3_top_revenue" -> s"""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        ${sumRevSql("l_extendedprice", "l_discount")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '2000-01-01'
+        AND l_shipdate > TIMESTAMP '2000-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_region_revenue" -> s"""
+      SELECT n_name, ${sumRevSql("l_extendedprice", "l_discount")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q6_revenue_delta" -> s"""
+      SELECT ${sumProdSql("l_extendedprice", "l_discount")} AS revenue, COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount >= 0.02 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "b01_scan_project" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      FROM lineitem WHERE l_quantity > 45.0
+      ORDER BY l_orderkey, l_linenumber""",
+    "b03_join_semi" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "b03_join_anti" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "b03_join_full" -> """
+      SELECT n_nationkey, n_name, s_suppkey, s_name
+      FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+      ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""",
+    "b03_join_range" -> s"""
+      SELECT p_brand, COUNT(*) AS n_rows, ${sum2Sql("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+        AND l_quantity >= p_size - 2 AND l_quantity <= p_size + 2
+      GROUP BY p_brand ORDER BY p_brand""",
+    "b03_join_theta" -> """
+      SELECT n1.n_nationkey AS k1, n2.n_nationkey AS k2,
+             n1.n_name AS name1, n2.n_name AS name2
+      FROM nation n1 JOIN nation n2
+        ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+      ORDER BY k1, k2""",
+    "b03_join_asof" -> """
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, last_click_ts FROM (
+        SELECT event_id, user_id, ts, event_type,
+          MAX(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        FROM events WHERE event_type IN ('click','purchase')
+      ) WHERE event_type = 'purchase' ORDER BY event_id""",
+    "b04_rollup" -> s"""
+      SELECT n_name, c_mktsegment, COUNT(*) AS n_cust, ${sum2Sql("c_acctbal")} AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+      ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""",
+    "b04_cube" -> s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, ${sum2Sql("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "b04_grouping_sets" -> s"""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             ${sum2Sql("o_totalprice")} AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "b05_median" -> """
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+             MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "b06_window_rank" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        CAST(RANK() OVER w AS INT) AS rnk,
+        CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        LAG(o_totalprice, 1) OVER w AS prev_price,
+        LEAD(o_totalprice, 1) OVER w AS next_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_custkey, rn""",
+    "b06_running_sum" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+      FROM orders
+      ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "b07_topk_per_group" -> """
+      SELECT c_mktsegment, rn, c_custkey, c_name, c_acctbal FROM (
+        SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+          CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+        FROM customer
+      ) WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+    "b07_order_limit_offset" -> """
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 20 OFFSET 10""",
+    "b08_union_tagged" -> """
+      SELECT * FROM (
+        SELECT 'urgent' AS src, o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 'high' AS src, o_orderkey AS key FROM orders WHERE o_orderpriority = '2-HIGH'
+      ) ORDER BY src, key""",
+    "b08_intersect" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders
+      ORDER BY c_custkey""",
+    "b08_except" -> """
+      SELECT o_custkey AS c_custkey FROM orders
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      ORDER BY c_custkey""",
+    "b09_string_funcs" -> """
+      SELECT p_partkey, lower(p_name) AS lname, upper(p_type) AS utype,
+        p_brand || ':' || p_name AS tagged,
+        string_split(p_name, ' ')[1] AS first_tok,
+        CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT) AS brand_num,
+        CAST(length(p_name) AS INT) AS name_len,
+        CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS lev_dist
+      FROM part ORDER BY p_partkey""",
+    "b09_date_funcs" -> """
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(month(o_orderdate) AS INT) AS mo,
+        CAST(day(o_orderdate) AS INT) AS dom,
+        date_trunc('month', o_orderdate) AS month_start,
+        CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_start,
+        o_orderdate + INTERVAL 1 MONTH AS plus_month
+      FROM orders ORDER BY o_orderkey""",
+    "b09_array_funcs" -> """
+      SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+        list_contains(toks, 'spark') AS has_spark,
+        array_to_string(toks[1:3], ',') AS first3,
+        list_aggregate(toks, 'min') AS min_tok,
+        list_aggregate(toks, 'max') AS max_tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      ORDER BY doc_id""",
+    "b09_json_funcs" -> """
+      SELECT event_id,
+        CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k,
+        CAST(length(props) AS INT) AS props_len
+      FROM events ORDER BY event_id""",
+    "a05_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""",
+    "a08_count_distinct" -> """
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(*) AS n_rows
+      FROM lineitem""",
+  )
+}
