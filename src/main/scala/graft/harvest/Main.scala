@@ -1,0 +1,41 @@
+package graft.harvest
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+
+/** A25 — CLI entry point with the reference's error taxonomy
+  * (/root/reference/harvest.py:383-394,474-485), refined into distinct
+  * exit codes per failure class:
+  *   2 = invalid input (ValueError analogue)
+  *   3 = store/IO failure (sqlite3.Error analogue)
+  *   1 = unexpected failure
+  *
+  * Usage: graft.harvest.Main <collection-uri> <bindings-path> <store-dir> [asOf]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: graft.harvest.Main <collection-uri> <bindings-path> <store-dir> [asOf ISO timestamp]")
+      sys.exit(2)
+    }
+    val asOf =
+      if (args.length >= 4) Timestamp.valueOf(args(3).replace('T', ' '))
+      else new Timestamp(System.currentTimeMillis())
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    try {
+      val result = HarvestJob.run(spark,
+        HarvestJob.Config(args(0), args(1), args(2), asOf))
+      result.warnings.foreach(System.err.println)
+      println(result.summary)
+    } catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"input error: ${e.getMessage}"); sys.exit(2)
+      case e: java.io.IOException =>
+        System.err.println(s"store error: ${e.getMessage}"); sys.exit(3)
+      case e: Throwable =>
+        System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
+    } finally spark.stop()
+  }
+}

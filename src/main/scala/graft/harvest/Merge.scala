@@ -1,0 +1,90 @@
+package graft.harvest
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Merge operators: surrogate-key generation (A12), terms upsert (A11),
+  * FK resolution (A13), insert-if-absent append (A15).
+  *
+  * Replaces the reference's per-row SQLite probes (the N+1 pattern at
+  * /root/reference/harvest.py:327,352) with set-based joins — one shuffle
+  * instead of 2-3 store round-trips per row.
+  */
+object Merge {
+
+  /** A12 / SURVEY §7 H1: deterministic, dense, stable surrogate ids.
+    *
+    * Semantics: `startId + rank(row ordered by keys)` — identical to
+    * `ROW_NUMBER() OVER (ORDER BY keys)` but WITHOUT a single-partition
+    * window: range-repartition by the keys, sort within partitions, then
+    * `zipWithIndex` (partition sizes are counted once; indexes are global
+    * ranks because range partitions are ordered). Scales to any row count.
+    * NOT `monotonically_increasing_id` — that is partition-layout-dependent
+    * and unstable across runs.
+    */
+  def assignIds(df: DataFrame, keys: Seq[String], startId: Long, idCol: String = "id"): DataFrame = {
+    val spark = df.sparkSession
+    val kcols = keys.map(col)
+    val sorted = df.repartitionByRange(kcols: _*).sortWithinPartitions(kcols: _*)
+    val schema = sorted.schema.add(idCol, LongType, nullable = false)
+    val withIds = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (startId + idx))
+    }
+    val out = spark.createDataFrame(withIds, schema)
+    out.select(col(idCol) +: df.columns.map(col): _*)
+  }
+
+  private def maxId(df: DataFrame, idCol: String = "id"): Long = {
+    val r = df.agg(max(col(idCol))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** A11: upsert of incoming URIs into `terms` (harvest.py:325-349).
+    *
+    * - matched rows keep (id, created_at), get `updated_at = asOf`;
+    * - existing-but-absent rows pass through untouched;
+    * - new rows get dense ids continuing after max(existing.id), with
+    *   created_at = updated_at = asOf.
+    *
+    * One full-outer shuffle join on `uri`; id assignment via [[assignIds]].
+    */
+  def upsertTerms(existing: DataFrame, incomingUris: DataFrame, asOf: Column): DataFrame = {
+    val inc = incomingUris.select(col("uri")).distinct()
+      .withColumn("__incoming", lit(1))
+    val joined = existing.join(inc, Seq("uri"), "full_outer")
+    val kept = joined.filter(col("id").isNotNull).select(
+      col("id"), col("uri"), col("created_at"),
+      when(col("__incoming").isNotNull, asOf).otherwise(col("updated_at")).as("updated_at"))
+    val newUris = joined.filter(col("id").isNull).select(col("uri"))
+    val fresh = assignIds(newUris, Seq("uri"), maxId(existing) + 1)
+      .select(col("id"), col("uri"), asOf.as("created_at"), asOf.as("updated_at"))
+    kept.unionByName(fresh)
+  }
+
+  /** A13: resolve `term_id` by joining melted EAV rows to `terms` on the
+    * URI — the set-based replacement for the reference's per-row
+    * `SELECT id FROM terms WHERE uri = ?` (harvest.py:352-356). `terms`
+    * is typically much smaller than the EAV side → broadcast it.
+    */
+  def resolveFk(melted: DataFrame, terms: DataFrame): DataFrame =
+    melted.join(broadcast(terms.select(col("id").as("term_id"), col("uri"))),
+        melted("concept") === col("uri"))
+      .select(col("term_id"), col("field_uri"), col("field_term"), col("original_value"))
+
+  /** A15: `INSERT OR IGNORE` keyed by UNIQUE(term_id, field_uri,
+    * original_value) (harvest.py:210,363-372): dedup the batch, anti-join
+    * against existing rows, assign ids, append. Existing rows (and their
+    * timestamps) are untouched.
+    */
+  def insertIfAbsent(existingFields: DataFrame, incoming: DataFrame, asOf: Column): DataFrame = {
+    val key = Seq("term_id", "field_uri", "original_value")
+    val novel = incoming
+      .dropDuplicates(key)
+      .join(existingFields, key, "left_anti")
+    val fresh = assignIds(novel, key, maxId(existingFields) + 1)
+      .select(col("id"), col("term_id"), col("field_uri"), col("field_term"),
+        col("original_value"), asOf.as("created_at"), asOf.as("updated_at"))
+    existingFields.unionByName(fresh)
+  }
+}

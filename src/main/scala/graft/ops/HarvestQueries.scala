@@ -1,0 +1,309 @@
+package graft.ops
+
+import graft.Tables
+import graft.harvest.{Merge, Transform, Validate}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 Part A operators, exercised through the real harvest
+  * library ([[graft.harvest]]) over a deterministic bindings fixture
+  * derived from the `documents` testdata table — so every harvest operator
+  * has a DuckDB-checkable oracle.
+  *
+  * Fixture shape (mirrors /root/reference/harvest.py:74-82 semantics):
+  * - concept: URI from doc_id; doc_id % 11 == 0 rows get an invalid `ftp://`
+  *   scheme (exercises A18);
+  * - prefLabel: null when doc_id % 7 == 0 (unbound OPTIONAL);
+  * - altLabel: doc_id % 3 values (0 → null row, 1-2 → fan-out rows, the
+  *   SPARQL OPTIONAL multi-value semantics, SURVEY §7 H5);
+  * - definition: null when doc_id % 5 == 0.
+  */
+object HarvestQueries {
+
+  private val ts0 = "2026-01-01 00:00:00"
+  private val ts1 = "2026-02-01 00:00:00"
+  private def ntz(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  /** The synthetic bindings relation (with doc_id kept for sub-batch
+    * selection). */
+  def bindings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      when(($"doc_id" % 11) === 0, concat(lit("ftp://bad.example.org/term/"), $"doc_id"))
+        .otherwise(concat(lit("https://vocab.example.org/term/"), $"doc_id")).as("concept"),
+      when(($"doc_id" % 7) =!= 0, concat(lit("label "), substring($"text", 1, 24))).as("prefLabel"),
+      explode_outer(
+        when(($"doc_id" % 3) === 0, array(lit(null).cast("string")))
+          .otherwise(slice(split($"text", " "), lit(1), ($"doc_id" % 3).cast("int")))).as("altLabel"),
+      when(($"doc_id" % 5) =!= 0, substring($"text", 1, 60)).as("definition"))
+  }
+
+  /** Valid, distinct bindings — A5 + A9 + A18 via the harvest library. */
+  def valid(s: SparkSession, dir: String): DataFrame =
+    Transform.filterValidBindings(Transform.distinctRows(bindings(s, dir)))
+
+  private def existingTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uris = Tables.documents(s, dir)
+      .filter($"doc_id" % 2 === 0 && $"doc_id" % 11 =!= 0)
+      .select(concat(lit("https://vocab.example.org/term/"), $"doc_id").as("uri"))
+      .distinct()
+    Merge.assignIds(uris, Seq("uri"), 1)
+      .select($"id", $"uri", ntz(ts0).as("created_at"), ntz(ts0).as("updated_at"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** A1/A6/A7: ordered pagination — page 3 of 50 rows. */
+  def paginatedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    valid(s, dir)
+      .select($"concept", $"prefLabel", $"altLabel", $"definition")
+      .orderBy($"concept", $"altLabel".asc_nulls_first)
+      .offset(100).limit(50)
+  }
+
+  /** A4: OPTIONAL = left outer join with fan-out (concepts ⟕ altLabels). */
+  def optionalLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = valid(s, dir)
+    val concepts = v.select($"concept").distinct()
+    val alts = v.filter($"altLabel".isNotNull).select($"concept", $"altLabel").distinct()
+    concepts.join(alts, Seq("concept"), "left_outer")
+      .orderBy($"concept", $"altLabel".asc_nulls_first)
+  }
+
+  /** A9+A18: the row gate itself — valid rows only, projected. */
+  def filterValid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    valid(s, dir)
+      .select($"concept", $"prefLabel", $"altLabel", $"definition")
+      .orderBy($"concept", $"altLabel".asc_nulls_first)
+  }
+
+  /** A18: validation report — invalid vs valid URI counts. */
+  def validateUris(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Transform.distinctRows(bindings(s, dir))
+      .agg(
+        count(when(!Validate.uriValid($"concept"), 1)).as("n_invalid"),
+        count(when(Validate.uriValid($"concept"), 1)).as("n_valid"))
+  }
+
+  /** A10: first-row-wins dedup per concept (deterministic total order). */
+  def dedupFirstWins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Transform.dedupFirstWins(valid(s, dir))
+      .select($"concept", $"prefLabel", $"altLabel", $"definition")
+      .orderBy($"concept")
+  }
+
+  /** A11/A17: terms upsert — existing even-doc terms, incoming batch =
+    * doc_id % 3 == 0, injected asOf clock. */
+  def upsertTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val incoming = valid(s, dir).filter($"doc_id" % 3 === 0)
+      .select($"concept".as("uri"))
+    Merge.upsertTerms(existingTerms(s, dir), incoming, ntz(ts1))
+      .orderBy($"id")
+  }
+
+  /** A12: dense deterministic surrogate ids for all distinct concepts. */
+  def surrogateIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uris = valid(s, dir).select($"concept".as("uri")).distinct()
+    Merge.assignIds(uris, Seq("uri"), 1).orderBy($"id")
+  }
+
+  /** A14 (+H5): wide→long melt with OPTIONAL fan-out, EAV-key dedup. */
+  def meltEav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Transform.meltAll(valid(s, dir))
+      .orderBy($"concept", $"field_uri", $"original_value")
+  }
+
+  /** A13: FK resolution — melted EAV rows joined to the id map. */
+  def fkResolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = valid(s, dir)
+    val terms = Merge.assignIds(v.select($"concept".as("uri")).distinct(), Seq("uri"), 1)
+    Merge.resolveFk(Transform.meltAll(v), terms)
+      .orderBy($"term_id", $"field_uri", $"original_value")
+  }
+
+  /** A15: insert-if-absent — existing fields from even docs, incoming from
+    * doc_id % 3 == 0 docs; only novel EAV rows survive the anti-join.
+    * (Keyed by concept URI here; id assignment is covered by A12.) */
+  def insertIfAbsent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = valid(s, dir)
+    val key = Seq("concept", "field_uri", "original_value")
+    val existing = Transform.meltAll(v.filter($"doc_id" % 2 === 0))
+    val incoming = Transform.meltAll(v.filter($"doc_id" % 3 === 0))
+    incoming.join(existing, key, "left_anti")
+      .select($"concept", $"field_uri", $"field_term", $"original_value")
+      .orderBy($"concept", $"field_uri", $"original_value")
+  }
+
+  /** A16: harvest run statistics in one row. */
+  def harvestStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Transform.distinctRows(bindings(s, dir))
+    val v = Transform.filterValidBindings(b)
+    val ex = existingTerms(s, dir)
+    val n_bindings = b.count()
+    val n_valid = v.count()
+    val terms = v.select($"concept").distinct()
+    val n_terms = terms.count()
+    val n_new = terms.join(ex, terms("concept") === ex("uri"), "left_anti").count()
+    val n_fields = Transform.meltAll(v).count()
+    s.range(1).select(
+      lit(n_bindings).as("n_bindings"), lit(n_valid).as("n_valid"),
+      lit(n_terms).as("n_terms"), lit(n_new).as("n_new_terms"),
+      lit(n_fields).as("n_fields"))
+  }
+
+  /** A19: CHECK-constraint violations on documents.lang vs the reference's
+    * allowed language set (harvest.py:221). */
+  def checkLanguage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Validate.checkViolations(Tables.documents(s, dir), "lang",
+        graft.harvest.Schemas.allowedLanguages)
+      .groupBy($"lang").agg(count(lit(1)).as("n_rows"))
+      .orderBy($"lang")
+  }
+
+  /** A20: uniqueness check — concepts whose fan-out produced >1 row. */
+  def uniqueCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Validate.uniqueViolations(valid(s, dir), Seq("concept"))
+      .orderBy($"concept")
+  }
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_paginated_scan" -> (paginatedScan _),
+    "a04_optional_left_join" -> (optionalLeftJoin _),
+    "a09_filter_valid" -> (filterValid _),
+    "a10_dedup_first_wins" -> (dedupFirstWins _),
+    "a11_upsert_terms" -> (upsertTerms _),
+    "a12_surrogate_ids" -> (surrogateIds _),
+    "a13_fk_resolve" -> (fkResolve _),
+    "a14_melt_eav" -> (meltEav _),
+    "a15_insert_if_absent" -> (insertIfAbsent _),
+    "a16_harvest_stats" -> (harvestStats _),
+    "a18_validate_uris" -> (validateUris _),
+    "a19_check_language" -> (checkLanguage _),
+    "a20_unique_check" -> (uniqueCheck _),
+  )
+
+  /** Shared fixture CTE — the exact SQL mirror of [[bindings]]/[[valid]]. */
+  private val FIX = """
+    WITH bindings AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN 'ftp://bad.example.org/term/' || doc_id
+             ELSE 'https://vocab.example.org/term/' || doc_id END AS concept,
+        CASE WHEN doc_id % 7 <> 0 THEN 'label ' || substr(text, 1, 24) END AS prefLabel,
+        unnest(CASE WHEN doc_id % 3 = 0 THEN [CAST(NULL AS VARCHAR)]
+                    ELSE list_slice(string_split(text, ' '), 1, CAST(doc_id % 3 AS INT)) END) AS altLabel,
+        CASE WHEN doc_id % 5 <> 0 THEN substr(text, 1, 60) END AS definition
+      FROM documents),
+    db AS (SELECT DISTINCT * FROM bindings),
+    v AS (SELECT * FROM db
+          WHERE concept IS NOT NULL AND concept <> '' AND regexp_matches(concept, '^https?://')),
+    existing AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY uri) AS BIGINT) AS id, uri,
+             TIMESTAMP '2026-01-01' AS created_at, TIMESTAMP '2026-01-01' AS updated_at
+      FROM (SELECT DISTINCT 'https://vocab.example.org/term/' || doc_id AS uri
+            FROM documents WHERE doc_id % 2 = 0 AND doc_id % 11 <> 0)),
+    melted AS (
+      SELECT concept, 'http://www.w3.org/2004/02/skos/core#prefLabel' AS field_uri,
+             'skos:prefLabel' AS field_term, prefLabel AS original_value, doc_id
+        FROM v WHERE prefLabel IS NOT NULL
+      UNION ALL
+      SELECT concept, 'http://www.w3.org/2004/02/skos/core#altLabel',
+             'skos:altLabel', altLabel, doc_id FROM v WHERE altLabel IS NOT NULL
+      UNION ALL
+      SELECT concept, 'http://www.w3.org/2004/02/skos/core#definition',
+             'skos:definition', definition, doc_id FROM v WHERE definition IS NOT NULL),
+    eav AS (SELECT DISTINCT concept, field_uri, field_term, original_value FROM melted)
+  """
+
+  val oracles: Map[String, String] = Map(
+    "a01_paginated_scan" -> s"""$FIX
+      SELECT concept, prefLabel, altLabel, definition FROM v
+      ORDER BY concept, altLabel ASC NULLS FIRST LIMIT 50 OFFSET 100""",
+    "a04_optional_left_join" -> s"""$FIX
+      SELECT c.concept, a.altLabel
+      FROM (SELECT DISTINCT concept FROM v) c
+      LEFT JOIN (SELECT DISTINCT concept, altLabel FROM v WHERE altLabel IS NOT NULL) a
+        ON c.concept = a.concept
+      ORDER BY c.concept, a.altLabel ASC NULLS FIRST""",
+    "a09_filter_valid" -> s"""$FIX
+      SELECT concept, prefLabel, altLabel, definition FROM v
+      ORDER BY concept, altLabel ASC NULLS FIRST""",
+    "a10_dedup_first_wins" -> s"""$FIX
+      SELECT concept, prefLabel, altLabel, definition FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY concept
+          ORDER BY prefLabel ASC NULLS FIRST, altLabel ASC NULLS FIRST,
+                   definition ASC NULLS FIRST) AS rn
+        FROM v) WHERE rn = 1 ORDER BY concept""",
+    "a11_upsert_terms" -> s"""$FIX,
+      incoming AS (SELECT DISTINCT concept AS uri FROM v WHERE doc_id % 3 = 0),
+      kept AS (
+        SELECT e.id, e.uri, e.created_at,
+               CASE WHEN i.uri IS NOT NULL THEN TIMESTAMP '2026-02-01'
+                    ELSE e.updated_at END AS updated_at
+        FROM existing e LEFT JOIN incoming i ON e.uri = i.uri),
+      fresh AS (
+        SELECT (SELECT COALESCE(MAX(id), 0) FROM existing)
+                 + CAST(ROW_NUMBER() OVER (ORDER BY uri) AS BIGINT) AS id,
+               uri, TIMESTAMP '2026-02-01' AS created_at, TIMESTAMP '2026-02-01' AS updated_at
+        FROM incoming i WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.uri = i.uri))
+      SELECT id, uri, created_at, updated_at FROM kept
+      UNION ALL SELECT id, uri, created_at, updated_at FROM fresh
+      ORDER BY id""",
+    "a12_surrogate_ids" -> s"""$FIX
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY uri) AS BIGINT) AS id, uri
+      FROM (SELECT DISTINCT concept AS uri FROM v) ORDER BY id""",
+    "a14_melt_eav" -> s"""$FIX
+      SELECT concept, field_uri, field_term, original_value FROM eav
+      ORDER BY concept, field_uri, original_value""",
+    "a13_fk_resolve" -> s"""$FIX,
+      ids AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY uri) AS BIGINT) AS id, uri
+              FROM (SELECT DISTINCT concept AS uri FROM v))
+      SELECT ids.id AS term_id, eav.field_uri, eav.field_term, eav.original_value
+      FROM eav JOIN ids ON eav.concept = ids.uri
+      ORDER BY term_id, field_uri, original_value""",
+    "a15_insert_if_absent" -> s"""$FIX,
+      ex_f AS (SELECT DISTINCT concept, field_uri, field_term, original_value
+               FROM melted WHERE doc_id % 2 = 0),
+      in_f AS (SELECT DISTINCT concept, field_uri, field_term, original_value
+               FROM melted WHERE doc_id % 3 = 0)
+      SELECT concept, field_uri, field_term, original_value FROM in_f
+      WHERE NOT EXISTS (SELECT 1 FROM ex_f
+        WHERE ex_f.concept = in_f.concept AND ex_f.field_uri = in_f.field_uri
+          AND ex_f.original_value = in_f.original_value)
+      ORDER BY concept, field_uri, original_value""",
+    "a16_harvest_stats" -> s"""$FIX
+      SELECT (SELECT COUNT(*) FROM db) AS n_bindings,
+             (SELECT COUNT(*) FROM v) AS n_valid,
+             (SELECT COUNT(DISTINCT concept) FROM v) AS n_terms,
+             (SELECT COUNT(*) FROM (SELECT DISTINCT concept FROM v) t
+              WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.uri = t.concept)) AS n_new_terms,
+             (SELECT COUNT(*) FROM eav) AS n_fields""",
+    "a18_validate_uris" -> s"""$FIX
+      SELECT COUNT(CASE WHEN NOT regexp_matches(concept, '^https?://') THEN 1 END) AS n_invalid,
+             COUNT(CASE WHEN regexp_matches(concept, '^https?://') THEN 1 END) AS n_valid
+      FROM db""",
+    "a19_check_language" -> """
+      SELECT lang, COUNT(*) AS n_rows FROM documents
+      WHERE lang NOT IN ('nl','fr','de','es','it','pt') OR lang IS NULL
+      GROUP BY lang ORDER BY lang""",
+    "a20_unique_check" -> s"""$FIX
+      SELECT concept, COUNT(*) AS n_rows FROM v
+      GROUP BY concept HAVING COUNT(*) > 1 ORDER BY concept""",
+  )
+}

@@ -1,0 +1,70 @@
+package graft.harvest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val asOf0 = lit("2026-01-01 00:00:00").cast("timestamp_ntz")
+  private val asOf1 = lit("2026-02-01 00:00:00").cast("timestamp_ntz")
+
+  test("assignIds is dense, deterministic, ordered by key (A12/H1)") {
+    val uris = Seq("c", "a", "b", "d").toDF("uri")
+    val ids = Merge.assignIds(uris, Seq("uri"), 10)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ids.toSeq === Seq((10L, "a"), (11L, "b"), (12L, "c"), (13L, "d")))
+    // repartitioned input yields identical ids
+    val ids2 = Merge.assignIds(uris.repartition(7), Seq("uri"), 10)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ids.toSeq === ids2.toSeq)
+  }
+
+  test("upsertTerms keeps matched ids, bumps only matched updated_at, appends new (A11)") {
+    val existing = Merge.assignIds(Seq("a", "b").toDF("uri"), Seq("uri"), 1)
+      .select($"id", $"uri", asOf0.as("created_at"), asOf0.as("updated_at"))
+    val out = Merge.upsertTerms(existing, Seq("b", "c").toDF("uri"), asOf1)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val byUri = out.map(r => r.getString(1) -> r).toMap
+    def ldt(r: org.apache.spark.sql.Row, i: Int) = r.getAs[java.time.LocalDateTime](i)
+    assert(ldt(byUri("a"), 3) === ldt(byUri("a"), 2)) // untouched
+    assert(ldt(byUri("b"), 3).isAfter(ldt(byUri("b"), 2))) // bumped
+    assert(ldt(byUri("c"), 2) === ldt(byUri("c"), 3)) // fresh
+  }
+
+  test("upsertTerms is idempotent on ids across reruns") {
+    val existing = Merge.upsertTerms(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.terms),
+      Seq("x", "y").toDF("uri"), asOf0.cast("timestamp"))
+    val again = Merge.upsertTerms(existing, Seq("x", "y").toDF("uri"), asOf1.cast("timestamp"))
+    assert(again.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      existing.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
+  test("insertIfAbsent appends only novel EAV rows and never mutates existing (A15)") {
+    val existing = Merge.insertIfAbsent(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.termFields),
+      Seq((1L, "u1", "t1", "v1"), (1L, "u1", "t1", "v2"))
+        .toDF("term_id", "field_uri", "field_term", "original_value"),
+      asOf0.cast("timestamp"))
+    assert(existing.count() === 2)
+    val rerun = Merge.insertIfAbsent(existing,
+      Seq((1L, "u1", "t1", "v1"), (1L, "u1", "t1", "v3"), (1L, "u1", "t1", "v3"))
+        .toDF("term_id", "field_uri", "field_term", "original_value"),
+      asOf1.cast("timestamp"))
+    assert(rerun.count() === 3) // v1 ignored, v3 deduped within batch then added
+    assert(rerun.agg(countDistinct($"id")).head().getLong(0) === 3) // dense unique ids
+    val v1 = rerun.filter($"original_value" === "v1").head()
+    assert(v1.getTimestamp(5).toString.startsWith("2026-01-01")) // untouched timestamp
+  }
+
+  test("resolveFk replaces N+1 lookups with one join (A13)") {
+    val terms = Merge.assignIds(Seq("u1", "u2").toDF("uri"), Seq("uri"), 1)
+    val melted = Seq(("u1", "f", "skos:f", "v"), ("u2", "f", "skos:f", "w"))
+      .toDF("concept", "field_uri", "field_term", "original_value")
+    val fk = Merge.resolveFk(melted, terms).orderBy("term_id").collect()
+    assert(fk.map(r => (r.getLong(0), r.getString(3))).toSeq === Seq((1L, "v"), (2L, "w")))
+  }
+}
