@@ -16,6 +16,11 @@ object SparkEntry {
     Seq(
       (ops.Relational.queries, ops.Relational.oracles),
       (ops.HarvestQueries.queries, ops.HarvestQueries.oracles),
+      (text.TextAnalysis.queries, text.TextAnalysis.oracles),
+      (dedup.Dedup.queries, dedup.Dedup.oracles),
+      (similarity.Similarity.queries, similarity.Similarity.oracles),
+      (streaming.Streaming.queries, streaming.Streaming.oracles),
+      (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

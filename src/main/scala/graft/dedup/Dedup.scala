@@ -1,0 +1,193 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2 B11/B12):
+  * exact content-hash dedup, MinHash+LSH near-dup, SimHash sketches, and
+  * exact n-gram Jaccard.
+  *
+  * Scale notes (100 TB): every pipeline here is
+  * shuffle-bounded by (doc_id, small key) pairs — no all-pairs comparison
+  * ever materializes. LSH banding turns near-dup detection into an
+  * equi-join on (band, band_hash); candidate verification touches only
+  * colliding pairs.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact (B11)
+
+  /** B11: exact dedup via content hash — one hash aggregate, map-side
+    * combinable; `min(doc_id)` is the deterministic representative. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(sha2($"text", 256).as("content_sha"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
+  // --------------------------------------------------------- shingles (B12)
+
+  /** Distinct k-token shingles per document: (doc_id, shingle) rows.
+    * Documents shorter than k tokens yield no shingles. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> array_join(slice(toks, i, $k), ' '))"))
+        .as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: for each of `numHashes` hash functions
+    * h_i(x) = xxhash64(i, x), the min over the doc's shingles. One shuffle
+    * on doc_id; 64 partial-aggregating min columns (map-side combine). */
+  def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: signature → (band_idx, band_hash) rows; docs sharing any
+    * band bucket are near-dup candidates. b bands of r rows: with b=16, r=4
+    * the collision curve crosses ~50% at Jaccard ≈ (1/16)^(1/4) ≈ 0.5. */
+  def lshBands(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    sigs.select(col("doc_id"), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+
+  /** Candidate pairs (a < b) from shared LSH buckets — an equi-join on
+    * (band_idx, band_hash), never an all-pairs product. */
+  def candidatePairs(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.toDF("a", "band_idx", "band_hash")
+    val b = bandsDf.toDF("b", "band_idx", "band_hash")
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * sets: intersection via equi-join on shingle, union via per-doc sizes. */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("a", "shingle")
+      .join(sh.toDF("b", "shingle"), Seq("shingle"))
+      .join(pairs, Seq("a", "b"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left_outer")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.toDF("a", "na"), Seq("a"))
+      .join(sizes.toDF("b", "nb"), Seq("b"))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** B12: the full MinHash-LSH near-dup pipeline
+    * (shingle → minhash → band → bucket-join → exact verify). */
+  def minHashNearDup(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val pairs = candidatePairs(lshBands(minHashSignatures(sh)))
+    verifyJaccard(pairs, sh)
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("a"), col("b"))
+  }
+
+  def minHashQuery(s: SparkSession, dir: String): DataFrame =
+    minHashNearDup(Tables.documents(s, dir))
+
+  // ---------------------------------------------------------- simhash (B12)
+
+  /** B12: 64-bit SimHash sketches — per token-hash bit j, sum ±1 weighted
+    * by token frequency; the sign vector packs into one long. Emitted with
+    * 4×16-bit chunks: Hamming distance ≤3 implies at least one identical
+    * chunk (pigeonhole), so chunk equality is the candidate join key. */
+  def simHashSketches(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val packed = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    val chunkCols = (0 until 4).map(c =>
+      shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as(s"chunk$c"))
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+      .select(Seq(col("doc_id"), col("simhash")) ++ chunkCols: _*)
+  }
+
+  def simHashQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simHashSketches(Tables.documents(s, dir)).orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ maxDist (≤3 is exact via
+    * the 4-chunk pigeonhole; larger distances would need more chunks). */
+  def simHashNearDup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sk = simHashSketches(docs)
+    val chunks = sk.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until 4).map(c => col(s"chunk$c")): _*))).toDF("doc_id", "simhash", "ci", "cv")
+    val a = chunks.toDF("a", "sim_a", "ci", "cv")
+    val b = chunks.toDF("b", "sim_b", "ci", "cv")
+    a.join(b, Seq("ci", "cv")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sim_a"), col("sim_b")).distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ----------------------------------------------- exact n-gram Jaccard (B12)
+
+  /** B12: exact bigram-Jaccard between consecutive doc pairs — the
+    * oracle-checkable exact-similarity kernel (the same verify kernel LSH
+    * uses, demonstrated standalone). */
+  def ngramJaccardQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(Tables.documents(s, dir), 2)
+    val pairs = sh.select($"doc_id".as("a")).distinct()
+      .join(sh.select($"doc_id".as("b")).distinct(), col("b") === col("a") + 1)
+    verifyJaccard(pairs, sh)
+      .select($"a", $"b", $"inter", $"na", $"nb", $"jaccard")
+      .orderBy($"a")
+  }
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b11_dedup_exact" -> (exactDedup _),
+    "b12_minhash_lsh" -> (minHashQuery _),
+    "b12_simhash" -> (simHashQuery _),
+    "b12_ngram_jaccard" -> (ngramJaccardQuery _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "b11_dedup_exact" -> """
+      SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    "b12_ngram_jaccard" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+      g AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gs
+            FROM t),
+      p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+              len(list_intersect(a.gs, b.gs)) AS inter, len(a.gs) AS na, len(b.gs) AS nb
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1)
+      SELECT a, b, CAST(inter AS BIGINT) AS inter, CAST(na AS BIGINT) AS na,
+             CAST(nb AS BIGINT) AS nb,
+             CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      FROM p ORDER BY a""",
+  )
+}

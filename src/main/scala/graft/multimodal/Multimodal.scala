@@ -1,0 +1,158 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (SURVEY §2 extension surface): image/audio/
+  * video payloads as opaque `binary` columns with typed metadata, plus
+  * decode / feature-extraction / resize / frame-sampling operators.
+  *
+  * The Spark-side plumbing is real — schema, batched partition processing
+  * (the JVM analogue of `mapInPandas` batch shape), partitioning — while
+  * the actual codec step is a clearly-marked DETERMINISTIC STUB
+  * ([[stubDecode]]): the container has no image/audio libraries, so the
+  * "decoder" derives fake features from the payload bytes. Swapping in a
+  * real codec changes only that one function.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true)))
+
+  /** Build a synthetic asset table from `documents` — payload = UTF-8 bytes
+    * of the text, metadata derived deterministically from doc_id. */
+  def assets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id".as("asset_id"),
+      $"text".cast("binary").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        ($"doc_id" % 3).cast("int") + 1).as("media_type"),
+      (($"doc_id" % 8) * 160 + 320).cast("int").as("width"),
+      (($"doc_id" % 8) * 90 + 180).cast("int").as("height"),
+      when($"doc_id" % 3 === 1, 16000).otherwise(lit(null).cast("int")).as("sample_rate"))
+  }
+
+  /** ================= STUB: real codec goes here =================
+    * Deterministic fake decode: 8 feature doubles derived from payload
+    * bytes by chunked polynomial hashing. Runs batched per partition —
+    * the exact call shape a vectorized (Arrow/pandas-style) decoder needs:
+    * the decoder sees a batch of payloads, not one row at a time. */
+  def stubDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
+    payloads.map { bytes =>
+      val feats = new Array[Double](8)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) {
+        h = h * 31 + (bytes(i) & 0xff)
+        feats(i % 8) += (h % 1000).toDouble / 1000.0
+        i += 1
+      }
+      feats
+    }
+
+  /** Feature extraction over the asset table: batches of `batchSize` rows
+    * per call into the (stub) decoder, preserving the input partitioning —
+    * no shuffle, scales linearly with executors. */
+  def extractFeatures(assetsDf: DataFrame, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(assetsDf.schema.fields :+
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false))
+    val out = assetsDf.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val payloadIdx = batch.head.fieldIndex("payload")
+        val feats = stubDecodeBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          Row.fromSeq(r.toSeq :+ f.toSeq)
+        }
+      }
+    }
+    assetsDf.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Metadata-level resize: recompute dimensions, payload untouched —
+    * the plan-side half of an image resize (codec half lives in the stub). */
+  def resizeMeta(assetsDf: DataFrame, maxWidth: Int): DataFrame = {
+    val scaleNum = least(lit(maxWidth), col("width"))
+    assetsDf
+      .withColumn("out_width", scaleNum.cast("int"))
+      .withColumn("out_height",
+        floor(col("height").cast("long") * scaleNum / col("width")).cast("int"))
+  }
+
+  /** Frame sampling for video assets: one row per sampled frame index —
+    * a generate/explode, no shuffle. */
+  def sampleFrames(assetsDf: DataFrame, everyN: Int = 30, maxFrames: Int = 5): DataFrame =
+    assetsDf.filter(col("media_type") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), lit((maxFrames - 1) * everyN), lit(everyN))))
+      .select(col("asset_id"), col("frame_idx"),
+        octet_length(col("payload")).as("payload_bytes"))
+
+  // ---------------------------------------------------------------- queries
+
+  /** Plumbing query (oracle-checkable): payload sizes + metadata math. */
+  def metaQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    resizeMeta(assets(s, dir), 640)
+      .select($"asset_id", $"media_type",
+        octet_length($"payload").as("payload_bytes"),
+        $"width", $"height", $"sample_rate", $"out_width", $"out_height")
+      .orderBy($"asset_id")
+  }
+
+  /** Feature extraction through the batched stub decoder (no oracle —
+    * the stub hash is engine-specific). */
+  def featureQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(assets(s, dir))
+      .select($"asset_id", $"media_type",
+        round(element_at($"features", 1), 3).as("f0"),
+        round(element_at($"features", 8), 3).as("f7"))
+      .orderBy($"asset_id")
+  }
+
+  /** Frame sampling query (oracle-checkable plumbing). */
+  def framesQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sampleFrames(assets(s, dir)).orderBy($"asset_id", $"frame_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b14_multimodal_meta" -> (metaQuery _),
+    "b14_multimodal_features" -> (featureQuery _),
+    "b14_multimodal_frames" -> (framesQuery _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "b14_multimodal_meta" -> """
+      WITH a AS (
+        SELECT doc_id AS asset_id,
+          CAST(text AS BLOB) AS payload,
+          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+          CAST((doc_id % 8) * 160 + 320 AS INT) AS width,
+          CAST((doc_id % 8) * 90 + 180 AS INT) AS height,
+          CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate
+        FROM documents)
+      SELECT asset_id, media_type,
+        CAST(octet_length(payload) AS INT) AS payload_bytes,
+        width, height, sample_rate,
+        CAST(least(640, width) AS INT) AS out_width,
+        CAST(floor(CAST(height AS BIGINT) * least(640, width) / width) AS INT) AS out_height
+      FROM a ORDER BY asset_id""",
+    "b14_multimodal_frames" -> """
+      WITH a AS (
+        SELECT doc_id AS asset_id, CAST(text AS BLOB) AS payload
+        FROM documents WHERE doc_id % 3 = 2)
+      SELECT asset_id, CAST(f.frame_idx AS INT) AS frame_idx,
+        CAST(octet_length(payload) AS INT) AS payload_bytes
+      FROM a, (SELECT unnest([0,30,60,90,120]) AS frame_idx) f
+      ORDER BY asset_id, frame_idx""",
+  )
+}

@@ -1,0 +1,143 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2 B12/B14 extension surface).
+  *
+  * Numeric determinism: embeddings are quantized to integer milliunits
+  * (`round(x*1000)`) so dot products and norms are EXACT integer sums —
+  * order-independent and bit-identical across engines; the final cosine is
+  * a single deterministic double expression. This is what makes top-k
+  * hash-comparable against the DuckDB oracle.
+  *
+  * Scale shape: queries are broadcast; the corpus is scanned
+  * partition-parallel; per-query top-k runs as one window over
+  * (query_id) partitions. An LSH sign-bucket variant bounds the
+  * candidate set for corpus×corpus workloads.
+  */
+object Similarity {
+
+  /** Quantize a float array column to long milliunits. */
+  def quantize(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic cosine similarity of two quantized vectors. */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /** B12: cosine between consecutive vec pairs — the exact kernel,
+    * oracle-checkable. */
+  def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id", quantize($"embedding").as("q"))
+    val a = e.toDF("a", "qa")
+    val b = e.toDF("b", "qb")
+    a.join(b, col("b") === col("a") + 1)
+      .select(col("a"), col("b"),
+        dotQ(col("qa"), col("qb")).as("dot"),
+        cosineQ(col("qa"), col("qb")).as("cosine"))
+      .orderBy(col("a"))
+  }
+
+  /** B12: brute-force top-k neighbors for a query subset — broadcast the
+    * queries, scan the corpus once, window for top-k. The exact baseline
+    * every ANN variant is measured against. */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val queries = e.filter(queryPred).toDF("query_id", "qq")
+    val joined = e.toDF("vec_id", "qv")
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineQ(col("qq"), col("qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  def annTopKQuery(s: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+
+  /** Deterministic pseudo-random hyperplane component for LSH: a hash of
+    * (plane, dim) mapped to [-0.5, 0.5). No RNG state — reproducible on
+    * any cluster. */
+  private def planeComponent(plane: Int, d: Column): Column =
+    (pmod(xxhash64(lit(plane), d), lit(1000)).cast("double") / 1000.0) - 0.5
+
+  /** Sign-bit LSH bucket id from `numPlanes` deterministic hyperplanes. */
+  def lshBucket(vec: Column, numPlanes: Int = 8): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until numPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, dims, (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1), p)).otherwise(0)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** B12 scale path: LSH-bucketed ANN — corpus×corpus near-neighbor pairs
+    * restricted to same-bucket candidates (an equi-join on bucket, never an
+    * all-pairs product). Approximate by construction; recall is tested
+    * against [[bruteForceTopK]]. */
+  def lshNearNeighbors(embeddings: DataFrame, numPlanes: Int = 8,
+                       minCosine: Double = 0.3): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      quantize(col("embedding")).as("q"),
+      lshBucket(col("embedding"), numPlanes).as("bucket"))
+    val a = e.toDF("a", "qa", "bucket")
+    val b = e.toDF("b", "qb", "bucket")
+    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosineQ(col("qa"), col("qb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy(col("a"), col("b"))
+  }
+
+  def lshQuery(s: SparkSession, dir: String): DataFrame =
+    lshNearNeighbors(Tables.embeddings(s, dir))
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b12_cosine_pairs" -> (cosinePairs _),
+    "b12_ann_topk" -> (annTopKQuery _),
+    "b12_ann_lsh" -> (lshQuery _),
+  )
+
+  private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+
+  val oracles: Map[String, String] = Map(
+    "b12_cosine_pairs" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.q AS qa, b.q AS qb
+            FROM e a JOIN e b ON b.vec_id = a.vec_id + 1)
+      SELECT a, b,
+        CAST(${dotSql("qa", "qb")} AS BIGINT) AS dot,
+        CAST(${dotSql("qa", "qb")} AS DOUBLE)
+          / (sqrt(CAST(${dotSql("qa", "qa")} AS DOUBLE)) * sqrt(CAST(${dotSql("qb", "qb")} AS DOUBLE))) AS cosine
+      FROM p ORDER BY a""",
+    "b12_ann_topk" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id % 100 = 0),
+      sims AS (SELECT query_id, e.vec_id,
+        CAST(${dotSql("qq", "q")} AS DOUBLE)
+          / (sqrt(CAST(${dotSql("qq", "qq")} AS DOUBLE)) * sqrt(CAST(${dotSql("q", "q")} AS DOUBLE))) AS cosine
+        FROM e JOIN qs ON e.vec_id <> qs.query_id)
+      SELECT query_id, vec_id, cosine, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS INT) AS rn FROM sims)
+      WHERE rn <= 10 ORDER BY query_id, rn""",
+  )
+}

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time windowing + streaming surface (SURVEY §2 B10).
+  *
+  * The window TRANSFORMS are defined once over plain DataFrames so the
+  * same code runs in batch (oracle-checkable below) and behind
+  * `readStream` (exercised with MemoryStream in StreamingSpec):
+  * tumbling/sliding windows, session windows, watermarked dedup, and the
+  * foreachBatch incremental-harvest sink that reuses [[graft.harvest.Merge]].
+  */
+object Streaming {
+
+  private val Dec = "decimal(28,2)"
+  private def vsum(c: Column): Column = sum(c.cast("decimal(12,2)").cast(Dec))
+
+  /** B10: tumbling 5-minute windows per event type — works identically on
+    * a batch DataFrame and a streaming one. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), vsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  def tumblingQuery(s: SparkSession, dir: String): DataFrame =
+    tumbling(Tables.events(s, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** B10: sliding 10-minute windows every 5 minutes (each event lands in
+    * two windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"), vsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
+
+  def slidingQuery(s: SparkSession, dir: String): DataFrame =
+    sliding(Tables.events(s, dir)).orderBy(col("window_start"))
+
+  /** B10: sessionization with a 30-minute inactivity gap — batch
+    * formulation via gaps-and-islands (lag + running sum). The streaming
+    * twin uses `session_window` (see [[sessionWindowStream]]). */
+  def sessionsBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(byUser)
+    val flagged = events.withColumn("new_session",
+      when(prev.isNull, 1)
+        .when(col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1)
+        .otherwise(0))
+    flagged
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  def sessionsQuery(s: SparkSession, dir: String): DataFrame =
+    sessionsBatch(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  // ------------------------------------------------- streaming-only pieces
+
+  /** B10: watermarked tumbling aggregation for a real stream — late events
+    * beyond 10 minutes are dropped; append-mode emits finalized windows. */
+  def tumblingStream(events: DataFrame): DataFrame =
+    tumbling(events.withWatermark("ts", "10 minutes"))
+
+  /** B10: stateful streaming dedup bounded by the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** B10: native session windows (streaming twin of [[sessionsBatch]]). */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** B10 + A21: incremental harvest as a streaming sink — each micro-batch
+    * of bindings merges into the store via the same batch Merge operators
+    * (the reference's per-page transactional commit, harvest.py:374). */
+  def harvestSink(storeDir: String, asOf: java.sql.Timestamp)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val valid = graft.harvest.Transform.filterValidBindings(batch.distinct())
+    val existing = graft.harvest.Store.readTableOr(
+      spark, storeDir, "terms", graft.harvest.Schemas.terms)
+    val terms = graft.harvest.Merge.upsertTerms(
+      existing, valid.select(col("concept").as("uri")), lit(asOf))
+    graft.harvest.Store.writeTable(terms, storeDir, "terms")
+  }
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b10_tumbling" -> (tumblingQuery _),
+    "b10_sliding" -> (slidingQuery _),
+    "b10_sessions" -> (sessionsQuery _),
+  )
+
+  private val BUCKET5 = "make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT)*1000000)"
+
+  val oracles: Map[String, String] = Map(
+    "b10_tumbling" -> s"""
+      SELECT $BUCKET5 AS window_start, event_type, COUNT(*) AS n_events,
+        SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "b10_sliding" -> """
+      WITH buckets AS (
+        SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/600)*600 AS BIGINT)*1000000) AS window_start, value FROM events
+        UNION ALL
+        SELECT make_timestamp((CAST(floor((epoch(CAST(ts AS TIMESTAMP))-300)/600)*600 AS BIGINT)+300)*1000000), value FROM events)
+      SELECT window_start, COUNT(*) AS n_events,
+        SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS sum_value
+      FROM buckets GROUP BY 1 ORDER BY window_start""",
+    "b10_sessions" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          CASE WHEN lag(ts) OVER w IS NULL THEN 1
+               WHEN CAST(ts AS TIMESTAMP) > CAST(lag(ts) OVER w AS TIMESTAMP) + INTERVAL 30 MINUTES THEN 1
+               ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq""",
+  )
+}

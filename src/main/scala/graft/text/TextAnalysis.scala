@@ -1,0 +1,144 @@
+package graft.text
+
+import graft.Tables
+import graft.functions.RollingHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY §2 B13): token counting, quality scoring, language-ID
+  * heuristics, document fingerprinting. Everything is built from codegen'd
+  * built-ins (plus the custom [[RollingHash]] expression) — one narrow
+  * scan-side pass per document, no shuffle except final ordering.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish lexer tokens: word pieces OR single non-word-non-space chars. */
+  val LexPattern = "\\w+|[^\\w\\s]"
+
+  /** Language marker patterns (tiny stopword n-gram heuristic). Applied
+    * identically in the SQL oracle — the point is the operator shape
+    * (per-row scoring + argmax), not linguistic accuracy. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|a|is|in)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein)\\b",
+    "es" -> "\\b(el|la|los|que|y|es)\\b",
+    "fr" -> "\\b(le|les|et|est|une|des)\\b")
+
+  /** B13: token counts — whitespace + regex-lexer counts per doc. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      size(tokens($"text")).as("ws_tokens"),
+      regexp_count($"text", lit(LexPattern)).cast("int").as("lex_tokens"),
+      length($"text").as("n_chars_actual"),
+      $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** B13: quality scoring — length/punctuation/stopword ratios and a
+    * composite score. All ratios are single double divisions of exact
+    * integer counts → deterministic and engine-portable. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nTok = size(tokens($"text")).cast("double")
+    val nChars = length($"text").cast("double")
+    val punct = regexp_count($"text", lit("[^\\w\\s]")).cast("double")
+    val stop = regexp_count($"text", lit(LangMarkers.head._2)).cast("double")
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      (nChars / nTok).as("avg_token_len"),
+      (punct / nChars).as("punct_ratio"),
+      (stop / nTok).as("stopword_ratio"),
+      when(nTok >= 5.0 && nChars / nTok >= 3.0 && nChars / nTok <= 12.0, 1)
+        .otherwise(0).as("passes_quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** B13: language-ID by marker-word argmax (ties resolved in declaration
+    * order, 'und' when no marker fires). */
+  def langGuess(text: Column): Column = {
+    val counts = LangMarkers.map { case (lang, pat) =>
+      lang -> regexp_count(text, lit(pat))
+    }
+    val geAll: Column = counts.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, c), i), els) =>
+        val laterCounts = counts.drop(i + 1).map(_._2)
+        val isMax = laterCounts.foldLeft(c > 0) { (acc, o) => acc && c >= o }
+        when(isMax, lit(lang)).otherwise(els)
+    }
+    geAll
+  }
+
+  /** B13: language-ID over documents, compared against the labeled lang. */
+  def languageId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id", $"lang".as("labeled_lang"), langGuess($"text").as("guessed_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** B13: document fingerprint via the custom codegen'd rolling-hash
+    * expression (no SQL oracle — cross-engine hash functions differ). */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      RollingHash($"text").as("fingerprint"),
+      RollingHash(lower($"text")).as("fingerprint_ci"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b13_token_counts" -> (tokenCounts _),
+    "b13_quality_score" -> (qualityScore _),
+    "b13_language_id" -> (languageId _),
+    "b13_fingerprint" -> (fingerprints _),
+  )
+
+  private def sqlCount(pat: String) =
+    s"CAST(len(regexp_extract_all(text, '$pat')) AS INT)"
+
+  val oracles: Map[String, String] = Map(
+    "b13_token_counts" -> s"""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        ${sqlCount("\\w+|[^\\w\\s]")} AS lex_tokens,
+        CAST(length(text) AS INT) AS n_chars_actual,
+        n_chars
+      FROM documents ORDER BY doc_id""",
+    "b13_quality_score" -> """
+      SELECT doc_id,
+        CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+        CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+        CAST(len(regexp_extract_all(text, '\b(the|and|of|to|a|is|in)\b')) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        CASE WHEN len(string_split(text, ' ')) >= 5
+              AND CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) >= 3.0
+              AND CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) <= 12.0
+             THEN 1 ELSE 0 END AS passes_quality
+      FROM documents ORDER BY doc_id""",
+    "b13_language_id" -> """
+      SELECT doc_id, lang AS labeled_lang,
+        CASE
+          WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+          WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+          WHEN es > 0 AND es >= fr THEN 'es'
+          WHEN fr > 0 THEN 'fr'
+          ELSE 'und' END AS guessed_lang
+      FROM (
+        SELECT doc_id, lang,
+          len(regexp_extract_all(text, '\b(the|and|of|to|a|is|in)\b')) AS en,
+          len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein)\b')) AS de,
+          len(regexp_extract_all(text, '\b(el|la|los|que|y|es)\b')) AS es,
+          len(regexp_extract_all(text, '\b(le|les|et|est|une|des)\b')) AS fr
+        FROM documents)
+      ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,50 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 2 is a near-duplicate of doc 1 (one token changed); doc 3 unrelated.
+  private val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+  private val nearDup = ((1 to 29).map(i => s"tok$i") :+ "changed").mkString(" ")
+  private val other = (100 to 130).map(i => s"word$i").mkString(" ")
+  private def docs = Seq((1L, base), (2L, nearDup), (3L, other), (4L, base))
+    .toDF("doc_id", "text")
+
+  test("shingles: k-token windows, distinct, short docs dropped (B12)") {
+    val sh = Dedup.shingles(Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text"), 3)
+    assert(sh.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups, skips unrelated (B12)") {
+    val pairs = Dedup.minHashNearDup(docs, k = 3, threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // near-dup
+    assert(pairs.contains((1L, 4L))) // exact dup → jaccard 1.0
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
+  }
+
+  test("exact jaccard verification values are correct (B12)") {
+    val sh = Dedup.shingles(docs, 3)
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a", "b")
+    val j = Dedup.verifyJaccard(pairs, sh).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(j((1L, 4L)) === 1.0)
+    // 28 shingles each, 25 shared (windows not touching the changed token)
+    assert(j((1L, 2L)) > 0.7 && j((1L, 2L)) < 1.0)
+  }
+
+  test("simhash: bag-of-words invariant, exact dups at distance 0, unrelated far (B12)") {
+    // doc 5 = doc 1's tokens reversed: simhash is order-invariant → distance 0
+    val reordered = (1 to 30).map(i => s"tok$i").reverse.mkString(" ")
+    val d = Seq((1L, base), (3L, other), (4L, base), (5L, reordered))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDup(d, maxDist = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 4L)) === 0) // identical docs → identical sketch
+    assert(pairs((1L, 5L)) === 0) // reordered tokens → identical sketch
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 4L)))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two tight clusters around orthogonal axes + one lone vector.
+  private def vec(axis: Int, eps: Float): Seq[Float] =
+    (0 until 8).map(d => (if (d == axis) 1.0f else 0.0f) + (if (d == (axis + 1) % 8) eps else 0.0f))
+  private def embeddings = Seq(
+    (0L, vec(0, 0.00f)), (1L, vec(0, 0.01f)), (2L, vec(0, 0.02f)),
+    (10L, vec(3, 0.00f)), (11L, vec(3, 0.01f)),
+    (99L, vec(6, 0.40f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks same-cluster vectors first (B12)") {
+    val top = Similarity.bruteForceTopK(embeddings, col("vec_id") === 0, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(top.map(_._1).toSeq === Seq(1L, 2L)) // cluster mates of 0
+    assert(top.forall(_._2 > 0.99))
+  }
+
+  test("cosine kernel: exact integer quantization, orthogonal = 0") {
+    val e = embeddings.select($"vec_id", Similarity.quantize($"embedding").as("q"))
+    val a = e.filter($"vec_id" === 0).toDF("a", "qa")
+    val b = e.filter($"vec_id" === 10).toDF("b", "qb")
+    val c = a.crossJoin(b)
+      .select(Similarity.cosineQ(col("qa"), col("qb"))).head().getDouble(0)
+    assert(c === 0.0)
+  }
+
+  test("LSH buckets put cluster mates together; near-neighbor join finds them (B12)") {
+    val pairs = Similarity.lshNearNeighbors(embeddings, numPlanes = 6, minCosine = 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same-bucket requirement is approximate, but identical-direction vectors
+    // always share a bucket:
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L)) || pairs.contains((0L, 2L)))
+    assert(pairs.contains((10L, 11L)))
+  }
+
+  test("LSH recall vs brute force on the cluster queries") {
+    val bf = Similarity.bruteForceTopK(embeddings, col("vec_id") === 10, k = 1)
+      .head()
+    assert(bf.getLong(1) === 11L)
+  }
+}

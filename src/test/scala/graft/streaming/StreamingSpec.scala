@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Evt(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(m: Int, s: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d")
+
+  private def runStream(events: Seq[Evt], xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        name: String, mode: String = "append") = {
+    val input = MemoryStream[Evt](spark)
+    input.addData(events)
+    val q = xform(input.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("watermarked tumbling window emits finalized windows (B10)") {
+    val events = Seq(
+      Evt(1, t(0), 1, "click", 1.0), Evt(2, t(1), 1, "click", 2.0),
+      Evt(3, t(6), 2, "view", 3.0),
+      Evt(4, t(40), 1, "click", 9.0)) // advances watermark past earlier windows
+    val out = runStream(events, Streaming.tumblingStream, "tumb")
+    val rows = out.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(rows.contains((t(0), "click", 2L)))
+    assert(rows.contains((t(5), "view", 1L)))
+    assert(!rows.exists(_._1 == t(40))) // last window not finalized yet
+  }
+
+  test("dropDuplicatesWithinWatermark removes stream dupes (B10)") {
+    val events = Seq(
+      Evt(1, t(0), 1, "click", 1.0), Evt(1, t(0, 30), 1, "click", 1.0),
+      Evt(2, t(1), 1, "view", 2.0))
+    val out = runStream(events, Streaming.dedupStream, "dedup")
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("session_window groups by inactivity gap (B10)") {
+    val events = Seq(
+      Evt(1, t(0), 1, "click", 1.0), Evt(2, t(10), 1, "click", 1.0),  // session A
+      Evt(3, t(50), 1, "click", 1.0),                                 // session B
+      Evt(4, Timestamp.valueOf("2026-01-01 12:30:00"), 9, "late", 0.0)) // watermark push
+    val out = runStream(events, Streaming.sessionWindowStream, "sess")
+    val u1 = out.filter($"user_id" === 1).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(3))).toSet
+    assert(u1 === Set((t(0), 2L), (t(50), 1L))) // both sessions finalized
+  }
+
+  test("batch and streaming session logic agree on closed sessions (B10)") {
+    val events = Seq(
+      Evt(1, t(0), 1, "a", 0), Evt(2, t(5), 1, "a", 0), Evt(3, t(55), 1, "a", 0))
+    val batch = Streaming.sessionsBatch(events.toDF()).collect()
+    assert(batch.length === 2)
+    assert(batch.map(_.getLong(4)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("foreachBatch harvest sink merges micro-batches with stable ids (B10/A21)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[String](spark)
+    val bindings = input.toDF().select(
+      col("value").as("concept"),
+      lit(null).cast("string").as("prefLabel"),
+      lit(null).cast("string").as("altLabel"),
+      lit(null).cast("string").as("definition"))
+    val q = bindings.writeStream
+      .foreachBatch(Streaming.harvestSink(dir, Timestamp.valueOf("2026-01-01 00:00:00")) _)
+      .outputMode("append").start()
+    input.addData("https://v.example/t/b"); q.processAllAvailable()
+    input.addData("https://v.example/t/a", "https://v.example/t/b"); q.processAllAvailable()
+    q.stop()
+    val terms = spark.read.parquet(s"$dir/terms").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(terms.toSeq === Seq((1L, "https://v.example/t/b"), (2L, "https://v.example/t/a")))
+  }
+}
