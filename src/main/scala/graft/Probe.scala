@@ -24,6 +24,18 @@ object Probe {
     }
     if (sys.env.contains("PROBE_EXPLAIN"))
       for (n <- names; fn <- SparkEntry.queries.get(n)) fn(spark, dir).explain("formatted")
+    if (sys.env.contains("PROBE_MINHASH")) {
+      val docs = Tables.documents(spark, dir)
+      val sh = dedup.Dedup.shingles(docs, 3).cache()
+      time("shingles")(println(s"  shingles=${sh.count()}"))
+      val sigs = dedup.Dedup.minHashSignatures(sh)
+      time("signatures")(println(s"  sigs=${sigs.count()}"))
+      val bands = dedup.Dedup.lshBands(sigs).cache()
+      time("bands")(println(s"  bands=${bands.count()}"))
+      val pairs = dedup.Dedup.candidatePairs(bands).cache()
+      time("pairs")(println(s"  pairs=${pairs.count()}"))
+      time("verify")(println(s"  verified=${dedup.Dedup.verifyJaccard(pairs, sh).count()}"))
+    }
     spark.stop()
   }
 }

@@ -41,13 +41,16 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: for each of `numHashes` hash functions
-    * h_i(x) = xxhash64(i, x), the min over the doc's shingles. One shuffle
-    * on doc_id; 64 partial-aggregating min columns (map-side combine). */
+  /** MinHash signatures: for each of `numHashes` hash functions, the min
+    * over the doc's shingles. One shuffle on doc_id; 64 partial-aggregating
+    * min columns (map-side combine). The shingle string is hashed ONCE to a
+    * long; each family member then re-hashes the long (integer-width work)
+    * instead of re-hashing the full string 64×. */
   def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val base = sh.withColumn("hbase", xxhash64(col("shingle")))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy(col("doc_id"))
+      min(xxhash64(lit(i), col("hbase"))).as(s"h$i"))
+    base.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -74,12 +77,15 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs against the shingle
-    * sets: intersection via equi-join on shingle, union via per-doc sizes. */
+    * sets. Join ORDER matters at scale: start from the (small) candidate
+    * pair set and attach each side's shingles — never shingle⋈shingle
+    * first, whose cost is Σ freq(shingle)² and explodes on common
+    * shingles. */
   def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.toDF("a", "shingle")
-      .join(sh.toDF("b", "shingle"), Seq("shingle"))
-      .join(pairs, Seq("a", "b"), "left_semi")
+    val inter = pairs
+      .join(sh.toDF("a", "shingle"), Seq("a"))
+      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     pairs
       .join(inter, Seq("a", "b"), "left_outer")
@@ -95,7 +101,9 @@ object Dedup {
     * (shingle → minhash → band → bucket-join → exact verify). */
   def minHashNearDup(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs, k).cache()
-    val pairs = candidatePairs(lshBands(minHashSignatures(sh)))
+    // bands feed a self-join → materialize once
+    val bands = lshBands(minHashSignatures(sh)).cache()
+    val pairs = candidatePairs(bands)
     verifyJaccard(pairs, sh)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("a"), col("b"))

@@ -52,7 +52,7 @@ object Similarity {
     * queries, scan the corpus once, window for top-k. The exact baseline
     * every ANN variant is measured against. */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
-    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
     val queries = e.filter(queryPred).toDF("query_id", "qq")
     val joined = e.toDF("vec_id", "qv")
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -92,9 +92,11 @@ object Similarity {
     * against [[bruteForceTopK]]. */
   def lshNearNeighbors(embeddings: DataFrame, numPlanes: Int = 8,
                        minCosine: Double = 0.3): DataFrame = {
+    // bucket assignment is the expensive expression and feeds a self-join:
+    // materialize it once instead of evaluating per join side
     val e = embeddings.select(col("vec_id"),
       quantize(col("embedding")).as("q"),
-      lshBucket(col("embedding"), numPlanes).as("bucket"))
+      lshBucket(col("embedding"), numPlanes).as("bucket")).cache()
     val a = e.toDF("a", "qa", "bucket")
     val b = e.toDF("b", "qb", "bucket")
     a.join(b, Seq("bucket")).filter(col("a") < col("b"))
