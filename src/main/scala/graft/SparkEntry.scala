@@ -21,6 +21,7 @@ object SparkEntry {
       (similarity.Similarity.queries, similarity.Similarity.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
+      (functions.Udfs.queries, functions.Udfs.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -29,6 +29,13 @@ object Main {
         HarvestJob.Config(args(0), args(1), args(2), asOf))
       result.warnings.foreach(System.err.println)
       println(result.summary)
+      // A24 analogue (harvest.py:424-472): the reference git-commits the
+      // store when run inside its CI. That side effect stays OUT of the
+      // data plane — an optional post-write hook command, driver-side only.
+      sys.env.get("GRAFT_POST_WRITE_CMD").foreach { cmd =>
+        val code = new ProcessBuilder("sh", "-c", cmd).inheritIO().start().waitFor()
+        if (code != 0) System.err.println(s"post-write hook exited $code")
+      }
     } catch {
       case e: IllegalArgumentException =>
         System.err.println(s"input error: ${e.getMessage}"); sys.exit(2)
