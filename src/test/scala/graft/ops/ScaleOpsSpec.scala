@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join result") {
+    val orders = Tables.orders(spark, sfDir).select($"o_custkey", $"o_orderkey")
+    val cust = Tables.customer(spark, sfDir).select($"c_custkey".as("o_custkey"), $"c_name")
+    val plain = orders.join(cust, "o_custkey")
+    val salted = ScaleOps.saltedJoin(orders, cust, "o_custkey", salts = 4)
+    assert(salted.count() === plain.count())
+    assert(salted.select("o_orderkey", "c_name").except(
+      plain.select("o_orderkey", "c_name")).count() === 0)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.lineitem(spark, sfDir)
+    val direct = li.groupBy($"l_suppkey")
+      .agg(sum($"l_quantity".cast("decimal(28,2)")).as("sum_value"), count(lit(1)).as("n_rows"))
+    val salted = ScaleOps.saltedSumCount(li, "l_suppkey", $"l_quantity".cast("decimal(28,2)"), 8)
+    assert(salted.except(direct).count() === 0 && direct.except(salted).count() === 0)
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    val dir = Files.createTempDirectory("graft_buckets").toString
+    ScaleOps.writeBucketed(Tables.orders(spark, sfDir).select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+      s"$dir/orders_b", "graft_orders_b", "o_custkey", 4)
+    ScaleOps.writeBucketed(Tables.customer(spark, sfDir).select($"c_custkey", $"c_name"),
+      s"$dir/cust_b", "graft_cust_b", "c_custkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_cust_b"),
+          col("o_custkey") === col("c_custkey"))
+      joined.write.format("noop").mode("overwrite").save()
+      val plan = joined.queryExecution.executedPlan
+      val finalPlan = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = finalPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n$finalPlan")
+      assert(joined.count() === Tables.orders(spark, sfDir).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cust_b")
+    }
+  }
+
+  test("partitioned layout prunes directories on partition-key filters") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/events"
+    ScaleOps.writePartitioned(
+      Tables.events(spark, sfDir).select($"event_id", $"value", $"event_type"), dir, "event_type")
+    val all = spark.read.parquet(dir)
+    val pruned = all.filter($"event_type" === "click")
+    val nClick = pruned.count() // execute → scan metrics populated
+    assert(nClick > 0)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("event_type"),
+      "partition filter not recognized at plan time")
+    // only the click/ directory's files are read, not all five event types
+    assert(scan.metrics("numFiles").value < all.inputFiles.length,
+      s"expected pruning: ${scan.metrics("numFiles").value} of ${all.inputFiles.length}")
+  }
+}
