@@ -22,6 +22,7 @@ object SparkEntry {
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (functions.Udfs.queries, functions.Udfs.oracles),
+      (ops.Relational2.queries, ops.Relational2.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -200,7 +200,7 @@ object HarvestQueries {
   )
 
   /** Shared fixture CTE — the exact SQL mirror of [[bindings]]/[[valid]]. */
-  private val FIX = """
+  private[ops] val FIX = """
     WITH bindings AS (
       SELECT doc_id,
         CASE WHEN doc_id % 11 = 0 THEN 'ftp://bad.example.org/term/' || doc_id

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second batch of relational surface: multiset set-ops, null-safe
+  * equality, pivot (the inverse of the A14 melt), and deterministic
+  * hash-based sampling / train-test splitting for training-data pipelines.
+  */
+object Relational2 {
+
+  /** B8: EXCEPT ALL / INTERSECT ALL — multiset semantics. */
+  def exceptAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.lineitem(s, dir).select($"l_orderkey")
+    val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey".as("l_orderkey"))
+    all.exceptAll(urgent).groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+      .orderBy($"l_orderkey")
+  }
+
+  def intersectAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_suppkey".as("key"))
+    val sup = Tables.supplier(s, dir).select($"s_suppkey".as("key"))
+    li.intersectAll(sup).orderBy($"key")
+  }
+
+  /** B2: null-safe equality `<=>` — join nullable melted values without
+    * losing null==null matches. */
+  def nullSafeEq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d1 = Tables.documents(s, dir).select($"doc_id",
+      when($"doc_id" % 5 === 0, $"lang").as("l1"))
+    val d2 = Tables.documents(s, dir).select($"doc_id".as("doc_id2"),
+      when($"doc_id2" % 3 === 0, $"lang").as("l2"))
+    d1.join(d2, $"doc_id" === $"doc_id2" && $"l1" <=> $"l2")
+      .select($"doc_id", $"l1")
+      .orderBy($"doc_id")
+  }
+
+  /** A14 inverse: pivot the EAV store back to wide — groupBy + pivot with
+    * fixed column values (never dynamic at scale: fixed pivot values keep
+    * it one pass, no extra distinct-collect job). */
+  def pivotWide(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eav = HarvestQueries.valid(s, dir)
+    val melted = graft.harvest.Transform.meltAll(eav)
+    melted.groupBy($"concept")
+      .pivot("field_term", Seq("skos:prefLabel", "skos:altLabel", "skos:definition"))
+      .agg(min($"original_value"))
+      .withColumnsRenamed(Map(
+        "skos:prefLabel" -> "prefLabel", "skos:altLabel" -> "altLabel",
+        "skos:definition" -> "definition"))
+      .orderBy($"concept")
+  }
+
+  /** B15: deterministic hash-mod sampling — the reproducible, cluster-safe
+    * alternative to `df.sample` for training-data pipelines (same rows
+    * selected on every engine/run; Knuth multiplicative hash in exact
+    * 64-bit integer arithmetic). */
+  def hashSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100)))
+      .filter($"bucket" < 10)
+      .select($"doc_id", $"bucket", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** B15: deterministic train/valid/test split by the same mechanism. */
+  def trainTestSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100)))
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "valid").otherwise("test"))
+      .groupBy($"split").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"split")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b08_except_all" -> (exceptAll _),
+    "b08_intersect_all" -> (intersectAll _),
+    "b02_nullsafe_eq" -> (nullSafeEq _),
+    "a14_pivot_wide" -> (pivotWide _),
+    "b15_hash_sample" -> (hashSample _),
+    "b15_train_test_split" -> (trainTestSplit _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a14_pivot_wide" -> s"""${HarvestQueries.FIX}
+      SELECT concept,
+        MIN(CASE WHEN field_term = 'skos:prefLabel' THEN original_value END) AS prefLabel,
+        MIN(CASE WHEN field_term = 'skos:altLabel' THEN original_value END) AS altLabel,
+        MIN(CASE WHEN field_term = 'skos:definition' THEN original_value END) AS definition
+      FROM eav GROUP BY concept ORDER BY concept""",
+    "b08_except_all" -> """
+      SELECT l_orderkey, COUNT(*) AS n FROM (
+        SELECT l_orderkey FROM lineitem
+        EXCEPT ALL
+        SELECT o_orderkey AS l_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ) GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "b08_intersect_all" -> """
+      SELECT key FROM (
+        SELECT l_suppkey AS key FROM lineitem
+        INTERSECT ALL
+        SELECT s_suppkey AS key FROM supplier
+      ) ORDER BY key""",
+    "b02_nullsafe_eq" -> """
+      SELECT d1.doc_id, d1.l1 FROM
+        (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN lang END AS l1 FROM documents) d1
+      JOIN
+        (SELECT doc_id AS doc_id2, CASE WHEN doc_id % 3 = 0 THEN lang END AS l2 FROM documents) d2
+      ON d1.doc_id = d2.doc_id2 AND d1.l1 IS NOT DISTINCT FROM d2.l2
+      ORDER BY d1.doc_id""",
+    "b15_hash_sample" -> """
+      SELECT doc_id, doc_id * 2654435761 % 100 AS bucket, lang
+      FROM documents WHERE doc_id * 2654435761 % 100 < 10
+      ORDER BY doc_id""",
+    "b15_train_test_split" -> """
+      SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+             COUNT(*) AS n_docs
+      FROM (SELECT doc_id * 2654435761 % 100 AS b FROM documents)
+      GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -108,12 +108,54 @@ object Similarity {
   def lshQuery(s: SparkSession, dir: String): DataFrame =
     lshNearNeighbors(Tables.embeddings(s, dir))
 
+  /** B12 scale path #2 — IVF (inverted-file) ANN: partition the corpus
+    * into cells around deterministic hash-chosen centroid vectors, then
+    * search only the query's `nprobe` closest cells. Assignment and probe
+    * are broadcast joins against the (tiny) centroid set; the corpus is
+    * scanned once — the classic trade of recall for a 1/cells scan
+    * fraction.
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, numCells: Int = 16,
+              nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
+    // deterministic centroids: the numCells vectors whose id hash is
+    // smallest — a reproducible pseudo-random sample of the corpus
+    val centroids = e
+      .withColumn("__h", xxhash64(col("vec_id")))
+      .orderBy(col("__h")).limit(numCells)
+      .select(col("vec_id").as("cell_id"), col("q").as("cq"))
+    val bc = broadcast(centroids)
+    // invert: each corpus vector → its single closest cell
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
+    val assigned = e.crossJoin(bc)
+      .select(col("vec_id"), col("q"), col("cell_id"), cosineQ(col("q"), col("cq")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("q"), col("cell_id"))
+    // queries probe their nprobe closest cells
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell_id"))
+    val probes = e.filter(queryPred).toDF("query_id", "qq").crossJoin(bc)
+      .select(col("query_id"), col("qq"), col("cell_id"), cosineQ(col("qq"), col("cq")).as("sim"))
+      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qq"), col("cell_id"))
+    // search only within probed cells (equi-join on cell_id)
+    val cand = probes.join(assigned, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosineQ(col("qq"), col("q")).as("cosine"))
+    val tw = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("rn", row_number().over(tw)).filter(col("rn") <= k)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  def ivfQuery(s: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_cosine_pairs" -> (cosinePairs _),
     "b12_ann_topk" -> (annTopKQuery _),
     "b12_ann_lsh" -> (lshQuery _),
+    "b12_ann_ivf" -> (ivfQuery _),
   )
 
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"

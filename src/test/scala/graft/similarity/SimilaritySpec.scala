@@ -45,4 +45,16 @@ class SimilaritySpec extends SparkSpec {
       .head()
     assert(bf.getLong(1) === 11L)
   }
+
+  test("IVF top-k recalls the true nearest neighbor on clustered data (B12)") {
+    // with cells ≈ corpus size every vector is near a centroid; the probe
+    // of the query's own cluster must recover its cluster mates
+    val ivf = Similarity.ivfTopK(embeddings, col("vec_id") === 0,
+      numCells = 4, nprobe = 2, k = 2)
+    val got = ivf.collect().map(_.getLong(1)).toSet
+    val bf = Similarity.bruteForceTopK(embeddings, col("vec_id") === 0, k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.intersect(bf).nonEmpty, s"ivf=$got bf=$bf")
+    assert(ivf.count() <= 2)
+  }
 }
