@@ -24,6 +24,22 @@ object Probe {
     }
     if (sys.env.contains("PROBE_EXPLAIN"))
       for (n <- names; fn <- SparkEntry.queries.get(n)) fn(spark, dir).explain("formatted")
+    if (sys.env.contains("PROBE_STRESS")) {
+      // Near-dup stress: replicate the corpus with per-replica suffixes so
+      // every original spawns a dup group; validates the LSH pipeline's
+      // cost shape at ~10x the bench corpus.
+      import org.apache.spark.sql.functions._
+      val reps = sys.env.getOrElse("PROBE_STRESS", "8").toInt
+      val docs = Tables.documents(spark, dir)
+      val big = docs.crossJoin(spark.range(reps).toDF("rep"))
+        .select((col("doc_id") * reps + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      println(s"  stress docs=${big.count()}")
+      time("stress_minhash") {
+        val pairs = dedup.Dedup.minHashNearDup(big, k = 3, threshold = 0.8)
+        println(s"  stress pairs=${pairs.count()}")
+      }
+    }
     if (sys.env.contains("PROBE_MINHASH")) {
       val docs = Tables.documents(spark, dir)
       val sh = dedup.Dedup.shingles(docs, 3).cache()
