@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // This host shows random 10-300s single-core stalls from C2 compile
+  // storms over Spark's generated code (measured: full bench swings
+  // 44s↔350s). Capping JIT at C1 makes runs deterministic (~72s) at a
+  // small steady-state cost. Local-box workaround only — a real cluster
+  // keeps full tiered compilation. Override via SPARK_GRAFT_JVM_OPTS
+  // (later -XX flags win).
+  "-XX:TieredStopAtLevel=1",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -20,16 +20,19 @@ object Bench {
     // not JVM compilation.
     val warmDir = "/root/testdata/sf0.001"
     ordered.foreach { case (_, fn) => try runOnce(fn, warmDir) catch { case _: Throwable => () } }
-    // min of 2 timed runs: JVM background-compilation hiccups can add
-    // tens of seconds of non-data-plane noise to a single run.
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try runOnce(fn, sfDir)
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    // min over 2 full passes (each pass runs every query once): JVM
+    // background-compilation hiccups add tens of seconds of
+    // non-data-plane noise in bursts, so the two measurements of a query
+    // are spaced apart rather than back-to-back.
+    def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try runOnce(fn, sfDir)
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val passes = Seq(timedPass(), timedPass())
+    val results = ordered.map { case (name, _) =>
+      name -> passes.map(_(name)).min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
