@@ -24,6 +24,34 @@ object Probe {
     }
     if (sys.env.contains("PROBE_EXPLAIN"))
       for (n <- names; fn <- SparkEntry.queries.get(n)) fn(spark, dir).explain("formatted")
+    if (sys.env.contains("PROBE_STRESS_REL")) {
+      // Relational scaling: replicate lineitem in-memory and re-run the
+      // flagship agg — checks the q1 plan scales linearly in rows.
+      import org.apache.spark.sql.functions._
+      val reps = sys.env.getOrElse("PROBE_STRESS_REL", "8").toInt
+      val li = Tables.lineitem(spark, dir)
+      val big = li.crossJoin(spark.range(reps).toDF("rep")).drop("rep").cache()
+      println(s"  stress lineitem rows=${big.count()}")
+      big.createOrReplaceTempView("stress_lineitem")
+      time("stress_q1") {
+        spark.sql("""
+          SELECT l_returnflag, l_linestatus,
+            SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS sum_qty,
+            COUNT(*) AS n
+          FROM stress_lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus""")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("stress_q1_again") {
+        spark.sql("""
+          SELECT l_returnflag, l_linestatus,
+            SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS sum_qty,
+            COUNT(*) AS n
+          FROM stress_lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus""")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     if (sys.env.contains("PROBE_STRESS")) {
       // Near-dup stress: replicate the corpus with per-replica suffixes so
       // every original spawns a dup group; validates the LSH pipeline's
