@@ -54,7 +54,7 @@ object HarvestJob {
     val terms = Merge.upsertTerms(
       existingTerms, valid.select(col("concept").as("uri")), asOf).cache()
 
-    val melted = Transform.meltAll(valid)
+    val melted = Transform.meltAll(valid, cfg.meltVars)
     val resolved = Merge.resolveFk(melted, terms)
     val existingFields =
       Store.readTableOr(spark, cfg.storeDir, "term_fields", Schemas.termFields).cache()
@@ -64,11 +64,20 @@ object HarvestJob {
     // A16 statistics — cheap aggregates over cached intermediates.
     val bindingsRead = bindings.count()
     val validRows = valid.count()
+    val distinctTerms = valid.select("concept").distinct().count()
     val termCount = terms.count()
     val termsInserted = termCount - existingCount
     val termsUpdated = terms
       .filter(col("updated_at") === asOf && col("created_at") =!= asOf).count()
     val fieldsInserted = allFields.count() - existingFieldCount
+
+    // A19/A20: fail the job (like the reference's sqlite3.Error path,
+    // harvest.py:477-479) if the merged store would violate its
+    // uniqueness constraints.
+    Validate.enforce(Validate.uniqueViolations(terms, Seq("uri")), "terms.uri unique")
+    Validate.enforce(
+      Validate.uniqueViolations(allFields, Seq("term_id", "field_uri", "original_value")),
+      "term_fields(term_id, field_uri, original_value) unique")
 
     // A21/A22: staged writes, then swap; bootstrap the never-written tables.
     Store.writeTable(terms, cfg.storeDir, "terms")
@@ -78,7 +87,6 @@ object HarvestJob {
     valid.unpersist(); terms.unpersist(); allFields.unpersist()
     existingTerms.unpersist(); existingFields.unpersist()
 
-    val distinctTerms = valid.select("concept").distinct().count()
     Result(bindingsRead, validRows, distinctTerms,
       termsInserted, termsUpdated, fieldsInserted, warnings)
   }

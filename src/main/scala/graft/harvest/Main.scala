@@ -20,8 +20,14 @@ object Main {
       sys.exit(2)
     }
     val asOf =
-      if (args.length >= 4) Timestamp.valueOf(args(3).replace('T', ' '))
-      else new Timestamp(System.currentTimeMillis())
+      try {
+        if (args.length >= 4) Timestamp.valueOf(args(3).replace('T', ' '))
+        else new Timestamp(System.currentTimeMillis())
+      } catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"input error: bad asOf timestamp '${args(3)}': ${e.getMessage}")
+          sys.exit(2)
+      }
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     try {

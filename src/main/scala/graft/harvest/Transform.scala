@@ -62,6 +62,7 @@ object Transform {
   /** A14 fan-out variant: melt the *non-deduplicated* bindings so that
     * multi-valued properties (one row per value, H5 in SURVEY §7) each emit
     * an EAV row; dedup on the full EAV key afterwards. */
-  def meltAll(bindings: DataFrame): DataFrame =
-    melt(bindings).dropDuplicates("concept", "field_uri", "original_value")
+  def meltAll(bindings: DataFrame,
+              vars: Seq[String] = Seq("prefLabel", "altLabel", "definition")): DataFrame =
+    melt(bindings, vars).dropDuplicates("concept", "field_uri", "original_value")
 }

@@ -58,7 +58,8 @@ class BindingsScanBuilder(totalCount: Long, pageSize: Int) extends ScanBuilder w
     * partitions — the reference's sequential page loop, parallelized. */
   override def planInputPartitions(): Array[InputPartition] =
     (0L until totalCount by pageSize.toLong)
-      .map(off => BindingsPage(off, math.min(pageSize, (totalCount - off).toInt)): InputPartition)
+      .map(off => BindingsPage(off,
+        math.min(pageSize.toLong, totalCount - off).toInt): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory = BindingsReaderFactory

@@ -48,9 +48,11 @@ object Streaming {
   def sessionsBatch(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prev = lag(col("ts"), 1).over(byUser)
+    // >= : an event at exactly lastTs+gap starts a NEW session, matching
+    // session_window's half-open [start, last+gap) window semantics
     val flagged = events.withColumn("new_session",
       when(prev.isNull, 1)
-        .when(col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1)
+        .when(col("ts") >= prev + expr("INTERVAL 30 MINUTES"), 1)
         .otherwise(0))
     flagged
       .withColumn("session_seq", sum(col("new_session")).over(
@@ -126,7 +128,7 @@ object Streaming {
       WITH flagged AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
           CASE WHEN lag(ts) OVER w IS NULL THEN 1
-               WHEN CAST(ts AS TIMESTAMP) > CAST(lag(ts) OVER w AS TIMESTAMP) + INTERVAL 30 MINUTES THEN 1
+               WHEN CAST(ts AS TIMESTAMP) >= CAST(lag(ts) OVER w AS TIMESTAMP) + INTERVAL 30 MINUTES THEN 1
                ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
