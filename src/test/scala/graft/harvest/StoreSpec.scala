@@ -1,0 +1,45 @@
+package graft.harvest
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeTable swap preserves readability; rewrite replaces contents (A21/A22/H2)") {
+    val dir = Files.createTempDirectory("graft_store_spec").toString
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "uri")
+    Store.writeTable(v1, dir, "t")
+    assert(spark.read.parquet(s"$dir/t").count() === 2)
+    // rewrite derived from the current table (read-merge-overwrite path)
+    val v2 = spark.read.parquet(s"$dir/t").union(Seq((3L, "c")).toDF("id", "uri"))
+    Store.writeTable(v2, dir, "t")
+    assert(spark.read.parquet(s"$dir/t").count() === 3)
+    // no staging/old leftovers after a clean swap
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$dir/_staging_t")))
+    assert(!fs.exists(new Path(s"$dir/_old_t")))
+  }
+
+  test("readTableOr recovers a table stranded mid-swap at _old_<name>") {
+    val dir = Files.createTempDirectory("graft_store_crash").toString
+    Store.writeTable(Seq((1L, "a")).toDF("id", "uri"), dir, "t")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between rename-out and rename-in
+    assert(fs.rename(new Path(s"$dir/t"), new Path(s"$dir/_old_t")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("uri", org.apache.spark.sql.types.StringType)))
+    val recovered = Store.readTableOr(spark, dir, "t", schema)
+    assert(recovered.count() === 1) // not silently empty
+    assert(fs.exists(new Path(s"$dir/t")) && !fs.exists(new Path(s"$dir/_old_t")))
+  }
+
+  test("readTableOr returns typed empty frame for a genuinely missing table (A23)") {
+    val dir = Files.createTempDirectory("graft_store_empty").toString
+    val df = Store.readTableOr(spark, dir, "terms", Schemas.terms)
+    assert(df.count() === 0)
+    assert(df.schema === Schemas.terms)
+  }
+}
