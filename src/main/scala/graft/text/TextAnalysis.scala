@@ -93,6 +93,28 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** B13: TF-IDF-style term scoring — explode → tf per (doc, token) →
+    * document frequency → score = tf·N/df (linear idf: ln() is not
+    * bit-identical across libm implementations, so the oracle-checked
+    * variant keeps the ratio un-logged) → top-3 terms per doc. Two hash
+    * aggregations + one broadcast-size join on token. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val tf = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+    tf.join(dfreq, "tok")
+      .withColumn("score", $"tf".cast("double") * lit(nDocs) / $"df".cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"rn", $"tok", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rn")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -100,6 +122,7 @@ object TextAnalysis {
     "b13_quality_score" -> (qualityScore _),
     "b13_language_id" -> (languageId _),
     "b13_fingerprint" -> (fingerprints _),
+    "b13_tfidf_top_terms" -> (tfidfTopTerms _),
   )
 
   private def sqlCount(pat: String) =
@@ -124,6 +147,18 @@ object TextAnalysis {
               AND CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) <= 12.0
              THEN 1 ELSE 0 END AS passes_quality
       FROM documents ORDER BY doc_id""",
+    "b13_tfidf_top_terms" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id, tok, tf.tf, dfreq.df,
+          CAST(tf.tf AS DOUBLE) * (SELECT COUNT(*) FROM documents) / CAST(dfreq.df AS DOUBLE) AS score
+        FROM tf JOIN dfreq USING (tok))
+      SELECT doc_id, rn, tok, tf, df, score FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, tok) AS INT) AS rn FROM scored)
+      WHERE rn <= 3 ORDER BY doc_id, rn""",
     "b13_language_id" -> """
       SELECT doc_id, lang AS labeled_lang,
         CASE
