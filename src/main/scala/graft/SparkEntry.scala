@@ -23,6 +23,7 @@ object SparkEntry {
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (functions.Udfs.queries, functions.Udfs.oracles),
       (ops.Relational2.queries, ops.Relational2.oracles),
+      (ops.WorkflowQueries.queries, ops.WorkflowQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
