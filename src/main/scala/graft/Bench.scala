@@ -24,11 +24,12 @@ object Bench {
     // background-compilation hiccups add tens of seconds of
     // non-data-plane noise in bursts, so the two measurements of a query
     // are spaced apart rather than back-to-back.
+    // a query that throws records the -1 sentinel, not its (near-zero)
+    // failure time — broken queries must not inflate the bench's health
     def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try runOnce(fn, sfDir)
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { runOnce(fn, sfDir); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val passes = Seq(timedPass(), timedPass())
     val results = ordered.map { case (name, _) =>
@@ -36,8 +37,10 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

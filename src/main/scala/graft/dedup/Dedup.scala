@@ -42,11 +42,29 @@ object Dedup {
   }
 
   /** MinHash signatures: for each of `numHashes` hash functions, the min
-    * over the doc's shingles. One shuffle on doc_id; 64 partial-aggregating
-    * min columns (map-side combine). The shingle string is hashed ONCE to a
-    * long; each family member then re-hashes the long (integer-width work)
-    * instead of re-hashing the full string 64×. */
+    * over the doc's shingles. One shuffle on doc_id. The shingle string is
+    * hashed ONCE to a long; each family member then re-hashes the long
+    * (integer-width work) instead of re-hashing the full string 64×.
+    *
+    * Production path: the single-buffer [[graft.functions.MinHashAgg]]
+    * typed aggregator — ONE aggregate buffer per group (an Array[Long]
+    * updated with a tight loop) instead of 64 separate aggregate
+    * expressions, so codegen stays small and the partial-merge shuffle
+    * carries one array column. [[minHashSignatures64Col]] keeps the
+    * column-algebra formulation for comparison; the two hash families are
+    * deterministic but DISTINCT — signatures from the two paths must never
+    * be mixed in one pipeline. */
   def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val mh = udaf(new graft.functions.MinHashAgg(numHashes))
+    sh.select(col("doc_id"), xxhash64(col("shingle")).as("hbase"))
+      .groupBy(col("doc_id"))
+      .agg(mh(col("hbase")).as("sig"))
+  }
+
+  /** Column-algebra MinHash variant: 64 codegen'd `min(xxhash64(i, h))`
+    * aggregate columns. Same shuffle shape as [[minHashSignatures]]; kept
+    * as the measurement baseline for the single-buffer aggregator. */
+  def minHashSignatures64Col(sh: DataFrame, numHashes: Int = 64): DataFrame = {
     val base = sh.withColumn("hbase", xxhash64(col("shingle")))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("hbase"))).as(s"h$i"))

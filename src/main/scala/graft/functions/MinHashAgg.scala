@@ -15,8 +15,11 @@ import org.apache.spark.sql.{Encoder, Encoders}
   */
 class MinHashAgg(numHashes: Int = 64) extends Aggregator[Long, Array[Long], Seq[Long]] {
 
-  /** Same hash family as the column formulation: xxhash64-style avalanche
-    * of (seed, baseHash). Must stay deterministic and seed-separated. */
+  /** Splitmix-style finalizer over (seed, baseHash). Deterministic and
+    * seed-separated, but a DIFFERENT hash family than the column
+    * formulation in [[graft.dedup.Dedup.minHashSignatures64Col]] (which
+    * derives members via xxhash64(seed, h)) — signatures from the two
+    * paths are not comparable and must never be mixed in one pipeline. */
   @inline private def mix(seed: Int, h: Long): Long = {
     var x = h ^ (seed.toLong * 0x9E3779B97F4A7C15L)
     x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit polynomial rolling hash of a string's UTF-8 bytes:
@@ -15,8 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * serialization, no codegen fence. classic java-style `String.hashCode`
   * generalized to 64 bits.
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  // SQL-registered (`rolling_hash(x)` from user SQL): non-string arguments
+  // must be rejected at analysis time, not fail inside generated code.
+  // (return type inferred: AbstractDataType is private[sql] in Spark 4)
+  override def inputTypes = Seq(StringType)
   override def prettyName: String = "rolling_hash"
 
   override def nullSafeEval(input: Any): Any = {

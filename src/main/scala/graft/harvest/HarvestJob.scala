@@ -43,32 +43,48 @@ object HarvestJob {
   def run(spark: SparkSession, cfg: Config): Result = {
     val warnings = Validate.validateCollectionUri(cfg.collectionUri).toSeq
 
+    // A16 stats are collected as the data flows, not as extra jobs:
+    // the raw-bindings count rides the first materialization via observe()
+    // (the source is read exactly once), and every other statistic is one
+    // multi-aggregate pass over an already-cached intermediate.
+    val bindingsObs = org.apache.spark.sql.Observation("bindings_read")
     val bindings = Source.readBindings(spark, cfg.bindingsPath)
+      .observe(bindingsObs, count(lit(1)).as("n"))
     val valid = Transform.filterValidBindings(Transform.distinctRows(bindings)).cache()
     val asOf: Column = lit(cfg.asOf)
 
+    // (validRows, distinctTerms) in one pass — also materializes the cache,
+    // which fires the bindings observation.
+    val vRow = valid.agg(count(lit(1)), countDistinct(col("concept"))).head()
+    val validRows = vRow.getLong(0)
+    val distinctTerms = vRow.getLong(1)
+    val bindingsRead = bindingsObs.get("n").asInstanceOf[Long]
+
     val existingTerms =
       Store.readTableOr(spark, cfg.storeDir, "terms", Schemas.terms).cache()
-    val existingCount = existingTerms.count()
+    // (count, max id) in one pass
+    val etRow = existingTerms.agg(count(lit(1)), max(col("id"))).head()
+    val existingCount = etRow.getLong(0)
+    val nextTermId = (if (etRow.isNullAt(1)) 0L else etRow.getLong(1)) + 1
 
     val terms = Merge.upsertTerms(
-      existingTerms, valid.select(col("concept").as("uri")), asOf).cache()
+      existingTerms, valid.select(col("concept").as("uri")), asOf,
+      startId = Some(nextTermId)).cache()
+    // (count, updated-count) in one pass
+    val tRow = terms.agg(count(lit(1)),
+      count(when(col("updated_at") === asOf && col("created_at") =!= asOf, 1))).head()
+    val termsInserted = tRow.getLong(0) - existingCount
+    val termsUpdated = tRow.getLong(1)
 
     val melted = Transform.meltAll(valid, cfg.meltVars)
     val resolved = Merge.resolveFk(melted, terms)
     val existingFields =
       Store.readTableOr(spark, cfg.storeDir, "term_fields", Schemas.termFields).cache()
-    val existingFieldCount = existingFields.count()
-    val allFields = Merge.insertIfAbsent(existingFields, resolved, asOf).cache()
-
-    // A16 statistics — cheap aggregates over cached intermediates.
-    val bindingsRead = bindings.count()
-    val validRows = valid.count()
-    val distinctTerms = valid.select("concept").distinct().count()
-    val termCount = terms.count()
-    val termsInserted = termCount - existingCount
-    val termsUpdated = terms
-      .filter(col("updated_at") === asOf && col("created_at") =!= asOf).count()
+    val efRow = existingFields.agg(count(lit(1)), max(col("id"))).head()
+    val existingFieldCount = efRow.getLong(0)
+    val nextFieldId = (if (efRow.isNullAt(1)) 0L else efRow.getLong(1)) + 1
+    val allFields = Merge.insertIfAbsent(existingFields, resolved, asOf,
+      startId = Some(nextFieldId)).cache()
     val fieldsInserted = allFields.count() - existingFieldCount
 
     // A19/A20: fail the job (like the reference's sqlite3.Error path,

@@ -48,8 +48,12 @@ object Merge {
     *   created_at = updated_at = asOf.
     *
     * One full-outer shuffle join on `uri`; id assignment via [[assignIds]].
+    * `startId`: first id for new rows — pass it when the caller already
+    * aggregated max(existing.id) (saves the extra scan); defaults to
+    * computing it here.
     */
-  def upsertTerms(existing: DataFrame, incomingUris: DataFrame, asOf: Column): DataFrame = {
+  def upsertTerms(existing: DataFrame, incomingUris: DataFrame, asOf: Column,
+                  startId: Option[Long] = None): DataFrame = {
     val inc = incomingUris.select(col("uri")).distinct()
       .withColumn("__incoming", lit(1))
     val joined = existing.join(inc, Seq("uri"), "full_outer")
@@ -57,18 +61,23 @@ object Merge {
       col("id"), col("uri"), col("created_at"),
       when(col("__incoming").isNotNull, asOf).otherwise(col("updated_at")).as("updated_at"))
     val newUris = joined.filter(col("id").isNull).select(col("uri"))
-    val fresh = assignIds(newUris, Seq("uri"), maxId(existing) + 1)
+    val fresh = assignIds(newUris, Seq("uri"), startId.getOrElse(maxId(existing) + 1))
       .select(col("id"), col("uri"), asOf.as("created_at"), asOf.as("updated_at"))
     kept.unionByName(fresh)
   }
 
   /** A13: resolve `term_id` by joining melted EAV rows to `terms` on the
     * URI — the set-based replacement for the reference's per-row
-    * `SELECT id FROM terms WHERE uri = ?` (harvest.py:352-356). `terms`
-    * is typically much smaller than the EAV side → broadcast it.
+    * `SELECT id FROM terms WHERE uri = ?` (harvest.py:352-356).
+    *
+    * No broadcast hint: `terms` is one row per unique concept, which is
+    * small for one collection but unbounded across a federated harvest —
+    * a forced broadcast would OOM the driver once terms outgrows executor
+    * memory. AQE sizes the join at runtime (broadcast-hash while terms is
+    * below the threshold, shuffle-hash beyond it).
     */
   def resolveFk(melted: DataFrame, terms: DataFrame): DataFrame =
-    melted.join(broadcast(terms.select(col("id").as("term_id"), col("uri"))),
+    melted.join(terms.select(col("id").as("term_id"), col("uri")),
         melted("concept") === col("uri"))
       .select(col("term_id"), col("field_uri"), col("field_term"), col("original_value"))
 
@@ -77,12 +86,13 @@ object Merge {
     * against existing rows, assign ids, append. Existing rows (and their
     * timestamps) are untouched.
     */
-  def insertIfAbsent(existingFields: DataFrame, incoming: DataFrame, asOf: Column): DataFrame = {
+  def insertIfAbsent(existingFields: DataFrame, incoming: DataFrame, asOf: Column,
+                     startId: Option[Long] = None): DataFrame = {
     val key = Seq("term_id", "field_uri", "original_value")
     val novel = incoming
       .dropDuplicates(key)
       .join(existingFields, key, "left_anti")
-    val fresh = assignIds(novel, key, maxId(existingFields) + 1)
+    val fresh = assignIds(novel, key, startId.getOrElse(maxId(existingFields) + 1))
       .select(col("id"), col("term_id"), col("field_uri"), col("field_term"),
         col("original_value"), asOf.as("created_at"), asOf.as("updated_at"))
     existingFields.unionByName(fresh)

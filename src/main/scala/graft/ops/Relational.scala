@@ -16,6 +16,13 @@ import org.apache.spark.sql.expressions.Window
   *   DOUBLE is deterministic. Plain double sums would be order-dependent.
   * - every query ends in a total ORDER BY on a unique key, with explicit
   *   null ordering mirrored in the SQL.
+  * - every FINAL output column that is decimal-typed is cast to DOUBLE on
+  *   BOTH sides (engine + oracle SQL): internal arithmetic stays exact in
+  *   decimal, but a decimal in the result set renders with its scale's
+  *   trailing zeros ("138014.00") while a float64 renders shortest
+  *   ("138014.0") — downstream consumers comparing textual output would
+  *   see a spurious mismatch. The cast is value-exact while the unscaled
+  *   decimal stays below 2^53, which holds for all aggregates here.
   */
 object Relational {
   private val Dec = "decimal(38,2)"
@@ -52,10 +59,10 @@ object Relational {
       .filter($"l_shipdate" <= tsLit("1998-09-02"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum2($"l_quantity").as("sum_qty"),
-        sum2($"l_extendedprice").as("sum_base_price"),
-        sumRev($"l_extendedprice", $"l_discount").as("sum_disc_price"),
-        sumCharge($"l_extendedprice", $"l_discount", $"l_tax").as("sum_charge"),
+        sum2($"l_quantity").cast("double").as("sum_qty"),
+        sum2($"l_extendedprice").cast("double").as("sum_base_price"),
+        sumRev($"l_extendedprice", $"l_discount").cast("double").as("sum_disc_price"),
+        sumCharge($"l_extendedprice", $"l_discount", $"l_tax").cast("double").as("sum_charge"),
         (sum2($"l_quantity").cast("double") / count(lit(1))).as("avg_qty"),
         (sum2($"l_extendedprice").cast("double") / count(lit(1))).as("avg_price"),
         (sum2($"l_discount").cast("double") / count(lit(1))).as("avg_disc"),
@@ -73,7 +80,7 @@ object Relational {
     l.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(sumRev($"l_extendedprice", $"l_discount").as("revenue"))
+      .agg(sumRev($"l_extendedprice", $"l_discount").cast("double").as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
       .limit(10)
   }
@@ -96,7 +103,7 @@ object Relational {
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(sumRev($"l_extendedprice", $"l_discount").as("revenue"))
+      .agg(sumRev($"l_extendedprice", $"l_discount").cast("double").as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
@@ -106,7 +113,7 @@ object Relational {
     Tables.lineitem(s, dir)
       .filter($"l_shipdate" >= tsLit("1997-01-01") && $"l_shipdate" < tsLit("1998-01-01") &&
         $"l_discount" >= 0.02 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
-      .agg(sumProd($"l_extendedprice", $"l_discount").as("revenue"),
+      .agg(sumProd($"l_extendedprice", $"l_discount").cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -156,7 +163,7 @@ object Relational {
     l.join(broadcast(p), $"l_partkey" === $"p_partkey" &&
         $"l_quantity" >= $"p_size" - 2 && $"l_quantity" <= $"p_size" + 2)
       .groupBy($"p_brand")
-      .agg(count(lit(1)).as("n_rows"), sum2($"l_extendedprice").as("sum_price"))
+      .agg(count(lit(1)).as("n_rows"), sum2($"l_extendedprice").cast("double").as("sum_price"))
       .orderBy($"p_brand")
   }
 
@@ -192,7 +199,7 @@ object Relational {
     Tables.customer(s, dir)
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .rollup($"n_name", $"c_mktsegment")
-      .agg(count(lit(1)).as("n_cust"), sum2($"c_acctbal").as("sum_bal"))
+      .agg(count(lit(1)).as("n_cust"), sum2($"c_acctbal").cast("double").as("sum_bal"))
       .orderBy($"n_name".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
   }
 
@@ -201,7 +208,7 @@ object Relational {
     import s.implicits._
     Tables.lineitem(s, dir)
       .cube($"l_returnflag", $"l_linestatus")
-      .agg(count(lit(1)).as("n_rows"), sum2($"l_quantity").as("sum_qty"))
+      .agg(count(lit(1)).as("n_rows"), sum2($"l_quantity").cast("double").as("sum_qty"))
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
@@ -211,7 +218,7 @@ object Relational {
     s.sql(s"""
       SELECT o_orderstatus, o_orderpriority,
              COUNT(*) AS n_orders,
-             ${sum2Sql("o_totalprice")} AS sum_price
+             CAST(${sum2Sql("o_totalprice")} AS DOUBLE) AS sum_price
       FROM orders_gs
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -231,15 +238,21 @@ object Relational {
   }
 
   /** Approximate aggregates — HLL distinct + approx quantiles (B5). Sketch
-    * implementations differ across engines, so no SQL oracle (rows-only). */
+    * implementations differ across engines, so no SQL oracle (rows-only).
+    * The quartile sketch result is flattened to three scalar columns:
+    * array-typed output columns break row-wise canonicalization in common
+    * downstream tooling (pandas cannot sort them). */
   def approxStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val q = expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
         approx_count_distinct($"l_orderkey").as("approx_orders"),
         approx_count_distinct($"l_partkey").as("approx_parts"),
-        expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 1000)").as("price_quartiles"),
+        element_at(q, 1).as("price_p25"),
+        element_at(q, 2).as("price_p50"),
+        element_at(q, 3).as("price_p75"),
         stddev_pop($"l_quantity").as("qty_stddev"))
       .orderBy($"l_returnflag")
   }
@@ -442,10 +455,10 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> s"""
       SELECT l_returnflag, l_linestatus,
-        ${sum2Sql("l_quantity")} AS sum_qty,
-        ${sum2Sql("l_extendedprice")} AS sum_base_price,
-        ${sumRevSql("l_extendedprice", "l_discount")} AS sum_disc_price,
-        ${sumChargeSql("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
+        CAST(${sum2Sql("l_quantity")} AS DOUBLE) AS sum_qty,
+        CAST(${sum2Sql("l_extendedprice")} AS DOUBLE) AS sum_base_price,
+        CAST(${sumRevSql("l_extendedprice", "l_discount")} AS DOUBLE) AS sum_disc_price,
+        CAST(${sumChargeSql("l_extendedprice", "l_discount", "l_tax")} AS DOUBLE) AS sum_charge,
         CAST(${sum2Sql("l_quantity")} AS DOUBLE)/COUNT(*) AS avg_qty,
         CAST(${sum2Sql("l_extendedprice")} AS DOUBLE)/COUNT(*) AS avg_price,
         CAST(${sum2Sql("l_discount")} AS DOUBLE)/COUNT(*) AS avg_disc,
@@ -455,7 +468,7 @@ object Relational {
       ORDER BY l_returnflag, l_linestatus""",
     "q3_top_revenue" -> s"""
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-        ${sumRevSql("l_extendedprice", "l_discount")} AS revenue
+        CAST(${sumRevSql("l_extendedprice", "l_discount")} AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -465,7 +478,7 @@ object Relational {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q5_region_revenue" -> s"""
-      SELECT n_name, ${sumRevSql("l_extendedprice", "l_discount")} AS revenue
+      SELECT n_name, CAST(${sumRevSql("l_extendedprice", "l_discount")} AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -476,7 +489,7 @@ object Relational {
         AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
       GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q6_revenue_delta" -> s"""
-      SELECT ${sumProdSql("l_extendedprice", "l_discount")} AS revenue, COUNT(*) AS n_rows
+      SELECT CAST(${sumProdSql("l_extendedprice", "l_discount")} AS DOUBLE) AS revenue, COUNT(*) AS n_rows
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         AND l_discount >= 0.02 AND l_discount <= 0.07 AND l_quantity < 24""",
@@ -497,7 +510,7 @@ object Relational {
       FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
       ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""",
     "b03_join_range" -> s"""
-      SELECT p_brand, COUNT(*) AS n_rows, ${sum2Sql("l_extendedprice")} AS sum_price
+      SELECT p_brand, COUNT(*) AS n_rows, CAST(${sum2Sql("l_extendedprice")} AS DOUBLE) AS sum_price
       FROM lineitem JOIN part ON l_partkey = p_partkey
         AND l_quantity >= p_size - 2 AND l_quantity <= p_size + 2
       GROUP BY p_brand ORDER BY p_brand""",
@@ -516,18 +529,18 @@ object Relational {
         FROM events WHERE event_type IN ('click','purchase')
       ) WHERE event_type = 'purchase' ORDER BY event_id""",
     "b04_rollup" -> s"""
-      SELECT n_name, c_mktsegment, COUNT(*) AS n_cust, ${sum2Sql("c_acctbal")} AS sum_bal
+      SELECT n_name, c_mktsegment, COUNT(*) AS n_cust, CAST(${sum2Sql("c_acctbal")} AS DOUBLE) AS sum_bal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP (n_name, c_mktsegment)
       ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""",
     "b04_cube" -> s"""
-      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, ${sum2Sql("l_quantity")} AS sum_qty
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, CAST(${sum2Sql("l_quantity")} AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "b04_grouping_sets" -> s"""
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-             ${sum2Sql("o_totalprice")} AS sum_price
+             CAST(${sum2Sql("o_totalprice")} AS DOUBLE) AS sum_price
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",

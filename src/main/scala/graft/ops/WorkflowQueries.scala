@@ -45,6 +45,34 @@ object WorkflowQueries {
         when($"doc_id" % 2 === 0, "resolved").otherwise("closed")).as("status"))
   }
 
+  /** Fixture: the 20 contributors, with deterministic reputation scores
+    * (README.md:100-104 `users` table — username PK, reputation, joined_at). */
+  def users(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(($"doc_id" % 20).as("u")).distinct()
+      .select(
+        concat(lit("user"), $"u").as("username"),
+        (($"u" * 37 + 11) % 100).cast("int").as("reputation"),
+        expr("timestampadd(DAY, CAST(u AS INT), TIMESTAMP_NTZ '2025-01-01 00:00:00')")
+          .as("joined_at"))
+  }
+
+  /** Fixture: 1–4 messages per appeal, hourly after opening
+    * (README.md:94-99 `appeal_messages`). */
+  def appealMessages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    appeals(s, dir)
+      .select($"id".as("appeal_id"), $"opened_at",
+        explode(sequence(lit(1L), $"id" % 4 + 1)).as("m"))
+      .select(
+        ($"appeal_id" * 10 + $"m").as("id"),
+        $"appeal_id",
+        concat(lit("user"), ($"appeal_id" + $"m") % 20).as("author"),
+        concat(lit("msg "), $"m", lit(" on appeal "), $"appeal_id").as("message"),
+        expr("timestampadd(HOUR, CAST(m AS INT), opened_at)").as("created_at"))
+  }
+
   /** Status × language funnel with per-language shares (A19 domain +
     * windowed ratio). */
   def translationFunnel(s: SparkSession, dir: String): DataFrame = {
@@ -58,7 +86,15 @@ object WorkflowQueries {
       .orderBy($"language", $"status")
   }
 
-  /** Contributor leaderboard: volume, approvals, approval rate, ranked. */
+  /** Contributor leaderboard: volume, approvals, approval rate, ranked.
+    *
+    * Scale shape: the top-10 is taken with a distributed `orderBy.limit`
+    * (per-partition top-k then a 10-row merge on the driver side of the
+    * plan), and ONLY the 10 surviving rows go through the rank window —
+    * never `rank() OVER (ORDER BY …)` on the full contributor set, which
+    * would funnel every row through a single partition. The (n_accepted,
+    * created_by) sort key is total, so rank == row_number and
+    * limit(10) ≡ rank <= 10. */
   def reviewerLeaderboard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = translations(s, dir)
@@ -67,9 +103,9 @@ object WorkflowQueries {
       count(when($"status" === "approved" || $"status" === "merged", 1)).as("n_accepted"))
       .withColumn("accept_rate",
         $"n_accepted".cast("double") / $"n_translations".cast("double"))
-    agg.withColumn("rnk",
+    val top = agg.orderBy($"n_accepted".desc, $"created_by").limit(10)
+    top.withColumn("rnk",
         rank().over(Window.orderBy($"n_accepted".desc, $"created_by")).cast("int"))
-      .filter($"rnk" <= 10)
       .orderBy($"rnk", $"created_by")
   }
 
@@ -86,10 +122,56 @@ object WorkflowQueries {
       .orderBy($"status")
   }
 
+  /** Reputation-weighted contributor leaderboard: translation stats joined
+    * to `users` (README.md:100-104 reputation), influence = reputation ×
+    * merged count. Same scale shape as [[reviewerLeaderboard]]: equi-join
+    * on the user key (AQE picks broadcast while users is small), top-10 via
+    * distributed sort+limit, rank applied only to the 10 survivors. */
+  def reputationLeaderboard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = translations(s, dir).groupBy($"created_by").agg(
+      count(lit(1)).as("n_translations"),
+      count(when($"status" === "merged", 1)).as("n_merged"))
+    val joined = agg.join(users(s, dir), agg("created_by") === col("username"))
+      .select($"created_by", $"reputation", $"n_translations", $"n_merged",
+        ($"reputation" * $"n_merged").cast("long").as("influence"))
+    val top = joined.orderBy($"influence".desc, $"created_by").limit(10)
+    top.withColumn("rnk",
+        rank().over(Window.orderBy($"influence".desc, $"created_by")).cast("int"))
+      .orderBy($"rnk", $"created_by")
+  }
+
+  /** Appeal-message volume and response latency per appeal status: message
+    * counts and hours from opening to first/last message. One aggregation
+    * on appeal_id, one equi-join back to appeals, one aggregation on
+    * status. */
+  def appealMessageStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = appeals(s, dir).select($"id".as("appeal_id"), $"status", $"opened_at")
+    val perAppeal = appealMessages(s, dir).groupBy($"appeal_id").agg(
+      count(lit(1)).as("n_msgs"),
+      min($"created_at").as("first_msg_at"),
+      max($"created_at").as("last_msg_at"))
+    a.join(perAppeal, Seq("appeal_id"))
+      .select($"status", $"n_msgs",
+        expr("timestampdiff(HOUR, opened_at, first_msg_at)").as("h_first"),
+        expr("timestampdiff(HOUR, opened_at, last_msg_at)").as("h_last"))
+      .groupBy($"status")
+      .agg(
+        count(lit(1)).as("n_appeals"),
+        sum($"n_msgs").as("n_messages"),
+        (sum($"n_msgs").cast("double") / count(lit(1))).as("avg_msgs_per_appeal"),
+        (sum($"h_first").cast("double") / count(lit(1))).as("avg_hours_to_first"),
+        (sum($"h_last").cast("double") / count(lit(1))).as("avg_hours_to_last"))
+      .orderBy($"status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_translation_funnel" -> (translationFunnel _),
     "w02_reviewer_leaderboard" -> (reviewerLeaderboard _),
     "w03_appeal_aging" -> (appealAging _),
+    "w04_reputation_leaderboard" -> (reputationLeaderboard _),
+    "w05_appeal_message_stats" -> (appealMessageStats _),
   )
 
   private val TFIX = """
@@ -108,7 +190,19 @@ object WorkflowQueries {
              THEN TIMESTAMP '2026-01-01' + (doc_id % 90 + doc_id % 30 + 1) * INTERVAL 1 DAY END AS closed_at,
         CASE WHEN doc_id % 4 = 0 THEN 'open'
              WHEN doc_id % 2 = 0 THEN 'resolved' ELSE 'closed' END AS status
-      FROM documents WHERE doc_id % 3 = 0)
+      FROM documents WHERE doc_id % 3 = 0),
+    users AS (
+      SELECT 'user' || u AS username, CAST((u * 37 + 11) % 100 AS INT) AS reputation,
+             TIMESTAMP '2025-01-01' + u * INTERVAL 1 DAY AS joined_at
+      FROM (SELECT DISTINCT doc_id % 20 AS u FROM documents)),
+    appeal_messages AS (
+      SELECT appeal_id * 10 + m AS id, appeal_id,
+             'user' || ((appeal_id + m) % 20) AS author,
+             'msg ' || m || ' on appeal ' || appeal_id AS message,
+             opened_at + m * INTERVAL 1 HOUR AS created_at
+      FROM (SELECT id AS appeal_id, opened_at,
+                   unnest(range(1, CAST(id % 4 + 2 AS INT))) AS m
+            FROM appeals))
   """
 
   val oracles: Map[String, String] = Map(
@@ -136,5 +230,29 @@ object WorkflowQueries {
         CAST(SUM(date_diff('day', opened_at, closed_at)) AS DOUBLE)
           / COUNT(date_diff('day', opened_at, closed_at)) AS avg_days_to_close
       FROM appeals GROUP BY status ORDER BY status""",
+    "w04_reputation_leaderboard" -> s"""$TFIX
+      SELECT created_by, reputation, n_translations, n_merged, influence, rnk FROM (
+        SELECT *, CAST(RANK() OVER (ORDER BY influence DESC, created_by) AS INT) AS rnk
+        FROM (
+          SELECT created_by, reputation, n_translations, n_merged,
+                 CAST(reputation * n_merged AS BIGINT) AS influence
+          FROM (
+            SELECT created_by, COUNT(*) AS n_translations,
+                   COUNT(CASE WHEN status = 'merged' THEN 1 END) AS n_merged
+            FROM translations GROUP BY created_by) t
+          JOIN users ON t.created_by = users.username))
+      WHERE rnk <= 10 ORDER BY rnk, created_by""",
+    "w05_appeal_message_stats" -> s"""$TFIX,
+      per_appeal AS (
+        SELECT appeal_id, COUNT(*) AS n_msgs,
+               MIN(created_at) AS first_msg_at, MAX(created_at) AS last_msg_at
+        FROM appeal_messages GROUP BY appeal_id)
+      SELECT status, COUNT(*) AS n_appeals,
+        CAST(SUM(n_msgs) AS BIGINT) AS n_messages,
+        CAST(SUM(n_msgs) AS DOUBLE) / COUNT(*) AS avg_msgs_per_appeal,
+        CAST(SUM(date_diff('hour', opened_at, first_msg_at)) AS DOUBLE) / COUNT(*) AS avg_hours_to_first,
+        CAST(SUM(date_diff('hour', opened_at, last_msg_at)) AS DOUBLE) / COUNT(*) AS avg_hours_to_last
+      FROM appeals JOIN per_appeal ON appeals.id = per_appeal.appeal_id
+      GROUP BY status ORDER BY status""",
   )
 }

@@ -48,12 +48,24 @@ object Similarity {
       .orderBy(col("a"))
   }
 
+  /** Hard ceiling on the broadcast query-set size for [[bruteForceTopK]].
+    * At ~(4 + 8·dims) bytes per quantized vector, 100k 64-dim queries is
+    * ≈52 MB — the most a forced broadcast should ever carry. */
+  val MaxBroadcastQueries = 100000L
+
   /** B12: brute-force top-k neighbors for a query subset — broadcast the
     * queries, scan the corpus once, window for top-k. The exact baseline
-    * every ANN variant is measured against. */
+    * every ANN variant is measured against — a recall yardstick, NOT the
+    * scale path (cost is |corpus|×|queries|): use [[lshNearNeighbors]] or
+    * [[ivfTopK]] for large query sets. The broadcast is size-guarded so a
+    * misuse fails fast instead of OOMing the driver. */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
     val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
     val queries = e.filter(queryPred).toDF("query_id", "qq")
+    val nQueries = queries.count()
+    require(nQueries <= MaxBroadcastQueries,
+      s"bruteForceTopK: $nQueries query vectors exceed the broadcast ceiling " +
+        s"($MaxBroadcastQueries); use ivfTopK/lshNearNeighbors for corpus-scale query sets")
     val joined = e.toDF("vec_id", "qv")
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -16,7 +16,12 @@ import org.apache.spark.sql.expressions.Window
 object Streaming {
 
   private val Dec = "decimal(28,2)"
-  private def vsum(c: Column): Column = sum(c.cast("decimal(12,2)").cast(Dec))
+  /** Exact decimal sum, emitted as DOUBLE: the arithmetic is
+    * order-independent (decimal), but the final value is a double so the
+    * rendered output has no decimal-scale trailing zeros (cross-engine
+    * textual comparison; see [[graft.ops.Relational]] determinism notes). */
+  private def vsum(c: Column): Column =
+    sum(c.cast("decimal(12,2)").cast(Dec)).cast("double")
 
   /** B10: tumbling 5-minute windows per event type — works identically on
     * a batch DataFrame and a streaming one. */
@@ -114,7 +119,7 @@ object Streaming {
   val oracles: Map[String, String] = Map(
     "b10_tumbling" -> s"""
       SELECT $BUCKET5 AS window_start, event_type, COUNT(*) AS n_events,
-        SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS sum_value
+        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "b10_sliding" -> """
       WITH buckets AS (
@@ -122,7 +127,7 @@ object Streaming {
         UNION ALL
         SELECT make_timestamp((CAST(floor((epoch(CAST(ts AS TIMESTAMP))-300)/600)*600 AS BIGINT)+300)*1000000), value FROM events)
       SELECT window_start, COUNT(*) AS n_events,
-        SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS sum_value
+        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
       FROM buckets GROUP BY 1 ORDER BY window_start""",
     "b10_sessions" -> """
       WITH flagged AS (

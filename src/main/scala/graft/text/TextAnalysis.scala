@@ -101,14 +101,18 @@ object TextAnalysis {
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val nDocs = docs.count()
+    // corpus size as a broadcast 1-row aggregate INSIDE the plan — an
+    // eager docs.count() here would run a full extra pass over documents
+    // at plan-construction time
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val tf = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"tok")
     tf.join(dfreq, "tok")
-      .withColumn("score", $"tf".cast("double") * lit(nDocs) / $"df".cast("double"))
+      .crossJoin(nDocs)
+      .withColumn("score", $"tf".cast("double") * $"n_docs" / $"df".cast("double"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
       .select($"doc_id", $"rn", $"tok", $"tf", $"df", $"score")
