@@ -23,7 +23,10 @@ object HarvestJob {
       /** injected clock (SURVEY §7 H3) — all generated timestamps in one
         * run share this value, like CURRENT_TIMESTAMP in one transaction */
       asOf: java.sql.Timestamp,
-      meltVars: Seq[String] = Seq("prefLabel", "altLabel", "definition"))
+      meltVars: Seq[String] = Seq("prefLabel", "altLabel", "definition"),
+      /** H4: also export the store as one reference-compatible SQLite
+        * file (the reference's `translations.db` deliverable). */
+      sqliteArtifact: Option[String] = None)
 
   case class Result(
       bindingsRead: Long,
@@ -99,6 +102,7 @@ object HarvestJob {
     Store.writeTable(terms, cfg.storeDir, "terms")
     Store.writeTable(allFields, cfg.storeDir, "term_fields")
     Store.bootstrap(spark, cfg.storeDir)
+    cfg.sqliteArtifact.foreach(Store.writeSqliteArtifact(spark, cfg.storeDir, _))
 
     valid.unpersist(); terms.unpersist(); allFields.unpersist()
     existingTerms.unpersist(); existingFields.unpersist()

@@ -32,7 +32,8 @@ object Main {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     try {
       val result = HarvestJob.run(spark,
-        HarvestJob.Config(args(0), args(1), args(2), asOf))
+        HarvestJob.Config(args(0), args(1), args(2), asOf,
+          sqliteArtifact = sys.env.get("GRAFT_SQLITE_ARTIFACT")))
       result.warnings.foreach(System.err.println)
       println(result.summary)
       // A24 analogue (harvest.py:424-472): the reference git-commits the

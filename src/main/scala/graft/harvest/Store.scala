@@ -2,6 +2,7 @@ package graft.harvest
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** The durable store (A21/A22/A23): one Parquet directory per table under
@@ -64,4 +65,126 @@ object Store {
       if (!fs.exists(path))
         writeTable(readTableOr(spark, storeDir, name, schema), storeDir, name)
     }
+
+  // ------------------------------------------------- SQLite artifact (H4)
+
+  /** Reference DDL (harvest.py:188-274) minus index-backed constructs —
+    * see the fidelity note on [[Sqlite]]. */
+  private val sqliteDdl: Map[String, String] = Map(
+    "terms" ->
+      """CREATE TABLE terms (
+        |    id          INTEGER PRIMARY KEY,
+        |    uri         TEXT    NOT NULL,
+        |    created_at  DATETIME DEFAULT CURRENT_TIMESTAMP,
+        |    updated_at  DATETIME DEFAULT CURRENT_TIMESTAMP
+        |)""".stripMargin,
+    "term_fields" ->
+      """CREATE TABLE term_fields (
+        |    id            INTEGER PRIMARY KEY,
+        |    term_id       INTEGER NOT NULL REFERENCES terms(id) ON DELETE CASCADE,
+        |    field_uri     TEXT    NOT NULL,
+        |    field_term    TEXT    NOT NULL,
+        |    original_value TEXT   NOT NULL,
+        |    created_at    DATETIME DEFAULT CURRENT_TIMESTAMP,
+        |    updated_at    DATETIME DEFAULT CURRENT_TIMESTAMP
+        |)""".stripMargin,
+    "translations" ->
+      """CREATE TABLE translations (
+        |    id             INTEGER PRIMARY KEY,
+        |    term_field_id  INTEGER NOT NULL REFERENCES term_fields(id) ON DELETE CASCADE,
+        |    language       TEXT    NOT NULL CHECK(language IN ('nl','fr','de','es','it','pt')),
+        |    value          TEXT    NOT NULL,
+        |    status         TEXT    NOT NULL DEFAULT 'draft' CHECK(status IN ('draft', 'review', 'approved', 'rejected', 'merged')),
+        |    created_at     DATETIME DEFAULT CURRENT_TIMESTAMP,
+        |    updated_at     DATETIME DEFAULT CURRENT_TIMESTAMP,
+        |    created_by     TEXT    NOT NULL,
+        |    modified_at    DATETIME,
+        |    modified_by    TEXT,
+        |    reviewed_by    TEXT
+        |)""".stripMargin,
+    "appeals" ->
+      """CREATE TABLE appeals (
+        |    id              INTEGER PRIMARY KEY,
+        |    translation_id  INTEGER NOT NULL REFERENCES translations(id) ON DELETE CASCADE,
+        |    opened_by       TEXT    NOT NULL,
+        |    opened_at       DATETIME DEFAULT CURRENT_TIMESTAMP,
+        |    closed_at       DATETIME,
+        |    status          TEXT    NOT NULL DEFAULT 'open' CHECK(status IN ('open', 'closed', 'resolved')),
+        |    resolution      TEXT
+        |)""".stripMargin,
+    "appeal_messages" ->
+      """CREATE TABLE appeal_messages (
+        |    id          INTEGER PRIMARY KEY,
+        |    appeal_id   INTEGER NOT NULL REFERENCES appeals(id) ON DELETE CASCADE,
+        |    author      TEXT    NOT NULL,
+        |    message     TEXT    NOT NULL,
+        |    created_at  DATETIME DEFAULT CURRENT_TIMESTAMP
+        |)""".stripMargin,
+    "users" ->
+      """CREATE TABLE users (
+        |    username    TEXT NOT NULL,
+        |    reputation  INTEGER DEFAULT 0,
+        |    joined_at   DATETIME DEFAULT CURRENT_TIMESTAMP,
+        |    extra       TEXT
+        |)""".stripMargin)
+
+  /** Ceiling on rows collected to the driver per table for the artifact
+    * export. The reference's deliverable is a repo-committed file of a few
+    * MB; 10M rows is far beyond any plausible artifact and well within
+    * driver memory. Beyond it, the artifact concept itself is wrong — the
+    * parquet store is the scale path. */
+  val MaxSqliteRowsPerTable = 10000000L
+
+  private val tsFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** A22/H4: export the store as ONE SQLite database file — the drop-in
+    * equivalent of the reference's committed `translations.db`. Driver-side
+    * and sequential by design (a single file has no parallel write path);
+    * rows stream through `toLocalIterator` so only the encoded pages are
+    * held in memory. */
+  def writeSqliteArtifact(spark: SparkSession, storeDir: String, dbPath: String): Unit = {
+    import org.apache.spark.sql.Row
+
+    def sqlValue(v: Any): Sqlite.V = v match {
+      case null => Sqlite.VNull
+      case l: Long => Sqlite.VInt(l)
+      case i: Int => Sqlite.VInt(i.toLong)
+      case s: String => Sqlite.VText(s)
+      case t: java.sql.Timestamp => Sqlite.VText(t.toLocalDateTime.format(tsFmt))
+      case t: java.time.LocalDateTime => Sqlite.VText(t.format(tsFmt))
+      case t: java.time.Instant =>
+        Sqlite.VText(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC).format(tsFmt))
+      case d: Double => Sqlite.VReal(d)
+      case f: Float => Sqlite.VReal(f.toDouble)
+      case b: Array[Byte] => Sqlite.VBlob(b)
+      case other => Sqlite.VText(other.toString)
+    }
+
+    val tables = Schemas.allTables.map { case (name, schema) =>
+      val df = readTableOr(spark, storeDir, name, schema)
+      val n = df.count()
+      require(n <= MaxSqliteRowsPerTable,
+        s"SQLite artifact export: table $name has $n rows (> $MaxSqliteRowsPerTable); " +
+          "the single-file artifact is for reference-compatible deliverables — " +
+          "use the parquet store at scale")
+      val hasId = schema.fieldNames.contains("id")
+      // total order: by id where present (id becomes the rowid, preserving
+      // the reference's AUTOINCREMENT numbering), else by first column
+      val sortCol = if (hasId) "id" else schema.fieldNames.head
+      val sorted = df.orderBy(col(sortCol))
+      val it = sorted.toLocalIterator()
+      var rowSeq = 0L
+      val rows = new Iterator[(Long, Seq[Sqlite.V])] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): (Long, Seq[Sqlite.V]) = {
+          val r: Row = it.next()
+          rowSeq += 1
+          val rowid = if (hasId) r.getLong(schema.fieldIndex("id")) else rowSeq
+          (rowid, schema.fieldNames.toSeq.map(f => sqlValue(r.get(r.fieldIndex(f)))))
+        }
+      }
+      Sqlite.TableData(name, sqliteDdl(name), rows)
+    }
+    Sqlite.writeFile(new java.io.File(dbPath), tables)
+  }
 }

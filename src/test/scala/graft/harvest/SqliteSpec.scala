@@ -1,0 +1,110 @@
+package graft.harvest
+
+import java.io.File
+import graft.SparkSpec
+import graft.harvest.Sqlite._
+
+/** The single-file SQLite artifact sink (SURVEY §7 H4): record encoding,
+  * b-tree construction (single leaf, interior levels, empty root),
+  * overflow chains, and the Store-level export round-trip. */
+class SqliteSpec extends SparkSpec {
+
+  private def tmpDb(name: String): File = {
+    val f = File.createTempFile(name, ".db")
+    f.delete()
+    f.deleteOnExit()
+    f
+  }
+
+  test("small table round-trips every value type (H4)") {
+    val db = tmpDb("small")
+    val rows = Seq(
+      1L -> Seq(VInt(0L), VInt(1L), VInt(-7L), VText("héllo"), VNull, VReal(2.5)),
+      2L -> Seq(VInt(300L), VInt(-100000L), VInt(1L << 40), VText(""), VText("x" * 100), VReal(-0.0)),
+      7L -> Seq(VInt(Long.MaxValue), VInt(Long.MinValue), VInt(42L), VNull, VBlob(Array[Byte](1, 2, 3)), VReal(1e300)))
+    writeFile(db, Seq(TableData("t", "CREATE TABLE t (a,b,c,d,e,f)", rows.iterator)))
+    val back = readTable(db, "t")
+    assert(back.map(_._1) == Seq(1L, 2L, 7L))
+    back.zip(rows).foreach { case ((_, got), (_, want)) =>
+      got.zip(want).foreach {
+        case (VBlob(g), VBlob(w)) => assert(g.toSeq == w.toSeq)
+        case (g, w) => assert(g == w)
+      }
+    }
+  }
+
+  test("large table builds interior levels and preserves order (H4)") {
+    val db = tmpDb("large")
+    val n = 60000
+    val rows = Iterator.tabulate(n)(i =>
+      (i + 1L, Seq[V](VInt(i.toLong), VText(s"value-$i-${"pad" * 10}"))))
+    writeFile(db, Seq(TableData("big", "CREATE TABLE big (a,b)", rows)))
+    // 60k rows * ~50B cells ≈ 750+ leaf pages → at least one interior level
+    assert(db.length() > 200L * PageSize)
+    val back = readTable(db, "big")
+    assert(back.length == n)
+    assert(back.map(_._1) == (1L to n.toLong))
+    assert(back(12345)._2 == Seq(VInt(12345L), VText(s"value-12345-${"pad" * 10}")))
+  }
+
+  test("oversized payloads spill to overflow chains and round-trip (H4)") {
+    val db = tmpDb("overflow")
+    val bigText = Iterator.tabulate(3000)(i => s"tok$i").mkString(" ") // ~20 KB, multi-page chain
+    val medText = "m" * 4500 // just past the one-page threshold
+    val rows = Seq(
+      1L -> Seq[V](VText(bigText), VInt(1L)),
+      2L -> Seq[V](VText(medText), VInt(2L)),
+      3L -> Seq[V](VText("small"), VInt(3L)))
+    writeFile(db, Seq(TableData("o", "CREATE TABLE o (t,n)", rows.iterator)))
+    val back = readTable(db, "o")
+    assert(back.map(_._1) == Seq(1L, 2L, 3L))
+    assert(back(0)._2.head == VText(bigText))
+    assert(back(1)._2.head == VText(medText))
+    assert(back(2)._2.head == VText("small"))
+  }
+
+  test("empty tables get a valid empty root page (H4)") {
+    val db = tmpDb("empty")
+    writeFile(db, Seq(
+      TableData("e1", "CREATE TABLE e1 (a)", Iterator.empty),
+      TableData("e2", "CREATE TABLE e2 (b)", Iterator.empty)))
+    assert(readTable(db, "e1").isEmpty)
+    assert(readTable(db, "e2").isEmpty)
+    intercept[NoSuchElementException](readTable(db, "nope"))
+  }
+
+  test("store export produces a readable six-table artifact (H4/A22)") {
+    val storeDir = java.nio.file.Files.createTempDirectory("sqlite_store").toString
+    val bindings = graft.ops.HarvestQueries.bindings(spark, sfDir).drop("doc_id")
+    val src = s"$storeDir/_bindings_src"
+    bindings.write.mode("overwrite").parquet(src)
+    val db = tmpDb("artifact")
+    val res = HarvestJob.run(spark, HarvestJob.Config(
+      "https://vocab.example.org/collection/C1", src, storeDir,
+      java.sql.Timestamp.valueOf("2026-02-01 00:00:00"),
+      sqliteArtifact = Some(db.getPath)))
+
+    val terms = readTable(db, "terms")
+    val fields = readTable(db, "term_fields")
+    // row counts match the parquet store tables
+    assert(terms.length.toLong ==
+      Store.readTableOr(spark, storeDir, "terms", Schemas.terms).count())
+    assert(fields.length.toLong ==
+      Store.readTableOr(spark, storeDir, "term_fields", Schemas.termFields).count())
+    assert(terms.length.toLong == res.termsInserted)
+    // rowid == id (the reference's AUTOINCREMENT numbering), dense from 1
+    assert(terms.map(_._1) == (1L to terms.length.toLong))
+    terms.foreach { case (rowid, vs) => assert(vs.head == VInt(rowid)) }
+    // timestamps in the reference's CURRENT_TIMESTAMP text format
+    assert(terms.head._2(2) == VText("2026-02-01 00:00:00"))
+    // FK values resolve against the terms rowids
+    val termIds = terms.map(_._1).toSet
+    fields.foreach { case (_, vs) =>
+      val VInt(termId) = vs(1): @unchecked
+      assert(termIds.contains(termId))
+    }
+    // the four never-written tables exist and are empty
+    Seq("translations", "appeals", "appeal_messages", "users").foreach(t =>
+      assert(readTable(db, t).isEmpty))
+  }
+}
