@@ -17,13 +17,14 @@ import scala.collection.mutable.ArrayBuffer
   * operator. The distributed store remains parquet; see the scale ceiling
   * guard in [[Store.writeSqliteArtifact]].
   *
-  * Fidelity note: emitted DDL mirrors the reference's CREATE TABLEs
-  * (harvest.py:188-274) except constructs that require additional storage
-  * structures a writer must also materialize — AUTOINCREMENT (needs
-  * `sqlite_sequence`), UNIQUE table-constraints and TEXT PRIMARY KEY
-  * (need auto-index b-trees), and the four secondary indexes. Uniqueness
-  * is enforced upstream by [[Validate]] before any write; `id INTEGER
-  * PRIMARY KEY` is kept (a rowid alias — no index b-tree involved).
+  * Full schema fidelity: the artifact carries the reference DDL verbatim
+  * (AUTOINCREMENT, UNIQUE, CHECK, TEXT PRIMARY KEY, the four secondary
+  * indexes) with every storage structure SQLite itself would create —
+  * UNIQUE/PK auto-index b-trees (`sqlite_autoindex_*`), the explicit
+  * index b-trees, and the `sqlite_sequence` table for AUTOINCREMENT
+  * bookkeeping. Index b-trees are true B-trees (leaf 0x0A / interior
+  * 0x02): divider entries live ONLY in interior pages, with BINARY
+  * collation (unsigned UTF-8 byte order) on text keys.
   */
 object Sqlite {
 
@@ -31,6 +32,8 @@ object Sqlite {
   private val Usable = PageSize // no reserved bytes per page
   /** Max inline payload on a table leaf before overflow pages kick in. */
   private val MaxLeaf = Usable - 35
+  /** Max inline payload in an index cell (leaf or interior). */
+  private val MaxIndex = (Usable - 12) * 64 / 255 - 23
   private val MinLeaf = (Usable - 12) * 32 / 255 - 23
   /** Leaf/interior fill threshold: computed for the worst-case header
     * offset (100, page 1) so a level that collapses into the root page
@@ -48,9 +51,23 @@ object Sqlite {
   final case class VText(s: String) extends V
   final case class VBlob(b: Array[Byte]) extends V
 
+  /** A database object destined for `sqlite_master`, in master-row order. */
+  sealed trait DbObject
+
   /** One table: name, its schema DDL, and (rowid, values) rows. Rows must
-    * be sorted by rowid ascending (b-tree key order). */
-  final case class TableData(name: String, ddl: String, rows: Iterator[(Long, Seq[V])])
+    * be sorted by rowid ascending (b-tree key order). `deferred` delays the
+    * b-tree build until after all non-deferred tables (for
+    * `sqlite_sequence`, whose rows summarize the other tables' max ids). */
+  final case class TableData(name: String, ddl: String, rows: Iterator[(Long, Seq[V])],
+                             deferred: Boolean = false) extends DbObject
+
+  /** One index over `table`: `ddl` is None for UNIQUE/PK auto-indexes
+    * (SQLite stores NULL sql for those). `entries` is a thunk returning the
+    * full key records (key columns + rowid), evaluated after the table's
+    * rows have streamed; the writer sorts them with SQLite's BINARY record
+    * collation. */
+  final case class IndexData(name: String, table: String, ddl: Option[String],
+                             entries: () => Seq[Seq[V]]) extends DbObject
 
   // -------------------------------------------------------- byte utilities
 
@@ -150,7 +167,9 @@ object Sqlite {
   /** Write cells into a b-tree page image. `headerOffset` is 100 on page 1. */
   private def fillPage(page: Array[Byte], headerOffset: Int, pageType: Int,
                        cells: Seq[Array[Byte]], rightmost: Int = 0): Unit = {
-    val hdrSize = if (pageType == 0x05) 12 else 8
+    // interior pages (table 0x05, index 0x02) carry the rightmost-child
+    // pointer in a 12-byte header; leaves (0x0D, 0x0A) use 8 bytes
+    val hdrSize = if (pageType == 0x05 || pageType == 0x02) 12 else 8
     page(headerOffset) = pageType.toByte
     System.arraycopy(be16(cells.length), 0, page, headerOffset + 3, 2)
     if (hdrSize == 12) System.arraycopy(be32(rightmost), 0, page, headerOffset + 8, 4)
@@ -197,6 +216,173 @@ object Sqlite {
       out ++= payload.take(inline); out ++= be32(chain.head)
       out.toArray
     }
+  }
+
+  // -------------------------------------------------------- index b-trees
+
+  /** SQLite value ordering: NULL < numeric < text (BINARY: unsigned UTF-8
+    * byte order) < blob. */
+  private def typeRank(v: V): Int = v match {
+    case VNull => 0
+    case _: VInt | _: VReal => 1
+    case _: VText => 2
+    case _: VBlob => 3
+  }
+
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private[harvest] def compareRecords(a: Seq[V], b: Seq[V]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val (x, y) = (a(i), b(i))
+      val r = typeRank(x) - typeRank(y)
+      if (r != 0) return r
+      val c = (x, y) match {
+        case (VInt(p), VInt(q)) => java.lang.Long.compare(p, q)
+        case (VInt(p), VReal(q)) => java.lang.Double.compare(p.toDouble, q)
+        case (VReal(p), VInt(q)) => java.lang.Double.compare(p, q.toDouble)
+        case (VReal(p), VReal(q)) => java.lang.Double.compare(p, q)
+        case (VText(p), VText(q)) => compareBytes(p.getBytes("UTF-8"), q.getBytes("UTF-8"))
+        case (VBlob(p), VBlob(q)) => compareBytes(p, q)
+        case _ => 0 // both VNull
+      }
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Inline size of an index payload (leaf and interior share the
+    * threshold). */
+  private def indexInline(p: Int): Int =
+    if (p <= MaxIndex) p
+    else {
+      val k = MinLeaf + (p - MinLeaf) % (Usable - 4)
+      if (k <= MaxIndex) k else MinLeaf
+    }
+
+  /** Spill `payload` beyond `inline` bytes into an overflow chain; returns
+    * the first overflow page (payload must be longer than inline). */
+  private def overflowChain(pages: Pages, payload: Array[Byte], inline: Int): Int = {
+    val p = payload.length
+    val chain = new ArrayBuffer[Int]()
+    var pos = inline
+    while (pos < p) { chain += pages.alloc(); pos += Usable - 4 }
+    pos = inline
+    var i = 0
+    while (i < chain.length) {
+      val page = pages(chain(i))
+      val next = if (i + 1 < chain.length) chain(i + 1) else 0
+      System.arraycopy(be32(next), 0, page, 0, 4)
+      val n = math.min(Usable - 4, p - pos)
+      System.arraycopy(payload, pos, page, 4, n)
+      pos += n; i += 1
+    }
+    chain.head
+  }
+
+  /** Size an index cell without building it (so divider promotion never
+    * allocates overflow pages it won't use). */
+  private def indexCellSize(payloadLen: Int, withChild: Boolean): Int = {
+    val inline = indexInline(payloadLen)
+    (if (withChild) 4 else 0) + varint(payloadLen.toLong).length + inline +
+      (if (inline < payloadLen) 4 else 0)
+  }
+
+  private def indexCell(pages: Pages, payload: Array[Byte], child: Option[Int]): Array[Byte] = {
+    val inline = indexInline(payload.length)
+    val out = new ArrayBuffer[Byte](indexCellSize(payload.length, child.isDefined))
+    child.foreach(out ++= be32(_))
+    out ++= varint(payload.length.toLong)
+    out ++= payload.take(inline)
+    if (inline < payload.length) out ++= be32(overflowChain(pages, payload, inline))
+    out.toArray
+  }
+
+  /** Build an index b-tree from SORTED key records; returns the root page.
+    * True B-tree: when a leaf fills, the next entry is promoted to the
+    * parent as a divider (it appears ONLY there); same recursively for
+    * interior levels. */
+  private def buildIndexBtree(pages: Pages, sorted: Seq[Array[Byte]]): Int = {
+    if (sorted.isEmpty) {
+      val no = pages.alloc()
+      fillPage(pages(no), 0, 0x0A, Seq.empty)
+      return no
+    }
+    val cap = capacity(interior = false)
+    // ---- leaf level, with divider promotion
+    var children = Vector.empty[Int]
+    var dividers = Vector.empty[Array[Byte]] // raw payloads, encoded per-level
+    var cur = new ArrayBuffer[Array[Byte]]()
+    var curBytes = 0
+    sorted.foreach { payload =>
+      val size = indexCellSize(payload.length, withChild = false)
+      if (cur.nonEmpty && curBytes + size + 2 > cap) {
+        val no = pages.alloc()
+        fillPage(pages(no), 0, 0x0A, cur.toSeq)
+        children :+= no
+        cur = new ArrayBuffer[Array[Byte]](); curBytes = 0
+        dividers :+= payload // this entry lives in the parent only
+      } else {
+        cur += indexCell(pages, payload, None)
+        curBytes += size + 2
+      }
+    }
+    if (cur.nonEmpty) {
+      val no = pages.alloc()
+      fillPage(pages(no), 0, 0x0A, cur.toSeq)
+      children :+= no
+    } else if (dividers.length == children.length) {
+      // the final entry was promoted but no leaf follows: demote it back
+      // into its own leaf so every divider separates two children
+      val payload = dividers.last
+      dividers = dividers.dropRight(1)
+      val no = pages.alloc()
+      fillPage(pages(no), 0, 0x0A, Seq(indexCell(pages, payload, None)))
+      children :+= no
+    }
+
+    // ---- interior levels
+    val icap = capacity(interior = true)
+    while (children.length > 1) {
+      val nc = Vector.newBuilder[Int]
+      val nd = Vector.newBuilder[Array[Byte]]
+      var s = 0
+      while (s < children.length) {
+        // phase 1: choose the cell range by size alone (cells are built
+        // only once final, so no overflow page is ever orphaned)
+        var used = 0
+        var e = s
+        var full = false
+        while (!full && e < children.length - 1) {
+          val size = indexCellSize(dividers(e).length, withChild = true)
+          if (e > s && used + size + 2 > icap) full = true
+          else { used += size + 2; e += 1 }
+        }
+        // never leave a single orphan child for the next page
+        if (full && children.length - (e + 1) == 1 && e - s > 1) e -= 1
+        // phase 2: build
+        val cells = (s until e).map(i => indexCell(pages, dividers(i), Some(children(i))))
+        val no = pages.alloc()
+        fillPage(pages(no), 0, 0x02, cells, rightmost = children(e))
+        nc += no
+        if (e < children.length - 1) nd += dividers(e) // promote upward
+        s = e + 1
+      }
+      children = nc.result()
+      dividers = nd.result()
+    }
+    children.head
   }
 
   /** Build a table b-tree from rowid-sorted rows; returns the root page
@@ -275,14 +461,34 @@ object Sqlite {
     level.head._1 // unreachable: the nGroups == 1 branch returns
   }
 
-  /** Write the database file: page 1 = header + `sqlite_master`, then each
-    * table's b-tree (and any overflow pages). Atomic: staging + rename. */
-  def writeFile(path: File, tables: Seq[TableData]): Unit = {
+  /** Write the database file: page 1 = header + `sqlite_master`, then the
+    * object b-trees (and any overflow pages). Build order: plain tables
+    * (streaming their rows also feeds the callers' index-entry collectors),
+    * then indexes and deferred tables, then the master table — while
+    * `sqlite_master` rows keep the declaration order. Atomic:
+    * staging + rename. */
+  def writeFile(path: File, objects: Seq[DbObject]): Unit = {
     val pages = new Pages
     val masterRoot = pages.alloc() // page 1
-    val roots = tables.map(t => buildTableBtree(pages, t.rows))
-    val masterRows: Iterator[(Long, Seq[V])] = tables.zipWithIndex.map { case (t, i) =>
-      (i + 1L, Seq(VText("table"), VText(t.name), VText(t.name), VInt(roots(i).toLong), VText(t.ddl)))
+    val roots = scala.collection.mutable.Map[String, Int]()
+    objects.foreach {
+      case t: TableData if !t.deferred => roots(t.name) = buildTableBtree(pages, t.rows)
+      case _ => ()
+    }
+    objects.foreach {
+      case t: TableData if t.deferred => roots(t.name) = buildTableBtree(pages, t.rows)
+      case ix: IndexData =>
+        val sorted = ix.entries().sortWith(compareRecords(_, _) < 0).map(record)
+        roots(ix.name) = buildIndexBtree(pages, sorted)
+      case _ => ()
+    }
+    val masterRows: Iterator[(Long, Seq[V])] = objects.zipWithIndex.map {
+      case (t: TableData, i) =>
+        (i + 1L, Seq(VText("table"), VText(t.name), VText(t.name),
+          VInt(roots(t.name).toLong), VText(t.ddl)))
+      case (ix: IndexData, i) =>
+        (i + 1L, Seq(VText("index"), VText(ix.name), VText(ix.table),
+          VInt(roots(ix.name).toLong), ix.ddl.map(VText(_): V).getOrElse(VNull)))
     }.iterator
     buildTableBtree(pages, masterRows, rootAt = Some(masterRoot), rootHeaderOffset = 100)
 
@@ -317,18 +523,19 @@ object Sqlite {
 
   // ----------------------------------------------------------- file reader
 
-  /** Minimal reader for round-trip verification: walks a table b-tree and
-    * decodes records (including overflow chains). Reads only what this
-    * writer emits plus standard SQLite table b-trees. */
-  def readTable(path: File, table: String): Seq[(Long, Seq[V])] = {
-    val bytes = java.nio.file.Files.readAllBytes(path.toPath)
-    def u8(o: Int): Int = bytes(o) & 0xff
-    def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
-    def u32(o: Int): Long = (u8(o).toLong << 24) | (u8(o + 1) << 16) | (u8(o + 2) << 8) | u8(o + 3)
-    val pageSize = u16(16)
-    def pageOff(no: Int): Int = (no - 1) * pageSize
+  /** Minimal reader for round-trip verification: walks table and index
+    * b-trees and decodes records (including overflow chains). Reads what
+    * this writer emits plus standard SQLite b-tree files. */
+  private final class Reader(path: File) {
+    private val bytes = java.nio.file.Files.readAllBytes(path.toPath)
+    private def u8(o: Int): Int = bytes(o) & 0xff
+    private def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    private def u32(o: Int): Long =
+      (u8(o).toLong << 24) | (u8(o + 1) << 16) | (u8(o + 2) << 8) | u8(o + 3)
+    private val pageSize = u16(16)
+    private def pageOff(no: Int): Int = (no - 1) * pageSize
 
-    def readVarint(o: Int): (Long, Int) = {
+    private def readVarint(o: Int): (Long, Int) = {
       var v = 0L
       var i = 0
       while (i < 8) {
@@ -340,9 +547,9 @@ object Sqlite {
       (v << 8 | u8(o + 8), 9)
     }
 
-    def readPayload(o: Int, total: Long): Array[Byte] = {
+    /** Inline threshold X differs between table leaves and index pages. */
+    private def readPayload(o: Int, total: Long, x: Int): Array[Byte] = {
       val u = pageSize
-      val x = u - 35
       val inline =
         if (total <= x) total.toInt
         else {
@@ -366,7 +573,7 @@ object Sqlite {
       out.toByteArray
     }
 
-    def decodeRecord(payload: Array[Byte]): Seq[V] = {
+    private def decodeRecord(payload: Array[Byte]): Seq[V] = {
       def vi(o: Int): (Long, Int) = {
         var v = 0L
         var i = 0
@@ -385,7 +592,7 @@ object Sqlite {
       var bo = hdrLen.toInt
       types.toSeq.map { t =>
         def sint(n: Int): Long = {
-          var v = (payload(bo) << 24 >> 24).toLong // sign-extend first byte
+          var v = payload(bo).toLong // sign-extends
           var i = 1
           while (i < n) { v = (v << 8) | (payload(bo + i) & 0xff); i += 1 }
           bo += n
@@ -418,40 +625,84 @@ object Sqlite {
       }
     }
 
-    def walk(pageNo: Int, out: ArrayBuffer[(Long, Seq[V])]): Unit = {
+    def walkTable(pageNo: Int, out: ArrayBuffer[(Long, Seq[V])]): Unit = {
       val po = pageOff(pageNo)
       val hdr = if (pageNo == 1) po + 100 else po
-      val pageType = u8(hdr)
       val nCells = u16(hdr + 3)
-      pageType match {
+      u8(hdr) match {
         case 0x0D =>
           var i = 0
           while (i < nCells) {
             val cellOff = po + u16(hdr + 8 + 2 * i)
             val (payloadLen, n1) = readVarint(cellOff)
             val (rowid, n2) = readVarint(cellOff + n1)
-            out += ((rowid, decodeRecord(readPayload(cellOff + n1 + n2, payloadLen))))
+            out += ((rowid, decodeRecord(readPayload(cellOff + n1 + n2, payloadLen, pageSize - 35))))
             i += 1
           }
         case 0x05 =>
           var i = 0
           while (i < nCells) {
-            val cellOff = po + u16(hdr + 12 + 2 * i)
-            walk(u32(cellOff).toInt, out)
+            walkTable(u32(po + u16(hdr + 12 + 2 * i)).toInt, out)
             i += 1
           }
-          walk(u32(hdr + 8).toInt, out)
-        case t => throw new IllegalStateException(s"unexpected page type $t at page $pageNo")
+          walkTable(u32(hdr + 8).toInt, out)
+        case t => throw new IllegalStateException(s"unexpected table page type $t at page $pageNo")
       }
     }
 
-    val master = new ArrayBuffer[(Long, Seq[V])]()
-    walk(1, master)
-    val root = master.collectFirst {
-      case (_, Seq(VText("table"), VText(`table`), _, VInt(r), _)) => r.toInt
-    }.getOrElse(throw new NoSuchElementException(s"table $table not in sqlite_master"))
+    /** In-order walk: interior divider entries are real entries. */
+    def walkIndex(pageNo: Int, out: ArrayBuffer[Seq[V]]): Unit = {
+      val po = pageOff(pageNo)
+      val hdr = po
+      val nCells = u16(hdr + 3)
+      val xIndex = (pageSize - 12) * 64 / 255 - 23
+      u8(hdr) match {
+        case 0x0A =>
+          var i = 0
+          while (i < nCells) {
+            val cellOff = po + u16(hdr + 8 + 2 * i)
+            val (payloadLen, n1) = readVarint(cellOff)
+            out += decodeRecord(readPayload(cellOff + n1, payloadLen, xIndex))
+            i += 1
+          }
+        case 0x02 =>
+          var i = 0
+          while (i < nCells) {
+            val cellOff = po + u16(hdr + 12 + 2 * i)
+            walkIndex(u32(cellOff).toInt, out)
+            val (payloadLen, n1) = readVarint(cellOff + 4)
+            out += decodeRecord(readPayload(cellOff + 4 + n1, payloadLen, xIndex))
+            i += 1
+          }
+          walkIndex(u32(hdr + 8).toInt, out)
+        case t => throw new IllegalStateException(s"unexpected index page type $t at page $pageNo")
+      }
+    }
+
+    def master(): Seq[(Long, Seq[V])] = {
+      val rows = new ArrayBuffer[(Long, Seq[V])]()
+      walkTable(1, rows)
+      rows.toSeq
+    }
+
+    def rootOf(kind: String, name: String): Int =
+      master().collectFirst {
+        case (_, Seq(VText(`kind`), VText(`name`), _, VInt(r), _)) => r.toInt
+      }.getOrElse(throw new NoSuchElementException(s"$kind $name not in sqlite_master"))
+  }
+
+  def readTable(path: File, table: String): Seq[(Long, Seq[V])] = {
+    val r = new Reader(path)
     val rows = new ArrayBuffer[(Long, Seq[V])]()
-    walk(root, rows)
+    r.walkTable(r.rootOf("table", table), rows)
     rows.toSeq
+  }
+
+  /** Read an index b-tree's entries in key order. */
+  def readIndex(path: File, index: String): Seq[Seq[V]] = {
+    val r = new Reader(path)
+    val out = new ArrayBuffer[Seq[V]]()
+    r.walkIndex(r.rootOf("index", index), out)
+    out.toSeq
   }
 }

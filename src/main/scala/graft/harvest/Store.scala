@@ -68,65 +68,65 @@ object Store {
 
   // ------------------------------------------------- SQLite artifact (H4)
 
-  /** Reference DDL (harvest.py:188-274) minus index-backed constructs —
-    * see the fidelity note on [[Sqlite]]. */
+  private val I = "\n            " // the reference DDL's exact indentation
+  /** Reference DDL, byte-for-byte as SQLite stores it after executing
+    * harvest.py:188-274 (`IF NOT EXISTS` is normalized away by SQLite;
+    * everything else — AUTOINCREMENT, UNIQUE, CHECK, REFERENCES,
+    * whitespace — is verbatim). */
   private val sqliteDdl: Map[String, String] = Map(
     "terms" ->
-      """CREATE TABLE terms (
-        |    id          INTEGER PRIMARY KEY,
-        |    uri         TEXT    NOT NULL,
-        |    created_at  DATETIME DEFAULT CURRENT_TIMESTAMP,
-        |    updated_at  DATETIME DEFAULT CURRENT_TIMESTAMP
-        |)""".stripMargin,
+      (s"CREATE TABLE terms (${I}id          INTEGER PRIMARY KEY AUTOINCREMENT,${I}uri         TEXT    NOT NULL UNIQUE," +
+        s"${I}created_at  DATETIME DEFAULT CURRENT_TIMESTAMP,${I}updated_at  DATETIME DEFAULT CURRENT_TIMESTAMP\n        )"),
+    "sqlite_sequence" -> "CREATE TABLE sqlite_sequence(name,seq)",
     "term_fields" ->
-      """CREATE TABLE term_fields (
-        |    id            INTEGER PRIMARY KEY,
-        |    term_id       INTEGER NOT NULL REFERENCES terms(id) ON DELETE CASCADE,
-        |    field_uri     TEXT    NOT NULL,
-        |    field_term    TEXT    NOT NULL,
-        |    original_value TEXT   NOT NULL,
-        |    created_at    DATETIME DEFAULT CURRENT_TIMESTAMP,
-        |    updated_at    DATETIME DEFAULT CURRENT_TIMESTAMP
-        |)""".stripMargin,
+      (s"CREATE TABLE term_fields (${I}id            INTEGER PRIMARY KEY AUTOINCREMENT," +
+        s"${I}term_id       INTEGER NOT NULL REFERENCES terms(id) ON DELETE CASCADE," +
+        s"${I}field_uri     TEXT    NOT NULL,${I}field_term    TEXT    NOT NULL,${I}original_value TEXT   NOT NULL," +
+        s"${I}created_at    DATETIME DEFAULT CURRENT_TIMESTAMP,${I}updated_at    DATETIME DEFAULT CURRENT_TIMESTAMP," +
+        s"${I}UNIQUE(term_id, field_uri, original_value)\n        )"),
     "translations" ->
-      """CREATE TABLE translations (
-        |    id             INTEGER PRIMARY KEY,
-        |    term_field_id  INTEGER NOT NULL REFERENCES term_fields(id) ON DELETE CASCADE,
-        |    language       TEXT    NOT NULL CHECK(language IN ('nl','fr','de','es','it','pt')),
-        |    value          TEXT    NOT NULL,
-        |    status         TEXT    NOT NULL DEFAULT 'draft' CHECK(status IN ('draft', 'review', 'approved', 'rejected', 'merged')),
-        |    created_at     DATETIME DEFAULT CURRENT_TIMESTAMP,
-        |    updated_at     DATETIME DEFAULT CURRENT_TIMESTAMP,
-        |    created_by     TEXT    NOT NULL,
-        |    modified_at    DATETIME,
-        |    modified_by    TEXT,
-        |    reviewed_by    TEXT
-        |)""".stripMargin,
+      (s"CREATE TABLE translations (${I}id             INTEGER PRIMARY KEY AUTOINCREMENT," +
+        s"${I}term_field_id  INTEGER NOT NULL REFERENCES term_fields(id) ON DELETE CASCADE," +
+        s"${I}language       TEXT    NOT NULL CHECK(language IN ('nl','fr','de','es','it','pt'))," +
+        s"${I}value          TEXT    NOT NULL," +
+        s"${I}status         TEXT    NOT NULL DEFAULT 'draft' CHECK(status IN ('draft', 'review', 'approved', 'rejected', 'merged'))," +
+        s"${I}created_at     DATETIME DEFAULT CURRENT_TIMESTAMP,${I}updated_at     DATETIME DEFAULT CURRENT_TIMESTAMP," +
+        s"${I}created_by     TEXT    NOT NULL,${I}modified_at    DATETIME,${I}modified_by    TEXT," +
+        s"${I}reviewed_by    TEXT,${I}UNIQUE(term_field_id, language)\n        )"),
     "appeals" ->
-      """CREATE TABLE appeals (
-        |    id              INTEGER PRIMARY KEY,
-        |    translation_id  INTEGER NOT NULL REFERENCES translations(id) ON DELETE CASCADE,
-        |    opened_by       TEXT    NOT NULL,
-        |    opened_at       DATETIME DEFAULT CURRENT_TIMESTAMP,
-        |    closed_at       DATETIME,
-        |    status          TEXT    NOT NULL DEFAULT 'open' CHECK(status IN ('open', 'closed', 'resolved')),
-        |    resolution      TEXT
-        |)""".stripMargin,
+      (s"CREATE TABLE appeals (${I}id              INTEGER PRIMARY KEY AUTOINCREMENT," +
+        s"${I}translation_id  INTEGER NOT NULL REFERENCES translations(id) ON DELETE CASCADE," +
+        s"${I}opened_by       TEXT    NOT NULL,${I}opened_at       DATETIME DEFAULT CURRENT_TIMESTAMP," +
+        s"${I}closed_at       DATETIME," +
+        s"${I}status          TEXT    NOT NULL DEFAULT 'open' CHECK(status IN ('open', 'closed', 'resolved'))," +
+        s"${I}resolution      TEXT,${I}UNIQUE(translation_id, status)\n        )"),
     "appeal_messages" ->
-      """CREATE TABLE appeal_messages (
-        |    id          INTEGER PRIMARY KEY,
-        |    appeal_id   INTEGER NOT NULL REFERENCES appeals(id) ON DELETE CASCADE,
-        |    author      TEXT    NOT NULL,
-        |    message     TEXT    NOT NULL,
-        |    created_at  DATETIME DEFAULT CURRENT_TIMESTAMP
-        |)""".stripMargin,
+      (s"CREATE TABLE appeal_messages (${I}id          INTEGER PRIMARY KEY AUTOINCREMENT," +
+        s"${I}appeal_id   INTEGER NOT NULL REFERENCES appeals(id) ON DELETE CASCADE," +
+        s"${I}author      TEXT    NOT NULL,${I}message     TEXT    NOT NULL," +
+        s"${I}created_at  DATETIME DEFAULT CURRENT_TIMESTAMP\n        )"),
     "users" ->
-      """CREATE TABLE users (
-        |    username    TEXT NOT NULL,
-        |    reputation  INTEGER DEFAULT 0,
-        |    joined_at   DATETIME DEFAULT CURRENT_TIMESTAMP,
-        |    extra       TEXT
-        |)""".stripMargin)
+      (s"CREATE TABLE users (${I}username    TEXT PRIMARY KEY,${I}reputation  INTEGER DEFAULT 0," +
+        s"${I}joined_at   DATETIME DEFAULT CURRENT_TIMESTAMP,${I}extra       TEXT\n        )"))
+
+  /** UNIQUE/PK auto-indexes + the reference's four explicit CREATE INDEXes
+    * (harvest.py:276-287). (table, index name, key columns, sql — None for
+    * auto-indexes, which SQLite stores with NULL sql.) */
+  private val sqliteIndexes: Seq[(String, String, Seq[String], Option[String])] = Seq(
+    ("terms", "sqlite_autoindex_terms_1", Seq("uri"), None),
+    ("term_fields", "sqlite_autoindex_term_fields_1",
+      Seq("term_id", "field_uri", "original_value"), None),
+    ("translations", "sqlite_autoindex_translations_1", Seq("term_field_id", "language"), None),
+    ("appeals", "sqlite_autoindex_appeals_1", Seq("translation_id", "status"), None),
+    ("users", "sqlite_autoindex_users_1", Seq("username"), None),
+    ("translations", "idx_translations_status", Seq("status"),
+      Some("CREATE INDEX idx_translations_status ON translations(status)")),
+    ("translations", "idx_translations_lang", Seq("language"),
+      Some("CREATE INDEX idx_translations_lang ON translations(language)")),
+    ("appeals", "idx_appeals_status", Seq("status"),
+      Some("CREATE INDEX idx_appeals_status ON appeals(status)")),
+    ("term_fields", "idx_term_fields_term_id", Seq("term_id"),
+      Some("CREATE INDEX idx_term_fields_term_id ON term_fields(term_id)")))
 
   /** Ceiling on rows collected to the driver per table for the artifact
     * export. The reference's deliverable is a repo-committed file of a few
@@ -138,12 +138,15 @@ object Store {
   private val tsFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 
   /** A22/H4: export the store as ONE SQLite database file — the drop-in
-    * equivalent of the reference's committed `translations.db`. Driver-side
-    * and sequential by design (a single file has no parallel write path);
-    * rows stream through `toLocalIterator` so only the encoded pages are
-    * held in memory. */
+    * equivalent of the reference's committed `translations.db`, including
+    * every derived storage structure SQLite itself would maintain
+    * (UNIQUE/PK auto-indexes, the four secondary indexes,
+    * `sqlite_sequence` for AUTOINCREMENT). Driver-side and sequential by
+    * design (a single file has no parallel write path); table rows stream
+    * through `toLocalIterator`, and only index key tuples are buffered. */
   def writeSqliteArtifact(spark: SparkSession, storeDir: String, dbPath: String): Unit = {
     import org.apache.spark.sql.Row
+    import scala.collection.mutable
 
     def sqlValue(v: Any): Sqlite.V = v match {
       case null => Sqlite.VNull
@@ -160,7 +163,13 @@ object Store {
       case other => Sqlite.VText(other.toString)
     }
 
-    val tables = Schemas.allTables.map { case (name, schema) =>
+    // filled as each table's rows stream through its b-tree build
+    val indexEntries = mutable.Map[String, mutable.ArrayBuffer[Seq[Sqlite.V]]]()
+    sqliteIndexes.foreach { case (_, name, _, _) => indexEntries(name) = mutable.ArrayBuffer() }
+    val maxRowid = mutable.Map[String, Long]().withDefaultValue(0L)
+
+    def tableObj(name: String): Sqlite.TableData = {
+      val schema = Schemas.allTables.toMap.apply(name)
       val df = readTableOr(spark, storeDir, name, schema)
       val n = df.count()
       require(n <= MaxSqliteRowsPerTable,
@@ -171,8 +180,9 @@ object Store {
       // total order: by id where present (id becomes the rowid, preserving
       // the reference's AUTOINCREMENT numbering), else by first column
       val sortCol = if (hasId) "id" else schema.fieldNames.head
-      val sorted = df.orderBy(col(sortCol))
-      val it = sorted.toLocalIterator()
+      val it = df.orderBy(col(sortCol)).toLocalIterator()
+      val myIndexes = sqliteIndexes.filter(_._1 == name)
+        .map { case (_, idxName, keys, _) => (idxName, keys.map(schema.fieldIndex)) }
       var rowSeq = 0L
       val rows = new Iterator[(Long, Seq[Sqlite.V])] {
         override def hasNext: Boolean = it.hasNext
@@ -180,11 +190,51 @@ object Store {
           val r: Row = it.next()
           rowSeq += 1
           val rowid = if (hasId) r.getLong(schema.fieldIndex("id")) else rowSeq
-          (rowid, schema.fieldNames.toSeq.map(f => sqlValue(r.get(r.fieldIndex(f)))))
+          val values = schema.fieldNames.toSeq.map(f => sqlValue(r.get(r.fieldIndex(f))))
+          myIndexes.foreach { case (idxName, keyIdx) =>
+            indexEntries(idxName) += (keyIdx.map(values) :+ Sqlite.VInt(rowid))
+          }
+          if (rowid > maxRowid(name)) maxRowid(name) = rowid
+          (rowid, values)
         }
       }
       Sqlite.TableData(name, sqliteDdl(name), rows)
     }
-    Sqlite.writeFile(new java.io.File(dbPath), tables)
+
+    // sqlite_sequence: one row per AUTOINCREMENT table that has rows, in
+    // insert order — evaluated lazily, after the six tables have streamed
+    val seqTables = Seq("terms", "term_fields", "translations", "appeals", "appeal_messages")
+    val sequenceRows = new Iterator[(Long, Seq[Sqlite.V])] {
+      private lazy val underlying = seqTables.filter(maxRowid(_) > 0L).zipWithIndex.map {
+        case (t, i) => (i + 1L, Seq[Sqlite.V](Sqlite.VText(t), Sqlite.VInt(maxRowid(t))))
+      }.iterator
+      override def hasNext: Boolean = underlying.hasNext
+      override def next(): (Long, Seq[Sqlite.V]) = underlying.next()
+    }
+
+    def indexObj(name: String): Sqlite.IndexData = {
+      val (table, _, _, sql) = sqliteIndexes.find(_._2 == name).get
+      Sqlite.IndexData(name, table, sql, () => indexEntries(name).toSeq)
+    }
+
+    // sqlite_master row order exactly as the reference's DDL produces it
+    val objects: Seq[Sqlite.DbObject] = Seq(
+      tableObj("terms"),
+      indexObj("sqlite_autoindex_terms_1"),
+      Sqlite.TableData("sqlite_sequence", sqliteDdl("sqlite_sequence"), sequenceRows, deferred = true),
+      tableObj("term_fields"),
+      indexObj("sqlite_autoindex_term_fields_1"),
+      tableObj("translations"),
+      indexObj("sqlite_autoindex_translations_1"),
+      tableObj("appeals"),
+      indexObj("sqlite_autoindex_appeals_1"),
+      tableObj("appeal_messages"),
+      tableObj("users"),
+      indexObj("sqlite_autoindex_users_1"),
+      indexObj("idx_translations_status"),
+      indexObj("idx_translations_lang"),
+      indexObj("idx_appeals_status"),
+      indexObj("idx_term_fields_term_id"))
+    Sqlite.writeFile(new java.io.File(dbPath), objects)
   }
 }

@@ -73,6 +73,48 @@ class SqliteSpec extends SparkSpec {
     intercept[NoSuchElementException](readTable(db, "nope"))
   }
 
+  test("index b-trees round-trip in BINARY key order, including interior levels (H4)") {
+    val db = tmpDb("index")
+    val n = 20000
+    val entries = scala.collection.mutable.ArrayBuffer[Seq[V]]()
+    val rows = Iterator.tabulate(n) { i =>
+      val rowid = i + 1L
+      val key = f"key-${(i * 7919) % n}%08d-${"x" * 40}" // non-sorted insert order
+      entries += Seq(VText(key), VInt(rowid))
+      (rowid, Seq[V](VInt(rowid), VText(key)))
+    }
+    writeFile(db, Seq(
+      TableData("t", "CREATE TABLE t (id INTEGER PRIMARY KEY, u TEXT UNIQUE)", rows),
+      IndexData("sqlite_autoindex_t_1", "t", None, () => entries.toSeq)))
+    val got = readIndex(db, "sqlite_autoindex_t_1")
+    assert(got.length == n)
+    // entries must come back in BINARY collation order with rowid attached
+    val keys = got.map { case Seq(VText(k), VInt(_)) => k }
+    assert(keys == keys.sorted) // ASCII keys: String order == UTF-8 byte order
+    assert(got.map { case Seq(_, VInt(r)) => r }.toSet == (1L to n.toLong).toSet)
+  }
+
+  test("empty and multi-column indexes round-trip (H4)") {
+    val db = tmpDb("index2")
+    val entries = Seq(
+      Seq[V](VInt(2L), VText("b"), VInt(1L)),
+      Seq[V](VInt(1L), VText("z"), VInt(2L)),
+      Seq[V](VInt(1L), VText("a"), VInt(3L)))
+    writeFile(db, Seq(
+      TableData("t", "CREATE TABLE t (id INTEGER PRIMARY KEY, a INTEGER, b TEXT, UNIQUE(a, b))",
+        Seq(1L -> Seq[V](VInt(1L), VInt(2L), VText("b")),
+            2L -> Seq[V](VInt(2L), VInt(1L), VText("z")),
+            3L -> Seq[V](VInt(3L), VInt(1L), VText("a"))).iterator),
+      IndexData("sqlite_autoindex_t_1", "t", None, () => entries),
+      IndexData("idx_empty", "t", Some("CREATE INDEX idx_empty ON t(b)"), () => Seq.empty)))
+    // multi-column order: (1,'a') < (1,'z') < (2,'b')
+    assert(readIndex(db, "sqlite_autoindex_t_1") == Seq(
+      Seq(VInt(1L), VText("a"), VInt(3L)),
+      Seq(VInt(1L), VText("z"), VInt(2L)),
+      Seq(VInt(2L), VText("b"), VInt(1L))))
+    assert(readIndex(db, "idx_empty").isEmpty)
+  }
+
   test("store export produces a readable six-table artifact (H4/A22)") {
     val storeDir = java.nio.file.Files.createTempDirectory("sqlite_store").toString
     val bindings = graft.ops.HarvestQueries.bindings(spark, sfDir).drop("doc_id")
@@ -106,5 +148,18 @@ class SqliteSpec extends SparkSpec {
     // the four never-written tables exist and are empty
     Seq("translations", "appeals", "appeal_messages", "users").foreach(t =>
       assert(readTable(db, t).isEmpty))
+    // auto-indexes carry exactly one entry per row, keyed correctly
+    val uriIdx = readIndex(db, "sqlite_autoindex_terms_1")
+    assert(uriIdx.length == terms.length)
+    val urisFromIdx = uriIdx.map { case Seq(VText(u), VInt(_)) => u }
+    assert(urisFromIdx == urisFromIdx.sorted)
+    assert(urisFromIdx.toSet == terms.map(_._2(1)).collect { case VText(u) => u }.toSet)
+    val fieldIdx = readIndex(db, "sqlite_autoindex_term_fields_1")
+    assert(fieldIdx.length == fields.length)
+    assert(readIndex(db, "idx_term_fields_term_id").length == fields.length)
+    // AUTOINCREMENT bookkeeping matches the data
+    assert(readTable(db, "sqlite_sequence").map(_._2) == Seq(
+      Seq(VText("terms"), VInt(terms.length.toLong)),
+      Seq(VText("term_fields"), VInt(fields.length.toLong))))
   }
 }

@@ -8,8 +8,18 @@ sf_dir parquet tables, and compares with the Spark parquet result at
 <out>/<name>/. Reports per-query: row-count match, schema (column-name)
 match, and exact value match (columns sorted by name, rows sorted by all
 columns). NOT part of the shipped library.
+
+Compare semantics deliberately mirror the DRIVER, not the most forgiving
+comparison: the Spark side is read via pyarrow.to_pandas() (so DECIMAL
+columns surface as Python Decimal, ARRAY columns as numpy arrays) while the
+oracle side comes from DuckDB fetchdf() (DECIMAL -> float64), rows are
+canonicalized with pandas sort_values (which CRASHES on array columns), and
+cells compare stringified. Round 1 lesson: reading both sides through
+DuckDB hid 8 decimal-vs-float formatting mismatches and one array-column
+crash that the driver then reported as failures.
 """
 import duckdb, json, sys, glob, math
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -19,16 +29,16 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True)
 
+def is_nan(v):
+    return isinstance(v, float) and math.isnan(v)
+
 def cell_eq(a, b):
     if a is None and b is None:
         return True
-    try:
-        if isinstance(a, float) or isinstance(b, float):
-            if (isinstance(a, float) and math.isnan(a)) and (isinstance(b, float) and math.isnan(b)):
-                return True
-            return a == b
-    except Exception:
-        pass
+    if a is None or b is None:
+        return False
+    # the driver compares stringified cells: Decimal('1.00') vs 1.0 MUST
+    # mismatch here exactly as it does there
     return str(a) == str(b)
 
 def main():
@@ -41,7 +51,7 @@ def main():
     n_ok = n_bad = 0
     for name in sorted(oracle):
         sql = oracle[name]
-        files = glob.glob(f"{out}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
             n_bad += 1
@@ -52,7 +62,8 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_bad += 1
             continue
-        got = con.sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+        # driver-parity read: pyarrow, not duckdb
+        got = pq.ParquetDataset(files).read().to_pandas()
         if sorted(got.columns) != sorted(exp.columns):
             print(f"FAIL {name}: columns spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
             n_bad += 1
@@ -61,13 +72,18 @@ def main():
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             n_bad += 1
             continue
-        g, e = canon(got), canon(exp)
+        try:
+            g, e = canon(got), canon(exp)
+        except Exception as ex:
+            print(f"FAIL {name}: canonicalization error (driver would err too): {ex}")
+            n_bad += 1
+            continue
         bad = None
         for col in g.columns:
             gv, ev = list(g[col]), list(e[col])
             for i in range(len(gv)):
-                ga = None if gv[i] is None or (isinstance(gv[i], float) and math.isnan(gv[i])) else gv[i]
-                eb = None if ev[i] is None or (isinstance(ev[i], float) and math.isnan(ev[i])) else ev[i]
+                ga = None if gv[i] is None or is_nan(gv[i]) else gv[i]
+                eb = None if ev[i] is None or is_nan(ev[i]) else ev[i]
                 if not cell_eq(ga, eb):
                     bad = (col, i, ga, eb)
                     break
