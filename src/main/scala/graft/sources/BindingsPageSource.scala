@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.util
-import graft.harvest.Schemas
+import graft.harvest.{Schemas, Source}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -19,16 +19,19 @@ import scala.jdk.CollectionConverters._
   * INPUT PARTITION PER PAGE (`planInputPartitions`), so a cluster fetches
   * all pages concurrently and Catalyst sees an ordinary relation.
   *
-  * Usage:
+  * Two payload modes:
   * {{{
+  *   // live SPARQL endpoint (EP2 drives partition planning, EP3 fetches
+  *   // each page on an executor with 502-retry):
+  *   spark.read.format("graft-bindings")
+  *     .option("endpoint", "https://example.org/sparql")
+  *     .option("collection", "https://vocab.example.org/collection/C1")
+  *     .option("pageSize", 1000).load()
+  *
+  *   // offline deterministic generator (no endpoint option):
   *   spark.read.format("graft-bindings")
   *     .option("totalCount", 2500).option("pageSize", 1000).load()
   * }}}
-  *
-  * The page PAYLOAD here is produced by a deterministic synthetic generator
-  * standing in for the remote endpoint (this container has no egress); a
-  * live deployment replaces [[BindingsPartitionReader.fetchPage]] with the
-  * HTTP call wrapped in [[graft.harvest.Source.withRetry]].
   */
 class BindingsPageSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-bindings"
@@ -43,13 +46,29 @@ class BindingsTable(props: Map[String, String]) extends Table with SupportsRead 
   override def schema(): StructType = Schemas.bindings
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BindingsScanBuilder(
-      options.getLong("totalCount", props.getOrElse("totalcount", "1000").toLong),
-      options.getInt("pageSize", props.getOrElse("pagesize", "1000").toInt))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def opt(key: String): Option[String] =
+      Option(options.get(key)).orElse(props.get(key.toLowerCase))
+    val endpoint = opt("endpoint")
+    val collection = opt("collection").getOrElse("")
+    val pageSize = opt("pageSize").map(_.toInt).getOrElse(1000)
+    // EP2: with a live endpoint and no explicit count, ask the endpoint —
+    // one COUNT query on the driver sizes the page partitioning, exactly
+    // the reference's get_member_count → page loop (harvest.py:399-416)
+    val totalCount = opt("totalCount").map(_.toLong).getOrElse {
+      endpoint match {
+        case Some(ep) =>
+          Source.withRetry()(new SparqlHttpClient(ep).memberCount(collection))
+        case None => 1000L
+      }
+    }
+    new BindingsScanBuilder(totalCount, pageSize, endpoint, collection)
+  }
 }
 
-class BindingsScanBuilder(totalCount: Long, pageSize: Int) extends ScanBuilder with Scan with Batch {
+class BindingsScanBuilder(totalCount: Long, pageSize: Int,
+                          endpoint: Option[String], collection: String)
+  extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = Schemas.bindings
   override def toBatch: Batch = this
@@ -62,21 +81,51 @@ class BindingsScanBuilder(totalCount: Long, pageSize: Int) extends ScanBuilder w
         math.min(pageSize.toLong, totalCount - off).toInt): InputPartition)
       .toArray
 
-  override def createReaderFactory(): PartitionReaderFactory = BindingsReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    BindingsReaderFactory(endpoint, collection)
 }
 
 case class BindingsPage(offset: Long, limit: Int) extends InputPartition
 
-object BindingsReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new BindingsPartitionReader(partition.asInstanceOf[BindingsPage])
+case class BindingsReaderFactory(endpoint: Option[String], collection: String)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val page = partition.asInstanceOf[BindingsPage]
+    endpoint match {
+      case Some(ep) => new SparqlPartitionReader(ep, collection, page)
+      case None => new BindingsPartitionReader(page)
+    }
+  }
 }
 
+/** EP3 on an executor: fetch this partition's page over HTTP (one SPARQL
+  * LIMIT/OFFSET query), with the reference's 502-retry (A2) INSIDE the
+  * reader; Spark task retry is the backstop. */
+class SparqlPartitionReader(endpoint: String, collection: String, page: BindingsPage)
+  extends PartitionReader[InternalRow] {
+  private lazy val rows: Seq[Array[String]] = Source.withRetry() {
+    new SparqlHttpClient(endpoint)
+      .fetchBindings(collection, Some(page.limit.toLong), Some(page.offset))
+  }
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < rows.length }
+  override def get(): InternalRow = {
+    val r = rows(i)
+    InternalRow(
+      UTF8String.fromString(r(0)),
+      if (r(1) == null) null else UTF8String.fromString(r(1)),
+      if (r(2) == null) null else UTF8String.fromString(r(2)),
+      if (r(3) == null) null else UTF8String.fromString(r(3)))
+  }
+  override def close(): Unit = ()
+}
+
+/** Offline mode: deterministic page payload standing in for the remote
+  * endpoint when no `endpoint` option is given (this container has no
+  * egress; the live path above is the production code). */
 class BindingsPartitionReader(page: BindingsPage) extends PartitionReader[InternalRow] {
   private var i = -1
 
-  /** Deterministic page payload (stands in for the remote endpoint; see
-    * class doc). One row per concept index with OPTIONAL-style nulls. */
   def fetchPage(idx: Long): InternalRow = {
     def s(v: String) = UTF8String.fromString(v)
     InternalRow(
