@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -91,6 +91,70 @@ object Streaming {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
+
+  // ---- custom state: flatMapGroupsWithState (B10)
+
+  case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+  case class SessionState(seq: Long, start: Long, last: Long, n: Long)
+  case class SessionSummary(user_id: Long, session_seq: Long,
+                            session_start: java.sql.Timestamp,
+                            session_end: java.sql.Timestamp, n_events: Long)
+
+  /** B10: sessionization with CUSTOM state — the
+    * `flatMapGroupsWithState` path for logic `session_window` can't
+    * express (here: per-user dense session sequence numbers carried across
+    * sessions). Closed sessions emit when the gap passes inside a batch;
+    * the final open session emits via event-time timeout once the
+    * watermark passes `last + gap`. State per user is O(1): (seq, start,
+    * last, count) — nothing buffers unboundedly at 100× users.
+    *
+    * Session-boundary semantics match [[sessionsBatch]]: an event at
+    * exactly `last + gap` starts a NEW session (half-open windows). */
+  def statefulSessions(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[SEvent]
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionizer(gapMinutes * 60000L))
+  }
+
+  private def sessionizer(gapMs: Long)(
+      userId: Long, events: Iterator[SEvent],
+      state: org.apache.spark.sql.streaming.GroupState[SessionState]): Iterator[SessionSummary] = {
+    def summary(s: SessionState) = SessionSummary(userId, s.seq,
+      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+    if (state.hasTimedOut) {
+      val out = Iterator.single(summary(state.get))
+      state.remove()
+      out
+    } else {
+      // micro-batches deliver unordered; session logic needs time order
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[SessionSummary]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t >= s.last + gapMs =>
+            out += summary(s)
+            cur = Some(SessionState(s.seq + 1, t, t, 1))
+          case Some(s) =>
+            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+          case None =>
+            cur = Some(SessionState(1, t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMs)
+      }
+      out.result().iterator
+    }
+  }
 
   /** B10 + A21: incremental harvest as a streaming sink — each micro-batch
     * of bindings merges into the store via the same batch Merge operators

@@ -54,6 +54,37 @@ class StreamingSpec extends SparkSpec {
     assert(u1 === Set((t(0), 2L), (t(50), 1L))) // both sessions finalized
   }
 
+  test("flatMapGroupsWithState sessionizer: custom state, gap close + timeout close (B10)") {
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.statefulSessions(input.toDF()).writeStream
+      .format("memory").queryName("fmgws").outputMode("append").start()
+    // batch 1: user 1 has two sessions split by a >30min gap (closes in-batch);
+    // user 2 has one open session
+    input.addData(Seq(
+      Evt(1, t(0), 1, "a", 0), Evt(2, t(10), 1, "a", 0),
+      Evt(3, t(50), 1, "a", 0),
+      Evt(4, t(5), 2, "b", 0)))
+    q.processAllAvailable()
+    // batch 2: a much later event pushes the watermark past every timeout
+    input.addData(Seq(Evt(9, Timestamp.valueOf("2026-01-01 13:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(Evt(10, Timestamp.valueOf("2026-01-01 15:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fmgws")
+      .select("user_id", "session_seq", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+      .toSet
+    // user 1: session 1 = events at :00/:10 (closed by the :50 gap);
+    // session 2 = the :50 event (closed by event-time timeout)
+    assert(rows.contains((1L, 1L, t(0), t(10), 2L)))
+    assert(rows.contains((1L, 2L, t(50), t(50), 1L)))
+    // user 2: single session closed by timeout
+    assert(rows.contains((2L, 1L, t(5), t(5), 1L)))
+    // dense per-user sequence numbers survive across session closes
+    assert(rows.filter(_._1 == 1L).map(_._2) == Set(1L, 2L))
+  }
+
   test("batch and streaming session logic agree on closed sessions (B10)") {
     val events = Seq(
       Evt(1, t(0), 1, "a", 0), Evt(2, t(5), 1, "a", 0), Evt(3, t(55), 1, "a", 0))
