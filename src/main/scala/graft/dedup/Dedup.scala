@@ -41,6 +41,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct k-token shingle HASHES per document: (doc_id, hbase) longs.
+    * The near-dup pipeline's set algebra (distinct, signature min, Jaccard
+    * intersection) only needs set identity, so hashing each shingle at the
+    * scan (inside the explode lambda, before the distinct shuffle) moves
+    * 8-byte longs through every downstream exchange instead of k-token
+    * strings. 64-bit collisions are negligible for Jaccard estimation and
+    * deterministic when they do occur. */
+  def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame = {
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(array_join(slice(toks, i, $k), ' ')))"))
+        .as("hbase"))
+      .distinct()
+  }
+
   /** MinHash signatures: for each of `numHashes` hash functions, the min
     * over the doc's shingles. One shuffle on doc_id. The shingle string is
     * hashed ONCE to a long; each family member then re-hashes the long
@@ -56,8 +72,10 @@ object Dedup {
     * be mixed in one pipeline. */
   def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
     val mh = udaf(new graft.functions.MinHashAgg(numHashes))
-    sh.select(col("doc_id"), xxhash64(col("shingle")).as("hbase"))
-      .groupBy(col("doc_id"))
+    val base =
+      if (sh.columns.contains("hbase")) sh.select(col("doc_id"), col("hbase"))
+      else sh.select(col("doc_id"), xxhash64(col("shingle")).as("hbase"))
+    base.groupBy(col("doc_id"))
       .agg(mh(col("hbase")).as("sig"))
   }
 
@@ -116,9 +134,11 @@ object Dedup {
   }
 
   /** B12: the full MinHash-LSH near-dup pipeline
-    * (shingle → minhash → band → bucket-join → exact verify). */
+    * (shingle-hash → minhash → band → bucket-join → exact verify). The
+    * whole pipeline runs on hashed shingles — every shuffle after the
+    * scan carries longs, not token strings. */
   def minHashNearDup(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, k).cache()
+    val sh = shingleHashes(docs, k).cache()
     // bands feed a self-join → materialize once
     val bands = lshBands(minHashSignatures(sh)).cache()
     val pairs = candidatePairs(bands)
