@@ -13,6 +13,19 @@ import org.apache.spark.sql.SparkSession
   * Usage: graft.harvest.Main <collection-uri> <bindings-path> <store-dir> [asOf]
   */
 object Main {
+
+  /** A24: run the optional post-write hook (the reference's git-commit
+    * step, harvest.py:424-472, generalized to any command). Returns the
+    * exit code when a hook ran; a failing hook is reported but does NOT
+    * fail the harvest — the store write already committed, matching the
+    * reference where a commit failure leaves the database file intact. */
+  def runPostWriteHook(cmd: Option[String]): Option[Int] =
+    cmd.map { c =>
+      val code = new ProcessBuilder("sh", "-c", c).inheritIO().start().waitFor()
+      if (code != 0) System.err.println(s"post-write hook exited $code")
+      code
+    }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println(
@@ -39,10 +52,7 @@ object Main {
       // A24 analogue (harvest.py:424-472): the reference git-commits the
       // store when run inside its CI. That side effect stays OUT of the
       // data plane — an optional post-write hook command, driver-side only.
-      sys.env.get("GRAFT_POST_WRITE_CMD").foreach { cmd =>
-        val code = new ProcessBuilder("sh", "-c", cmd).inheritIO().start().waitFor()
-        if (code != 0) System.err.println(s"post-write hook exited $code")
-      }
+      Main.runPostWriteHook(sys.env.get("GRAFT_POST_WRITE_CMD"))
     } catch {
       case e: IllegalArgumentException =>
         System.err.println(s"input error: ${e.getMessage}"); sys.exit(2)

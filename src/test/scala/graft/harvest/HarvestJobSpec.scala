@@ -64,4 +64,16 @@ class HarvestJobSpec extends SparkSpec {
         Timestamp.valueOf("2026-01-01 00:00:00")))
     }
   }
+
+  test("post-write hook runs out of the data plane; failures don't fail the harvest (A24)") {
+    val marker = java.io.File.createTempFile("hook", ".marker")
+    marker.delete()
+    assert(Main.runPostWriteHook(Some(s"touch ${marker.getPath}")) == Some(0))
+    assert(marker.exists())
+    marker.delete()
+    // failing hook: reported exit code, no exception
+    assert(Main.runPostWriteHook(Some("exit 7")) == Some(7))
+    // no hook configured: nothing runs
+    assert(Main.runPostWriteHook(None).isEmpty)
+  }
 }
