@@ -80,7 +80,60 @@ object Relational2 {
       .orderBy($"split")
   }
 
+  /** B3: correlated scalar subqueries (TPC-H Q17 shape) — lineitems whose
+    * quantity is below 20% of their part's average. Catalyst decorrelates
+    * into an aggregate + join, so the plan stays shuffle-bounded. All
+    * arithmetic is exact-integer (quantity in hundredths ×5×count vs sum)
+    * so the threshold comparison is bit-identical across engines. */
+  def subqueryCorr(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_sq")
+    s.sql("""
+      SELECT l_orderkey, l_linenumber, l_partkey
+      FROM li_sq l1
+      WHERE CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) * 5 *
+              (SELECT COUNT(*) FROM li_sq l2 WHERE l2.l_partkey = l1.l_partkey)
+            < (SELECT SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+               FROM li_sq l2 WHERE l2.l_partkey = l1.l_partkey)
+      ORDER BY l_orderkey, l_linenumber
+    """)
+  }
+
+  /** B6: RANGE frame over event time — trailing-30-day order count and
+    * spend per customer. The frame is value-based (epoch seconds), so tied
+    * timestamps are peers — semantics a ROWS frame cannot express. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // NTZ → LTZ → epoch seconds: exact with the session-fixed UTC zone,
+    // and identical to the oracle's naive epoch()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        count(lit(1)).over(w).as("n_last30d"),
+        sum($"o_totalprice".cast("decimal(12,2)").cast("decimal(28,2)")).over(w)
+          .cast("double").as("spend_last30d"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** B4: ordered string aggregation (listagg/string_agg) — deterministic
+    * via an explicit sort of the collected multiset before joining. */
+  def stringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        concat_ws("|", array_sort(collect_list($"n_name"))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy($"r_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b03_subquery_corr" -> (subqueryCorr _),
+    "b06_range_frame" -> (rangeFrame _),
+    "b04_string_agg" -> (stringAgg _),
     "b08_except_all" -> (exceptAll _),
     "b08_intersect_all" -> (intersectAll _),
     "b02_nullsafe_eq" -> (nullSafeEq _),
@@ -90,6 +143,27 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "b03_subquery_corr" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey
+      FROM lineitem l1
+      WHERE CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) * 5 *
+              (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+            < (SELECT SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+               FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      ORDER BY l_orderkey, l_linenumber""",
+    "b06_range_frame" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        COUNT(*) OVER w AS n_last30d,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,2))) OVER w AS DOUBLE) AS spend_last30d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""",
+    "b04_string_agg" -> """
+      SELECT r_name, string_agg(n_name, '|' ORDER BY n_name) AS nations,
+             COUNT(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""",
     "a14_pivot_wide" -> s"""${HarvestQueries.FIX}
       SELECT concept,
         MIN(CASE WHEN field_term = 'skos:prefLabel' THEN original_value END) AS prefLabel,
