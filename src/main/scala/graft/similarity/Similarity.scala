@@ -34,17 +34,29 @@ object Similarity {
     dotQ(a, b).cast("double") /
       (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
 
+  /** Quantized vectors with precomputed norms: every pairwise cosine then
+    * costs ONE dot product instead of three (norms are per-vector, not
+    * per-pair). `sqrt(exact-int)` stored once is bit-identical to
+    * recomputing it per pair, so results don't change. */
+  def quantizedWithNorm(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("norm", sqrt(dotQ(col("q"), col("q")).cast("double")))
+
+  /** Cosine from a pair's dot product and the two precomputed norms —
+    * the identical double expression as [[cosineQ]]. */
+  def cosinePre(qa: Column, qb: Column, normA: Column, normB: Column): Column =
+    dotQ(qa, qb).cast("double") / (normA * normB)
+
   /** B12: cosine between consecutive vec pairs — the exact kernel,
     * oracle-checkable. */
   def cosinePairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = Tables.embeddings(s, dir).select($"vec_id", quantize($"embedding").as("q"))
-    val a = e.toDF("a", "qa")
-    val b = e.toDF("b", "qb")
+    val e = quantizedWithNorm(Tables.embeddings(s, dir))
+    val a = e.toDF("a", "qa", "na")
+    val b = e.toDF("b", "qb", "nb")
     a.join(b, col("b") === col("a") + 1)
       .select(col("a"), col("b"),
         dotQ(col("qa"), col("qb")).as("dot"),
-        cosineQ(col("qa"), col("qb")).as("cosine"))
+        cosinePre(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
       .orderBy(col("a"))
   }
 
@@ -60,16 +72,16 @@ object Similarity {
     * [[ivfTopK]] for large query sets. The broadcast is size-guarded so a
     * misuse fails fast instead of OOMing the driver. */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
-    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
-    val queries = e.filter(queryPred).toDF("query_id", "qq")
+    val e = quantizedWithNorm(embeddings).cache()
+    val queries = e.filter(queryPred).toDF("query_id", "qq", "qnorm")
     val nQueries = queries.count()
     require(nQueries <= MaxBroadcastQueries,
       s"bruteForceTopK: $nQueries query vectors exceed the broadcast ceiling " +
         s"($MaxBroadcastQueries); use ivfTopK/lshNearNeighbors for corpus-scale query sets")
-    val joined = e.toDF("vec_id", "qv")
+    val joined = e.toDF("vec_id", "qv", "vnorm")
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosineQ(col("qq"), col("qv")).as("cosine"))
+        cosinePre(col("qq"), col("qv"), col("qnorm"), col("vnorm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     joined.withColumn("rn", row_number().over(w))
@@ -106,13 +118,15 @@ object Similarity {
                        minCosine: Double = 0.3): DataFrame = {
     // bucket assignment is the expensive expression and feeds a self-join:
     // materialize it once instead of evaluating per join side
-    val e = embeddings.select(col("vec_id"),
-      quantize(col("embedding")).as("q"),
-      lshBucket(col("embedding"), numPlanes).as("bucket")).cache()
-    val a = e.toDF("a", "qa", "bucket")
-    val b = e.toDF("b", "qb", "bucket")
+    val e = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("q"),
+        lshBucket(col("embedding"), numPlanes).as("bucket"))
+      .withColumn("norm", sqrt(dotQ(col("q"), col("q")).cast("double")))
+      .cache()
+    val a = e.toDF("a", "qa", "bucket", "na")
+    val b = e.toDF("b", "qb", "bucket", "nb")
     a.join(b, Seq("bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), cosineQ(col("qa"), col("qb")).as("cosine"))
+      .select(col("a"), col("b"), cosinePre(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .orderBy(col("a"), col("b"))
   }
@@ -129,30 +143,39 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, numCells: Int = 16,
               nprobe: Int = 4, k: Int = 10): DataFrame = {
-    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
+    val e = quantizedWithNorm(embeddings).cache()
     // deterministic centroids: the numCells vectors whose id hash is
     // smallest — a reproducible pseudo-random sample of the corpus
     val centroids = e
       .withColumn("__h", xxhash64(col("vec_id")))
       .orderBy(col("__h")).limit(numCells)
-      .select(col("vec_id").as("cell_id"), col("q").as("cq"))
+      .select(col("vec_id").as("cell_id"), col("q").as("cq"), col("norm").as("cnorm"))
     val bc = broadcast(centroids)
-    // invert: each corpus vector → its single closest cell
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
+    // invert: each corpus vector → its single closest cell. A max_by
+    // aggregate (one partial-combining hash agg) instead of a
+    // row_number window saves a full sort exchange over the corpus;
+    // the (sim, -cell_id) struct key reproduces the window's
+    // (sim DESC, cell_id ASC) tie-break exactly.
     val assigned = e.crossJoin(bc)
-      .select(col("vec_id"), col("q"), col("cell_id"), cosineQ(col("q"), col("cq")).as("sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("q"), col("cell_id"))
+      .select(col("vec_id"), col("q"), col("norm"), col("cell_id"),
+        cosinePre(col("q"), col("cq"), col("norm"), col("cnorm")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell_id"), col("q"), col("norm")),
+        struct(col("sim"), (-col("cell_id")).as("neg"))).as("best"))
+      .select(col("vec_id"), col("best.q").as("q"), col("best.norm").as("norm"),
+        col("best.cell_id").as("cell_id"))
     // queries probe their nprobe closest cells
     val qw = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell_id"))
-    val probes = e.filter(queryPred).toDF("query_id", "qq").crossJoin(bc)
-      .select(col("query_id"), col("qq"), col("cell_id"), cosineQ(col("qq"), col("cq")).as("sim"))
+    val probes = e.filter(queryPred).toDF("query_id", "qq", "qnorm").crossJoin(bc)
+      .select(col("query_id"), col("qq"), col("qnorm"), col("cell_id"),
+        cosinePre(col("qq"), col("cq"), col("qnorm"), col("cnorm")).as("sim"))
       .withColumn("rn", row_number().over(qw)).filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qq"), col("cell_id"))
+      .select(col("query_id"), col("qq"), col("qnorm"), col("cell_id"))
     // search only within probed cells (equi-join on cell_id)
     val cand = probes.join(assigned, Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosineQ(col("qq"), col("q")).as("cosine"))
+      .select(col("query_id"), col("vec_id"),
+        cosinePre(col("qq"), col("q"), col("qnorm"), col("norm")).as("cosine"))
     val tw = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     cand.withColumn("rn", row_number().over(tw)).filter(col("rn") <= k)
       .orderBy(col("query_id"), col("rn"))
