@@ -267,6 +267,9 @@ object Relational {
         row_number().over(w).as("rn"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
         lag($"o_totalprice", 1).over(w).as("prev_price"),
         lead($"o_totalprice", 1).over(w).as("next_price"))
       .orderBy($"o_custkey", $"rn")
@@ -553,6 +556,9 @@ object Relational {
         CAST(ROW_NUMBER() OVER w AS INT) AS rn,
         CAST(RANK() OVER w AS INT) AS rnk,
         CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        CAST(NTILE(4) OVER w AS INT) AS quartile,
+        PERCENT_RANK() OVER w AS pct_rank,
+        CUME_DIST() OVER w AS cume,
         LAG(o_totalprice, 1) OVER w AS prev_price,
         LEAD(o_totalprice, 1) OVER w AS next_price
       FROM orders
