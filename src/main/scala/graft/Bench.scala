@@ -32,8 +32,12 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val passes = Seq(timedPass(), timedPass())
+    // min over SUCCESSFUL passes; the -1 failure sentinel only survives
+    // when every pass failed (a one-pass hiccup must not discard the
+    // other pass's valid measurement)
     val results = ordered.map { case (name, _) =>
-      name -> passes.map(_(name)).min
+      val ok = passes.map(_(name)).filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

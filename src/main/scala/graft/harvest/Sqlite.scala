@@ -188,7 +188,7 @@ object Sqlite {
   }
 
   /** Build one table-leaf cell; payload spills to an overflow-page chain
-    * when it exceeds the leaf threshold. */
+    * (shared [[overflowChain]]) when it exceeds the leaf threshold. */
   private def leafCell(pages: Pages, rowid: Long, payload: Array[Byte]): Array[Byte] = {
     val p = payload.length
     if (p <= MaxLeaf) {
@@ -198,22 +198,10 @@ object Sqlite {
     } else {
       val k = MinLeaf + (p - MinLeaf) % (Usable - 4)
       val inline = if (k <= MaxLeaf) k else MinLeaf
-      val chain = new ArrayBuffer[Int]()
-      var pos = inline
-      while (pos < p) { chain += pages.alloc(); pos += Usable - 4 }
-      pos = inline
-      var i = 0
-      while (i < chain.length) {
-        val page = pages(chain(i))
-        val next = if (i + 1 < chain.length) chain(i + 1) else 0
-        System.arraycopy(be32(next), 0, page, 0, 4)
-        val n = math.min(Usable - 4, p - pos)
-        System.arraycopy(payload, pos, page, 4, n)
-        pos += n; i += 1
-      }
       val out = new ArrayBuffer[Byte](inline + 22)
       out ++= varint(p.toLong); out ++= varint(rowid)
-      out ++= payload.take(inline); out ++= be32(chain.head)
+      out ++= payload.take(inline)
+      out ++= be32(overflowChain(pages, payload, inline))
       out.toArray
     }
   }
@@ -320,37 +308,43 @@ object Sqlite {
       return no
     }
     val cap = capacity(interior = false)
-    // ---- leaf level, with divider promotion
+    // ---- leaf level, with divider promotion. When a leaf fills, its LAST
+    // entry is promoted to the parent (a true B-tree divider: ≥ everything
+    // left in the leaf, < everything after) and the incoming entry starts
+    // the next leaf. Every flush therefore adds exactly one child and one
+    // divider, and the final leaf (always non-empty) adds the last child —
+    // `dividers.length == children.length - 1` holds by construction, with
+    // no dangling-divider case. Leaves hold raw payloads until flush so a
+    // promoted entry never allocates overflow pages it won't use.
     var children = Vector.empty[Int]
     var dividers = Vector.empty[Array[Byte]] // raw payloads, encoded per-level
-    var cur = new ArrayBuffer[Array[Byte]]()
+    var cur = new ArrayBuffer[Array[Byte]]() // payloads, not built cells
     var curBytes = 0
+    def flushLeaf(payloads: Seq[Array[Byte]]): Unit = {
+      val cells = payloads.map(indexCell(pages, _, None))
+      val no = pages.alloc()
+      fillPage(pages(no), 0, 0x0A, cells)
+      children :+= no
+    }
     sorted.foreach { payload =>
       val size = indexCellSize(payload.length, withChild = false)
       if (cur.nonEmpty && curBytes + size + 2 > cap) {
-        val no = pages.alloc()
-        fillPage(pages(no), 0, 0x0A, cur.toSeq)
-        children :+= no
-        cur = new ArrayBuffer[Array[Byte]](); curBytes = 0
-        dividers :+= payload // this entry lives in the parent only
+        // a flush needs >= 2 buffered entries so the leaf stays non-empty
+        // after promotion; guaranteed because max cell size (~1/4 cap)
+        // means at least 3 entries fit before any overflow
+        require(cur.length >= 2, "index leaf underflow: oversized cells")
+        val divider = cur.remove(cur.length - 1)
+        flushLeaf(cur.toSeq)
+        dividers :+= divider
+        cur = new ArrayBuffer[Array[Byte]]()
+        cur += payload
+        curBytes = size + 2
       } else {
-        cur += indexCell(pages, payload, None)
+        cur += payload
         curBytes += size + 2
       }
     }
-    if (cur.nonEmpty) {
-      val no = pages.alloc()
-      fillPage(pages(no), 0, 0x0A, cur.toSeq)
-      children :+= no
-    } else if (dividers.length == children.length) {
-      // the final entry was promoted but no leaf follows: demote it back
-      // into its own leaf so every divider separates two children
-      val payload = dividers.last
-      dividers = dividers.dropRight(1)
-      val no = pages.alloc()
-      fillPage(pages(no), 0, 0x0A, Seq(indexCell(pages, payload, None)))
-      children :+= no
-    }
+    if (cur.nonEmpty) flushLeaf(cur.toSeq)
 
     // ---- interior levels
     val icap = capacity(interior = true)

@@ -11,12 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object Transform {
 
-  /** A9 + A18 row gate: drop bindings with a missing/empty/invalid concept
-    * (harvest.py:321-323 + 28-51 applied row-level). */
+  /** A9 + A18 row predicate: a binding is valid when its concept is
+    * present, non-empty, and a well-formed URI (harvest.py:321-323 + 28-51
+    * applied row-level). Exposed so conditional counts (A16 stats) use the
+    * IDENTICAL predicate as the row gate. */
+  val validBindingPredicate: Column =
+    col("concept").isNotNull && col("concept") =!= "" &&
+      Validate.uriValid(col("concept"))
+
+  /** A9 + A18 row gate over [[validBindingPredicate]]. */
   def filterValidBindings(bindings: DataFrame): DataFrame =
-    bindings.filter(
-      col("concept").isNotNull && col("concept") =!= "" &&
-        Validate.uriValid(col("concept")))
+    bindings.filter(validBindingPredicate)
 
   /** A5: full-row DISTINCT, the reference's `SELECT DISTINCT` (harvest.py:74). */
   def distinctRows(bindings: DataFrame): DataFrame = bindings.distinct()

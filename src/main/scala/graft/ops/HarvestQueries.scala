@@ -156,9 +156,9 @@ object HarvestQueries {
     try {
       val v = Transform.filterValidBindings(b)
       val ex = existingTerms(s, dir)
-      // same predicate as Transform.filterValidBindings, as one conditional count
+      // the row-gate predicate itself, as one conditional count
       val bRow = b.agg(count(lit(1)),
-        count(when($"concept".isNotNull && $"concept" =!= "" && Validate.uriValid($"concept"), 1))).head()
+        count(when(Transform.validBindingPredicate, 1))).head()
       val (n_bindings, n_valid) = (bRow.getLong(0), bRow.getLong(1))
       val terms = v.select($"concept").distinct()
       val tRow = terms

@@ -46,23 +46,38 @@ class BindingsTable(props: Map[String, String]) extends Table with SupportsRead 
   override def schema(): StructType = Schemas.bindings
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+
+  // EP2 count, resolved at most once per (endpoint, collection) for this
+  // table instance: newScanBuilder runs on EVERY action over the
+  // DataFrame, and re-asking the endpoint would both repeat a blocking
+  // driver round-trip and let the partition plan shift between actions
+  // of one logical query.
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     def opt(key: String): Option[String] =
       Option(options.get(key)).orElse(props.get(key.toLowerCase))
     val endpoint = opt("endpoint")
     val collection = opt("collection").getOrElse("")
     val pageSize = opt("pageSize").map(_.toInt).getOrElse(1000)
-    // EP2: with a live endpoint and no explicit count, ask the endpoint —
-    // one COUNT query on the driver sizes the page partitioning, exactly
-    // the reference's get_member_count → page loop (harvest.py:399-416)
+    // harvest.py:399-416: one member-count query sizes the page loop
     val totalCount = opt("totalCount").map(_.toLong).getOrElse {
       endpoint match {
         case Some(ep) =>
-          Source.withRetry()(new SparqlHttpClient(ep).memberCount(collection))
+          countCache.computeIfAbsent((ep, collection), { _ =>
+            Source.withRetry()(new SparqlHttpClient(ep).memberCount(collection))
+          }).longValue()
         case None => 1000L
       }
     }
-    new BindingsScanBuilder(totalCount, pageSize, endpoint, collection)
+    // The page query fans out one row per concept × bound OPTIONAL value
+    // (H5) while the count is per DISTINCT concept, so real row totals can
+    // exceed the count. The reference stops at the counted offset and
+    // silently drops the surplus (harvest.py:399-416); we plan extra tail
+    // pages beyond the count (default 1) to drain bounded fan-out.
+    val tailPages = opt("tailPages").map(_.toInt).getOrElse(if (endpoint.isDefined) 1 else 0)
+    new BindingsScanBuilder(totalCount + tailPages.toLong * pageSize, pageSize, endpoint, collection)
   }
 }
 

@@ -106,8 +106,12 @@ object Streaming {
     * express (here: per-user dense session sequence numbers carried across
     * sessions). Closed sessions emit when the gap passes inside a batch;
     * the final open session emits via event-time timeout once the
-    * watermark passes `last + gap`. State per user is O(1): (seq, start,
-    * last, count) — nothing buffers unboundedly at 100× users.
+    * watermark passes `last + gap`. After a timeout close the state keeps
+    * an idle `(seq, n=0)` marker with NO timeout registered, so the
+    * sequence continues when the user returns. State per user is O(1)
+    * (four fixed fields) and retained per distinct user — the price of a
+    * cross-session counter; cap the key space upstream if users are
+    * unbounded.
     *
     * Session-boundary semantics match [[sessionsBatch]]: an event at
     * exactly `last + gap` starts a NEW session (half-open windows). */
@@ -128,24 +132,29 @@ object Streaming {
     def summary(s: SessionState) = SessionSummary(userId, s.seq,
       new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
     if (state.hasTimedOut) {
-      val out = Iterator.single(summary(state.get))
-      state.remove()
-      out
+      val s = state.get
+      // keep an idle marker (n=0) with no timeout: the per-user sequence
+      // number survives the close, so the next session numbers seq+1
+      state.update(SessionState(s.seq, 0L, 0L, 0L))
+      Iterator.single(summary(s))
     } else {
       // micro-batches deliver unordered; session logic needs time order
       val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       val out = Seq.newBuilder[SessionSummary]
-      var cur = state.getOption
+      // n == 0 is the idle marker: no open session, seq = last used
+      var cur = state.getOption.filter(_.n > 0)
+      var lastSeq = state.getOption.map(_.seq).getOrElse(0L)
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
           case Some(s) if t >= s.last + gapMs =>
             out += summary(s)
+            lastSeq = s.seq
             cur = Some(SessionState(s.seq + 1, t, t, 1))
           case Some(s) =>
             cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
           case None =>
-            cur = Some(SessionState(1, t, t, 1))
+            cur = Some(SessionState(lastSeq + 1, t, t, 1))
         }
       }
       cur.foreach { s =>

@@ -39,8 +39,18 @@ class SparqlHttpSpec extends SparkSpec {
   }
 
   /** Start a stub endpoint; `failFirst` makes every distinct page fail with
-    * 502 on its first attempt (exercising the in-reader retry). */
-  private def withServer(failFirst: Boolean = false)(body: String => Unit): Unit = {
+    * 502 on its first attempt (exercising the in-reader retry); `fanout`
+    * gives concept 10 a second altLabel row, so the page query's row total
+    * exceeds the DISTINCT-concept count by one (the H5 OPTIONAL fan-out). */
+  private def withServer(failFirst: Boolean = false, fanout: Boolean = false)
+                        (body: String => Unit): Unit = {
+    val corpus: IndexedSeq[String] = (0 until Total).flatMap { i =>
+      val extra = if (fanout && i == 10)
+        Seq(s"""{"concept": {"type": "uri", "value": "https://vocab.example.org/term/10"},
+               | "altLabel": {"type": "literal", "value": "alt 10 bis"}}""".stripMargin)
+      else Seq.empty
+      bindingJson(i) +: extra
+    }
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val attempts = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
     server.createContext("/sparql", (ex: HttpExchange) => {
@@ -55,9 +65,9 @@ class SparqlHttpSpec extends SparkSpec {
           s"""{"head": {"vars": ["count"]}, "results": {"bindings": [
              |  {"count": {"type": "literal", "value": "$Total"}}]}}""".stripMargin)
       } else {
-        val limit = "LIMIT (\\d+)".r.findFirstMatchIn(query).map(_.group(1).toInt).getOrElse(Total)
+        val limit = "LIMIT (\\d+)".r.findFirstMatchIn(query).map(_.group(1).toInt).getOrElse(corpus.length)
         val offset = "OFFSET (\\d+)".r.findFirstMatchIn(query).map(_.group(1).toInt).getOrElse(0)
-        val rows = (offset until math.min(offset + limit, Total)).map(bindingJson)
+        val rows = corpus.slice(offset, math.min(offset + limit, corpus.length))
         respond(ex, 200,
           s"""{"head": {"vars": ["concept","prefLabel","altLabel","definition"]},
              | "results": {"bindings": [${rows.mkString(", ")}]}}""".stripMargin)
@@ -94,14 +104,29 @@ class SparqlHttpSpec extends SparkSpec {
         .option("collection", Collection)
         .option("pageSize", 500)
         .load()
-      assert(df.rdd.getNumPartitions == 5) // ceil(2500 / 500)
-      assert(df.count() == Total)
+      assert(df.rdd.getNumPartitions == 6) // ceil(2500 / 500) + 1 fan-out tail page
+      assert(df.count() == Total) // tail page past the data comes back empty
       val row22 = df.filter(org.apache.spark.sql.functions.col("concept")
         .endsWith("/term/22")).head()
       assert(row22.getString(1) == "label 22")
       assert(row22.getString(3) == "def 22") // 22: all three OPTIONALs bound
       // null fan-in: every multiple of 7 lacks a prefLabel
       assert(df.filter("prefLabel IS NULL").count() == (0 until Total).count(_ % 7 == 0))
+    }
+  }
+
+  test("OPTIONAL fan-out rows beyond the concept count land in the tail page (H5)") {
+    withServer(fanout = true) { url =>
+      val df = spark.read.format("graft-bindings")
+        .option("endpoint", url)
+        .option("collection", Collection)
+        .option("pageSize", 500)
+        .load()
+      // member count is 2500 DISTINCT concepts but the page query returns
+      // 2501 rows; the tail page (beyond the counted offsets) drains it —
+      // the reference's own page loop would drop that row
+      assert(df.count() == Total + 1)
+      assert(df.filter(org.apache.spark.sql.functions.col("altLabel") === "alt 10 bis").count() == 1)
     }
   }
 

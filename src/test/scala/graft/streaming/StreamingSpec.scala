@@ -85,6 +85,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(_._1 == 1L).map(_._2) == Set(1L, 2L))
   }
 
+  test("flatMapGroupsWithState: session sequence continues after a timeout close (B10)") {
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.statefulSessions(input.toDF()).writeStream
+      .format("memory").queryName("fmgws_seq").outputMode("append").start()
+    input.addData(Seq(Evt(1, t(0), 1, "a", 0)))
+    q.processAllAvailable()
+    // advance the watermark far enough to timeout-close user 1's session
+    input.addData(Seq(Evt(2, Timestamp.valueOf("2026-01-01 12:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    // user 1 returns: this session must number 2, not restart at 1
+    input.addData(Seq(Evt(3, Timestamp.valueOf("2026-01-01 12:30:00"), 1, "a", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(Evt(4, Timestamp.valueOf("2026-01-01 15:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val seqs = spark.table("fmgws_seq")
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1)
+      .select("session_seq").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(1L, 2L)) // distinct, dense, no duplicate seq=1
+  }
+
   test("batch and streaming session logic agree on closed sessions (B10)") {
     val events = Seq(
       Evt(1, t(0), 1, "a", 0), Evt(2, t(5), 1, "a", 0), Evt(3, t(55), 1, "a", 0))
