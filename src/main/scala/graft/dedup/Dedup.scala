@@ -155,21 +155,20 @@ object Dedup {
   /** B12: 64-bit SimHash sketches — per token-hash bit j, sum ±1 weighted
     * by token frequency; the sign vector packs into one long. Emitted with
     * 4×16-bit chunks: Hamming distance ≤3 implies at least one identical
-    * chunk (pigeonhole), so chunk equality is the candidate join key. */
+    * chunk (pigeonhole), so chunk equality is the candidate join key.
+    * The per-bit sums run in the single-buffer
+    * [[graft.functions.SimHashAgg]] (one int[64] buffer per doc, tight
+    * loop) instead of 64 separate conditional-sum aggregate columns —
+    * bit-identical output, smaller codegen. */
   def simHashSketches(docs: DataFrame): DataFrame = {
+    val sim = udaf(new graft.functions.SimHashAgg)
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val packed = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
     val chunkCols = (0 until 4).map(c =>
       shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as(s"chunk$c"))
     tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+      .agg(sim(col("h")).as("simhash"))
       .select(Seq(col("doc_id"), col("simhash")) ++ chunkCols: _*)
   }
 
