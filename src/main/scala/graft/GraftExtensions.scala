@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, RLike}
+
+/** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
+  * injects graft's expression-backed SQL functions into every session the
+  * cluster creates — no driver-side `Register.registerAll` call needed, so
+  * pure-SQL users (thrift server, SQL gateway, notebooks) get the function
+  * surface from config alone.
+  *
+  * Scope notes: the DSv2 source registers separately via the
+  * `DataSourceRegister` service file (`spark.read.format("graft-bindings")`),
+  * and the two demo UDF/UDAFs stay in [[graft.functions.Register]] —
+  * runtime-registered UDFs are session-state objects, not Catalyst function
+  * builders, so `injectFunction` is not their path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  /** `(identifier, info, builder)` triples — the same builders back
+    * [[graft.functions.Register]] so SQL-config and programmatic
+    * registration cannot drift. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[graft.functions.RollingHash].getName, "rolling_hash"),
+      exprs => graft.functions.RollingHash(exprs.head)),
+    // same pattern constant as the Column-API gate Validate.uriValid; the
+    // builder must be a resolved Catalyst expression (a Column→Expression
+    // bridge would inject an Unevaluable ColumnNodeExpression)
+    (FunctionIdentifier("uri_valid"),
+      new ExpressionInfo(harvest.Validate.getClass.getName, "uri_valid"),
+      exprs => RLike(exprs.head, Literal(harvest.Validate.UriPattern))),
+  )
+}

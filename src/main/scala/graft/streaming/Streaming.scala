@@ -92,6 +92,36 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** B10: stream-stream interval join — attribute each purchase to every
+    * click by the same user in the preceding 30 minutes. The same plan
+    * serves batch and streaming: `withWatermark` is a no-op on a batch
+    * DataFrame, and in streaming the two watermarks plus the two-sided
+    * time bound (`click_ts <= purchase_ts < click_ts + 30min`) let Spark
+    * evict join state on both sides instead of buffering the streams
+    * forever. The equi-key (`user_id`) keeps the shuffle an equi-join at
+    * scale; the range is a post-filter within the matched key. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    p.join(c, expr("""c_user = user_id AND
+        purchase_ts >= click_ts AND
+        purchase_ts < click_ts + INTERVAL 30 MINUTES"""))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
+  def clickAttributionQuery(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    clickAttribution(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   // ---- custom state: flatMapGroupsWithState (B10)
 
   case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -185,6 +215,7 @@ object Streaming {
     "b10_tumbling" -> (tumblingQuery _),
     "b10_sliding" -> (slidingQuery _),
     "b10_sessions" -> (sessionsQuery _),
+    "b10_interval_join" -> (clickAttributionQuery _),
   )
 
   private val BUCKET5 = "make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT)*1000000)"
@@ -218,5 +249,15 @@ object Streaming {
              COUNT(*) AS n_events
       FROM numbered GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq""",
+    "b10_interval_join" -> """
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        p.value
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+       AND CAST(p.ts AS TIMESTAMP) < CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTES
+      ORDER BY purchase_id, click_id""",
   )
 }

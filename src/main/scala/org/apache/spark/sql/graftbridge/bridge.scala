@@ -10,4 +10,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions to an EXISTING
+    * session's registry (session bootstrap only consults
+    * `spark.sql.extensions` at session creation; tests share one session,
+    * so they exercise the same sql-private hook bootstrap calls). */
+  def applyInjectedFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+                             spark: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

@@ -21,6 +21,19 @@ class SourcesFormatsSpec extends SparkSpec {
       orders.agg(sum($"o_orderkey")).head.getLong(0))
   }
 
+  test("orc round-trip with predicate pushdown into the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity", $"l_shipdate")
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter($"l_quantity" < 10)
+    assert(back.count() === li.filter($"l_quantity" < 10).count())
+    assert(back.count() > 0)
+    // the filter must reach the ORC scan, not run as a post-scan filter only
+    val scan = back.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("LessThan(l_quantity"))
+  }
+
   test("json lines round-trip with explicit schema, nulls preserved") {
     val dir = Files.createTempDirectory("graft_json").toString
     val df = Seq(("https://v.example/1", Some("p"), None: Option[String]),

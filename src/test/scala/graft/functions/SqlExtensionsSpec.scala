@@ -1,0 +1,32 @@
+package graft.functions
+
+import graft.{GraftExtensions, SparkSpec}
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
+
+/** The `spark.sql.extensions=graft.GraftExtensions` deployment path: the
+  * extensions object must inject working SQL functions into a session's
+  * FunctionRegistry (exercised here via the same `registerFunctions` hook
+  * session bootstrap calls, since the suite-wide session already exists). */
+class SqlExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions injects rolling_hash and uri_valid into the registry") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.graftbridge.bridge.applyInjectedFunctions(ext, spark)
+
+    val r = spark.sql(
+      """SELECT rolling_hash('abcdef') AS h,
+                uri_valid('https://vocab.nerc.ac.uk/collection/P01/current/') AS ok,
+                uri_valid('ftp://not-a-web-uri') AS bad""").head()
+    assert(r.getLong(0) !== 0L)
+    assert(r.getBoolean(1))
+    assert(!r.getBoolean(2))
+  }
+
+  test("injected rolling_hash rejects non-string input at analysis time") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.graftbridge.bridge.applyInjectedFunctions(ext, spark)
+    intercept[AnalysisException] { spark.sql("SELECT rolling_hash(123)").collect() }
+  }
+}

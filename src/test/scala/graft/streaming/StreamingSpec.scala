@@ -106,6 +106,30 @@ class StreamingSpec extends SparkSpec {
     assert(seqs == Seq(1L, 2L)) // distinct, dense, no duplicate seq=1
   }
 
+  test("stream-stream interval join attributes purchases to clicks (B10)") {
+    val clicks = Seq(
+      Evt(1, t(0), 1, "click", 0.0), Evt(2, t(5), 1, "click", 0.0),
+      Evt(3, t(0), 2, "click", 0.0))
+    val purchases = Seq(
+      Evt(10, t(20), 1, "purchase", 9.5),  // within 30min of clicks 1 and 2
+      Evt(11, t(50), 1, "purchase", 4.0),  // 50/45min after clicks — out of range
+      Evt(12, t(40), 3, "purchase", 1.0))  // user with no clicks
+    val cIn = MemoryStream[Evt](spark); cIn.addData(clicks)
+    val pIn = MemoryStream[Evt](spark); pIn.addData(purchases)
+    val q = Streaming.clickAttribution(cIn.toDF(), pIn.toDF()).writeStream
+      .format("memory").queryName("ssjoin").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssjoin")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === Set((10L, 1L), (10L, 2L)))
+    // the identical transform over batch DataFrames gives the same pairs
+    val batch = Streaming.clickAttribution(clicks.toDF(), purchases.toDF())
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === streamed)
+  }
+
   test("batch and streaming session logic agree on closed sessions (B10)") {
     val events = Seq(
       Evt(1, t(0), 1, "a", 0), Evt(2, t(5), 1, "a", 0), Evt(3, t(55), 1, "a", 0))
