@@ -18,8 +18,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // O(n²) hamming-distance joins re-plan to pigeonhole equi-joins
+    ext.injectOptimizerRule(plans.HammingJoinRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[HammingJoinRewrite]]: a naive `bit_count(a ^ b) <= k` join must
+  * re-plan to pigeonhole chunked equi-joins with identical results. */
+class HammingJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  // id1/id2 differ in chunk 0 only (three equal chunks — the
+  // first-equal-chunk branch conditions must still emit the pair once);
+  // id3 is 3 bits from id1 spread over three chunks; id4 matches nothing;
+  // id5 shares id2's sketch (distinct rows, both must surface)
+  private def sigs = Seq(
+    (1L, 0x0000000000000000L),
+    (2L, 0x0000000000000003L),
+    (3L, 0x0001000100010000L),
+    (4L, 0xFFFFFFFFFFFFFFFFL),
+    (5L, 0x0000000000000003L)).toDF("id", "sig")
+
+  private def naive = {
+    val a = sigs.toDF("a", "sa")
+    val b = sigs.toDF("b", "sb")
+    a.join(b, bit_count($"sa".bitwiseXOR($"sb")) <= 3 && $"a" < $"b")
+      .select($"a", $"b")
+  }
+
+  private def withRule[T](f: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ HammingJoinRewrite(spark)
+    try f finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("without the rule the hamming join is a nested-loop product") {
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+  }
+
+  test("rule re-plans to chunked equi-joins, same pairs, no nested loop") {
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(expected === Seq((1L, 2L), (1L, 3L), (1L, 5L), (2L, 5L)))
+    withRule {
+      val df = naive
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === expected) // exactly once per pair — no duplicate emits
+    }
+  }
+
+  test("joins that already have an equi key are left alone") {
+    withRule {
+      val a = sigs.toDF("a", "sa")
+      val b = sigs.toDF("b", "sb")
+      val df = a.join(b, $"a" === $"b" && bit_count($"sa".bitwiseXOR($"sb")) <= 3)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("Union"))
+      assert(df.count() === 5)
+    }
+  }
+
+  test("k = 0 degenerates to a single equality join") {
+    withRule {
+      val a = sigs.toDF("a", "sa")
+      val b = sigs.toDF("b", "sb")
+      val df = a.join(b, bit_count($"sa".bitwiseXOR($"sb")) <= 0 && $"a" < $"b")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+      val got = df.select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((2L, 5L)))
+    }
+  }
+}
