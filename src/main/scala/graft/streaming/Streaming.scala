@@ -122,6 +122,13 @@ object Streaming {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** B10: stream-static enrichment join — each micro-batch joins against a
+    * fresh snapshot of the static (batch) side, so dimension updates are
+    * picked up between batches with no streaming state at all. Broadcast
+    * hint: dimensions are the small side; the stream never shuffles. */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left_outer")
+
   // ---- custom state: flatMapGroupsWithState (B10)
 
   case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -130,6 +130,21 @@ class StreamingSpec extends SparkSpec {
     assert(batch === streamed)
   }
 
+  test("stream-static join enriches each micro-batch from the dimension (B10)") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Evt](spark)
+    input.addData(Seq(
+      Evt(1, t(0), 1, "click", 1.0),
+      Evt(2, t(1), 2, "view", 2.0),
+      Evt(3, t(2), 7, "click", 3.0))) // no dimension row -> null tier
+    val q = Streaming.enrichStream(input.toDF(), dim).writeStream
+      .format("memory").queryName("enrich").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enrich").select("event_id", "tier").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows === Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+  }
+
   test("batch and streaming session logic agree on closed sessions (B10)") {
     val events = Seq(
       Evt(1, t(0), 1, "a", 0), Evt(2, t(5), 1, "a", 0), Evt(3, t(55), 1, "a", 0))
