@@ -59,6 +59,29 @@ class HammingJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("property: rewrite equals naive join for random sketches and k") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // clustered sketches: a handful of centers, most sigs a few flips away,
+    // so every k has real matches near the chunk boundaries
+    val center = Gen.oneOf(0L, -1L, 0x0123456789ABCDEFL)
+    val sigGen = for {
+      c <- center
+      nFlips <- Gen.chooseNum(0, 9)
+      flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 63))
+    } yield flips.foldLeft(c)((v, b) => v ^ (1L << b))
+    val prop = Prop.forAll(Gen.listOfN(24, sigGen), Gen.chooseNum(0, 7)) { (ss, k) =>
+      val df = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sig")
+      val a = df.toDF("a", "sa"); val b = df.toDF("b", "sb")
+      val q = a.join(b, bit_count($"sa".bitwiseXOR($"sb")) <= k && $"a" < $"b")
+        .select($"a", $"b")
+      val naivePairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val rulePairs = withRule(q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+      naivePairs == rulePairs
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("k = 0 degenerates to a single equality join") {
     withRule {
       val a = sigs.toDF("a", "sa")
