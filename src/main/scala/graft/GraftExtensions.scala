@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // O(n²) hamming-distance joins re-plan to pigeonhole equi-joins
     ext.injectOptimizerRule(plans.HammingJoinRewrite)
+    // pure interval joins re-plan to binned equi-joins (opt-in bin width)
+    ext.injectOptimizerRule(plans.RangeBinJoinRewrite)
   }
 }
 

@@ -72,10 +72,16 @@ class HammingJoinRewriteSpec extends SparkSpec {
     val prop = Prop.forAll(Gen.listOfN(24, sigGen), Gen.chooseNum(0, 7)) { (ss, k) =>
       val df = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sig")
       val a = df.toDF("a", "sa"); val b = df.toDF("b", "sb")
-      val q = a.join(b, bit_count($"sa".bitwiseXOR($"sb")) <= k && $"a" < $"b")
+      // build the query FRESH on each side: a DataFrame caches its
+      // QueryExecution, so reusing one would skip the rule entirely
+      def q = a.join(b, bit_count($"sa".bitwiseXOR($"sb")) <= k && $"a" < $"b")
         .select($"a", $"b")
       val naivePairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-      val rulePairs = withRule(q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+      val rulePairs = withRule {
+        val rq = q
+        assert(!rq.queryExecution.executedPlan.toString.contains("NestedLoop"))
+        rq.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      }
       naivePairs == rulePairs
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
