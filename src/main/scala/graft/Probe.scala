@@ -52,6 +52,45 @@ object Probe {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    if (sys.env.contains("PROBE_RULES")) {
+      // Optimizer-rule scale evidence: the same queries with and without
+      // the graft rewrite rules, against real testdata. The naive plans
+      // are nested-loop products — quadratic in rows — so their advantage
+      // grows without bound as SF rises.
+      import org.apache.spark.sql.functions._
+      def withRules[T](binWidth: Long)(f: => T): T = {
+        val prev = spark.experimental.extraOptimizations
+        spark.experimental.extraOptimizations =
+          prev ++ Seq(plans.HammingJoinRewrite(spark), plans.RangeBinJoinRewrite(spark))
+        spark.conf.set("spark.graft.rangeJoin.binWidth", binWidth.toString)
+        try f finally {
+          spark.conf.unset("spark.graft.rangeJoin.binWidth")
+          spark.experimental.extraOptimizations = prev
+        }
+      }
+      val ev = Tables.events(spark, dir).cache(); ev.count()
+      def intervalJoin = {
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("ts").cast("timestamp").cast("long").as("cts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("ts").cast("timestamp").cast("long").as("pts"))
+        p.join(c, col("pts") >= col("cts") && col("pts") <= col("cts") + lit(1800L))
+      }
+      var naiveN, ruleN = -1L
+      time("interval_naive") { naiveN = intervalJoin.count() }
+      time("interval_rule") { ruleN = withRules(1800L)(intervalJoin.count()) }
+      println(s"  interval pairs naive=$naiveN rule=$ruleN match=${naiveN == ruleN}")
+      val sk = dedup.Dedup.simHashSketches(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("simhash")).cache(); sk.count()
+      def hammingJoin = {
+        val a = sk.toDF("a", "sa"); val b = sk.toDF("b", "sb")
+        a.join(b, bit_count(col("sa").bitwiseXOR(col("sb"))) <= lit(3) && col("a") < col("b"))
+      }
+      time("hamming_naive") { naiveN = hammingJoin.count() }
+      time("hamming_rule") { ruleN = withRules(1800L)(hammingJoin.count()) }
+      println(s"  hamming pairs naive=$naiveN rule=$ruleN match=${naiveN == ruleN}")
+      ev.unpersist(); sk.unpersist()
+    }
     if (sys.env.contains("PROBE_STRESS")) {
       // Near-dup stress: replicate the corpus with per-replica suffixes so
       // every original spawns a dup group; validates the LSH pipeline's
