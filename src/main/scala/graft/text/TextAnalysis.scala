@@ -119,6 +119,53 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rn")
   }
 
+  /** Chunk window: tokens per chunk / stride (5-token overlap). */
+  val ChunkSize = 20
+  val ChunkStride = 15
+
+  /** B13: RAG/training chunking — split each document into overlapping
+    * token windows (size 20, stride 15). One generator per doc (sequence +
+    * explode over chunk indexes), `slice` on the pre-split token array —
+    * a single narrow scan-side pass, no shuffle except final ordering;
+    * chunk count is linear in tokens, so the op streams at any SF. */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val nChunks = greatest(
+      (ceil((size(toks) - ChunkSize).cast("double") / ChunkStride) + 1).cast("int"),
+      lit(1))
+    val chunkToks = slice($"toks", ($"chunk_id" * ChunkStride + 1).cast("int"), lit(ChunkSize))
+    Tables.documents(s, dir)
+      .select($"doc_id", toks.as("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        size(chunkToks).as("n_chunk_tokens"),
+        concat_ws(" ", chunkToks).as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** PII patterns — RE2/Java-regex common subset (no backrefs/lookahead)
+    * so the engine and the oracle compile them identically. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  /** B13: PII redaction — the corpus text is synthetic and digit-free, so
+    * a per-doc contact string is appended first (derived from doc_id,
+    * deterministic) and the redaction provably fires on every row. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withPii = concat($"text", lit(" contact user"), $"doc_id",
+      lit("@mail.example.org or 555-010-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, dir)
+      .select($"doc_id", withPii.as("raw"))
+      .select($"doc_id",
+        regexp_count($"raw", lit(EmailPattern)).cast("int").as("n_emails"),
+        regexp_count($"raw", lit(PhonePattern)).cast("int").as("n_phones"),
+        regexp_replace(regexp_replace($"raw", EmailPattern, "[EMAIL]"),
+          PhonePattern, "[PHONE]").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -127,6 +174,8 @@ object TextAnalysis {
     "b13_language_id" -> (languageId _),
     "b13_fingerprint" -> (fingerprints _),
     "b13_tfidf_top_terms" -> (tfidfTopTerms _),
+    "b13_chunking" -> (chunkDocs _),
+    "b13_pii_redact" -> (piiRedact _),
   )
 
   private def sqlCount(pat: String) =
@@ -163,6 +212,27 @@ object TextAnalysis {
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
           ORDER BY score DESC, tok) AS INT) AS rn FROM scored)
       WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "b13_chunking" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+          GREATEST(CAST(ceil(CAST(len(string_split(text, ' ')) - 20 AS DOUBLE) / 15) + 1 AS INT), 1) AS nc
+        FROM documents)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        CAST(len(toks[chunk_id*15 + 1 : chunk_id*15 + 20]) AS INT) AS n_chunk_tokens,
+        array_to_string(toks[chunk_id*15 + 1 : chunk_id*15 + 20], ' ') AS chunk_text
+      FROM d, UNNEST(range(0, nc)) AS t(chunk_id)
+      ORDER BY doc_id, chunk_id""",
+    "b13_pii_redact" -> """
+      WITH raw AS (
+        SELECT doc_id, text || ' contact user' || doc_id ||
+          '@mail.example.org or 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(raw, '\d{3}[-.]\d{3}[-.]\d{4}')) AS INT) AS n_phones,
+        regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\d{3}[-.]\d{3}[-.]\d{4}', '[PHONE]', 'g') AS redacted
+      FROM raw ORDER BY doc_id""",
     "b13_language_id" -> """
       SELECT doc_id, lang AS labeled_lang,
         CASE
