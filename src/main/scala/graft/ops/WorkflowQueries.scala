@@ -166,12 +166,51 @@ object WorkflowQueries {
       .orderBy($"status")
   }
 
+  /** Fixture: `skos:broader` edges — a deterministic concept tree over the
+    * documents corpus (parent = doc_id div 2; depth ~log2 N). The reference
+    * declares the broader/narrower hierarchy in FIELD_MAPPINGS
+    * (/root/reference/harvest.py:17-25) but never traverses it; this is the
+    * analytics a SKOS consumer runs on it. */
+  def broaderEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).filter($"doc_id" >= 2)
+      .select($"doc_id".as("node"), expr("doc_id div 2").as("ancestor"),
+        lit(1L).as("depth"))
+  }
+
+  /** w06: transitive closure of `skos:broader` — every (concept, ancestor,
+    * depth). Spark has no recursive CTE; the scale-correct formulation is
+    * path DOUBLING: closure_2k = closure_k ∪ (closure_k ∘ closure_k), so a
+    * depth-d hierarchy needs ceil(log2 d) shuffle rounds, not d. Tree paths
+    * are unique, so `distinct` dedups the overlap between rounds without
+    * altering semantics. Each round is one equi-join on the midpoint key —
+    * AQE sizes the exchange; intermediate results are cached and the
+    * superseded round unpersisted. */
+  def broaderClosure(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var closure = broaderEdges(s, dir).cache()
+    var size = closure.count()
+    var grown = true
+    while (grown) {
+      val ext = closure.toDF("node", "mid", "d1")
+        .join(closure.toDF("mid", "ancestor", "d2"), "mid")
+        .select($"node", $"ancestor", ($"d1" + $"d2").as("depth"))
+      val next = closure.union(ext).distinct().cache()
+      val nextSize = next.count()
+      grown = nextSize != size
+      if (grown) { closure.unpersist(); closure = next; size = nextSize }
+      else next.unpersist()
+    }
+    closure.orderBy($"node", $"depth")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_translation_funnel" -> (translationFunnel _),
     "w02_reviewer_leaderboard" -> (reviewerLeaderboard _),
     "w03_appeal_aging" -> (appealAging _),
     "w04_reputation_leaderboard" -> (reputationLeaderboard _),
     "w05_appeal_message_stats" -> (appealMessageStats _),
+    "w06_broader_closure" -> (broaderClosure _),
   )
 
   private val TFIX = """
@@ -254,5 +293,12 @@ object WorkflowQueries {
         CAST(SUM(date_diff('hour', opened_at, last_msg_at)) AS DOUBLE) / COUNT(*) AS avg_hours_to_last
       FROM appeals JOIN per_appeal ON appeals.id = per_appeal.appeal_id
       GROUP BY status ORDER BY status""",
+    "w06_broader_closure" -> """
+      WITH RECURSIVE anc AS (
+        SELECT doc_id AS node, doc_id // 2 AS ancestor, CAST(1 AS BIGINT) AS depth
+        FROM documents WHERE doc_id >= 2
+        UNION ALL
+        SELECT a.node, a.ancestor // 2, a.depth + 1 FROM anc a WHERE a.ancestor >= 2)
+      SELECT node, ancestor, depth FROM anc ORDER BY node, depth""",
   )
 }
