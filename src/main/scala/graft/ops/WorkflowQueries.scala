@@ -180,26 +180,31 @@ object WorkflowQueries {
 
   /** w06: transitive closure of `skos:broader` — every (concept, ancestor,
     * depth). Spark has no recursive CTE; the scale-correct formulation is
-    * path DOUBLING: closure_2k = closure_k ∪ (closure_k ∘ closure_k), so a
-    * depth-d hierarchy needs ceil(log2 d) shuffle rounds, not d. Tree paths
-    * are unique, so `distinct` dedups the overlap between rounds without
-    * altering semantics. Each round is one equi-join on the midpoint key —
-    * AQE sizes the exchange; intermediate results are cached and the
-    * superseded round unpersisted. */
+    * path DOUBLING — a depth-d hierarchy closes in ceil(log2 d) shuffle
+    * rounds, not d. Invariant per round k: `closure` holds all paths of
+    * length 1..2^k, `pow` exactly the length-2^k paths; the round then
+    * produces lengths 2^k+1..2^{k+1} as `closure ∘ pow` and 2^{k+1} as
+    * `pow ∘ pow`. In a tree every (node, ancestor) path is unique and the
+    * fixed-length-suffix split is unique too, so NO distinct is ever
+    * needed — every round is two equi-joins on the midpoint key (a DAG
+    * polyhierarchy would add one distinct per round). Terminates when no
+    * length-2^k path exists; the per-round count() touches only `pow`
+    * (shrinks to empty), the standard driver-side convergence check of
+    * iterative DataFrame algorithms. */
   def broaderClosure(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    var closure = broaderEdges(s, dir).cache()
-    var size = closure.count()
-    var grown = true
-    while (grown) {
-      val ext = closure.toDF("node", "mid", "d1")
-        .join(closure.toDF("mid", "ancestor", "d2"), "mid")
+    def compose(a: DataFrame, b: DataFrame): DataFrame =
+      a.toDF("node", "mid", "d1").join(b.toDF("mid", "ancestor", "d2"), "mid")
         .select($"node", $"ancestor", ($"d1" + $"d2").as("depth"))
-      val next = closure.union(ext).distinct().cache()
-      val nextSize = next.count()
-      grown = nextSize != size
-      if (grown) { closure.unpersist(); closure = next; size = nextSize }
-      else next.unpersist()
+    val edges = broaderEdges(s, dir).cache()
+    var closure = edges
+    var pow = edges
+    while (pow.limit(1).count() > 0) {
+      // cache the new disjoint pieces; `closure` stays a union tree over
+      // cached pieces, so downstream passes never recompute a join
+      val longer = compose(closure, pow).cache()
+      pow = compose(pow, pow).cache()
+      closure = closure.union(longer)
     }
     closure.orderBy($"node", $"depth")
   }
