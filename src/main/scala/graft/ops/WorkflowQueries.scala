@@ -196,17 +196,25 @@ object WorkflowQueries {
     def compose(a: DataFrame, b: DataFrame): DataFrame =
       a.toDF("node", "mid", "d1").join(b.toDF("mid", "ancestor", "d2"), "mid")
         .select($"node", $"ancestor", ($"d1" + $"d2").as("depth"))
-    val edges = broaderEdges(s, dir).cache()
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def piece(df: DataFrame): DataFrame = { pieces += df.cache(); df }
+    val edges = piece(broaderEdges(s, dir))
     var closure = edges
     var pow = edges
     while (pow.limit(1).count() > 0) {
       // cache the new disjoint pieces; `closure` stays a union tree over
-      // cached pieces, so downstream passes never recompute a join
-      val longer = compose(closure, pow).cache()
-      pow = compose(pow, pow).cache()
+      // cached pieces, so the loop never recomputes a join
+      val longer = piece(compose(closure, pow))
+      pow = piece(compose(pow, pow))
       closure = closure.union(longer)
     }
-    closure.orderBy($"node", $"depth")
+    // materialize ONE cached result, then release the per-round pieces —
+    // otherwise O(log depth) cached join results pin storage memory for
+    // the rest of the session
+    val result = closure.cache()
+    result.count()
+    pieces.foreach(_.unpersist())
+    result.orderBy($"node", $"depth")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

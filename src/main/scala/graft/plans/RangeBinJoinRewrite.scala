@@ -93,7 +93,9 @@ case class RangeBinJoinRewrite(spark: SparkSession)
   }
 
   /** floorDiv for longs (IntegralDivide truncates toward zero; subtracting
-    * the positive mod first makes it exact floor for negatives too). */
+    * the positive mod first makes it exact floor for negatives too).
+    * Domain note: values within `w` of Long.MinValue would overflow the
+    * subtraction — epoch/key domains are nowhere near it. */
   private def bin(e: Expression, w: Long): Expression =
     IntegralDivide(Subtract(e, Pmod(e, Literal(w))), Literal(w))
 
@@ -102,13 +104,25 @@ case class RangeBinJoinRewrite(spark: SparkSession)
     val intervalOnLeft = lo.references.subsetOf(j.left.outputSet)
     val intervalSide = if (intervalOnLeft) j.left else j.right
     val binAttr = AttributeReference("graft_range_bin", LongType, nullable = true)()
+    // A single outlier interval (or a unit mismatch with binWidth) could
+    // explode into an astronomical bin array; fail with an actionable
+    // message instead of an opaque Sequence error deep in a task.
+    val maxBins = conf.getConfString("spark.graft.rangeJoin.maxBins", "10000").toLong
+    val guard = If(
+      LessThanOrEqual(Subtract(bin(hi, w), bin(lo, w)), Literal(maxBins)),
+      Literal(0L),
+      Cast(RaiseError(Literal(
+        s"graft range-bin join: an interval spans more than $maxBins bins at " +
+          s"binWidth=$w; raise spark.graft.rangeJoin.binWidth or " +
+          "spark.graft.rangeJoin.maxBins")), LongType))
     // empty or null interval (lo > hi, null bound) must yield no bins, not
     // a Sequence error — the naive join just emits nothing for such rows
     val bins = If(
       And(And(IsNotNull(lo), IsNotNull(hi)), LessThanOrEqual(lo, hi)),
       // Sequence is TimeZoneAwareExpression: resolved only with a tz set,
       // even for integral sequences
-      Sequence(bin(lo, w), bin(hi, w), Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+      Sequence(Add(bin(lo, w), guard), bin(hi, w), Some(Literal(1L)),
+        Some(conf.sessionLocalTimeZone)),
       Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
     val exploded = Generate(Explode(bins), unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(binAttr), child = intervalSide)

@@ -75,7 +75,10 @@ class BindingsTable(props: Map[String, String]) extends Table with SupportsRead 
     // (H5) while the count is per DISTINCT concept, so real row totals can
     // exceed the count. The reference stops at the counted offset and
     // silently drops the surplus (harvest.py:399-416); we plan extra tail
-    // pages beyond the count (default 1) to drain bounded fan-out.
+    // pages beyond the count (default 1) for parallel fetch of the first
+    // surplus, and the LAST live partition DRAINS: it keeps fetching
+    // successive pages until the endpoint returns a short page, so no
+    // amount of fan-out is ever silently dropped.
     val tailPages = opt("tailPages").map(_.toInt).getOrElse(if (endpoint.isDefined) 1 else 0)
     new BindingsScanBuilder(totalCount + tailPages.toLong * pageSize, pageSize, endpoint, collection)
   }
@@ -89,18 +92,24 @@ class BindingsScanBuilder(totalCount: Long, pageSize: Int,
   override def toBatch: Batch = this
 
   /** A1 as partition planning: ceil(totalCount / pageSize) offset-range
-    * partitions — the reference's sequential page loop, parallelized. */
-  override def planInputPartitions(): Array[InputPartition] =
-    (0L until totalCount by pageSize.toLong)
-      .map(off => BindingsPage(off,
-        math.min(pageSize.toLong, totalCount - off).toInt): InputPartition)
-      .toArray
+    * partitions — the reference's sequential page loop, parallelized. The
+    * final live partition is marked to drain past the planned range (the
+    * count is per distinct concept; fan-out rows beyond it are unbounded). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val offsets = (0L until totalCount by pageSize.toLong).toArray
+    offsets.zipWithIndex.map { case (off, i) =>
+      val last = i == offsets.length - 1
+      BindingsPage(off, math.min(pageSize.toLong, totalCount - off).toInt,
+        drainTail = last && endpoint.isDefined): InputPartition
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     BindingsReaderFactory(endpoint, collection)
 }
 
-case class BindingsPage(offset: Long, limit: Int) extends InputPartition
+case class BindingsPage(offset: Long, limit: Int,
+                        drainTail: Boolean = false) extends InputPartition
 
 case class BindingsReaderFactory(endpoint: Option[String], collection: String)
   extends PartitionReaderFactory {
@@ -115,17 +124,33 @@ case class BindingsReaderFactory(endpoint: Option[String], collection: String)
 
 /** EP3 on an executor: fetch this partition's page over HTTP (one SPARQL
   * LIMIT/OFFSET query), with the reference's 502-retry (A2) INSIDE the
-  * reader; Spark task retry is the backstop. */
+  * reader; Spark task retry is the backstop. A `drainTail` partition keeps
+  * fetching successive pages until a short page proves the result set is
+  * exhausted — OPTIONAL fan-out makes real row totals exceed the planned
+  * per-concept count by an unknowable amount. */
 class SparqlPartitionReader(endpoint: String, collection: String, page: BindingsPage)
   extends PartitionReader[InternalRow] {
-  private lazy val rows: Seq[Array[String]] = Source.withRetry() {
-    new SparqlHttpClient(endpoint)
-      .fetchBindings(collection, Some(page.limit.toLong), Some(page.offset))
-  }
+  private val client = new SparqlHttpClient(endpoint)
+  private var buf: Seq[Array[String]] = _
+  private var pageOffset = page.offset
   private var i = -1
-  override def next(): Boolean = { i += 1; i < rows.length }
+
+  private def fetch(): Unit = buf = Source.withRetry() {
+    client.fetchBindings(collection, Some(page.limit.toLong), Some(pageOffset))
+  }
+
+  override def next(): Boolean = {
+    if (buf == null) fetch()
+    i += 1
+    if (i < buf.length) true
+    else if (page.drainTail && buf.length == page.limit) {
+      // full page: the set may not be drained — fetch the next one
+      pageOffset += page.limit; i = 0; fetch()
+      buf.nonEmpty
+    } else false
+  }
   override def get(): InternalRow = {
-    val r = rows(i)
+    val r = buf(i)
     InternalRow(
       UTF8String.fromString(r(0)),
       if (r(1) == null) null else UTF8String.fromString(r(1)),

@@ -14,8 +14,13 @@ import graft.harvest.Validate
   * zero extra dependencies.
   *
   * Query text reproduces harvest.py:69-88 (page query) and :92-101 (count
-  * query) exactly: same prefixes, same OPTIONAL fan-out semantics, same
-  * ORDER BY for stable pagination. Transport errors map onto the engine's
+  * query): same prefixes, same OPTIONAL fan-out semantics. One deliberate
+  * divergence: the reference orders by ?concept alone, which is NOT a
+  * total order once OPTIONALs fan out multi-valued properties — ties may
+  * be returned in different orders by independent LIMIT/OFFSET queries,
+  * and unlike the reference's sequential loop this source fetches pages
+  * concurrently. Ordering by all four variables makes pagination
+  * deterministic. Transport errors map onto the engine's
   * retry taxonomy: HTTP 502 → [[TransientFetchException]] (the only code
   * the reference retries, harvest.py:150), anything else fails fast.
   *
@@ -42,7 +47,7 @@ object SparqlHttp {
         OPTIONAL { ?concept skos:altLabel ?altLabel }
         OPTIONAL { ?concept skos:definition ?definition }
     }
-    ORDER BY ?concept
+    ORDER BY ?concept ?prefLabel ?altLabel ?definition
     """
     base + limit.map(l => s"\nLIMIT $l").getOrElse("") +
       offset.map(o => s"\nOFFSET $o").getOrElse("")

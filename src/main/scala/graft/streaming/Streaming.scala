@@ -189,7 +189,10 @@ object Streaming {
             lastSeq = s.seq
             cur = Some(SessionState(s.seq + 1, t, t, 1))
           case Some(s) =>
-            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+            // a late-but-valid event can predate the open session's start
+            // (cross-batch): extend BOTH ends, matching sessionsBatch
+            cur = Some(s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1))
           case None =>
             cur = Some(SessionState(lastSeq + 1, t, t, 1))
         }

@@ -62,6 +62,19 @@ class RangeBinJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("an interval spanning more than maxBins bins fails with an actionable error") {
+    withRule(1L) { // width 1 -> the wide interval would need ~1e9 bins
+      val p = Seq((1L, 5L)).toDF("pid", "x")
+      val iv = Seq((10L, 0L, 1000000000L)).toDF("iid", "lo", "hi")
+      val e = intercept[Exception] {
+        p.join(iv, $"x" >= $"lo" && $"x" <= $"hi").count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("graft range-bin join")))
+    }
+  }
+
   test("property: binned join equals naive join for random intervals and widths") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val ptsGen = Gen.listOfN(30, Gen.chooseNum(-100L, 100L))

@@ -40,14 +40,15 @@ class SparqlHttpSpec extends SparkSpec {
 
   /** Start a stub endpoint; `failFirst` makes every distinct page fail with
     * 502 on its first attempt (exercising the in-reader retry); `fanout`
-    * gives concept 10 a second altLabel row, so the page query's row total
-    * exceeds the DISTINCT-concept count by one (the H5 OPTIONAL fan-out). */
-  private def withServer(failFirst: Boolean = false, fanout: Boolean = false)
+    * gives concept 10 that many extra altLabel rows, so the page query's
+    * row total exceeds the DISTINCT-concept count (the H5 OPTIONAL
+    * fan-out) — by more than a page when fanout > pageSize. */
+  private def withServer(failFirst: Boolean = false, fanout: Int = 0)
                         (body: String => Unit): Unit = {
     val corpus: IndexedSeq[String] = (0 until Total).flatMap { i =>
-      val extra = if (fanout && i == 10)
-        Seq(s"""{"concept": {"type": "uri", "value": "https://vocab.example.org/term/10"},
-               | "altLabel": {"type": "literal", "value": "alt 10 bis"}}""".stripMargin)
+      val extra = if (i == 10) (0 until fanout).map(k =>
+        s"""{"concept": {"type": "uri", "value": "https://vocab.example.org/term/10"},
+           | "altLabel": {"type": "literal", "value": "alt 10 bis $k"}}""".stripMargin)
       else Seq.empty
       bindingJson(i) +: extra
     }
@@ -116,7 +117,7 @@ class SparqlHttpSpec extends SparkSpec {
   }
 
   test("OPTIONAL fan-out rows beyond the concept count land in the tail page (H5)") {
-    withServer(fanout = true) { url =>
+    withServer(fanout = 1) { url =>
       val df = spark.read.format("graft-bindings")
         .option("endpoint", url)
         .option("collection", Collection)
@@ -126,7 +127,23 @@ class SparqlHttpSpec extends SparkSpec {
       // 2501 rows; the tail page (beyond the counted offsets) drains it —
       // the reference's own page loop would drop that row
       assert(df.count() == Total + 1)
-      assert(df.filter(org.apache.spark.sql.functions.col("altLabel") === "alt 10 bis").count() == 1)
+      assert(df.filter(org.apache.spark.sql.functions.col("altLabel") === "alt 10 bis 0").count() == 1)
+    }
+  }
+
+  test("tail partition drains fan-out larger than the planned tail page") {
+    withServer(fanout = 600) { url =>
+      val df = spark.read.format("graft-bindings")
+        .option("endpoint", url)
+        .option("collection", Collection)
+        .option("pageSize", 500)
+        .load()
+      // planned offsets cover 2500 + one 500-row tail page = 3000 rows,
+      // but the corpus has 3100: the drain-tail reader keeps paging until
+      // the endpoint returns a short page, so nothing is dropped
+      assert(df.count() == Total + 600)
+      assert(df.filter(org.apache.spark.sql.functions.col("altLabel")
+        .startsWith("alt 10 bis")).count() == 600)
     }
   }
 

@@ -106,6 +106,30 @@ class StreamingSpec extends SparkSpec {
     assert(seqs == Seq(1L, 2L)) // distinct, dense, no duplicate seq=1
   }
 
+  test("flatMapGroupsWithState: late event extends the open session backward (B10)") {
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.statefulSessions(input.toDF()).writeStream
+      .format("memory").queryName("fmgws_late").outputMode("append").start()
+    // batch 1 opens a session at :10 (watermark still far behind)
+    input.addData(Seq(Evt(1, t(10), 1, "a", 0)))
+    q.processAllAvailable()
+    // batch 2: a valid late event at :05 for the same open session must
+    // extend session_start backward, matching sessionsBatch semantics
+    input.addData(Seq(Evt(2, t(5), 1, "a", 0)))
+    q.processAllAvailable()
+    // close by timeout
+    input.addData(Seq(Evt(9, Timestamp.valueOf("2026-01-01 13:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(Evt(10, Timestamp.valueOf("2026-01-01 15:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("fmgws_late")
+      .filter($"user_id" === 1)
+      .select("session_seq", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(u1 === Set((1L, t(5), t(10), 2L)))
+  }
+
   test("stream-stream interval join attributes purchases to clicks (B10)") {
     val clicks = Seq(
       Evt(1, t(0), 1, "click", 0.0), Evt(2, t(5), 1, "click", 0.0),
