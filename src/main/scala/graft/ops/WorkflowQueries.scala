@@ -196,25 +196,22 @@ object WorkflowQueries {
     def compose(a: DataFrame, b: DataFrame): DataFrame =
       a.toDF("node", "mid", "d1").join(b.toDF("mid", "ancestor", "d2"), "mid")
         .select($"node", $"ancestor", ($"d1" + $"d2").as("depth"))
-    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def piece(df: DataFrame): DataFrame = { pieces += df.cache(); df }
-    val edges = piece(broaderEdges(s, dir))
+    // Cache policy: edges and the pow chain are cached (log-depth
+    // DataFrames of at most one row per node — trivial storage, and they
+    // drive the convergence counts), plus ONE cached final closure. The
+    // large per-round `longer` pieces are never cached: the loop never
+    // executes them (it only counts pow), and the closure's first
+    // materialization computes each of them exactly once from the cached
+    // pow chain. Nothing big is left pinned beyond the single result.
+    val edges = broaderEdges(s, dir).cache()
     var closure = edges
     var pow = edges
     while (pow.limit(1).count() > 0) {
-      // cache the new disjoint pieces; `closure` stays a union tree over
-      // cached pieces, so the loop never recomputes a join
-      val longer = piece(compose(closure, pow))
-      pow = piece(compose(pow, pow))
+      val longer = compose(closure, pow)
+      pow = compose(pow, pow).cache()
       closure = closure.union(longer)
     }
-    // materialize ONE cached result, then release the per-round pieces —
-    // otherwise O(log depth) cached join results pin storage memory for
-    // the rest of the session
-    val result = closure.cache()
-    result.count()
-    pieces.foreach(_.unpersist())
-    result.orderBy($"node", $"depth")
+    closure.cache().orderBy($"node", $"depth")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
