@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(plans.HammingJoinRewrite)
     // pure interval joins re-plan to binned equi-joins (opt-in bin width)
     ext.injectOptimizerRule(plans.RangeBinJoinRewrite)
+    // plans the custom AsOfJoinPlan node into its sorted-merge exec
+    ext.injectPlannerStrategy(plans.AsOfJoinStrategy)
   }
 }
 

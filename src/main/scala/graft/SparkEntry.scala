@@ -23,6 +23,7 @@ object SparkEntry {
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (functions.Udfs.queries, functions.Udfs.oracles),
       (ops.Relational2.queries, ops.Relational2.oracles),
+      (plans.AsOfJoin.queries, plans.AsOfJoin.oracles),
       (ops.WorkflowQueries.queries, ops.WorkflowQueries.oracles),
     )
 
