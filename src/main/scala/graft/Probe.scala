@@ -107,6 +107,27 @@ object Probe {
         println(s"  stress pairs=${pairs.count()}")
       }
     }
+    if (sys.env.contains("PROBE_MINHASH_CMP")) {
+      // Head-to-head under THIS JVM (sbt-forked = C1-capped, same as the
+      // driver bench): full near-dup pipeline with the single-buffer
+      // typed-aggregator signatures vs the 64-min-column formulation.
+      // Caches cleared between runs to mirror the fixed Bench loop.
+      import graft.dedup.Dedup
+      val docs = Tables.documents(spark, dir)
+      def runPipe(tag: String, sigFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+        for (rep <- 1 to 3) {
+          spark.catalog.clearCache()
+          time(s"minhash_$tag/$rep") {
+            Dedup.minHashNearDup(docs, sigFn = sigFn)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+      }
+      runPipe("udaf", Dedup.minHashSignatures(_))
+      runPipe("64col", Dedup.minHashSignatures64Col(_))
+      runPipe("udaf_again", Dedup.minHashSignatures(_))
+      spark.catalog.clearCache()
+    }
     if (sys.env.contains("PROBE_MINHASH")) {
       val docs = Tables.documents(spark, dir)
       val sh = dedup.Dedup.shingles(docs, 3).cache()

@@ -83,7 +83,9 @@ object Dedup {
     * aggregate columns. Same shuffle shape as [[minHashSignatures]]; kept
     * as the measurement baseline for the single-buffer aggregator. */
   def minHashSignatures64Col(sh: DataFrame, numHashes: Int = 64): DataFrame = {
-    val base = sh.withColumn("hbase", xxhash64(col("shingle")))
+    val base =
+      if (sh.columns.contains("hbase")) sh.select(col("doc_id"), col("hbase"))
+      else sh.select(col("doc_id"), xxhash64(col("shingle")).as("hbase"))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("hbase"))).as(s"h$i"))
     base.groupBy(col("doc_id"))
@@ -137,10 +139,11 @@ object Dedup {
     * (shingle-hash → minhash → band → bucket-join → exact verify). The
     * whole pipeline runs on hashed shingles — every shuffle after the
     * scan carries longs, not token strings. */
-  def minHashNearDup(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def minHashNearDup(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                     sigFn: DataFrame => DataFrame = minHashSignatures(_)): DataFrame = {
     val sh = shingleHashes(docs, k).cache()
     // bands feed a self-join → materialize once
-    val bands = lshBands(minHashSignatures(sh)).cache()
+    val bands = lshBands(sigFn(sh)).cache()
     val pairs = candidatePairs(bands)
     verifyJaccard(pairs, sh)
       .filter(col("jaccard") >= threshold)
@@ -200,7 +203,10 @@ object Dedup {
     * uses, demonstrated standalone). */
   def ngramJaccardQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(Tables.documents(s, dir), 2)
+    // Hashed shingles (set identity is all the Jaccard kernel needs) and
+    // ONE materialization: sh feeds five plan branches (two pair sides,
+    // sizes, two verify joins) — uncached it was computed twice per side.
+    val sh = shingleHashes(Tables.documents(s, dir), 2).cache()
     val pairs = sh.select($"doc_id".as("a")).distinct()
       .join(sh.select($"doc_id".as("b")).distinct(), col("b") === col("a") + 1)
     verifyJaccard(pairs, sh)

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.bridge
 
@@ -82,6 +83,11 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // Observable in the Spark UI / explain like the built-in joins.
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -103,6 +109,8 @@ case class AsOfJoinExec(
     val (lKeyExprs, rKeyExprs, lTimeExpr, rTimeExpr) =
       (leftKeys, rightKeys, leftTime, rightTime)
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -140,9 +148,11 @@ case class AsOfJoinExec(
             scanning = rRow != null
           } else scanning = false
         }
-        if (matchRow != null && keyOrd.compare(matchKey, lKey) == 0)
+        numOutputRows += 1
+        if (matchRow != null && keyOrd.compare(matchKey, lKey) == 0) {
+          numMatchedRows += 1
           resultProj(joined(lRow, matchRow))
-        else resultProj(joined(lRow, nullRight))
+        } else resultProj(joined(lRow, nullRight))
       }
     }
   }
@@ -170,6 +180,12 @@ object AsOfJoin {
     * one source (aliasing also renews expression ids, which keeps the two
     * sides' attributes distinct without relying on analyzer deduplication
     * of a non-builtin node).
+    *
+    * Null right TIMES are excluded from matching, exactly like the SQL
+    * formulation (`rt <= t` rejects null), by filtering them here before the
+    * exec — inside the exec a null time would sort first and match any left
+    * time (see [[AsOfJoinExec]]'s null note). Null KEYS keep shuffle
+    * semantics: they group together and match each other.
     */
   def asofJoin(
       left: DataFrame,
@@ -180,7 +196,7 @@ object AsOfJoin {
       tiebreak: Seq[String] = Nil): DataFrame = {
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlan = right.where(col(rightTimeCol).isNotNull).queryExecution.analyzed
     val dup = lPlan.output.map(_.name).toSet.intersect(rPlan.output.map(_.name).toSet)
     require(dup.isEmpty,
       s"as-of join requires disjoint column names (alias the right side): ${dup.mkString(", ")}")

@@ -53,6 +53,46 @@ class AsOfJoinExecSpec extends SparkSpec {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("null right times are excluded from matching (SQL comparison semantics)") {
+    val l = Seq((1L, 10L, 100L), (2L, 20L, 100L)).toDF("lid", "k", "t")
+    val r = Seq(
+      (101L, 10L, Option.empty[Long]), // null time: must never match
+      (102L, 10L, Some(50L)),
+      (103L, 20L, Option.empty[Long])  // null time is the ONLY k=20 row
+    ).toDF("rid", "ck", "rt")
+    val got = run(l, r).select($"lid", $"rid")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(1L -> Some(102L), 2L -> None))
+  }
+
+  test("empty right side null-pads every left row") {
+    val l = Seq((1L, 10L, 100L), (2L, 20L, 100L)).toDF("lid", "k", "t")
+    val r = Seq.empty[(Long, Long, Long)].toDF("rid", "ck", "rt")
+    val got = run(l, r).select($"lid", $"rid")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(1L -> None, 2L -> None))
+  }
+
+  test("exactly two exchanges (one per side) and SQLMetrics populated") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = run(leftDf, rightDf)
+      // collect() executes df's OWN QueryExecution (a write plans a fresh
+      // one whose metric instances this test couldn't see)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size === 2, plan.toString)
+      val execs = plan.collect { case a: AsOfJoinExec => a }
+      assert(execs.size === 1)
+      // 6 left rows stream out; 3 of them found a match (lids 1, 2, 6)
+      assert(execs.head.metrics("numOutputRows").value === 6L)
+      assert(execs.head.metrics("numMatchedRows").value === 3L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("null keys group and match each other (shuffle semantics)") {
     val l = Seq((1L, Some(10L), 100L), (2L, None, 100L))
       .toDF("lid", "k", "t")
