@@ -16,10 +16,25 @@ object Validate {
 
   /** Fail-fast collection-URI validation (A18, harvest.py:28-51):
     * raises on a non-http(s) URI, returns a warning for an unexpected host.
-    */
+    *
+    * Also rejects any character that could break out of a SPARQL IRI
+    * literal — the URI is interpolated into `<...>` in the generated query
+    * ([[graft.sources.SparqlHttp.pageQuery]]), so `>`, `<`, whitespace,
+    * quotes, backslash, and control characters would inject arbitrary
+    * SPARQL. (The reference interpolates unchecked, harvest.py:69-88; this
+    * engine's query reaches a real networked endpoint, so the gate is
+    * load-bearing, not cosmetic.) These characters are illegal in IRIs
+    * anyway (RFC 3987) — a legitimate URI percent-encodes them. */
   def validateCollectionUri(uri: String): Option[String] = {
     if (uri == null || uri.trim.isEmpty)
       throw new IllegalArgumentException("collection URI must be non-empty")
+    // before the scheme regex: an embedded newline would fail `.matches`
+    // there and mask the more precise message
+    uri.find(c => c == '<' || c == '>' || c == '"' || c == '\'' ||
+        c == '\\' || c == '`' || c.isWhitespace || c.isControl)
+      .foreach(c => throw new IllegalArgumentException(
+        "invalid collection URI (character %#04x would escape the SPARQL IRI literal; percent-encode it): %s"
+          .format(c.toInt, uri)))
     if (!uri.matches(UriPattern + ".*"))
       throw new IllegalArgumentException(
         s"invalid collection URI (must start with http:// or https://): $uri")

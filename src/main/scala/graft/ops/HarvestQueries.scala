@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.harvest.{Merge, Transform, Validate}
+import graft.harvest.{HarvestJob, Merge, Schemas, Sqlite, Transform, Validate}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -173,6 +173,39 @@ object HarvestQueries {
     } finally b.unpersist()
   }
 
+  /** A22/H4: the single-file SQLite artifact under the driver's oracle —
+    * run the FULL harvest job (fixture bindings → fresh store → artifact
+    * export), then read per-table row counts back THROUGH the .db file
+    * (table b-tree walks via [[Sqlite.readTable]]). The oracle recomputes
+    * the same counts from the fixture SQL, so a writer bug that drops or
+    * duplicates rows fails the driver gate, not only ScalaTest. */
+  def sqliteArtifact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_a22_" + Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(work) // fresh store per run: stale state would shift upsert ids
+    work.mkdirs()
+    val bindingsPath = new java.io.File(work, "bindings.parquet").getPath
+    bindings(s, dir).select($"concept", $"prefLabel", $"altLabel", $"definition")
+      .write.mode("overwrite").parquet(bindingsPath)
+    val db = new java.io.File(work, "translations.db")
+    HarvestJob.run(s, HarvestJob.Config(
+      collectionUri = "https://vocab.example.org/collection/fixture",
+      bindingsPath = bindingsPath,
+      storeDir = new java.io.File(work, "store").getPath,
+      asOf = java.sql.Timestamp.valueOf("2026-02-01 00:00:00"),
+      sqliteArtifact = Some(db.getPath)))
+    val rows = Schemas.allTables.map { case (name, _) =>
+      val read = Sqlite.readTable(db, name)
+      (name, read.size.toLong, if (read.isEmpty) 0L else read.map(_._1).max)
+    }
+    rows.toDF("tbl", "n_rows", "max_rowid").orderBy($"tbl")
+  }
+
   /** A19: CHECK-constraint violations on documents.lang vs the reference's
     * allowed language set (harvest.py:221). */
   def checkLanguage(s: SparkSession, dir: String): DataFrame = {
@@ -206,6 +239,7 @@ object HarvestQueries {
     "a18_validate_uris" -> (validateUris _),
     "a19_check_language" -> (checkLanguage _),
     "a20_unique_check" -> (uniqueCheck _),
+    "a22_sqlite_artifact" -> (sqliteArtifact _),
   )
 
   /** Shared fixture CTE — the exact SQL mirror of [[bindings]]/[[valid]]. */
@@ -314,5 +348,17 @@ object HarvestQueries {
     "a20_unique_check" -> s"""$FIX
       SELECT concept, COUNT(*) AS n_rows FROM v
       GROUP BY concept HAVING COUNT(*) > 1 ORDER BY concept""",
+    // ids are assigned densely from 1 ordered by uri, so max rowid = count
+    "a22_sqlite_artifact" -> s"""$FIX
+      SELECT tbl, n_rows, max_rowid FROM (
+        SELECT 'terms' AS tbl, COUNT(*) AS n_rows, COUNT(*) AS max_rowid
+          FROM (SELECT DISTINCT concept FROM v)
+        UNION ALL
+        SELECT 'term_fields', COUNT(*), COUNT(*) FROM eav
+        UNION ALL SELECT 'translations', 0, 0
+        UNION ALL SELECT 'appeals', 0, 0
+        UNION ALL SELECT 'appeal_messages', 0, 0
+        UNION ALL SELECT 'users', 0, 0)
+      ORDER BY tbl""",
   )
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, Limit, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType}
 
@@ -18,24 +18,38 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * exact verification. Each qualifying pair matches in precisely one bin
   * (the point's), so multiplicity is preserved with no dedup.
   *
-  * Opt-in: set `spark.graft.rangeJoin.binWidth` (positive long, same unit
-  * as the join columns) per query — bin width is a data-dependent choice
-  * (≈ a typical interval length: too small explodes the interval side,
-  * too large degrades to few giant buckets). Applies to LongType bounds;
-  * cast timestamps to epoch seconds. Fires only on inner joins with no
-  * equi-conjunct; the rewritten join's bin-equality conjunct makes the
-  * rule idempotent. Deployed with [[HammingJoinRewrite]] via
-  * `spark.sql.extensions=graft.GraftExtensions` or
-  * `spark.experimental.extraOptimizations`.
+  * Configuration — bin width is a data-dependent choice (≈ a typical
+  * interval length: too small explodes the interval side, too large
+  * degrades to few giant buckets):
+  *  - `spark.graft.rangeJoin.binWidth` (positive long, same unit as the
+  *    join columns): explicit width, always wins.
+  *  - `spark.graft.rangeJoin.autoBinWidth=true`: with no explicit width,
+  *    derive one at plan time from the median interval length of a bounded
+  *    sample of the interval side (one tiny Spark job during optimization —
+  *    the same class of planning-time work as a broadcast-threshold
+  *    estimate, bounded by `spark.graft.rangeJoin.sampleRows`, default
+  *    10000).
+  *  - neither set: the join is left as the nested-loop plan Spark would
+  *    produce anyway, and ONE warning per session names both knobs — a
+  *    user who doesn't know the config gets actionable guidance, not a
+  *    silent O(n·m) product.
+  *
+  * Applies to LongType bounds; cast timestamps to epoch seconds. Fires
+  * only on inner joins with no equi-conjunct; the rewritten join's
+  * bin-equality conjunct makes the rule idempotent. Deployed with
+  * [[HammingJoinRewrite]] via `spark.sql.extensions=graft.GraftExtensions`
+  * or `spark.experimental.extraOptimizations`.
   */
 case class RangeBinJoinRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
-  private val WidthKey = "spark.graft.rangeJoin.binWidth"
+  import RangeBinJoinRewrite._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = conf.getConfString(WidthKey, "0").toLong
-    if (width <= 0) plan else plan.transformUp {
+    val auto = conf.getConfString(AutoKey, "false").toBoolean
+    if (width <= 0 && !auto) { warnIfQualifying(plan); plan }
+    else plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _) =>
         val conjuncts = splitConjunctivePredicates(cond)
         val hasEqui = conjuncts.exists {
@@ -44,10 +58,68 @@ case class RangeBinJoinRewrite(spark: SparkSession)
           case _ => false
         }
         if (hasEqui) j else findBand(conjuncts, j) match {
-          case Some((x, lo, hi)) => rewrite(j, x, lo, hi, width)
+          case Some((x, lo, hi)) =>
+            val w = if (width > 0) Some(width) else deriveWidth(j, lo, hi)
+            w match {
+              case Some(w0) => rewrite(j, x, lo, hi, w0)
+              case None => j
+            }
           case None => j
         }
     }
+  }
+
+  /** Neither knob set: find would-be-rewritten joins and log guidance once
+    * per session (pattern match only — no planning-time job). */
+  private def warnIfQualifying(plan: LogicalPlan): Unit =
+    plan.foreach {
+      case j @ Join(_, _, Inner, Some(cond), _) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val hasEqui = conjuncts.exists {
+          case EqualTo(l, r) => straddles(l, r, j)
+          case EqualNullSafe(l, r) => straddles(l, r, j)
+          case _ => false
+        }
+        if (!hasEqui && findBand(conjuncts, j).nonEmpty && warned.compareAndSet(false, true))
+          logWarning(s"graft: an interval join with no equi-key will plan as a " +
+            s"nested-loop product. Set $WidthKey (explicit bin width) or " +
+            s"$AutoKey=true (derive from a sample) to re-plan it as a binned " +
+            "equi-join.")
+      case _ => ()
+    }
+
+  /** Median interval length over a bounded prefix sample of the interval
+    * side, executed as its own tiny job at plan time. Re-entrancy (the
+    * sample job's own optimization passes through this rule) is cut by a
+    * thread-local; any failure (e.g. a streaming source that cannot run a
+    * batch job) falls back to no rewrite rather than failing the query. */
+  private def deriveWidth(j: Join, lo: Expression, hi: Expression): Option[Long] = {
+    if (deriving.get()) return None
+    deriving.set(true)
+    try {
+      val intervalSide = if (lo.references.subsetOf(j.left.outputSet)) j.left else j.right
+      val sampleRows = conf.getConfString(SampleKey, "10000").toInt
+      val diff = Alias(Subtract(hi, lo), "graft_w")()
+      val sample = Limit(Literal(sampleRows),
+        Project(Seq(diff), intervalSide))
+      val df = org.apache.spark.sql.graftbridge.bridge.ofRows(spark, sample)
+      val row = df.where(org.apache.spark.sql.functions.col("graft_w") >= 0)
+        .selectExpr("CAST(percentile_approx(graft_w, 0.5) AS LONG) AS w")
+        .head()
+      if (row.isNullAt(0)) None
+      else {
+        val w = math.max(1L, row.getLong(0))
+        logInfo(s"graft: derived range-join bin width $w from a " +
+          s"$sampleRows-row sample (override with $WidthKey)")
+        lastDerivedWidth.set(w)
+        Some(w)
+      }
+    } catch {
+      case e: Exception =>
+        logWarning(s"graft: could not derive range-join bin width, leaving " +
+          s"nested-loop plan (set $WidthKey explicitly): ${e.getMessage}")
+        None
+    } finally deriving.set(false)
   }
 
   private def straddles(l: Expression, r: Expression, j: Join): Boolean =
@@ -133,4 +205,21 @@ case class RangeBinJoinRewrite(spark: SparkSession)
     // strip the bin column: restore the original join's output
     Project(j.output, rejoined)
   }
+}
+
+object RangeBinJoinRewrite {
+  private[plans] val WidthKey = "spark.graft.rangeJoin.binWidth"
+  private[plans] val AutoKey = "spark.graft.rangeJoin.autoBinWidth"
+  private[plans] val SampleKey = "spark.graft.rangeJoin.sampleRows"
+  /** One guidance warning per JVM session (not per query). */
+  private val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Re-entrancy cut: the derivation job's optimization visits this rule. */
+  private val deriving = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  /** Last auto-derived width — observability for specs and debugging. */
+  val lastDerivedWidth = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Test hook: reset the once-per-session warning latch. */
+  private[plans] def resetWarned(): Unit = warned.set(false)
+  private[plans] def hasWarned: Boolean = warned.get()
 }

@@ -21,8 +21,12 @@ import graft.harvest.Validate
   * and unlike the reference's sequential loop this source fetches pages
   * concurrently. Ordering by all four variables makes pagination
   * deterministic. Transport errors map onto the engine's
-  * retry taxonomy: HTTP 502 → [[TransientFetchException]] (the only code
-  * the reference retries, harvest.py:150), anything else fails fast.
+  * retry taxonomy: HTTP 502 (the only code the reference retries,
+  * harvest.py:150) and connection-refused (an endpoint process briefly
+  * down mid-restart) → [[TransientFetchException]]; DNS failures,
+  * timeouts, other HTTP statuses, and other I/O errors fail fast — a
+  * hung or misconfigured endpoint must not cost retries × timeout per
+  * page on every executor.
   *
   * The sandbox has no egress, so tests exercise this against a local
   * in-process HTTP server (SparqlHttpSpec) — the client itself is the
@@ -89,8 +93,24 @@ class SparqlHttpClient(val endpoint: String, timeoutMs: Long = 30000) extends Se
     val resp =
       try http.send(req, HttpResponse.BodyHandlers.ofString())
       catch {
+        case e: java.net.http.HttpTimeoutException =>
+          throw new RuntimeException(
+            s"SPARQL request timed out after ${timeoutMs}ms (not retried): $endpoint", e)
+        case e: java.net.ConnectException =>
+          val dns = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).exists {
+            case _: java.nio.channels.UnresolvedAddressException => true
+            case _: java.net.UnknownHostException => true
+            case _ => false
+          }
+          if (dns) throw new RuntimeException(
+            s"SPARQL endpoint hostname does not resolve (not retried): $endpoint", e)
+          // refused: the endpoint process is briefly down/restarting — the
+          // one transport failure that is plausibly transient
+          else throw new TransientFetchException(
+            s"SPARQL endpoint connection refused: ${e.getMessage}", e)
         case e: java.io.IOException =>
-          throw new TransientFetchException(s"SPARQL endpoint unreachable: ${e.getMessage}", e)
+          throw new RuntimeException(
+            s"SPARQL transport failure (not retried): ${e.getMessage}", e)
       }
     resp.statusCode() match {
       case 200 => mapper.readTree(resp.body())

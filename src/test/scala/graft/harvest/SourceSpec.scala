@@ -47,4 +47,24 @@ class SourceSpec extends SparkSpec {
     assert(Validate.validateCollectionUri("http://vocab.nerc.ac.uk/collection/P01/current/").isEmpty)
     assert(Validate.validateCollectionUri("https://other.example/x").nonEmpty)
   }
+
+  test("validateCollectionUri: rejects SPARQL-IRI breakout characters (A18)") {
+    // each would escape the <...> literal in the generated page query
+    Seq(
+      "http://vocab.nerc.ac.uk/x> . ?s ?p ?o . <http://e",
+      "http://vocab.nerc.ac.uk/x<y",
+      "http://vocab.nerc.ac.uk/a b",
+      "http://vocab.nerc.ac.uk/a\tb",
+      "http://vocab.nerc.ac.uk/a\nb",
+      "http://vocab.nerc.ac.uk/a\"b",
+      "http://vocab.nerc.ac.uk/a\\b",
+      "http://vocab.nerc.ac.uk/a\u0007b"
+    ).foreach { uri =>
+      val e = intercept[IllegalArgumentException] { Validate.validateCollectionUri(uri) }
+      assert(e.getMessage.contains("IRI"), s"for URI: $uri")
+    }
+    // percent-encoded forms of the same characters are fine
+    assert(Validate.validateCollectionUri(
+      "http://vocab.nerc.ac.uk/a%20b%3Ec").isEmpty)
+  }
 }

@@ -115,6 +115,71 @@ class SqliteSpec extends SparkSpec {
     assert(readIndex(db, "idx_empty").isEmpty)
   }
 
+  /** Run SQL against a db file through a REAL sqlite implementation (the
+    * sqlite3 CLI if installed, else python's stdlib sqlite3) — independent
+    * cross-validation of the writer, since the Scala [[Sqlite]] reader
+    * shares format assumptions with it. Returns None when no real sqlite
+    * is available on the host. Output lines are pipe-separated like the
+    * CLI's default mode. */
+  private def realSqlite(db: File, sql: String): Option[Seq[String]] = {
+    import scala.sys.process._
+    def works(cmd: Seq[String]): Boolean =
+      try Process(cmd).!(ProcessLogger(_ => (), _ => ())) == 0
+      catch { case _: Exception => false }
+    val cli = Seq("/root/miniconda/bin/sqlite3", "sqlite3")
+      .find(b => works(Seq(b, "--version")))
+      .map(b => Seq(b, db.getPath, sql))
+    val py =
+      if (works(Seq("python3", "--version")))
+        Some(Seq("python3", "-c",
+          """import sqlite3, sys
+            |con = sqlite3.connect("file:" + sys.argv[1] + "?mode=ro", uri=True)
+            |for q in sys.argv[2].split(";"):
+            |    if q.strip():
+            |        for r in con.execute(q):
+            |            print("|".join(str(v) for v in r))
+            |""".stripMargin, db.getPath, sql))
+      else None
+    cli.orElse(py).map { cmd =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val err = new StringBuilder
+      val code = Process(cmd).!(ProcessLogger(out += _, e => err.append(e).append('\n')))
+      assert(code == 0, s"real sqlite exited $code: $err")
+      out.toSeq
+    }
+  }
+
+  test("a REAL sqlite implementation accepts the artifact: integrity, schema, counts (H4/A22)") {
+    val storeDir = java.nio.file.Files.createTempDirectory("sqlite_xval").toString
+    val src = s"$storeDir/_bindings_src"
+    graft.ops.HarvestQueries.bindings(spark, sfDir).drop("doc_id")
+      .write.mode("overwrite").parquet(src)
+    val db = tmpDb("xval")
+    HarvestJob.run(spark, HarvestJob.Config(
+      "https://vocab.example.org/collection/C1", src, storeDir,
+      java.sql.Timestamp.valueOf("2026-02-01 00:00:00"),
+      sqliteArtifact = Some(db.getPath)))
+    realSqlite(db,
+      "PRAGMA integrity_check; " +
+        "SELECT COUNT(*) FROM terms; SELECT COUNT(*) FROM term_fields; " +
+        "SELECT name FROM sqlite_master WHERE type='table' ORDER BY name; " +
+        // an indexed lookup join: exercises the written index b-trees
+        "SELECT COUNT(*) FROM term_fields f JOIN terms t ON f.term_id = t.id; " +
+        "SELECT name, seq FROM sqlite_sequence ORDER BY name") match {
+      case None =>
+        cancel("no sqlite3 CLI or python3 on this host — cross-validation skipped")
+      case Some(lines) =>
+        val nTerms = readTable(db, "terms").length
+        val nFields = readTable(db, "term_fields").length
+        assert(nTerms > 0 && nFields > 0)
+        assert(lines === Seq("ok", s"$nTerms", s"$nFields") ++
+          Seq("appeal_messages", "appeals", "sqlite_sequence", "term_fields",
+            "terms", "translations", "users") ++
+          Seq(s"$nFields",
+            s"term_fields|$nFields", s"terms|$nTerms"))
+    }
+  }
+
   test("store export produces a readable six-table artifact (H4/A22)") {
     val storeDir = java.nio.file.Files.createTempDirectory("sqlite_store").toString
     val bindings = graft.ops.HarvestQueries.bindings(spark, sfDir).drop("doc_id")

@@ -62,6 +62,41 @@ class RangeBinJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("autoBinWidth derives a width from the interval sample and rewrites") {
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeBinJoinRewrite(spark)
+    spark.conf.set("spark.graft.rangeJoin.autoBinWidth", "true")
+    try {
+      RangeBinJoinRewrite.lastDerivedWidth.set(0L)
+      val df = naive
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === expected)
+      // non-empty interval lengths in the fixture: 50, 4, 0, 9, 100 -> median 9
+      assert(RangeBinJoinRewrite.lastDerivedWidth.get() === 9L)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.autoBinWidth")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("no config at all: one actionable warning per session, plan untouched") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeBinJoinRewrite(spark)
+    try {
+      RangeBinJoinRewrite.resetWarned()
+      assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      assert(RangeBinJoinRewrite.hasWarned)
+      // an equi-keyed join must NOT trip the warning
+      RangeBinJoinRewrite.resetWarned()
+      points.join(intervals, $"pid" === $"iid" - 9L && $"x" >= $"lo" && $"x" <= $"hi")
+        .queryExecution.executedPlan
+      assert(!RangeBinJoinRewrite.hasWarned)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("an interval spanning more than maxBins bins fails with an actionable error") {
     withRule(1L) { // width 1 -> the wide interval would need ~1e9 bins
       val p = Seq((1L, 5L)).toDF("pid", "x")

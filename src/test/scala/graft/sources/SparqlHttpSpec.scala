@@ -167,5 +167,11 @@ class SparqlHttpSpec extends SparkSpec {
     // connection refused → transient (lets withRetry ride out restarts)
     val dead = new SparqlHttpClient("http://127.0.0.1:1/sparql", timeoutMs = 500)
     intercept[Source.TransientFetchException](dead.memberCount(Collection))
+    // DNS failure → fail fast (a misconfigured endpoint must not burn
+    // retries × timeout on every executor)
+    val noHost = new SparqlHttpClient("http://no-such-host.invalid/sparql", timeoutMs = 2000)
+    val dnsErr = intercept[RuntimeException](noHost.memberCount(Collection))
+    assert(!dnsErr.isInstanceOf[Source.TransientFetchException])
+    assert(dnsErr.getMessage.contains("not retried"))
   }
 }
