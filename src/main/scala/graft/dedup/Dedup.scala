@@ -214,6 +214,75 @@ object Dedup {
       .orderBy($"a")
   }
 
+  // ------------------------------------------- cluster assignment (B12)
+
+  /** Connected components by iterative min-label propagation: every vertex
+    * repeatedly adopts the smallest label among itself and its neighbors
+    * until no label changes. Each round is two shuffles (neighbor-min agg +
+    * label join) over the EDGE list — never a component materialization —
+    * and converges in O(graph diameter) rounds. Near-dup graphs are
+    * clique-like (every doc in a group resembles the others), so the
+    * diameter is small and 2-3 rounds settle it; a pathological
+    * long-chain graph would favor the two-phase star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce"), which this
+    * implementation deliberately trades for simplicity + determinism.
+    * Labels converge to the component's minimum vertex id → deterministic
+    * canonical representative. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .cache()
+    var labels = sym.select(col("u")).distinct()
+      .select(col("u"), col("u").as("label")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("u").as("v"), col("label").as("vlabel")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vlabel")).as("nlabel"))
+      val next = labels.join(nbrMin, Seq("u"), "left_outer")
+        .select(col("u"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.select(col("u"), col("label").as("old")), Seq("u"))
+        .filter(col("label") =!= col("old")).count() // materializes next
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** B12: near-dup cluster assignment — the step that turns pairwise
+    * near-dup hits into dedup GROUPS with a canonical representative
+    * (training pipelines drop `doc_id != cluster_rep`). Edges connect
+    * docs whose distinct-trigram overlap coefficient is ≥ 0.7
+    * (integer-exact: 10·|∩| ≥ 7·min(|A|,|B|), no float threshold at the
+    * boundary); components come from [[connectedComponents]].
+    *
+    * The edge builder here is the EXACT trigram self-join (cost
+    * Σ freq(trigram)² — measured 2.8M intermediate rows at sf0.1), which
+    * keeps the query oracle-reproducible. At corpus scale the same
+    * clustering runs unchanged on the LSH candidate edges from
+    * [[minHashNearDup]] — only the edge list differs. */
+  def dedupClustersQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleHashes(Tables.documents(s, dir), 3).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.toDF("a", "h").join(sh.toDF("b", "h"), Seq("h"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("shared"))
+    val edges = shared
+      .join(sizes.toDF("a", "na"), Seq("a"))
+      .join(sizes.toDF("b", "nb"), Seq("b"))
+      .filter($"shared" * 10 >= least($"na", $"nb") * 7)
+      .select($"a", $"b")
+    connectedComponents(edges)
+      .select($"u".as("doc_id"), $"label".as("cluster_rep"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -221,6 +290,7 @@ object Dedup {
     "b12_minhash_lsh" -> (minHashQuery _),
     "b12_simhash" -> (simHashQuery _),
     "b12_ngram_jaccard" -> (ngramJaccardQuery _),
+    "b12_dedup_clusters" -> (dedupClustersQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,5 +310,27 @@ object Dedup {
              CAST(nb AS BIGINT) AS nb,
              CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
       FROM p ORDER BY a""",
+    // connected components via recursive reachability (small graph at
+    // oracle scale); the engine side converges min-label propagation to
+    // the same component-minimum representative
+    "b12_dedup_clusters" -> """
+      WITH RECURSIVE
+      t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gs
+            FROM t),
+      e0 AS (SELECT a.doc_id AS a, b.doc_id AS b,
+               len(list_intersect(a.gs, b.gs)) AS shared,
+               len(a.gs) AS na, len(b.gs) AS nb
+             FROM g a JOIN g b ON b.doc_id > a.doc_id),
+      edges AS (SELECT a, b FROM e0 WHERE shared * 10 >= LEAST(na, nb) * 7),
+      sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+      reach AS (SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u)
+      SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_rep
+      FROM reach GROUP BY u ORDER BY doc_id""",
   )
 }

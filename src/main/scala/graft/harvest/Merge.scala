@@ -81,6 +81,61 @@ object Merge {
         melted("concept") === col("uri"))
       .select(col("term_id"), col("field_uri"), col("field_term"), col("original_value"))
 
+  /** SCD2 (type-2 slowly-changing-dimension) merge — the history-keeping
+    * big sibling of [[upsertTerms]] (which is type-1: updates overwrite in
+    * place, like the reference's `updated_at` bump, harvest.py:340-344).
+    * A warehouse tracking how a vocabulary evolves across harvests needs
+    * the prior values, not just the latest — this operator keeps every
+    * version with its validity interval.
+    *
+    * `history` carries `keys ++ tracked ++ (valid_from, valid_to,
+    * is_current)`; `incoming` carries `keys ++ tracked` (one row per key —
+    * duplicate keys in a batch are rejected, there is no deterministic
+    * "latest" among them). Per key:
+    *  - closed rows (`is_current = false`) pass through untouched;
+    *  - current row, key absent from the batch → unchanged;
+    *  - current row, batch row with identical tracked values (null-safe)
+    *    → unchanged (no spurious versions);
+    *  - current row, batch row with any tracked value changed → the old
+    *    row closes (`valid_to = asOf`, `is_current = false`) and a new
+    *    current row opens at `asOf`;
+    *  - new key → a current row opens at `asOf`.
+    *
+    * One full-outer shuffle join on the keys; everything else is
+    * projection — the same single-shuffle shape as [[upsertTerms]], so the
+    * scale story is identical (no window, no per-key state).
+    */
+  def scd2Merge(history: DataFrame, incoming: DataFrame, keys: Seq[String],
+                tracked: Seq[String], asOf: Column): DataFrame = {
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    val outCols = (keys ++ tracked ++ meta).map(col)
+    val closed = history.filter(!col("is_current")).select(outCols: _*)
+    val current = history.filter(col("is_current"))
+    Validate.enforce(Validate.uniqueViolations(incoming, keys),
+      s"scd2 incoming batch unique on (${keys.mkString(", ")})")
+    val cur = current.select((keys ++ tracked ++ meta.init).map(col) :+ lit(1).as("__cur"): _*)
+    val inc = incoming.select(
+      keys.map(col) ++ tracked.map(c => col(c).as(s"__i_$c")) :+ lit(1).as("__inc"): _*)
+    val j = cur.join(inc, keys, "full_outer")
+    val vtType = history.schema("valid_to").dataType.sql
+    val changed = tracked.map(c => !(col(c) <=> col(s"__i_$c"))).reduce(_ || _)
+    // current rows that survive as-is: key not in batch, or values identical
+    val kept = j.filter(col("__cur").isNotNull && (col("__inc").isNull || !changed))
+      .select((keys ++ tracked).map(col) ++
+        Seq(col("valid_from"), lit(null).cast(vtType).as("valid_to"),
+          lit(true).as("is_current")): _*)
+    // current rows superseded by a changed batch row: close the interval
+    val retired = j.filter(col("__cur").isNotNull && col("__inc").isNotNull && changed)
+      .select((keys ++ tracked).map(col) ++
+        Seq(col("valid_from"), asOf.as("valid_to"), lit(false).as("is_current")): _*)
+    // opened versions: changed keys and brand-new keys
+    val opened = j.filter(col("__inc").isNotNull && (col("__cur").isNull || changed))
+      .select(keys.map(col) ++ tracked.map(c => col(s"__i_$c").as(c)) ++
+        Seq(asOf.as("valid_from"), lit(null).cast(vtType).as("valid_to"),
+          lit(true).as("is_current")): _*)
+    closed.unionByName(kept).unionByName(retired).unionByName(opened)
+  }
+
   /** A15: `INSERT OR IGNORE` keyed by UNIQUE(term_id, field_uri,
     * original_value) (harvest.py:210,363-372): dedup the batch, anti-join
     * against existing rows, assign ids, append. Existing rows (and their

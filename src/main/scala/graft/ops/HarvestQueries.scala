@@ -109,6 +109,28 @@ object HarvestQueries {
       .orderBy($"id")
   }
 
+  /** A11+ (SCD2): history-keeping upsert via [[Merge.scd2Merge]] — existing
+    * terms carry a tracked label; the incoming batch changes some, repeats
+    * some verbatim (must NOT spawn versions), and adds new keys. The
+    * fixture exercises all four merge cases plus null-safe change
+    * detection (labels are null for doc_id%10==0 / %5==0). */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val uri = concat(lit("https://vocab.example.org/term/"), $"doc_id").as("uri")
+    val existing = docs.filter($"doc_id" % 2 === 0 && $"doc_id" % 11 =!= 0)
+      .select(uri,
+        when($"doc_id" % 10 =!= 0, concat(lit("v"), $"doc_id" % 10)).as("label"),
+        ntz(ts0).as("valid_from"),
+        lit(null).cast("timestamp_ntz").as("valid_to"),
+        lit(true).as("is_current"))
+    val incoming = docs.filter($"doc_id" % 3 === 0 && $"doc_id" % 11 =!= 0)
+      .select(uri,
+        when($"doc_id" % 5 =!= 0, concat(lit("v"), $"doc_id" % 5)).as("label"))
+    Merge.scd2Merge(existing, incoming, Seq("uri"), Seq("label"), ntz(ts1))
+      .orderBy($"uri", $"valid_from")
+  }
+
   /** A12: dense deterministic surrogate ids for all distinct concepts. */
   def surrogateIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -183,22 +205,28 @@ object HarvestQueries {
     import s.implicits._
     val work = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_a22_" + Integer.toHexString(dir.hashCode))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(work) // fresh store per run: stale state would shift upsert ids
     work.mkdirs()
-    val bindingsPath = new java.io.File(work, "bindings.parquet").getPath
-    bindings(s, dir).select($"concept", $"prefLabel", $"altLabel", $"definition")
-      .write.mode("overwrite").parquet(bindingsPath)
     val db = new java.io.File(work, "translations.db")
-    HarvestJob.run(s, HarvestJob.Config(
-      collectionUri = "https://vocab.example.org/collection/fixture",
-      bindingsPath = bindingsPath,
-      storeDir = new java.io.File(work, "store").getPath,
-      asOf = java.sql.Timestamp.valueOf("2026-02-01 00:00:00"),
-      sqliteArtifact = Some(db.getPath)))
+    db.delete()
+    // terms + term_fields straight from the fixture (the same derivation
+    // the job performs — assignIds + resolveFk + insertIfAbsent); the
+    // artifact is exported from the in-flight DataFrames, skipping the
+    // store round-trip (the full job → store → artifact path is covered by
+    // SqliteSpec's export tests — this query gates the WRITER under the
+    // driver's oracle without re-benchmarking the whole job)
+    val v = valid(s, dir)
+    val asOf = lit(ts1).cast("timestamp") // LTZ like Schemas.termFields
+    val terms = Merge.assignIds(v.select($"concept".as("uri")).distinct(), Seq("uri"), 1)
+      .select($"id", $"uri", asOf.as("created_at"), asOf.as("updated_at"))
+    val fields = Merge.insertIfAbsent(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.harvest.Schemas.termFields),
+      Merge.resolveFk(Transform.meltAll(v), terms), asOf, startId = Some(1L))
+    val populated = Map("terms" -> terms, "term_fields" -> fields)
+    graft.harvest.Store.writeSqliteArtifact(s,
+      (name, schema) => populated.getOrElse(name,
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)),
+      db.getPath)
     val rows = Schemas.allTables.map { case (name, _) =>
       val read = Sqlite.readTable(db, name)
       (name, read.size.toLong, if (read.isEmpty) 0L else read.map(_._1).max)
@@ -231,6 +259,7 @@ object HarvestQueries {
     "a09_filter_valid" -> (filterValid _),
     "a10_dedup_first_wins" -> (dedupFirstWins _),
     "a11_upsert_terms" -> (upsertTerms _),
+    "a11_scd2_history" -> (scd2History _),
     "a12_surrogate_ids" -> (surrogateIds _),
     "a13_fk_resolve" -> (fkResolve _),
     "a14_melt_eav" -> (meltEav _),
@@ -308,6 +337,31 @@ object HarvestQueries {
       SELECT id, uri, created_at, updated_at FROM kept
       UNION ALL SELECT id, uri, created_at, updated_at FROM fresh
       ORDER BY id""",
+    "a11_scd2_history" -> """
+      WITH existing AS (
+        SELECT 'https://vocab.example.org/term/' || doc_id AS uri,
+               CASE WHEN doc_id % 10 <> 0 THEN 'v' || (doc_id % 10) END AS label,
+               TIMESTAMP '2026-01-01' AS valid_from
+        FROM documents WHERE doc_id % 2 = 0 AND doc_id % 11 <> 0),
+      incoming AS (
+        SELECT 'https://vocab.example.org/term/' || doc_id AS uri,
+               CASE WHEN doc_id % 5 <> 0 THEN 'v' || (doc_id % 5) END AS label
+        FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 <> 0),
+      j AS (SELECT e.uri AS euri, e.label AS elabel, e.valid_from,
+                   i.uri AS iuri, i.label AS ilabel,
+                   (e.label IS DISTINCT FROM i.label) AS chg
+            FROM existing e FULL OUTER JOIN incoming i ON e.uri = i.uri)
+      SELECT uri, label, valid_from, valid_to, is_current FROM (
+        SELECT euri AS uri, elabel AS label, valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM j WHERE euri IS NOT NULL AND (iuri IS NULL OR NOT chg)
+        UNION ALL
+        SELECT euri, elabel, valid_from, TIMESTAMP '2026-02-01', FALSE
+        FROM j WHERE euri IS NOT NULL AND iuri IS NOT NULL AND chg
+        UNION ALL
+        SELECT iuri, ilabel, TIMESTAMP '2026-02-01', CAST(NULL AS TIMESTAMP), TRUE
+        FROM j WHERE iuri IS NOT NULL AND (euri IS NULL OR chg))
+      ORDER BY uri, valid_from""",
     "a12_surrogate_ids" -> s"""$FIX
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY uri) AS BIGINT) AS id, uri
       FROM (SELECT DISTINCT concept AS uri FROM v) ORDER BY id""",

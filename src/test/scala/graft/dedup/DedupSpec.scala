@@ -47,4 +47,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 5L)) === 0) // reordered tokens → identical sketch
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 4L)))
   }
+
+  test("connectedComponents: min-label convergence on chains and separate components (B12)") {
+    // chain 1-2-3 (diameter 2, needs >1 round), pair 10-11, triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedup clusters group planted dups under the minimum doc_id (B12)") {
+    val clustered = Dedup.dedupClustersQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clustered.nonEmpty)
+    // representative is the component minimum, present in its own cluster
+    val byRep = clustered.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_._1).min === rep)
+      assert(members.exists(_._1 == rep))
+      assert(members.length >= 2) // singletons carry no edges -> excluded
+    }
+  }
 }

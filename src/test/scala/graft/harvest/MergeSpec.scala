@@ -67,4 +67,50 @@ class MergeSpec extends SparkSpec {
     val fk = Merge.resolveFk(melted, terms).orderBy("term_id").collect()
     assert(fk.map(r => (r.getLong(0), r.getString(3))).toSeq === Seq((1L, "v"), (2L, "w")))
   }
+
+  test("scd2Merge: keeps, retires, opens, and null-safe change detection (SCD2)") {
+    val hist0 = Seq(
+      ("u1", Some("a"), "2026-01-01 00:00:00"),
+      ("u2", Some("b"), "2026-01-01 00:00:00"),
+      ("u3", Option.empty[String], "2026-01-01 00:00:00")
+    ).toDF("uri", "label", "vf")
+      .select($"uri", $"label", $"vf".cast("timestamp_ntz").as("valid_from"),
+        lit(null).cast("timestamp_ntz").as("valid_to"), lit(true).as("is_current"))
+    val batch1 = Seq(
+      ("u1", Some("a")),        // identical -> no new version
+      ("u2", Some("B2")),       // changed -> close + open
+      ("u3", Option.empty[String]), // null == null -> no new version
+      ("u4", Some("d"))         // new key -> open
+    ).toDF("uri", "label")
+    val h1 = Merge.scd2Merge(hist0, batch1, Seq("uri"), Seq("label"), asOf1)
+    val rows = h1.orderBy($"uri", $"valid_from").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(4)))
+    assert(rows.toSeq === Seq(
+      ("u1", Some("a"), true),
+      ("u2", Some("b"), false), ("u2", Some("B2"), true),
+      ("u3", None, true),
+      ("u4", Some("d"), true)))
+    // second merge: closed rows pass through; null -> value is a change
+    val asOf2 = lit("2026-03-01 00:00:00").cast("timestamp_ntz")
+    val h2 = Merge.scd2Merge(h1, Seq(("u3", Some("now"))).toDF("uri", "label"),
+      Seq("uri"), Seq("label"), asOf2)
+    val u3 = h2.filter($"uri" === "u3").orderBy($"valid_from").collect()
+    assert(u3.map(r => (Option(r.getString(1)), r.getBoolean(4))).toSeq ===
+      Seq((None, false), (Some("now"), true)))
+    assert(u3(0).get(3) != null) // closed interval carries valid_to (NTZ → LocalDateTime)
+    assert(h2.filter($"uri" === "u2").count() === 2) // history untouched
+    // exactly one current row per key, always
+    assert(h2.filter($"is_current").groupBy($"uri").count().filter($"count" > 1).count() === 0)
+  }
+
+  test("scd2Merge rejects duplicate keys in one batch (SCD2)") {
+    val hist = Seq(("u1", "a", "2026-01-01 00:00:00")).toDF("uri", "label", "vf")
+      .select($"uri", $"label", $"vf".cast("timestamp_ntz").as("valid_from"),
+        lit(null).cast("timestamp_ntz").as("valid_to"), lit(true).as("is_current"))
+    val dup = Seq(("u1", "x"), ("u1", "y")).toDF("uri", "label")
+    val e = intercept[IllegalStateException] {
+      Merge.scd2Merge(hist, dup, Seq("uri"), Seq("label"), asOf1)
+    }
+    assert(e.getMessage.contains("unique"))
+  }
 }
