@@ -232,22 +232,31 @@ object Dedup {
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
       .cache()
-    var labels = sym.select(col("u")).distinct()
-      .select(col("u"), col("u").as("label")).cache()
+    // seed = one propagation round for free: min(u, direct neighbors) in
+    // the same shuffle that enumerates the vertices. Near-dup groups are
+    // clique-like, so the seed usually IS the fixpoint and the loop only
+    // confirms it — one iteration, not two.
+    var labels = sym.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("label")).cache()
+    var cached = labels // the frame actually registered in the cache manager
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val nbrMin = sym
+      // previous label rides along in `prev`, so change detection is a
+      // filter over this round's result — no second join against the old
+      // labels, one action per round
+      val stepped = sym
         .join(labels.select(col("u").as("v"), col("label").as("vlabel")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlabel")).as("nlabel"))
-      val next = labels.join(nbrMin, Seq("u"), "left_outer")
+        .join(labels, Seq("u"), "right_outer")
         .select(col("u"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("prev"))
         .cache()
-      changed = next.join(labels.select(col("u"), col("label").as("old")), Seq("u"))
-        .filter(col("label") =!= col("old")).count() // materializes next
-      labels.unpersist()
-      labels = next
+      changed = stepped.filter(col("label") =!= col("prev")).count() // materializes
+      cached.unpersist()
+      cached = stepped
+      labels = stepped.select(col("u"), col("label"))
       it += 1
     }
     sym.unpersist()

@@ -54,4 +54,40 @@ object ScaleOps {
     * filters on that column prune entire directories at plan time. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Run `f` with Catalyst's runtime bloom-filter join pruning forced on:
+    * when one join side carries a selective filter, the optimizer injects a
+    * bloom-filter aggregate on that side and a `might_contain` probe into
+    * the OTHER side's scan, so most non-matching fact rows die before the
+    * shuffle instead of after it. This is THE cheap scan-side win for
+    * star joins at 100 TB (the fact side is read once regardless; the
+    * bloom probe cuts what gets hashed + exchanged). Spark gates the
+    * rewrite on size estimates tuned for clusters — this helper pins the
+    * thresholds so the plan shape is demonstrable (and spec-assertable) at
+    * local fixture scale; production leaves the defaults on.
+    */
+  def withBloomPruning[T](df: DataFrame)(f: => T): T = {
+    val conf = df.sparkSession.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // a broadcast join would make the bloom filter pointless (and the
+      // optimizer skips injection); force the shuffle-join shape the
+      // rewrite targets
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      f
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -55,6 +55,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter pruning probes the fact side before the shuffle") {
+    // selective dim side (one order priority) joined to the fact table
+    val orders = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderpriority")
+    val fact = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity")
+    def q = fact.join(orders, $"l_orderkey" === $"o_orderkey")
+    val expected = q.count()
+    val (got, plan) = ScaleOps.withBloomPruning(fact) {
+      val df = q
+      (df.count(), df.queryExecution.executedPlan.toString)
+    }
+    assert(got === expected) // pruning must never change results
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    // and the probe sits on the fact (application) side scan subtree
+    assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilterAggregate"),
+      s"no bloom build in plan:\n$plan")
+  }
+
   test("partitioned layout prunes directories on partition-key filters") {
     val dir = Files.createTempDirectory("graft_part").toString + "/events"
     ScaleOps.writePartitioned(
