@@ -292,9 +292,36 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------- decontamination (B12)
+
+  /** B12: benchmark decontamination — flag training documents sharing any
+    * k-token n-gram with a held-out benchmark/eval set (the standard
+    * pre-training hygiene step: eval contamination silently inflates
+    * downstream scores). Reuses [[shingleHashes]], so every shuffle
+    * carries 8-byte gram hashes, not token strings; the overlap test is
+    * an equi-join of the training grams against the DISTINCT benchmark
+    * gram set — at production scale that set is tiny relative to the
+    * corpus (benchmarks are MBs, corpora are TBs) and AQE broadcasts it,
+    * making the whole check one scan of the training grams. */
+  def decontaminate(docs: DataFrame, benchPred: Column, k: Int = 8): DataFrame = {
+    val grams = shingleHashes(docs, k)
+    val bench = grams.filter(benchPred).select(col("hbase")).distinct()
+    val shared = grams.filter(!benchPred).join(bench, "hbase")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+    docs.filter(!benchPred).select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_shared_grams"))
+      .withColumn("contaminated", when(col("n_shared_grams") > 0, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateQuery(s: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(s, dir), col("doc_id") % 50 === 0)
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b12_decontaminate" -> (decontaminateQuery _),
     "b11_dedup_exact" -> (exactDedup _),
     "b12_minhash_lsh" -> (minHashQuery _),
     "b12_simhash" -> (simHashQuery _),
@@ -303,6 +330,22 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle compares gram STRINGS where the engine joins 64-bit gram
+    // hashes — identical flags unless two distinct grams collide in 64
+    // bits (deterministic and vanishingly rare at oracle scale)
+    "b12_decontaminate" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 7], ' ') AS gram
+            FROM d, UNNEST(range(1, len(toks) - 6)) AS r(i)
+            WHERE len(toks) >= 8),
+      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      shared AS (
+        SELECT g.doc_id, COUNT(*) AS n_shared_grams
+        FROM g JOIN bench USING (gram) WHERE g.doc_id % 50 <> 0 GROUP BY 1)
+      SELECT d.doc_id, CAST(COALESCE(s.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+        CASE WHEN COALESCE(s.n_shared_grams, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+      LEFT JOIN shared s USING (doc_id) ORDER BY doc_id""",
     "b11_dedup_exact" -> """
       SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY sha256(text) ORDER BY keep_id""",

@@ -130,7 +130,35 @@ object Relational2 {
       .orderBy($"r_name")
   }
 
+  /** B15: deterministic global shuffle + shard assignment — the step
+    * before sharding a training corpus: an engine-independent pseudo-random
+    * order (md5 of seed:key — identical hex on every engine, unlike
+    * xxhash64/`rand`) and a shard id derived from the same key. Positions
+    * are per-shard (`row_number` partitioned by shard), NEVER a global
+    * rank — a global row_number window would serialize the corpus through
+    * one partition; training readers consume shards independently in
+    * (sort_key, doc_id) order, so a global position carries no
+    * information a (shard_id, shard_pos) pair doesn't. */
+  def globalShuffle(s: SparkSession, dir: String, seed: Int = 42,
+                    numShards: Int = 8): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard_id").orderBy($"sort_key", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        md5(concat(lit(s"$seed:"), $"doc_id".cast("string"))).as("sort_key"))
+      .withColumn("shard_id",
+        pmod(ascii(substring($"sort_key", 1, 1)) * 31 +
+          ascii(substring($"sort_key", 2, 1)), lit(numShards)))
+      .withColumn("shard_pos", row_number().over(w))
+      .orderBy($"sort_key", $"doc_id")
+  }
+
+  private def globalShuffleQuery(s: SparkSession, dir: String): DataFrame =
+    globalShuffle(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b15_global_shuffle" -> (globalShuffleQuery _),
     "b03_subquery_corr" -> (subqueryCorr _),
     "b06_range_frame" -> (rangeFrame _),
     "b04_string_agg" -> (stringAgg _),
@@ -143,6 +171,17 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "b15_global_shuffle" -> """
+      WITH t AS (
+        SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        FROM documents),
+      sh AS (
+        SELECT doc_id, sort_key,
+          CAST((ascii(substr(sort_key, 1, 1)) * 31 + ascii(substr(sort_key, 2, 1))) % 8 AS INT) AS shard_id
+        FROM t)
+      SELECT doc_id, sort_key, shard_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY sort_key, doc_id) AS INT) AS shard_pos
+      FROM sh ORDER BY sort_key, doc_id""",
     "b03_subquery_corr" -> """
       SELECT l_orderkey, l_linenumber, l_partkey
       FROM lineitem l1

@@ -184,9 +184,31 @@ object Similarity {
   def ivfQuery(s: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
 
+  /** B12: per-label embedding centroids — the aggregate behind k-means
+    * assignment refresh, cluster summarization, and class prototypes.
+    * posexplode turns each vector into (pos, component) rows, then ONE
+    * partial-combining hash aggregate per (label, pos) computes the mean —
+    * fully map-side combinable, shuffle volume = |labels|·dims rows
+    * regardless of corpus size. Components are quantized to integer
+    * milliunits first so the sums are exact (float summation order would
+    * differ between engines); the mean is one final double division. */
+  def labelCentroidsOn(embeddings: DataFrame): DataFrame = {
+    val e = embeddings
+      .select(col("label"), posexplode(quantize(col("embedding"))))
+      .toDF("label", "pos", "qv")
+    e.groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("sum_q"))
+      .withColumn("centroid_milli", col("sum_q").cast("double") / col("n"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    labelCentroidsOn(Tables.embeddings(s, dir))
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b12_centroids" -> (labelCentroids _),
     "b12_cosine_pairs" -> (cosinePairs _),
     "b12_ann_topk" -> (annTopKQuery _),
     "b12_ann_lsh" -> (lshQuery _),
@@ -198,6 +220,15 @@ object Similarity {
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
 
   val oracles: Map[String, String] = Map(
+    "b12_centroids" -> """
+      WITH q AS (
+        SELECT label,
+          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+        FROM embeddings)
+      SELECT label, pos, COUNT(*) AS n, CAST(SUM(qv) AS BIGINT) AS sum_q,
+        CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS centroid_milli
+      FROM q GROUP BY label, pos ORDER BY label, pos""",
     "b12_cosine_pairs" -> s"""
       WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
       p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.q AS qa, b.q AS qb

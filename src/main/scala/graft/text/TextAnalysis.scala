@@ -166,9 +166,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** B13: repetition filters (Gopher-style) — the signals that catch
+    * boilerplate/spam documents a perplexity filter misses: fraction of
+    * all bigram occurrences taken by the single most frequent bigram, and
+    * the distinct-token ratio. The unique-token ratio is pure array
+    * algebra at the scan (no shuffle); the top-bigram count is one
+    * explode + two hash aggregations keyed by doc_id, so the op is
+    * embarrassingly parallel per document at any corpus size. */
+  def repetitionOn(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        size(array_distinct(col("toks"))).as("n_uniq"), col("toks"))
+    // non-distinct bigram multiset per doc (repetition needs multiplicity,
+    // unlike the dedup shingle sets)
+    val bi = d.select(col("doc_id"), col("n_toks"), col("n_uniq"), explode(expr(
+      "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"))
+      .as("bigram"))
+    bi.groupBy(col("doc_id"), col("n_toks"), col("n_uniq"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_toks"), col("n_uniq"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_uniq").cast("double") / col("n_toks")).as("uniq_ratio"),
+        col("n_bigrams"), col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+      .withColumn("passes_repetition",
+        when(col("top_bigram_frac") <= 0.18 && col("uniq_ratio") >= 0.2, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOn(Tables.documents(s, dir))
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b13_repetition" -> (repetition _),
     "b13_token_counts" -> (tokenCounts _),
     "b13_quality_score" -> (qualityScore _),
     "b13_language_id" -> (languageId _),
@@ -182,6 +217,31 @@ object TextAnalysis {
     s"CAST(len(regexp_extract_all(text, '$pat')) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "b13_repetition" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      base AS (
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+          CAST(len(list_distinct(toks)) AS INT) AS n_uniq, toks FROM d),
+      bi AS (
+        SELECT doc_id, n_toks, n_uniq, array_to_string(toks[i : i + 1], ' ') AS bigram
+        FROM base, UNNEST(range(1, len(toks))) AS r(i)),
+      cnt AS (
+        SELECT doc_id, n_toks, n_uniq, bigram, COUNT(*) AS c
+        FROM bi GROUP BY 1, 2, 3, 4),
+      agg AS (
+        SELECT doc_id, n_toks, n_uniq,
+          CAST(SUM(c) AS BIGINT) AS n_bigrams, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+        FROM cnt GROUP BY 1, 2, 3)
+      SELECT doc_id, n_toks,
+        CAST(n_uniq AS DOUBLE) / n_toks AS uniq_ratio,
+        n_bigrams, top_bigram_n,
+        CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+        CASE WHEN CAST(top_bigram_n AS DOUBLE) / n_bigrams <= 0.18
+              AND CAST(n_uniq AS DOUBLE) / n_toks >= 0.2
+             THEN 1 ELSE 0 END AS passes_repetition
+      FROM agg ORDER BY doc_id""",
     "b13_token_counts" -> s"""
       SELECT doc_id,
         CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,

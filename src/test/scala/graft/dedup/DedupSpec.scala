@@ -26,6 +26,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
   }
 
+  test("decontaminate: flags train docs sharing an 8-gram with the bench set (B12)") {
+    val gram = (1 to 8).map(i => s"g$i").mkString(" ")
+    val d = Seq(
+      (0L, s"bench prefix $gram bench suffix tail pad"), // doc_id%50==0 → benchmark
+      (1L, s"train copies the gram $gram and more words here"), // contaminated
+      (2L, "an unrelated training document with enough tokens to form grams ok"),
+      (3L, "short doc")) // < 8 tokens → no grams, must still appear clean
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(d, org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L)) // bench doc excluded from output
+    assert(out(1L)._2 === 1 && out(1L)._1 >= 1L)
+    assert(out(2L) === ((0L, 0)))
+    assert(out(3L) === ((0L, 0)))
+  }
+
   test("exact jaccard verification values are correct (B12)") {
     val sh = Dedup.shingles(docs, 3)
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a", "b")

@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Relational2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalShuffle: deterministic order, dense per-shard positions (B15)") {
+    val a = Relational2.globalShuffle(spark, sfDir).collect()
+    val b = Relational2.globalShuffle(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq) // engine-independent md5 order → same every run
+    // every shard's positions are exactly 1..n — no gaps, no global window
+    val byShard = a.groupBy(_.getInt(2))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length))
+    }
+    assert(byShard.size > 1) // the corpus actually spreads across shards
+    // output order is the shuffled order, not doc_id order
+    assert(a.map(_.getLong(0)).toSeq !== a.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("labelCentroids: exact quantized means on a fixture (B12)") {
+    val e = Seq(
+      (1L, Array(1.0f, -2.0f), 0),
+      (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(0.5f, 0.25f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Similarity.labelCentroidsOn(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out((0, 0)) === ((2L, 4000L, 2000.0)))  // (1000+3000)/2
+    assert(out((0, 1)) === ((2L, 2000L, 1000.0)))  // (-2000+4000)/2
+    assert(out((1, 0)) === ((1L, 500L, 500.0)))
+    assert(out((1, 1)) === ((1L, 250L, 250.0)))
+  }
+}
