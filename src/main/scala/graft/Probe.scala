@@ -91,6 +91,29 @@ object Probe {
       println(s"  hamming pairs naive=$naiveN rule=$ruleN match=${naiveN == ruleN}")
       ev.unpersist(); sk.unpersist()
     }
+    if (sys.env.contains("PROBE_DOT")) {
+      // A/B the native dot_q codegen expression vs the HOF formulation on
+      // an all-pairs-per-bucket dot workload (the ANN kernel shape).
+      import org.apache.spark.sql.functions._
+      import similarity.Similarity
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"),
+          (col("vec_id") % 64).as("bkt")).cache()
+      e.count()
+      val pairs = e.toDF("a", "qa", "bkt").join(e.toDF("b", "qb", "bkt"), Seq("bkt"))
+        .filter(col("a") < col("b"))
+      for (round <- 1 to 3) {
+        time(s"dot_native_$round") {
+          pairs.select(sum(Similarity.dotQ(col("qa"), col("qb"))))
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"dot_hof_$round") {
+          pairs.select(sum(Similarity.dotQHof(col("qa"), col("qb"))))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      e.unpersist()
+    }
     if (sys.env.contains("PROBE_STRESS")) {
       // Near-dup stress: replicate the corpus with per-replica suffixes so
       // every original spawns a dup group; validates the LSH pipeline's
