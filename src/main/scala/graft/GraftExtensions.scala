@@ -43,5 +43,9 @@ object GraftExtensions {
     (FunctionIdentifier("uri_valid"),
       new ExpressionInfo(harvest.Validate.getClass.getName, "uri_valid"),
       exprs => RLike(exprs.head, Literal(harvest.Validate.UriPattern))),
+    // exact integer dot product of quantized vectors (the ANN kernel)
+    (FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[graft.functions.DotProductQ].getName, "dot_q"),
+      exprs => graft.functions.DotProductQ(exprs(0), exprs(1))),
   )
 }

@@ -55,6 +55,52 @@ object ScaleOps {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Bit-interleaved Z-order key over pre-scaled non-negative longs
+    * (each < 2^bits): bit b of column j lands at position b·ncols + j.
+    * Pure column algebra (bits×ncols shift/mask/or terms) → codegen'd,
+    * no UDF. */
+  def zKey(scaled: Seq[Column], bits: Int): Column = {
+    require(scaled.nonEmpty && bits * scaled.size <= 63,
+      s"zKey: ${scaled.size} cols x $bits bits must fit in a long")
+    val n = scaled.size
+    val terms = for { b <- 0 until bits; (c, j) <- scaled.zipWithIndex }
+      yield shiftleft(shiftrightunsigned(c, b).bitwiseAND(lit(1L)), b * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustered write: multi-column data layout so min/max
+    * file skipping works on EVERY z-column, not just a lead sort column —
+    * a linear sort clusters its first key and leaves every other column
+    * spanning the full domain in every file, while the Z-curve gives each
+    * file a hypercube cell (~domain/2^(log2(files)/ncols) per side).
+    * At 100 TB this is the difference between pruning on one predicate
+    * column and pruning on all of them.
+    *
+    * Columns are min-max scaled to `bits` bits (one tiny 1-row aggregate —
+    * the only driver-side step), interleaved into the z-key, then
+    * range-repartitioned + sorted on it so parquet row-group stats align
+    * with the curve. Constant columns scale to 0 (no div-by-zero).
+    */
+  def zOrderWrite(df: DataFrame, zcols: Seq[String], path: String,
+                  numFiles: Int, bits: Int = 16): Unit = {
+    val aggs = zcols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head() // 1 row, 2·k doubles
+    val top = (1L << bits) - 1
+    val scaled = zcols.zipWithIndex.map { case (c, i) =>
+      val mn = row.getDouble(2 * i)
+      val mx = row.getDouble(2 * i + 1)
+      val range = if (mx > mn) mx - mn else 1.0
+      (((col(c).cast("double") - mn) / range) * top).cast("long")
+    }
+    df.withColumn("__z", zKey(scaled, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Run `f` with Catalyst's runtime bloom-filter join pruning forced on:
     * when one join side carries a selective filter, the optimizer injects a
     * bloom-filter aggregate on that side and a `might_contain` probe into

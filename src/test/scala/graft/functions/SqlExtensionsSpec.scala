@@ -23,6 +23,15 @@ class SqlExtensionsSpec extends SparkSpec {
     assert(!r.getBoolean(2))
   }
 
+  test("GraftExtensions injects dot_q (SQL surface of the ANN kernel)") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.graftbridge.bridge.applyInjectedFunctions(ext, spark)
+    val r = spark.sql(
+      "SELECT dot_q(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head()
+    assert(r.getLong(0) === 32L)
+  }
+
   test("injected rolling_hash rejects non-string input at analysis time") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)

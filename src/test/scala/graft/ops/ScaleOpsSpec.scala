@@ -91,4 +91,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value < all.inputFiles.length,
       s"expected pruning: ${scan.metrics("numFiles").value} of ${all.inputFiles.length}")
   }
+
+  test("zKey interleaves bits: unit cases") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L)).toDF("x", "y")
+    val out = df.select($"x", $"y", ScaleOps.zKey(Seq($"x", $"y"), 3).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // bit b of x -> position 2b; bit b of y -> position 2b+1
+    assert(out((0L, 0L)) === 0L)
+    assert(out((1L, 0L)) === 1L)
+    assert(out((0L, 1L)) === 2L)
+    assert(out((3L, 3L)) === 15L)   // 11 interleaved 11 = 1111
+    assert(out((5L, 2L)) === 0x19L) // x=101,y=010 -> 011001
+  }
+
+  test("zOrderWrite clusters BOTH columns per file; linear sort only the first") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity")
+    ScaleOps.zOrderWrite(li, Seq("l_orderkey", "l_partkey"), s"$dir/z", numFiles = 16)
+    li.repartitionByRange(16, $"l_orderkey").sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    def avgSpan(path: String, c: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+      spans.agg(avg($"span")).head().getDouble(0)
+    }
+    val (okDom, pkDom) = (li.agg(max($"l_orderkey") - min($"l_orderkey")).head().getLong(0).toDouble,
+      li.agg(max($"l_partkey") - min($"l_partkey")).head().getLong(0).toDouble)
+    // z-order: every z-column's per-file span is a fraction of its domain
+    assert(avgSpan(s"$dir/z", "l_orderkey") < 0.5 * okDom)
+    assert(avgSpan(s"$dir/z", "l_partkey") < 0.5 * pkDom)
+    // linear layout clusters the sort key tightly...
+    assert(avgSpan(s"$dir/linear", "l_orderkey") < 0.2 * okDom)
+    // ...but the second column spans ~the full domain in every file
+    assert(avgSpan(s"$dir/linear", "l_partkey") > 0.8 * pkDom)
+    // and the z-ordered copy holds exactly the same rows
+    val z = spark.read.parquet(s"$dir/z")
+    assert(z.count() === li.count() && z.except(li).count() === 0)
+  }
 }
