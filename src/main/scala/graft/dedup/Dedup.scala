@@ -175,15 +175,27 @@ object Dedup {
       .select(Seq(col("doc_id"), col("simhash")) ++ chunkCols: _*)
   }
 
+  /** Production sketch path: the per-row [[graft.functions.SimHash64]]
+    * codegen expression — the whole sketch is a scan-side projection, no
+    * explode, no aggregation, NO SHUFFLE (the agg formulation above is the
+    * bit-identical measurement baseline; SimHash64Spec property-tests the
+    * equivalence). */
+  def simHashSketchesRow(docs: DataFrame): DataFrame = {
+    val chunkCols = (0 until 4).map(c =>
+      shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as(s"chunk$c"))
+    docs.select(col("doc_id"), graft.functions.SimHash64(col("text")).as("simhash"))
+      .select(Seq(col("doc_id"), col("simhash")) ++ chunkCols: _*)
+  }
+
   def simHashQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    simHashSketches(Tables.documents(s, dir)).orderBy($"doc_id")
+    simHashSketchesRow(Tables.documents(s, dir)).orderBy($"doc_id")
   }
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxDist (≤3 is exact via
     * the 4-chunk pigeonhole; larger distances would need more chunks). */
   def simHashNearDup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sk = simHashSketches(docs)
+    val sk = simHashSketchesRow(docs)
     val chunks = sk.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until 4).map(c => col(s"chunk$c")): _*))).toDF("doc_id", "simhash", "ci", "cv")
     val a = chunks.toDF("a", "sim_a", "ci", "cv")
