@@ -83,6 +83,20 @@ object Streaming {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** B10 × B12: streaming near-dup suppression by content sketch — the
+    * per-row [[graft.functions.SimHash64]] expression makes the sketch a
+    * stateless projection, so sketch-dedup composes with
+    * `dropDuplicatesWithinWatermark` exactly like key-dedup: state is one
+    * (sketch, watermark) entry per distinct sketch, no aggregation. Docs
+    * whose token MULTISETS match (simhash is order-invariant) dedup even
+    * when their byte strings differ — the streaming counterpart of the
+    * batch exact/near-dup path, with bounded state. Expects (ts, doc_id,
+    * text) rows. */
+  def sketchDedupStream(docs: DataFrame): DataFrame =
+    docs.withColumn("simhash", graft.functions.SimHash64(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** B10: native session windows (streaming twin of [[sessionsBatch]]). */
   def sessionWindowStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes")

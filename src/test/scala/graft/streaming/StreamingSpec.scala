@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class Evt(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -41,6 +42,20 @@ class StreamingSpec extends SparkSpec {
       Evt(2, t(1), 1, "view", 2.0))
     val out = runStream(events, Streaming.dedupStream, "dedup")
     assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("sketchDedupStream suppresses token-multiset duplicates, keeps distinct docs (B10xB12)") {
+    val input = MemoryStream[Doc](spark)
+    input.addData(Seq(
+      Doc(t(0), 1L, "alpha beta gamma"),
+      Doc(t(1), 2L, "gamma beta alpha"), // same token multiset → same sketch → dropped
+      Doc(t(2), 3L, "delta epsilon zeta")))
+    val q = Streaming.sketchDedupStream(input.toDF()).writeStream
+      .format("memory").queryName("sketchdedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("sketchdedup").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L))
   }
 
   test("session_window groups by inactivity gap (B10)") {
