@@ -137,7 +137,7 @@ object Probe {
       // Caches cleared between runs to mirror the fixed Bench loop.
       import graft.dedup.Dedup
       val docs = Tables.documents(spark, dir)
-      def runPipe(tag: String, sigFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      def runPipe(tag: String, sigFn: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame]): Unit = {
         for (rep <- 1 to 3) {
           spark.catalog.clearCache()
           time(s"minhash_$tag/$rep") {
@@ -146,9 +146,10 @@ object Probe {
           }
         }
       }
-      runPipe("udaf", Dedup.minHashSignatures(_))
-      runPipe("64col", Dedup.minHashSignatures64Col(_))
-      runPipe("udaf_again", Dedup.minHashSignatures(_))
+      runPipe("rowexpr", None)
+      runPipe("udaf", Some(Dedup.minHashSignatures(_)))
+      runPipe("64col", Some(Dedup.minHashSignatures64Col(_)))
+      runPipe("rowexpr_again", None)
       spark.catalog.clearCache()
     }
     if (sys.env.contains("PROBE_MINHASH")) {

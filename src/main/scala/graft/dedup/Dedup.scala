@@ -139,11 +139,27 @@ object Dedup {
     * (shingle-hash → minhash → band → bucket-join → exact verify). The
     * whole pipeline runs on hashed shingles — every shuffle after the
     * scan carries longs, not token strings. */
+  /** Production signature path (round 3): the per-row
+    * [[graft.functions.MinHashSig]] codegen expression — the whole
+    * signature is a scan-side projection over the text column, no shingle
+    * explode/distinct/aggregation shuffles. Bit-identical to
+    * `minHashSignatures(shingleHashes(docs, k))` (same base hash over the
+    * in-place shingle byte span, same splitmix family, min over multiset
+    * == min over set; property-tested in MinHashSigSpec). Docs shorter
+    * than k tokens yield no signature, matching the shingle filter. */
+  def minHashSignaturesRow(docs: DataFrame, k: Int = 3, numHashes: Int = 64): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.MinHashSig(col("text"), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
   def minHashNearDup(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
-                     sigFn: DataFrame => DataFrame = minHashSignatures(_)): DataFrame = {
+                     sigFn: Option[DataFrame => DataFrame] = None): DataFrame = {
     val sh = shingleHashes(docs, k).cache()
-    // bands feed a self-join → materialize once
-    val bands = lshBands(sigFn(sh)).cache()
+    // row-expression signatures by default (no signature-stage shuffle);
+    // an explicit sigFn runs against the shingle-hash set instead
+    // (measurement baselines). bands feed a self-join → materialize once
+    val sigs = sigFn.map(f => f(sh)).getOrElse(minHashSignaturesRow(docs, k))
+    val bands = lshBands(sigs).cache()
     val pairs = candidatePairs(bands)
     verifyJaccard(pairs, sh)
       .filter(col("jaccard") >= threshold)
