@@ -213,9 +213,68 @@ object Similarity {
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
     labelCentroidsOn(Tables.embeddings(s, dir))
 
+  /** B12: deterministic k-means corpus clustering (Lloyd) — the mixture/
+    * domain-balancing step of a training-data pipeline. Everything stays
+    * in quantized integer space: init = the k vectors with the smallest
+    * id hash (reproducible pseudo-random sample, as in [[ivfTopK]]); each
+    * iteration is ONE broadcast cosine assignment (`max_by` with the
+    * (sim, -cid) tie-break — no window shuffle) and ONE centroid rebuild
+    * (posexplode → exact integer mean per (cid, pos) → re-quantize to
+    * milliunits), so an iteration costs two map-side-combinable shuffles
+    * regardless of corpus size and the centroid set is always broadcast.
+    * Cells that lose all members drop out (k can shrink); no RNG, no
+    * driver-side vectors. Iterative float-free ⇒ bit-stable across runs,
+    * but not ANSI-SQL-expressible → rows-only driver check + spec. */
+  def kMeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = quantizedWithNorm(embeddings).cache()
+    // seeds: the k DISTINCT vectors with the smallest content hash —
+    // distinct first, or duplicate-heavy corpora could seed identical
+    // centroids that immediately collapse into one cell. The content
+    // hash doubles as the stable cluster id.
+    var centroids = e.select(col("q")).distinct()
+      .withColumn("cid", xxhash64(col("q")))
+      .orderBy(col("cid")).limit(k)
+      .select(col("cid"), col("q").as("cq"),
+        sqrt(dotQ(col("q"), col("q")).cast("double")).as("cnorm"))
+    def assign(cs: DataFrame): DataFrame = e.crossJoin(broadcast(cs))
+      .select(col("vec_id"), col("q"), col("norm"), col("cid"),
+        cosinePre(col("q"), col("cq"), col("norm"), col("cnorm")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("sim")),
+        struct(col("sim"), (-col("cid")).as("neg"))).as("best"),
+        first(col("q")).as("q"), first(col("norm")).as("norm"))
+      .select(col("vec_id"), col("q"), col("norm"),
+        col("best.cid").as("cid"), col("best.sim").as("sim"))
+    // centroid recompute = ONE map-side-combinable shuffle: the
+    // single-buffer VecSumAgg sums vectors element-wise per cell (vs
+    // posexplode + per-(cid,pos) agg + array reassembly = dims x rows
+    // through two shuffles)
+    val vsum = udaf(new graft.functions.VecSumAgg)
+    for (_ <- 1 to iters) {
+      val recomputed = assign(centroids)
+        .groupBy(col("cid"))
+        .agg(vsum(col("q")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"),
+          transform(col("s"), v =>
+            round(v.cast("double") / col("n")).cast("long")).as("cq"))
+        .withColumn("cnorm", sqrt(dotQ(col("cq"), col("cq")).cast("double")))
+      // eager lineage cut: without it every iteration re-analyzes the
+      // whole preceding chain and planning cost grows superlinearly in
+      // iters; the checkpoint materializes only k centroid rows
+      centroids = recomputed.localCheckpoint(true)
+    }
+    assign(centroids)
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  def kMeansQuery(s: SparkSession, dir: String): DataFrame =
+    kMeans(Tables.embeddings(s, dir))
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b12_kmeans" -> (kMeansQuery _),
     "b12_centroids" -> (labelCentroids _),
     "b12_cosine_pairs" -> (cosinePairs _),
     "b12_ann_topk" -> (annTopKQuery _),

@@ -57,4 +57,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.intersect(bf).nonEmpty, s"ivf=$got bf=$bf")
     assert(ivf.count() <= 2)
   }
+
+  test("kMeans partitions separable clusters deterministically (B12)") {
+    // identical vectors within each cluster (hash-chosen seeds can land
+    // anywhere; identical members can never split across distinct
+    // centroids) + a shared component so inter-cluster sims are distinct
+    // nonzero values, not all-tied zeros
+    def cvec(axis: Int): Seq[Float] =
+      (0 until 8).map(d => (if (d == axis) 1.0f else 0.0f) + (if (d == 7) 0.1f else 0.0f))
+    val km = Seq(
+      (0L, cvec(0)), (1L, cvec(0)), (2L, cvec(0)),
+      (10L, cvec(3)), (11L, cvec(3)),
+      (99L, cvec(5))).toDF("vec_id", "embedding")
+    val out = Similarity.kMeans(km, k = 3, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster mates share an id; the two axis clusters must not merge
+    assert(out(0L) === out(1L) && out(1L) === out(2L))
+    assert(out(10L) === out(11L))
+    assert(out(0L) !== out(10L))
+    // bit-stable: a second run gives the identical assignment
+    val again = Similarity.kMeans(km, k = 3, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
 }
