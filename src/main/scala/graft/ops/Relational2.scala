@@ -130,6 +130,23 @@ object Relational2 {
       .orderBy($"r_name")
   }
 
+  /** B15: stratified deterministic sampling — per-language keep rates to
+    * rebalance the corpus mix (downsample the dominant language, keep the
+    * rest), on the same engine-portable hash-mod mechanism as
+    * [[hashSample]]: the SAME rows are kept on every engine, every run,
+    * any partitioning. One scan-side filter — no shuffle, no RNG state. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keepPct = when($"lang" === "en", 10)
+      .when($"lang" === "zh", 50)
+      .otherwise(80)
+    Tables.documents(s, dir)
+      .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100)))
+      .filter($"bucket" < keepPct)
+      .select($"doc_id", $"lang", $"bucket")
+      .orderBy($"doc_id")
+  }
+
   /** B15: deterministic global shuffle + shard assignment — the step
     * before sharding a training corpus: an engine-independent pseudo-random
     * order (md5 of seed:key — identical hex on every engine, unlike
@@ -158,6 +175,7 @@ object Relational2 {
     globalShuffle(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b15_stratified_sample" -> (stratifiedSample _),
     "b15_global_shuffle" -> (globalShuffleQuery _),
     "b03_subquery_corr" -> (subqueryCorr _),
     "b06_range_frame" -> (rangeFrame _),
@@ -171,6 +189,12 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "b15_stratified_sample" -> """
+      SELECT doc_id, lang, doc_id * 2654435761 % 100 AS bucket
+      FROM documents
+      WHERE doc_id * 2654435761 % 100 <
+        CASE WHEN lang = 'en' THEN 10 WHEN lang = 'zh' THEN 50 ELSE 80 END
+      ORDER BY doc_id""",
     "b15_global_shuffle" -> """
       WITH t AS (
         SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS sort_key

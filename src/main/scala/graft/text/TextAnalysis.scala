@@ -200,9 +200,46 @@ object TextAnalysis {
   def repetition(s: SparkSession, dir: String): DataFrame =
     repetitionOn(Tables.documents(s, dir))
 
+  /** B13: corpus-LM quality scoring — the shape of perplexity-based
+    * filtering without the cross-engine log(): train a bigram model on
+    * the corpus itself (P(w2|w1) = count(w1 w2) / count(w1)), score each
+    * doc by its mean bigram probability. Two hash aggregations build the
+    * model; scoring joins each doc's bigrams against it (broadcastable —
+    * the model is vocabulary-sized, not corpus-sized). All counts are
+    * exact integers; the only float op is one final division per bigram
+    * + the mean, so engine and oracle agree bit-for-bit. Low scores =
+    * token sequences the corpus has never seen = gibberish/boilerplate
+    * candidates. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val bi = docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
+        .as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val biCounts = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val uniCounts = biCounts.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val model = biCounts.join(uniCounts, "w1")
+      .select($"w1", $"w2", ($"c12".cast("double") / $"c1").as("p"))
+    // fixed-point nano-unit sum: a plain avg(double) would depend on
+    // shuffle order (FP addition is non-associative); rounded longs sum
+    // exactly, and the final division is one deterministic expression
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round($"p" * 1e9).cast("long")).as("sp"))
+      .select($"doc_id", $"n_bigrams",
+        ($"sp".cast("double") / 1e9 / $"n_bigrams").as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b13_lm_score" -> (lmScore _),
     "b13_repetition" -> (repetition _),
     "b13_token_counts" -> (tokenCounts _),
     "b13_quality_score" -> (qualityScore _),
@@ -217,6 +254,23 @@ object TextAnalysis {
     s"CAST(len(regexp_extract_all(text, '$pat')) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "b13_lm_score" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      bi AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM d, UNNEST(range(1, len(toks))) AS r(i)),
+      bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+      uc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+      model AS (
+        SELECT bc.w1, bc.w2, CAST(c12 AS DOUBLE) / c1 AS p
+        FROM bc JOIN uc USING (w1))
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        CAST(SUM(CAST(round(p * 1000000000) AS BIGINT)) AS DOUBLE)
+          / 1000000000 / COUNT(*) AS lm_score
+      FROM bi JOIN model USING (w1, w2)
+      GROUP BY doc_id ORDER BY doc_id""",
     "b13_repetition" -> """
       WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
