@@ -42,6 +42,22 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0)))
   }
 
+  test("decontaminate plan: bench gram set is broadcast, never shuffled against the corpus") {
+    val q = Dedup.decontaminate(graft.Tables.documents(spark, sfDir),
+      org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    // both the gram-overlap join and the final left-outer spine join
+    // must build on the (small) aggregated side
+    assert(bhj.size === 2, s"expected 2 broadcast joins, got:\n$plan")
+  }
+
   test("exact jaccard verification values are correct (B12)") {
     val sh = Dedup.shingles(docs, 3)
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("a", "b")

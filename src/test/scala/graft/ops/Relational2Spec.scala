@@ -20,6 +20,19 @@ class Relational2Spec extends SparkSpec {
     assert(a.map(_.getLong(0)).toSeq !== a.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("stratifiedSample: scan-side filter, no shuffle before the output sort (B15)") {
+    val q = Relational2.stratifiedSample(spark, sfDir)
+    val exchanges = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only exchange is the global output orderBy (range partitioning)
+    assert(exchanges.size <= 1, q.queryExecution.executedPlan.toString)
+    // per-language rates actually applied: en heavily downsampled
+    val counts = q.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") < counts.filterKeys(_ != "en").values.min)
+  }
+
   test("labelCentroids: exact quantized means on a fixture (B12)") {
     val e = Seq(
       (1L, Array(1.0f, -2.0f), 0),
