@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // keeps full tiered compilation. Override via SPARK_GRAFT_JVM_OPTS
   // (later -XX flags win).
   "-XX:TieredStopAtLevel=1",
+  // C1-only mode defaults ReservedCodeCacheSize to 48 MB; ~90 queries of
+  // Spark whole-stage codegen overflow it mid-bench ("compilation
+  // disabled" in the JVM log), silently degrading every later query to
+  // the interpreter — measured as multi-second drift on alphabetically
+  // late queries. Size it so the full suite's nmethods fit.
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

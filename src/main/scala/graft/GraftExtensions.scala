@@ -47,5 +47,12 @@ object GraftExtensions {
     (FunctionIdentifier("dot_q"),
       new ExpressionInfo(classOf[graft.functions.DotProductQ].getName, "dot_q"),
       exprs => graft.functions.DotProductQ(exprs(0), exprs(1))),
+    // per-row document sketches (shuffle-free dedup kernels)
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      exprs => graft.functions.SimHash64(exprs.head)),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      exprs => graft.functions.MinHashSig(exprs.head)),
   )
 }

@@ -220,6 +220,10 @@ object TextAnalysis {
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
         .as("b"))
       .select($"doc_id", $"b.w1", $"b.w2")
+      // feeds both the model build and the scoring join — materialize the
+      // explode once (released by the bench/verify clearCache between
+      // queries, like the other self-joining pipelines)
+      .cache()
     val biCounts = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val uniCounts = biCounts.groupBy($"w1").agg(sum($"c12").as("c1"))
     val model = biCounts.join(uniCounts, "w1")

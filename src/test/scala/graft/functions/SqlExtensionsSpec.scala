@@ -32,6 +32,20 @@ class SqlExtensionsSpec extends SparkSpec {
     assert(r.getLong(0) === 32L)
   }
 
+  test("GraftExtensions injects the per-row sketch kernels (simhash64, minhash_sig)") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.graftbridge.bridge.applyInjectedFunctions(ext, spark)
+    val r = spark.sql(
+      """SELECT simhash64('alpha beta gamma') AS sh,
+               simhash64('gamma beta alpha') AS sh2,
+               minhash_sig('a b c d e') AS sig,
+               minhash_sig('a b') AS short""").head()
+    assert(r.getLong(0) === r.getLong(1)) // order-invariant sketch
+    assert(r.getSeq[Long](2).length === 64)
+    assert(r.isNullAt(3)) // < k tokens -> null
+  }
+
   test("injected rolling_hash rejects non-string input at analysis time") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
