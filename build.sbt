@@ -27,17 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // This host shows random 10-300s single-core stalls from C2 compile
-  // storms over Spark's generated code (measured: full bench swings
-  // 44s↔350s). Capping JIT at C1 makes runs deterministic (~72s) at a
-  // small steady-state cost. Local-box workaround only — a real cluster
-  // keeps full tiered compilation. Override via SPARK_GRAFT_JVM_OPTS
-  // (later -XX flags win).
-  "-XX:TieredStopAtLevel=1",
-  // C1-only mode defaults ReservedCodeCacheSize to 48 MB; ~90 queries of
-  // Spark whole-stage codegen overflow it mid-bench ("compilation
-  // disabled" in the JVM log), silently degrading every later query to
-  // the interpreter — measured as multi-second drift on alphabetically
-  // late queries. Size it so the full suite's nmethods fit.
+  // The "C2 compile storm" stalls this host showed in rounds 1-2 (full
+  // bench swinging 44s↔350s, which motivated a TieredStopAtLevel=1 cap)
+  // were CODE-CACHE pressure, not C2 itself: ~90 queries of whole-stage
+  // codegen overflow the default ReservedCodeCacheSize, the JVM prints
+  // "compilation disabled"/flush-recompile loops, and late queries run
+  // interpreted (the r2 b12 12s mystery). With the cache sized so the
+  // whole suite's nmethods fit, full tiered compilation is both stable
+  // (back-to-back totals 59s/69s, no outliers) and ~1.6x faster than
+  // the C1 cap (97s). Override via SPARK_GRAFT_JVM_OPTS (later -XX
+  // flags win).
   "-XX:ReservedCodeCacheSize=512m",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -240,9 +240,30 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** B13: corpus-wide top-k frequent bigrams — the vocabulary/boilerplate
+    * census (which n-grams dominate the corpus; feeds stop-phrase lists
+    * and contamination review). One explode + one map-side-combinable
+    * count + a distributed sort+limit for the top slice — never a global
+    * rank window. */
+  def topNgrams(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"))
+        .as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram").limit(k)
+  }
+
+  private def topNgramsQuery(s: SparkSession, dir: String): DataFrame =
+    topNgrams(s, dir)
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b13_top_ngrams" -> (topNgramsQuery _),
     "b13_lm_score" -> (lmScore _),
     "b13_repetition" -> (repetition _),
     "b13_token_counts" -> (tokenCounts _),
@@ -258,6 +279,15 @@ object TextAnalysis {
     s"CAST(len(regexp_extract_all(text, '$pat')) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "b13_top_ngrams" -> """
+      WITH d AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      bi AS (
+        SELECT array_to_string(toks[i : i + 1], ' ') AS bigram
+        FROM d, UNNEST(range(1, len(toks))) AS r(i))
+      SELECT bigram, COUNT(*) AS n FROM bi
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
     "b13_lm_score" -> """
       WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
