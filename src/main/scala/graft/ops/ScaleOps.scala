@@ -55,6 +55,36 @@ object ScaleOps {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetMB`-sized files. Small files are the silent killer of big
+    * scans (one task + one open per file; a 100 TB table written by
+    * per-minute micro-batches can hit millions) — compaction restores
+    * scan parallelism to bytes/target. File count derives from the
+    * ACTUAL on-disk bytes (filesystem listing, no data pass);
+    * `repartition(n)` round-robins rows so output files are even. The
+    * rewrite stages to a sibling directory and swaps via the same
+    * rename discipline as the store writer (readers never see torn
+    * state). Returns the output file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetMB: Int = 128): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
+    val staged = new org.apache.hadoop.fs.Path(dir + "_compact_staged")
+    spark.read.parquet(dir).repartition(n).write
+      .mode("overwrite").parquet(staged.toString)
+    val old = new org.apache.hadoop.fs.Path(dir + "_compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(path, old)) sys.error(s"compact: cannot stage out $dir")
+    if (!fs.rename(staged, path)) {
+      fs.rename(old, path) // restore
+      sys.error(s"compact: cannot swap in $staged")
+    }
+    fs.delete(old, true)
+    n
+  }
+
   /** Bit-interleaved Z-order key over pre-scaled non-negative longs
     * (each < 2^bits): bit b of column j lands at position b·ncols + j.
     * Pure column algebra (bits×ncols shift/mask/or terms) → codegen'd,

@@ -129,4 +129,28 @@ class ScaleOpsSpec extends SparkSpec {
     val z = spark.read.parquet(s"$dir/z")
     assert(z.count() === li.count() && z.except(li).count() === 0)
   }
+
+  test("compact rewrites a many-small-file layout into the target count, same rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity")
+    li.repartition(64).write.parquet(dir) // 64 tiny files
+    def files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === 64)
+    val n = ScaleOps.compact(spark, dir, targetMB = 128)
+    assert(n === 1 && files === 1) // tiny table -> single target-size file
+    val back = spark.read.parquet(dir)
+    assert(back.count() === li.count() && back.except(li).count() === 0)
+    assert(!new java.io.File(dir + "_compact_staged").exists())
+    assert(!new java.io.File(dir + "_compact_old").exists())
+  }
+
+  test("schema-evolved parquet reads merge added columns across file generations") {
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "v1", "v2"))
+    val rows = merged.orderBy($"id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) === 9.5)
+  }
 }
