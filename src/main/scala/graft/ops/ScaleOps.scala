@@ -119,8 +119,9 @@ object ScaleOps {
     val row = df.agg(aggs.head, aggs.tail: _*).head() // 1 row, 2·k doubles
     val top = (1L << bits) - 1
     val scaled = zcols.zipWithIndex.map { case (c, i) =>
-      val mn = row.getDouble(2 * i)
-      val mx = row.getDouble(2 * i + 1)
+      // empty input → min/max are null; write the empty frame unscaled
+      val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
       val range = if (mx > mn) mx - mn else 1.0
       (((col(c).cast("double") - mn) / range) * top).cast("long")
     }

@@ -153,4 +153,12 @@ class ScaleOpsSpec extends SparkSpec {
     val rows = merged.orderBy($"id").collect()
     assert(rows(0).isNullAt(2) && rows(1).getDouble(2) === 9.5)
   }
+
+  test("zOrderWrite handles an empty input frame") {
+    val dir = Files.createTempDirectory("graft_zempty").toString + "/z"
+    val empty = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey").filter($"l_orderkey" < 0)
+    ScaleOps.zOrderWrite(empty, Seq("l_orderkey", "l_partkey"), dir, numFiles = 2)
+    assert(spark.read.parquet(dir).count() === 0)
+  }
 }
