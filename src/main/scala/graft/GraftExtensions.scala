@@ -46,13 +46,27 @@ object GraftExtensions {
     // exact integer dot product of quantized vectors (the ANN kernel)
     (FunctionIdentifier("dot_q"),
       new ExpressionInfo(classOf[graft.functions.DotProductQ].getName, "dot_q"),
-      exprs => graft.functions.DotProductQ(exprs(0), exprs(1))),
+      exprs => { arity("dot_q", exprs, 2)
+        graft.functions.DotProductQ(exprs(0), exprs(1)) }),
     // per-row document sketches (shuffle-free dedup kernels)
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
-      exprs => graft.functions.SimHash64(exprs.head)),
+      exprs => { arity("simhash64", exprs, 1)
+        graft.functions.SimHash64(exprs.head) }),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
-      exprs => graft.functions.MinHashSig(exprs.head)),
+      exprs => { arity("minhash_sig", exprs, 1)
+        graft.functions.MinHashSig(exprs.head) }),
   )
+
+  /** Wrong-arity SQL calls must surface as analysis errors, not
+    * IndexOutOfBounds from the builder (and extra args must not be
+    * silently dropped). */
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString, "docroot" -> ""))
 }

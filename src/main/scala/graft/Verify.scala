@@ -14,9 +14,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter for local iteration on a
-    // query subset (driver runs with it unset → full dump)
+    // query subset (driver runs with it unset → full dump). Blank values
+    // count as unset — an empty Set would silently dump nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    only.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY name matches no query: $n"))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -135,10 +135,6 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** B12: the full MinHash-LSH near-dup pipeline
-    * (shingle-hash → minhash → band → bucket-join → exact verify). The
-    * whole pipeline runs on hashed shingles — every shuffle after the
-    * scan carries longs, not token strings. */
   /** Production signature path (round 3): the per-row
     * [[graft.functions.MinHashSig]] codegen expression — the whole
     * signature is a scan-side projection over the text column, no shingle
@@ -152,6 +148,9 @@ object Dedup {
       graft.functions.MinHashSig(col("text"), k, numHashes).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** B12: the full MinHash-LSH near-dup pipeline
+    * (row-expression signatures → band → bucket-join → exact verify).
+    * Everything after the scan carries longs, not token strings. */
   def minHashNearDup(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
                      sigFn: Option[DataFrame => DataFrame] = None): DataFrame = {
     val sh = shingleHashes(docs, k).cache()
@@ -179,13 +178,17 @@ object Dedup {
     * [[graft.functions.SimHashAgg]] (one int[64] buffer per doc, tight
     * loop) instead of 64 separate conditional-sum aggregate columns —
     * bit-identical output, smaller codegen. */
+  /** 4×16-bit pigeonhole chunks of the sketch — ONE definition: the
+    * chunk width is the exactness contract of the Hamming ≤3 candidate
+    * join, shared by both sketch paths. */
+  private def chunkCols: Seq[Column] = (0 until 4).map(c =>
+    shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as(s"chunk$c"))
+
   def simHashSketches(docs: DataFrame): DataFrame = {
     val sim = udaf(new graft.functions.SimHashAgg)
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val chunkCols = (0 until 4).map(c =>
-      shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as(s"chunk$c"))
     tok.groupBy(col("doc_id"))
       .agg(sim(col("h")).as("simhash"))
       .select(Seq(col("doc_id"), col("simhash")) ++ chunkCols: _*)
@@ -196,12 +199,9 @@ object Dedup {
     * explode, no aggregation, NO SHUFFLE (the agg formulation above is the
     * bit-identical measurement baseline; SimHash64Spec property-tests the
     * equivalence). */
-  def simHashSketchesRow(docs: DataFrame): DataFrame = {
-    val chunkCols = (0 until 4).map(c =>
-      shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as(s"chunk$c"))
+  def simHashSketchesRow(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), graft.functions.SimHash64(col("text")).as("simhash"))
       .select(Seq(col("doc_id"), col("simhash")) ++ chunkCols: _*)
-  }
 
   def simHashQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -332,7 +332,10 @@ object Dedup {
     * corpus (benchmarks are MBs, corpora are TBs) and AQE broadcasts it,
     * making the whole check one scan of the training grams. */
   def decontaminate(docs: DataFrame, benchPred: Column, k: Int = 8): DataFrame = {
-    val grams = shingleHashes(docs, k)
+    // grams feed BOTH join sides with different pushed-down filters (the
+    // subtrees aren't identical, so exchange reuse can't kick in) — one
+    // materialization instead of two explode+distinct shuffles
+    val grams = shingleHashes(docs, k).cache()
     val bench = grams.filter(benchPred).select(col("hbase")).distinct()
     val shared = grams.filter(!benchPred).join(bench, "hbase")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Null semantics mirror the HOF formulation exactly: NULL if either
   * input is NULL, if the lengths differ (zip_with pads with null →
   * null product → null sum), or if any element is NULL.
+  * ImplicitCastInputTypes (not check-only ExpectsInputTypes) keeps the
+  * HOF formulation's coercion: int/float arrays promote to bigint
+  * arrays instead of failing analysis.
   */
 case class DotProductQ(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
   override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def prettyName: String = "dot_q"

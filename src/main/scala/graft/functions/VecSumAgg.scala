@@ -18,6 +18,9 @@ class VecSumAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   override def zero: Array[Long] = Array.empty[Long]
 
   override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
+    // an empty INPUT vector would be indistinguishable from the zero
+    // buffer and silently absorbed — that's corrupt input, fail fast
+    require(v.nonEmpty, "VecSumAgg: empty input vector")
     if (buf.isEmpty) v.toArray
     else {
       require(buf.length == v.length,

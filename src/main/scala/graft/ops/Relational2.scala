@@ -56,6 +56,14 @@ object Relational2 {
       .orderBy($"concept")
   }
 
+  /** Knuth multiplicative hash bucket in [0, 100) — the cross-engine
+    * determinism contract shared by every B15 sampling operator (and
+    * mirrored verbatim in their oracles): exact 64-bit arithmetic, no
+    * engine RNG. */
+  private val KnuthMult = 2654435761L
+  private def bucket100(id: org.apache.spark.sql.Column) =
+    pmod(id * KnuthMult, lit(100))
+
   /** B15: deterministic hash-mod sampling — the reproducible, cluster-safe
     * alternative to `df.sample` for training-data pipelines (same rows
     * selected on every engine/run; Knuth multiplicative hash in exact
@@ -63,7 +71,7 @@ object Relational2 {
   def hashSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100)))
+      .withColumn("bucket", bucket100($"doc_id"))
       .filter($"bucket" < 10)
       .select($"doc_id", $"bucket", $"lang")
       .orderBy($"doc_id")
@@ -73,7 +81,7 @@ object Relational2 {
   def trainTestSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100)))
+      .withColumn("bucket", bucket100($"doc_id"))
       .withColumn("split",
         when($"bucket" < 80, "train").when($"bucket" < 90, "valid").otherwise("test"))
       .groupBy($"split").agg(count(lit(1)).as("n_docs"))
@@ -141,7 +149,7 @@ object Relational2 {
       .when($"lang" === "zh", 50)
       .otherwise(80)
     Tables.documents(s, dir)
-      .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100)))
+      .withColumn("bucket", bucket100($"doc_id"))
       .filter($"bucket" < keepPct)
       .select($"doc_id", $"lang", $"bucket")
       .orderBy($"doc_id")

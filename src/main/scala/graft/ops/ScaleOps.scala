@@ -63,12 +63,16 @@ object ScaleOps {
     * ACTUAL on-disk bytes (filesystem listing, no data pass);
     * `repartition(n)` round-robins rows so output files are even. The
     * rewrite stages to a sibling directory and swaps via the same
-    * rename discipline as the store writer (readers never see torn
-    * state). Returns the output file count. */
+    * rename discipline as the store writer, INCLUDING the recovery
+    * half: a crash between the two swap renames leaves `<dir>_compact_
+    * old` holding the data, and the next compact (or any caller of
+    * [[recoverCompact]]) restores it before proceeding. Returns the
+    * output file count. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetMB: Int = 128): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(fs, path)
     val bytes = fs.getContentSummary(path).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
     val staged = new org.apache.hadoop.fs.Path(dir + "_compact_staged")
@@ -83,6 +87,19 @@ object ScaleOps {
     }
     fs.delete(old, true)
     n
+  }
+
+  /** Crash recovery for [[compact]]: if a previous run died after staging
+    * out the original but before swapping in the rewrite, the data sits
+    * whole in `<dir>_compact_old` — rename it back. Mirrors
+    * `harvest/Store.readTableOr`'s `_old_` restore. */
+  def recoverCompact(fs: org.apache.hadoop.fs.FileSystem,
+                     path: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(path.toString + "_compact_old")
+    if (!fs.exists(path) && fs.exists(old)) {
+      if (!fs.rename(old, path))
+        sys.error(s"compact recovery: cannot restore $old to $path")
+    }
   }
 
   /** Bit-interleaved Z-order key over pre-scaled non-negative longs

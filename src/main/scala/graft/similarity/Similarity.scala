@@ -236,9 +236,13 @@ object Similarity {
       .orderBy(col("cid")).limit(k)
       .select(col("cid"), col("q").as("cq"),
         sqrt(dotQ(col("q"), col("q")).cast("double")).as("cnorm"))
+    // zero-norm vectors (all components quantize to 0) make cosine NULL
+    // against every centroid; coalesce to -1 so they deterministically
+    // land in the smallest-cid cell instead of emitting a NULL cluster
     def assign(cs: DataFrame): DataFrame = e.crossJoin(broadcast(cs))
       .select(col("vec_id"), col("q"), col("norm"), col("cid"),
-        cosinePre(col("q"), col("cq"), col("norm"), col("cnorm")).as("sim"))
+        coalesce(cosinePre(col("q"), col("cq"), col("norm"), col("cnorm")),
+          lit(-1.0d)).as("sim"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cid"), col("sim")),
         struct(col("sim"), (-col("cid")).as("neg"))).as("best"),

@@ -173,6 +173,12 @@ object TextAnalysis {
     * algebra at the scan (no shuffle); the top-bigram count is one
     * explode + two hash aggregations keyed by doc_id, so the op is
     * embarrassingly parallel per document at any corpus size. */
+  /** Joined-bigram generator over a pre-split `toks` array column — the
+    * shared kernel of repetition stats and the n-gram census (kept
+    * verbatim-identical so their oracles stay in sync). */
+  private val BigramExpr =
+    "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"
+
   def repetitionOn(docs: DataFrame): DataFrame = {
     val d = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -181,9 +187,8 @@ object TextAnalysis {
         size(array_distinct(col("toks"))).as("n_uniq"), col("toks"))
     // non-distinct bigram multiset per doc (repetition needs multiplicity,
     // unlike the dedup shingle sets)
-    val bi = d.select(col("doc_id"), col("n_toks"), col("n_uniq"), explode(expr(
-      "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"))
-      .as("bigram"))
+    val bi = d.select(col("doc_id"), col("n_toks"), col("n_uniq"),
+      explode(expr(BigramExpr)).as("bigram"))
     bi.groupBy(col("doc_id"), col("n_toks"), col("n_uniq"), col("bigram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"), col("n_toks"), col("n_uniq"))
@@ -250,9 +255,7 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(split($"text", " ").as("toks"))
       .filter(size($"toks") >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"))
-        .as("bigram"))
+      .select(explode(expr(BigramExpr)).as("bigram"))
       .groupBy($"bigram").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"bigram").limit(k)
   }
