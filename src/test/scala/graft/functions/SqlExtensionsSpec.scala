@@ -46,6 +46,21 @@ class SqlExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(3)) // < k tokens -> null
   }
 
+  test("dot_q coerces int-literal arrays (parity with the HOF formulation)") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.graftbridge.bridge.applyInjectedFunctions(ext, spark)
+    assert(spark.sql("SELECT dot_q(array(1, 2), array(3, 4)) AS d").head().getLong(0) === 11L)
+  }
+
+  test("wrong-arity SQL calls raise analysis errors, not builder crashes") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.graftbridge.bridge.applyInjectedFunctions(ext, spark)
+    intercept[AnalysisException] { spark.sql("SELECT dot_q(array(1L))").collect() }
+    intercept[AnalysisException] { spark.sql("SELECT minhash_sig('x', 5)").collect() }
+  }
+
   test("injected rolling_hash rejects non-string input at analysis time") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
