@@ -86,9 +86,17 @@ class BindingsTable(props: Map[String, String]) extends Table with SupportsRead 
 
 class BindingsScanBuilder(totalCount: Long, pageSize: Int,
                           endpoint: Option[String], collection: String)
-  extends ScanBuilder with Scan with Batch {
+  extends ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+  // column pruning (B1 scan hygiene): Catalyst hands the projected subset
+  // here; readers then materialize ONLY those columns — with a live
+  // endpoint that is less JSON parsed and fewer UTF8Strings allocated
+  // per row, the DSv2 analogue of a parquet narrow ReadSchema
+  private var required: StructType = Schemas.bindings
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  private def requiredIdx: Array[Int] =
+    required.fieldNames.map(Schemas.bindings.fieldIndex)
   override def build(): Scan = this
-  override def readSchema(): StructType = Schemas.bindings
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   /** A1 as partition planning: ceil(totalCount / pageSize) offset-range
@@ -105,19 +113,20 @@ class BindingsScanBuilder(totalCount: Long, pageSize: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    BindingsReaderFactory(endpoint, collection)
+    BindingsReaderFactory(endpoint, collection, requiredIdx)
 }
 
 case class BindingsPage(offset: Long, limit: Int,
                         drainTail: Boolean = false) extends InputPartition
 
-case class BindingsReaderFactory(endpoint: Option[String], collection: String)
+case class BindingsReaderFactory(endpoint: Option[String], collection: String,
+                                 requiredIdx: Array[Int])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[BindingsPage]
     endpoint match {
-      case Some(ep) => new SparqlPartitionReader(ep, collection, page)
-      case None => new BindingsPartitionReader(page)
+      case Some(ep) => new SparqlPartitionReader(ep, collection, page, requiredIdx)
+      case None => new BindingsPartitionReader(page, requiredIdx)
     }
   }
 }
@@ -128,7 +137,8 @@ case class BindingsReaderFactory(endpoint: Option[String], collection: String)
   * fetching successive pages until a short page proves the result set is
   * exhausted — OPTIONAL fan-out makes real row totals exceed the planned
   * per-concept count by an unknowable amount. */
-class SparqlPartitionReader(endpoint: String, collection: String, page: BindingsPage)
+class SparqlPartitionReader(endpoint: String, collection: String, page: BindingsPage,
+                            requiredIdx: Array[Int])
   extends PartitionReader[InternalRow] {
   private val client = new SparqlHttpClient(endpoint)
   private var buf: Seq[Array[String]] = _
@@ -151,11 +161,8 @@ class SparqlPartitionReader(endpoint: String, collection: String, page: Bindings
   }
   override def get(): InternalRow = {
     val r = buf(i)
-    InternalRow(
-      UTF8String.fromString(r(0)),
-      if (r(1) == null) null else UTF8String.fromString(r(1)),
-      if (r(2) == null) null else UTF8String.fromString(r(2)),
-      if (r(3) == null) null else UTF8String.fromString(r(3)))
+    InternalRow.fromSeq(requiredIdx.toSeq.map(j =>
+      if (r(j) == null) null else UTF8String.fromString(r(j))))
   }
   override def close(): Unit = ()
 }
@@ -163,16 +170,18 @@ class SparqlPartitionReader(endpoint: String, collection: String, page: Bindings
 /** Offline mode: deterministic page payload standing in for the remote
   * endpoint when no `endpoint` option is given (this container has no
   * egress; the live path above is the production code). */
-class BindingsPartitionReader(page: BindingsPage) extends PartitionReader[InternalRow] {
+class BindingsPartitionReader(page: BindingsPage, requiredIdx: Array[Int])
+  extends PartitionReader[InternalRow] {
   private var i = -1
 
   def fetchPage(idx: Long): InternalRow = {
     def s(v: String) = UTF8String.fromString(v)
-    InternalRow(
+    val full = Array[Any](
       s(s"https://vocab.example.org/term/$idx"),
       if (idx % 7 == 0) null else s(s"label $idx"),
       if (idx % 3 == 0) null else s(s"alt $idx"),
       if (idx % 5 == 0) null else s(s"definition $idx"))
+    InternalRow.fromSeq(requiredIdx.toSeq.map(full))
   }
 
   override def next(): Boolean = { i += 1; i < page.limit }

@@ -27,4 +27,21 @@ class BindingsPageSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions === 3)
     assert(df.count() === 1001)
   }
+
+  test("column pruning reaches the DSv2 scan: projected reads materialize only requested columns") {
+    val df = spark.read.format("graft-bindings")
+      .option("totalCount", 50).option("pageSize", 20).load()
+      .select("concept")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.output.map(_.name) === Seq("concept"))
+    assert(df.count() === 50)
+    // pruned values match the full read's column
+    val full = spark.read.format("graft-bindings")
+      .option("totalCount", 50).option("pageSize", 20).load()
+      .select("concept")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ===
+      full.collect().map(_.getString(0)).sorted.toSeq)
+  }
 }
