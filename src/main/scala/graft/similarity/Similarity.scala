@@ -236,13 +236,15 @@ object Similarity {
       .orderBy(col("cid")).limit(k)
       .select(col("cid"), col("q").as("cq"),
         sqrt(dotQ(col("q"), col("q")).cast("double")).as("cnorm"))
-    // zero-norm vectors (all components quantize to 0) make cosine NULL
-    // against every centroid; coalesce to -1 so they deterministically
-    // land in the smallest-cid cell instead of emitting a NULL cluster
+    // zero-norm vectors (all components quantize to 0) have no cosine —
+    // under ANSI mode the division even THROWS. Guard the denominator:
+    // sim = -1 deterministically lands them in the smallest-cid cell
+    // (max_by tie-break) instead of failing the whole clustering
     def assign(cs: DataFrame): DataFrame = e.crossJoin(broadcast(cs))
       .select(col("vec_id"), col("q"), col("norm"), col("cid"),
-        coalesce(cosinePre(col("q"), col("cq"), col("norm"), col("cnorm")),
-          lit(-1.0d)).as("sim"))
+        when(col("norm") * col("cnorm") === 0.0d, lit(-1.0d))
+          .otherwise(cosinePre(col("q"), col("cq"), col("norm"), col("cnorm")))
+          .as("sim"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cid"), col("sim")),
         struct(col("sim"), (-col("cid")).as("neg"))).as("best"),

@@ -161,4 +161,16 @@ class ScaleOpsSpec extends SparkSpec {
     ScaleOps.zOrderWrite(empty, Seq("l_orderkey", "l_partkey"), dir, numFiles = 2)
     assert(spark.read.parquet(dir).count() === 0)
   }
+
+  test("compact recovers a crash between the swap renames") {
+    val base = Files.createTempDirectory("graft_compact_rec").toString
+    val dir = base + "/t"
+    Tables.nation(spark, sfDir).write.parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    // simulate: previous compact staged out the original and died
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "_compact_old")))
+    val n = ScaleOps.compact(spark, dir) // must restore, then compact
+    assert(n >= 1 && spark.read.parquet(dir).count() === rows)
+    assert(!new java.io.File(dir + "_compact_old").exists())
+  }
 }

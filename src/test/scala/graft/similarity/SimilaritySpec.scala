@@ -80,4 +80,16 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === out)
   }
+
+  test("kMeans assigns zero-norm vectors deterministically instead of NULL clusters") {
+    val km = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (9L, Seq(0.0001f, 0.0001f))) // quantizes to the zero vector
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kMeans(km, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.getLong(1))).toMap
+    assert(out.values.forall(!_._1), "no NULL cluster ids")
+    assert(out(9L)._2 === out.values.map(_._2).min) // smallest-cid cell
+  }
 }
