@@ -155,6 +155,31 @@ object Relational2 {
       .orderBy($"doc_id")
   }
 
+  /** B15: sequence packing — assign documents to fixed-capacity token
+    * packs (the step before concatenating corpus text into training
+    * sequences): sequential fill in (shard, doc_id) order, a doc landing
+    * in the pack where its cumulative token count ends. Packing is
+    * per-SHARD (the unit a training reader consumes), so the running sum
+    * is a partitioned window — never a global single-partition cumsum.
+    * Deterministic and window-expressible on any engine. */
+  def sequencePack(s: SparkSession, dir: String, capacity: Int = 256,
+                   numShards: Int = 8): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select($"doc_id", pmod($"doc_id", lit(numShards)).cast("int").as("shard"),
+        size(split($"text", " ")).as("ws_tokens"))
+      .withColumn("cum_tokens", sum($"ws_tokens").over(w))
+      .withColumn("pack_id",
+        ceil($"cum_tokens".cast("double") / capacity).cast("int"))
+      .orderBy($"shard", $"doc_id")
+  }
+
+  private def sequencePackQuery(s: SparkSession, dir: String): DataFrame =
+    sequencePack(s, dir)
+
   /** B15: deterministic global shuffle + shard assignment — the step
     * before sharding a training corpus: an engine-independent pseudo-random
     * order (md5 of seed:key — identical hex on every engine, unlike
@@ -184,6 +209,7 @@ object Relational2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b15_stratified_sample" -> (stratifiedSample _),
+    "b15_sequence_pack" -> (sequencePackQuery _),
     "b15_global_shuffle" -> (globalShuffleQuery _),
     "b03_subquery_corr" -> (subqueryCorr _),
     "b06_range_frame" -> (rangeFrame _),
@@ -197,6 +223,17 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "b15_sequence_pack" -> """
+      WITH t AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+          CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens
+        FROM documents)
+      SELECT doc_id, shard, ws_tokens,
+        CAST(SUM(ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        CAST(ceil(CAST(SUM(ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 256) AS INT) AS pack_id
+      FROM t ORDER BY shard, doc_id""",
     "b15_stratified_sample" -> """
       SELECT doc_id, lang, doc_id * 2654435761 % 100 AS bucket
       FROM documents
