@@ -6,6 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -88,9 +89,10 @@ class BindingsScanBuilder(totalCount: Long, pageSize: Int,
                           endpoint: Option[String], collection: String)
   extends ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
   // column pruning (B1 scan hygiene): Catalyst hands the projected subset
-  // here; readers then materialize ONLY those columns — with a live
-  // endpoint that is less JSON parsed and fewer UTF8Strings allocated
-  // per row, the DSv2 analogue of a parquet narrow ReadSchema
+  // here; readers then materialize ONLY those columns (narrower rows,
+  // fewer UTF8String conversions). The live HTTP fetch still requests
+  // all four variables — the reference query shape is fixed — so the
+  // pruning pays off at the row-materialization layer, not the wire.
   private var required: StructType = Schemas.bindings
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   private def requiredIdx: Array[Int] =
@@ -161,8 +163,15 @@ class SparqlPartitionReader(endpoint: String, collection: String, page: Bindings
   }
   override def get(): InternalRow = {
     val r = buf(i)
-    InternalRow.fromSeq(requiredIdx.toSeq.map(j =>
-      if (r(j) == null) null else UTF8String.fromString(r(j))))
+    // tight loop, no per-row Seq wrappers: get() runs once per row
+    val vals = new Array[Any](requiredIdx.length)
+    var j = 0
+    while (j < requiredIdx.length) {
+      val v = r(requiredIdx(j))
+      vals(j) = if (v == null) null else UTF8String.fromString(v)
+      j += 1
+    }
+    new GenericInternalRow(vals)
   }
   override def close(): Unit = ()
 }
@@ -176,12 +185,19 @@ class BindingsPartitionReader(page: BindingsPage, requiredIdx: Array[Int])
 
   def fetchPage(idx: Long): InternalRow = {
     def s(v: String) = UTF8String.fromString(v)
-    val full = Array[Any](
-      s(s"https://vocab.example.org/term/$idx"),
-      if (idx % 7 == 0) null else s(s"label $idx"),
-      if (idx % 3 == 0) null else s(s"alt $idx"),
-      if (idx % 5 == 0) null else s(s"definition $idx"))
-    InternalRow.fromSeq(requiredIdx.toSeq.map(full))
+    // build ONLY the projected columns (pruned ones are never converted)
+    val vals = new Array[Any](requiredIdx.length)
+    var j = 0
+    while (j < requiredIdx.length) {
+      vals(j) = requiredIdx(j) match {
+        case 0 => s(s"https://vocab.example.org/term/$idx")
+        case 1 => if (idx % 7 == 0) null else s(s"label $idx")
+        case 2 => if (idx % 3 == 0) null else s(s"alt $idx")
+        case _ => if (idx % 5 == 0) null else s(s"definition $idx")
+      }
+      j += 1
+    }
+    new GenericInternalRow(vals)
   }
 
   override def next(): Boolean = { i += 1; i < page.limit }

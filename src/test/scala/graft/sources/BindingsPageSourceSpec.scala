@@ -29,19 +29,21 @@ class BindingsPageSourceSpec extends SparkSpec {
   }
 
   test("column pruning reaches the DSv2 scan: projected reads materialize only requested columns") {
+    // prune to a NON-leading column: a wrong index mapping cannot hide
+    // behind position 0
     val df = spark.read.format("graft-bindings")
       .option("totalCount", 50).option("pageSize", 20).load()
-      .select("concept")
+      .select("definition")
     val scans = df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
-    assert(scans.nonEmpty && scans.head.output.map(_.name) === Seq("concept"))
+    assert(scans.nonEmpty && scans.head.output.map(_.name) === Seq("definition"))
     assert(df.count() === 50)
-    // pruned values match the full read's column
+    // pruned values must match the UNPRUNED read's same column
     val full = spark.read.format("graft-bindings")
       .option("totalCount", 50).option("pageSize", 20).load()
-      .select("concept")
-    assert(df.collect().map(_.getString(0)).sorted.toSeq ===
-      full.collect().map(_.getString(0)).sorted.toSeq)
+    def vals(rows: Array[org.apache.spark.sql.Row], i: Int) =
+      rows.map(r => Option(r.getString(i))).sortBy(_.getOrElse("")).toSeq
+    assert(vals(df.collect(), 0) === vals(full.collect(), 3))
   }
 }
