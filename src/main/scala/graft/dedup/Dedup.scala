@@ -320,6 +320,22 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** B12 scale path for cluster assignment: components over the LSH
+    * near-dup edges instead of the exact all-overlapping-pairs edge
+    * builder in [[dedupClustersQuery]] (whose trigram self-join costs
+    * Σ freq(shingle)² — fine at oracle scale, quadratic on hot shingles
+    * at corpus scale). Here the edge list is candidate-bounded
+    * (band-bucket equi-join + exact Jaccard ≥ threshold), so the whole
+    * clustering is LSH-linear. Approximate only in edge RECALL (LSH may
+    * miss a borderline pair); every emitted edge is exact-verified. */
+  def dedupClustersAtScale(docs: DataFrame, k: Int = 3,
+                           threshold: Double = 0.5): DataFrame = {
+    val edges = minHashNearDup(docs, k, threshold).select(col("a"), col("b"))
+    connectedComponents(edges)
+      .select(col("u").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------- decontamination (B12)
 
   /** B12: benchmark decontamination — flag training documents sharing any

@@ -26,6 +26,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
   }
 
+  test("dedupClustersAtScale groups planted dups via LSH edges (B12 scale path)") {
+    val out = Dedup.dedupClustersAtScale(docs, k = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1, 2 (near-dup), 4 (exact dup) cluster under min id 1
+    assert(out(1L) === 1L && out(2L) === 1L && out(4L) === 1L)
+    assert(!out.contains(3L)) // unrelated doc has no near-dup edge
+  }
+
   test("decontaminate: flags train docs sharing an 8-gram with the bench set (B12)") {
     val gram = (1 to 8).map(i => s"g$i").mkString(" ")
     val d = Seq(
