@@ -154,6 +154,35 @@ object Relational {
       .orderBy($"n_nationkey".asc_nulls_first, $"s_suppkey".asc_nulls_first)
   }
 
+  /** Right-outer join orders⟖customer: every customer survives, including
+    * those with no orders (B3 — the mirrored-build side of the outer
+    * family; broadcast-able because the preserved side streams). */
+  def joinRight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey", "right_outer")
+      .select($"c_custkey", $"c_name", $"o_orderkey")
+      .orderBy($"c_custkey".asc, $"o_orderkey".asc_nulls_first)
+  }
+
+  /** B9: math scalar functions — all exact-integer or engine-portable
+    * double expressions (abs/sign/mod on longs, floor/ceil/sqrt/power on
+    * doubles whose IEEE results are identical across engines). */
+  def mathFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_linenumber" === 1)
+      .select($"l_orderkey",
+        abs($"l_orderkey" - 1000).as("abs_v"),
+        signum(($"l_orderkey" - 1000).cast("double")).cast("int").as("sign_v"),
+        pmod($"l_orderkey", lit(7)).as("mod_v"),
+        floor($"l_orderkey" / 3.0).cast("long").as("floor_v"),
+        ceil($"l_orderkey" / 3.0).cast("long").as("ceil_v"),
+        sqrt($"l_orderkey".cast("double")).as("sqrt_v"),
+        pow($"l_orderkey".cast("double"), 2.0).as("pow_v"))
+      .orderBy($"l_orderkey")
+  }
+
   /** Band (range) join on top of an equi key: hash join + range residual,
     * no cartesian blow-up (B3). */
   def joinRange(s: SparkSession, dir: String): DataFrame = {
@@ -420,6 +449,8 @@ object Relational {
     "b03_join_semi" -> (joinSemi _),
     "b03_join_anti" -> (joinAnti _),
     "b03_join_full" -> (joinFull _),
+    "b03_join_right" -> (joinRight _),
+    "b09_math_funcs" -> (mathFuncs _),
     "b03_join_range" -> (joinRange _),
     "b03_join_theta" -> (joinTheta _),
     "b03_join_asof" -> (joinAsOf _),
@@ -512,6 +543,21 @@ object Relational {
       SELECT n_nationkey, n_name, s_suppkey, s_name
       FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
       ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""",
+    "b03_join_right" -> """
+      SELECT c_custkey, c_name, o_orderkey
+      FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+      ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+    "b09_math_funcs" -> """
+      SELECT l_orderkey,
+        abs(l_orderkey - 1000) AS abs_v,
+        CAST(sign(CAST(l_orderkey - 1000 AS DOUBLE)) AS INT) AS sign_v,
+        l_orderkey % 7 AS mod_v,
+        CAST(floor(l_orderkey / 3.0) AS BIGINT) AS floor_v,
+        CAST(ceil(l_orderkey / 3.0) AS BIGINT) AS ceil_v,
+        sqrt(CAST(l_orderkey AS DOUBLE)) AS sqrt_v,
+        pow(CAST(l_orderkey AS DOUBLE), 2.0) AS pow_v
+      FROM lineitem WHERE l_linenumber = 1
+      ORDER BY l_orderkey""",
     "b03_join_range" -> s"""
       SELECT p_brand, COUNT(*) AS n_rows, CAST(${sum2Sql("l_extendedprice")} AS DOUBLE) AS sum_price
       FROM lineitem JOIN part ON l_partkey = p_partkey
