@@ -46,4 +46,21 @@ class Relational2Spec extends SparkSpec {
     assert(out((1, 0)) === ((1L, 500L, 500.0)))
     assert(out((1, 1)) === ((1L, 250L, 250.0)))
   }
+
+  test("sequencePack: contiguous packs, straddling doc lands in its ending pack (B15)") {
+    val out = Relational2.sequencePack(spark, sfDir, capacity = 256, numShards = 8)
+      .collect().map(r => (r.getInt(1), r.getLong(0), r.getInt(2), r.getLong(3), r.getInt(4)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val packs = rows.map(_._5)
+      // pack ids are contiguous from 1 and non-decreasing in doc order
+      assert(packs.min === 1 && packs.toSet === (1 to packs.max).toSet)
+      rows.sortBy(_._2).map(_._5).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b); case _ => ()
+      }
+      // each doc's pack = ceil(cumulative/capacity): straddlers end-pack
+      rows.foreach { case (_, _, _, cum, pack) =>
+        assert(pack === math.ceil(cum / 256.0).toInt)
+      }
+    }
+  }
 }
