@@ -57,25 +57,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Accept either pre-hashed `(doc_id, hbase)` or raw `(doc_id, shingle)`
+    * input — ONE definition shared by both signature formulations. */
+  private def hashedShingleBase(sh: DataFrame): DataFrame =
+    if (sh.columns.contains("hbase")) sh.select(col("doc_id"), col("hbase"))
+    else sh.select(col("doc_id"), xxhash64(col("shingle")).as("hbase"))
+
   /** MinHash signatures: for each of `numHashes` hash functions, the min
     * over the doc's shingles. One shuffle on doc_id. The shingle string is
     * hashed ONCE to a long; each family member then re-hashes the long
     * (integer-width work) instead of re-hashing the full string 64×.
     *
-    * Production path: the single-buffer [[graft.functions.MinHashAgg]]
-    * typed aggregator — ONE aggregate buffer per group (an Array[Long]
-    * updated with a tight loop) instead of 64 separate aggregate
-    * expressions, so codegen stays small and the partial-merge shuffle
-    * carries one array column. [[minHashSignatures64Col]] keeps the
-    * column-algebra formulation for comparison; the two hash families are
-    * deterministic but DISTINCT — signatures from the two paths must never
-    * be mixed in one pipeline. */
+    * Single-buffer [[graft.functions.MinHashAgg]] typed aggregator — ONE
+    * aggregate buffer per group (an Array[Long] updated with a tight
+    * loop) instead of 64 separate aggregate expressions.
+    * [[minHashSignatures64Col]] keeps the column-algebra formulation for
+    * comparison; the production query path is the per-row
+    * [[minHashSignaturesRow]]. The hash families of the three paths:
+    * row-expression == MinHashAgg (property-tested), 64Col is DISTINCT —
+    * its signatures must never mix with the others in one pipeline. */
   def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
     val mh = udaf(new graft.functions.MinHashAgg(numHashes))
-    val base =
-      if (sh.columns.contains("hbase")) sh.select(col("doc_id"), col("hbase"))
-      else sh.select(col("doc_id"), xxhash64(col("shingle")).as("hbase"))
-    base.groupBy(col("doc_id"))
+    hashedShingleBase(sh).groupBy(col("doc_id"))
       .agg(mh(col("hbase")).as("sig"))
   }
 
@@ -83,12 +86,9 @@ object Dedup {
     * aggregate columns. Same shuffle shape as [[minHashSignatures]]; kept
     * as the measurement baseline for the single-buffer aggregator. */
   def minHashSignatures64Col(sh: DataFrame, numHashes: Int = 64): DataFrame = {
-    val base =
-      if (sh.columns.contains("hbase")) sh.select(col("doc_id"), col("hbase"))
-      else sh.select(col("doc_id"), xxhash64(col("shingle")).as("hbase"))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("hbase"))).as(s"h$i"))
-    base.groupBy(col("doc_id"))
+    hashedShingleBase(sh).groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -287,8 +287,23 @@ object Dedup {
       labels = stepped.select(col("u"), col("label"))
       it += 1
     }
+    // truncated labels are WRONG labels (one component reported as
+    // several) — fail loudly instead of returning silently corrupt
+    // cluster assignments
+    if (changed > 0) {
+      cached.unpersist(); sym.unpersist()
+      sys.error(s"connectedComponents: not converged after $maxIter rounds " +
+        s"($changed labels still changing) — graph diameter exceeds maxIter; " +
+        "raise maxIter for long-chain graphs")
+    }
+    // hand back a lineage-cut copy and release every cache this function
+    // registered: callers can't unpersist frames they never saw, and a
+    // per-batch caller must not accumulate one cached RDD per call (the
+    // exact storage-churn failure mode the round-2 bench exposed)
+    val out = labels.localCheckpoint(true)
+    cached.unpersist()
     sym.unpersist()
-    labels
+    out
   }
 
   /** B12: near-dup cluster assignment — the step that turns pairwise
@@ -315,8 +330,12 @@ object Dedup {
       .join(sizes.toDF("b", "nb"), Seq("b"))
       .filter($"shared" * 10 >= least($"na", $"nb") * 7)
       .select($"a", $"b")
-    connectedComponents(edges)
-      .select($"u".as("doc_id"), $"label".as("cluster_rep"))
+    // connectedComponents materializes (loop actions + checkpointed
+    // result), so the shingle cache is fully consumed here — release it
+    // rather than leaving it to the harness clearCache
+    val cc = connectedComponents(edges)
+    sh.unpersist()
+    cc.select($"u".as("doc_id"), $"label".as("cluster_rep"))
       .orderBy($"doc_id")
   }
 

@@ -102,8 +102,11 @@ object Merge {
     *  - new key → a current row opens at `asOf`.
     *
     * One full-outer shuffle join on the keys; everything else is
-    * projection — the same single-shuffle shape as [[upsertTerms]], so the
-    * scale story is identical (no window, no per-key state).
+    * projection plus two key-partitioned window guards (in-plan
+    * uniqueness enforcement for the batch AND the history's current
+    * rows — corrupt history must fail loudly, not fan out) that ride the
+    * join's own key distribution. Same single-key-shuffle scale story as
+    * [[upsertTerms]].
     */
   def scd2Merge(history: DataFrame, incoming: DataFrame, keys: Seq[String],
                 tracked: Seq[String], asOf: Column): DataFrame = {
@@ -111,11 +114,26 @@ object Merge {
     val outCols = (keys ++ tracked ++ meta).map(col)
     val closed = history.filter(!col("is_current")).select(outCols: _*)
     val current = history.filter(col("is_current"))
-    Validate.enforce(Validate.uniqueViolations(incoming, keys),
-      s"scd2 incoming batch unique on (${keys.mkString(", ")})")
-    val cur = current.select((keys ++ tracked ++ meta.init).map(col) :+ lit(1).as("__cur"): _*)
+    // IN-PLAN uniqueness guards, folded into the join-presence markers so
+    // column pruning can't drop them: a per-key window count raise_errors
+    // at execution when (a) the batch carries a duplicate key, or (b) the
+    // history carries two CURRENT rows for one key (corrupt history would
+    // otherwise fan out through the join and DOUBLE on every merge). No
+    // separate validation job scans the inputs, and the window's
+    // hash-partitioning on the keys is the distribution the full-outer
+    // join needs anyway.
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    def guard(side: String) =
+      when(count(lit(1)).over(wk) > 1,
+        raise_error(concat(
+          lit(s"constraint violation (scd2 $side unique on (${keys.mkString(", ")})): key="),
+          concat_ws("|", keys.map(c => col(c).cast("string")): _*))).cast("int"))
+        .otherwise(lit(1))
+    val cur = current.select((keys ++ tracked ++ meta.init).map(col): _*)
+      .withColumn("__cur", guard("history current rows"))
     val inc = incoming.select(
-      keys.map(col) ++ tracked.map(c => col(c).as(s"__i_$c")) :+ lit(1).as("__inc"): _*)
+      keys.map(col) ++ tracked.map(c => col(c).as(s"__i_$c")): _*)
+      .withColumn("__inc", guard("incoming batch"))
     val j = cur.join(inc, keys, "full_outer")
     val vtType = history.schema("valid_to").dataType.sql
     val changed = tracked.map(c => !(col(c) <=> col(s"__i_$c"))).reduce(_ || _)

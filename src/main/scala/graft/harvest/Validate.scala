@@ -23,15 +23,19 @@ object Validate {
     * quotes, backslash, and control characters would inject arbitrary
     * SPARQL. (The reference interpolates unchecked, harvest.py:69-88; this
     * engine's query reaches a real networked endpoint, so the gate is
-    * load-bearing, not cosmetic.) These characters are illegal in IRIs
-    * anyway (RFC 3987) — a legitimate URI percent-encodes them. */
+    * load-bearing, not cosmetic.) The rejected set is exactly what the
+    * SPARQL IRIREF production forbids inside `<...>` — `<>"{}|^\``, the
+    * backslash, whitespace, and controls; characters legal in an IRI
+    * (like the apostrophe) pass. A legitimate URI percent-encodes the
+    * forbidden ones. */
   def validateCollectionUri(uri: String): Option[String] = {
     if (uri == null || uri.trim.isEmpty)
       throw new IllegalArgumentException("collection URI must be non-empty")
     // before the scheme regex: an embedded newline would fail `.matches`
     // there and mask the more precise message
-    uri.find(c => c == '<' || c == '>' || c == '"' || c == '\'' ||
-        c == '\\' || c == '`' || c.isWhitespace || c.isControl)
+    uri.find(c => c == '<' || c == '>' || c == '"' || c == '{' || c == '}' ||
+        c == '|' || c == '^' || c == '\\' || c == '`' ||
+        c.isWhitespace || c.isControl)
       .foreach(c => throw new IllegalArgumentException(
         "invalid collection URI (character %#04x would escape the SPARQL IRI literal; percent-encode it): %s"
           .format(c.toInt, uri)))

@@ -104,11 +104,22 @@ case class RangeBinJoinRewrite(spark: SparkSession)
         Project(Seq(diff), intervalSide))
       val df = org.apache.spark.sql.graftbridge.bridge.ofRows(spark, sample)
       val row = df.where(org.apache.spark.sql.functions.col("graft_w") >= 0)
-        .selectExpr("CAST(percentile_approx(graft_w, 0.5) AS LONG) AS w")
+        .selectExpr("CAST(percentile_approx(graft_w, 0.5) AS LONG) AS w",
+          "CAST(max(graft_w) AS LONG) AS mx")
         .head()
       if (row.isNullAt(0)) None
       else {
-        val w = math.max(1L, row.getLong(0))
+        // floor the width so the sample's WIDEST interval stays under the
+        // maxBins runtime guard: deriving from the median alone would let
+        // one long outlier (or a sorted prefix of short intervals) pick a
+        // width whose rewritten plan raise_errors at execution time —
+        // worse than the slow nested-loop plan the user started with.
+        // (Outliers beyond the sample can still trip the guard; the error
+        // names both escape hatches.)
+        val maxBins = conf.getConfString("spark.graft.rangeJoin.maxBins", "10000").toLong
+        val minSafe =
+          if (row.isNullAt(1)) 1L else row.getLong(1) / math.max(1L, maxBins) + 1L
+        val w = math.max(math.max(1L, row.getLong(0)), minSafe)
         logInfo(s"graft: derived range-join bin width $w from a " +
           s"$sampleRows-row sample (override with $WidthKey)")
         lastDerivedWidth.set(w)

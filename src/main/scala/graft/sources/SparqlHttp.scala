@@ -108,9 +108,21 @@ class SparqlHttpClient(val endpoint: String, timeoutMs: Long = 30000) extends Se
           // one transport failure that is plausibly transient
           else throw new TransientFetchException(
             s"SPARQL endpoint connection refused: ${e.getMessage}", e)
-        case e: java.io.IOException =>
+        case e: java.nio.channels.UnresolvedAddressException =>
+          // some JDKs surface DNS failure unwrapped (not inside
+          // ConnectException) — same fail-fast classification either way
           throw new RuntimeException(
-            s"SPARQL transport failure (not retried): ${e.getMessage}", e)
+            s"SPARQL endpoint hostname does not resolve (not retried): $endpoint", e)
+        case e: java.io.IOException =>
+          // a reset mid-request is the in-flight half of the same
+          // "endpoint briefly down/restarting" case as connection-refused
+          // — retryable; every other I/O failure fails fast
+          val msg = Option(e.getMessage).getOrElse("")
+          if (msg.toLowerCase.contains("connection reset"))
+            throw new TransientFetchException(
+              s"SPARQL endpoint reset the connection: $msg", e)
+          else throw new RuntimeException(
+            s"SPARQL transport failure (not retried): $msg", e)
       }
     resp.statusCode() match {
       case 200 => mapper.readTree(resp.body())

@@ -108,9 +108,26 @@ class MergeSpec extends SparkSpec {
       .select($"uri", $"label", $"vf".cast("timestamp_ntz").as("valid_from"),
         lit(null).cast("timestamp_ntz").as("valid_to"), lit(true).as("is_current"))
     val dup = Seq(("u1", "x"), ("u1", "y")).toDF("uri", "label")
-    val e = intercept[IllegalStateException] {
-      Merge.scd2Merge(hist, dup, Seq("uri"), Seq("label"), asOf1)
+    // the guard is IN-PLAN (raise_error) → surfaces at materialization
+    val e = intercept[Exception] {
+      Merge.scd2Merge(hist, dup, Seq("uri"), Seq("label"), asOf1).collect()
     }
-    assert(e.getMessage.contains("unique"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("unique")), chain(e).mkString(" | "))
+  }
+
+  test("scd2Merge rejects corrupt history with two current rows per key (SCD2)") {
+    val hist = Seq(("u1", "a"), ("u1", "b")).toDF("uri", "label")
+      .select($"uri", $"label",
+        lit("2026-01-01 00:00:00").cast("timestamp_ntz").as("valid_from"),
+        lit(null).cast("timestamp_ntz").as("valid_to"), lit(true).as("is_current"))
+    val batch = Seq(("u1", "c")).toDF("uri", "label")
+    val e = intercept[Exception] {
+      Merge.scd2Merge(hist, batch, Seq("uri"), Seq("label"), asOf1).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("history current rows")), chain(e).mkString(" | "))
   }
 }

@@ -58,7 +58,10 @@ class SourceSpec extends SparkSpec {
       "http://vocab.nerc.ac.uk/a\nb",
       "http://vocab.nerc.ac.uk/a\"b",
       "http://vocab.nerc.ac.uk/a\\b",
-      "http://vocab.nerc.ac.uk/a\u0007b"
+      "http://vocab.nerc.ac.uk/a\u0007b",
+      "http://vocab.nerc.ac.uk/a{b}",
+      "http://vocab.nerc.ac.uk/a|b",
+      "http://vocab.nerc.ac.uk/a^b"
     ).foreach { uri =>
       val e = intercept[IllegalArgumentException] { Validate.validateCollectionUri(uri) }
       assert(e.getMessage.contains("IRI"), s"for URI: $uri")
@@ -66,5 +69,8 @@ class SourceSpec extends SparkSpec {
     // percent-encoded forms of the same characters are fine
     assert(Validate.validateCollectionUri(
       "http://vocab.nerc.ac.uk/a%20b%3Ec").isEmpty)
+    // IRI-legal sub-delims (apostrophe) must NOT be rejected
+    assert(Validate.validateCollectionUri(
+      "http://vocab.nerc.ac.uk/collection/d'amico/").isEmpty)
   }
 }
