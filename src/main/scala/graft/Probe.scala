@@ -129,6 +129,11 @@ object Probe {
         val pairs = dedup.Dedup.minHashNearDup(big, k = 3, threshold = 0.8)
         println(s"  stress pairs=${pairs.count()}")
       }
+      spark.catalog.clearCache()
+      time("stress_clusters_at_scale") {
+        val cc = dedup.Dedup.dedupClustersAtScale(big, k = 3, threshold = 0.8)
+        println(s"  stress clustered_docs=${cc.count()}")
+      }
     }
     if (sys.env.contains("PROBE_MINHASH_CMP")) {
       // Head-to-head under THIS JVM (sbt-forked = C1-capped, same as the
