@@ -263,9 +263,29 @@ object TextAnalysis {
   private def topNgramsQuery(s: SparkSession, dir: String): DataFrame =
     topNgrams(s, dir)
 
+  /** B13: corpus composition report — per (source, lang) document counts,
+    * token volume, and share of the corpus (the mixture dashboard every
+    * curation pipeline reports before training). One map-side-combinable
+    * aggregate; the corpus total rides along as a broadcast 1-row
+    * aggregate inside the plan (same pattern as [[tfidfTopTerms]]'s
+    * corpus size). Shares are exact-integer ratios → engine-portable. */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"source", $"lang", size(tokens($"text")).as("n_toks"))
+    val total = broadcast(docs.agg(sum($"n_toks").cast("long").as("total_toks")))
+    docs.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("sum_toks"))
+      .crossJoin(total)
+      .select($"source", $"lang", $"n_docs", $"sum_toks",
+        ($"sum_toks".cast("double") / $"total_toks").as("token_share"))
+      .orderBy($"source", $"lang")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b13_corpus_mix" -> (corpusMix _),
     "b13_top_ngrams" -> (topNgramsQuery _),
     "b13_lm_score" -> (lmScore _),
     "b13_repetition" -> (repetition _),
@@ -282,6 +302,14 @@ object TextAnalysis {
     s"CAST(len(regexp_extract_all(text, '$pat')) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "b13_corpus_mix" -> """
+      WITH d AS (
+        SELECT source, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_toks
+        FROM documents)
+      SELECT source, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+        CAST(SUM(n_toks) AS DOUBLE) / (SELECT SUM(n_toks) FROM d) AS token_share
+      FROM d GROUP BY source, lang ORDER BY source, lang""",
     "b13_top_ngrams" -> """
       WITH d AS (
         SELECT string_split(text, ' ') AS toks FROM documents
