@@ -58,5 +58,11 @@ class MinHashSigSpec extends SparkSpec {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     assert(exchanges.isEmpty)
+    // and the expression runs INSIDE whole-stage codegen (no fence)
+    val stages = q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.toString.contains("minhash_sig")),
+      q.queryExecution.executedPlan.toString)
   }
 }
