@@ -57,6 +57,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
       exprs => { arity("minhash_sig", exprs, 1)
         graft.functions.MinHashSig(exprs.head) }),
+    (FunctionIdentifier("top_bigram_count"),
+      new ExpressionInfo(classOf[graft.functions.TopBigramCount].getName, "top_bigram_count"),
+      exprs => { arity("top_bigram_count", exprs, 1)
+        graft.functions.TopBigramCount(exprs.head) }),
   )
 
   /** Wrong-arity SQL calls must surface as analysis errors, not

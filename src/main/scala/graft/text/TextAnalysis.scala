@@ -179,7 +179,31 @@ object TextAnalysis {
   private val BigramExpr =
     "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"
 
-  def repetitionOn(docs: DataFrame): DataFrame = {
+  /** Production path: every signal is scan-side — unique-token ratio is
+    * array algebra, the top-bigram count is the exact per-row
+    * [[graft.functions.TopBigramCount]] codegen kernel, and n_bigrams is
+    * just n_toks−1 (every adjacent pair is one occurrence). ZERO
+    * shuffles except the output sort; [[repetitionOnAgg]] keeps the
+    * explode+aggregate formulation as the equivalence baseline
+    * (property-tested identical in TextAnalysisSpec). */
+  def repetitionOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"), col("text"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        graft.functions.TopBigramCount(col("text")).cast("long").as("top_bigram_n"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_uniq").cast("double") / col("n_toks")).as("uniq_ratio"),
+        (col("n_toks") - 1).cast("long").as("n_bigrams"), col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / (col("n_toks") - 1)).as("top_bigram_frac"))
+      .withColumn("passes_repetition",
+        when(col("top_bigram_frac") <= 0.18 && col("uniq_ratio") >= 0.2, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+
+  /** Explode + two-aggregate formulation — the measurement/equivalence
+    * baseline for [[repetitionOn]]'s scan-side kernel. */
+  def repetitionOnAgg(docs: DataFrame): DataFrame = {
     val d = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)

@@ -44,6 +44,9 @@ class SqlExtensionsSpec extends SparkSpec {
     assert(r.getLong(0) === r.getLong(1)) // order-invariant sketch
     assert(r.getSeq[Long](2).length === 64)
     assert(r.isNullAt(3)) // < k tokens -> null
+    val t = spark.sql(
+      "SELECT top_bigram_count('x y x y x') AS t, top_bigram_count('solo') AS n").head()
+    assert(t.getInt(0) === 2 && t.isNullAt(1))
   }
 
   test("dot_q coerces int-literal arrays (parity with the HOF formulation)") {

@@ -21,4 +21,28 @@ class TextAnalysisSpec extends SparkSpec {
     val df = Seq((1L, "solo"), (2L, "two tokens")).toDF("doc_id", "text")
     assert(graft.text.TextAnalysis.repetitionOn(df).collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
+
+  test("repetition kernel == explode+agg formulation on random docs (exact)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    val tokGen = Gen.oneOf(Gen.oneOf("a", "b", "ab", "ü", ""), Gen.alphaNumStr.map(_.take(4)))
+    val docGen = Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, tokGen)).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(5, docGen)) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val a = TextAnalysis.repetitionOn(docs).collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.repetitionOnAgg(docs).collect().map(_.toSeq).toSeq
+      a == b
+    }
+    val res = scCheck(Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("repetition production plan has no shuffle before the output sort") {
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val q = TextAnalysis.repetitionOn(docs)
+    val shuffles = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1) // only the orderBy range exchange
+  }
 }
