@@ -59,6 +59,7 @@ object TopBigramCount {
   * has fewer than 2 tokens. */
 object TopBigramCountImpl {
   final val Seed = 42L
+  final val MaxBigrams = 1 << 28
 
   def compute(s: UTF8String): Int = {
     val base = s.getBaseObject
@@ -71,6 +72,13 @@ object TopBigramCountImpl {
       i += 1
     }
     if (nTokens < 2) return -1
+    // 2^28 bigrams ≈ >0.5 GB of text in ONE row — beyond that the pow2
+    // capacity doubling would overflow Int and the probe loop could spin
+    // forever; fail loudly instead (such a row belongs in chunking, not
+    // a per-row kernel)
+    if (nTokens - 1 > MaxBigrams)
+      throw new IllegalArgumentException(
+        s"top_bigram_count: document has ${nTokens - 1} bigrams (max $MaxBigrams)")
     val starts = new Array[Int](nTokens)
     val ends = new Array[Int](nTokens)
     var tok = 0
@@ -104,7 +112,8 @@ object TopBigramCountImpl {
           if (best == 0) best = 1
           placed = true
         } else if (hashes(slot) == h && lens(slot) == len &&
-            bytesEqual(base, off + offs(slot), off + from, len)) {
+            org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+              base, off + offs(slot), base, off + from, len)) {
           counts(slot) += 1
           if (counts(slot) > best) best = counts(slot)
           placed = true
@@ -115,14 +124,5 @@ object TopBigramCountImpl {
       w += 1
     }
     best
-  }
-
-  private def bytesEqual(base: AnyRef, o1: Long, o2: Long, len: Int): Boolean = {
-    var k = 0
-    while (k < len) {
-      if (Platform.getByte(base, o1 + k) != Platform.getByte(base, o2 + k)) return false
-      k += 1
-    }
-    true
   }
 }

@@ -166,20 +166,18 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** B13: repetition filters (Gopher-style) — the signals that catch
-    * boilerplate/spam documents a perplexity filter misses: fraction of
-    * all bigram occurrences taken by the single most frequent bigram, and
-    * the distinct-token ratio. The unique-token ratio is pure array
-    * algebra at the scan (no shuffle); the top-bigram count is one
-    * explode + two hash aggregations keyed by doc_id, so the op is
-    * embarrassingly parallel per document at any corpus size. */
   /** Joined-bigram generator over a pre-split `toks` array column — the
-    * shared kernel of repetition stats and the n-gram census (kept
-    * verbatim-identical so their oracles stay in sync). */
+    * shared kernel of the repetition baseline and the n-gram census
+    * (kept verbatim-identical so their oracles stay in sync). */
   private val BigramExpr =
     "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"
 
-  /** Production path: every signal is scan-side — unique-token ratio is
+  /** B13: repetition filters (Gopher-style) — the signals that catch
+    * boilerplate/spam documents a perplexity filter misses: fraction of
+    * all bigram occurrences taken by the single most frequent bigram,
+    * and the distinct-token ratio.
+    *
+    * Production path: every signal is scan-side — unique-token ratio is
     * array algebra, the top-bigram count is the exact per-row
     * [[graft.functions.TopBigramCount]] codegen kernel, and n_bigrams is
     * just n_toks−1 (every adjacent pair is one occurrence). ZERO

@@ -22,11 +22,18 @@ class Relational2Spec extends SparkSpec {
 
   test("stratifiedSample: scan-side filter, no shuffle before the output sort (B15)") {
     val q = Relational2.stratifiedSample(spark, sfDir)
-    val exchanges = q.queryExecution.executedPlan.collect {
+    // execute then unwrap the AQE leaf — a plain executedPlan collect()
+    // cannot see inside AdaptiveSparkPlanExec and would be vacuous
+    q.write.format("noop").mode("overwrite").save()
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = finalPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     // the only exchange is the global output orderBy (range partitioning)
-    assert(exchanges.size <= 1, q.queryExecution.executedPlan.toString)
+    assert(exchanges.size === 1, finalPlan.toString)
     // per-language rates actually applied: en heavily downsampled
     val counts = q.groupBy($"lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -38,11 +39,28 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("repetition production plan has no shuffle before the output sort") {
-    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
-    val q = TextAnalysis.repetitionOn(docs)
-    val shuffles = q.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    // multi-partition input: single-partition plans elide exchanges and
+    // would make the comparison vacuous
+    val docs = spark.range(64).repartition(4)
+      .select($"id".as("doc_id"),
+        concat_ws(" ", lit("a"), lit("b"), $"id".cast("string"), lit("a b")).as("text"))
+    // AQE wraps any exchange-bearing plan in an AdaptiveSparkPlanExec
+    // LEAF that collect() cannot see into, and sparkPlan predates
+    // EnsureRequirements (no exchanges yet) — so: execute, then unwrap
+    def exchanges(df: org.apache.spark.sql.DataFrame) = {
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
     }
-    assert(shuffles.size <= 1) // only the orderBy range exchange
+    val kernel = exchanges(TextAnalysis.repetitionOn(docs))
+    val agg = exchanges(TextAnalysis.repetitionOnAgg(docs))
+    // kernel path: the input repartition + the output orderBy, nothing else
+    assert(kernel <= 2, s"kernel path: $kernel exchanges")
+    assert(agg >= kernel + 1, s"agg $agg vs kernel $kernel") // aggs add shuffles
   }
 }
