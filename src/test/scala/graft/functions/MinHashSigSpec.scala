@@ -54,6 +54,11 @@ class MinHashSigSpec extends SparkSpec {
 
   test("row-signature plan has no shuffle before the LSH band stage") {
     val q = Dedup.minHashSignaturesRow(graft.Tables.documents(spark, sfDir))
+    // an exchange-bearing plan would be WRAPPED in AdaptiveSparkPlanExec
+    // (a leaf that hides children from collect) — assert not-wrapped
+    // first so the exchange check below cannot pass vacuously
+    assert(!q.queryExecution.executedPlan
+      .isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec])
     val exchanges = q.queryExecution.executedPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }

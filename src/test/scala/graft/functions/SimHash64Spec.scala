@@ -56,6 +56,11 @@ class SimHash64Spec extends SparkSpec {
   test("simhash sketch query plan has no shuffle exchange (scan-side projection)") {
     val q = graft.dedup.Dedup.simHashSketchesRow(
       graft.Tables.documents(spark, sfDir))
+    // an exchange-bearing plan would be WRAPPED in AdaptiveSparkPlanExec
+    // (a leaf that hides children from collect) — assert not-wrapped
+    // first so the exchange check below cannot pass vacuously
+    assert(!q.queryExecution.executedPlan
+      .isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec])
     val exchanges = q.queryExecution.executedPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
