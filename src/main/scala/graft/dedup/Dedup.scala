@@ -257,8 +257,14 @@ object Dedup {
     * Labels converge to the component's minimum vertex id → deterministic
     * canonical representative. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("a").as("u"), col("b").as("v"))
-      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    // materialize the edge list ONCE before symmetrizing: the union's two
+    // branches would otherwise each execute the (typically expensive)
+    // upstream edge pipeline — ReuseExchange dedupes only the exchange
+    // nodes, not the join/aggregate work above them. The edge list itself
+    // is small (post-threshold pairs), so the checkpoint is cheap.
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
       .cache()
     // seed = one propagation round for free: min(u, direct neighbors) in
     // the same shuffle that enumerates the vertices. Near-dup groups are
