@@ -103,15 +103,40 @@ object Dedup {
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
       .toDF("doc_id", "band_idx", "band_hash")
 
+  /** Per-bucket size cap for the LSH candidate joins. A degenerate bucket
+    * of B docs (millions of near-empty or templated documents agreeing on
+    * a whole band) would emit B² join rows — the classic production
+    * near-dedup failure. Buckets over the cap are REPRESENTATIVE-LINKED
+    * instead: docs that agree on a full band are near-certain duplicates,
+    * so connecting each to the bucket-minimum doc (B−1 star edges)
+    * preserves the connected component while keeping the candidate count
+    * linear in B. The trade is edge RECALL inside an over-full bucket
+    * only: a hash-collision interloper star-linked to a representative it
+    * doesn't resemble is dropped by exact verification, exactly as its
+    * all-pairs edges would have been. */
+  val MaxBucket = 256
+
   /** Candidate pairs (a < b) from shared LSH buckets — an equi-join on
-    * (band_idx, band_hash), never an all-pairs product. */
-  def candidatePairs(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.toDF("a", "band_idx", "band_hash")
-    val b = bandsDf.toDF("b", "band_idx", "band_hash")
-    a.join(b, Seq("band_idx", "band_hash"))
+    * (band_idx, band_hash), never an all-pairs product. Buckets larger
+    * than `maxBucket` emit star edges to the bucket-minimum doc instead
+    * of all pairs (see [[MaxBucket]]) — the guard that keeps a degenerate
+    * corpus linear at 100 TB. */
+  def candidatePairs(bandsDf: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    // one count+min aggregate per bucket, joined back on the bucket key
+    // (co-partitioned with the candidate join's own shuffle key)
+    val stats = bandsDf.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+    val keyed = bandsDf.join(stats, Seq("band_idx", "band_hash"))
+    val small = keyed.filter(col("bsz") <= maxBucket)
+    val allPairs = small.select(col("doc_id").as("a"), col("band_idx"), col("band_hash"))
+      .join(small.select(col("doc_id").as("b"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
-      .distinct()
+    val starPairs = keyed
+      .filter(col("bsz") > maxBucket && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a"), col("doc_id").as("b")) // bmin < doc_id by construction
+    allPairs.union(starPairs).distinct()
   }
 
   /** Exact Jaccard verification of candidate pairs against the shingle
@@ -160,9 +185,18 @@ object Dedup {
     val sigs = sigFn.map(f => f(sh)).getOrElse(minHashSignaturesRow(docs, k))
     val bands = lshBands(sigs).cache()
     val pairs = candidatePairs(bands)
-    verifyJaccard(pairs, sh)
+    // materialize the (small, post-threshold) verified pair set, then
+    // RELEASE the two caches this function registered: a per-batch caller
+    // (dedupClustersAtScale, a foreachBatch sink) must not accumulate one
+    // cached frame per call — the same storage-churn failure mode the
+    // round-2 bench exposed. The deterministic output sort stays in the
+    // returned plan, after the checkpoint.
+    val verified = verifyJaccard(pairs, sh)
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("a"), col("b"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    bands.unpersist()
+    verified.orderBy(col("a"), col("b"))
   }
 
   def minHashQuery(s: SparkSession, dir: String): DataFrame =
@@ -209,15 +243,33 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxDist (≤3 is exact via
-    * the 4-chunk pigeonhole; larger distances would need more chunks). */
-  def simHashNearDup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * the 4-chunk pigeonhole; larger distances would need more chunks).
+    * Chunk buckets over `maxBucket` star-link to the bucket-minimum doc
+    * (same guard as [[candidatePairs]]): a flood of identical/templated
+    * docs shares all four chunks, and B² pairs per chunk bucket would be
+    * the quadratic escape. Star edges still pass the exact Hamming check,
+    * so a 16-bit collision interloper is dropped, not mislinked. */
+  def simHashNearDup(docs: DataFrame, maxDist: Int = 3,
+                     maxBucket: Int = MaxBucket): DataFrame = {
     val sk = simHashSketchesRow(docs)
     val chunks = sk.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until 4).map(c => col(s"chunk$c")): _*))).toDF("doc_id", "simhash", "ci", "cv")
-    val a = chunks.toDF("a", "sim_a", "ci", "cv")
-    val b = chunks.toDF("b", "sim_b", "ci", "cv")
-    a.join(b, Seq("ci", "cv")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sim_a"), col("sim_b")).distinct()
+    val stats = chunks.groupBy(col("ci"), col("cv"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"),
+        min_by(col("simhash"), col("doc_id")).as("bsim"))
+    val keyed = chunks.join(stats, Seq("ci", "cv"))
+    val small = keyed.filter(col("bsz") <= maxBucket)
+    val allPairs = small
+      .select(col("doc_id").as("a"), col("simhash").as("sim_a"), col("ci"), col("cv"))
+      .join(small.select(col("doc_id").as("b"), col("simhash").as("sim_b"), col("ci"), col("cv")),
+        Seq("ci", "cv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sim_a"), col("sim_b"))
+    val starPairs = keyed
+      .filter(col("bsz") > maxBucket && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a"), col("doc_id").as("b"),
+        col("bsim").as("sim_a"), col("simhash").as("sim_b"))
+    allPairs.union(starPairs).distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("a"), col("b"), col("hamming"))
@@ -237,9 +289,13 @@ object Dedup {
     val sh = shingleHashes(Tables.documents(s, dir), 2).cache()
     val pairs = sh.select($"doc_id".as("a")).distinct()
       .join(sh.select($"doc_id".as("b")).distinct(), col("b") === col("a") + 1)
-    verifyJaccard(pairs, sh)
+    // consecutive-pair output is |docs|-sized — checkpoint it, release the
+    // shingle cache (same per-call hygiene as minHashNearDup)
+    val out = verifyJaccard(pairs, sh)
       .select($"a", $"b", $"inter", $"na", $"nb", $"jaccard")
-      .orderBy($"a")
+      .localCheckpoint(true)
+    sh.unpersist()
+    out.orderBy($"a")
   }
 
   // ------------------------------------------- cluster assignment (B12)
@@ -377,14 +433,25 @@ object Dedup {
     // subtrees aren't identical, so exchange reuse can't kick in) — one
     // materialization instead of two explode+distinct shuffles
     val grams = shingleHashes(docs, k).cache()
-    val bench = grams.filter(benchPred).select(col("hbase")).distinct()
-    val shared = grams.filter(!benchPred).join(bench, "hbase")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+    // checkpoint materializes only the contaminated-doc aggregate (one row
+    // per doc sharing ≥1 gram) — then the gram cache is released instead
+    // of leaking until some harness-level clearCache
+    val shared = sharedGramCounts(grams, benchPred).localCheckpoint(true)
+    grams.unpersist()
     docs.filter(!benchPred).select(col("doc_id"))
       .join(shared, Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("n_shared_grams"))
       .withColumn("contaminated", when(col("n_shared_grams") > 0, 1).otherwise(0))
       .orderBy(col("doc_id"))
+  }
+
+  /** The gram-overlap aggregate inside [[decontaminate]] (pre-checkpoint):
+    * training grams equi-join the DISTINCT benchmark gram set — the
+    * small side AQE broadcasts (plan-asserted in DedupSpec). */
+  private[dedup] def sharedGramCounts(grams: DataFrame, benchPred: Column): DataFrame = {
+    val bench = grams.filter(benchPred).select(col("hbase")).distinct()
+    grams.filter(!benchPred).join(bench, "hbase")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
   }
 
   def decontaminateQuery(s: SparkSession, dir: String): DataFrame =

@@ -24,6 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * ImplicitCastInputTypes (not check-only ExpectsInputTypes) keeps the
   * HOF formulation's coercion: int/float arrays promote to bigint
   * arrays instead of failing analysis.
+  *
+  * Overflow semantics also mirror the HOF formulation under ANSI mode
+  * (the default on Spark 4): `Math.multiplyExact`/`addExact` throw
+  * ArithmeticException where the baseline's `*`/`+` would — a silent
+  * wraparound here would return a WRONG similarity value where the
+  * declarative plan errors. Quantized milliunit embeddings stay far from
+  * the boundary (|x| ≤ ~1e6 ⇒ products ≤ 1e12, 6 orders under 2^63),
+  * so the exact ops cost nothing on the hot path.
   */
 case class DotProductQ(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -41,7 +49,7 @@ case class DotProductQ(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += a.getLong(i) * b.getLong(i)
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
     acc
@@ -60,7 +68,7 @@ case class DotProductQ(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |    $acc = Math.addExact($acc, Math.multiplyExact($a.getLong($i), $b.getLong($i)));
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}

@@ -22,8 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * NULL for null text and for docs with fewer than 2 tokens (no
   * bigrams), mirroring the declarative formulation's `size >= 2`
   * filter.
+  *
+  * Poison rows DEGRADE instead of failing the stage: a document over
+  * [[TopBigramCountImpl.MaxBigrams]] bigrams returns the
+  * [[TopBigramCountImpl.Oversized]] sentinel (-2) so a curation pipeline
+  * can route it to chunking/quarantine — at 100 TB one pathological row
+  * must not kill the job. `strict = true` restores the loud
+  * IllegalArgumentException for callers that prefer fail-fast.
   */
-case class TopBigramCount(child: Expression)
+case class TopBigramCount(child: Expression, strict: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
   override def inputTypes = Seq(StringType)
@@ -32,15 +39,23 @@ case class TopBigramCount(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val r = TopBigramCountImpl.compute(input.asInstanceOf[UTF8String])
-    if (r < 0) null else r
+    if (r == TopBigramCountImpl.NoBigrams) null
+    else if (r == TopBigramCountImpl.Oversized && strict)
+      throw TopBigramCountImpl.oversizedError
+    else r
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val r = ctx.freshName("top")
+      val onOversized =
+        if (strict) "throw graft.functions.TopBigramCountImpl.oversizedError();"
+        else s"${ev.value} = $r;"
       s"""
          |final int $r = graft.functions.TopBigramCountImpl.compute($c);
-         |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         |if ($r == graft.functions.TopBigramCountImpl.NoBigrams()) { ${ev.isNull} = true; }
+         |else if ($r == graft.functions.TopBigramCountImpl.Oversized()) { $onOversized }
+         |else { ${ev.value} = $r; }
        """.stripMargin
     })
 
@@ -53,13 +68,33 @@ object TopBigramCount {
   /** Column API: `top_bigram_count(text)`. */
   def apply(c: Column): Column =
     bridge.toColumn(TopBigramCount(bridge.toExpression(c)))
+  /** Fail-fast variant: oversized rows throw instead of returning -2. */
+  def strict(c: Column): Column =
+    bridge.toColumn(TopBigramCount(bridge.toExpression(c), strict = true))
 }
 
-/** Static kernel (callable from generated code). Returns -1 when the doc
-  * has fewer than 2 tokens. */
+/** Static kernel (callable from generated code). Returns
+  * [[TopBigramCountImpl.NoBigrams]] (-1) when the doc has fewer than 2
+  * tokens and [[TopBigramCountImpl.Oversized]] (-2) when it exceeds
+  * [[TopBigramCountImpl.MaxBigrams]]. */
 object TopBigramCountImpl {
   final val Seed = 42L
-  final val MaxBigrams = 1 << 28
+  /** Effective limit is executor heap, not Int overflow: the open table
+    * doubles to ≥2n slots × 20 B/slot, so 2^24 bigrams (≈100+ MB of text
+    * in ONE cell) already allocates ~670 MB of scratch for that single
+    * row. Past this the kernel reports [[Oversized]] — such a row
+    * belongs in chunking, not a per-row kernel. */
+  final val MaxBigrams = 1 << 24
+  /** Sentinel: < 2 tokens, mapped to NULL by the expression. */
+  final val NoBigrams = -1
+  /** Sentinel: > MaxBigrams bigrams — surfaced as -2 (lenient) or an
+    * IllegalArgumentException (strict) so the caller routes the row. */
+  final val Oversized = -2
+
+  def oversizedError: IllegalArgumentException =
+    new IllegalArgumentException(
+      s"top_bigram_count: document exceeds $MaxBigrams bigrams; route " +
+        "oversized rows to chunking or use the lenient (-2 sentinel) mode")
 
   def compute(s: UTF8String): Int = {
     val base = s.getBaseObject
@@ -71,14 +106,8 @@ object TopBigramCountImpl {
       if (Platform.getByte(base, off + i) == 0x20) nTokens += 1
       i += 1
     }
-    if (nTokens < 2) return -1
-    // 2^28 bigrams ≈ >0.5 GB of text in ONE row — beyond that the pow2
-    // capacity doubling would overflow Int and the probe loop could spin
-    // forever; fail loudly instead (such a row belongs in chunking, not
-    // a per-row kernel)
-    if (nTokens - 1 > MaxBigrams)
-      throw new IllegalArgumentException(
-        s"top_bigram_count: document has ${nTokens - 1} bigrams (max $MaxBigrams)")
+    if (nTokens < 2) return NoBigrams
+    if (nTokens - 1 > MaxBigrams) return Oversized
     val starts = new Array[Int](nTokens)
     val ends = new Array[Int](nTokens)
     var tok = 0

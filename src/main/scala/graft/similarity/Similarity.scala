@@ -269,9 +269,17 @@ object Similarity {
       // iters; the checkpoint materializes only k centroid rows
       centroids = recomputed.localCheckpoint(true)
     }
-    assign(centroids)
+    // release the corpus cache this function registered: the loop (the
+    // cache's heavy consumer — iters+1 assignment passes) has fully
+    // materialized via the per-iteration checkpoints; the final lazy
+    // assignment recomputes the scan-side quantize projection exactly
+    // once. A per-batch caller must not accumulate one cached corpus per
+    // kMeans call.
+    val out = assign(centroids)
       .select(col("vec_id"), col("cid").as("cluster_id"), col("sim"))
       .orderBy(col("vec_id"))
+    e.unpersist()
+    out
   }
 
   def kMeansQuery(s: SparkSession, dir: String): DataFrame =

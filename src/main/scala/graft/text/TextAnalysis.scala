@@ -183,7 +183,15 @@ object TextAnalysis {
     * just n_toks−1 (every adjacent pair is one occurrence). ZERO
     * shuffles except the output sort; [[repetitionOnAgg]] keeps the
     * explode+aggregate formulation as the equivalence baseline
-    * (property-tested identical in TextAnalysisSpec). */
+    * (property-tested identical in TextAnalysisSpec).
+    *
+    * Poison rows (docs over the kernel's MaxBigrams cap — 100+ MB of
+    * text in one cell) surface as `top_bigram_n = -2`, a negative
+    * `top_bigram_frac`, and `passes_repetition = 0`: the row is
+    * quarantined by the same filter that drops boilerplate, and the JOB
+    * COMPLETES — route such rows to [[chunkDocs]] instead of scoring
+    * them whole. Normal corpora never hit the cap, so oracle output is
+    * unchanged. */
   def repetitionOn(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"), col("text"))

@@ -34,6 +34,46 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(3L)) // unrelated doc has no near-dup edge
   }
 
+  test("hot LSH bucket is capped: planted degenerate corpus stays LINEAR in candidates") {
+    // 2000 identical docs share every band → one 2000-doc bucket per band.
+    // Uncapped that is ~2M candidate pairs; the star guard must emit
+    // exactly n-1 representative edges instead.
+    val n = 2000
+    val flood = (1 to n).map(i => (i.toLong, base)).toDF("doc_id", "text")
+    val bands = Dedup.lshBands(Dedup.minHashSignaturesRow(flood, 3))
+    val capped = Dedup.candidatePairs(bands)
+    assert(capped.count() === (n - 1).toLong)
+    // every star edge anchors at the bucket-minimum doc
+    assert(capped.agg(org.apache.spark.sql.functions.min("a")).head().getLong(0) === 1L)
+    // and the full pipeline still labels the flood as ONE component under
+    // the minimum doc_id — the cap must not split the cluster
+    val clusters = Dedup.dedupClustersAtScale(flood, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.length === n)
+    assert(clusters.forall(_._2 == 1L))
+  }
+
+  test("bucket cap leaves normal corpora untouched (capped == uncapped pairs)") {
+    val bands = Dedup.lshBands(Dedup.minHashSignaturesRow(docs, 3))
+    val capped = Dedup.candidatePairs(bands).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.candidatePairs(bands, maxBucket = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === uncapped && capped.nonEmpty)
+  }
+
+  test("simhash chunk join is capped: identical-doc flood emits star edges only") {
+    val n = 1000
+    val flood = (1 to n).map(i => (i.toLong, base)) :+ ((5000L, other))
+    val pairs = Dedup.simHashNearDup(flood.toDF("doc_id", "text"), maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    // n-1 star edges, all at Hamming 0, all anchored at doc 1; the
+    // unrelated doc joins nothing
+    assert(pairs.length === n - 1)
+    assert(pairs.forall { case ((a, _), h) => a == 1L && h == 0 })
+    assert(!pairs.exists { case ((a, b), _) => a == 5000L || b == 5000L })
+  }
+
   test("decontaminate: flags train docs sharing an 8-gram with the bench set (B12)") {
     val gram = (1 to 8).map(i => s"g$i").mkString(" ")
     val d = Seq(
@@ -51,19 +91,24 @@ class DedupSpec extends SparkSpec {
   }
 
   test("decontaminate plan: bench gram set is broadcast, never shuffled against the corpus") {
-    val q = Dedup.decontaminate(graft.Tables.documents(spark, sfDir),
-      org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
-    q.write.format("noop").mode("overwrite").save()
-    val plan = q.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    def broadcastJoins(q: org.apache.spark.sql.DataFrame): Int = {
+      q.write.format("noop").mode("overwrite").save()
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.size
     }
-    val bhj = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
-    }
-    // both the gram-overlap join and the final left-outer spine join
-    // must build on the (small) aggregated side
-    assert(bhj.size === 2, s"expected 2 broadcast joins, got:\n$plan")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val benchPred = org.apache.spark.sql.functions.col("doc_id") % 50 === 0
+    // the gram-overlap join (runs inside decontaminate's checkpoint) must
+    // build on the small DISTINCT bench gram side
+    assert(broadcastJoins(Dedup.sharedGramCounts(Dedup.shingleHashes(docs, 8), benchPred)) === 1)
+    // and the final left-outer spine join broadcasts the (small)
+    // contaminated-doc aggregate against the corpus spine
+    assert(broadcastJoins(Dedup.decontaminate(docs, benchPred)) === 1)
   }
 
   test("exact jaccard verification values are correct (B12)") {

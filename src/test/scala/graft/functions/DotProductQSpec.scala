@@ -46,6 +46,27 @@ class DotProductQSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("overflow throws like the ANSI HOF baseline, never wraps silently") {
+    // Long.MaxValue * 2 overflows the multiply; [maxL, maxL]·[1, 1]
+    // overflows the accumulate. Both paths must ERROR (ANSI semantics) —
+    // a wrapped value would be a silently wrong similarity.
+    val maxL = java.lang.Long.valueOf(Long.MaxValue)
+    val one = java.lang.Long.valueOf(1L)
+    val two = java.lang.Long.valueOf(2L)
+    for (input <- Seq((Seq(maxL), Seq(two)), (Seq(maxL, maxL), Seq(one, one)))) {
+      val df = Seq(input).toDF("a", "b")
+      val native = intercept[Exception](
+        df.select(Similarity.dotQ(col("a"), col("b"))).head())
+      val hof = intercept[Exception](
+        df.select(Similarity.dotQHof(col("a"), col("b"))).head())
+      def arithmetic(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(_.isInstanceOf[ArithmeticException])
+      assert(arithmetic(native), s"native threw non-arithmetic: $native")
+      assert(arithmetic(hof), s"hof threw non-arithmetic: $hof")
+    }
+  }
+
   test("whole-stage codegen stays enabled through dot_q (no fallback)") {
     val df = spark.range(4)
       .select(array(col("id"), col("id") + 1).as("a"), array(col("id") * 2, lit(1L)).as("b"))

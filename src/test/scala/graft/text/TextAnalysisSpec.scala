@@ -38,6 +38,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("oversized doc degrades to the -2 sentinel; job completes; normal rows unchanged") {
+    // one row past the MaxBigrams cap: the kernel must report Oversized
+    // instead of failing the stage — at 100 TB one poison row must not
+    // kill the job
+    val nToks = graft.functions.TopBigramCountImpl.MaxBigrams + 2
+    val poison = "a ".repeat(nToks - 1) + "a"
+    val diverse = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, poison), (2L, "x y x y x"), (3L, diverse)).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionOn(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getInt(6))).toMap
+    assert(rows(1L) === ((-2L, 0)))  // quarantined, not crashed
+    assert(rows(2L)._1 === 2L)       // normal rows score exactly as before
+    assert(rows(3L) === ((1L, 1)))
+  }
+
+  test("strict mode keeps the loud failure for fail-fast callers") {
+    val nToks = graft.functions.TopBigramCountImpl.MaxBigrams + 2
+    val poison = "a ".repeat(nToks - 1) + "a"
+    val df = Seq((1L, poison)).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      df.select(graft.functions.TopBigramCount.strict($"text")).collect())
+    def cause(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[IllegalArgumentException])
+    assert(cause(e), s"expected IllegalArgumentException in cause chain: $e")
+  }
+
   test("repetition production plan has no shuffle before the output sort") {
     // multi-partition input: single-partition plans elide exchanges and
     // would make the comparison vacuous
