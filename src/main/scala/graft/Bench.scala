@@ -57,7 +57,20 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // environment block: the round-2→3 drift saga (code-cache overflow,
+    // cache churn) showed the JVM/bench configuration is half the signal —
+    // record it so rounds can diff environment, not just numbers
+    val jvmFlags = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .filter(a => a.startsWith("-XX:") || a.startsWith("-Xm"))
+        .map(a => "\"" + a.replace("\"", "") + "\"")
+        .mkString("[", ",", "]")
+    }
+    val env = s"""{"jvm_flags":$jvmFlags,"java":"${sys.props.getOrElse("java.version", "?")}",""" +
+      s""""clear_cache":"between-queries-untimed","warmup":"sf0.001","timed_passes":2,""" +
+      s""""agg":"min-over-passes","master":"local[$cpus]","shuffle_partitions":$cpus}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }

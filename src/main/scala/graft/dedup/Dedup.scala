@@ -326,15 +326,23 @@ object Dedup {
     // the same shuffle that enumerates the vertices. Near-dup groups are
     // clique-like, so the seed usually IS the fixpoint and the loop only
     // confirms it — one iteration, not two.
+    //
+    // Every round CUTS LINEAGE (localCheckpoint, not cache): each
+    // iteration references the previous labels twice (neighbor-min join +
+    // right-outer spine), and with cache-only materialization the RDD
+    // lineage serialized into every task binary doubles per round — a
+    // 20-round chain graph reached 30+ MB task binaries before this
+    // switch. The checkpointed rows are |V|-bounded; superseded round
+    // checkpoints hold no CacheManager reference, so the ContextCleaner
+    // reclaims them as the loop drops them.
     var labels = sym.groupBy(col("u"))
-      .agg(least(col("u"), min(col("v"))).as("label")).cache()
-    var cached = labels // the frame actually registered in the cache manager
+      .agg(least(col("u"), min(col("v"))).as("label")).localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       // previous label rides along in `prev`, so change detection is a
-      // filter over this round's result — no second join against the old
-      // labels, one action per round
+      // cheap filter-count over this round's materialized result — no
+      // second join against the old labels
       val stepped = sym
         .join(labels.select(col("u").as("v"), col("label").as("vlabel")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlabel")).as("nlabel"))
@@ -342,10 +350,8 @@ object Dedup {
         .select(col("u"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("prev"))
-        .cache()
-      changed = stepped.filter(col("label") =!= col("prev")).count() // materializes
-      cached.unpersist()
-      cached = stepped
+        .localCheckpoint(true)
+      changed = stepped.filter(col("label") =!= col("prev")).count()
       labels = stepped.select(col("u"), col("label"))
       it += 1
     }
@@ -353,19 +359,93 @@ object Dedup {
     // several) — fail loudly instead of returning silently corrupt
     // cluster assignments
     if (changed > 0) {
-      cached.unpersist(); sym.unpersist()
+      sym.unpersist()
       sys.error(s"connectedComponents: not converged after $maxIter rounds " +
         s"($changed labels still changing) — graph diameter exceeds maxIter; " +
-        "raise maxIter for long-chain graphs")
+        "switch to connectedComponentsStar (O(log n) rounds) or raise maxIter")
     }
-    // hand back a lineage-cut copy and release every cache this function
-    // registered: callers can't unpersist frames they never saw, and a
-    // per-batch caller must not accumulate one cached RDD per call (the
-    // exact storage-churn failure mode the round-2 bench exposed)
+    // hand back a slim lineage-cut copy (drops the prev column) and
+    // release the one cache this function registered
     val out = labels.localCheckpoint(true)
-    cached.unpersist()
     sym.unpersist()
     out
+  }
+
+  /** Connected components by ALTERNATING large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the long-chain fallback for [[connectedComponents]]:
+    * min-label propagation is O(graph diameter) rounds, which a
+    * pathological chain-shaped graph turns into O(n); the star algorithm
+    * contracts the graph toward per-component stars in O(log n) rounds
+    * regardless of diameter.
+    *
+    * Round = large-star then small-star, each ONE aggregation + ONE join
+    * over the canonical edge list:
+    *  - large-star(x): every neighbor v > x links to m = min(Γ(x) ∪ x)
+    *  - small-star(x): every neighbor v < x (and x itself) links to
+    *    m = min of those neighbors
+    * The fixpoint is a disjoint union of stars rooted at each component's
+    * minimum vertex — the same (vertex, component-min) contract as
+    * [[connectedComponents]], verified equivalent in DedupSpec.
+    * Convergence is checked EXACTLY (edge-set equality via count +
+    * except, over the materialized per-round checkpoints), not via a
+    * fingerprint. Use when round-over-round change counts of the
+    * min-label loop stop shrinking geometrically — or from the start
+    * when the edge graph is not known to be clique-like. */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    starComponentsWithRounds(edges, maxIter)._1
+
+  private[dedup] def starComponentsWithRounds(edges: DataFrame,
+                                              maxIter: Int = 50): (DataFrame, Int) = {
+    // canonical undirected form: (u < v), deduplicated, self-loops dropped;
+    // materialized once (same reasoning as connectedComponents)
+    var e = edges
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var n = e.count()
+    var converged = false
+    var it = 0
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("u").as("x"), col("v").as("nbr"))
+        .union(cur.select(col("v").as("x"), col("u").as("nbr")))
+      val mins = sym.groupBy(col("x")).agg(min(col("nbr")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      // for v > x: edge (v, m); m = min(Γ⁺(x)) ≤ x < v, so (m, v) is canonical
+      sym.join(mins, Seq("x")).filter(col("nbr") > col("x"))
+        .select(col("m").as("u"), col("nbr").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      // orient toward the larger endpoint: x = v, smaller neighbors = u
+      val mins = cur.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val relink = cur.join(mins, Seq("v")).filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v")) // m < w by minimality
+      val self = mins.select(col("m").as("u"), col("v"))
+      relink.union(self).distinct()
+    }
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nNext = next.count()
+      // exact set equality: both sides are DISTINCT canonical edge sets,
+      // so equal counts + empty difference ⇔ identical
+      converged = nNext == n && next.except(e).isEmpty
+      e = next
+      n = nNext
+      it += 1
+    }
+    if (!converged)
+      sys.error(s"connectedComponentsStar: not converged after $maxIter rounds — " +
+        "raise maxIter (expected O(log n) rounds; this indicates a bug or an " +
+        "adversarial graph far beyond the iteration budget)")
+    // fixpoint = disjoint min-rooted stars: (root, member) edges. Members
+    // label as their root; roots label themselves.
+    val labels = e.select(col("v").as("u"), col("u").as("label"))
+      .union(e.select(col("u"), col("u").as("label")).distinct())
+      .distinct()
+    (labels, it)
   }
 
   /** B12: near-dup cluster assignment — the step that turns pairwise

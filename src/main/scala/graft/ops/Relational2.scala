@@ -188,7 +188,15 @@ object Relational2 {
     * rank — a global row_number window would serialize the corpus through
     * one partition; training readers consume shards independently in
     * (sort_key, doc_id) order, so a global position carries no
-    * information a (shard_id, shard_pos) pair doesn't. */
+    * information a (shard_id, shard_pos) pair doesn't.
+    *
+    * The shard id parses the first 8 md5 hex digits as an integer
+    * (`conv(_, 16, 10)` — DuckDB: `CAST('0x'||… AS BIGINT)`, both
+    * engine-portable) and takes it mod numShards: 2^32 uniform states,
+    * so residues are uniform for any practical shard count. (The
+    * previous `ascii(c1)*31+ascii(c2)` folding had only 256 reachable
+    * combinations with visibly non-uniform residues — balance is
+    * asserted in Relational2Spec.) */
   def globalShuffle(s: SparkSession, dir: String, seed: Int = 42,
                     numShards: Int = 8): DataFrame = {
     import s.implicits._
@@ -198,8 +206,8 @@ object Relational2 {
       .select($"doc_id",
         md5(concat(lit(s"$seed:"), $"doc_id".cast("string"))).as("sort_key"))
       .withColumn("shard_id",
-        pmod(ascii(substring($"sort_key", 1, 1)) * 31 +
-          ascii(substring($"sort_key", 2, 1)), lit(numShards)))
+        pmod(conv(substring($"sort_key", 1, 8), 16, 10).cast("long"),
+          lit(numShards.toLong)).cast("int"))
       .withColumn("shard_pos", row_number().over(w))
       .orderBy($"sort_key", $"doc_id")
   }
@@ -246,7 +254,7 @@ object Relational2 {
         FROM documents),
       sh AS (
         SELECT doc_id, sort_key,
-          CAST((ascii(substr(sort_key, 1, 1)) * 31 + ascii(substr(sort_key, 2, 1))) % 8 AS INT) AS shard_id
+          CAST(CAST(('0x' || substr(sort_key, 1, 8)) AS BIGINT) % 8 AS INT) AS shard_id
         FROM t)
       SELECT doc_id, sort_key, shard_id,
         CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY sort_key, doc_id) AS INT) AS shard_pos

@@ -143,6 +143,34 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("star CC: 10k-vertex path converges in O(log n) rounds (long-chain fallback)") {
+    // a path graph is the min-label worst case: diameter n-1 → O(n)
+    // rounds; the alternating star algorithm must close it in O(log n)
+    val n = 10000
+    val chain = spark.range(n - 1).select($"id".as("a"), ($"id" + 1).as("b"))
+    val (labels, rounds) = Dedup.starComponentsWithRounds(chain)
+    assert(rounds <= 30, s"expected O(log2($n))≈14 rounds plus constants, got $rounds")
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === n)
+    assert(out.forall(_._2 == 0L), "every vertex labels under the component minimum")
+  }
+
+  test("star CC == min-label CC on mixed components; min-label fails loudly on chains") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a", "b")
+    val star = Dedup.connectedComponentsStar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val minLabel = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star === minLabel)
+    // the contrast that motivates the fallback: a 60-vertex path exceeds a
+    // 20-round min-label budget (diameter 59) but star closes it easily
+    val path = spark.range(59).select($"id".as("a"), ($"id" + 1).as("b"))
+    intercept[RuntimeException](Dedup.connectedComponents(path, maxIter = 20))
+    val (starPath, starRounds) = Dedup.starComponentsWithRounds(path, maxIter = 20)
+    assert(starRounds < 20 && starPath.count() === 60L)
+  }
+
   test("dedup clusters group planted dups under the minimum doc_id (B12)") {
     val clustered = Dedup.dedupClustersQuery(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

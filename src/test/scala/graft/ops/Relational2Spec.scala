@@ -20,6 +20,28 @@ class Relational2Spec extends SparkSpec {
     assert(a.map(_.getLong(0)).toSeq !== a.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("globalShuffle: shard assignment is balanced (chi-square over residues)") {
+    // fixture-level: the 8 shard counts must look uniform
+    val counts = Relational2.globalShuffle(spark, sfDir).groupBy($"shard_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.size === 8, s"all shards populated: $counts")
+    val n = counts.values.sum.toDouble
+    val exp = n / 8
+    val chi2 = counts.values.map(c => (c - exp) * (c - exp) / exp).sum
+    assert(chi2 < 24.3, s"chi2=$chi2 over $counts") // χ²(7df) 99.9% quantile
+    // scale-level, same shard expression as globalShuffle: at n=100k the
+    // retired ascii(c1)*31+ascii(c2) folding (only 256 reachable combos,
+    // residue probs 34/31/32 per 256) lands at E[chi2]≈73 and would FAIL
+    // this bound; the 8-hex-digit parse stays at E[chi2]=7
+    val big = spark.range(100000)
+      .select(md5(concat(lit("42:"), $"id".cast("string"))).as("sk"))
+      .select(pmod(conv(substring($"sk", 1, 8), 16, 10).cast("long"), lit(8L)).as("shard"))
+      .groupBy($"shard").count().collect().map(_.getLong(1))
+    val bigExp = 100000.0 / 8
+    val bigChi2 = big.map(c => (c - bigExp) * (c - bigExp) / bigExp).sum
+    assert(big.length === 8 && bigChi2 < 24.3, s"chi2=$bigChi2")
+  }
+
   test("stratifiedSample: scan-side filter, no shuffle before the output sort (B15)") {
     val q = Relational2.stratifiedSample(spark, sfDir)
     // execute then unwrap the AQE leaf — a plain executedPlan collect()

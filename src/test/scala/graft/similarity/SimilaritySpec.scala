@@ -58,6 +58,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.count() <= 2)
   }
 
+  test("IVF recall vs nprobe: monotone improvement, boundary queries need multi-probe") {
+    // four axis clusters of 25 vectors each, plus three BRIDGE queries that
+    // sit between adjacent clusters — their true top-10 spans two cells, so
+    // nprobe=1 structurally caps recall and probing more cells must help
+    val corpus = for (axis <- 0 until 4; i <- 0 until 25) yield {
+      val v = (0 until 8).map(d =>
+        (if (d == axis) 1.0f else 0.0f) + (if (d == axis + 4) 0.002f * i else 0.0f))
+      ((axis * 100 + i).toLong, v)
+    }
+    val bridges = for (a <- 0 until 3) yield {
+      val v = (0 until 8).map(d =>
+        (if (d == a) 0.74f else 0.0f) + (if (d == a + 1) 0.70f else 0.0f))
+      ((1000 + a).toLong, v)
+    }
+    val df = (corpus ++ bridges).toDF("vec_id", "embedding")
+    val qp = col("vec_id") >= 1000
+    val bf = Similarity.bruteForceTopK(df, qp, k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(p: Int): Double = {
+      val ivf = Similarity.ivfTopK(df, qp, numCells = 4, nprobe = p, k = 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.intersect(bf).size.toDouble / bf.size
+    }
+    val curve = Seq(1, 2, 4).map(recall)
+    assert(curve.sliding(2).forall { case Seq(lo, hi) => lo <= hi + 1e-9 },
+      s"recall not monotone in nprobe: $curve")
+    assert(curve.last > curve.head, s"multi-probe never helped: $curve")
+    assert(curve.last >= 0.9, s"full probe should recover ≥90%: $curve")
+  }
+
   test("kMeans partitions separable clusters deterministically (B12)") {
     // identical vectors within each cluster (hash-chosen seeds can land
     // anywhere; identical members can never split across distinct
