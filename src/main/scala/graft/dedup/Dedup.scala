@@ -94,13 +94,20 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** The per-band bucket-hash array over a signature column — ONE
+    * definition shared by the batch [[lshBands]] and the streaming pair
+    * emitter ([[graft.streaming.Streaming.nearDupPairsStream]]) so the
+    * bucket keys can never drift between the two plans. */
+  private[graft] def bandHashArray(sig: Column, bands: Int = 16,
+                                   rowsPerBand: Int = 4): Column =
+    array((0 until bands).map(b =>
+      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
+
   /** LSH banding: signature → (band_idx, band_hash) rows; docs sharing any
     * band bucket are near-dup candidates. b bands of r rows: with b=16, r=4
     * the collision curve crosses ~50% at Jaccard ≈ (1/16)^(1/4) ≈ 0.5. */
   def lshBands(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    sigs.select(col("doc_id"), posexplode(
-        array((0 until bands).map(b =>
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+    sigs.select(col("doc_id"), posexplode(bandHashArray(col("sig"), bands, rowsPerBand)))
       .toDF("doc_id", "band_idx", "band_hash")
 
   /** Per-bucket size cap for the LSH candidate joins. A degenerate bucket

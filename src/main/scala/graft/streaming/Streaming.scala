@@ -97,6 +97,65 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** B10 × B12: streaming near-dup PAIR EMISSION — the streaming twin of
+    * the batch [[graft.dedup.Dedup.minHashNearDup]] plan, completing the
+    * B12 streaming story beyond suppression ([[sketchDedupStream]]):
+    * per-row [[graft.functions.MinHashSig]] signatures (scan-side,
+    * stateless), LSH band explode, and a band-bucket stream-stream
+    * SELF-join bounded by the watermark horizon. The (band_idx,
+    * band_hash) bucket is the equi key — identical to the batch
+    * candidate join (the hash array is literally shared via
+    * `Dedup.bandHashArray`) — and the two-sided time bound plus per-side
+    * watermarks let Spark evict join state instead of buffering the
+    * stream forever, exactly like [[clickAttribution]].
+    *
+    * Exact verification is PER-ROW array algebra: each side carries its
+    * distinct shingle-hash set through the join, so Jaccard is
+    * `|intersect| / |union|` computed on the matched row — no second
+    * join, no aggregation, and numerically identical to the batch
+    * `verifyJaccard` (both count distinct xxhash64 shingle hashes).
+    * A colliding pair fires in up to 16 bands → a final watermarked
+    * stateful dedup on (a, b) collapses them, mirroring the batch
+    * `distinct()`. Emitted pairs within the horizon match the batch
+    * pipeline's pairs on the same data (StreamingSpec). Expects
+    * (ts, doc_id, text) rows. */
+  def nearDupPairsStream(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                         horizon: String = "10 minutes"): DataFrame = {
+    val shset = expr(s"array_distinct(transform(sequence(1, size(toks) - ${k - 1}), " +
+      s"i -> xxhash64(array_join(slice(toks, i, $k), ' '))))")
+    val sigs = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= k)
+      .select(col("ts"), col("doc_id"), shset.as("shset"),
+        graft.functions.MinHashSig(col("text"), k, 64).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bands = sigs.select(col("ts"), col("doc_id"), col("shset"),
+        posexplode(graft.dedup.Dedup.bandHashArray(col("sig"))))
+      .toDF("ts", "doc_id", "shset", "band_idx", "band_hash")
+    val left = bands.select(col("ts").as("ts_a"), col("doc_id").as("a"),
+        col("shset").as("sh_a"), col("band_idx"), col("band_hash"))
+      .withWatermark("ts_a", horizon)
+    val right = bands.select(col("ts").as("ts_b"), col("doc_id").as("b"),
+        col("shset").as("sh_b"), col("band_idx").as("bi"), col("band_hash").as("bh"))
+      .withWatermark("ts_b", horizon)
+    val joined = left.join(right,
+      col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+        col("a") < col("b") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $horizon") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
+    // ts_a keeps its EVENT-TIME metadata through the projection, so the
+    // downstream stateful dedup rides the join's existing watermark —
+    // redefining a watermark between stateful operators is disallowed
+    val verified = joined.select(
+        col("ts_a"), col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    verified.dropDuplicatesWithinWatermark("a", "b")
+  }
+
   /** B10: native session windows (streaming twin of [[sessionsBatch]]). */
   def sessionWindowStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes")

@@ -58,6 +58,36 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Seq(1L, 3L))
   }
 
+  test("nearDupPairsStream emits the batch pipeline's verified pairs (B10xB12)") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 29).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val other = (100 to 130).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      Doc(t(0), 1L, base), Doc(t(1), 2L, nearDup),
+      Doc(t(2), 3L, other), Doc(t(3), 4L, base))
+    val input = MemoryStream[Doc](spark)
+    input.addData(docs)
+    val q = Streaming.nearDupPairsStream(input.toDF()).writeStream
+      .format("memory").queryName("neardup_pairs").outputMode("append").start()
+    q.processAllAvailable()
+    // a late doc advances the watermark past the horizon so all state flushes
+    input.addData(Seq(Doc(Timestamp.valueOf("2026-01-01 12:00:00"), 99L,
+      (200 to 230).map(i => s"z$i").mkString(" "))))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("neardup_pairs")
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the batch twin on the same docs (the late flush doc resembles nothing)
+    val batch = graft.dedup.Dedup.minHashNearDup(
+        (docs.map(d => (d.doc_id, d.text)) :+ ((99L, (200 to 230).map(i => s"z$i").mkString(" "))))
+          .toDF("doc_id", "text"), k = 3, threshold = 0.5)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.map(p => (p._1, p._2)).contains((1L, 4L))) // exact dup at jaccard 1.0
+    assert(streamed.map(p => (p._1, p._2)).contains((1L, 2L))) // near-dup
+  }
+
   test("session_window groups by inactivity gap (B10)") {
     val events = Seq(
       Evt(1, t(0), 1, "click", 1.0), Evt(2, t(10), 1, "click", 1.0),  // session A
