@@ -157,6 +157,28 @@ object Probe {
       runPipe("rowexpr_again", None)
       spark.catalog.clearCache()
     }
+    if (sys.env.contains("PROBE_B14")) {
+      // r3-verdict item: the four b14 queries drifted 0.4-1.6 s between
+      // driver benches with untouched code. A/B under the bench JVM:
+      // steady-state repeats vs clearCache-before-every-run (the bench's
+      // storage state), 5 reps each, min+median printed.
+      val qs = Seq("b14_multimodal_meta", "b14_multimodal_frames",
+        "b14_multimodal_features", "b14_udaf_weighted_avg")
+      def rep(tag: String, name: String, clear: Boolean): Unit = {
+        val fn = SparkEntry.queries(name)
+        val times = (1 to 5).map { _ =>
+          if (clear) spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sorted = times.sorted
+        println(f"B14 $tag $name min=${sorted.head}%.2f med=${sorted(2)}%.2f " +
+          s"all=${times.map(t => f"$t%.2f").mkString(",")}")
+      }
+      qs.foreach(n => rep("steady", n, clear = false))
+      qs.foreach(n => rep("cleared", n, clear = true))
+    }
     if (sys.env.contains("PROBE_MINHASH")) {
       val docs = Tables.documents(spark, dir)
       val sh = dedup.Dedup.shingles(docs, 3).cache()

@@ -293,6 +293,45 @@ object TextAnalysis {
   private def topNgramsQuery(s: SparkSession, dir: String): DataFrame =
     topNgrams(s, dir)
 
+  /** B13: winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS local document fingerprinting algorithm): hash every k-token
+    * gram, slide a w-gram window, select each window's MINIMUM hash; the
+    * distinct selected hashes are the document's fingerprint set. The
+    * winnowing guarantee: any shared token run of ≥ w+k−1 tokens between
+    * two documents shares at least one fingerprint, at ~2/(w+1) the
+    * storage of full shingling — the sampling contract that keeps
+    * corpus-scale overlap detection cheap.
+    *
+    * The gram hash is the ENGINE-PORTABLE md5-prefix integer (the same
+    * construction as globalShuffle's shard key), which makes this the
+    * DuckDB-oracle-checked fingerprint operator — the rolling-hash
+    * variant ([[fingerprints]], custom codegen expression) stays
+    * rows-only. Selection is the distinct window-min VALUES per document:
+    * the canonical rightmost-tie rule only affects which POSITION is
+    * recorded, so the fingerprint value set is identical. Plan shape: one
+    * explode + one doc-partitioned window + one distinct — everything
+    * keys on doc_id; no corpus-wide shuffle before the output sort. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k + w - 1) // at least one full window
+      .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("ng"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> array_join(slice(toks, i, $k), ' '))")))
+      .toDF("doc_id", "ng", "pos", "gram")
+      .select(col("doc_id"), col("ng"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams.withColumn("wmin", min(col("h")).over(win))
+      .filter(col("pos") <= col("ng") - w) // full w-gram windows only
+      .select(col("doc_id"), col("wmin").as("fingerprint")).distinct()
+      .orderBy(col("doc_id"), col("fingerprint"))
+  }
+
+  def winnowQuery(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(Tables.documents(s, dir))
+
   /** B13: corpus composition report — per (source, lang) document counts,
     * token volume, and share of the corpus (the mixture dashboard every
     * curation pipeline reports before training). One map-side-combinable
@@ -323,6 +362,7 @@ object TextAnalysis {
     "b13_quality_score" -> (qualityScore _),
     "b13_language_id" -> (languageId _),
     "b13_fingerprint" -> (fingerprints _),
+    "b13_winnow_fingerprint" -> (winnowQuery _),
     "b13_tfidf_top_terms" -> (tfidfTopTerms _),
     "b13_chunking" -> (chunkDocs _),
     "b13_pii_redact" -> (piiRedact _),
@@ -332,6 +372,24 @@ object TextAnalysis {
     s"CAST(len(regexp_extract_all(text, '$pat')) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // k=4, w=4: grams are toks[i : i+3] (DuckDB inclusive slice = 4
+    // tokens); ng = len-3; full windows need pos <= ng-4; the hash is the
+    // engine-portable md5-prefix integer, identical on both engines
+    "b13_winnow_fingerprint" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 7),
+      g AS (
+        SELECT doc_id, len(toks) - 3 AS ng, i - 1 AS pos,
+          CAST(('0x' || substr(md5(array_to_string(toks[i : i + 3], ' ')), 1, 8)) AS BIGINT) AS h
+        FROM d, UNNEST(range(1, len(toks) - 2)) AS r(i)),
+      wm AS (
+        SELECT doc_id, ng, pos,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM g)
+      SELECT DISTINCT doc_id, wmin AS fingerprint FROM wm
+      WHERE pos <= ng - 4 ORDER BY doc_id, fingerprint""",
     "b13_corpus_mix" -> """
       WITH d AS (
         SELECT source, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_toks

@@ -65,6 +65,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cause(e), s"expected IllegalArgumentException in cause chain: $e")
   }
 
+  test("winnowing: shared ≥w+k−1 run shares a fingerprint; set is sampled, not full") {
+    // k=4, w=4 → the guarantee horizon is 7 tokens: a shared 7-token run
+    // contains one full window of 4 grams, whose min both docs select
+    val shared = (1 to 7).map(i => s"s$i").mkString(" ")
+    val d1 = s"prefix one two three $shared tail alpha beta"
+    val d2 = s"other words entirely unrelated $shared differing suffix here"
+    val d3 = (100 to 140).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.winnowFingerprints(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty, "winnowing guarantee violated")
+    assert(byDoc(1L).intersect(byDoc(3L)).isEmpty, "unrelated docs must not collide")
+    // density: winnowing samples ~2/(w+1) of grams — far fewer than full
+    // shingling (doc 3 has 41-3=38 grams)
+    assert(byDoc(3L).size < 38 / 2, s"fingerprints not sampled: ${byDoc(3L).size}")
+    // short docs (< k+w-1 tokens) have no full window → excluded entirely
+    val short = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowFingerprints(short).count() === 0L)
+  }
+
   test("repetition production plan has no shuffle before the output sort") {
     // multi-partition input: single-partition plans elide exchanges and
     // would make the comparison vacuous
