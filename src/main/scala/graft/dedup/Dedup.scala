@@ -130,9 +130,13 @@ object Dedup {
     * corpus linear at 100 TB. */
   def candidatePairs(bandsDf: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     // one count+min aggregate per bucket, joined back on the bucket key
-    // (co-partitioned with the candidate join's own shuffle key)
+    // (co-partitioned with the candidate join's own shuffle key). The
+    // stats frame is tiny (one row per occupied bucket) but feeds THREE
+    // plan branches (two self-join sides + the star branch) — checkpoint
+    // it so the aggregate runs once, not per branch
     val stats = bandsDf.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+      .localCheckpoint(true)
     val keyed = bandsDf.join(stats, Seq("band_idx", "band_hash"))
     val small = keyed.filter(col("bsz") <= maxBucket)
     val allPairs = small.select(col("doc_id").as("a"), col("band_idx"), col("band_hash"))
@@ -264,6 +268,7 @@ object Dedup {
     val stats = chunks.groupBy(col("ci"), col("cv"))
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"),
         min_by(col("simhash"), col("doc_id")).as("bsim"))
+      .localCheckpoint(true) // tiny; feeds three plan branches — run once
     val keyed = chunks.join(stats, Seq("ci", "cv"))
     val small = keyed.filter(col("bsz") <= maxBucket)
     val allPairs = small
