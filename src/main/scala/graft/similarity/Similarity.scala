@@ -92,9 +92,14 @@ object Similarity {
         cosinePre(col("qq"), col("qv"), col("qnorm"), col("vnorm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    joined.withColumn("rn", row_number().over(w))
+    // checkpoint the (|queries|×k)-row result and release the corpus
+    // cache this function registered — per-call hygiene, same pattern as
+    // minHashNearDup
+    val top = joined.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .orderBy(col("query_id"), col("rn"))
+      .localCheckpoint(true)
+    e.unpersist()
+    top.orderBy(col("query_id"), col("rn"))
   }
 
   def annTopKQuery(s: SparkSession, dir: String): DataFrame =
@@ -133,10 +138,14 @@ object Similarity {
       .cache()
     val a = e.toDF("a", "qa", "bucket", "na")
     val b = e.toDF("b", "qb", "bucket", "nb")
-    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+    // post-threshold pair set is the (small) output — checkpoint it and
+    // release the bucketed-corpus cache (per-call hygiene)
+    val pairs = a.join(b, Seq("bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), cosinePre(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
-      .orderBy(col("a"), col("b"))
+      .localCheckpoint(true)
+    e.unpersist()
+    pairs.orderBy(col("a"), col("b"))
   }
 
   def lshQuery(s: SparkSession, dir: String): DataFrame =
@@ -185,12 +194,41 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         cosinePre(col("qq"), col("q"), col("qnorm"), col("norm")).as("cosine"))
     val tw = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    cand.withColumn("rn", row_number().over(tw)).filter(col("rn") <= k)
-      .orderBy(col("query_id"), col("rn"))
+    // (|queries|×k)-row result: checkpoint, then release the corpus cache
+    val top = cand.withColumn("rn", row_number().over(tw)).filter(col("rn") <= k)
+      .localCheckpoint(true)
+    e.unpersist()
+    top.orderBy(col("query_id"), col("rn"))
   }
 
   def ivfQuery(s: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+
+  /** B12: embedding-cosine near-dup CLUSTERS — the embedding-space
+    * counterpart of `Dedup.dedupClustersAtScale`, completing the near-dup
+    * family across both representations (token shingles AND embeddings):
+    * candidate pairs from sign-LSH buckets ([[lshNearNeighbors]]), exact
+    * quantized-cosine verification at `minCosine`, min-label connected
+    * components over the verified edges, component-minimum as the
+    * canonical representative. Cost is LSH-candidate-bounded — never an
+    * all-pairs product — and recall is bucket-collision-bounded exactly
+    * like the MinHash path; every emitted edge is exact-verified.
+    * Production threshold ≈0.9-0.95 (semantic duplicates); the driver
+    * query runs 0.35 because the synthetic embeddings corpus has no
+    * planted near-dups (max pairwise cosine ≈0.51 at sf0.01).
+    * Rows-only under the driver gate (sign-LSH planes are engine
+    * hashes); clustering semantics pinned in SimilaritySpec. */
+  def embedNearDupClusters(embeddings: DataFrame, numPlanes: Int = 8,
+                           minCosine: Double = 0.95): DataFrame = {
+    val edges = lshNearNeighbors(embeddings, numPlanes, minCosine)
+      .select(col("a"), col("b"))
+    graft.dedup.Dedup.connectedComponents(edges)
+      .select(col("u").as("vec_id"), col("label").as("cluster_rep"))
+      .orderBy(col("vec_id"))
+  }
+
+  def embedNearDupQuery(s: SparkSession, dir: String): DataFrame =
+    embedNearDupClusters(Tables.embeddings(s, dir), minCosine = 0.35)
 
   /** B12: per-label embedding centroids — the aggregate behind k-means
     * assignment refresh, cluster summarization, and class prototypes.
@@ -288,6 +326,7 @@ object Similarity {
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b12_embed_neardup" -> (embedNearDupQuery _),
     "b12_kmeans" -> (kMeansQuery _),
     "b12_centroids" -> (labelCentroids _),
     "b12_cosine_pairs" -> (cosinePairs _),

@@ -90,6 +90,17 @@ class SimilaritySpec extends SparkSpec {
     assert(curve.last >= 0.9, s"full probe should recover ≥90%: $curve")
   }
 
+  test("embedNearDupClusters groups planted near-identical vectors under the min id (B12)") {
+    // 0,1,2 near-identical (cosine ≈1); 10,11 identical on another axis;
+    // 99 alone — no edge, absent from the output (same contract as the
+    // token-shingle cluster path)
+    val out = Similarity.embedNearDupClusters(embeddings, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(0L) === 0L && out(1L) === 0L && out(2L) === 0L)
+    assert(out(10L) === 10L && out(11L) === 10L)
+    assert(!out.contains(99L))
+  }
+
   test("kMeans partitions separable clusters deterministically (B12)") {
     // identical vectors within each cluster (hash-chosen seeds can land
     // anywhere; identical members can never split across distinct
