@@ -214,7 +214,51 @@ object WorkflowQueries {
     closure.cache().orderBy($"node", $"depth")
   }
 
+  /** w07: PageRank over the `skos:broader` graph — which broad concepts
+    * accumulate the most authority from their narrower descendants (the
+    * vocabulary-importance ranking a SKOS consumer reports). Iterative
+    * Lloyd-style fixpoint like k-means/CC, and like them built for the
+    * cluster: per-iteration work is one equi-join + one map-side-
+    * combinable sum, ranks localCheckpoint per round (lineage cut), the
+    * edge list cached once and released.
+    *
+    * Cross-engine EXACT: ranks live in integer nano-units (r₀ = 1e9);
+    * each contribution is `(r * 85) div (100 * outdeg)` — integer
+    * truncating division, identical in Spark (`div`) and DuckDB (`//`)
+    * on positive values — and the damping base is the integer 0.15e9.
+    * Long sums are shuffle-order-independent, so a FIXED iteration count
+    * (3) makes the whole ranking hash-comparable against an UNROLLED
+    * 3-CTE DuckDB oracle — the iterative-algorithm determinism story
+    * (kMeans is bit-stable but not SQL-expressible; this one is both).
+    * Nano-unit headroom: a node's rank is bounded by total mass
+    * n×1e9 < 2^63 up to ~9e9 vertices; switch to micro-units beyond. */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val edges = broaderEdges(s, dir).select($"node".as("u"), $"ancestor".as("v")).cache()
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select($"u".as("node")).union(edges.select($"v".as("node")))
+      .distinct().localCheckpoint(true)
+    var ranks = nodes.select($"node", lit(1000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(deg, "u")
+        .join(ranks.toDF("u", "r"), "u")
+        .select($"v".as("node"), expr("(r * 85) div (100 * outdeg)").as("c"))
+        .groupBy($"node").agg(sum($"c").as("sc"))
+      ranks = nodes.join(contrib, Seq("node"), "left_outer")
+        .select($"node", (lit(150000000L) + coalesce($"sc", lit(0L))).as("r"))
+        .localCheckpoint(true) // per-iteration lineage cut, as in kMeans/CC
+    }
+    edges.unpersist()
+    ranks.select($"node", $"r".as("pagerank_nano"),
+        ($"r".cast("double") / 1e9).as("pagerank"))
+      .orderBy($"node")
+  }
+
+  private def pageRankQuery(s: SparkSession, dir: String): DataFrame =
+    pageRank(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w07_pagerank" -> (pageRankQuery _),
     "w01_translation_funnel" -> (translationFunnel _),
     "w02_reviewer_leaderboard" -> (reviewerLeaderboard _),
     "w03_appeal_aging" -> (appealAging _),
@@ -255,6 +299,31 @@ object WorkflowQueries {
   """
 
   val oracles: Map[String, String] = Map(
+    // 3 PageRank iterations UNROLLED as chained CTEs; integer nano-unit
+    // arithmetic — (r*85)//(100*outdeg) is truncating division on
+    // positives in both engines, so the hash must match exactly
+    "w07_pagerank" -> """
+      WITH e AS (SELECT doc_id AS u, doc_id // 2 AS v FROM documents WHERE doc_id >= 2),
+      deg AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+      nodes AS (SELECT DISTINCT x AS node FROM (SELECT u AS x FROM e UNION SELECT v FROM e)),
+      r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+      i1 AS (SELECT n.node,
+               CAST(150000000 + COALESCE(SUM((p.r * 85) // (100 * d.outdeg)), 0) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN e ON e.v = n.node
+               LEFT JOIN r0 p ON p.node = e.u LEFT JOIN deg d ON d.u = e.u
+             GROUP BY n.node),
+      i2 AS (SELECT n.node,
+               CAST(150000000 + COALESCE(SUM((p.r * 85) // (100 * d.outdeg)), 0) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN e ON e.v = n.node
+               LEFT JOIN i1 p ON p.node = e.u LEFT JOIN deg d ON d.u = e.u
+             GROUP BY n.node),
+      i3 AS (SELECT n.node,
+               CAST(150000000 + COALESCE(SUM((p.r * 85) // (100 * d.outdeg)), 0) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN e ON e.v = n.node
+               LEFT JOIN i2 p ON p.node = e.u LEFT JOIN deg d ON d.u = e.u
+             GROUP BY n.node)
+      SELECT node, r AS pagerank_nano, CAST(r AS DOUBLE) / 1e9 AS pagerank
+      FROM i3 ORDER BY node""",
     "w01_translation_funnel" -> s"""$TFIX
       SELECT language, status, n, lang_total,
              CAST(n AS DOUBLE) / CAST(lang_total AS DOUBLE) AS share

@@ -171,6 +171,27 @@ class DedupSpec extends SparkSpec {
     assert(starRounds < 20 && starPath.count() === 60L)
   }
 
+  test("property: star CC == min-label CC on random graphs") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    // random sparse graphs over ≤12 vertices: enough to hit multi-edge,
+    // self-loop-free cycles, disconnected pieces, and chains
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 11L); b <- Gen.chooseNum(0L, 11L) if a != b
+    } yield (a, b)
+    val graphGen = Gen.chooseNum(1, 14).flatMap(n => Gen.listOfN(n, edgeGen))
+    val prop = Prop.forAll(graphGen) { edges: List[(Long, Long)] =>
+      val df = edges.toDF("a", "b")
+      val star = Dedup.connectedComponentsStar(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val minLabel = Dedup.connectedComponents(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      star == minLabel
+    }
+    val res = scCheck(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dedup clusters group planted dups under the minimum doc_id (B12)") {
     val clustered = Dedup.dedupClustersQuery(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
