@@ -549,11 +549,80 @@ object Dedup {
   def decontaminateQuery(s: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(s, dir), col("doc_id") % 50 === 0)
 
+  // ------------------------------------------------- duplicate spans (B11)
+
+  /** B11: cross-document duplicate SPAN extraction — the substring-level
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022), re-expressed for Spark: instead of a
+    * corpus suffix array (inherently sequential to build), hash every
+    * k-token gram WITH its position, keep grams whose document frequency
+    * is ≥2 (they appear verbatim in another document), and merge each
+    * document's hit positions into maximal spans via gaps-and-islands.
+    * Every token inside a reported span is covered by at least one
+    * cross-document-duplicated k-gram (islands break when the next hit
+    * starts more than k after the previous — coverage never has holes),
+    * so the span is safe to clip/mask in a curation pass.
+    *
+    * Scale shape: gram df is one map-side-combinable aggregate over
+    * 8-byte hashes; the duplicated-gram set joins hit positions back
+    * (each position matches at most once — NO pairwise doc×doc work
+    * anywhere, unlike the verify step of near-dup detection); the
+    * island merge is a doc-partitioned window. Cost is linear in corpus
+    * tokens + one equi-join, the reason gram-based span dedup (this, or
+    * a Bloom variant) is what production pipelines actually run at
+    * 100 TB where suffix arrays don't shard.
+    *
+    * `maxDf` drops ultra-frequent grams (boilerplate/idiom) — the
+    * stop-gram cut that keeps precision on real corpora and keeps the
+    * duplicated-gram set broadcastable. The gram hash is the
+    * engine-portable md5-prefix integer at 48 BITS (12 hex digits, not
+    * the 32-bit shard-key construction): df≥2 detection is collision-
+    * SENSITIVE — at 10⁶–10⁷ corpus grams a 32-bit hash would plant
+    * thousands of birthday false positives, while 48 bits keeps the
+    * expectation ≪1 at oracle scale (and the hash is still identical in
+    * both engines, so the gate compares exactly). */
+  def dupSpans(docs: DataFrame, k: Int = 8, maxDf: Int = 50): DataFrame = {
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> array_join(slice(toks, i, $k), ' '))")))
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long").as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("h"))
+    val hits = grams.join(dup, "h").select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = hits
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("ni", when(col("prev").isNull || col("pos") > col("prev") + k, 1)
+        .otherwise(0))
+      .withColumn("island", sum(col("ni")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start").cast("long"),
+        col("span_end").cast("long"),
+        (col("span_end") - col("span_start")).cast("long").as("span_tokens"),
+        col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  def dupSpansQuery(s: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables.documents(s, dir))
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_decontaminate" -> (decontaminateQuery _),
     "b11_dedup_exact" -> (exactDedup _),
+    "b11_dup_spans" -> (dupSpansQuery _),
     "b12_minhash_lsh" -> (minHashQuery _),
     "b12_simhash" -> (simHashQuery _),
     "b12_ngram_jaccard" -> (ngramJaccardQuery _),
@@ -580,6 +649,30 @@ object Dedup {
     "b11_dedup_exact" -> """
       SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    // k=8, maxDf=50; grams are toks[i : i+7] (DuckDB inclusive slice = 8
+    // tokens); the hash is the engine-portable 48-bit md5-prefix integer
+    // (12 hex digits — df>=2 detection is collision-sensitive, so wider
+    // than the 32-bit shard-key construction); islands break when the
+    // next hit position exceeds prev + k
+    "b11_dup_spans" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      g AS (SELECT doc_id, i - 1 AS pos,
+              CAST(('0x' || substr(md5(array_to_string(toks[i : i + 7], ' ')), 1, 12)) AS BIGINT) AS h
+            FROM d, UNNEST(range(1, len(toks) - 6)) AS r(i)),
+      dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50),
+      hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+      isl AS (SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                    THEN 1 ELSE 0 END AS ni
+              FROM hits),
+      num AS (SELECT doc_id, pos,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl)
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
+             MAX(pos) + 8 - MIN(pos) AS span_tokens, COUNT(*) AS n_grams
+      FROM num GROUP BY doc_id, island ORDER BY doc_id, span_start""",
     "b12_ngram_jaccard" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
                  WHERE len(string_split(text, ' ')) >= 2),

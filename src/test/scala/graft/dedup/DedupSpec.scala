@@ -171,6 +171,38 @@ class DedupSpec extends SparkSpec {
     assert(starRounds < 20 && starPath.count() === 60L)
   }
 
+  test("dupSpans merges planted cross-doc duplicated grams into maximal spans (B11)") {
+    // docs 10/11 share a verbatim 12-token run mid-document; doc 12 is
+    // unrelated; doc 13 repeats a gram only WITHIN itself (df=1 → no span)
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val d = Seq(
+      (10L, s"alpha beta gamma $shared tail10a tail10b tail10c tail10d"),
+      (11L, s"lead11a lead11b lead11c lead11d lead11e $shared end11"),
+      (12L, (1 to 20).map(i => s"only12x$i").mkString(" ")),
+      (13L, (Seq.fill(2)((1 to 8).map(i => s"self$i")).flatten ++
+        (1 to 8).map(i => s"pad$i")).mkString(" "))).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(d, k = 8, maxDf = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the shared run is 12 tokens: 5 duplicated 8-grams starting at the
+    // run offset, merged into ONE span of exactly the run's extent
+    assert(spans.count(_._1 == 10L) === 1)
+    assert(spans.count(_._1 == 11L) === 1)
+    val s10 = spans.find(_._1 == 10L).get
+    assert(s10._2 === 3L && s10._3 === 15L && s10._4 === 12L)
+    val s11 = spans.find(_._1 == 11L).get
+    assert(s11._2 === 5L && s11._3 === 17L && s11._4 === 12L)
+    // unrelated and intra-doc-only repetition produce no spans
+    assert(!spans.exists(s => s._1 == 12L || s._1 == 13L))
+  }
+
+  test("dupSpans df-cap drops boilerplate grams shared by too many docs (B11)") {
+    // the same 8-token boilerplate in 6 docs; maxDf=4 must suppress it
+    val boiler = (1 to 8).map(i => s"bp$i").mkString(" ")
+    val d = (1L to 6L).map(i => (i, s"u${i}a u${i}b $boiler u${i}c")).toDF("doc_id", "text")
+    assert(Dedup.dupSpans(d, k = 8, maxDf = 4).count() === 0L)
+    assert(Dedup.dupSpans(d, k = 8, maxDf = 10).count() === 6L)
+  }
+
   test("property: star CC == min-label CC on random graphs") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check => scCheck, Parameters}
