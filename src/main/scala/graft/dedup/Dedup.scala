@@ -549,6 +549,57 @@ object Dedup {
   def decontaminateQuery(s: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(s, dir), col("doc_id") % 50 === 0)
 
+  /** B12: Bloom-filter decontamination — the shape that survives when the
+    * held-out set itself is too big to broadcast as grams. [[decontaminate]]
+    * equi-joins the train gram stream against the bench gram SET (fine while
+    * AQE can broadcast it; a 10M-gram eval suite is ~hundreds of MB as
+    * strings). Here the bench set is folded into an m-bit Bloom filter
+    * materialized as a ≤⌈m/63⌉-row `(w, bits)` word table (63 payload bits per signed-long word — bit 63 is unusable cross-engine: DuckDB range-checks `1::BIGINT << 63`) via `bit_or`
+    * aggregation — CONSTANT size regardless of eval-set cardinality — and
+    * membership is two broadcast-joins + bit tests on the scan side: the
+    * 100 TB train side never shuffles on gram; the only exchange is the
+    * final map-side-combinable per-doc count. One-sided error: a gram in
+    * the bench set ALWAYS tests positive (no false negatives — nothing
+    * contaminated slips through), false-positive rate ~(1-e^(-hn/m))^h.
+    *
+    * Both hash probes are salted engine-portable 48-bit md5-prefix
+    * integers, and the word/bit decomposition is plain integer arithmetic,
+    * so the whole filter — build AND probe — replays exactly in ANSI SQL:
+    * the operator is oracle-checked end-to-end, FP set included. */
+  def bloomDecontaminate(docs: DataFrame, benchPred: Column, k: Int = 8,
+      mBits: Int = 65536): DataFrame = {
+    def probe(salt: String): Column =
+      conv(substring(md5(concat(lit(salt), col("gram"))), 1, 12), 16, 10)
+        .cast("long") % mBits
+    val bench = shingles(docs.filter(benchPred), k)
+      .select(col("shingle").as("gram")).distinct()
+    val bloom = bench
+      .select(explode(array(probe("a"), probe("b"))).as("p"))
+      .select(expr("p div 63").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("mask"))
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+    val train = shingles(docs.filter(!benchPred), k)
+      .select(col("doc_id"), col("shingle").as("gram"))
+      .select(col("doc_id"), probe("a").as("p1"), probe("b").as("p2"))
+    // inner joins only DROP grams whose word has no bench bits — exactly
+    // the not-positive outcome; the left-join spine below restores docs
+    // with zero positives
+    val hits = train
+      .join(broadcast(bloom.as("b1")), expr("b1.w = p1 div 63"))
+      .join(broadcast(bloom.as("b2")), expr("b2.w = p2 div 63"))
+      .filter(expr("(b1.bits & shiftleft(CAST(1 AS BIGINT), CAST(p1 % 63 AS INT))) <> 0") &&
+        expr("(b2.bits & shiftleft(CAST(1 AS BIGINT), CAST(p2 % 63 AS INT))) <> 0"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom_grams"))
+    docs.filter(!benchPred).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_bloom_grams"))
+      .withColumn("maybe_contaminated", when(col("n_bloom_grams") > 0, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
+  def bloomDecontaminateQuery(s: SparkSession, dir: String): DataFrame =
+    bloomDecontaminate(Tables.documents(s, dir), col("doc_id") % 50 === 0)
+
   // ------------------------------------------------- duplicate spans (B11)
 
   /** B11: cross-document duplicate SPAN extraction — the substring-level
@@ -621,6 +672,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_decontaminate" -> (decontaminateQuery _),
+    "b12_bloom_decontaminate" -> (bloomDecontaminateQuery _),
     "b11_dedup_exact" -> (exactDedup _),
     "b11_dup_spans" -> (dupSpansQuery _),
     "b12_minhash_lsh" -> (minHashQuery _),
@@ -649,6 +701,35 @@ object Dedup {
     "b11_dedup_exact" -> """
       SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    // the Bloom build AND probe replay in SQL: two salted 48-bit
+    // md5-prefix probes mod 2^16, word = p//63, mask = 1<<(p%63) — 63 bits per word because DuckDB range-checks 1<<63,
+    // bit_or-aggregated word table, membership = both bits set — the FP
+    // set is part of the hash-checked contract, not noise
+    "b12_bloom_decontaminate" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      g AS (SELECT DISTINCT doc_id, array_to_string(toks[i : i + 7], ' ') AS gram
+            FROM d, UNNEST(range(1, len(toks) - 6)) AS r(i)),
+      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      bp AS (SELECT u.p FROM bench, UNNEST([
+               CAST(('0x' || substr(md5('a' || gram), 1, 12)) AS BIGINT) % 65536,
+               CAST(('0x' || substr(md5('b' || gram), 1, 12)) AS BIGINT) % 65536]) AS u(p)),
+      bloom AS (SELECT p // 63 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+                FROM bp GROUP BY 1),
+      tg AS (SELECT doc_id,
+               CAST(('0x' || substr(md5('a' || gram), 1, 12)) AS BIGINT) % 65536 AS p1,
+               CAST(('0x' || substr(md5('b' || gram), 1, 12)) AS BIGINT) % 65536 AS p2
+             FROM g WHERE doc_id % 50 <> 0),
+      hit AS (SELECT doc_id, COUNT(*) AS n
+              FROM tg JOIN bloom b1 ON b1.w = p1 // 63
+                      JOIN bloom b2 ON b2.w = p2 // 63
+              WHERE (b1.bits & (CAST(1 AS BIGINT) << CAST(p1 % 63 AS INT))) <> 0
+                AND (b2.bits & (CAST(1 AS BIGINT) << CAST(p2 % 63 AS INT))) <> 0
+              GROUP BY doc_id)
+      SELECT t.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bloom_grams,
+             CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS maybe_contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) t
+      LEFT JOIN hit h USING (doc_id) ORDER BY doc_id""",
     // k=8, maxDf=50; grams are toks[i : i+7] (DuckDB inclusive slice = 8
     // tokens); the hash is the engine-portable 48-bit md5-prefix integer
     // (12 hex digits — df>=2 detection is collision-sensitive, so wider

@@ -171,6 +171,43 @@ class DedupSpec extends SparkSpec {
     assert(starRounds < 20 && starPath.count() === 60L)
   }
 
+  test("bloom decontamination: one-sided error vs the exact gram join (B12)") {
+    val d = graft.Tables.documents(spark, sfDir)
+    val pred = org.apache.spark.sql.functions.col("doc_id") % 50 === 0
+    val exact = Dedup.decontaminate(d, pred).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val bloom = Dedup.bloomDecontaminate(d, pred).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(bloom.length === exact.size) // same train-doc spine
+    bloom.foreach { case (id, n, flag) =>
+      val (nExact, fExact) = exact(id)
+      // NO false negatives: every exactly-shared gram tests positive,
+      // so bloom counts and flags dominate the exact ones
+      assert(n >= nExact, s"doc $id: bloom $n < exact $nExact")
+      assert(flag >= fExact, s"doc $id: bloom flag dropped an exact hit")
+    }
+  }
+
+  test("bloom decontamination plan: word table broadcast both probes, big side never shuffled on gram") {
+    val d = graft.Tables.documents(spark, sfDir)
+    val pred = org.apache.spark.sql.functions.col("doc_id") % 50 === 0
+    val q = Dedup.bloomDecontaminate(d, pred)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 2, s"expected both bloom probes as broadcast joins, got ${bhj.size}")
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    // the only sort-merge join allowed is the left-outer doc spine
+    assert(smj.size <= 1, s"train gram stream leaked into a shuffle join: ${smj.size}")
+  }
+
   test("dupSpans merges planted cross-doc duplicated grams into maximal spans (B11)") {
     // docs 10/11 share a verbatim 12-token run mid-document; doc 12 is
     // unrelated; doc 13 repeats a gram only WITHIN itself (df=1 → no span)
