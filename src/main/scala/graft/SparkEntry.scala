@@ -25,6 +25,7 @@ object SparkEntry {
       (ops.Relational2.queries, ops.Relational2.oracles),
       (plans.AsOfJoin.queries, plans.AsOfJoin.oracles),
       (ops.WorkflowQueries.queries, ops.WorkflowQueries.oracles),
+      (ops.EventAnalytics.queries, ops.EventAnalytics.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -600,6 +600,45 @@ object Dedup {
   def bloomDecontaminateQuery(s: SparkSession, dir: String): DataFrame =
     bloomDecontaminate(Tables.documents(s, dir), col("doc_id") % 50 === 0)
 
+  // ---------------------------------------------- entity resolution (B11)
+
+  /** B11: blocked fuzzy entity matching (record linkage): candidate pairs
+    * come from an equi-join on a cheap BLOCKING key (here the head noun of
+    * the part name), then survive an edit-distance verification — the
+    * classic two-phase ER shape that replaces the O(n²) all-pairs string
+    * comparison with Σ(block²) work. Over-full blocks (a degenerate
+    * blocking key — the ER twin of the LSH hot bucket, see [[MaxBucket]])
+    * are SKIPPED, not joined: a key shared by thousands of records carries
+    * no discriminating signal, which is precisely why production linkage
+    * pipelines drop stop-words from blocking keys. Levenshtein is a
+    * built-in codegen'd expression in BOTH engines (classic unit-cost edit
+    * distance), so the verified pair set is oracle-checked exactly. */
+  def entityMatch(records: DataFrame, maxDist: Int = 4,
+      maxBlock: Int = 256): DataFrame = {
+    val keyed = records.select(col("id"), col("name"),
+      element_at(split(col("name"), " "), -1).as("block"))
+    val ok = keyed.groupBy(col("block"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBlock)
+      .select(col("block"))
+    val inBlock = keyed.join(ok, "block")
+    inBlock.select(col("block"), col("id").as("a"), col("name").as("name_a"))
+      .join(inBlock.select(col("block"), col("id").as("b"), col("name").as("name_b")),
+        Seq("block"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("block"), col("name_a"), col("name_b"),
+        col("dist").cast("long"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  def entityMatchQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    entityMatch(Tables.part(s, dir)
+      .select($"p_partkey".cast("long").as("id"), $"p_name".as("name")))
+  }
+
   // ------------------------------------------------- duplicate spans (B11)
 
   /** B11: cross-document duplicate SPAN extraction — the substring-level

@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the `events` stream table — the
+  * funnel / path / retention queries every event-analytics engine ships
+  * (batch formulations; the streaming twins of this table's windowed
+  * aggregations live in [[graft.streaming.Streaming]]).
+  *
+  * Scale notes (100 TB of events): every operator here keys its shuffles
+  * on `user_id` — funnel steps are per-user conditional-min aggregates
+  * chained by equi-joins on user_id (co-partitioned after the first
+  * shuffle, and AQE broadcasts the shrinking survivor set long before
+  * step k), transitions are one per-user ordered window + a
+  * map-side-combinable count over a `|types|²`-row result, retention is
+  * two user-keyed aggregates. No global windows, no driver-side state.
+  *
+  * All three are ANSI-expressible end-to-end, so unlike most event
+  * engines the results here are DuckDB-oracle hash-checked. `events.ts`
+  * is parquet TIMESTAMP(NANOS): Spark reads it ns→us truncated (see
+  * [[graft.Tables.events]]), so every oracle comparison CASTs to
+  * microsecond TIMESTAMP before comparing/ordering — the same truncation,
+  * applied at the same points.
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel analysis: for each funnel step k>1, a user counts iff
+    * they performed step k STRICTLY AFTER their earliest qualifying time
+    * for step k−1 (the earliest-qualifying-chain semantics: t₁ = min ts
+    * of step 1, tₖ = min ts of step k with ts > tₖ₋₁). Per step: one
+    * filter + one per-user min + one user_id equi-join against the
+    * previous survivor set. Each survivor frame is eagerly
+    * localCheckpoint'd — it feeds both the next step's join and its own
+    * count branch, and without the cut step k would re-execute steps
+    * 1..k−1 once per downstream branch. */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    var survivors: DataFrame = null
+    val counts = steps.zipWithIndex.map { case (st, i) =>
+      survivors = (if (i == 0)
+        events.filter(col("event_type") === st)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      else
+        events.filter(col("event_type") === st)
+          .join(survivors.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+          .filter(col("ts") > col("t_prev"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        ).localCheckpoint(true)
+      survivors.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(st).as("step"), col("n_users"))
+    }
+    val all = counts.reduce(_ union _)
+    val first = broadcast(counts.head.select(col("n_users").as("n_first")))
+    all.crossJoin(first)
+      .select(col("step_idx"), col("step"), col("n_users"),
+        (col("n_users").cast("double") / col("n_first")).as("pct_of_first"))
+      .orderBy(col("step_idx"))
+  }
+
+  def funnelQuery(s: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(s, dir))
+
+  /** Event-type transition matrix (first-order path analysis): per user,
+    * order events by (ts, event_id) and count (previous type → type)
+    * transitions corpus-wide. One user-partitioned window + one
+    * map-side-combinable count; output is |types|² rows regardless of
+    * event volume. */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  def transitionsQuery(s: SparkSession, dir: String): DataFrame =
+    transitions(Tables.events(s, dir))
+
+  /** Cohort retention: users are cohorted by their first-activity DAY;
+    * for each (cohort_day, day_offset) cell, how many cohort members were
+    * active that many days later. Two user-keyed aggregates and a
+    * user_id equi-join — the retention triangle every growth dashboard
+    * renders, at event-log scale. */
+  def retention(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .join(cohorts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      // dates surface as midnight TIMESTAMP_NTZ, the repo's cross-engine
+      // date convention (pandas reads DuckDB DATE as datetime64)
+      .select(col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  def retentionQuery(s: SparkSession, dir: String): DataFrame =
+    retention(Tables.events(s, dir))
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b10_funnel" -> (funnelQuery _),
+    "b10_transitions" -> (transitionsQuery _),
+    "b10_retention" -> (retentionQuery _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // earliest-qualifying-chain funnel, steps chained as CTEs; ts is
+    // ns→us truncated via CAST before every comparison, matching the
+    // Spark reader's truncation
+    "b10_funnel" -> """
+      WITH u1 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+      u2 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t FROM events e
+             JOIN u1 USING (user_id)
+             WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > u1.t
+             GROUP BY e.user_id),
+      u3 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t FROM events e
+             JOIN u2 USING (user_id)
+             WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > u2.t
+             GROUP BY e.user_id),
+      u4 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t FROM events e
+             JOIN u3 USING (user_id)
+             WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > u3.t
+             GROUP BY e.user_id),
+      s AS (SELECT 1 AS step_idx, 'signup' AS step, COUNT(*) AS n_users FROM u1
+            UNION ALL SELECT 2, 'view', COUNT(*) FROM u2
+            UNION ALL SELECT 3, 'click', COUNT(*) FROM u3
+            UNION ALL SELECT 4, 'purchase', COUNT(*) FROM u4)
+      SELECT step_idx, step, n_users,
+             CAST(n_users AS DOUBLE) / (SELECT n_users FROM s WHERE step_idx = 1)
+               AS pct_of_first
+      FROM s ORDER BY step_idx""",
+    "b10_transitions" -> """
+      WITH o AS (SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+                 FROM events)
+      SELECT prev_type, event_type, COUNT(*) AS n FROM o
+      WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type ORDER BY prev_type, event_type""",
+    "b10_retention" -> """
+      WITH c AS (SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
+                 FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT e.user_id, c.cohort_day,
+              date_diff('day', c.cohort_day, CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS day_offset
+            FROM events e JOIN c USING (user_id))
+      SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+             CAST(day_offset AS INT) AS day_offset, COUNT(*) AS n_users
+      FROM a GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""",
+  )
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+  // u1 completes the funnel in order; u2 performs all steps but the
+  // purchase precedes the click (must stop at click); u3 only signs up.
+  private def ev = Seq(
+    (1L, ts(0), 1L, "signup"), (2L, ts(1), 1L, "view"),
+    (3L, ts(2), 1L, "click"), (4L, ts(3), 1L, "purchase"),
+    (5L, ts(0), 2L, "signup"), (6L, ts(1), 2L, "view"),
+    (7L, ts(2), 2L, "purchase"), (8L, ts(3), 2L, "click"),
+    (9L, ts(0), 3L, "signup"),
+  ).toDF("event_id", "ts", "user_id", "event_type")
+
+  test("funnel: earliest-qualifying chain, out-of-order steps stop the user (B10)") {
+    val rows = EventAnalytics.funnel(ev).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq === Seq(
+      (1, "signup", 3L), (2, "view", 2L), (3, "click", 2L), (4, "purchase", 1L)))
+    assert(rows.last._4 === 1.0 / 3.0) // pct_of_first is vs step 1
+  }
+
+  test("funnel: a purchase at the exact click timestamp does not count (strict after)") {
+    val d = Seq(
+      (1L, ts(0), 1L, "signup"), (2L, ts(1), 1L, "view"),
+      (3L, ts(2), 1L, "click"), (4L, ts(2), 1L, "purchase"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val byStep = EventAnalytics.funnel(d).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(byStep("click") === 1L && byStep("purchase") === 0L)
+  }
+
+  test("transitions: per-user lag pairs, cross-user boundaries excluded (B10)") {
+    val t = EventAnalytics.transitions(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(t(("signup", "view")) === 2L)     // u1, u2
+    assert(t(("view", "click")) === 1L)      // u1
+    assert(t(("view", "purchase")) === 1L)   // u2
+    assert(t(("purchase", "click")) === 1L)  // u2
+    // u3's lone signup and cross-user adjacencies contribute nothing
+    assert(t.values.sum === 6L)
+  }
+
+  test("retention: users cohorted by first-activity day, distinct per day (B10)") {
+    val d = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L, "view"),
+      (2L, Timestamp.valueOf("2024-01-01 23:00:00"), 1L, "click"), // same day: one hit
+      (3L, Timestamp.valueOf("2024-01-03 09:00:00"), 1L, "view"),  // day_offset 2
+      (4L, Timestamp.valueOf("2024-01-02 09:00:00"), 2L, "view"),  // later cohort
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventAnalytics.retention(d).collect()
+      .map(x => ((x.getAs[java.time.LocalDateTime](0).toString, x.getInt(1)), x.getLong(2))).toMap
+    assert(r === Map(
+      ("2024-01-01T00:00", 0) -> 1L,
+      ("2024-01-01T00:00", 2) -> 1L,
+      ("2024-01-02T00:00", 0) -> 1L))
+  }
+}
