@@ -684,6 +684,15 @@ object Dedup {
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("h"))
     val hits = grams.join(dup, "h").select(col("doc_id"), col("pos"))
+    mergeSpans(hits, k)
+  }
+
+  /** Gaps-and-islands merge of `(doc_id, pos)` k-gram hit positions into
+    * maximal per-doc spans — shared by [[dupSpans]] (cross-doc) and
+    * [[selfRepSpans]] (intra-doc). Islands break when the next hit starts
+    * more than k after the previous, so every token of a span is covered
+    * by a hit gram. Doc-partitioned window only — no corpus-wide state. */
+  private def mergeSpans(hits: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val islands = hits
@@ -707,6 +716,34 @@ object Dedup {
   def dupSpansQuery(s: SparkSession, dir: String): DataFrame =
     dupSpans(Tables.documents(s, dir))
 
+  /** B13: intra-document self-repetition spans — the boilerplate-masking
+    * twin of [[dupSpans]]: positions whose k-gram occurs MORE THAN ONCE
+    * within the SAME document (headers, templated blocks, copy-paste
+    * loops — the degenerate text the repetition-filter kernel scores,
+    * here localized to clippable token ranges). The repeat detection is a
+    * (doc_id, gram) count — co-keyed with the doc, so unlike [[dupSpans]]
+    * there is no corpus-wide gram aggregate at all: both shuffles key on
+    * doc_id(+hash) and the operator scales embarrassingly. No df cap
+    * needed — a gram repeated a million times within one doc is exactly
+    * what this flags. */
+  def selfRepSpans(docs: DataFrame, k: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> array_join(slice(toks, i, $k), ' '))")))
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long").as("h"))
+    val rep = grams.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("doc_id"), col("h"))
+    val hits = grams.join(rep, Seq("doc_id", "h")).select(col("doc_id"), col("pos"))
+    mergeSpans(hits, k)
+  }
+
+  def selfRepSpansQuery(s: SparkSession, dir: String): DataFrame =
+    selfRepSpans(Tables.documents(s, dir))
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -714,6 +751,7 @@ object Dedup {
     "b12_bloom_decontaminate" -> (bloomDecontaminateQuery _),
     "b11_dedup_exact" -> (exactDedup _),
     "b11_dup_spans" -> (dupSpansQuery _),
+    "b13_selfrep_spans" -> (selfRepSpansQuery _),
     "b12_minhash_lsh" -> (minHashQuery _),
     "b12_simhash" -> (simHashQuery _),
     "b12_ngram_jaccard" -> (ngramJaccardQuery _),
@@ -769,6 +807,27 @@ object Dedup {
              CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS maybe_contaminated
       FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) t
       LEFT JOIN hit h USING (doc_id) ORDER BY doc_id""",
+    // k=3 intra-doc repeats; same portable hash and island merge as
+    // b11_dup_spans but the repeat detection is per (doc_id, gram)
+    "b13_selfrep_spans" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id, i - 1 AS pos,
+              CAST(('0x' || substr(md5(array_to_string(toks[i : i + 2], ' ')), 1, 12)) AS BIGINT) AS h
+            FROM d, UNNEST(range(1, len(toks) - 1)) AS r(i)),
+      rep AS (SELECT doc_id, h FROM g GROUP BY doc_id, h HAVING COUNT(*) >= 2),
+      hits AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (doc_id, h)),
+      isl AS (SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 3
+                    THEN 1 ELSE 0 END AS ni
+              FROM hits),
+      num AS (SELECT doc_id, pos,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl)
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end,
+             MAX(pos) + 3 - MIN(pos) AS span_tokens, COUNT(*) AS n_grams
+      FROM num GROUP BY doc_id, island ORDER BY doc_id, span_start""",
     // k=8, maxDf=50; grams are toks[i : i+7] (DuckDB inclusive slice = 8
     // tokens); the hash is the engine-portable 48-bit md5-prefix integer
     // (12 hex digits — df>=2 detection is collision-sensitive, so wider

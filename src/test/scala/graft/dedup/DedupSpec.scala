@@ -240,6 +240,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dupSpans(d, k = 8, maxDf = 10).count() === 6L)
   }
 
+  test("selfRepSpans flags intra-doc repeated grams only; span covers both occurrences (B13)") {
+    // doc 1 repeats "r1 r2 r3" at positions 0 and 5 (gap > k → two spans);
+    // doc 2 has the same gram ONCE (cross-doc repetition is dupSpans' job)
+    val d = Seq(
+      (1L, "r1 r2 r3 x1 x2 r1 r2 r3 y1"),
+      (2L, "r1 r2 r3 z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val spans = Dedup.selfRepSpans(d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSet === Set((1L, 0L, 3L, 3L), (1L, 5L, 8L, 3L)))
+    // adjacent repeats merge into one span: "a b a b a b" has gram "a b a"
+    // at 0,2 and "b a b" at 1,3 → hits 0..3 → one span of the whole run
+    val merged = Dedup.selfRepSpans(Seq((3L, "a b a b a b")).toDF("doc_id", "text"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(merged.toSeq === Seq((3L, 0L, 6L)))
+  }
+
   test("property: star CC == min-label CC on random graphs") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check => scCheck, Parameters}
