@@ -278,6 +278,50 @@ object Streaming {
     }
   }
 
+  case class FunnelState(stepIdx: Int, t: Long)
+  case class FunnelProgress(user_id: Long, step_idx: Int, step: String,
+                            reached_at: java.sql.Timestamp)
+
+  /** B10: streaming funnel — the `mapGroupsWithState`-family twin of
+    * [[graft.ops.EventAnalytics.funnel]]. Per-user state is O(1): the
+    * number of completed steps and the timestamp of the last completed
+    * one. Each micro-batch sorts its per-user slice by event time and
+    * advances greedily: an event counts iff it is the NEXT step's type
+    * strictly after the previous step's time. Under in-event-time-order
+    * arrival the greedy advance takes the first qualifying occurrence of
+    * each step — exactly the batch twin's earliest-qualifying-chain mins
+    * (spec-pinned). With cross-batch out-of-order arrival a qualifying
+    * EARLIER event that arrives late cannot retro-advance the chain —
+    * the standard streaming-funnel approximation; re-run the exact batch
+    * twin for reconciliation. Emits one progress row per step advance
+    * (Update mode; no watermark needed — state carries no timeout). */
+  def funnelStream(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase")): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val stepArr = steps.toArray
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[SEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[SEvent],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelProgress]
+          sorted.foreach { e =>
+            if (st.stepIdx < stepArr.length && e.event_type == stepArr(st.stepIdx) &&
+                (st.stepIdx == 0 || e.ts.getTime > st.t)) {
+              st = FunnelState(st.stepIdx + 1, e.ts.getTime)
+              out += FunnelProgress(userId, st.stepIdx, stepArr(st.stepIdx - 1),
+                new java.sql.Timestamp(st.t))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** B10 + A21: incremental harvest as a streaming sink — each micro-batch
     * of bindings merges into the store via the same batch Merge operators
     * (the reference's per-page transactional commit, harvest.py:374). */

@@ -240,4 +240,39 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(terms.toSeq === Seq((1L, "https://v.example/t/b"), (2L, "https://v.example/t/a")))
   }
+
+  test("streaming funnel == batch funnel chain on in-order events, across batches (B10)") {
+    // u1 completes the funnel (split across two micro-batches); u2's
+    // purchase precedes its click (chain must stop at click); u3 signup
+    // only; u4's second step is at the EXACT signup ts (strict-after: no)
+    val b1 = Seq(
+      Evt(1, t(0), 1, "signup", 0), Evt(2, t(1), 1, "view", 0),
+      Evt(5, t(0), 2, "signup", 0), Evt(6, t(1), 2, "view", 0),
+      Evt(7, t(2), 2, "purchase", 0),
+      Evt(9, t(0), 3, "signup", 0),
+      Evt(10, t(0), 4, "signup", 0), Evt(11, t(0), 4, "view", 0))
+    val b2 = Seq(
+      Evt(3, t(2), 1, "click", 0), Evt(4, t(3), 1, "purchase", 0),
+      Evt(8, t(3), 2, "click", 0))
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.funnelStream(input.toDF()).writeStream
+      .format("memory").queryName("funl").outputMode("update").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val reached = spark.table("funl").groupBy("user_id")
+      .agg(max("step_idx").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(reached === Map(1L -> 4, 2L -> 3, 3L -> 1, 4L -> 1))
+    // batch twin on the union sees the same survivor counts per step
+    val batch = graft.ops.EventAnalytics.funnel(
+        (b1 ++ b2).toDF().select($"event_id", $"ts", $"user_id", $"event_type"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val streamCounts = (1 to 4).map(k => k -> reached.values.count(_ >= k).toLong).toMap
+    assert(batch === streamCounts)
+    // progress log records each advance with the qualifying event's time
+    val u1 = spark.table("funl").filter($"user_id" === 1)
+      .orderBy("step_idx").collect().map(r => (r.getInt(1), r.getTimestamp(3)))
+    assert(u1.toSeq === Seq((1, t(0)), (2, t(1)), (3, t(2)), (4, t(3))))
+  }
 }
