@@ -107,12 +107,51 @@ object EventAnalytics {
   def retentionQuery(s: SparkSession, dir: String): DataFrame =
     retention(Tables.events(s, dir))
 
+  /** Time-series resample + forward fill (last observation carried
+    * forward): each user's value series regularized onto a fixed-step
+    * grid from their first to last event, gaps filled with the previous
+    * observation — the kdb/Timescale-style `asof`/`locf` resample, as a
+    * distributed plan: one per-(user, bucket) `max_by` aggregate, one
+    * per-user span aggregate whose grid EXPLODES from a `sequence` (no
+    * driver-side calendar), one co-keyed left join, one user-partitioned
+    * `last(ignoreNulls)` window. Everything keys on user_id.
+    *
+    * Cross-engine exactness: the bucket floor is integer epoch-second
+    * division, and the "last" observation is PICKED (never averaged) via
+    * a zero-padded `(epoch_micros, event_id)` string key — lexicographic
+    * order == numeric order, so Spark's `max_by` and DuckDB's `arg_max`
+    * choose the identical row even on same-microsecond ties. */
+  def resampleFfill(events: DataFrame, stepSec: Long = 86400L): DataFrame = {
+    val ev = events.select(col("user_id"),
+      expr(s"unix_seconds(cast(ts as timestamp)) div $stepSec * $stepSec").as("bucket_sec"),
+      format_string("%020d|%020d",
+        expr("unix_micros(cast(ts as timestamp))"), col("event_id")).as("ord_key"),
+      col("value"))
+    val obs = ev.groupBy(col("user_id"), col("bucket_sec"))
+      .agg(max_by(col("value"), col("ord_key")).as("v_obs"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("bucket_sec")).as("b0"), max(col("bucket_sec")).as("b1"))
+      .select(col("user_id"), explode(expr(s"sequence(b0, b1, $stepSec)")).as("bucket_sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "bucket_sec"), "left_outer")
+      .withColumn("value_ffill", last(col("v_obs"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        timestamp_seconds(col("bucket_sec")).cast("timestamp_ntz").as("bucket_ts"),
+        col("value_ffill"))
+      .orderBy(col("user_id"), col("bucket_ts"))
+  }
+
+  def resampleQuery(s: SparkSession, dir: String): DataFrame =
+    resampleFfill(Tables.events(s, dir))
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b10_funnel" -> (funnelQuery _),
     "b10_transitions" -> (transitionsQuery _),
     "b10_retention" -> (retentionQuery _),
+    "b06_resample_ffill" -> (resampleQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -150,6 +189,26 @@ object EventAnalytics {
       SELECT prev_type, event_type, COUNT(*) AS n FROM o
       WHERE prev_type IS NOT NULL
       GROUP BY prev_type, event_type ORDER BY prev_type, event_type""",
+    // daily grid per user; the "last" observation is arg_max over the
+    // zero-padded (epoch_micros, event_id) string key — lexicographic ==
+    // numeric, the same row Spark's max_by picks
+    "b06_resample_ffill" -> """
+      WITH ev AS (SELECT user_id,
+              CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400 * 86400 AS bucket_sec,
+              printf('%020d|%020d', epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS ord_key,
+              value FROM events),
+      obs AS (SELECT user_id, bucket_sec, arg_max(value, ord_key) AS v_obs
+              FROM ev GROUP BY 1, 2),
+      span AS (SELECT user_id, MIN(bucket_sec) AS b0, MAX(bucket_sec) AS b1
+               FROM ev GROUP BY 1),
+      grid AS (SELECT user_id, u.bucket_sec
+               FROM span, UNNEST(range(b0, b1 + 86400, 86400)) AS u(bucket_sec)),
+      j AS (SELECT g.user_id, g.bucket_sec, o.v_obs
+            FROM grid g LEFT JOIN obs o USING (user_id, bucket_sec))
+      SELECT user_id, make_timestamp(bucket_sec * 1000000) AS bucket_ts,
+             last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+      FROM j ORDER BY user_id, bucket_ts""",
     "b10_retention" -> """
       WITH c AS (SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
                  FROM events GROUP BY user_id),

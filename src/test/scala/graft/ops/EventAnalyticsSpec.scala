@@ -46,6 +46,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(t.values.sum === 6L)
   }
 
+  test("resample+ffill: daily grid spans first..last, gaps carry the last observation (B06)") {
+    val d = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L, "view", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "view", 20.0), // later same day wins
+      (3L, Timestamp.valueOf("2024-01-04 09:00:00"), 1L, "view", 40.0), // 2-day gap filled with 20.0
+      (4L, Timestamp.valueOf("2024-01-02 09:00:00"), 2L, "view", 7.0),  // single-day user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.resampleFfill(d).collect()
+      .map(x => ((x.getLong(0), x.getAs[java.time.LocalDateTime](1).toLocalDate.toString), x.getDouble(2)))
+    assert(r.toSeq === Seq(
+      (1L, "2024-01-01") -> 20.0, (1L, "2024-01-02") -> 20.0,
+      (1L, "2024-01-03") -> 20.0, (1L, "2024-01-04") -> 40.0,
+      (2L, "2024-01-02") -> 7.0))
+  }
+
+  test("resample+ffill: same-timestamp tie breaks by event_id via the string key (B06)") {
+    val ts0 = Timestamp.valueOf("2024-01-01 09:00:00")
+    val d = Seq(
+      (5L, ts0, 1L, "view", 1.0), (9L, ts0, 1L, "view", 2.0), (7L, ts0, 1L, "view", 3.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.resampleFfill(d).collect().map(_.getDouble(2))
+    assert(r.toSeq === Seq(2.0)) // event_id 9 is the max key
+  }
+
   test("retention: users cohorted by first-activity day, distinct per day (B10)") {
     val d = Seq(
       (1L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L, "view"),
