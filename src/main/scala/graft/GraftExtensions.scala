@@ -61,6 +61,22 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.TopBigramCount].getName, "top_bigram_count"),
       exprs => { arity("top_bigram_count", exprs, 1)
         graft.functions.TopBigramCount(exprs.head) }),
+    // engine-portable md5-prefix integer hash (fused conv∘substring∘md5);
+    // the prefix width must be a literal int — it is part of the hash
+    // CONTRACT (which oracle formulation the value matches), not data
+    (FunctionIdentifier("md5_prefix"),
+      new ExpressionInfo(classOf[graft.functions.Md5Prefix].getName, "md5_prefix"),
+      exprs => { arity("md5_prefix", exprs, 2)
+        exprs(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+            graft.functions.Md5Prefix(exprs(0), v)
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "md5_prefix (hexDigits must be an INT literal)",
+              "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+              "docroot" -> ""))
+        } }),
   )
 
   /** Wrong-arity SQL calls must surface as analysis errors, not

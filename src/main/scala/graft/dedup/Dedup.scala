@@ -569,8 +569,7 @@ object Dedup {
   def bloomDecontaminate(docs: DataFrame, benchPred: Column, k: Int = 8,
       mBits: Int = 65536): DataFrame = {
     def probe(salt: String): Column =
-      conv(substring(md5(concat(lit(salt), col("gram"))), 1, 12), 16, 10)
-        .cast("long") % mBits
+      graft.functions.Md5Prefix(concat(lit(salt), col("gram")), 12) % mBits
     val bench = shingles(docs.filter(benchPred), k)
       .select(col("shingle").as("gram")).distinct()
     val bloom = bench
@@ -678,7 +677,7 @@ object Dedup {
         s"transform(sequence(1, size(toks) - ${k - 1}), i -> array_join(slice(toks, i, $k), ' '))")))
       .toDF("doc_id", "pos", "gram")
       .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long").as("h"))
+        graft.functions.Md5Prefix(col("gram"), 12).as("h"))
     val dup = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
@@ -733,7 +732,7 @@ object Dedup {
         s"transform(sequence(1, size(toks) - ${k - 1}), i -> array_join(slice(toks, i, $k), ' '))")))
       .toDF("doc_id", "pos", "gram")
       .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long").as("h"))
+        graft.functions.Md5Prefix(col("gram"), 12).as("h"))
     val rep = grams.groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
       .select(col("doc_id"), col("h"))

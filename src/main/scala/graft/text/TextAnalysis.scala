@@ -319,7 +319,7 @@ object TextAnalysis {
           s"i -> array_join(slice(toks, i, $k), ' '))")))
       .toDF("doc_id", "ng", "pos", "gram")
       .select(col("doc_id"), col("ng"), col("pos"),
-        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+        graft.functions.Md5Prefix(col("gram"), 8).as("h"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
