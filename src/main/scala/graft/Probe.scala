@@ -135,6 +135,31 @@ object Probe {
         println(s"  stress clustered_docs=${cc.count()}")
       }
     }
+    if (sys.env.contains("PROBE_SPANS")) {
+      // Duplicate-span stress: replicate the corpus with REP-distinct
+      // doc_ids but UNCHANGED text, so cross-doc duplicated-gram density
+      // scales with reps (every gram becomes duplicated at reps>=2 —
+      // worst-case hit density). Validates that dupSpans stays linear in
+      // corpus tokens: the per-position hit stream never multiplies by
+      // the df of its gram.
+      import org.apache.spark.sql.functions._
+      val reps = sys.env.getOrElse("PROBE_SPANS", "8").toInt
+      val docs = Tables.documents(spark, dir)
+      val big = docs.crossJoin(spark.range(reps).toDF("rep"))
+        .select((col("doc_id") * reps + col("rep")).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      println(s"  stress docs=${big.count()}")
+      time(s"stress_dup_spans_x$reps") {
+        // maxDf must admit the replica flood (df == reps per gram)
+        val spans = dedup.Dedup.dupSpans(big, k = 8, maxDf = reps * 64)
+        println(s"  stress spans=${spans.count()}")
+      }
+      spark.catalog.clearCache()
+      time(s"stress_selfrep_spans_x$reps") {
+        val spans = dedup.Dedup.selfRepSpans(big, k = 3)
+        println(s"  stress selfrep=${spans.count()}")
+      }
+    }
     if (sys.env.contains("PROBE_MINHASH_CMP")) {
       // Head-to-head under THIS JVM (sbt-forked = C1-capped, same as the
       // driver bench): full near-dup pipeline with the single-buffer
