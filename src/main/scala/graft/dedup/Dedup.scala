@@ -743,6 +743,46 @@ object Dedup {
   def selfRepSpansQuery(s: SparkSession, dir: String): DataFrame =
     selfRepSpans(Tables.documents(s, dir))
 
+  /** B11: span CLIPPING — the curation consumer of [[dupSpans]] /
+    * [[selfRepSpans]]: rewrite each document with the flagged token
+    * ranges removed (the "drop the duplicated region, keep the document"
+    * policy of substring-level dedup — deleting whole near-dup docs
+    * over-prunes when only a boilerplate block is shared).
+    *
+    * Fully relational, so it clips at corpus scale AND replays in the
+    * oracle: tokens posexplode → anti-join against the doc's spans
+    * (equi on doc_id + range predicate — spans per doc are few, the
+    * filter rides the join) → ordered re-concat via sort_array over
+    * (pos, tok) structs (DuckDB: `string_agg(... ORDER BY pos)`). Docs
+    * with no surviving tokens keep an empty string; every shuffle keys
+    * on doc_id. `spans` is any frame with (doc_id, span_start,
+    * span_end) — detection and policy stay decoupled. */
+  def clipSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+    val sp = spans.select(col("doc_id").as("s_doc"),
+      col("span_start"), col("span_end"))
+    val keep = toks.join(sp,
+      col("doc_id") === col("s_doc") &&
+        col("pos") >= col("span_start") && col("pos") < col("span_end"),
+      "left_anti")
+    val rebuilt = keep.groupBy(col("doc_id"))
+      .agg(array_join(expr("transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"), " ")
+        .as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .na.fill("", Seq("clean_text"))
+      .withColumn("n_tokens_kept",
+        when(col("clean_text") === "", 0).otherwise(size(split(col("clean_text"), " "))))
+      .orderBy(col("doc_id"))
+  }
+
+  def clipSpansQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // checkpoint: the span detection must run once, not once per join branch
+    clipSpans(docs, dupSpans(docs).localCheckpoint(true))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -750,6 +790,7 @@ object Dedup {
     "b12_bloom_decontaminate" -> (bloomDecontaminateQuery _),
     "b11_dedup_exact" -> (exactDedup _),
     "b11_dup_spans" -> (dupSpansQuery _),
+    "b11_clip_spans" -> (clipSpansQuery _),
     "b13_selfrep_spans" -> (selfRepSpansQuery _),
     "b12_minhash_lsh" -> (minHashQuery _),
     "b12_simhash" -> (simHashQuery _),
@@ -806,6 +847,40 @@ object Dedup {
              CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS maybe_contaminated
       FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) t
       LEFT JOIN hit h USING (doc_id) ORDER BY doc_id""",
+    // the dup_spans chain + relational clipping: token rows anti-joined
+    // against covering spans, ordered re-concat via string_agg
+    "b11_clip_spans" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      g AS (SELECT doc_id, i - 1 AS pos,
+              CAST(('0x' || substr(md5(array_to_string(toks[i : i + 7], ' ')), 1, 12)) AS BIGINT) AS h
+            FROM d, UNNEST(range(1, len(toks) - 6)) AS r(i)),
+      dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50),
+      hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+      isl AS (SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                    THEN 1 ELSE 0 END AS ni
+              FROM hits),
+      num AS (SELECT doc_id, pos,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl),
+      spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
+                FROM num GROUP BY doc_id, island),
+      dtok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+              FROM dtok, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+      keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+               WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+                                 AND t.pos >= s.span_start AND t.pos < s.span_end)),
+      agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+              FROM keep GROUP BY doc_id)
+      SELECT d2.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+             CAST(CASE WHEN COALESCE(a.clean_text, '') = '' THEN 0
+                  ELSE len(string_split(COALESCE(a.clean_text, ''), ' ')) END AS INT)
+               AS n_tokens_kept
+      FROM (SELECT doc_id FROM documents) d2
+      LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
     // k=3 intra-doc repeats; same portable hash and island merge as
     // b11_dup_spans but the repeat detection is per (doc_id, gram)
     "b13_selfrep_spans" -> """

@@ -240,6 +240,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dupSpans(d, k = 8, maxDf = 10).count() === 6L)
   }
 
+  test("clipSpans removes exactly the flagged ranges, keeps order, empties fully-covered docs (B11)") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x y z"), (3L, "q r")).toDF("doc_id", "text")
+    val spans = Seq((1L, 1L, 3L), (1L, 4L, 5L), (3L, 0L, 2L))
+      .toDF("doc_id", "span_start", "span_end")
+    val out = Dedup.clipSpans(docs, spans).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq === Seq(
+      (1L, "a d f", 3), // b,c (1..3) and e (4..5) removed, order kept
+      (2L, "x y z", 3), // no spans → untouched
+      (3L, "", 0)))     // fully covered → empty, still present
+  }
+
   test("selfRepSpans flags intra-doc repeated grams only; span covers both occurrences (B13)") {
     // doc 1 repeats "r1 r2 r3" at positions 0 and 5 (gap > k → two spans);
     // doc 2 has the same gram ONCE (cross-doc repetition is dupSpans' job)
