@@ -124,13 +124,67 @@ object Multimodal {
     sampleFrames(assets(s, dir)).orderBy($"asset_id", $"frame_idx")
   }
 
+  /** B14: modality-aware batch packing — [[graft.ops.Relational2
+    * .sequencePack]]'s multimodal twin: assets fill fixed-budget training
+    * batches in (shard, asset_id) order, but the per-item cost is the
+    * MODALITY-DEPENDENT compute footprint, not a token count — ViT-style
+    * patch counts for images (⌈w/16⌉·⌈h/16⌉), 10 ms frame counts for
+    * audio (rate/160), sampled-frame × coarse-patch products for video.
+    * All-integer cost model and a per-SHARD cumulative window (the unit
+    * a training reader consumes — never a global cumsum), so the packing
+    * is engine-portable and oracle-checked like the text variant. */
+  def multimodalPack(s: SparkSession, dir: String, capacity: Int = 8192,
+                     numShards: Int = 8): DataFrame = {
+    import s.implicits._
+    val cost = when($"media_type" === "image",
+        expr("((width + 15) div 16) * ((height + 15) div 16)"))
+      .when($"media_type" === "audio", expr("sample_rate div 160"))
+      .otherwise(expr("5 * (((width + 31) div 32) * ((height + 31) div 32))"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"asset_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    assets(s, dir)
+      .select($"asset_id", $"media_type",
+        pmod($"asset_id", lit(numShards)).cast("int").as("shard"),
+        cost.cast("long").as("cost"))
+      .withColumn("cum_cost", sum($"cost").over(w))
+      .withColumn("pack_id", ceil($"cum_cost".cast("double") / capacity).cast("int"))
+      .orderBy($"shard", $"asset_id")
+  }
+
+  private def packQuery(s: SparkSession, dir: String): DataFrame =
+    multimodalPack(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b14_multimodal_meta" -> (metaQuery _),
     "b14_multimodal_features" -> (featureQuery _),
     "b14_multimodal_frames" -> (framesQuery _),
+    "b14_multimodal_pack" -> (packQuery _),
   )
 
   val oracles: Map[String, String] = Map(
+    // same asset derivation as b14_multimodal_meta; all-integer modality
+    // cost model; ceil over an exact double (cum < 2^53)
+    "b14_multimodal_pack" -> """
+      WITH a AS (
+        SELECT doc_id AS asset_id,
+          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+          (doc_id % 8) * 160 + 320 AS width,
+          (doc_id % 8) * 90 + 180 AS height,
+          CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate
+        FROM documents),
+      c AS (SELECT asset_id, media_type, CAST(asset_id % 8 AS INT) AS shard,
+              CAST(CASE media_type
+                   WHEN 'image' THEN ((width + 15) // 16) * ((height + 15) // 16)
+                   WHEN 'audio' THEN sample_rate // 160
+                   ELSE 5 * (((width + 31) // 32) * ((height + 31) // 32))
+                   END AS BIGINT) AS cost
+            FROM a),
+      w AS (SELECT *, CAST(SUM(cost) OVER (PARTITION BY shard ORDER BY asset_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost FROM c)
+      SELECT asset_id, media_type, shard, cost, cum_cost,
+             CAST(CEIL(CAST(cum_cost AS DOUBLE) / 8192) AS INT) AS pack_id
+      FROM w ORDER BY shard, asset_id""",
     "b14_multimodal_meta" -> """
       WITH a AS (
         SELECT doc_id AS asset_id,
