@@ -323,11 +323,106 @@ object Similarity {
   def kMeansQuery(s: SparkSession, dir: String): DataFrame =
     kMeans(Tables.embeddings(s, dir))
 
+  // ------------------------------------------- product quantization (B12)
+
+  /** Exact integer squared-L2 distance between quantized sub-vectors —
+    * one codegen'd higher-order expression, no overflow at milliunit
+    * scale (|q|≤~10⁴ → per-dim diff² ≤ 4·10⁸, ×64 dims ≪ 2⁶³). */
+  private def l2q(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** B12: product quantization (Jégou et al., TPAMI 2011 — the FAISS
+    * compression scheme): split each vector into `m` subspaces, train a
+    * `ksub`-codeword codebook per subspace (Lloyd iterations under exact
+    * integer squared-L2), encode every corpus vector as `m` small code
+    * ids, and answer queries via ADC — a per-query lookup table of
+    * query-subvector→codeword distances, summed over each vector's codes.
+    * This is THE memory-scale path for 100 TB ANN: 64 quantized longs
+    * collapse to m=8 one-byte codes (64× compression), the codebook is
+    * m·ksub rows (broadcast), and the scan touches codes + a broadcast
+    * LUT — never the original vectors.
+    *
+    * Everything is deterministic AND cross-engine exact: distances are
+    * integer arithmetic end-to-end; seeds are the `ksub`
+    * lexicographically-first distinct sub-vectors per subspace ordered by
+    * the portable `md5("sub:csv")` string (spread without engine-specific
+    * hashes, csv tie-break); argmin ties break on the lower code id;
+    * centroid means round through the same double division both engines
+    * perform identically. The DuckDB oracle replays the FULL pipeline —
+    * both Lloyd iterations unrolled as CTEs — so even the trained
+    * codebooks are hash-gated, not just the final ranking (the
+    * b12_kmeans determinism story, taken to the hash gate like
+    * w07_pagerank).
+    *
+    * Scale shape: training joins sub-vectors against a broadcast
+    * codebook (m·ksub rows) with one VecSumAgg shuffle per iteration;
+    * encoding is the same broadcast join; ADC is codes ⋈ broadcast LUT +
+    * one combinable sum per (query, vec) + a per-query top-k window. At
+    * production scale you train on a sample and compose with IVF cells
+    * to prune the scan — both are orthogonal to this operator's plan. */
+  def pqTopK(embeddings: DataFrame, queryPred: Column, m: Int = 8,
+      dsub: Int = 8, ksub: Int = 16, iters: Int = 2, k: Int = 10): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("q"), queryPred.as("is_q"))
+      .localCheckpoint(true) // feeds corpus subs + query subs across iters
+    def subs(df: DataFrame): DataFrame = df.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(q, s*$dsub+1, $dsub) AS subq))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.subq").as("subq"))
+    val corpusSubs = subs(e.filter(!col("is_q"))).localCheckpoint(true)
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(col("skey"), col("sstr"))
+    var codebook = corpusSubs.select(col("sub"), col("subq")).distinct()
+      .withColumn("sstr", concat_ws(":", col("sub"), array_join(col("subq"), ",")))
+      .withColumn("skey", md5(col("sstr")))
+      .withColumn("cid", row_number().over(seedW) - 1)
+      .filter(col("cid") < ksub)
+      .select(col("sub"), col("cid"), col("subq").as("cq"))
+      .localCheckpoint(true)
+    def assign(cb: DataFrame, sv: DataFrame): DataFrame = sv
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("subq"),
+        struct(l2q(col("subq"), col("cq")).as("d"), col("cid")).as("dc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dc")).as("best"), first(col("subq")).as("subq"))
+      .select(col("vec_id"), col("sub"), col("subq"),
+        col("best.cid").as("cid"), col("best.d").as("d"))
+    val vsum = udaf(new graft.functions.VecSumAgg)
+    for (_ <- 1 to iters) {
+      // empty cells drop out (join+group semantics — identical in the
+      // oracle); each checkpoint materializes only m·ksub centroid rows
+      codebook = assign(codebook, corpusSubs)
+        .groupBy(col("sub"), col("cid"))
+        .agg(vsum(col("subq")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"),
+          transform(col("s"), v => round(v.cast("double") / col("n")).cast("long")).as("cq"))
+        .localCheckpoint(true)
+    }
+    val codes = assign(codebook, corpusSubs)
+      .select(col("vec_id"), col("sub"), col("cid"))
+    val lut = subs(e.filter(col("is_q"))).join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("cid"),
+        l2q(col("subq"), col("cq")).as("d"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("pq_dist"), col("vec_id"))
+    codes.join(lut, Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("pq_dist"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("pq_dist"), col("rn").cast("int"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  def pqQuery(s: SparkSession, dir: String): DataFrame =
+    pqTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_embed_neardup" -> (embedNearDupQuery _),
     "b12_kmeans" -> (kMeansQuery _),
+    "b12_pq_topk" -> (pqQuery _),
     "b12_centroids" -> (labelCentroids _),
     "b12_cosine_pairs" -> (cosinePairs _),
     "b12_ann_topk" -> (annTopKQuery _),
@@ -338,8 +433,60 @@ object Similarity {
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+  private def l2Sql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+  /** One Lloyd step as two CTEs: argmin assignment (distance, then a
+    * window-rank tie-broken by cid) + per-position centroid mean. */
+  private def lloydSql(fromCb: String, toD: String, toA: String, toCb: String) = s"""
+      $toD AS (SELECT v.vec_id, v.sub, v.subq, c.cid, ${l2Sql("v.subq", "c.cq")} AS d
+             FROM cs v JOIN $fromCb c USING (sub)),
+      $toA AS (SELECT vec_id, sub, subq, cid FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+             FROM $toD) WHERE rn = 1),
+      $toCb AS (SELECT sub, cid, list(sq ORDER BY pos) AS cq FROM (
+             SELECT sub, cid, pos,
+               CAST(round(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS sq
+             FROM (SELECT sub, cid, generate_subscripts(subq, 1) AS pos,
+                     unnest(subq) AS qv FROM $toA)
+             GROUP BY sub, cid, pos)
+           GROUP BY sub, cid)"""
 
   val oracles: Map[String, String] = Map(
+    // the FULL PQ pipeline — seeds, both Lloyd iterations, encoding, ADC —
+    // replayed in SQL; every step is integer arithmetic or the identical
+    // double round, so the trained codebooks themselves are hash-gated
+    "b12_pq_topk" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q,
+                   vec_id % 100 = 0 AS is_q FROM embeddings),
+      sv AS (SELECT vec_id, is_q, CAST(s.sub AS INT) AS sub,
+               q[s.sub*8+1 : s.sub*8+8] AS subq
+             FROM e, UNNEST(range(0, 8)) AS s(sub)),
+      cs AS (SELECT vec_id, sub, subq FROM sv WHERE NOT is_q),
+      sk AS (SELECT sub, subq,
+               CAST(sub AS VARCHAR) || ':' || array_to_string(subq, ',') AS sstr
+             FROM (SELECT DISTINCT sub, subq FROM cs)),
+      cb0 AS (SELECT sub, cid, subq AS cq FROM (
+               SELECT sub, subq, CAST(ROW_NUMBER() OVER (PARTITION BY sub
+                 ORDER BY md5(sstr), sstr) AS INT) - 1 AS cid FROM sk)
+             WHERE cid < 16),
+      ${lloydSql("cb0", "d1", "a1", "cb1")},
+      ${lloydSql("cb1", "d2", "a2", "cb2")},
+      d3 AS (SELECT v.vec_id, v.sub, c.cid, ${l2Sql("v.subq", "c.cq")} AS d
+             FROM cs v JOIN cb2 c USING (sub)),
+      codes AS (SELECT vec_id, sub, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                 ORDER BY d, cid) AS rn FROM d3) WHERE rn = 1),
+      lut AS (SELECT v.vec_id AS query_id, v.sub, c.cid,
+                ${l2Sql("v.subq", "c.cq")} AS d
+              FROM (SELECT vec_id, sub, subq FROM sv WHERE is_q) v
+              JOIN cb2 c USING (sub)),
+      adc AS (SELECT l.query_id, co.vec_id, CAST(SUM(l.d) AS BIGINT) AS pq_dist
+              FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+              GROUP BY l.query_id, co.vec_id)
+      SELECT query_id, vec_id, pq_dist, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY pq_dist, vec_id) AS INT) AS rn FROM adc)
+      WHERE rn <= 10 ORDER BY query_id, rn""",
     "b12_centroids" -> """
       WITH q AS (
         SELECT label,

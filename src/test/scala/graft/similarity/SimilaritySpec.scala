@@ -135,4 +135,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.forall(!_._1), "no NULL cluster ids")
     assert(out(9L)._2 === out.values.map(_._2).min) // smallest-cid cell
   }
+
+  test("PQ: codes compress, ADC top-k finds the planted cluster mates (B12)") {
+    // 16-dim vectors, m=4 subspaces of 4 dims; four tight clusters of 12
+    // + one planted query per cluster — PQ's top neighbors must be the
+    // query's own cluster despite the 4-byte code compression
+    def cvec(axis: Int, i: Int): Seq[Float] =
+      (0 until 16).map(d => (if (d == axis * 4) 4.0f else 0.0f) +
+        (if (d == axis * 4 + 1) i * 0.01f else 0.0f))
+    val rows = for (axis <- 0 until 4; i <- 0 until 12)
+      yield ((axis * 100 + i).toLong, cvec(axis, i))
+    val df = rows.toDF("vec_id", "embedding")
+    val isQuery = col("vec_id") % 100 === 0 // vec 0 of each cluster
+    val top = Similarity.pqTopK(df, isQuery, m = 4, dsub = 4, ksub = 8,
+        iters = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    for (axis <- 0 until 4) {
+      val q = axis * 100L
+      val mine = top.filter(_._1 == q)
+      assert(mine.length === 5)
+      // every returned neighbor is a cluster mate of the query
+      assert(mine.forall(t => t._2 / 100 == axis),
+        s"query $q leaked neighbors: ${mine.mkString(",")}")
+    }
+    // deterministic: a second run returns the identical ranking
+    val again = Similarity.pqTopK(df, isQuery, m = 4, dsub = 4, ksub = 8,
+        iters = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(top.toSeq === again.toSeq)
+  }
 }
