@@ -322,6 +322,38 @@ object Streaming {
       }
   }
 
+  case class LastEvent(t: Long, eventId: Long, tpe: String)
+  case class Transition(user_id: Long, prev_type: String, event_type: String)
+
+  /** B10: streaming transition emission — the `flatMapGroupsWithState`
+    * twin of [[graft.ops.EventAnalytics.transitions]]: per-user state is
+    * the last event seen (O(1)); each micro-batch sorts its slice by
+    * (ts, event_id) and emits one (prev_type, event_type) row per
+    * adjacency, chaining across batches through the stored last event.
+    * Under in-order arrival the emitted multiset equals the batch lag
+    * window's pairs (spec-pinned); downstream aggregation (the count
+    * matrix) composes as a streaming groupBy or a foreachBatch merge. */
+  def transitionsStream(events: DataFrame): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[SEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[SEvent],
+         state: org.apache.spark.sql.streaming.GroupState[LastEvent]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += Transition(userId, p.tpe, e.event_type))
+            prev = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** B10 + A21: incremental harvest as a streaming sink — each micro-batch
     * of bindings merges into the store via the same batch Merge operators
     * (the reference's per-page transactional commit, harvest.py:374). */

@@ -241,6 +241,27 @@ class StreamingSpec extends SparkSpec {
     assert(terms.toSeq === Seq((1L, "https://v.example/t/b"), (2L, "https://v.example/t/a")))
   }
 
+  test("streaming transitions == batch lag pairs on in-order events, across batches (B10)") {
+    val b1 = Seq(
+      Evt(1, t(0), 1, "signup", 0), Evt(2, t(1), 1, "view", 0),
+      Evt(5, t(0), 2, "view", 0))
+    val b2 = Seq(
+      Evt(3, t(2), 1, "click", 0), // chains to batch-1's "view" via state
+      Evt(6, t(1), 2, "view", 0), Evt(7, t(2), 2, "click", 0))
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.transitionsStream(input.toDF()).writeStream
+      .format("memory").queryName("trans").outputMode("update").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trans").groupBy("prev_type", "event_type")
+      .count().collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val batch = graft.ops.EventAnalytics.transitions((b1 ++ b2).toDF())
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamed === batch)
+    assert(streamed(("view", "click")) === 2L) // one of them crossed batches
+  }
+
   test("streaming funnel == batch funnel chain on in-order events, across batches (B10)") {
     // u1 completes the funnel (split across two micro-batches); u2's
     // purchase precedes its click (chain must stop at click); u3 signup
