@@ -286,6 +286,28 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Heavy hitters via the Misra-Gries single-buffer sketch (B5) — the
+    * bounded-memory frequent-items aggregate (blocklist mining, frequent
+    * tokens, skew detection). The sketch buffer never exceeds `capacity`
+    * entries, so shuffle partials are capacity-bounded regardless of
+    * corpus size. This query runs in the EXACT regime (capacity 256 >>
+    * the 25 distinct `p_brand`s, no counter ever evicted) so the output
+    * equals the exact counts and hash-gates against plain GROUP BY/COUNT;
+    * the lossy-regime guarantee (every item above n/(capacity+1)
+    * survives, estimates within n/(capacity+1)) is spec-pinned in
+    * HeavyHittersSpec, mirroring the b05_approx_stats exact-counterpart
+    * treatment. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hh = udaf(new graft.functions.HeavyHittersAgg(256))
+    Tables.part(s, dir)
+      .agg(hh($"p_brand").as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e._1".as("p_brand"), $"e._2".as("n_parts"))
+      .orderBy($"n_parts".desc, $"p_brand")
+      .limit(25)
+  }
+
   /** Ranking window functions: row_number / rank / dense_rank / lag / lead
     * over a per-customer frame (B6). */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
@@ -459,6 +481,7 @@ object Relational {
     "b04_grouping_sets" -> (groupingSets _),
     "b05_median" -> (medianQuantity _),
     "b05_approx_stats" -> (approxStats _),
+    "b05_heavy_hitters" -> (heavyHitters _),
     "b06_window_rank" -> (windowRank _),
     "b06_running_sum" -> (windowRunningSum _),
     "b07_topk_per_group" -> (topKPerGroup _),
@@ -597,6 +620,10 @@ object Relational {
       SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
              MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "b05_heavy_hitters" -> """
+      SELECT p_brand, COUNT(*) AS n_parts
+      FROM part GROUP BY p_brand
+      ORDER BY n_parts DESC, p_brand LIMIT 25""",
     "b06_window_rank" -> """
       SELECT o_custkey, o_orderkey, o_totalprice,
         CAST(ROW_NUMBER() OVER w AS INT) AS rn,
