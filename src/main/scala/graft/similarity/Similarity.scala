@@ -331,6 +331,55 @@ object Similarity {
   private def l2q(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
+  /** Split each `q` vector into `m` contiguous sub-vectors: one row per
+    * (keys…, sub, subq). Shared by PQ training/encoding (keyed by vec_id)
+    * and the IVF-PQ query LUT (keyed by query_id, cell_id). */
+  private def subSplit(df: DataFrame, m: Int, dsub: Int, keys: Seq[String]): DataFrame =
+    df.select(keys.map(col) :+ explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(q, s*$dsub+1, $dsub) AS subq))"))
+        .as("x"): _*)
+      .select(keys.map(col) :+ col("x.sub").as("sub") :+ col("x.subq").as("subq"): _*)
+
+  /** Assign each sub-vector to its nearest codeword under exact integer
+    * squared-L2; ties break on the lower code id. */
+  private def pqAssign(cb: DataFrame, sv: DataFrame): DataFrame = sv
+    .join(broadcast(cb), Seq("sub"))
+    .select(col("vec_id"), col("sub"), col("subq"),
+      struct(l2q(col("subq"), col("cq")).as("d"), col("cid")).as("dc"))
+    .groupBy(col("vec_id"), col("sub"))
+    .agg(min(col("dc")).as("best"), first(col("subq")).as("subq"))
+    .select(col("vec_id"), col("sub"), col("subq"),
+      col("best.cid").as("cid"), col("best.d").as("d"))
+
+  /** Seed + Lloyd-train one `ksub`-codeword codebook per subspace over
+    * (vec_id, sub, subq) rows. Seeds are the lexicographically-first
+    * distinct sub-vectors per subspace under the portable md5 ordering;
+    * each iteration is one broadcast assignment + one VecSumAgg shuffle.
+    * Deterministic and cross-engine exact (see [[pqTopK]]). */
+  private def pqTrain(corpusSubs: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(col("skey"), col("sstr"))
+    var codebook = corpusSubs.select(col("sub"), col("subq")).distinct()
+      .withColumn("sstr", concat_ws(":", col("sub"), array_join(col("subq"), ",")))
+      .withColumn("skey", md5(col("sstr")))
+      .withColumn("cid", row_number().over(seedW) - 1)
+      .filter(col("cid") < ksub)
+      .select(col("sub"), col("cid"), col("subq").as("cq"))
+      .localCheckpoint(true)
+    val vsum = udaf(new graft.functions.VecSumAgg)
+    for (_ <- 1 to iters) {
+      // empty cells drop out (join+group semantics — identical in the
+      // oracle); each checkpoint materializes only m·ksub centroid rows
+      codebook = pqAssign(codebook, corpusSubs)
+        .groupBy(col("sub"), col("cid"))
+        .agg(vsum(col("subq")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"),
+          transform(col("s"), v => round(v.cast("double") / col("n")).cast("long")).as("cq"))
+        .localCheckpoint(true)
+    }
+    codebook
+  }
+
   /** B12: product quantization (Jégou et al., TPAMI 2011 — the FAISS
     * compression scheme): split each vector into `m` subspaces, train a
     * `ksub`-codeword codebook per subspace (Lloyd iterations under exact
@@ -365,40 +414,10 @@ object Similarity {
     val e = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("q"), queryPred.as("is_q"))
       .localCheckpoint(true) // feeds corpus subs + query subs across iters
-    def subs(df: DataFrame): DataFrame = df.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(q, s*$dsub+1, $dsub) AS subq))"))
-        .as("x"))
-      .select(col("vec_id"), col("x.sub").as("sub"), col("x.subq").as("subq"))
+    def subs(df: DataFrame): DataFrame = subSplit(df, m, dsub, Seq("vec_id"))
     val corpusSubs = subs(e.filter(!col("is_q"))).localCheckpoint(true)
-    val seedW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sub")).orderBy(col("skey"), col("sstr"))
-    var codebook = corpusSubs.select(col("sub"), col("subq")).distinct()
-      .withColumn("sstr", concat_ws(":", col("sub"), array_join(col("subq"), ",")))
-      .withColumn("skey", md5(col("sstr")))
-      .withColumn("cid", row_number().over(seedW) - 1)
-      .filter(col("cid") < ksub)
-      .select(col("sub"), col("cid"), col("subq").as("cq"))
-      .localCheckpoint(true)
-    def assign(cb: DataFrame, sv: DataFrame): DataFrame = sv
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("subq"),
-        struct(l2q(col("subq"), col("cq")).as("d"), col("cid")).as("dc"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("dc")).as("best"), first(col("subq")).as("subq"))
-      .select(col("vec_id"), col("sub"), col("subq"),
-        col("best.cid").as("cid"), col("best.d").as("d"))
-    val vsum = udaf(new graft.functions.VecSumAgg)
-    for (_ <- 1 to iters) {
-      // empty cells drop out (join+group semantics — identical in the
-      // oracle); each checkpoint materializes only m·ksub centroid rows
-      codebook = assign(codebook, corpusSubs)
-        .groupBy(col("sub"), col("cid"))
-        .agg(vsum(col("subq")).as("s"), count(lit(1)).as("n"))
-        .select(col("sub"), col("cid"),
-          transform(col("s"), v => round(v.cast("double") / col("n")).cast("long")).as("cq"))
-        .localCheckpoint(true)
-    }
-    val codes = assign(codebook, corpusSubs)
+    val codebook = pqTrain(corpusSubs, ksub, iters)
+    val codes = pqAssign(codebook, corpusSubs)
       .select(col("vec_id"), col("sub"), col("cid"))
     val lut = subs(e.filter(col("is_q"))).join(broadcast(codebook), Seq("sub"))
       .select(col("vec_id").as("query_id"), col("sub"), col("cid"),
@@ -417,12 +436,100 @@ object Similarity {
   def pqQuery(s: SparkSession, dir: String): DataFrame =
     pqTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
 
+  /** B12: IVF-PQ — the FAISS IVFADC composition (Jégou et al., TPAMI
+    * 2011 §V): a coarse quantizer partitions the corpus into `numCells`
+    * cells, every vector is PQ-encoded as the RESIDUAL from its cell
+    * centroid (residuals concentrate near zero, so the same codebook
+    * budget spends its codewords on a much tighter distribution than raw
+    * vectors — the reason IVFADC beats flat PQ at equal bits), and a
+    * query scans only its `nprobe` nearest cells, ranking candidates by
+    * ADC over a per-(query, cell) lookup table of residual-subvector →
+    * codeword distances.
+    *
+    * This is THE production ANN shape at 100 TB: memory per vector is m
+    * bytes of codes + a cell id; the scan fraction is nprobe/numCells;
+    * and every join in the plan is either broadcast (centroids: numCells
+    * rows; codebook: m·ksub rows; LUT: |queries|·nprobe·m·ksub rows) or
+    * map-side-combinable (the per-(query, vec) ADC sum). Nothing touches
+    * raw vectors after encoding.
+    *
+    * All distance math is exact integer squared-L2 (quantized milliunits;
+    * residual = elementwise difference stays integer), so cell
+    * assignment, training, and ranking are bit-stable run to run. Cell
+    * seeds reuse [[ivfTopK]]'s hash-chosen corpus sample (engine hash ⇒
+    * rows-only under the driver gate, like b12_ann_ivf); recall-vs-nprobe
+    * and the planted-cluster contract are pinned in SimilaritySpec. */
+  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, numCells: Int = 16,
+      nprobe: Int = 4, m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+      iters: Int = 2, k: Int = 10): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("q"), queryPred.as("is_q"))
+      .localCheckpoint(true)
+    // coarse quantizer: deterministic hash-chosen corpus vectors as cell
+    // centroids (the ivfTopK selection), nearest by exact integer L2
+    val cells = broadcast(e.filter(!col("is_q"))
+      .withColumn("__h", xxhash64(col("vec_id")))
+      .orderBy(col("__h")).limit(numCells)
+      .select(col("vec_id").as("cell_id"), col("q").as("cq"))
+      .localCheckpoint(true))
+    // corpus → nearest cell (min-struct agg, no window shuffle); residual
+    // = q − centroid, elementwise, stays in exact integer space
+    val assigned = e.filter(!col("is_q")).crossJoin(cells)
+      .select(col("vec_id"), col("q"),
+        struct(l2q(col("q"), col("cq")).as("d"), col("cell_id")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("best"), first(col("q")).as("q"))
+      .select(col("vec_id"), col("q"), col("best.cell_id").as("cell_id"))
+      .join(cells, Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(col("q"), col("cq"), (x, y) => x - y).as("q"))
+      .localCheckpoint(true)
+    // shared residual codebooks (standard IVFADC: one codebook across
+    // cells, trained on all residuals)
+    val corpusSubs = subSplit(assigned, m, dsub, Seq("vec_id", "cell_id"))
+      .localCheckpoint(true)
+    val codebook = pqTrain(corpusSubs.drop("cell_id"), ksub, iters)
+    val codes = pqAssign(codebook, corpusSubs.drop("cell_id"))
+      .select(col("vec_id"), col("sub"), col("cid"))
+      .join(assigned.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+    // queries probe their nprobe nearest cells; the residual is
+    // PER (query, cell) — each probed cell gets its own LUT
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cell_id"))
+    val probes = e.filter(col("is_q"))
+      .select(col("vec_id").as("query_id"), col("q")).crossJoin(cells)
+      .select(col("query_id"), col("q"), col("cell_id"), col("cq"),
+        l2q(col("q"), col("cq")).as("d"))
+      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell_id"),
+        zip_with(col("q"), col("cq"), (x, y) => x - y).as("q"))
+    val lut = broadcast(subSplit(probes, m, dsub, Seq("query_id", "cell_id"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("cell_id"), col("sub"), col("cid"),
+        l2q(col("subq"), col("cq")).as("d"))
+      .localCheckpoint(true))
+    // ADC: codes ⋈ broadcast LUT on (cell_id, sub, cid) — a vector joins
+    // only if its cell was probed; the sum over its m codes is one
+    // map-side-combinable aggregate
+    val rankW = Window.partitionBy(col("query_id")).orderBy(col("pq_dist"), col("vec_id"))
+    codes.join(lut, Seq("cell_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("pq_dist"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("pq_dist"), col("rn").cast("int"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  def ivfPqQuery(s: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_embed_neardup" -> (embedNearDupQuery _),
     "b12_kmeans" -> (kMeansQuery _),
     "b12_pq_topk" -> (pqQuery _),
+    "b12_ivfpq_topk" -> (ivfPqQuery _),
     "b12_centroids" -> (labelCentroids _),
     "b12_cosine_pairs" -> (cosinePairs _),
     "b12_ann_topk" -> (annTopKQuery _),

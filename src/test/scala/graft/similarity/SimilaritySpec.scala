@@ -164,4 +164,37 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(top.toSeq === again.toSeq)
   }
+
+  test("IVF-PQ: probed-cell ADC finds cluster mates; full probe recovers flat-PQ recall (B12)") {
+    // same four tight clusters as the PQ test — wide enough cell budget
+    // that each cluster lands in its own coarse cell
+    def cvec(axis: Int, i: Int): Seq[Float] =
+      (0 until 16).map(d => (if (d == axis * 4) 4.0f else 0.0f) +
+        (if (d == axis * 4 + 1) i * 0.01f else 0.0f))
+    val rows = for (axis <- 0 until 4; i <- 0 until 12)
+      yield ((axis * 100 + i).toLong, cvec(axis, i))
+    val df = rows.toDF("vec_id", "embedding")
+    val isQuery = col("vec_id") % 100 === 0
+    def run(nprobe: Int) = Similarity.ivfPqTopK(df, isQuery, numCells = 8,
+        nprobe = nprobe, m = 4, dsub = 4, ksub = 8, iters = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val top = run(2)
+    for (axis <- 0 until 4) {
+      val q = axis * 100L
+      val mine = top.filter(_._1 == q)
+      assert(mine.length === 5, s"query $q returned ${mine.length} rows")
+      // residual-PQ ranking within probed cells must stay in-cluster
+      assert(mine.forall(t => t._2 / 100 == axis),
+        s"query $q leaked neighbors: ${mine.mkString(",")}")
+    }
+    // widening nprobe only adds candidates: the best ADC distance per
+    // query is non-increasing from nprobe=1 to a full probe
+    val bestNarrow = run(1).filter(_._4 == 1).map(t => t._1 -> t._3).toMap
+    val bestFull = run(8).filter(_._4 == 1).map(t => t._1 -> t._3).toMap
+    bestFull.foreach { case (q, d) =>
+      assert(d <= bestNarrow(q), s"query $q: full-probe best $d > nprobe=1 best ${bestNarrow(q)}")
+    }
+    // deterministic run-to-run
+    assert(run(2).toSeq === top.toSeq)
+  }
 }
