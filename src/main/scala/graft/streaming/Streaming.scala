@@ -354,6 +354,58 @@ object Streaming {
       }
   }
 
+  case class RetentionState(cohortDay: Int, offsets: Seq[Int])
+  case class RetentionHit(user_id: Long, cohort_day: java.time.LocalDate, day_offset: Int)
+
+  /** B10: streaming cohort retention — [[graft.ops.EventAnalytics.retention]]'s
+    * `flatMapGroupsWithState` twin, completing the streaming
+    * product-analytics trio (funnel, transitions, retention). Per-user
+    * state = the cohort day (first activity day ever seen) + the set of
+    * day offsets already emitted; each event emits one (user, cohort_day,
+    * day_offset) hit the FIRST time that offset is reached, so downstream
+    * `groupBy(cohort_day, day_offset).count` IS the retention triangle —
+    * the batch plan's per-user `distinct()` becomes per-key state.
+    *
+    * State is O(min(active days, maxOffsetDays)) ints per user — bounded
+    * by the dashboard horizon, not the stream length; events past the
+    * horizon are ignored (and real dashboards never render them). Under
+    * in-order arrival the emitted hit set equals the batch pipeline's
+    * distinct (user, cohort, offset) rows (spec-pinned); a late event
+    * predating a user's known cohort day would need a correction channel
+    * and is out of contract, same as the other twins. Days are UTC epoch
+    * days — identical to `to_date(ts)` under the session's pinned UTC. */
+  def retentionStream(events: DataFrame, maxOffsetDays: Int = 365): Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[SEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[SEvent],
+         state: org.apache.spark.sql.streaming.GroupState[RetentionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[RetentionHit]
+          var st = state.getOption
+          sorted.foreach { e =>
+            val day = Math.floorDiv(e.ts.getTime, 86400000L).toInt
+            st match {
+              case None =>
+                st = Some(RetentionState(day, Seq(0)))
+                out += RetentionHit(userId, java.time.LocalDate.ofEpochDay(day.toLong), 0)
+              case Some(s) =>
+                val off = day - s.cohortDay
+                if (off >= 0 && off <= maxOffsetDays && !s.offsets.contains(off)) {
+                  st = Some(s.copy(offsets = s.offsets :+ off))
+                  out += RetentionHit(userId,
+                    java.time.LocalDate.ofEpochDay(s.cohortDay.toLong), off)
+                }
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** B10 + A21: incremental harvest as a streaming sink — each micro-batch
     * of bindings merges into the store via the same batch Merge operators
     * (the reference's per-page transactional commit, harvest.py:374). */

@@ -241,6 +241,43 @@ class StreamingSpec extends SparkSpec {
     assert(terms.toSeq === Seq((1L, "https://v.example/t/b"), (2L, "https://v.example/t/a")))
   }
 
+  test("streaming retention == batch retention triangle on in-order events, across batches (B10)") {
+    def d(day: Int, hh: Int) = Timestamp.valueOf(f"2026-01-$day%02d $hh%02d:00:00")
+    // u1 active days 1,2,4 (two events on day 2 → ONE hit); u2 days 2,3;
+    // u3 day 1 only. u1's day-4 event crosses micro-batches via state.
+    val b1 = Seq(
+      Evt(1, d(1, 8), 1, "view", 0), Evt(2, d(2, 9), 1, "click", 0),
+      Evt(3, d(2, 10), 1, "view", 0),
+      Evt(4, d(2, 8), 2, "view", 0),
+      Evt(5, d(1, 9), 3, "view", 0))
+    val b2 = Seq(
+      Evt(6, d(4, 8), 1, "purchase", 0),
+      Evt(7, d(3, 8), 2, "click", 0))
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.retentionStream(input.toDF()).writeStream
+      .format("memory").queryName("reten").outputMode("update").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("reten").groupBy("cohort_day", "day_offset")
+      .count().collect()
+      .map(r => ((r.getDate(0).toString, r.getInt(1)), r.getLong(2))).toMap
+    val batch = graft.ops.EventAnalytics.retention((b1 ++ b2).toDF())
+      .select($"cohort_day".cast("date"), $"day_offset", $"n_users").collect()
+      .map(r => ((r.getDate(0).toString, r.getInt(1)), r.getLong(2))).toMap
+    assert(streamed === batch)
+    assert(streamed(("2026-01-01", 0)) === 2L) // u1 + u3 cohorted day 1
+    assert(streamed(("2026-01-01", 3)) === 1L) // u1's cross-batch day-4 hit
+    // horizon cap: offsets beyond maxOffsetDays are dropped, state stays bounded
+    val input2 = MemoryStream[Evt](spark)
+    val q2 = Streaming.retentionStream(input2.toDF(), maxOffsetDays = 2).writeStream
+      .format("memory").queryName("reten_cap").outputMode("update").start()
+    input2.addData(b1 ++ b2); q2.processAllAvailable()
+    q2.stop()
+    val capped = spark.table("reten_cap").select($"day_offset").collect().map(_.getInt(0))
+    assert(capped.max <= 2 && !capped.contains(3))
+  }
+
   test("streaming transitions == batch lag pairs on in-order events, across batches (B10)") {
     val b1 = Seq(
       Evt(1, t(0), 1, "signup", 0), Evt(2, t(1), 1, "view", 0),
