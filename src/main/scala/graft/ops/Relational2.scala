@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Second batch of relational surface: multiset set-ops, null-safe
@@ -215,10 +215,45 @@ object Relational2 {
   private def globalShuffleQuery(s: SparkSession, dir: String): DataFrame =
     globalShuffle(s, dir)
 
+  /** B15: weighted corpus mixing — materialize a target mixture by
+    * deterministically up/down-sampling each source to its weight (the
+    * Pile/Dolma data-mixing step: weight 2.0 ≈ two epochs of a source,
+    * 0.5 ≈ keep half). Each doc gets `floor(w)` copies plus one more iff
+    * its portable md5-derived uniform (first 8 hex digits / 2^32 — the
+    * [[globalShuffle]] idiom) falls below frac(w): E[copies] = w exactly,
+    * per-doc deterministic, no RNG, engine-portable. Copies carry a
+    * copy_idx so a downstream [[globalShuffle]] spreads epochs apart.
+    * Scan-side only — the explode is the honest output-size cost and the
+    * filter prunes dropped docs before it; no shuffle at any size. */
+  def weightedMix(docs: DataFrame, weight: Column): DataFrame = {
+    val d = docs
+      .withColumn("weight", weight)
+      .withColumn("u",
+        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").cast("double") / lit(4294967296.0))
+      .withColumn("n_copies",
+        (floor(col("weight")) +
+          when(col("u") < col("weight") - floor(col("weight")), 1L).otherwise(0L)).cast("int"))
+      .filter(col("n_copies") >= 1) // sequence(1,0) would count DOWN, not empty
+    d.select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
+  /** Driver query: weights from a deterministic per-source rule (ascii of
+    * the source's first char → {0.5, 1.0, 1.5, 2.0}) so both engines
+    * compute the identical mixture without a side-channel weights file;
+    * callers pass any weight expression (typically a broadcast-joined
+    * weights table). */
+  private def weightedMixQuery(s: SparkSession, dir: String): DataFrame =
+    weightedMix(Tables.documents(s, dir),
+      expr("(pmod(ascii(substring(source, 1, 1)), 4) + 1) * 0.5"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b15_stratified_sample" -> (stratifiedSample _),
     "b15_sequence_pack" -> (sequencePackQuery _),
     "b15_global_shuffle" -> (globalShuffleQuery _),
+    "b15_weighted_mix" -> (weightedMixQuery _),
     "b03_subquery_corr" -> (subqueryCorr _),
     "b06_range_frame" -> (rangeFrame _),
     "b04_string_agg" -> (stringAgg _),
@@ -259,6 +294,21 @@ object Relational2 {
       SELECT doc_id, sort_key, shard_id,
         CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY sort_key, doc_id) AS INT) AS shard_pos
       FROM sh ORDER BY sort_key, doc_id""",
+    "b15_weighted_mix" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+          (ascii(substring(source, 1, 1)) % 4 + 1) * 0.5 AS weight,
+          CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0 AS u
+        FROM documents),
+      c AS (
+        SELECT doc_id, source,
+          CAST(floor(weight) + CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END AS INT)
+            AS n_copies
+        FROM d)
+      SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+      FROM c WHERE n_copies >= 1
+      ORDER BY doc_id, copy_idx""",
     "b03_subquery_corr" -> """
       SELECT l_orderkey, l_linenumber, l_partkey
       FROM lineitem l1

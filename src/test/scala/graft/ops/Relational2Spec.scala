@@ -76,6 +76,30 @@ class Relational2Spec extends SparkSpec {
     assert(out((1, 1)) === ((1L, 250L, 250.0)))
   }
 
+  test("weightedMix: integer weights copy exactly, fractional weights hit E[w] within bound (B15)") {
+    import spark.implicits._
+    val docs = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "whole" else "half"))
+      .toDF("doc_id", "source")
+    // whole → weight 2.0 (exactly two copies each); half → 0.5 (each doc
+    // kept iff its md5 uniform < 0.5: deterministic, ~250 of 500)
+    val w = when($"source" === "whole", 2.0).otherwise(0.5)
+    val out = Relational2.weightedMix(docs, w).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDoc = out.groupBy(_._1)
+    // integer regime: every even doc has copies 1 and 2, nothing else
+    (0 until 1000 by 2).foreach { i =>
+      assert(byDoc(i.toLong).map(_._3).sorted.toSeq === Seq(1, 2))
+    }
+    // fractional regime: kept docs have exactly one copy; count ≈ 250
+    val halves = out.filter(_._2 == "half")
+    assert(halves.forall(_._3 == 1))
+    assert(math.abs(halves.length - 250) < 60, s"kept ${halves.length} of 500 at w=0.5")
+    // per-doc deterministic: a second run is identical
+    val again = Relational2.weightedMix(docs, w).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("sequencePack: contiguous packs, straddling doc lands in its ending pack (B15)") {
     val out = Relational2.sequencePack(spark, sfDir, capacity = 256, numShards = 8)
       .collect().map(r => (r.getInt(1), r.getLong(0), r.getInt(2), r.getLong(3), r.getInt(4)))
