@@ -154,6 +154,37 @@ object Merge {
     closed.unionByName(kept).unionByName(retired).unionByName(opened)
   }
 
+  /** A11+: snapshot diff (CDC) — classify every key across two snapshots
+    * of a table as insert / delete / update / unchanged, with old and new
+    * tracked values side by side. The audit/change-feed primitive the
+    * incremental store implies (the reference detects "no changes" only
+    * by git-diffing the whole .db, action.yml:41-44; this is that check
+    * as a first-class relational operator, and the input to incremental
+    * downstream processing — only `insert`/`update` keys need rework).
+    *
+    * ONE null-safe full-outer shuffle on the keys, presence markers
+    * instead of a second scan, `<=>` per tracked column for null-safe
+    * change detection — the same single-key-shuffle scale shape as
+    * [[upsertTerms]]/[[scd2Merge]]. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+                   tracked: Seq[String]): DataFrame = {
+    val o = oldSnap.select(
+      keys.map(col) ++ tracked.map(c => col(c).as(s"old_$c")): _*)
+      .withColumn("__in_old", lit(1))
+    val n = newSnap.select(
+      keys.map(col) ++ tracked.map(c => col(c).as(s"new_$c")): _*)
+      .withColumn("__in_new", lit(1))
+    val changed = tracked.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged").as("change_type")) ++
+        tracked.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   /** A15: `INSERT OR IGNORE` keyed by UNIQUE(term_id, field_uri,
     * original_value) (harvest.py:210,363-372): dedup the batch, anti-join
     * against existing rows, assign ids, append. Existing rows (and their

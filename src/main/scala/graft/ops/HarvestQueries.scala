@@ -131,6 +131,23 @@ object HarvestQueries {
       .orderBy($"uri", $"valid_from")
   }
 
+  /** A11+ (CDC): snapshot diff over the same fixture pair as
+    * [[scd2History]] — all four change classes (insert / delete / update
+    * / unchanged) plus null-safe label comparison are exercised. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val uri = concat(lit("https://vocab.example.org/term/"), $"doc_id").as("uri")
+    val oldSnap = docs.filter($"doc_id" % 2 === 0 && $"doc_id" % 11 =!= 0)
+      .select(uri,
+        when($"doc_id" % 10 =!= 0, concat(lit("v"), $"doc_id" % 10)).as("label"))
+    val newSnap = docs.filter($"doc_id" % 3 === 0 && $"doc_id" % 11 =!= 0)
+      .select(uri,
+        when($"doc_id" % 5 =!= 0, concat(lit("v"), $"doc_id" % 5)).as("label"))
+    Merge.snapshotDiff(oldSnap, newSnap, Seq("uri"), Seq("label"))
+      .orderBy($"uri")
+  }
+
   /** A12: dense deterministic surrogate ids for all distinct concepts. */
   def surrogateIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -260,6 +277,7 @@ object HarvestQueries {
     "a10_dedup_first_wins" -> (dedupFirstWins _),
     "a11_upsert_terms" -> (upsertTerms _),
     "a11_scd2_history" -> (scd2History _),
+    "a11_snapshot_diff" -> (snapshotDiff _),
     "a12_surrogate_ids" -> (surrogateIds _),
     "a13_fk_resolve" -> (fkResolve _),
     "a14_melt_eav" -> (meltEav _),
@@ -362,6 +380,23 @@ object HarvestQueries {
         SELECT iuri, ilabel, TIMESTAMP '2026-02-01', CAST(NULL AS TIMESTAMP), TRUE
         FROM j WHERE iuri IS NOT NULL AND (euri IS NULL OR chg))
       ORDER BY uri, valid_from""",
+    "a11_snapshot_diff" -> """
+      WITH o AS (
+        SELECT 'https://vocab.example.org/term/' || doc_id AS uri,
+               CASE WHEN doc_id % 10 <> 0 THEN 'v' || (doc_id % 10) END AS label
+        FROM documents WHERE doc_id % 2 = 0 AND doc_id % 11 <> 0),
+      n AS (
+        SELECT 'https://vocab.example.org/term/' || doc_id AS uri,
+               CASE WHEN doc_id % 5 <> 0 THEN 'v' || (doc_id % 5) END AS label
+        FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 <> 0)
+      SELECT COALESCE(o.uri, n.uri) AS uri,
+        CASE WHEN o.uri IS NULL THEN 'insert'
+             WHEN n.uri IS NULL THEN 'delete'
+             WHEN o.label IS DISTINCT FROM n.label THEN 'update'
+             ELSE 'unchanged' END AS change_type,
+        o.label AS old_label, n.label AS new_label
+      FROM o FULL OUTER JOIN n ON o.uri = n.uri
+      ORDER BY uri""",
     "a12_surrogate_ids" -> s"""$FIX
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY uri) AS BIGINT) AS id, uri
       FROM (SELECT DISTINCT concept AS uri FROM v) ORDER BY id""",

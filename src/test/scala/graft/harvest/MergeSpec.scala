@@ -117,6 +117,22 @@ class MergeSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("unique")), chain(e).mkString(" | "))
   }
 
+  test("snapshotDiff classifies insert/delete/update/unchanged with null-safe compare (CDC)") {
+    val oldSnap = Seq(("u1", "a"), ("u2", "b"), ("u3", null), ("u4", "d"))
+      .toDF("uri", "label")
+    val newSnap = Seq(("u1", "a"), ("u2", "B"), ("u3", null), ("u5", "e"))
+      .toDF("uri", "label")
+    val out = Merge.snapshotDiff(oldSnap, newSnap, Seq("uri"), Seq("label"))
+      .orderBy($"uri").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      ("u1", "unchanged", "a", "a"),
+      ("u2", "update", "b", "B"),
+      ("u3", "unchanged", null, null), // null <=> null: NOT an update
+      ("u4", "delete", "d", null),
+      ("u5", "insert", null, "e")))
+  }
+
   test("scd2Merge rejects corrupt history with two current rows per key (SCD2)") {
     val hist = Seq(("u1", "a"), ("u1", "b")).toDF("uri", "label")
       .select($"uri", $"label",
