@@ -166,6 +166,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** B13: quarantine routing — the reject-with-reasons audit table every
+    * curation pipeline keeps: one battery of named checks per document,
+    * the FULL ordered list of failed checks (not just the first), and a
+    * keep/quarantine verdict. Reasons compose the scan-side signals
+    * already shipped (length/token-shape from [[qualityScore]],
+    * distinct-token ratio from the repetition family, [[langGuess]]
+    * mismatch vs the labeled lang, PII presence) — everything is a
+    * projection over the scan, zero shuffles before the output sort,
+    * and the reasons array is pipe-joined to a scalar for row-canonical
+    * cross-engine comparison (the determinism contract's array rule). */
+  def quarantineRoute(s: SparkSession, dir: String): DataFrame =
+    quarantineRouteOn(Tables.documents(s, dir))
+
+  /** [[quarantineRoute]] over an arbitrary (doc_id, text, lang) frame. */
+  def quarantineRouteOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("double")
+    val avgLen = length($"text").cast("double") / nTok
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    val checks: Seq[(String, Column)] = Seq(
+      "too_short" -> (size(toks) < 5),
+      "token_len" -> (avgLen < 3.0 || avgLen > 12.0),
+      "repetitive" -> (uniqRatio < 0.3),
+      "lang_mismatch" -> (langGuess($"text") =!= $"lang"),
+      "has_pii" -> (regexp_count($"text", lit(EmailPattern)) > 0 ||
+        regexp_count($"text", lit(PhonePattern)) > 0))
+    val reasons = filter(
+      array(checks.map { case (n, c) => when(c, lit(n)) }: _*), x => x.isNotNull)
+    docs
+      .withColumn("__r", reasons)
+      .select($"doc_id",
+        array_join($"__r", "|").as("reasons"),
+        size($"__r").as("n_reasons"),
+        when(size($"__r") === 0, "keep").otherwise("quarantine").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
   /** Joined-bigram generator over a pre-split `toks` array column — the
     * shared kernel of the repetition baseline and the n-gram census
     * (kept verbatim-identical so their oracles stay in sync). */
@@ -366,6 +404,7 @@ object TextAnalysis {
     "b13_tfidf_top_terms" -> (tfidfTopTerms _),
     "b13_chunking" -> (chunkDocs _),
     "b13_pii_redact" -> (piiRedact _),
+    "b13_quarantine" -> (quarantineRoute _),
   )
 
   private def sqlCount(pat: String) =
@@ -500,6 +539,40 @@ object TextAnalysis {
         regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
           '\d{3}[-.]\d{3}[-.]\d{4}', '[PHONE]', 'g') AS redacted
       FROM raw ORDER BY doc_id""",
+    "b13_quarantine" -> """
+      WITH f AS (
+        SELECT doc_id, lang,
+          len(string_split(text, ' ')) AS n_tok,
+          CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_len,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS uniq_ratio,
+          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}')) AS n_pii,
+          len(regexp_extract_all(text, '\b(the|and|of|to|a|is|in)\b')) AS en,
+          len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein)\b')) AS de,
+          len(regexp_extract_all(text, '\b(el|la|los|que|y|es)\b')) AS es,
+          len(regexp_extract_all(text, '\b(le|les|et|est|une|des)\b')) AS fr
+        FROM documents),
+      g AS (
+        SELECT *, CASE
+            WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+            WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+            WHEN es > 0 AND es >= fr THEN 'es'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS guess
+        FROM f),
+      r AS (
+        SELECT doc_id, list_filter([
+            CASE WHEN n_tok < 5 THEN 'too_short' END,
+            CASE WHEN avg_len < 3.0 OR avg_len > 12.0 THEN 'token_len' END,
+            CASE WHEN uniq_ratio < 0.3 THEN 'repetitive' END,
+            CASE WHEN guess <> lang THEN 'lang_mismatch' END,
+            CASE WHEN n_pii > 0 THEN 'has_pii' END], x -> x IS NOT NULL) AS rs
+        FROM g)
+      SELECT doc_id, COALESCE(array_to_string(rs, '|'), '') AS reasons,
+        CAST(len(rs) AS INT) AS n_reasons,
+        CASE WHEN len(rs) = 0 THEN 'keep' ELSE 'quarantine' END AS verdict
+      FROM r ORDER BY doc_id""",
     "b13_language_id" -> """
       SELECT doc_id, lang AS labeled_lang,
         CASE

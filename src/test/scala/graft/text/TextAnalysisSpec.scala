@@ -86,6 +86,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.winnowFingerprints(short).count() === 0L)
   }
 
+  test("quarantine: planted docs fail the named checks in declaration order (B13)") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and looked out of the window", "en"),
+      (2L, "hi", "en"),                                      // too_short (+token_len: avg 2.0)
+      (3L, "the and of to a is in" + " spam" * 23, "en"),    // repetitive (8/30 distinct), en markers keep lang green
+      (4L, "der hund und die katze ist ein freund", "en"),   // lang_mismatch (de text, en label)
+      (5L, "reach the admin of the site and write to a1@mail.example.org now ok", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.quarantineRouteOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) === (("", 0, "keep")))
+    assert(out(2L)._1.split('|').contains("too_short") && out(2L)._3 == "quarantine")
+    assert(out(3L)._1 === "repetitive")
+    assert(out(4L)._1 === "lang_mismatch")
+    assert(out(5L)._1 === "has_pii")
+    // multi-reason docs list ALL failures in declaration order
+    val multi = TextAnalysis.quarantineRouteOn(
+      Seq((9L, "aa aa aa aa", "fr")).toDF("doc_id", "text", "lang")).collect()(0)
+    assert(multi.getString(1) === "too_short|token_len|repetitive|lang_mismatch")
+  }
+
   test("repetition production plan has no shuffle before the output sort") {
     // multi-partition input: single-partition plans elide exchanges and
     // would make the comparison vacuous
