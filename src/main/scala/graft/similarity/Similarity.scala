@@ -341,15 +341,20 @@ object Similarity {
       .select(keys.map(col) :+ col("x.sub").as("sub") :+ col("x.subq").as("subq"): _*)
 
   /** Assign each sub-vector to its nearest codeword under exact integer
-    * squared-L2; ties break on the lower code id. */
-  private def pqAssign(cb: DataFrame, sv: DataFrame): DataFrame = sv
+    * squared-L2; ties break on the lower code id. `carry` columns must be
+    * functionally dependent on vec_id (e.g. the IVF cell id) — they ride
+    * the aggregate as `first()` so downstream plans need no re-join
+    * against the assignment source (an n·m-row shuffle at corpus scale). */
+  private def pqAssign(cb: DataFrame, sv: DataFrame,
+                       carry: Seq[String] = Nil): DataFrame = sv
     .join(broadcast(cb), Seq("sub"))
-    .select(col("vec_id"), col("sub"), col("subq"),
-      struct(l2q(col("subq"), col("cq")).as("d"), col("cid")).as("dc"))
+    .select((Seq(col("vec_id"), col("sub"), col("subq")) ++ carry.map(col) :+
+      struct(l2q(col("subq"), col("cq")).as("d"), col("cid")).as("dc")): _*)
     .groupBy(col("vec_id"), col("sub"))
-    .agg(min(col("dc")).as("best"), first(col("subq")).as("subq"))
-    .select(col("vec_id"), col("sub"), col("subq"),
-      col("best.cid").as("cid"), col("best.d").as("d"))
+    .agg(min(col("dc")).as("best"),
+      (first(col("subq")).as("subq") +: carry.map(c => first(col(c)).as(c))): _*)
+    .select((Seq(col("vec_id"), col("sub"), col("subq"),
+      col("best.cid").as("cid"), col("best.d").as("d")) ++ carry.map(col)): _*)
 
   /** Seed + Lloyd-train one `ksub`-codeword codebook per subspace over
     * (vec_id, sub, subq) rows. Seeds are the lexicographically-first
@@ -489,9 +494,10 @@ object Similarity {
     val corpusSubs = subSplit(assigned, m, dsub, Seq("vec_id", "cell_id"))
       .localCheckpoint(true)
     val codebook = pqTrain(corpusSubs.drop("cell_id"), ksub, iters)
-    val codes = pqAssign(codebook, corpusSubs.drop("cell_id"))
-      .select(col("vec_id"), col("sub"), col("cid"))
-      .join(assigned.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+    // cell_id rides the encode aggregate (functionally dependent on
+    // vec_id) — no n·m-row re-join against the assignment at scale
+    val codes = pqAssign(codebook, corpusSubs, carry = Seq("cell_id"))
+      .select(col("vec_id"), col("sub"), col("cid"), col("cell_id"))
     // queries probe their nprobe nearest cells; the residual is
     // PER (query, cell) — each probed cell gets its own LUT
     val qw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cell_id"))
