@@ -100,6 +100,20 @@ class Relational2Spec extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("weightedMix: scan-side plan — only the output sort shuffles (B15)") {
+    val q = Relational2.weightedMix(graft.Tables.documents(spark, sfDir),
+      expr("(pmod(ascii(substring(source, 1, 1)), 4) + 1) * 0.5"))
+    q.write.format("noop").mode("overwrite").save()
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size === 1, finalPlan.toString)
+  }
+
   test("sequencePack: contiguous packs, straddling doc lands in its ending pack (B15)") {
     val out = Relational2.sequencePack(spark, sfDir, capacity = 256, numShards = 8)
       .collect().map(r => (r.getInt(1), r.getLong(0), r.getInt(2), r.getLong(3), r.getInt(4)))

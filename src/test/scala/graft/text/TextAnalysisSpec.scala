@@ -107,6 +107,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(multi.getString(1) === "too_short|token_len|repetitive|lang_mismatch")
   }
 
+  test("quarantine plan is scan-side — only the output sort shuffles (B13)") {
+    val q = TextAnalysis.quarantineRoute(spark, sfDir)
+    q.write.format("noop").mode("overwrite").save()
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size === 1, finalPlan.toString)
+  }
+
   test("repetition production plan has no shuffle before the output sort") {
     // multi-partition input: single-partition plans elide exchanges and
     // would make the comparison vacuous
