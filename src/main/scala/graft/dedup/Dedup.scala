@@ -155,17 +155,24 @@ object Dedup {
     * pair set and attach each side's shingles — never shingle⋈shingle
     * first, whose cost is Σ freq(shingle)² and explodes on common
     * shingles. */
-  def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
+    verifyJaccardTwo(pairs, sh, sh)
+
+  /** Two-frame variant: side `a`'s shingles from `shA`, side `b`'s from
+    * `shB` — the cross-corpus shape ([[minHashNearDupAcross]]); with
+    * `shA eq shB` it is exactly the self-dedup verification. */
+  private def verifyJaccardTwo(pairs: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame = {
+    val sizesA = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
-      .join(sh.toDF("a", "shingle"), Seq("a"))
-      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
+      .join(shA.toDF("a", "shingle"), Seq("a"))
+      .join(shB.toDF("b", "shingle"), Seq("b", "shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     pairs
       .join(inter, Seq("a", "b"), "left_outer")
       .na.fill(0L, Seq("inter"))
-      .join(sizes.toDF("a", "na"), Seq("a"))
-      .join(sizes.toDF("b", "nb"), Seq("b"))
+      .join(sizesA.toDF("a", "na"), Seq("a"))
+      .join(sizesB.toDF("b", "nb"), Seq("b"))
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
@@ -212,6 +219,57 @@ object Dedup {
 
   def minHashQuery(s: SparkSession, dir: String): DataFrame =
     minHashNearDup(Tables.documents(s, dir))
+
+  /** B12: INCREMENTAL cross-corpus near-dedup — which docs of an incoming
+    * batch near-duplicate something already in a reference corpus. The
+    * ingestion-time shape at 100 TB: the reference side is banded once
+    * (and in production its bands/shingles are a precomputed, reusable
+    * table — this operator never pairs ref docs with each other, so
+    * growing the reference never costs ref×ref work), the incoming batch
+    * probes the band buckets, and only cross pairs are verified.
+    *
+    * Hot buckets cap differently than the self-join: for a bucket over
+    * `maxBucket` REF docs, each incoming doc probes the bucket-minimum
+    * ref doc only (one edge per incoming doc, not |bucket| edges) — the
+    * decision "is this new doc a near-dup of the reference" needs ONE
+    * verified witness, and an interloper's false probe dies in exact
+    * verification just like its full edge set would have. Output
+    * (new_id, ref_id, …, jaccard), rows-only under the driver gate (LSH
+    * candidates are engine hashes; the Jaccard layer is the same exact
+    * arithmetic as the hash-gated b12_ngram_jaccard). */
+  def minHashNearDupAcross(newDocs: DataFrame, refDocs: DataFrame, k: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = MaxBucket): DataFrame = {
+    val shNew = shingleHashes(newDocs, k).cache()
+    val shRef = shingleHashes(refDocs, k).cache()
+    val bNew = lshBands(minHashSignaturesRow(newDocs, k))
+    val bRef = lshBands(minHashSignaturesRow(refDocs, k)).cache()
+    val stats = bRef.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+      .localCheckpoint(true)
+    val keyedRef = bRef.join(stats, Seq("band_idx", "band_hash"))
+    val direct = bNew.select(col("doc_id").as("a"), col("band_idx"), col("band_hash"))
+      .join(keyedRef.filter(col("bsz") <= maxBucket)
+        .select(col("doc_id").as("b"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select(col("a"), col("b"))
+    val starProbe = bNew.select(col("doc_id").as("a"), col("band_idx"), col("band_hash"))
+      .join(stats.filter(col("bsz") > maxBucket), Seq("band_idx", "band_hash"))
+      .select(col("a"), col("bmin").as("b"))
+    val pairs = direct.union(starProbe).filter(col("a") =!= col("b")).distinct()
+    val verified = verifyJaccardTwo(pairs, shNew, shRef)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("new_id"), col("b").as("ref_id"),
+        col("inter"), col("na"), col("nb"), col("jaccard"))
+      .localCheckpoint(true)
+    shNew.unpersist(); shRef.unpersist(); bRef.unpersist()
+    verified.orderBy(col("new_id"), col("ref_id"))
+  }
+
+  def crossNearDupQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    minHashNearDupAcross(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0))
+  }
 
   // ---------------------------------------------------------- simhash (B12)
 
@@ -793,6 +851,7 @@ object Dedup {
     "b11_clip_spans" -> (clipSpansQuery _),
     "b13_selfrep_spans" -> (selfRepSpansQuery _),
     "b12_minhash_lsh" -> (minHashQuery _),
+    "b12_cross_neardup" -> (crossNearDupQuery _),
     "b12_simhash" -> (simHashQuery _),
     "b12_ngram_jaccard" -> (ngramJaccardQuery _),
     "b12_dedup_clusters" -> (dedupClustersQuery _),

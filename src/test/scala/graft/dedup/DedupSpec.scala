@@ -74,6 +74,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case ((a, b), _) => a == 5000L || b == 5000L })
   }
 
+  test("cross-corpus near-dedup: finds new-vs-ref dups only, never intra-set pairs (B12)") {
+    // ref corpus holds base + other; incoming batch has a near-dup of
+    // base (→ flagged), an exact dup of base (→ flagged), an unrelated
+    // doc (→ clean), and TWO identical incoming docs (must NOT pair with
+    // each other — intra-batch dedup is minHashNearDup's job)
+    val ref = Seq((101L, base), (103L, other)).toDF("doc_id", "text")
+    val incoming = Seq((1L, nearDup), (2L, base),
+      (3L, (200 to 230).map(i => s"new$i").mkString(" ")),
+      (4L, (300 to 330).map(i => s"twin$i").mkString(" ")),
+      (5L, (300 to 330).map(i => s"twin$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.minHashNearDupAcross(incoming, ref, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs === Set((1L, 101L), (2L, 101L)), out.mkString(","))
+    assert(out.find(_._1 == 2L).get._3 === 1.0) // exact dup verifies at 1.0
+  }
+
+  test("cross-corpus near-dedup: hot ref bucket probes one witness per incoming doc") {
+    val n = 600 // ref flood of identical docs, far over MaxBucket=256
+    val ref = (1 to n).map(i => (i.toLong + 1000L, base)).toDF("doc_id", "text")
+    val incoming = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val out = Dedup.minHashNearDupAcross(incoming, ref, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1 is answered by the single bucket-min witness, not 600 pairs;
+    // doc 2 matches nothing
+    assert(out.toSeq === Seq((1L, 1001L)))
+  }
+
   test("decontaminate: flags train docs sharing an 8-gram with the bench set (B12)") {
     val gram = (1 to 8).map(i => s"g$i").mkString(" ")
     val d = Seq(
