@@ -241,6 +241,25 @@ class StreamingSpec extends SparkSpec {
     assert(terms.toSeq === Seq((1L, "https://v.example/t/b"), (2L, "https://v.example/t/a")))
   }
 
+  test("heavy-hitters aggregator runs under streaming update mode, exact regime == batch (B05xB10)") {
+    val input = MemoryStream[Evt](spark)
+    val hh = udaf(new graft.functions.HeavyHittersAgg(16))
+    val agg = input.toDF().groupBy().agg(hh($"event_type").as("hh"))
+    val q = agg.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    val b1 = Seq(Evt(1, t(0), 1, "view", 0), Evt(2, t(1), 1, "view", 0),
+      Evt(3, t(2), 2, "click", 0))
+    val b2 = Seq(Evt(4, t(3), 2, "view", 0), Evt(5, t(4), 3, "signup", 0))
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hh_stream").select(explode($"hh").as("e"))
+      .select($"e._1", $"e._2").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // exact regime (16 >= 3 distinct): equals exact counts, (count desc, item asc)
+    assert(streamed === Seq("view" -> 3L, "click" -> 1L, "signup" -> 1L))
+  }
+
   test("streaming retention == batch retention triangle on in-order events, across batches (B10)") {
     def d(day: Int, hh: Int) = Timestamp.valueOf(f"2026-01-$day%02d $hh%02d:00:00")
     // u1 active days 1,2,4 (two events on day 2 → ONE hit); u2 days 2,3;
