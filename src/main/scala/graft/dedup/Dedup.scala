@@ -28,6 +28,26 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
+  /** C4-style text canonicalization: lowercase, strip punctuation,
+    * collapse whitespace — shared by [[canonicalDedup]] and any caller
+    * that needs format-insensitive content identity. */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^\\w\\s]", ""), "\\s+", " "))
+
+  /** B11: canonicalized exact dedup — the same hash-groupBy as
+    * [[exactDedup]] but over [[canonicalText]], so trivially-reformatted
+    * copies (case, punctuation, whitespace) collapse to one group: the
+    * C4/RefinedWeb normalization step between byte-exact dedup and
+    * near-dedup. Same single map-side-combinable shuffle on the 32-byte
+    * sha; the normalization is scan-side string algebra. */
+  def canonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(sha2(canonicalText($"text"), 256).as("content_sha"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
   // --------------------------------------------------------- shingles (B12)
 
   /** Distinct k-token shingles per document: (doc_id, shingle) rows.
@@ -852,6 +872,7 @@ object Dedup {
     "b13_selfrep_spans" -> (selfRepSpansQuery _),
     "b12_minhash_lsh" -> (minHashQuery _),
     "b12_cross_neardup" -> (crossNearDupQuery _),
+    "b11_dedup_canonical" -> (canonicalDedup _),
     "b12_simhash" -> (simHashQuery _),
     "b12_ngram_jaccard" -> (ngramJaccardQuery _),
     "b12_dedup_clusters" -> (dedupClustersQuery _),
@@ -877,6 +898,12 @@ object Dedup {
     "b11_dedup_exact" -> """
       SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    "b11_dedup_canonical" -> """
+      SELECT sha256(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                        '\s+', ' ', 'g'))) AS content_sha,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1 ORDER BY keep_id""",
     // the Bloom build AND probe replay in SQL: two salted 48-bit
     // md5-prefix probes mod 2^16, word = p//63, mask = 1<<(p%63) — 63 bits per word because DuckDB range-checks 1<<63,
     // bit_or-aggregated word table, membership = both bits set — the FP

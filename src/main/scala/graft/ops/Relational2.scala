@@ -88,6 +88,24 @@ object Relational2 {
       .orderBy($"split")
   }
 
+  /** B15: leakage-safe GROUP split — every document of a group (here: its
+    * `source`) lands in the same train/valid/test fold, so near-identical
+    * documents from one origin can never straddle the train/test boundary
+    * (the evaluation-leakage failure a row-wise split invites; the
+    * group-k-fold idea from standard ML practice, applied to corpus
+    * provenance). The fold comes from the group key alone — the
+    * engine-portable md5-prefix integer mod 100 — so it is stable under
+    * corpus growth: adding documents never moves an existing source.
+    * Scan-side projection; no shuffle before the output sort. */
+  def groupSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gb = pmod(conv(substring(md5($"source"), 1, 8), 16, 10).cast("long"), lit(100L))
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        when(gb < 80, "train").when(gb < 90, "valid").otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   /** B3: correlated scalar subqueries (TPC-H Q17 shape) — lineitems whose
     * quantity is below 20% of their part's average. Catalyst decorrelates
     * into an aggregate + join, so the plan stays shuffle-bounded. All
@@ -254,6 +272,7 @@ object Relational2 {
     "b15_sequence_pack" -> (sequencePackQuery _),
     "b15_global_shuffle" -> (globalShuffleQuery _),
     "b15_weighted_mix" -> (weightedMixQuery _),
+    "b15_group_split" -> (groupSplit _),
     "b03_subquery_corr" -> (subqueryCorr _),
     "b06_range_frame" -> (rangeFrame _),
     "b04_string_agg" -> (stringAgg _),
@@ -364,5 +383,12 @@ object Relational2 {
              COUNT(*) AS n_docs
       FROM (SELECT doc_id * 2654435761 % 100 AS b FROM documents)
       GROUP BY 1 ORDER BY 1""",
+    "b15_group_split" -> """
+      SELECT doc_id, source,
+        CASE WHEN gb < 80 THEN 'train' WHEN gb < 90 THEN 'valid' ELSE 'test' END AS split
+      FROM (SELECT doc_id, source,
+              CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100 AS gb
+            FROM documents)
+      ORDER BY doc_id""",
   )
 }

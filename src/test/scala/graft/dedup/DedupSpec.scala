@@ -74,6 +74,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case ((a, b), _) => a == 5000L || b == 5000L })
   }
 
+  test("canonicalText collapses case/punctuation/whitespace variants to one hash (B11)") {
+    import org.apache.spark.sql.functions.sha2
+    val variants = Seq(
+      "Hello, World!  This is   GRAFT.",
+      "hello world this is graft",
+      "HELLO WORLD — this is graft?!",
+      "a different document entirely")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hashes = variants.select(sha2(Dedup.canonicalText($"text"), 256)).collect()
+      .map(_.getString(0))
+    assert(hashes(0) === hashes(1), "punctuated vs plain must collapse")
+    assert(hashes(1) === hashes(2), "case + unicode punctuation must collapse")
+    assert(hashes.distinct.length === 2, hashes.mkString(","))
+  }
+
   test("cross-corpus near-dedup: finds new-vs-ref dups only, never intra-set pairs (B12)") {
     // ref corpus holds base + other; incoming batch has a near-dup of
     // base (→ flagged), an exact dup of base (→ flagged), an unrelated

@@ -100,6 +100,17 @@ class Relational2Spec extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("groupSplit: every source lands in exactly ONE fold (leakage-safe) (B15)") {
+    val out = Relational2.groupSplit(spark, sfDir)
+    val perSource = out.groupBy($"source")
+      .agg(countDistinct($"split").as("n_folds"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(perSource.nonEmpty && perSource.forall(_._2 == 1L),
+      perSource.filter(_._2 != 1L).mkString(","))
+    // and at least two folds are populated on the fixture (it IS a split)
+    assert(out.select($"split").distinct().count() >= 2)
+  }
+
   test("weightedMix: scan-side plan — only the output sort shuffles (B15)") {
     val q = Relational2.weightedMix(graft.Tables.documents(spark, sfDir),
       expr("(pmod(ascii(substring(source, 1, 1)), 4) + 1) * 0.5"))
