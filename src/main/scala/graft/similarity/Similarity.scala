@@ -529,6 +529,60 @@ object Similarity {
   def ivfPqQuery(s: SparkSession, dir: String): DataFrame =
     ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
 
+  /** B12/B13: hybrid retrieval — the RAG-stack composite: a LEXICAL
+    * recall stage (inverse-df-weighted distinct-token overlap, the BM25
+    * family's exact-integer core) proposes `lexK` candidates per query,
+    * and a SEMANTIC rerank (quantized cosine over the aligned embedding
+    * table) orders the final top `k`. Both stages are exact arithmetic
+    * (scores are Σ 1000000 div df — truncating integer division,
+    * identical across engines; cosine is the established quantized
+    * kernel), so the WHOLE two-stage pipeline is DuckDB-oracle
+    * hash-gated — lexical scoring, candidate cut, and rerank.
+    *
+    * Scale shape: tokens with df > `maxDf` are dropped from scoring
+    * (stopword pruning — the same cap that bounds dupSpans): the
+    * token-join fan-out is Σ_rare-tok df², never the full posting
+    * product, and on a Zipfian vocabulary that is the difference between
+    * linear and quadratic. The query side of the token join and the
+    * candidate frame of the rerank join are both |queries|-bounded
+    * (broadcast); the embedding table is only probed at candidate ids. */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame, queryPred: Column,
+      lexK: Int = 20, k: Int = 5, maxDf: Int = 1000): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val tw = toks.join(dfreq, Seq("tok"))
+    val qt = tw.filter(queryPred)
+      .select(col("doc_id").as("query_id"), col("tok"), col("df"))
+    val cand = qt.join(tw.select(col("doc_id"), col("tok")), Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("1000000 div df")).as("lex_score"))
+    val lw = Window.partitionBy(col("query_id"))
+      .orderBy(col("lex_score").desc, col("doc_id"))
+    val topLex = cand.withColumn("lrn", row_number().over(lw)).filter(col("lrn") <= lexK)
+      .select(col("query_id"), col("doc_id"), col("lex_score"))
+    val e = quantizedWithNorm(embeddings)
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    topLex
+      .join(e.select(col("vec_id").as("query_id"), col("q").as("qq"), col("norm").as("qn")),
+        Seq("query_id"))
+      .join(e.select(col("vec_id").as("doc_id"), col("q").as("dq"), col("norm").as("dn")),
+        Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("lex_score"),
+        cosinePre(col("qq"), col("dq"), col("qn"), col("dn")).as("cosine"))
+      .withColumn("rn", row_number().over(rw)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_score"), col("cosine"),
+        col("rn").cast("int"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  def hybridQuery(s: SparkSession, dir: String): DataFrame =
+    hybridSearch(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      col("doc_id") % 100 === 0)
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -536,6 +590,7 @@ object Similarity {
     "b12_kmeans" -> (kMeansQuery _),
     "b12_pq_topk" -> (pqQuery _),
     "b12_ivfpq_topk" -> (ivfPqQuery _),
+    "b12_hybrid_search" -> (hybridQuery _),
     "b12_centroids" -> (labelCentroids _),
     "b12_cosine_pairs" -> (cosinePairs _),
     "b12_ann_topk" -> (annTopKQuery _),
@@ -618,6 +673,30 @@ object Similarity {
         CAST(${dotSql("qa", "qb")} AS DOUBLE)
           / (sqrt(CAST(${dotSql("qa", "qa")} AS DOUBLE)) * sqrt(CAST(${dotSql("qb", "qb")} AS DOUBLE))) AS cosine
       FROM p ORDER BY a""",
+    "b12_hybrid_search" -> s"""
+      WITH t AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+           WHERE tok <> ''),
+      dfr AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok HAVING COUNT(*) <= 1000),
+      tw AS (SELECT doc_id, t.tok, df FROM t JOIN dfr USING (tok)),
+      q AS (SELECT doc_id AS query_id, tok, df FROM tw WHERE doc_id % 100 = 0),
+      cand AS (SELECT q.query_id, tw.doc_id, CAST(SUM(1000000 // q.df) AS BIGINT) AS lex_score
+             FROM q JOIN tw ON q.tok = tw.tok AND tw.doc_id <> q.query_id
+             GROUP BY 1, 2),
+      topl AS (SELECT query_id, doc_id, lex_score FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY lex_score DESC, doc_id) AS lrn FROM cand) WHERE lrn <= 20),
+      e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      r AS (SELECT topl.query_id, topl.doc_id, topl.lex_score,
+             CAST(${dotSql("qe.q", "de.q")} AS DOUBLE)
+               / (sqrt(CAST(${dotSql("qe.q", "qe.q")} AS DOUBLE))
+                  * sqrt(CAST(${dotSql("de.q", "de.q")} AS DOUBLE))) AS cosine
+           FROM topl JOIN e qe ON qe.vec_id = topl.query_id
+                     JOIN e de ON de.vec_id = topl.doc_id)
+      SELECT query_id, doc_id, lex_score, cosine, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, doc_id) AS INT) AS rn FROM r)
+      WHERE rn <= 5 ORDER BY query_id, rn""",
     "b12_ann_topk" -> s"""
       WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
       qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id % 100 = 0),

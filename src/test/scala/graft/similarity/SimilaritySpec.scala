@@ -197,4 +197,39 @@ class SimilaritySpec extends SparkSpec {
     // deterministic run-to-run
     assert(run(2).toSeq === top.toSeq)
   }
+
+  test("hybridSearch: lexical recall proposes, semantic rerank orders (B12)") {
+    // query doc 0 shares TWO rare tokens with doc 1 but only ONE with
+    // doc 2; "common" appears in all four docs and is pruned by maxDf=3.
+    // doc 3 shares nothing rare -> never a candidate.
+    val docs = Seq(
+      (0L, "alpha beta gamma common"),
+      (1L, "alpha beta delta common"),
+      (2L, "alpha epsilon zeta common"),
+      (3L, "eta theta iota common")
+    ).toDF("doc_id", "text")
+    // embeddings invert the lexical order: doc 2 is nearly parallel to
+    // the query, doc 1 is a weak mix -> rerank must put 2 first
+    val emb = Seq(
+      (0L, vec(0, 0.00f)),
+      (1L, (0 until 8).map(d => if (d == 0) 0.3f else if (d == 4) 1.0f else 0.0f)),
+      (2L, vec(0, 0.01f)),
+      (3L, vec(6, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hybridSearch(docs, emb, col("doc_id") % 100 === 0,
+        lexK = 10, k = 5, maxDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(out.map(_._1).forall(_ == 0L))
+    assert(out.map(_._2).toSet === Set(1L, 2L), s"candidates: ${out.mkString(",")}")
+    // lexical stage: alpha df=3, beta df=2 -> doc1 = 333333+500000, doc2 = 333333
+    val lex = out.map(t => t._2 -> t._3).toMap
+    assert(lex(1L) === 833333L && lex(2L) === 333333L)
+    // semantic rerank overrides lexical order: doc 2 (cosine ~1) first
+    assert(out.sortBy(_._5).map(_._2).toSeq === Seq(2L, 1L))
+    assert(lex(1L) > lex(2L) && out.find(_._2 == 2L).get._4 > out.find(_._2 == 1L).get._4)
+    // the lexical cut is honored: lexK=1 keeps only the lexical winner
+    val cut = Similarity.hybridSearch(docs, emb, col("doc_id") % 100 === 0,
+        lexK = 1, k = 5, maxDf = 3).collect().map(_.getLong(1))
+    assert(cut.toSeq === Seq(1L))
+  }
 }
