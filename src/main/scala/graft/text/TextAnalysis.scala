@@ -3,6 +3,7 @@ package graft.text
 import graft.Tables
 import graft.functions.RollingHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -389,6 +390,83 @@ object TextAnalysis {
       .orderBy($"source", $"lang")
   }
 
+  /** B13: curation-cascade funnel — the per-stage audit every filtering
+    * pipeline reports: how many documents ENTER each stage, how many
+    * SURVIVE it, how many it removes. Stages reuse [[quarantineRouteOn]]'s
+    * signal definitions verbatim (length, token shape, repetition,
+    * language agreement, PII) applied in cascade order, so the funnel is
+    * the observability twin of the quarantine router.
+    *
+    * Plan shape: ONE scan computes all five pass flags per row, the
+    * cumulative conjunctions fold into a single map-side-combinable
+    * conditional-sum aggregate (5 longs + a count per partition), and the
+    * 5-row funnel is exploded from the 1-row aggregate — no shuffle wider
+    * than 6 numbers per partition regardless of corpus size. All counts
+    * exact integers → oracle hash-gated. */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame =
+    filterFunnelOn(Tables.documents(s, dir))
+
+  /** [[filterFunnel]] over an arbitrary (doc_id, text, lang) frame. */
+  def filterFunnelOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks)
+    val avgLen = length($"text").cast("double") / nTok.cast("double")
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok.cast("double")
+    val nPii = regexp_count($"text", lit(EmailPattern)) +
+      regexp_count($"text", lit(PhonePattern))
+    val stages: Seq[(String, Column)] = Seq(
+      "min_length" -> (nTok >= 5),
+      "token_len" -> (avgLen >= 3.0 && avgLen <= 12.0),
+      "not_repetitive" -> (uniqRatio >= 0.3),
+      "lang_match" -> (langGuess($"text") === $"lang"),
+      "no_pii" -> (nPii === 0))
+    // cumulative conjunction: stage i's survivors passed stages 1..i
+    val cums = stages.scanLeft(lit(true)) { case (acc, (_, c)) => acc && c }.tail
+    val sums = cums.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"s$i")
+    }
+    val agg = docs.agg(count(lit(1)).as("entered0"), sums: _*)
+    val rows = stages.map(_._1).zipWithIndex.map { case (name, i) =>
+      val entered = if (i == 0) col("entered0") else col(s"s${i - 1}")
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+        entered.as("entered"), col(s"s$i").as("survived"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select($"r.stage_idx", $"r.stage", $"r.entered", $"r.survived",
+        ($"r.entered" - $"r.survived").as("removed"))
+      .orderBy($"stage_idx")
+  }
+
+  /** B13: per-source dynamic quality cutoff — keep documents at or above
+    * their source's exact 25th-percentile length. The DYNAMIC-threshold
+    * filter shape (cutoffs derived from the data, not hardcoded): rank
+    * within source, cutoff = value at rank ⌈n/4⌉ (exact integer rank
+    * arithmetic, engine-portable), semi-join docs back against the
+    * one-row-per-source cutoff frame (broadcast under AQE).
+    *
+    * Scale: the ranking window is a per-source sort — fine while a
+    * source's docs fit a sort spill; at 100 TB swap the exact rank for
+    * the mergeable [[graft.functions.QuantileSketchAgg]] sketch cutoff
+    * (same output contract, one aggregate instead of a window sort). */
+  def qualityThreshold(s: SparkSession, dir: String): DataFrame =
+    qualityThresholdOn(Tables.documents(s, dir))
+
+  /** [[qualityThreshold]] over an arbitrary (doc_id, source, n_chars) frame. */
+  def qualityThresholdOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    val d = docs.select($"doc_id", $"source", $"n_chars")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"source")))
+    val cut = d.filter($"rn" === expr("(cnt + 3) div 4"))
+      .select($"source", $"n_chars".as("cutoff"))
+    d.join(cut, Seq("source"))
+      .filter($"n_chars" >= $"cutoff")
+      .select($"doc_id", $"source", $"n_chars", $"cutoff")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -405,6 +483,8 @@ object TextAnalysis {
     "b13_chunking" -> (chunkDocs _),
     "b13_pii_redact" -> (piiRedact _),
     "b13_quarantine" -> (quarantineRoute _),
+    "b13_filter_funnel" -> (filterFunnel _),
+    "b13_quality_threshold" -> (qualityThreshold _),
   )
 
   private def sqlCount(pat: String) =
@@ -573,6 +653,58 @@ object TextAnalysis {
         CAST(len(rs) AS INT) AS n_reasons,
         CASE WHEN len(rs) = 0 THEN 'keep' ELSE 'quarantine' END AS verdict
       FROM r ORDER BY doc_id""",
+    "b13_filter_funnel" -> """
+      WITH f AS (
+        SELECT doc_id, lang, text,
+          len(string_split(text, ' ')) AS n_tok,
+          CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_len,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS uniq_ratio,
+          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}')) AS n_pii,
+          len(regexp_extract_all(text, '\b(the|and|of|to|a|is|in)\b')) AS en,
+          len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein)\b')) AS de,
+          len(regexp_extract_all(text, '\b(el|la|los|que|y|es)\b')) AS es,
+          len(regexp_extract_all(text, '\b(le|les|et|est|une|des)\b')) AS fr
+        FROM documents),
+      g AS (
+        SELECT *,
+          n_tok >= 5 AS p1,
+          avg_len >= 3.0 AND avg_len <= 12.0 AS p2,
+          uniq_ratio >= 0.3 AS p3,
+          (CASE
+            WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+            WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+            WHEN es > 0 AND es >= fr THEN 'es'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END) = lang AS p4,
+          n_pii = 0 AS p5
+        FROM f),
+      a AS (
+        SELECT COUNT(*) AS e0,
+          CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+          CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+          CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+          CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+          CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+        FROM g)
+      SELECT * FROM (
+        SELECT 1 AS stage_idx, 'min_length' AS stage, e0 AS entered, s1 AS survived, e0 - s1 AS removed FROM a
+        UNION ALL SELECT 2, 'token_len', s1, s2, s1 - s2 FROM a
+        UNION ALL SELECT 3, 'not_repetitive', s2, s3, s2 - s3 FROM a
+        UNION ALL SELECT 4, 'lang_match', s3, s4, s3 - s4 FROM a
+        UNION ALL SELECT 5, 'no_pii', s4, s5, s4 - s5 FROM a)
+      ORDER BY stage_idx""",
+    "b13_quality_threshold" -> """
+      WITH d AS (
+        SELECT doc_id, source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM documents),
+      cut AS (SELECT source, n_chars AS cutoff FROM d WHERE rn = (cnt + 3) // 4)
+      SELECT d.doc_id, d.source, d.n_chars, cutoff
+      FROM d JOIN cut USING (source)
+      WHERE n_chars >= cutoff ORDER BY doc_id""",
     "b13_language_id" -> """
       SELECT doc_id, lang AS labeled_lang,
         CASE

@@ -145,4 +145,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kernel <= 2, s"kernel path: $kernel exchanges")
     assert(agg >= kernel + 1, s"agg $agg vs kernel $kernel") // aggs add shuffles
   }
+
+  test("filter funnel: cascade arithmetic on planted docs (B13)") {
+    val good = "the cat sat of the mat and slept there quietly" // passes all
+    val short = "the cat"                                       // fails min_length
+    val spam = ("spam " * 20).trim                              // fails not_repetitive
+    val wrongLang = "the cat sat of the mat and slept" // en text, labeled 'de'
+    val pii = "the cat of a mailbox and wrote to someone@example.com today ok"
+    val df = Seq(
+      (1L, good, "en"), (2L, short, "en"), (3L, spam, "en"),
+      (4L, wrongLang, "de"), (5L, pii, "en")
+    ).toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.filterFunnelOn(df).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).toSeq ===
+      Seq("min_length", "token_len", "not_repetitive", "lang_match", "no_pii"))
+    // entered chains: stage i+1 enters exactly stage i's survivors
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._3 === a._4) }
+    rows.foreach { case (_, _, e, s, r) => assert(e - s === r && s <= e) }
+    // each planted doc falls at its intended stage
+    assert(rows(0)._3 === 5L && rows(0)._5 === 1L)  // short removed first
+    assert(rows(2)._5 === 1L)                        // spam at not_repetitive
+    assert(rows(3)._5 === 1L)                        // wrongLang at lang_match
+    assert(rows(4)._5 === 1L && rows(4)._4 === 1L)   // pii last; good survives
+  }
+
+  test("quality threshold: per-source exact p25 cutoff keeps upper 75% (B13)") {
+    // source A: lengths 1..8 -> rank ceil(8/4)=2 -> cutoff 2 -> keeps 2..8
+    // source B: lengths 10,20,30 -> rank ceil(3/4)=1 -> cutoff 10 -> keeps all
+    val df = ((1 to 8).map(i => (i.toLong, "A", i.toLong)) ++
+      Seq((21L, "B", 10L), (22L, "B", 20L), (23L, "B", 30L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextAnalysis.qualityThresholdOn(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.count(_._2 == "A") === 7 && out.count(_._2 == "B") === 3)
+    assert(out.filter(_._2 == "A").forall(t => t._3 >= 2 && t._4 === 2L))
+    assert(out.filter(_._2 == "B").forall(_._4 === 10L))
+    assert(!out.exists(_._1 === 1L)) // the p25 straggler is dropped
+  }
 }
