@@ -308,6 +308,28 @@ object Relational {
       .limit(25)
   }
 
+  /** B5: per-source length percentiles via the mergeable
+    * [[graft.functions.QuantileSketchAgg]] — the bounded-memory quantile
+    * aggregate behind dynamic curation cutoffs (see
+    * `TextAnalysis.qualityThreshold`, whose exact rank-window this
+    * replaces at 100 TB). Capacity 4096 >> the per-source doc counts at
+    * gate scale, so this query runs in the EXACT regime (no compaction;
+    * reported values are exactly the ⌈p·n⌉-rank order statistics) and
+    * hash-gates against DuckDB rank arithmetic; the lossy-regime error
+    * bound and merge-tree invariance are spec-pinned in
+    * QuantileSketchSpec. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = udaf(new graft.functions.QuantileSketchAgg(4096,
+      Seq(1 -> 4, 1 -> 2, 3 -> 4, 9 -> 10)))
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(qs($"n_chars").as("q"))
+      .select($"source", $"q"(0).as("p25"), $"q"(1).as("p50"),
+        $"q"(2).as("p75"), $"q"(3).as("p90"))
+      .orderBy($"source")
+  }
+
   /** Ranking window functions: row_number / rank / dense_rank / lag / lead
     * over a per-customer frame (B6). */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
@@ -482,6 +504,7 @@ object Relational {
     "b05_median" -> (medianQuantity _),
     "b05_approx_stats" -> (approxStats _),
     "b05_heavy_hitters" -> (heavyHitters _),
+    "b05_quantile_sketch" -> (quantileSketch _),
     "b06_window_rank" -> (windowRank _),
     "b06_running_sum" -> (windowRunningSum _),
     "b07_topk_per_group" -> (topKPerGroup _),
@@ -624,6 +647,18 @@ object Relational {
       SELECT p_brand, COUNT(*) AS n_parts
       FROM part GROUP BY p_brand
       ORDER BY n_parts DESC, p_brand LIMIT 25""",
+    "b05_quantile_sketch" -> """
+      WITH d AS (
+        SELECT source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM documents)
+      SELECT source,
+        MAX(CASE WHEN rn = (cnt + 3) // 4 THEN n_chars END) AS p25,
+        MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS p50,
+        MAX(CASE WHEN rn = (3 * cnt + 3) // 4 THEN n_chars END) AS p75,
+        MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_chars END) AS p90
+      FROM d GROUP BY source ORDER BY source""",
     "b06_window_rank" -> """
       SELECT o_custkey, o_orderkey, o_totalprice,
         CAST(ROW_NUMBER() OVER w AS INT) AS rn,
