@@ -467,6 +467,80 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** B13: BPE merge-table training (Sennrich et al., ACL 2016) — the
+    * vocabulary-induction step of a tokenizer pipeline, run on the
+    * distinct-WORD frequency table, never the raw corpus: the expensive
+    * per-iteration state is |vocab| rows (words × counts × symbol
+    * arrays), bounded by distinct words regardless of corpus tokens.
+    *
+    * Each of `numMerges` iterations: (1) adjacent symbol pairs per word
+    * weighted by word count → ONE map-side-combinable pair-count
+    * aggregate; (2) argmax pair by (count desc, pair asc — the
+    * deterministic tie-break) via sort+limit-1, fetched with a 1-row
+    * head (the same driver-side pattern as kMeans' seed probe — a
+    * 1-row aggregate, not a collect of data); (3) the winning pair is
+    * folded into every word's symbol array with a left-to-right
+    * non-overlapping `aggregate` lambda (classic BPE apply semantics —
+    * "aaa" under (a,a) merges once). Per-iteration lineage cut +
+    * cache handoff, kMeans-style, so iteration i+1 never re-executes
+    * iteration i's plan.
+    *
+    * Deterministic end to end (exact integer counts, total-order
+    * tie-break) but iterative-rebinding like kMeans → rows-only driver
+    * check; the classic fixture (low/lower/newest/widest) with its
+    * hand-computed merge sequence is spec-pinned. Output: one row per
+    * merge — (merge_idx, left, right, merged, pair_count). */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    var words = docs
+      .select(explode(tokens($"text")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .select(split($"word", "").as("syms"), $"cnt")
+      .localCheckpoint(true)
+    words.cache()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var iter = 1
+    var exhausted = false
+    while (iter <= numMerges && !exhausted) {
+      // single-symbol words carry no pairs — and sequence(1, 0) would
+      // DESCEND, driving element_at out of bounds under ANSI
+      val top = words.filter(size($"syms") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"), $"cnt")
+        .groupBy($"p.l", $"p.r").agg(sum($"cnt").as("n"))
+        .orderBy($"n".desc, $"l", $"r").limit(1)
+        .head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((iter, l, r, l + r, n))
+        // left-to-right non-overlapping merge of (l, r) in every word
+        val applied = words.select(expr(
+          s"""aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+                CASE WHEN size(acc) = 0 THEN array(x)
+                     WHEN element_at(acc, -1) = ${sqlStr(l)} AND x = ${sqlStr(r)}
+                     THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(l + r)}))
+                     ELSE concat(acc, array(x)) END)""").as("syms"), $"cnt")
+          .localCheckpoint(true)
+        words.unpersist()
+        words = applied
+        words.cache()
+        iter += 1
+      }
+    }
+    words.unpersist()
+    merges.result().toDF("merge_idx", "left", "right", "merged", "pair_count")
+      .orderBy($"merge_idx")
+  }
+
+  /** Single-quoted SQL string literal with escaping. */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  def bpeQuery(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(s, dir), numMerges = 10)
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -485,6 +559,7 @@ object TextAnalysis {
     "b13_quarantine" -> (quarantineRoute _),
     "b13_filter_funnel" -> (filterFunnel _),
     "b13_quality_threshold" -> (qualityThreshold _),
+    "b13_bpe_merges" -> (bpeQuery _),
   )
 
   private def sqlCount(pat: String) =

@@ -170,6 +170,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(4)._5 === 1L && rows(4)._4 === 1L)   // pii last; good survives
   }
 
+  test("BPE training: classic fixture produces the hand-computed merge sequence (B13)") {
+    // Sennrich et al.'s example vocabulary: low×5 lower×2 newest×6 widest×3.
+    // Pair counts: e-s 9, s-t 9, l-o 7, o-w 7, w-e 8, ... tie e-s/s-t
+    // breaks lexicographically -> es first; then es-t 9; then l-o 7.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, numMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L)))
+  }
+
+  test("BPE apply is left-to-right non-overlapping ('aaa' merges once)") {
+    val df = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, numMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    // iter 1: pairs a-a count 2 per word x 1 distinct word ("aaa" x2 -> cnt 2)
+    // -> merge (a,a)=aa with weight 4 (two adjacent pairs x 2 occurrences)
+    assert(out(0)._2 === "aa" && out(0)._3 === 4L)
+    // after merging, each word is [aa, a] -> next best pair is (aa, a) x2
+    assert(out(1)._2 === "aaa" && out(1)._3 === 2L)
+  }
+
   test("quality threshold: per-source exact p25 cutoff keeps upper 75% (B13)") {
     // source A: lengths 1..8 -> rank ceil(8/4)=2 -> cutoff 2 -> keeps 2..8
     // source B: lengths 10,20,30 -> rank ceil(3/4)=1 -> cutoff 10 -> keeps all
