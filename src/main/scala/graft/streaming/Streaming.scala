@@ -71,6 +71,31 @@ object Streaming {
     sessionsBatch(Tables.events(s, dir))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** B10: trailing-window spike detection — flag events whose value
+    * exceeds twice the mean of the user's previous ≤10 events (needing at
+    * least 5 of history). The anomaly test is DIVISION-FREE exact decimal
+    * (`value · n > 2 · Σtrail` instead of `value > 2 · Σtrail/n`), so the
+    * whole operator hash-gates cross-engine; the trailing frame is a ROWS
+    * frame (count-based), deterministic under the (ts, event_id) total
+    * order and immune to interval-arithmetic edge cases at nano
+    * resolution. Streaming twin: a per-user bounded deque in
+    * `flatMapGroupsWithState` (the [[funnelStream]] state pattern) —
+    * batch and stream share this flag definition. */
+  def rollingAnomaly(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-10, -1)
+    val dec = col("value").cast("decimal(12,2)").cast(Dec)
+    events
+      .withColumn("trail_n", count(col("value")).over(w))
+      .withColumn("trail_sum", sum(dec).over(w))
+      .filter(col("trail_n") >= 5 && dec * col("trail_n") > col("trail_sum") * lit(2))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("trail_n"), col("trail_sum").cast("double").as("trail_sum"))
+  }
+
+  def rollingAnomalyQuery(s: SparkSession, dir: String): DataFrame =
+    rollingAnomaly(Tables.events(s, dir)).orderBy(col("event_id"))
+
   // ------------------------------------------------- streaming-only pieces
 
   /** B10: watermarked tumbling aggregation for a real stream — late events
@@ -427,6 +452,7 @@ object Streaming {
     "b10_sliding" -> (slidingQuery _),
     "b10_sessions" -> (sessionsQuery _),
     "b10_interval_join" -> (clickAttributionQuery _),
+    "b10_rolling_anomaly" -> (rollingAnomalyQuery _),
   )
 
   private val BUCKET5 = "make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT)*1000000)"
@@ -460,6 +486,20 @@ object Streaming {
              COUNT(*) AS n_events
       FROM numbered GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq""",
+    "b10_rolling_anomaly" -> """
+      WITH t AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          COUNT(value) OVER w AS trail_n,
+          SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) OVER w AS trail_sum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, ts, value, trail_n,
+        CAST(trail_sum AS DOUBLE) AS trail_sum
+      FROM t
+      WHERE trail_n >= 5
+        AND CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2)) * trail_n > trail_sum * 2
+      ORDER BY event_id""",
     "b10_interval_join" -> """
       SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
         CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts,

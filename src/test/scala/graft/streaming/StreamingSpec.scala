@@ -352,4 +352,19 @@ class StreamingSpec extends SparkSpec {
       .orderBy("step_idx").collect().map(r => (r.getInt(1), r.getTimestamp(3)))
     assert(u1.toSeq === Seq((1, t(0)), (2, t(1)), (3, t(2)), (4, t(3))))
   }
+
+  test("rolling anomaly: spike after steady history flags; thin history never does (B10)") {
+    // user 1: five steady 10.0 events, then a 30.0 spike (30·5 > 2·50),
+    // then a 12.0 non-spike (12·6 <= 2·80). user 2: big jump but only 4
+    // events of history -> below the trail_n >= 5 floor, never flagged.
+    val evts =
+      (0 until 5).map(i => Evt(i, t(i), 1, "m", 10.0)) ++ Seq(
+        Evt(5, t(5), 1, "m", 30.0), Evt(6, t(6), 1, "m", 12.0)) ++
+      (0 until 4).map(i => Evt(10 + i, t(i), 2, "m", 1.0)) ++ Seq(
+        Evt(14, t(4), 2, "m", 99.0))
+    val out = Streaming.rollingAnomaly(evts.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5)))
+    assert(out.map(_._1).toSeq === Seq(5L))
+    assert(out.head._2 === 5L && out.head._3 === 50.0)
+  }
 }
