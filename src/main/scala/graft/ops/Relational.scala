@@ -165,6 +165,73 @@ object Relational {
       .orderBy($"c_custkey".asc, $"o_orderkey".asc_nulls_first)
   }
 
+  /** B3: edit-distance fuzzy self-join with COMPLETE pigeonhole blocking
+    * (PassJoin-style, Li et al., VLDB 2011) — the entity-resolution join:
+    * find all distinct-name pairs within Levenshtein distance `maxDist`
+    * without the n² verify.
+    *
+    * Scale design, outside-in: (1) the join runs on the DISTINCT-name
+    * frequency table, never the row table — names repeat heavily in any
+    * real catalog, so pairwise work collapses to |distinct| before
+    * anything quadratic can happen; (2) each indexed name splits into
+    * d+1 contiguous segments — any string within d edits must contain
+    * one segment EXACTLY (pigeonhole: d edits cannot touch all d+1
+    * segments), at a position shifted by at most d — so the probe side
+    * emits (partnerLen, segIdx, substring) keys for every partner length
+    * in ±d and shift in ±d, and the equi-join on those keys is provably
+    * candidate-COMPLETE; (3) only candidates pay the exact
+    * `levenshtein()` verify. Fan-out is (d+1)·(2d+1)² keys per distinct
+    * name — constant — and a hot blocking key (one shared segment across
+    * a template family) is the ER twin of the LSH hot bucket
+    * (`Dedup.MaxBucket`): cap or representative-link it at 100-TB
+    * corpus scale. Levenshtein unit costs are identical in Spark and
+    * DuckDB → the whole operator hash-gates. */
+  def fuzzyNameJoin(names: DataFrame, maxDist: Int = 1): DataFrame = {
+    val d = maxDist
+    val k = d + 1
+    // 0-based segment geometry for a string of length L (even partition,
+    // remainder spread over the leading segments)
+    def segLen(l: String, i: Int) = s"(($l) div $k + (CASE WHEN $i < ($l) % $k THEN 1 ELSE 0 END))"
+    def segStart(l: String, i: Int) = s"($i * (($l) div $k) + least($i, ($l) % $k))"
+    val idxKeys = (0 until k).map { i =>
+      val L = "length(name)"
+      s"struct(${L} AS plen, $i AS seg, substring(name, ${segStart(L, i)} + 1, ${segLen(L, i)}) AS piece)"
+    }.mkString("array(", ", ", ")")
+    val probeKeys = (for {
+      dl <- -d to d; i <- 0 until k; sh <- -d to d
+    } yield {
+      val Lp = s"(length(name) + $dl)"
+      val len = segLen(Lp, i)
+      val start = s"(${segStart(Lp, i)} + $sh)"
+      s"""CASE WHEN $len > 0 AND $start >= 0 AND $start + $len <= length(name)
+            THEN struct($Lp AS plen, $i AS seg, substring(name, $start + 1, $len) AS piece) END"""
+    }).mkString("array(", ", ", ")")
+    val idx = names.select(col("name").as("name_i"), col("cnt").as("cnt_i"),
+        explode(expr(idxKeys)).as("key"))
+    val probe = names.select(col("name").as("name_p"), col("cnt").as("cnt_p"),
+        explode(expr(probeKeys)).as("key"))
+      .filter(col("key").isNotNull)
+    idx.join(probe, "key")
+      .select(least(col("name_i"), col("name_p")).as("name_a"),
+        greatest(col("name_i"), col("name_p")).as("name_b"))
+      .filter(col("name_a") < col("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= d)
+      .join(names.select(col("name").as("name_a"), col("cnt").as("n_a")), "name_a")
+      .join(names.select(col("name").as("name_b"), col("cnt").as("n_b")), "name_b")
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  def fuzzyJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.part(s, dir)
+      .groupBy($"p_name".as("name")).agg(count(lit(1)).as("cnt"))
+    fuzzyNameJoin(names, maxDist = 1)
+  }
+
   /** B9: math scalar functions — all exact-integer or engine-portable
     * double expressions (abs/sign/mod on longs, floor/ceil/sqrt/power on
     * doubles whose IEEE results are identical across engines). */
@@ -505,6 +572,7 @@ object Relational {
     "b05_approx_stats" -> (approxStats _),
     "b05_heavy_hitters" -> (heavyHitters _),
     "b05_quantile_sketch" -> (quantileSketch _),
+    "b03_fuzzy_join" -> (fuzzyJoinQuery _),
     "b06_window_rank" -> (windowRank _),
     "b06_running_sum" -> (windowRunningSum _),
     "b07_topk_per_group" -> (topKPerGroup _),
@@ -647,6 +715,14 @@ object Relational {
       SELECT p_brand, COUNT(*) AS n_parts
       FROM part GROUP BY p_brand
       ORDER BY n_parts DESC, p_brand LIMIT 25""",
+    "b03_fuzzy_join" -> """
+      WITH n AS (SELECT p_name AS name, COUNT(*) AS cnt FROM part GROUP BY p_name)
+      SELECT a.name AS name_a, b.name AS name_b,
+        CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+        a.cnt AS n_a, b.cnt AS n_b
+      FROM n a JOIN n b
+        ON a.name < b.name AND levenshtein(a.name, b.name) <= 1
+      ORDER BY name_a, name_b""",
     "b05_quantile_sketch" -> """
       WITH d AS (
         SELECT source, n_chars,

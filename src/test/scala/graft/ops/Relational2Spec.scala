@@ -141,4 +141,33 @@ class Relational2Spec extends SparkSpec {
       }
     }
   }
+
+  test("fuzzyNameJoin: pigeonhole blocking is COMPLETE vs brute force (B3)") {
+    // deterministic pseudo-random short strings over a tiny alphabet —
+    // dense enough that substitutions, insertions, and deletions all
+    // occur among the true pairs
+    val rnd = new scala.util.Random(42)
+    val names = (1 to 150).map { _ =>
+      (1 to (4 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }.distinct
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty)
+    // the fixture must exercise a cross-length (indel) pair, not just
+    // substitutions, or the shift/length windows go untested
+    assert(expected.exists { case (a, b) => a.length != b.length })
+    val df = names.toDF("name").withColumn("cnt", lit(1L))
+    val got = Relational.fuzzyNameJoin(df, maxDist = 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === expected)
+  }
 }
