@@ -165,6 +165,26 @@ object Relational {
       .orderBy($"c_custkey".asc, $"o_orderkey".asc_nulls_first)
   }
 
+  /** B5: equi-width histogram with EXACT integer bucketing — the
+    * profiling aggregate behind data-skew dashboards and filter-threshold
+    * selection. Prices quantize to exact decimal cents first, then bucket
+    * by integer division (width 50k cents = $500) — no float boundary
+    * arithmetic, so bucket assignment is bit-identical cross-engine
+    * (width_bucket's double math is NOT). One map-side-combinable
+    * aggregate; output rows = occupied buckets only. */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = $"o_totalprice".cast("decimal(12,2)").multiply(lit(100)).cast("long")
+    Tables.orders(s, dir)
+      .select(cents.as("cents"))
+      .select(expr("cents div 50000").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+      .select($"bucket", ($"bucket" * 500.0).as("lo_dollars"),
+        (($"bucket" + 1) * 500.0).as("hi_dollars"), $"n")
+      .orderBy($"bucket")
+  }
+
   /** B3: edit-distance fuzzy self-join with COMPLETE pigeonhole blocking
     * (PassJoin-style, Li et al., VLDB 2011) — the entity-resolution join:
     * find all distinct-name pairs within Levenshtein distance `maxDist`
@@ -573,6 +593,7 @@ object Relational {
     "b05_heavy_hitters" -> (heavyHitters _),
     "b05_quantile_sketch" -> (quantileSketch _),
     "b03_fuzzy_join" -> (fuzzyJoinQuery _),
+    "b05_histogram" -> (histogram _),
     "b06_window_rank" -> (windowRank _),
     "b06_running_sum" -> (windowRunningSum _),
     "b07_topk_per_group" -> (topKPerGroup _),
@@ -715,6 +736,13 @@ object Relational {
       SELECT p_brand, COUNT(*) AS n_parts
       FROM part GROUP BY p_brand
       ORDER BY n_parts DESC, p_brand LIMIT 25""",
+    "b05_histogram" -> """
+      WITH c AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 50000 AS bucket
+        FROM orders)
+      SELECT bucket, bucket * 500.0 AS lo_dollars, (bucket + 1) * 500.0 AS hi_dollars,
+        COUNT(*) AS n
+      FROM c GROUP BY bucket ORDER BY bucket""",
     "b03_fuzzy_join" -> """
       WITH n AS (SELECT p_name AS name, COUNT(*) AS cnt FROM part GROUP BY p_name)
       SELECT a.name AS name_a, b.name AS name_b,
