@@ -347,6 +347,43 @@ object Streaming {
       }
   }
 
+  case class AnomalyState(cents: Seq[Long])
+  case class AnomalyHit(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      value: Double, trail_n: Long, trail_sum: Double)
+
+  /** B10: streaming twin of [[rollingAnomaly]] — per-user state is the
+    * last ≤10 values as EXACT CENTS (a bounded deque, O(1) per key),
+    * mirroring the batch ROWS frame; the spike test is the identical
+    * division-free integer comparison. Values quantize with the same
+    * HALF_UP double→DECIMAL(12,2) rounding Spark's cast applies, so
+    * under in-order arrival the emitted rows equal the batch operator's
+    * (spec-pinned, the funnel/transitions equivalence treatment). */
+  def rollingAnomalyStream(events: DataFrame): Dataset[AnomalyHit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[SEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[SEvent],
+         state: org.apache.spark.sql.streaming.GroupState[AnomalyState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var trail = state.getOption.map(_.cents).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[AnomalyHit]
+          sorted.foreach { e =>
+            val c = new java.math.BigDecimal(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            val n = trail.length
+            if (n >= 5 && c * n > 2 * trail.sum)
+              out += AnomalyHit(e.event_id, userId, e.ts, e.value, n, trail.sum / 100.0)
+            trail = (trail :+ c).takeRight(10)
+          }
+          state.update(AnomalyState(trail))
+          out.result().iterator
+      }
+  }
+
   case class LastEvent(t: Long, eventId: Long, tpe: String)
   case class Transition(user_id: Long, prev_type: String, event_type: String)
 

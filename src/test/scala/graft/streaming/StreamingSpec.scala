@@ -367,4 +367,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(5L))
     assert(out.head._2 === 5L && out.head._3 === 50.0)
   }
+
+  test("rollingAnomalyStream == batch flags across micro-batch boundaries (B10)") {
+    // history accumulates in batch 1; the spike arrives in batch 2 —
+    // state (the cents deque) must carry across
+    val b1 = (0 until 5).map(i => Evt(i, t(i), 1, "m", 10.0))
+    val b2 = Seq(Evt(5, t(5), 1, "m", 30.0), Evt(6, t(6), 1, "m", 12.0),
+      Evt(7, t(7), 2, "m", 99.0))
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.rollingAnomalyStream(input.toDF()).writeStream
+      .format("memory").queryName("anom").outputMode("update").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("anom").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5))).toSet
+    val batch = Streaming.rollingAnomaly((b1 ++ b2).toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5))).toSet
+    assert(stream === batch && stream === Set((5L, 5L, 50.0)))
+  }
 }
