@@ -417,6 +417,28 @@ object Relational {
       .orderBy($"source")
   }
 
+  /** B5: per-flag distinct-supplier/part cardinality via the mergeable
+    * [[graft.functions.KmvDistinctAgg]] k-minimum-values sketch — the
+    * bounded-memory COUNT(DISTINCT) whose shuffle partials are ≤k longs
+    * instead of the full distinct-value set (Spark plans exact
+    * COUNT(DISTINCT) as a two-phase expand over every distinct value).
+    * k = 4096 >> the 100/2000 distinct suppliers/parts at gate scale, so
+    * both sketches run in the EXACT regime and the query hash-gates
+    * against plain COUNT(DISTINCT); the lossy-regime error bound AND the
+    * sketch's full partition-invariance (the k smallest distinct hashes
+    * are a set property — no merge-tree dependence even when lossy) are
+    * spec-pinned in KmvSketchSpec. */
+  def distinctSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kmv = udaf(new graft.functions.KmvDistinctAgg(4096))
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        kmv($"l_suppkey".cast("string")).as("distinct_suppliers"),
+        kmv($"l_partkey".cast("string")).as("distinct_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Ranking window functions: row_number / rank / dense_rank / lag / lead
     * over a per-customer frame (B6). */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
@@ -592,6 +614,7 @@ object Relational {
     "b05_approx_stats" -> (approxStats _),
     "b05_heavy_hitters" -> (heavyHitters _),
     "b05_quantile_sketch" -> (quantileSketch _),
+    "b05_distinct_sketch" -> (distinctSketch _),
     "b03_fuzzy_join" -> (fuzzyJoinQuery _),
     "b05_histogram" -> (histogram _),
     "b06_window_rank" -> (windowRank _),
@@ -763,6 +786,11 @@ object Relational {
         MAX(CASE WHEN rn = (3 * cnt + 3) // 4 THEN n_chars END) AS p75,
         MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_chars END) AS p90
       FROM d GROUP BY source ORDER BY source""",
+    "b05_distinct_sketch" -> """
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+        COUNT(DISTINCT l_partkey) AS distinct_parts
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "b06_window_rank" -> """
       SELECT o_custkey, o_orderkey, o_totalprice,
         CAST(ROW_NUMBER() OVER w AS INT) AS rn,
