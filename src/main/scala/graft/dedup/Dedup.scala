@@ -388,6 +388,71 @@ object Dedup {
     out.orderBy($"a")
   }
 
+  // ---------------------------------- portable (oracle-checked) MinHash
+
+  /** Affine-permutation family for the PORTABLE MinHash path: slopes and
+    * intercepts are plain integers so both engines compute bit-identical
+    * signatures. Shared by [[minHashPortableQuery]] and its generated
+    * oracle SQL — one definition, no drift (the bandHashArray treatment
+    * applied to the cross-engine contract). */
+  private[graft] val PortablePerms: Seq[(Long, Long)] =
+    (0 until 16).map(i => (2L * i + 3, 1000003L * i + 12345))
+
+  /** Largest prime below 2^48 — the modulus keeps `slope * h + intercept`
+    * (h is a 48-bit md5-prefix, slope ≤ 33) far inside BIGINT range in
+    * both engines. */
+  private[graft] val PortableP = 281474976710597L
+
+  /** B12: the flagship MinHash-LSH near-dup pipeline in its ORACLE-CHECKED
+    * form — same plan shape as [[minHashNearDup]] (distinct gram hashes →
+    * per-doc signature min → band keys → capped candidate equi-join →
+    * exact Jaccard from the pair set), but every hash is engine-portable:
+    * grams hash via the 48-bit md5-prefix contract and the permutation
+    * family is affine integer arithmetic mod [[PortableP]], so DuckDB
+    * replays signatures, banding, candidates, and verification
+    * bit-identically and the WHOLE pipeline hash-gates (the xxhash64
+    * production path stays rows-only; this variant is its cross-engine
+    * witness). Signature aggregation is ONE doc_id shuffle of 16
+    * map-side-combinable mins; band keys are string concats (no second
+    * hash); candidates flow through the production [[candidatePairs]]
+    * including the hot-bucket cap (no bucket exceeds the cap at oracle
+    * scale, so the replayed all-pairs join is equal by construction —
+    * same data-regime treatment as the b05 sketch gates). The final
+    * threshold is division-free exact integer (2·inter ≥ na+nb−inter ⇔
+    * Jaccard ≥ 0.5). */
+  def minHashPortableQuery(s: SparkSession, dir: String): DataFrame =
+    minHashPortable(Tables.documents(s, dir))
+
+  /** Core of [[minHashPortableQuery]] over any `(doc_id, text)` frame. */
+  def minHashPortable(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> array_join(slice(toks, i, $k), ' '))"))
+        .as("gram"))
+      .select(col("doc_id"), graft.functions.Md5Prefix(col("gram"), 12).as("hbase"))
+      .distinct()
+      .cache()
+    val sigCols = PortablePerms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("hbase") * lit(a) + lit(b)) % lit(PortableP)).as(s"s$i")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandKeys = array((0 until 4).map(bd =>
+      concat_ws(":", (0 until 4).map(r => col(s"s${bd * 4 + r}")): _*)): _*)
+    val bandsDf = sigs.select(col("doc_id"), posexplode(bandKeys))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val pairs = candidatePairs(bandsDf)
+    // per-call hygiene: checkpoint the small verified-pair output, release
+    // the gram cache (the minHashNearDup pattern)
+    val out = verifyJaccard(pairs, sh.select(col("doc_id"), col("hbase").as("shingle")))
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out.orderBy(col("a"), col("b"))
+  }
+
   // ------------------------------------------- cluster assignment (B12)
 
   /** Connected components by iterative min-label propagation: every vertex
@@ -871,6 +936,7 @@ object Dedup {
     "b11_clip_spans" -> (clipSpansQuery _),
     "b13_selfrep_spans" -> (selfRepSpansQuery _),
     "b12_minhash_lsh" -> (minHashQuery _),
+    "b12_minhash_portable" -> (minHashPortableQuery _),
     "b12_cross_neardup" -> (crossNearDupQuery _),
     "b11_dedup_canonical" -> (canonicalDedup _),
     "b12_simhash" -> (simHashQuery _),
@@ -878,7 +944,52 @@ object Dedup {
     "b12_dedup_clusters" -> (dedupClustersQuery _),
   )
 
+  /** Generated from [[PortablePerms]]/[[PortableP]] — the oracle replays
+    * the IDENTICAL signature arithmetic, banding, candidate join, and
+    * division-free threshold (see [[minHashPortableQuery]] Scaladoc for
+    * the bucket-cap data-regime note). */
+  private def minHashPortableOracle: String = {
+    val sigSelects = PortablePerms.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $PortableP) AS s$i"
+    }.mkString(",\n               ")
+    val bandCases = (0 until 4).map { bd =>
+      val key = (0 until 4).map(r => s"CAST(s${bd * 4 + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"WHEN $bd THEN $key"
+    }.mkString(" ")
+    s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT DISTINCT doc_id,
+              CAST(('0x' || substr(md5(array_to_string(toks[i : i + 2], ' ')), 1, 12)) AS BIGINT) AS h
+            FROM d, UNNEST(range(1, len(toks) - 1)) AS r(i)),
+      sig AS (SELECT doc_id,
+               $sigSelects
+              FROM g GROUP BY doc_id),
+      bnd AS (SELECT doc_id, b AS band_idx,
+               CASE b $bandCases END AS band_hash
+              FROM sig, UNNEST([0, 1, 2, 3]) AS u(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bnd x JOIN bnd y
+                 ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+                AND x.doc_id < y.doc_id),
+      szs AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      ins AS (SELECT c.a, c.b, COUNT(*) AS inter
+              FROM cand c
+              JOIN g ga ON ga.doc_id = c.a
+              JOIN g gb ON gb.doc_id = c.b AND gb.h = ga.h
+              GROUP BY c.a, c.b)
+      SELECT i.a, i.b, i.inter, na.n AS na, nb.n AS nb,
+             CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) AS jaccard
+      FROM ins i
+      JOIN szs na ON na.doc_id = i.a
+      JOIN szs nb ON nb.doc_id = i.b
+      WHERE i.inter * 2 >= na.n + nb.n - i.inter
+      ORDER BY i.a, i.b"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "b12_minhash_portable" -> minHashPortableOracle,
     // the oracle compares gram STRINGS where the engine joins 64-bit gram
     // hashes — identical flags unless two distinct grams collide in 64
     // bits (deterministic and vanishingly rare at oracle scale)

@@ -26,6 +26,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
   }
 
+  test("portable minhash: planted near/exact dups found with exact Jaccard values (B12)") {
+    val out = Dedup.minHashPortable(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // base = 30 tokens → 28 distinct 3-gram shingles; nearDup differs in
+    // the final token → only the last gram diverges
+    assert(out((1L, 2L)) === ((27L, 28L, 28L)))
+    assert(out((1L, 4L)) === ((28L, 28L, 28L))) // exact dup, jaccard 1
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // same verified pair set as the xxhash64 production path on this corpus
+    val prod = Dedup.minHashNearDup(docs, k = 3, threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.keySet === prod)
+  }
+
   test("dedupClustersAtScale groups planted dups via LSH edges (B12 scale path)") {
     val out = Dedup.dedupClustersAtScale(docs, k = 3, threshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
