@@ -204,6 +204,19 @@ object Probe {
       qs.foreach(n => rep("steady", n, clear = false))
       qs.foreach(n => rep("cleared", n, clear = true))
     }
+    if (sys.env.contains("PROBE_FUZZY")) {
+      // r4-verdict item 1 evidence: the hot-blocking-key cap must be
+      // inert on the real part-name corpus (no block over MaxBlock), so
+      // the driver's b03_fuzzy_join hash is unchanged. Compares capped
+      // vs uncapped output row-for-row at this SF.
+      import org.apache.spark.sql.functions._
+      val names = Tables.part(spark, dir)
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
+      val capped = ops.Relational.fuzzyNameJoin(names, maxDist = 1)
+      val uncapped = ops.Relational.fuzzyNameJoin(names, maxDist = 1, maxBlock = Int.MaxValue)
+      val diff = capped.exceptAll(uncapped).count() + uncapped.exceptAll(capped).count()
+      println(s"  FUZZY capped_rows=${capped.count()} uncapped_rows=${uncapped.count()} diff=$diff")
+    }
     if (sys.env.contains("PROBE_MINHASH")) {
       val docs = Tables.documents(spark, dir)
       val sh = dedup.Dedup.shingles(docs, 3).cache()

@@ -201,12 +201,25 @@ object Relational {
     * in ±d and shift in ±d, and the equi-join on those keys is provably
     * candidate-COMPLETE; (3) only candidates pay the exact
     * `levenshtein()` verify. Fan-out is (d+1)·(2d+1)² keys per distinct
-    * name — constant — and a hot blocking key (one shared segment across
-    * a template family) is the ER twin of the LSH hot bucket
-    * (`Dedup.MaxBucket`): cap or representative-link it at 100-TB
-    * corpus scale. Levenshtein unit costs are identical in Spark and
-    * DuckDB → the whole operator hash-gates. */
-  def fuzzyNameJoin(names: DataFrame, maxDist: Int = 1): DataFrame = {
+    * name — constant. Levenshtein unit costs are identical in Spark and
+    * DuckDB → the whole operator hash-gates.
+    *
+    * Hot blocking keys — the ER twin of the LSH hot bucket
+    * (`Dedup.MaxBucket`) — are capped at [[MaxBlock]]: a template family
+    * sharing one segment (millions of "ACME part #NNNNN" names) would
+    * otherwise emit |idx_k|·|probe_k| candidate rows for that key. Keys
+    * whose side exceeds the cap are REPRESENTATIVE-LINKED instead: every
+    * probe member pairs with the key-minimum indexed name and every
+    * indexed member with the key-minimum probe name (2B star edges, not
+    * B²), and all star candidates still pay the exact `levenshtein`
+    * verify — so precision is untouched. The trade is candidate RECALL
+    * inside an over-full key only, and only for pairs whose EVERY shared
+    * key is over-full: a pair sharing any normal key is still found
+    * (candidates are unioned across all (d+1)·(2d+1)² keys before
+    * verification). Same contract, same constant, same proof shape as
+    * `Dedup.candidatePairs`. */
+  def fuzzyNameJoin(names: DataFrame, maxDist: Int = 1,
+                    maxBlock: Int = MaxBlock): DataFrame = {
     val d = maxDist
     val k = d + 1
     // 0-based segment geometry for a string of length L (even partition,
@@ -231,11 +244,7 @@ object Relational {
     val probe = names.select(col("name").as("name_p"), col("cnt").as("cnt_p"),
         explode(expr(probeKeys)).as("key"))
       .filter(col("key").isNotNull)
-    idx.join(probe, "key")
-      .select(least(col("name_i"), col("name_p")).as("name_a"),
-        greatest(col("name_i"), col("name_p")).as("name_b"))
-      .filter(col("name_a") < col("name_b"))
-      .distinct()
+    fuzzyCandidates(idx, probe, maxBlock)
       .filter(levenshtein(col("name_a"), col("name_b")) <= d)
       .join(names.select(col("name").as("name_a"), col("cnt").as("n_a")), "name_a")
       .join(names.select(col("name").as("name_b"), col("cnt").as("n_b")), "name_b")
@@ -243,6 +252,48 @@ object Relational {
         levenshtein(col("name_a"), col("name_b")).as("dist"),
         col("n_a"), col("n_b"))
       .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** Per-key size cap for the fuzzy join's segment-blocking equi-join —
+    * the same constant and contract as `Dedup.MaxBucket`: over-full keys
+    * emit star edges to the key-minimum member instead of the full
+    * idx×probe product, keeping a degenerate template family linear. */
+  val MaxBlock = 256
+
+  /** Candidate pair generation for [[fuzzyNameJoin]] — the blocking
+    * equi-join with the hot-key cap, BEFORE levenshtein verification.
+    * Exposed for the planted-template-family scale spec. */
+  private[graft] def fuzzyCandidates(idx: DataFrame, probe: DataFrame,
+                                     maxBlock: Int): DataFrame = {
+    // one count+min aggregate per side per key, joined back on the key
+    // (co-partitioned with the candidate join's own shuffle key). Inner
+    // join of the two stats frames: a key occupied on only one side
+    // yields no candidates anyway. The stats frame feeds three plan
+    // branches — checkpoint so the aggregates run once, not per branch.
+    val stats = idx.groupBy(col("key"))
+      .agg(count(lit(1)).as("isz"), min(col("name_i")).as("imin"))
+      .join(probe.groupBy(col("key"))
+        .agg(count(lit(1)).as("psz"), min(col("name_p")).as("pmin")),
+        Seq("key"))
+      .localCheckpoint(true)
+    val smallKeys = stats.filter(col("isz") <= maxBlock && col("psz") <= maxBlock)
+    val hotKeys   = stats.filter(col("isz") > maxBlock || col("psz") > maxBlock)
+    val fullPairs = idx.join(smallKeys.select(col("key")), Seq("key"))
+      .join(probe, Seq("key"))
+      .select(col("name_i"), col("name_p"))
+    // star edges: every probe member of a hot key pairs with the
+    // key-minimum indexed name, and every indexed member with the
+    // key-minimum probe name — 2B candidates instead of B², all still
+    // levenshtein-verified downstream
+    val starProbe = probe.join(hotKeys.select(col("key"), col("imin")), Seq("key"))
+      .select(col("imin").as("name_i"), col("name_p"))
+    val starIdx = idx.join(hotKeys.select(col("key"), col("pmin")), Seq("key"))
+      .select(col("name_i"), col("pmin").as("name_p"))
+    fullPairs.union(starProbe).union(starIdx)
+      .select(least(col("name_i"), col("name_p")).as("name_a"),
+        greatest(col("name_i"), col("name_p")).as("name_b"))
+      .filter(col("name_a") < col("name_b"))
+      .distinct()
   }
 
   def fuzzyJoinQuery(s: SparkSession, dir: String): DataFrame = {

@@ -169,5 +169,57 @@ class Relational2Spec extends SparkSpec {
     val got = Relational.fuzzyNameJoin(df, maxDist = 1).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === expected)
+    // the hot-key cap is inert on a corpus with no over-full blocks:
+    // capped output == uncapped output, bit for bit
+    val uncapped = Relational.fuzzyNameJoin(df, maxDist = 1, maxBlock = Int.MaxValue)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped === got)
+  }
+
+  test("fuzzyNameJoin: hot blocking key is capped — planted template family stays linear (B3)") {
+    // a template family: F names sharing their entire first segment
+    // ("AAAAAAAAAA" + 5-digit id, length 15 → seg0 = 8 identical 'A's).
+    // Uncapped, the seg0 blocking key emits ~F² candidate rows — the
+    // quadratic escape; capped, it emits star edges linear in F.
+    def family(f: Int) = (1 to f).map(i => f"AAAAAAAAAA$i%05d")
+    def df(ns: Seq[String]) = ns.toDF("name").withColumn("cnt", lit(1L))
+    def candCount(ns: Seq[String], cap: Int): Long = {
+      val names = df(ns)
+      val d = 1; val k = 2
+      def segLen(l: String, i: Int) = s"(($l) div $k + (CASE WHEN $i < ($l) % $k THEN 1 ELSE 0 END))"
+      def segStart(l: String, i: Int) = s"($i * (($l) div $k) + least($i, ($l) % $k))"
+      val idxKeys = (0 until k).map { i =>
+        val L = "length(name)"
+        s"struct(${L} AS plen, $i AS seg, substring(name, ${segStart(L, i)} + 1, ${segLen(L, i)}) AS piece)"
+      }.mkString("array(", ", ", ")")
+      val probeKeys = (for { dl <- -d to d; i <- 0 until k; sh <- -d to d } yield {
+        val Lp = s"(length(name) + $dl)"
+        val len = segLen(Lp, i)
+        val start = s"(${segStart(Lp, i)} + $sh)"
+        s"""CASE WHEN $len > 0 AND $start >= 0 AND $start + $len <= length(name)
+              THEN struct($Lp AS plen, $i AS seg, substring(name, $start + 1, $len) AS piece) END"""
+      }).mkString("array(", ", ", ")")
+      val idx = names.select(col("name").as("name_i"), explode(expr(idxKeys)).as("key"))
+      val probe = names.select(col("name").as("name_p"), explode(expr(probeKeys)).as("key"))
+        .filter(col("key").isNotNull)
+      Relational.fuzzyCandidates(idx, probe, cap).count()
+    }
+    // small family over the cap: the uncapped join is visibly quadratic,
+    // the capped one linear — same inputs, two orders of magnitude apart
+    val f600 = family(600)
+    val uncapped600 = candCount(f600, Int.MaxValue)
+    val capped600 = candCount(f600, Relational.MaxBlock)
+    assert(uncapped600 >= 600L * 600 / 4, s"quadratic escape exists uncapped: $uncapped600")
+    assert(capped600 <= 10L * 600, s"capped candidates linear in family size: $capped600")
+    // full-size family: candidates stay linear (never materialize F²)
+    val capped5k = candCount(family(5000), Relational.MaxBlock)
+    assert(capped5k <= 10L * 5000, s"5k-family candidates linear: $capped5k")
+    // star candidates are still levenshtein-verified: every emitted pair
+    // on the planted family is a TRUE ≤1-edit pair (precision untouched)
+    val out = Relational.fuzzyNameJoin(df(family(600)), maxDist = 1).collect()
+    assert(out.forall { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      a.zip(b).count { case (x, y) => x != y } <= 1 && a.length == b.length
+    })
   }
 }
