@@ -60,11 +60,20 @@ object Bench {
     // environment block: the round-2→3 drift saga (code-cache overflow,
     // cache churn) showed the JVM/bench configuration is half the signal —
     // record it so rounds can diff environment, not just numbers
+    // real JSON string escaping (backslashes, quotes, control chars) — a
+    // flag like -XX:OnOutOfMemoryError="kill %p" or a Windows-style path
+    // must not emit invalid JSON
+    def jsonStr(s: String): String = s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }.mkString("\"", "", "\"")
     val jvmFlags = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
         .filter(a => a.startsWith("-XX:") || a.startsWith("-Xm"))
-        .map(a => "\"" + a.replace("\"", "") + "\"")
+        .map(jsonStr)
         .mkString("[", ",", "]")
     }
     val env = s"""{"jvm_flags":$jvmFlags,"java":"${sys.props.getOrElse("java.version", "?")}",""" +

@@ -415,33 +415,59 @@ object Dedup {
     * witness). Signature aggregation is ONE doc_id shuffle of 16
     * map-side-combinable mins; band keys are string concats (no second
     * hash); candidates flow through the production [[candidatePairs]]
-    * including the hot-bucket cap (no bucket exceeds the cap at oracle
-    * scale, so the replayed all-pairs join is equal by construction —
-    * same data-regime treatment as the b05 sketch gates). The final
+    * including the hot-bucket cap (the oracle replays the UNCAPPED join,
+    * so the plan ASSERTS no bucket exceeds the cap at oracle scale — a
+    * regime break fails diagnostically instead of as an opaque hash
+    * mismatch; same data-regime treatment as the b05 sketch gates). The
+    * final
     * threshold is division-free exact integer (2·inter ≥ na+nb−inter ⇔
     * Jaccard ≥ 0.5). */
   def minHashPortableQuery(s: SparkSession, dir: String): DataFrame =
     minHashPortable(Tables.documents(s, dir))
 
-  /** Core of [[minHashPortableQuery]] over any `(doc_id, text)` frame. */
-  def minHashPortable(docs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), i -> array_join(slice(toks, i, $k), ' '))"))
-        .as("gram"))
-      .select(col("doc_id"), graft.functions.Md5Prefix(col("gram"), 12).as("hbase"))
-      .distinct()
-      .cache()
+  /** Distinct engine-portable 48-bit gram hashes per doc — the shingle
+    * stage of the portable pipelines ([[minHashPortable]],
+    * [[minHashPortableAcross]]). */
+  private def portableShingleHashes(docs: DataFrame, k: Int): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .filter(size(col("toks")) >= k)
+    .select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(toks) - ${k - 1}), i -> array_join(slice(toks, i, $k), ' '))"))
+      .as("gram"))
+    .select(col("doc_id"), graft.functions.Md5Prefix(col("gram"), 12).as("hbase"))
+    .distinct()
+
+  /** Portable signatures → (doc_id, band_idx, band_hash) band keys:
+    * 16 affine-permutation mins ([[PortablePerms]]) grouped into 4 bands
+    * of 4, band key = the ':'-joined signature values (string concat, no
+    * second hash — both engines replay it verbatim). */
+  private def portableBands(sh: DataFrame): DataFrame = {
     val sigCols = PortablePerms.zipWithIndex.map { case ((a, b), i) =>
       min((col("hbase") * lit(a) + lit(b)) % lit(PortableP)).as(s"s$i")
     }
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandKeys = array((0 until 4).map(bd =>
       concat_ws(":", (0 until 4).map(r => col(s"s${bd * 4 + r}")): _*)): _*)
-    val bandsDf = sigs.select(col("doc_id"), posexplode(bandKeys))
+    sigs.select(col("doc_id"), posexplode(bandKeys))
       .toDF("doc_id", "band_idx", "band_hash")
+  }
+
+  /** Core of [[minHashPortableQuery]] over any `(doc_id, text)` frame. */
+  def minHashPortable(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = portableShingleHashes(docs, k).cache()
+    val bandsDf = portableBands(sh)
+      .localCheckpoint(true) // consumed 3×: regime guard + candidate join's two sides
+    // Regime guard (r4 ADVICE): the generated oracle replays the candidate
+    // join WITHOUT the MaxBucket cap, so its equality to this plan rests on
+    // no band bucket exceeding the cap at oracle scale. Assert that here —
+    // a regime break must fail DIAGNOSTICALLY, not as an opaque hash
+    // mismatch in the driver gate.
+    val hottest = bandsDf.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bsz")).agg(max(col("bsz"))).head.getLong(0)
+    require(hottest <= MaxBucket,
+      s"b12_minhash_portable oracle regime broken: hottest LSH bucket holds $hottest docs " +
+        s"> MaxBucket=$MaxBucket; the DuckDB oracle replays the UNCAPPED candidate join " +
+        "and would silently hash-mismatch — re-derive the oracle with the cap replayed")
     val pairs = candidatePairs(bandsDf)
     // per-call hygiene: checkpoint the small verified-pair output, release
     // the gram cache (the minHashNearDup pattern)
@@ -750,24 +776,37 @@ object Dedup {
     * classic two-phase ER shape that replaces the O(n²) all-pairs string
     * comparison with Σ(block²) work. Over-full blocks (a degenerate
     * blocking key — the ER twin of the LSH hot bucket, see [[MaxBucket]])
-    * are SKIPPED, not joined: a key shared by thousands of records carries
-    * no discriminating signal, which is precisely why production linkage
-    * pipelines drop stop-words from blocking keys. Levenshtein is a
-    * built-in codegen'd expression in BOTH engines (classic unit-cost edit
-    * distance), so the verified pair set is oracle-checked exactly. */
+    * are REPRESENTATIVE-LINKED, not joined and not skipped: every member
+    * pairs with the block-minimum id only (B−1 star candidates instead
+    * of B², the `candidatePairs` treatment), and star candidates still
+    * pay the exact levenshtein verify — precision untouched, candidate
+    * recall traded inside the over-full block only. Levenshtein is a
+    * built-in codegen'd expression in BOTH engines (classic unit-cost
+    * edit distance) and the cap is replayed in the oracle SQL, so the
+    * verified pair set is oracle-checked exactly in BOTH regimes. */
   def entityMatch(records: DataFrame, maxDist: Int = 4,
       maxBlock: Int = 256): DataFrame = {
     val keyed = records.select(col("id"), col("name"),
       element_at(split(col("name"), " "), -1).as("block"))
-    val ok = keyed.groupBy(col("block"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBlock)
-      .select(col("block"))
-    val inBlock = keyed.join(ok, "block")
-    inBlock.select(col("block"), col("id").as("a"), col("name").as("name_a"))
-      .join(inBlock.select(col("block"), col("id").as("b"), col("name").as("name_b")),
+    // one count+min per block, three consumers — checkpoint so the
+    // aggregate runs once (same shape as candidatePairs' stats frame)
+    val stats = keyed.groupBy(col("block"))
+      .agg(count(lit(1)).as("bsz"), min(col("id")).as("bmin"))
+      .localCheckpoint(true)
+    val small = keyed.join(stats.filter(col("bsz") <= maxBlock)
+      .select(col("block")), "block")
+    val fullPairs = small
+      .select(col("block"), col("id").as("a"), col("name").as("name_a"))
+      .join(small.select(col("block"), col("id").as("b"), col("name").as("name_b")),
         Seq("block"))
       .filter(col("a") < col("b"))
+    val hot = keyed.join(stats.filter(col("bsz") > maxBlock), "block")
+    val reps = hot.filter(col("id") === col("bmin"))
+      .select(col("block"), col("id").as("a"), col("name").as("name_a"))
+    val starPairs = hot.filter(col("id") =!= col("bmin"))
+      .select(col("block"), col("id").as("b"), col("name").as("name_b"))
+      .join(reps, Seq("block")) // bmin < id by construction → a < b
+    fullPairs.unionByName(starPairs)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("block"), col("name_a"), col("name_b"),
@@ -775,11 +814,36 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** At sf0.01 the part-name blocking key yields 8 blocks of 230–261
+    * records, straddling [[MaxBucket]] — so the oracle gate exercises the
+    * full-join AND the star regime in one corpus. */
   def entityMatchQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     entityMatch(Tables.part(s, dir)
-      .select($"p_partkey".cast("long").as("id"), $"p_name".as("name")))
+      .select($"p_partkey".cast("long").as("id"), $"p_name".as("name")),
+      maxDist = 4, maxBlock = MaxBucket)
   }
+
+  /** Oracle twin of [[entityMatchQuery]] — replays blocking, the
+    * [[MaxBucket]] cap, star-linking, and the levenshtein verify, so the
+    * hash gate covers BOTH regimes (the r4 ADVICE lesson: replay the cap
+    * in the oracle instead of assuming a data regime). */
+  private def entityMatchOracle: String = s"""
+      WITH k AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name,
+                        regexp_extract(p_name, '([^ ]+)$$', 1) AS block FROM part),
+      s AS (SELECT block, COUNT(*) AS bsz, MIN(id) AS bmin FROM k GROUP BY block),
+      small AS (SELECT k.* FROM k JOIN s USING (block) WHERE s.bsz <= $MaxBucket),
+      fullp AS (SELECT a.id AS a, b.id AS b, a.block, a.name AS name_a, b.name AS name_b
+                FROM small a JOIN small b ON a.block = b.block AND a.id < b.id),
+      hot AS (SELECT k.*, s.bmin FROM k JOIN s USING (block) WHERE s.bsz > $MaxBucket),
+      star AS (SELECT r.id AS a, m.id AS b, m.block, r.name AS name_a, m.name AS name_b
+               FROM hot m JOIN hot r ON m.block = r.block AND r.id = m.bmin
+               WHERE m.id <> m.bmin)
+      SELECT a, b, block, name_a, name_b,
+             CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+      FROM (SELECT * FROM fullp UNION ALL SELECT * FROM star) u
+      WHERE levenshtein(name_a, name_b) <= 4
+      ORDER BY a, b"""
 
   // ------------------------------------------------- duplicate spans (B11)
 
@@ -942,6 +1006,7 @@ object Dedup {
     "b12_simhash" -> (simHashQuery _),
     "b12_ngram_jaccard" -> (ngramJaccardQuery _),
     "b12_dedup_clusters" -> (dedupClustersQuery _),
+    "b11_entity_match" -> (entityMatchQuery _),
   )
 
   /** Generated from [[PortablePerms]]/[[PortableP]] — the oracle replays
@@ -990,6 +1055,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "b12_minhash_portable" -> minHashPortableOracle,
+    "b11_entity_match" -> entityMatchOracle,
     // the oracle compares gram STRINGS where the engine joins 64-bit gram
     // hashes — identical flags unless two distinct grams collide in 64
     // bits (deterministic and vanishingly rare at oracle scale)

@@ -57,7 +57,13 @@ object EventAnalytics {
     val first = broadcast(counts.head.select(col("n_users").as("n_first")))
     all.crossJoin(first)
       .select(col("step_idx"), col("step"), col("n_users"),
-        (col("n_users").cast("double") / col("n_first")).as("pct_of_first"))
+        // guarded: an empty funnel (zero step-1 users) must yield NULL in
+        // BOTH engines — unguarded, Spark's 0/0 is NaN while the oracle's
+        // scalar-subquery division yields NULL (latent cross-engine
+        // divergence on the degenerate input; mirrored with CASE WHEN in
+        // the oracle SQL)
+        when(col("n_first") > 0,
+          col("n_users").cast("double") / col("n_first")).as("pct_of_first"))
       .orderBy(col("step_idx"))
   }
 
@@ -116,14 +122,20 @@ object EventAnalytics {
     * driver-side calendar), one co-keyed left join, one user-partitioned
     * `last(ignoreNulls)` window. Everything keys on user_id.
     *
-    * Cross-engine exactness: the bucket floor is integer epoch-second
-    * division, and the "last" observation is PICKED (never averaged) via
+    * Cross-engine exactness: the bucket floor is FLOOR-division semantics
+    * via the integer floor-mod identity `t − ((t % s + s) % s)` — exact
+    * on longs and equal to DuckDB's `//` floor division for ALL
+    * timestamps including pre-1970 negatives (Spark's `div` truncates
+    * toward zero and would diverge there) — and the "last" observation
+    * is PICKED (never averaged) via
     * a zero-padded `(epoch_micros, event_id)` string key — lexicographic
     * order == numeric order, so Spark's `max_by` and DuckDB's `arg_max`
     * choose the identical row even on same-microsecond ties. */
   def resampleFfill(events: DataFrame, stepSec: Long = 86400L): DataFrame = {
     val ev = events.select(col("user_id"),
-      expr(s"unix_seconds(cast(ts as timestamp)) div $stepSec * $stepSec").as("bucket_sec"),
+      expr(s"""unix_seconds(cast(ts as timestamp))
+               - ((unix_seconds(cast(ts as timestamp)) % $stepSec + $stepSec) % $stepSec)""")
+        .as("bucket_sec"),
       format_string("%020d|%020d",
         expr("unix_micros(cast(ts as timestamp))"), col("event_id")).as("ord_key"),
       col("value"))
@@ -178,8 +190,9 @@ object EventAnalytics {
             UNION ALL SELECT 3, 'click', COUNT(*) FROM u3
             UNION ALL SELECT 4, 'purchase', COUNT(*) FROM u4)
       SELECT step_idx, step, n_users,
-             CAST(n_users AS DOUBLE) / (SELECT n_users FROM s WHERE step_idx = 1)
-               AS pct_of_first
+             CASE WHEN (SELECT n_users FROM s WHERE step_idx = 1) > 0
+               THEN CAST(n_users AS DOUBLE) / (SELECT n_users FROM s WHERE step_idx = 1)
+             END AS pct_of_first
       FROM s ORDER BY step_idx""",
     "b10_transitions" -> """
       WITH o AS (SELECT user_id, event_type,

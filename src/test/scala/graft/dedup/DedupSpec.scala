@@ -360,4 +360,47 @@ class DedupSpec extends SparkSpec {
       assert(members.length >= 2) // singletons carry no edges -> excluded
     }
   }
+
+  test("entityMatch: small blocks == brute force within block; over-full block star-links (B11)") {
+    // two normal blocks ("red", "blue") + one planted over-full block
+    // ("hot", maxBlock=5 < 8 members)
+    val recs = Seq(
+      (1L, "alpha widget red"), (2L, "alphq widget red"), (3L, "zzzz gadget red"),
+      (10L, "beta cog blue"), (11L, "betaa cog blue")
+    ) ++ (20L to 27L).map(i => (i, s"item nr$i hot"))
+    val df = recs.toDF("id", "name")
+    val out = Dedup.entityMatch(df, maxDist = 4, maxBlock = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // normal blocks: all within-block pairs that survive levenshtein <= 4
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val byId = recs.toMap
+    val expectedSmall = (for {
+      (a, na) <- recs; (b, nb) <- recs
+      if a < b && na.split(" ").last == nb.split(" ").last &&
+        na.split(" ").last != "hot" && lev(na, nb) <= 4
+    } yield (a, b, na.split(" ").last)).toSet
+    assert(out.filter(_._3 != "hot") === expectedSmall)
+    assert(expectedSmall.nonEmpty)
+    // hot block: ONLY star pairs (block-min 20 as `a`), each verified —
+    // "item nrXX hot" names are all within lev 2 of each other, so every
+    // star edge survives: exactly B-1 = 7 pairs, never the 28 all-pairs
+    val hotPairs = out.filter(_._3 == "hot")
+    assert(hotPairs === (21L to 27L).map(b => (20L, b, "hot")).toSet)
+    // capped == uncapped when no block is over-full
+    val capped = Dedup.entityMatch(df, maxDist = 4, maxBlock = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unc = (for {
+      (a, na) <- recs; (b, nb) <- recs
+      if a < b && na.split(" ").last == nb.split(" ").last && lev(na, nb) <= 4
+    } yield (a, b)).toSet
+    assert(capped === unc)
+    assert(byId.size === recs.size)
+  }
 }
