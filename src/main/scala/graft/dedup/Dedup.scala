@@ -366,7 +366,65 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
-  // ----------------------------------------------- exact n-gram Jaccard (B12)
+  /** Sign-bit width of the PORTABLE SimHash sketch — 48, because the
+    * engine-portable md5-prefix token hash supplies exactly 48 bits. */
+  private[graft] val PortableSimBits = 48
+
+  /** B12: the ORACLE-CHECKED twin of [[simHashSketchesRow]] — same
+    * frequency-weighted sign-sum semantics, but token hashes are the
+    * portable 48-bit md5 prefix so DuckDB replays the sketch bit for bit:
+    * per bit j, sum ±1 over token OCCURRENCES (multiset, not set); bit j
+    * of the sketch is set iff the sum is strictly positive. Packs into
+    * one BIGINT plus 4×12-bit pigeonhole chunks (Hamming ≤3 ⇒ one chunk
+    * equal — the candidate-join contract, as in the production 4×16).
+    *
+    * Scale shape: the 48 conditional sums are one map-side-combinable
+    * aggregate over token rows — one doc_id shuffle. (The production
+    * path is still [[graft.functions.SimHash64]]: a scan-side codegen
+    * projection with NO shuffle at all; this twin is its cross-engine
+    * witness, same division of labor as b12_minhash_portable.) */
+  def simHashPortable(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), graft.functions.Md5Prefix(col("tok"), 12).as("h"))
+    val sums = (0 until PortableSimBits).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$j"))
+    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until PortableSimBits).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash48"))
+      .select(Seq(col("doc_id"), col("simhash48")) ++
+        (0 until 4).map(c => shiftrightunsigned(col("simhash48"), c * 12)
+          .bitwiseAND(lit(0xFFFL)).as(s"chunk$c")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  def simHashPortableQuery(s: SparkSession, dir: String): DataFrame =
+    simHashPortable(Tables.documents(s, dir))
+
+  /** Generated from [[PortableSimBits]] — the oracle replays token
+    * hashing, the per-bit ±1 occurrence sums, the strict-positive sign
+    * rule, the bit pack, and the 12-bit chunking. */
+  private def simHashPortableOracle: String = {
+    val chunkCols = (0 until 4).map(c =>
+      s"CAST((simhash48 >> ${c * 12}) & 4095 AS BIGINT) AS chunk$c").mkString(", ")
+    s"""
+      WITH t AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)),
+      s AS (SELECT doc_id, j,
+              SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sj
+            FROM t, UNNEST(range(0, $PortableSimBits)) AS u(j)
+            GROUP BY doc_id, j),
+      p AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN sj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                AS BIGINT) AS simhash48
+            FROM s GROUP BY doc_id)
+      SELECT doc_id, simhash48, $chunkCols FROM p ORDER BY doc_id"""
+  }
 
   /** B12: exact bigram-Jaccard between consecutive doc pairs — the
     * oracle-checkable exact-similarity kernel (the same verify kernel LSH
@@ -477,6 +535,51 @@ object Dedup {
       .localCheckpoint(true)
     sh.unpersist()
     out.orderBy(col("a"), col("b"))
+  }
+
+  /** B12: the ORACLE-CHECKED twin of [[minHashNearDupAcross]] — same
+    * incremental plan shape (incoming batch probes the reference's band
+    * buckets, hot ref buckets answer one bucket-min witness, only cross
+    * pairs verified, never ref×ref work), but signatures/bands use the
+    * portable md5-prefix + affine-permutation family so DuckDB replays
+    * the ENTIRE pipeline including the [[MaxBucket]] cap (the cap is in
+    * the generated oracle SQL — no data-regime assumption at all, per the
+    * r4 ADVICE lesson). Division-free threshold: 2·inter ≥ na+nb−inter ⇔
+    * Jaccard ≥ 0.5. */
+  def minHashPortableAcross(newDocs: DataFrame, refDocs: DataFrame, k: Int = 3,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val shNew = portableShingleHashes(newDocs, k).cache()
+    val shRef = portableShingleHashes(refDocs, k).cache()
+    val bNew = portableBands(shNew)
+    val bRef = portableBands(shRef).localCheckpoint(true) // stats + probe join
+    val stats = bRef.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+      .localCheckpoint(true)
+    val keyedRef = bRef.join(stats, Seq("band_idx", "band_hash"))
+    val direct = bNew.select(col("doc_id").as("a"), col("band_idx"), col("band_hash"))
+      .join(keyedRef.filter(col("bsz") <= maxBucket)
+        .select(col("doc_id").as("b"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select(col("a"), col("b"))
+    val starProbe = bNew.select(col("doc_id").as("a"), col("band_idx"), col("band_hash"))
+      .join(stats.filter(col("bsz") > maxBucket), Seq("band_idx", "band_hash"))
+      .select(col("a"), col("bmin").as("b"))
+    val pairs = direct.union(starProbe).filter(col("a") =!= col("b")).distinct()
+    val verified = verifyJaccardTwo(pairs,
+        shNew.select(col("doc_id"), col("hbase").as("shingle")),
+        shRef.select(col("doc_id"), col("hbase").as("shingle")))
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("a").as("new_id"), col("b").as("ref_id"),
+        col("inter"), col("na"), col("nb"), col("jaccard"))
+      .localCheckpoint(true)
+    shNew.unpersist(); shRef.unpersist()
+    verified.orderBy(col("new_id"), col("ref_id"))
+  }
+
+  def crossPortableQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    minHashPortableAcross(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0))
   }
 
   // ------------------------------------------- cluster assignment (B12)
@@ -1007,6 +1110,8 @@ object Dedup {
     "b12_ngram_jaccard" -> (ngramJaccardQuery _),
     "b12_dedup_clusters" -> (dedupClustersQuery _),
     "b11_entity_match" -> (entityMatchQuery _),
+    "b12_cross_portable" -> (crossPortableQuery _),
+    "b12_simhash_portable" -> (simHashPortableQuery _),
   )
 
   /** Generated from [[PortablePerms]]/[[PortableP]] — the oracle replays
@@ -1053,9 +1158,66 @@ object Dedup {
       ORDER BY i.a, i.b"""
   }
 
+  /** Generated from [[PortablePerms]]/[[PortableP]]/[[MaxBucket]] — the
+    * oracle replays signatures, banding, the REF-side bucket stats WITH
+    * the hot-bucket witness cap, the cross-only candidate join, and the
+    * exact-Jaccard verify. Unlike [[minHashPortableOracle]] there is no
+    * bucket-regime assumption: the cap itself is in the SQL. */
+  private def crossPortableOracle: String = {
+    val sigSelects = PortablePerms.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $PortableP) AS s$i"
+    }.mkString(",\n               ")
+    val bandCases = (0 until 4).map { bd =>
+      val key = (0 until 4).map(r => s"CAST(s${bd * 4 + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"WHEN $bd THEN $key"
+    }.mkString(" ")
+    s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT DISTINCT doc_id,
+              CAST(('0x' || substr(md5(array_to_string(toks[i : i + 2], ' ')), 1, 12)) AS BIGINT) AS h
+            FROM d, UNNEST(range(1, len(toks) - 1)) AS r(i)),
+      sig AS (SELECT doc_id,
+               $sigSelects
+              FROM g GROUP BY doc_id),
+      bnd AS (SELECT doc_id, b AS band_idx,
+               CASE b $bandCases END AS band_hash
+              FROM sig, UNNEST([0, 1, 2, 3]) AS u(b)),
+      bn AS (SELECT * FROM bnd WHERE doc_id % 2 = 0),
+      br AS (SELECT * FROM bnd WHERE doc_id % 2 <> 0),
+      st AS (SELECT band_idx, band_hash, COUNT(*) AS bsz, MIN(doc_id) AS bmin
+             FROM br GROUP BY band_idx, band_hash),
+      direct AS (SELECT n.doc_id AS a, r.doc_id AS b
+                 FROM bn n JOIN br r USING (band_idx, band_hash)
+                 JOIN st USING (band_idx, band_hash)
+                 WHERE st.bsz <= $MaxBucket),
+      star AS (SELECT n.doc_id AS a, st.bmin AS b
+               FROM bn n JOIN st USING (band_idx, band_hash)
+               WHERE st.bsz > $MaxBucket),
+      cand AS (SELECT DISTINCT a, b
+               FROM (SELECT * FROM direct UNION ALL SELECT * FROM star)
+               WHERE a <> b),
+      szs AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      ins AS (SELECT c.a, c.b, COUNT(*) AS inter
+              FROM cand c
+              JOIN g ga ON ga.doc_id = c.a
+              JOIN g gb ON gb.doc_id = c.b AND gb.h = ga.h
+              GROUP BY c.a, c.b)
+      SELECT i.a AS new_id, i.b AS ref_id, i.inter, na.n AS na, nb.n AS nb,
+             CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) AS jaccard
+      FROM ins i
+      JOIN szs na ON na.doc_id = i.a
+      JOIN szs nb ON nb.doc_id = i.b
+      WHERE i.inter * 2 >= na.n + nb.n - i.inter
+      ORDER BY new_id, ref_id"""
+  }
+
   val oracles: Map[String, String] = Map(
     "b12_minhash_portable" -> minHashPortableOracle,
     "b11_entity_match" -> entityMatchOracle,
+    "b12_cross_portable" -> crossPortableOracle,
+    "b12_simhash_portable" -> simHashPortableOracle,
     // the oracle compares gram STRINGS where the engine joins 64-bit gram
     // hashes — identical flags unless two distinct grams collide in 64
     // bits (deterministic and vanishingly rare at oracle scale)

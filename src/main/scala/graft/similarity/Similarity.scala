@@ -161,11 +161,14 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryPred: Column, numCells: Int = 16,
               nprobe: Int = 4, k: Int = 10): DataFrame = {
     val e = quantizedWithNorm(embeddings).cache()
-    // deterministic centroids: the numCells vectors whose id hash is
-    // smallest — a reproducible pseudo-random sample of the corpus
+    // deterministic centroids: the numCells vectors first under the
+    // PORTABLE md5(vec_id) ordering (vec_id tie-break) — a reproducible
+    // pseudo-random sample both engines can replay, which is what makes
+    // this whole operator oracle-checkable (the r4 xxhash64 pick was the
+    // one engine-specific step keeping it rows-only)
     val centroids = e
-      .withColumn("__h", xxhash64(col("vec_id")))
-      .orderBy(col("__h")).limit(numCells)
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id")).limit(numCells)
       .select(col("vec_id").as("cell_id"), col("q").as("cq"), col("norm").as("cnorm"))
     val bc = broadcast(centroids)
     // invert: each corpus vector → its single closest cell. A max_by
@@ -707,6 +710,38 @@ object Similarity {
       SELECT query_id, vec_id, cosine, rn FROM (
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, vec_id) AS INT) AS rn FROM sims)
+      WHERE rn <= 10 ORDER BY query_id, rn""",
+    // the FULL IVF pipeline — portable md5-ordered cell seeds, corpus
+    // assignment (sim DESC, cell_id tie-break, the max_by struct order),
+    // nprobe cell probing, and the in-cell top-k — replayed in SQL. All
+    // cosine math is the established exact double kernel (dot is integer;
+    // sqrt/division are IEEE-identical across engines).
+    "b12_ann_ivf" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      en AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
+      c AS (SELECT vec_id AS cell_id, q AS cq, norm AS cnorm FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn FROM en)
+            WHERE srn <= 16),
+      asgn0 AS (SELECT v.vec_id, v.q, v.norm, c.cell_id,
+                  CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) AS sim
+                FROM en v, c),
+      asgn AS (SELECT vec_id, q, norm, cell_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, cell_id) AS rn FROM asgn0) WHERE rn = 1),
+      qp0 AS (SELECT v.vec_id AS query_id, v.q AS qq, v.norm AS qnorm, c.cell_id,
+                CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) AS sim
+              FROM en v, c WHERE v.vec_id % 100 = 0),
+      qp AS (SELECT query_id, qq, qnorm, cell_id FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, cell_id) AS rn FROM qp0) WHERE rn <= 4),
+      cand AS (SELECT p.query_id, a.vec_id,
+                 CAST(${dotSql("p.qq", "a.q")} AS DOUBLE) / (p.qnorm * a.norm) AS cosine
+               FROM qp p JOIN asgn a USING (cell_id)
+               WHERE a.vec_id <> p.query_id)
+      SELECT query_id, vec_id, cosine, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS INT) AS rn FROM cand)
       WHERE rn <= 10 ORDER BY query_id, rn""",
   )
 }

@@ -361,6 +361,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simHashPortable: exact dups collide, bag-of-words invariant, chunks partition the sketch (B12)") {
+    val df = Seq((1L, base), (2L, base), // exact dup
+      (3L, base.split(" ").reverse.mkString(" ")), // same bag, other order
+      (4L, other)).toDF("doc_id", "text")
+    val rows = Dedup.simHashPortable(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), (2 to 5).map(r.getLong))).toMap
+    assert(rows(1L)._1 === rows(2L)._1) // identical text → identical sketch
+    assert(rows(1L)._1 === rows(3L)._1) // order-free (frequency-weighted bag)
+    assert(rows(1L)._1 !== rows(4L)._1) // unrelated text differs
+    // sketch is 48 bits; chunks reassemble it exactly
+    rows.values.foreach { case (sk, chunks) =>
+      assert(sk >= 0 && sk < (1L << 48))
+      assert(chunks.zipWithIndex.map { case (c, i) => c << (12 * i) }.sum === sk)
+    }
+  }
+
+  test("minHashPortableAcross: planted cross dup found, no intra-set pairs, threshold honored (B12)") {
+    // even ids = incoming, odd = reference; 2 (new) near-dups 1 (ref);
+    // 4 (new) exact-dups 9 (ref); 6/8 unrelated
+    val df = Seq((2L, nearDup), (1L, base), (4L, base), (9L, base),
+      (6L, other), (8L, (200 to 230).map(i => s"x$i").mkString(" ")))
+    val out = Dedup.minHashPortableAcross(
+        df.filter(_._1 % 2 == 0).toDF("doc_id", "text"),
+        df.filter(_._1 % 2 == 1).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((4L, 9L))) // exact cross dup
+    assert(out.contains((2L, 1L)) || out.contains((2L, 9L))) // near dup vs ref copy
+    // never intra-set: new ids are even, ref ids odd
+    out.foreach { case (n, r) => assert(n % 2 == 0 && r % 2 == 1) }
+    assert(!out.exists(_._1 == 6L) && !out.exists(_._1 == 8L))
+  }
+
   test("entityMatch: small blocks == brute force within block; over-full block star-links (B11)") {
     // two normal blocks ("red", "blue") + one planted over-full block
     // ("hot", maxBlock=5 < 8 members)

@@ -59,21 +59,33 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF recall vs nprobe: monotone improvement, boundary queries need multi-probe") {
-    // four axis clusters of 25 vectors each, plus three BRIDGE queries that
-    // sit between adjacent clusters — their true top-10 spans two cells, so
-    // nprobe=1 structurally caps recall and probing more cells must help
-    val corpus = for (axis <- 0 until 4; i <- 0 until 25) yield {
+    // four axis clusters of SIX vectors each (< k=10, so any bridge
+    // query's true top-10 MUST span two clusters), plus three BRIDGE
+    // queries between adjacent clusters — nprobe=1 structurally caps
+    // recall at 6/10 and probing more cells must help.
+    // Seeding is the portable md5(vec_id) ordering, so vec_ids are CHOSEN
+    // to pin the seeds: each cluster's pure-axis member gets one of the 4
+    // smallest-md5 ids (⇒ exactly one seed per cluster, cells == clusters)
+    // and every other row gets a largest-md5 id (never seeds).
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val byMd5 = (0L until 4000L).sortBy(id => (md5hex(id.toString), id))
+    val anchorIds = byMd5.take(4)          // the 4 seeds, one per cluster
+    val poolIds = byMd5.reverseIterator    // largest md5 first — never seed
+    val corpus = for (axis <- 0 until 4; i <- 0 until 6) yield {
       val v = (0 until 8).map(d =>
         (if (d == axis) 1.0f else 0.0f) + (if (d == axis + 4) 0.002f * i else 0.0f))
-      ((axis * 100 + i).toLong, v)
+      ((if (i == 0) anchorIds(axis) else poolIds.next()), v)
     }
+    val bridgeIds = (0 until 3).map(_ => poolIds.next())
     val bridges = for (a <- 0 until 3) yield {
       val v = (0 until 8).map(d =>
         (if (d == a) 0.74f else 0.0f) + (if (d == a + 1) 0.70f else 0.0f))
-      ((1000 + a).toLong, v)
+      (bridgeIds(a), v)
     }
     val df = (corpus ++ bridges).toDF("vec_id", "embedding")
-    val qp = col("vec_id") >= 1000
+    val qp = col("vec_id").isin(bridgeIds: _*)
     val bf = Similarity.bruteForceTopK(df, qp, k = 10)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
