@@ -204,6 +204,58 @@ object Probe {
       qs.foreach(n => rep("steady", n, clear = false))
       qs.foreach(n => rep("cleared", n, clear = true))
     }
+    if (sys.env.contains("PROBE_DRIFT")) {
+      // r4-verdict item 2 evidence: ten untouched built-in queries moved
+      // 1.4-2.7x between the r3 and r4 driver benches. Hypothesis to
+      // test: code-cache / JIT pressure once all 133 queries' generated
+      // code is compiled (the bench warms up EVERY query before timing).
+      // A/B under the bench JVM: (fresh) time the ten in a JVM that has
+      // compiled only them, then (loaded) replay the bench's full-suite
+      // sf0.001 warmup and time the ten again. Code-cache occupancy and
+      // cumulative JIT time printed at each phase boundary.
+      import scala.jdk.CollectionConverters._
+      val drifted = Seq("b08_except", "b09_math_funcs", "b09_string_funcs",
+        "b07_topk_per_group", "b08_except_all", "b06_running_sum",
+        "b10_tumbling", "b10_interval_join", "b04_grouping_sets", "b08_intersect")
+      def codeCache(): String = {
+        val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getName.startsWith("CodeHeap"))
+          .map(p => f"${p.getName}=${p.getUsage.getUsed / 1048576.0}%.0fMB")
+        val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+        (pools :+ s"jit_ms=${jit.getTotalCompilationTime}").mkString(" ")
+      }
+      def rep(tag: String, name: String): Unit = {
+        val fn = SparkEntry.queries(name)
+        val times = (1 to 5).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val s = times.sorted
+        println(f"DRIFT $tag $name min=${s.head}%.2f med=${s(2)}%.2f " +
+          s"all=${times.map(t => f"$t%.2f").mkString(",")}")
+      }
+      // fresh phase: warm ONLY the ten (sf0.001 pass mirrors the bench's
+      // per-query codegen+JIT warmup), then steady-state at the bench SF
+      val warmDir = "/root/testdata/sf0.001"
+      drifted.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+      println(s"DRIFT cache after ten-query warmup: ${codeCache()}")
+      drifted.foreach(rep("fresh", _))
+      // loaded phase: the bench's real precondition — every query warmed
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+      println(s"DRIFT cache after full-suite warmup: ${codeCache()}")
+      drifted.foreach(rep("loaded", _))
+      println(s"DRIFT cache at end: ${codeCache()}")
+    }
     if (sys.env.contains("PROBE_FUZZY")) {
       // r4-verdict item 1 evidence: the hot-blocking-key cap must be
       // inert on the real part-name corpus (no block over MaxBlock), so

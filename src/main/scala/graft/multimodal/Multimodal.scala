@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * decode / feature-extraction / resize / frame-sampling operators.
   *
   * The Spark-side plumbing is real — schema, batched partition processing
-  * (the JVM analogue of `mapInPandas` batch shape), partitioning — while
-  * the actual codec step is a clearly-marked DETERMINISTIC STUB
-  * ([[stubDecode]]): the container has no image/audio libraries, so the
-  * "decoder" derives fake features from the payload bytes. Swapping in a
-  * real codec changes only that one function.
+  * (the JVM analogue of `mapInPandas` batch shape), partitioning. The
+  * IMAGE codec is real too: [[decodeImage]]/[[imageFeatures]] decode
+  * PNG/JPEG through `javax.imageio` (pure JVM, no native deps) and
+  * compute exact pixel statistics. Audio/video decode remains a
+  * clearly-marked DETERMINISTIC STUB ([[stubDecodeBatch]]) — those
+  * codecs genuinely aren't in the container — and non-image payloads
+  * fall back to it inside [[decodeBatch]].
   */
 object Multimodal {
 
@@ -76,6 +78,113 @@ object Multimodal {
     assetsDf.sparkSession.createDataFrame(out, schema)
   }
 
+  // =================== REAL codec: javax.imageio ===================
+  // PNG/JPEG decode needs no native dependencies — ImageIO ships with
+  // the JVM. The stub above remains the fallback for modalities whose
+  // codecs genuinely aren't in the container (audio/video).
+
+  /** Decode an image payload to pixels; None for non-image bytes. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** 8 REAL features from decoded pixels, all deterministic integer-
+    * derived doubles: decoded width/height, mean R/G/B, mean and
+    * population variance of Rec.601 integer luma (299R+587G+114B, kept
+    * in per-mille units), and the bright-pixel fraction (luma ≥ 128‰·128).
+    * Exact rational arithmetic over pixel ints — bit-stable across runs
+    * and partitionings. */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var sluma = 0L; var sluma2 = 0L; var bright = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val luma = 299L * r + 587L * g + 114L * b // per-mille Rec.601
+        sluma += luma; sluma2 += luma * luma
+        if (luma >= 128000L) bright += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Array(w.toDouble, h.toDouble, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+      sluma.toDouble / (1000.0 * n),
+      (sluma2.toDouble / n - (sluma.toDouble / n) * (sluma.toDouble / n)) / 1e6,
+      bright.toDouble / n)
+  }
+
+  /** Batch decode: real pixels where the payload IS an image, stub
+    * features otherwise — same batch-of-payloads call shape as
+    * [[stubDecodeBatch]], so the two swap freely. Returns the feature
+    * vector plus whether the real codec handled it. */
+  def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Array[Double], Boolean)] =
+    payloads.map { bytes =>
+      decodeImage(bytes) match {
+        case Some(img) => (imageFeatures(img), true)
+        case None      => (stubDecodeBatch(Seq(bytes)).head, false)
+      }
+    }
+
+  /** Feature extraction through the REAL codec path: batched per
+    * partition like [[extractFeatures]], no shuffle; emits a `decoded`
+    * flag so downstream routing can separate real-pixel features from
+    * stub-hash features. */
+  def extractFeaturesReal(assetsDf: DataFrame, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(assetsDf.schema.fields ++ Seq(
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
+    val out = assetsDf.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val payloadIdx = batch.head.fieldIndex("payload")
+        val feats = decodeBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        batch.iterator.zip(feats.iterator).map { case (r, (f, ok)) =>
+          Row.fromSeq(r.toSeq ++ Seq(f.toSeq, ok))
+        }
+      }
+    }
+    assetsDf.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Deterministic REAL-PNG asset table: each doc_id renders a 16×12
+    * gradient-plus-stripe image (pixel (x,y) a pure function of
+    * (doc_id, x, y)) and PNG-encodes it on the executor. PNG is
+    * lossless, so decoded pixels — and every feature — are exact,
+    * independent of encoder or partitioning. */
+  def imageAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val render = udf { (id: Long) =>
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 12) {
+        var x = 0
+        while (x < 16) {
+          val r = ((id * 37 + x * 16) % 256).toInt
+          val g = ((id * 11 + y * 21) % 256).toInt
+          val b = if ((x + y + id) % 4 == 0) 255 else 0
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    Tables.documents(s, dir).select(
+      $"doc_id".as("asset_id"),
+      render($"doc_id").as("payload"),
+      lit("image").as("media_type"),
+      lit(16).as("width"), lit(12).as("height"),
+      lit(null).cast("int").as("sample_rate"))
+  }
+
   /** Metadata-level resize: recompute dimensions, payload untouched —
     * the plan-side half of an image resize (codec half lives in the stub). */
   def resizeMeta(assetsDf: DataFrame, maxWidth: Int): DataFrame = {
@@ -115,6 +224,25 @@ object Multimodal {
       .select($"asset_id", $"media_type",
         round(element_at($"features", 1), 3).as("f0"),
         round(element_at($"features", 8), 3).as("f7"))
+      .orderBy($"asset_id")
+  }
+
+  /** REAL-pixel feature extraction end to end: deterministic PNG
+    * payloads → ImageIO decode → exact pixel statistics. No oracle (a
+    * SQL engine can't decode PNG) but fully deterministic — decoded
+    * pixels are a pure function of doc_id, features are exact rationals
+    * — so the rows-only driver check is run-stable; the pixel math is
+    * spec-pinned against hand-computed fixtures. */
+  def imageFeatureQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeaturesReal(imageAssets(s, dir))
+      .select($"asset_id", $"decoded",
+        element_at($"features", 1).as("w"),
+        element_at($"features", 2).as("h"),
+        round(element_at($"features", 3), 6).as("mean_r"),
+        round(element_at($"features", 6), 6).as("mean_luma"),
+        round(element_at($"features", 7), 6).as("var_luma"),
+        round(element_at($"features", 8), 6).as("frac_bright"))
       .orderBy($"asset_id")
   }
 
@@ -158,6 +286,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b14_multimodal_meta" -> (metaQuery _),
     "b14_multimodal_features" -> (featureQuery _),
+    "b14_image_features" -> (imageFeatureQuery _),
     "b14_multimodal_frames" -> (framesQuery _),
     "b14_multimodal_pack" -> (packQuery _),
   )

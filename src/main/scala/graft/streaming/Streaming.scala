@@ -347,6 +347,61 @@ object Streaming {
       }
   }
 
+  case class BufEvt(t: Long, id: Long, tpe: String)
+  case class FunnelBufState(stepIdx: Int, t: Long, buf: Seq[BufEvt])
+
+  /** B10: out-of-order-hardened streaming funnel. [[funnelStream]] is
+    * exact only under in-event-time-order arrival (a late qualifying
+    * event cannot retro-advance the chain). This variant buffers each
+    * user's events until the WATERMARK passes them, then greedy-advances
+    * in (ts, event_id) order — so the emitted chain equals the batch
+    * twin's under ANY arrival order with disorder bounded by the
+    * watermark delay. The trade: results emit one watermark horizon
+    * late, and per-user state holds the in-horizon event slice (bounded
+    * by the user's event rate × the delay, NOT the stream length —
+    * ripe events leave the buffer every batch; once the chain completes
+    * the buffer stays empty because non-qualifying ripe events are
+    * dropped on processing). An event-time timeout fires when the
+    * watermark passes the earliest buffered event, so chains finalize
+    * even if the user goes quiet. */
+  def funnelStreamOrdered(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase"),
+      disorder: String = "10 minutes"): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val stepArr = steps.toArray
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[SEvent]
+      .withWatermark("ts", disorder)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[SEvent],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelBufState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(FunnelBufState(0, Long.MinValue, Seq.empty))
+          val incoming = evs.map(e => BufEvt(e.ts.getTime, e.event_id, e.event_type)).toSeq
+          // ripe = the watermark guarantees nothing earlier can still arrive
+          val (ripe, pending) = (st.buf ++ incoming).partition(_.t <= wm)
+          val out = Seq.newBuilder[FunnelProgress]
+          var idx = st.stepIdx; var t0 = st.t
+          ripe.sortBy(e => (e.t, e.id)).foreach { e =>
+            if (idx < stepArr.length && e.tpe == stepArr(idx) &&
+                (idx == 0 || e.t > t0)) {
+              idx += 1; t0 = e.t
+              out += FunnelProgress(userId, idx, stepArr(idx - 1),
+                new java.sql.Timestamp(t0))
+            }
+          }
+          // completed chains need no buffer; drop stragglers to keep state O(1)
+          val keep = if (idx >= stepArr.length) Seq.empty else pending
+          state.update(FunnelBufState(idx, t0, keep))
+          // pending events all sit above the watermark, so the min is a
+          // legal (strictly future) event-time timeout
+          if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_.t).min)
+          out.result().iterator
+      }
+  }
+
   case class AnomalyState(cents: Seq[Long])
   case class AnomalyHit(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
       value: Double, trail_n: Long, trail_sum: Double)
@@ -416,6 +471,42 @@ object Streaming {
       }
   }
 
+  case class TransBufState(last: Option[BufEvt], buf: Seq[BufEvt])
+
+  /** B10: out-of-order-hardened [[transitionsStream]] — the
+    * [[funnelStreamOrdered]] watermark-buffer treatment applied to
+    * adjacency emission: events buffer per user until the watermark
+    * passes them, then chain in (ts, event_id) order through the stored
+    * last event, so the emitted pair multiset equals the batch lag
+    * window's under any bounded-disorder arrival. State = one last-event
+    * marker + the in-horizon slice (same bound as the funnel). */
+  def transitionsStreamOrdered(events: DataFrame,
+      disorder: String = "10 minutes"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[SEvent]
+      .withWatermark("ts", disorder)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[SEvent],
+         state: org.apache.spark.sql.streaming.GroupState[TransBufState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(TransBufState(None, Seq.empty))
+          val incoming = evs.map(e => BufEvt(e.ts.getTime, e.event_id, e.event_type)).toSeq
+          val (ripe, pending) = (st.buf ++ incoming).partition(_.t <= wm)
+          val out = Seq.newBuilder[Transition]
+          var prev = st.last
+          ripe.sortBy(e => (e.t, e.id)).foreach { e =>
+            prev.foreach(p => out += Transition(userId, p.tpe, e.tpe))
+            prev = Some(e)
+          }
+          state.update(TransBufState(prev, pending))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.t).min)
+          out.result().iterator
+      }
+  }
+
   case class RetentionState(cohortDay: Int, offsets: Seq[Int])
   case class RetentionHit(user_id: Long, cohort_day: java.time.LocalDate, day_offset: Int)
 
@@ -464,6 +555,49 @@ object Streaming {
             }
           }
           st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  case class RetBufState(cohortDay: Int, offsets: Seq[Int], buf: Seq[BufEvt])
+
+  /** B10: out-of-order-hardened [[retentionStream]] — the watermark-buffer
+    * treatment ([[funnelStreamOrdered]]) applied to cohort retention. The
+    * plain twin's weakness is the COHORT DAY: a user's true first event
+    * arriving late re-anchors every offset. Buffering until the watermark
+    * passes means the earliest in-horizon event is processed first, so the
+    * cohort day — and therefore the emitted (cohort_day, day_offset) hit
+    * set — equals the batch pipeline's under bounded disorder. cohortDay
+    * Int.MinValue = "no cohort yet". */
+  def retentionStreamOrdered(events: DataFrame, maxOffsetDays: Int = 365,
+      disorder: String = "10 minutes"): Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[SEvent]
+      .withWatermark("ts", disorder)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[SEvent],
+         state: org.apache.spark.sql.streaming.GroupState[RetBufState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(RetBufState(Int.MinValue, Seq.empty, Seq.empty))
+          val incoming = evs.map(e => BufEvt(e.ts.getTime, e.event_id, e.event_type)).toSeq
+          val (ripe, pending) = (st.buf ++ incoming).partition(_.t <= wm)
+          val out = Seq.newBuilder[RetentionHit]
+          var cohort = st.cohortDay
+          var offsets = st.offsets
+          ripe.sortBy(e => (e.t, e.id)).foreach { e =>
+            val day = Math.floorDiv(e.t, 86400000L).toInt
+            if (cohort == Int.MinValue) cohort = day
+            val off = day - cohort
+            if (off >= 0 && off <= maxOffsetDays && !offsets.contains(off)) {
+              offsets = offsets :+ off
+              out += RetentionHit(userId, java.time.LocalDate.ofEpochDay(cohort.toLong), off)
+            }
+          }
+          state.update(RetBufState(cohort, offsets, pending))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.t).min)
           out.result().iterator
       }
   }

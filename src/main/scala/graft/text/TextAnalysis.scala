@@ -489,7 +489,13 @@ object TextAnalysis {
     * tie-break) but iterative-rebinding like kMeans → rows-only driver
     * check; the classic fixture (low/lower/newest/widest) with its
     * hand-computed merge sequence is spec-pinned. Output: one row per
-    * merge — (merge_idx, left, right, merged, pair_count). */
+    * merge — (merge_idx, left, right, merged, pair_count).
+    *
+    * SCALE NOTE: this variant is fully distributed but driver-PACED —
+    * numMerges sequential jobs. At real merge counts (10k+) use
+    * [[bpeTrainLocal]], the documented production recipe (one
+    * distributed aggregate, vocab-bounded in-memory merge loop),
+    * spec-pinned identical in the exact regime. */
   def bpeTrain(docs: DataFrame, numMerges: Int = 10): DataFrame = {
     import docs.sparkSession.implicits._
     var words = docs
@@ -537,6 +543,99 @@ object TextAnalysis {
 
   /** Single-quoted SQL string literal with escaping. */
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** B13: the 100 TB BPE training recipe. [[bpeTrain]] is fully
+    * distributed but driver-PACED — numMerges sequential Spark jobs of
+    * fixed latency, wall-clock-bound at real vocabulary sizes (10k merges
+    * = 10k jobs). The practice every production tokenizer uses instead
+    * (Sennrich's reference implementation, SentencePiece, HF tokenizers):
+    * the corpus-scale work is exactly ONE distributed aggregate — raw
+    * text → word-frequency table — optionally capped to the `maxVocab`
+    * most frequent words ((cnt desc, word asc), the documented
+    * training-sample cap); the merge loop then runs over that
+    * vocab-BOUNDED table in driver memory with incremental pair-count
+    * maintenance, ZERO per-merge Spark jobs. State is O(|vocab| × avg
+    * word length) symbols — the same bound [[bpeTrain]] carries per
+    * round, just held once in memory instead of re-shuffled per merge.
+    *
+    * Equivalence contract (spec-pinned): with `maxVocab` ≥ distinct
+    * words (the exact regime, the sketch-aggregator pattern) the merge
+    * table is IDENTICAL to [[bpeTrain]]'s — same pairs, same order, same
+    * counts: both count overlapping adjacent positions ("aaa" holds two
+    * (a,a)), both apply merges left-to-right non-overlapping, both
+    * tie-break (count desc, pair asc). Under the cap it trains on the
+    * frequency-mass head, the documented lossy regime.
+    *
+    * The per-merge argmax is a linear scan of live pair counts — O(P)
+    * per merge, P = surviving distinct pairs; a lazy max-heap drops that
+    * to O(log P) if merge counts ever dominate (they don't at 10k merges
+    * × sub-million P). */
+  def bpeTrainLocal(docs: DataFrame, numMerges: Int = 10,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    import docs.sparkSession.implicits._
+    import scala.collection.mutable
+    val vocab = docs.select(explode(tokens($"text")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word").limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // words as mutable symbol buffers; `where` tracks which words MAY
+    // contain a pair (stale entries filtered on use — cheaper than
+    // precise removal and exact because contributions are recomputed
+    // from the word itself)
+    val words = vocab.map { case (w, c) => (mutable.ArrayBuffer(w.split(""): _*), c) }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def contribute(i: Int, sign: Long): Unit = {
+      val (syms, cnt) = words(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val nc = counts.getOrElse(p, 0L) + sign * cnt
+        if (nc == 0L) counts.remove(p) else counts(p) = nc
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(contribute(_, 1L))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var iter = 1
+    var exhausted = false
+    while (iter <= numMerges && !exhausted) {
+      if (counts.isEmpty) exhausted = true
+      else {
+        // argmax by (count desc, pair asc) — bpeTrain's exact tie-break
+        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((iter, l, r, l + r, n))
+        val touched = where.getOrElse((l, r), mutable.BitSet.empty)
+        touched.foreach { i =>
+          val (syms, _) = words(i)
+          // stale index entry: the word may no longer contain the pair
+          var hit = false
+          var j = 0
+          while (!hit && j < syms.length - 1) {
+            hit = syms(j) == l && syms(j + 1) == r; j += 1
+          }
+          if (hit) {
+            contribute(i, -1L)
+            // left-to-right non-overlapping fold, as in bpeTrain's lambda
+            val out = mutable.ArrayBuffer.empty[String]
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == l && x == r)
+                out(out.length - 1) = l + r
+              else out += x
+            }
+            syms.clear(); syms ++= out
+            contribute(i, 1L)
+          }
+        }
+        where.remove((l, r))
+        iter += 1
+      }
+    }
+    merges.result().toDF("merge_idx", "left", "right", "merged", "pair_count")
+      .orderBy($"merge_idx")
+  }
 
   def bpeQuery(s: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.documents(s, dir), numMerges = 10)

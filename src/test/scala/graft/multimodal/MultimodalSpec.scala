@@ -32,6 +32,55 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy("asset_id").count().filter($"count" =!= 5).count() === 0)
   }
 
+  test("real codec: PNG round-trip gives exact hand-computed pixel features (B14)") {
+    // 2×2 image with known channels: (255,0,0) (0,255,0) (0,0,255) (255,255,255)
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Seq((f, decoded)) = Multimodal.decodeBatch(Seq(bos.toByteArray))
+    assert(decoded)
+    assert(f(0) === 2.0 && f(1) === 2.0)
+    // channel means: R = (255+0+0+255)/4, G = (0+255+0+255)/4, B = (0+0+255+255)/4
+    assert(f(2) === 127.5 && f(3) === 127.5 && f(4) === 127.5)
+    // lumas (per-mille): 255·299, 255·587, 255·114, 255·1000
+    val lumas = Seq(299, 587, 114, 1000).map(_ * 255L)
+    assert(f(5) === lumas.sum / (1000.0 * 4))
+    val mean = lumas.sum.toDouble / 4
+    assert(math.abs(f(6) - (lumas.map(l => l.toDouble * l).sum / 4 - mean * mean) / 1e6) < 1e-9)
+    assert(f(7) === 0.5) // bright: luma ≥ 128000 — the green and white pixels
+  }
+
+  test("real codec: JPEG decodes via the same path; non-image falls back to the stub (B14)") {
+    // solid-color JPEG: lossy, but a uniform field decodes near-exactly
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val Seq((fj, okJ)) = Multimodal.decodeBatch(Seq(bos.toByteArray))
+    assert(okJ && fj(0) === 8.0 && math.abs(fj(2) - 128.0) < 2.0)
+    // text bytes are not an image: stub path, flagged undecoded
+    val Seq((fs, okS)) = Multimodal.decodeBatch(Seq("not an image".getBytes))
+    assert(!okS && fs.toSeq === Multimodal.stubDecodeBatch(Seq("not an image".getBytes)).head.toSeq)
+  }
+
+  test("imageAssets → extractFeaturesReal: every payload is a real decoded PNG, features exact across partitionings (B14)") {
+    val feats = Multimodal.extractFeaturesReal(Multimodal.imageAssets(spark, sfDir))
+    val rows = feats.select("asset_id", "decoded", "features").collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(1))) // all really decoded
+    rows.foreach { r =>
+      val f = r.getSeq[Double](2)
+      assert(f(0) === 16.0 && f(1) === 12.0)
+    }
+    // partitioning-invariant: same features after a repartition
+    val re = Multimodal.extractFeaturesReal(
+        Multimodal.imageAssets(spark, sfDir).repartition(7))
+      .select("asset_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    rows.foreach(r => assert(re(r.getLong(0)) === r.getSeq[Double](2).toVector))
+  }
+
   test("multimodal pack: modality costs, per-shard sequential fill, budget respected (B14)") {
     val out = Multimodal.multimodalPack(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getInt(5)))

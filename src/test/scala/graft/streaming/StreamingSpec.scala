@@ -386,4 +386,134 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5))).toSet
     assert(stream === batch && stream === Set((5L, 5L, 50.0)))
   }
+
+  test("funnelStreamOrdered == batch funnel under shuffled cross-batch delivery (B10)") {
+    // The SAME event-time history as the in-order funnel spec, but
+    // delivered deliberately scrambled across micro-batches: u1's
+    // click+purchase arrive a batch BEFORE its signup+view; u2's
+    // purchase (event-time BEFORE its click — chain must stop at click)
+    // arrives last. funnelStream would under-count u1 (signup arriving
+    // after click can't retro-advance); the watermark-buffered variant
+    // must match the batch twin exactly.
+    val all = Seq(
+      Evt(1, t(0), 1, "signup", 0), Evt(2, t(1), 1, "view", 0),
+      Evt(3, t(2), 1, "click", 0), Evt(4, t(3), 1, "purchase", 0),
+      Evt(5, t(0), 2, "signup", 0), Evt(6, t(1), 2, "view", 0),
+      Evt(7, t(2), 2, "purchase", 0), Evt(8, t(3), 2, "click", 0),
+      Evt(9, t(0), 3, "signup", 0),
+      Evt(10, t(0), 4, "signup", 0), Evt(11, t(0), 4, "view", 0))
+    val b1 = all.filter(e => Seq(3L, 4L, 7L).contains(e.event_id))  // late-chain first
+    val b2 = all.filterNot(e => Seq(3L, 4L, 7L).contains(e.event_id))
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.funnelStreamOrdered(input.toDF()).writeStream
+      .format("memory").queryName("funlord").outputMode("update").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    // two sentinel batches: the first advances the watermark past every
+    // real event, the second triggers the event-time timeouts under it
+    input.addData(Seq(Evt(90, Timestamp.valueOf("2026-01-01 13:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(Evt(91, Timestamp.valueOf("2026-01-01 15:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val reached = spark.table("funlord").filter($"user_id" =!= 9)
+      .groupBy("user_id").agg(max("step_idx").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(reached === Map(1L -> 4, 2L -> 3, 3L -> 1, 4L -> 1))
+    // identical to the batch funnel on the union — the hardening contract
+    val batch = graft.ops.EventAnalytics.funnel(
+        all.toDF().select($"event_id", $"ts", $"user_id", $"event_type"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val streamCounts = (1 to 4).map(k => k -> reached.values.count(_ >= k).toLong).toMap
+    assert(batch === streamCounts)
+    // u1's progress log carries the true event times, not arrival times
+    val u1 = spark.table("funlord").filter($"user_id" === 1)
+      .orderBy("step_idx").collect().map(r => (r.getInt(1), r.getTimestamp(3)))
+    assert(u1.toSeq === Seq((1, t(0)), (2, t(1)), (3, t(2)), (4, t(3))))
+  }
+
+  test("transitionsStreamOrdered == batch lag pairs under reversed delivery (B10)") {
+    // u1's three events arrive in REVERSE event-time order across
+    // batches — the plain twin would emit the wrong adjacencies
+    // (click→view, view→signup); the buffered twin must emit the true
+    // event-time chain signup→view→click
+    val all = Seq(
+      Evt(1, t(0), 1, "signup", 0), Evt(2, t(1), 1, "view", 0),
+      Evt(3, t(2), 1, "click", 0),
+      Evt(5, t(0), 2, "view", 0), Evt(6, t(1), 2, "view", 0))
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.transitionsStreamOrdered(input.toDF()).writeStream
+      .format("memory").queryName("transord").outputMode("update").start()
+    input.addData(Seq(all(2), all(4))); q.processAllAvailable() // click + a u2 event first
+    input.addData(Seq(all(1), all(0), all(3))); q.processAllAvailable()
+    input.addData(Seq(Evt(90, Timestamp.valueOf("2026-01-01 13:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(Evt(91, Timestamp.valueOf("2026-01-01 15:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("transord").filter($"user_id" =!= 9)
+      .groupBy("prev_type", "event_type")
+      .count().collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val batch = graft.ops.EventAnalytics.transitions(all.toDF())
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamed === batch)
+    assert(streamed(("signup", "view")) === 1L && streamed(("view", "click")) === 1L)
+    assert(!streamed.contains(("click", "view"))) // arrival order never leaks
+  }
+
+  test("retentionStreamOrdered re-anchors nothing: late-arriving FIRST day sets the cohort (B10)") {
+    def d(day: Int, hh: Int) = Timestamp.valueOf(f"2026-01-$day%02d $hh%02d:00:00")
+    // u1's day-2 event arrives a batch BEFORE its true day-1 first event
+    // (disorder < the 1-day watermark? use a 3-day horizon). The plain
+    // twin would cohort u1 at day 2 and mis-offset everything after.
+    val all = Seq(
+      Evt(1, d(1, 8), 1, "view", 0), Evt(2, d(2, 9), 1, "click", 0),
+      Evt(3, d(4, 8), 1, "view", 0),
+      Evt(4, d(1, 9), 2, "view", 0))
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.retentionStreamOrdered(input.toDF(), disorder = "3 days").writeStream
+      .format("memory").queryName("retenord").outputMode("update").start()
+    input.addData(Seq(all(1), all(3))); q.processAllAvailable() // day-2 first
+    input.addData(Seq(all(0), all(2))); q.processAllAvailable() // true day-1 late
+    input.addData(Seq(Evt(90, Timestamp.valueOf("2026-01-20 00:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(Evt(91, Timestamp.valueOf("2026-02-10 00:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("retenord").filter($"user_id" =!= 9)
+      .groupBy("cohort_day", "day_offset").count().collect()
+      .map(r => ((r.getDate(0).toString, r.getInt(1)), r.getLong(2))).toMap
+    val batch = graft.ops.EventAnalytics.retention(all.toDF())
+      .select($"cohort_day".cast("date"), $"day_offset", $"n_users").collect()
+      .map(r => ((r.getDate(0).toString, r.getInt(1)), r.getLong(2))).toMap
+    assert(streamed === batch)
+    assert(streamed(("2026-01-01", 0)) === 2L) // u1 cohorted day 1 despite arrival order
+    assert(streamed(("2026-01-01", 1)) === 1L && streamed(("2026-01-01", 3)) === 1L)
+  }
+
+  test("rollingAnomalyStream single-user firehose: state rows stay == users, flags == batch (B10)") {
+    // one user × 20k events across two micro-batches — the per-user
+    // state must remain ONE row (the ≤10-entry cents deque), not grow
+    // with the stream; flags must equal the batch twin's on the union
+    val n = 20000
+    val evts = (0 until n).map { i =>
+      // a spike every 1000th event after a steady run
+      val v = if (i % 1000 == 999) 50.0 else 10.0
+      Evt(i.toLong, new Timestamp(t(0).getTime + i * 1000L), 1L, "m", v)
+    }
+    val (b1, b2) = evts.splitAt(n / 2)
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.rollingAnomalyStream(input.toDF()).writeStream
+      .format("memory").queryName("anomfire").outputMode("update").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(stateRows === 1L) // one state row for one user — O(users), not O(events)
+    val stream = spark.table("anomfire").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = Streaming.rollingAnomaly(evts.toDF()).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(stream === batch && stream.nonEmpty)
+  }
 }

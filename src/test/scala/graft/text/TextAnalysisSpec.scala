@@ -196,6 +196,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._2 === "aaa" && out(1)._3 === 2L)
   }
 
+  test("bpeTrainLocal == bpeTrain merge tables in the exact regime (B13 scale recipe)") {
+    // the classic fixture AND a messier corpus (repeats, overlapping
+    // runs, singleton symbols) — the vocab-bounded in-memory trainer
+    // must reproduce the distributed trainer's merge table exactly:
+    // same pairs, same order, same weighted counts
+    val classic = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val messy = "aaa aaab banana bandana abba abab x yz aaa low lowest"
+    for (text <- Seq(classic, messy)) {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val dist = TextAnalysis.bpeTrain(df, numMerges = 8).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      val local = TextAnalysis.bpeTrainLocal(df, numMerges = 8).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      assert(local.toSeq === dist.toSeq)
+    }
+  }
+
+  test("bpeTrainLocal maxVocab cap trains on the frequency-mass head (B13)") {
+    // top-2 words by (cnt desc, word asc) are "low"(3) and "es"(2):
+    // the capped trainer must see ONLY those — merge counts reflect
+    // low×3 + es×2 and never touch the singleton tail
+    val df = Seq((1L, "low low low es es rare tail")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainLocal(df, numMerges = 2, maxVocab = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    // pairs: l-o 3, o-w 3, e-s 2 → (l,o) wins lexicographically, then (lo,w)
+    assert(out.toSeq === Seq(("l", "o", 3L), ("lo", "w", 3L)))
+  }
+
   test("quality threshold: per-source exact p25 cutoff keeps upper 75% (B13)") {
     // source A: lengths 1..8 -> rank ceil(8/4)=2 -> cutoff 2 -> keeps 2..8
     // source B: lengths 10,20,30 -> rank ceil(3/4)=1 -> cutoff 10 -> keeps all
