@@ -105,19 +105,33 @@ object Similarity {
   def annTopKQuery(s: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
 
-  /** Deterministic pseudo-random hyperplane component for LSH: a hash of
-    * (plane, dim) mapped to [-0.5, 0.5). No RNG state — reproducible on
-    * any cluster. */
-  private def planeComponent(plane: Int, d: Column): Column =
-    (pmod(xxhash64(lit(plane), d), lit(1000)).cast("double") / 1000.0) - 0.5
+  /** Deterministic pseudo-random hyperplane MATRIX for sign-LSH:
+    * component (plane, dim) is the 48-bit md5 prefix of "plane:dim"
+    * mapped to [-500, 500) milliunits. The matrix is numPlanes×dims
+    * CONSTANTS computed once at plan-build time and embedded as literals
+    * in both the Spark plan and the generated oracle SQL (the
+    * `Dedup.PortablePerms` shared-constants device) — so bucket
+    * assignment is engine-portable AND the scan pays an integer
+    * dot against a literal array instead of per-row hash evals. */
+  private[graft] def planeVec(plane: Int, dims: Int): IndexedSeq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { d =>
+      val h = md.digest(s"$plane:$d".getBytes("UTF-8"))
+      val prefix = h.take(6).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(prefix, 16) % 1000L - 500L
+    }
+  }
 
-  /** Sign-bit LSH bucket id from `numPlanes` deterministic hyperplanes. */
-  def lshBucket(vec: Column, numPlanes: Int = 8): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
+  /** Hyperplane dimensionality of the embeddings corpus (TESTDATA.md). */
+  private[graft] val PlaneDims = 64
+
+  /** Sign-bit LSH bucket id over QUANTIZED (milliunit-long) vectors:
+    * bit p set iff q · plane_p ≥ 0, all-integer arithmetic (|q|·|plane|
+    * ≤ ~10⁴·500 per dim, ×64 dims ≪ 2⁶³). */
+  def lshBucket(q: Column, numPlanes: Int = 8): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(vec, dims, (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0d), (acc, v) => acc + v)
+      val pv = typedLit(planeVec(p, PlaneDims))
+      val dot = aggregate(zip_with(q, pv, (x, c) => x * c), lit(0L), (acc, v) => acc + v)
       when(dot >= 0, shiftleft(lit(1), p)).otherwise(0)
     }
     bits.reduce(_.bitwiseOR(_))
@@ -126,14 +140,16 @@ object Similarity {
   /** B12 scale path: LSH-bucketed ANN — corpus×corpus near-neighbor pairs
     * restricted to same-bucket candidates (an equi-join on bucket, never an
     * all-pairs product). Approximate by construction; recall is tested
-    * against [[bruteForceTopK]]. */
+    * against [[bruteForceTopK]], and the whole pipeline — portable
+    * literal-constant planes, integer sign buckets, exact cosine verify —
+    * is DuckDB-oracle hash-gated. */
   def lshNearNeighbors(embeddings: DataFrame, numPlanes: Int = 8,
                        minCosine: Double = 0.3): DataFrame = {
     // bucket assignment is the expensive expression and feeds a self-join:
     // materialize it once instead of evaluating per join side
     val e = embeddings
-      .select(col("vec_id"), quantize(col("embedding")).as("q"),
-        lshBucket(col("embedding"), numPlanes).as("bucket"))
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("bucket", lshBucket(col("q"), numPlanes))
       .withColumn("norm", sqrt(dotQ(col("q"), col("q")).cast("double")))
       .cache()
     val a = e.toDF("a", "qa", "bucket", "na")
@@ -219,8 +235,10 @@ object Similarity {
     * Production threshold ≈0.9-0.95 (semantic duplicates); the driver
     * query runs 0.35 because the synthetic embeddings corpus has no
     * planted near-dups (max pairwise cosine ≈0.51 at sf0.01).
-    * Rows-only under the driver gate (sign-LSH planes are engine
-    * hashes); clustering semantics pinned in SimilaritySpec. */
+    * Hash-gated end to end: the literal-constant planes make the bucket
+    * join portable and the CC stage replays as the b12_dedup_clusters
+    * recursive-reachability CTE; clustering semantics additionally
+    * pinned in SimilaritySpec. */
   def embedNearDupClusters(embeddings: DataFrame, numPlanes: Int = 8,
                            minCosine: Double = 0.95): DataFrame = {
     val edges = lshNearNeighbors(embeddings, numPlanes, minCosine)
@@ -264,17 +282,26 @@ object Similarity {
     * milliunits), so an iteration costs two map-side-combinable shuffles
     * regardless of corpus size and the centroid set is always broadcast.
     * Cells that lose all members drop out (k can shrink); no RNG, no
-    * driver-side vectors. Iterative float-free ⇒ bit-stable across runs,
-    * but not ANSI-SQL-expressible → rows-only driver check + spec. */
+    * driver-side vectors. Iterative and float-free in every sum ⇒
+    * bit-stable across runs — and since the md5-ordered seeding, the
+    * cosine kernel, the (sim DESC, cid) tie-break, and the
+    * round-through-double centroid mean are all replayable in ANSI SQL,
+    * the FULL 3-iteration pipeline is DuckDB-oracle hash-gated via
+    * unrolled CTEs (the w07_pagerank device; r4 seeded with xxhash64 —
+    * the one engine-specific step that kept this rows-only). */
   def kMeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     val e = quantizedWithNorm(embeddings).cache()
-    // seeds: the k DISTINCT vectors with the smallest content hash —
-    // distinct first, or duplicate-heavy corpora could seed identical
-    // centroids that immediately collapse into one cell. The content
-    // hash doubles as the stable cluster id.
+    // seeds: the k DISTINCT vectors lexicographically first under the
+    // PORTABLE md5(content-csv) ordering (csv tie-break) — distinct
+    // first, or duplicate-heavy corpora could seed identical centroids
+    // that immediately collapse into one cell. The seed rank is the
+    // cluster id.
+    val seedW = Window.orderBy(col("skey"), col("sstr"))
     var centroids = e.select(col("q")).distinct()
-      .withColumn("cid", xxhash64(col("q")))
-      .orderBy(col("cid")).limit(k)
+      .withColumn("sstr", array_join(col("q"), ","))
+      .withColumn("skey", md5(col("sstr")))
+      .withColumn("cid", (row_number().over(seedW) - 1).cast("long"))
+      .filter(col("cid") < k)
       .select(col("cid"), col("q").as("cq"),
         sqrt(dotQ(col("q"), col("q")).cast("double")).as("cnorm"))
     // zero-norm vectors (all components quantize to 0) have no cosine —
@@ -464,20 +491,26 @@ object Similarity {
     * All distance math is exact integer squared-L2 (quantized milliunits;
     * residual = elementwise difference stays integer), so cell
     * assignment, training, and ranking are bit-stable run to run. Cell
-    * seeds reuse [[ivfTopK]]'s hash-chosen corpus sample (engine hash ⇒
-    * rows-only under the driver gate, like b12_ann_ivf); recall-vs-nprobe
-    * and the planted-cluster contract are pinned in SimilaritySpec. */
+    * seeds reuse [[ivfTopK]]'s portable md5-ordered corpus sample, and
+    * the DuckDB oracle replays the FULL IVFADC pipeline — coarse cells,
+    * residual encoding, both Lloyd iterations, per-(query,cell) LUTs,
+    * ADC ranking — as unrolled CTEs; recall-vs-nprobe and the
+    * planted-cluster contract are pinned in SimilaritySpec. */
   def ivfPqTopK(embeddings: DataFrame, queryPred: Column, numCells: Int = 16,
       nprobe: Int = 4, m: Int = 8, dsub: Int = 8, ksub: Int = 16,
       iters: Int = 2, k: Int = 10): DataFrame = {
     val e = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("q"), queryPred.as("is_q"))
       .localCheckpoint(true)
-    // coarse quantizer: deterministic hash-chosen corpus vectors as cell
-    // centroids (the ivfTopK selection), nearest by exact integer L2
+    // coarse quantizer: deterministic corpus vectors as cell centroids,
+    // chosen first under the PORTABLE md5(vec_id) ordering (the ivfTopK
+    // selection — vec_id tie-break), nearest by exact integer L2. The
+    // md5 pick replaced r4's xxhash64: the one engine-specific step
+    // that kept IVFADC rows-only; with it portable the ENTIRE pipeline
+    // (cells, residuals, Lloyd codebooks, ADC) replays in DuckDB.
     val cells = broadcast(e.filter(!col("is_q"))
-      .withColumn("__h", xxhash64(col("vec_id")))
-      .orderBy(col("__h")).limit(numCells)
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id")).limit(numCells)
       .select(col("vec_id").as("cell_id"), col("q").as("cq"))
       .localCheckpoint(true))
     // corpus → nearest cell (min-struct agg, no window shuffle); residual
@@ -604,6 +637,31 @@ object Similarity {
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+  /** Sign-LSH bucket in SQL from the SAME literal plane constants the
+    * Spark plan embeds ([[planeVec]]) — drift impossible by construction. */
+  private def bucketSql(q: String, numPlanes: Int = 8): String =
+    (0 until numPlanes).map { p =>
+      val lst = planeVec(p, PlaneDims).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, len($q)+1), i -> $q[i] * ($lst)[i])) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  /** One k-means iteration as three CTEs: guarded-cosine scores, argmax
+    * assignment ((sim DESC, cid) — the max_by struct order), centroid
+    * rebuild through the identical round(double)/re-norm. */
+  private def kmStepSql(fromCb: String, i: Int) = s"""
+      kd$i AS (SELECT v.vec_id, v.q, v.norm, c.cid,
+               CASE WHEN v.norm * c.cnorm = 0 THEN -1.0
+                    ELSE CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) END AS sim
+             FROM ken v, $fromCb c),
+      ka$i AS (SELECT vec_id, q, norm, cid, sim FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY sim DESC, cid) AS rn FROM kd$i) WHERE rn = 1),
+      kc$i AS (SELECT cid, cq, sqrt(CAST(${dotSql("cq", "cq")} AS DOUBLE)) AS cnorm FROM (
+               SELECT cid, list(sq ORDER BY pos) AS cq FROM (
+                 SELECT cid, pos,
+                   CAST(round(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS sq
+                 FROM (SELECT cid, generate_subscripts(q, 1) AS pos,
+                         unnest(q) AS qv FROM ka$i)
+                 GROUP BY cid, pos) GROUP BY cid))"""
   private def l2Sql(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
   /** One Lloyd step as two CTEs: argmin assignment (distance, then a
@@ -623,6 +681,107 @@ object Similarity {
            GROUP BY sub, cid)"""
 
   val oracles: Map[String, String] = Map(
+    // sign-LSH ANN with the literal-constant plane matrix: buckets,
+    // same-bucket candidate join, exact cosine verify — all replayed
+    "b12_ann_lsh" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      b AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm,
+              ${bucketSql("q")} AS bucket FROM e),
+      p AS (SELECT a.vec_id AS a, b2.vec_id AS b,
+              CAST(${dotSql("a.q", "b2.q")} AS DOUBLE) / (a.norm * b2.norm) AS cosine
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+      SELECT a, b, cosine FROM p WHERE cosine >= 0.3 ORDER BY a, b""",
+    // the LSH pair stage above at the near-dup threshold, then connected
+    // components as recursive reachability (the b12_dedup_clusters device)
+    "b12_embed_neardup" -> s"""
+      WITH RECURSIVE
+      e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      b AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm,
+              ${bucketSql("q")} AS bucket FROM e),
+      p AS (SELECT a.vec_id AS a, b2.vec_id AS b,
+              CAST(${dotSql("a.q", "b2.q")} AS DOUBLE) / (a.norm * b2.norm) AS cosine
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+      edges AS (SELECT a, b FROM p WHERE cosine >= 0.35),
+      sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+      reach AS (SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u)
+      SELECT u AS vec_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_rep
+      FROM reach GROUP BY u ORDER BY vec_id""",
+    // FULL 3-iteration Lloyd k-means — portable md5-ordered seeds, three
+    // unrolled assign/rebuild rounds, final guarded-cosine assignment
+    "b12_kmeans" -> s"""
+      WITH ke AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      ken AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM ke),
+      ks AS (SELECT q, array_to_string(q, ',') AS sstr FROM (SELECT DISTINCT q FROM ke)),
+      kc0 AS (SELECT cid, q AS cq, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS cnorm FROM (
+               SELECT q, ROW_NUMBER() OVER (ORDER BY md5(sstr), sstr) - 1 AS cid
+               FROM ks) WHERE cid < 8),
+      ${kmStepSql("kc0", 1)},
+      ${kmStepSql("kc1", 2)},
+      ${kmStepSql("kc2", 3)},
+      kdf AS (SELECT v.vec_id, c.cid,
+               CASE WHEN v.norm * c.cnorm = 0 THEN -1.0
+                    ELSE CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) END AS sim
+             FROM ken v, kc3 c)
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sim DESC, cid) AS rn FROM kdf)
+      WHERE rn = 1 ORDER BY vec_id""",
+    // the FULL IVFADC pipeline — portable md5-ordered coarse cells,
+    // residual encoding, both Lloyd iterations on residual sub-vectors,
+    // per-(query,cell) LUTs, ADC ranking — replayed as unrolled CTEs
+    "b12_ivfpq_topk" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q,
+                   vec_id % 100 = 0 AS is_q FROM embeddings),
+      cl AS (SELECT vec_id AS cell_id, q AS cq FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+              FROM e WHERE NOT is_q) WHERE srn <= 16),
+      ad0 AS (SELECT v.vec_id, v.q, c.cell_id, c.cq, ${l2Sql("v.q", "c.cq")} AS d
+              FROM e v, cl c WHERE NOT v.is_q),
+      ad AS (SELECT vec_id, cell_id,
+               list_transform(range(1, len(q)+1), i -> q[i] - cq[i]) AS q
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY d, cell_id) AS rn FROM ad0) WHERE rn = 1),
+      cs AS (SELECT vec_id, cell_id, CAST(s.sub AS INT) AS sub,
+               q[s.sub*8+1 : s.sub*8+8] AS subq
+             FROM ad, UNNEST(range(0, 8)) AS s(sub)),
+      sk AS (SELECT sub, subq,
+               CAST(sub AS VARCHAR) || ':' || array_to_string(subq, ',') AS sstr
+             FROM (SELECT DISTINCT sub, subq FROM cs)),
+      cb0 AS (SELECT sub, cid, subq AS cq FROM (
+               SELECT sub, subq, CAST(ROW_NUMBER() OVER (PARTITION BY sub
+                 ORDER BY md5(sstr), sstr) AS INT) - 1 AS cid FROM sk)
+             WHERE cid < 16),
+      ${lloydSql("cb0", "d1", "a1", "cb1")},
+      ${lloydSql("cb1", "d2", "a2", "cb2")},
+      d3 AS (SELECT v.vec_id, v.cell_id, v.sub, c.cid, ${l2Sql("v.subq", "c.cq")} AS d
+             FROM cs v JOIN cb2 c USING (sub)),
+      codes AS (SELECT vec_id, cell_id, sub, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                 ORDER BY d, cid) AS rn FROM d3) WHERE rn = 1),
+      qp0 AS (SELECT v.vec_id AS query_id, v.q, c.cell_id, c.cq,
+                ${l2Sql("v.q", "c.cq")} AS d
+              FROM e v, cl c WHERE v.is_q),
+      qp AS (SELECT query_id, cell_id,
+               list_transform(range(1, len(q)+1), i -> q[i] - cq[i]) AS q
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY d, cell_id) AS rn FROM qp0) WHERE rn <= 4),
+      qs AS (SELECT query_id, cell_id, CAST(s.sub AS INT) AS sub,
+               q[s.sub*8+1 : s.sub*8+8] AS subq
+             FROM qp, UNNEST(range(0, 8)) AS s(sub)),
+      lut AS (SELECT qs.query_id, qs.cell_id, qs.sub, c.cid,
+                ${l2Sql("qs.subq", "c.cq")} AS d
+              FROM qs JOIN cb2 c USING (sub)),
+      adc AS (SELECT l.query_id, co.vec_id, CAST(SUM(l.d) AS BIGINT) AS pq_dist
+              FROM codes co JOIN lut l ON l.cell_id = co.cell_id
+                AND l.sub = co.sub AND l.cid = co.cid
+              GROUP BY l.query_id, co.vec_id)
+      SELECT query_id, vec_id, pq_dist, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY pq_dist, vec_id) AS INT) AS rn FROM adc)
+      WHERE rn <= 10 ORDER BY query_id, rn""",
     // the FULL PQ pipeline — seeds, both Lloyd iterations, encoding, ADC —
     // replayed in SQL; every step is integer arithmetic or the identical
     // double round, so the trained codebooks themselves are hash-gated

@@ -194,10 +194,22 @@ class SimilaritySpec extends SparkSpec {
     for (axis <- 0 until 4) {
       val q = axis * 100L
       val mine = top.filter(_._1 == q)
-      assert(mine.length === 5, s"query $q returned ${mine.length} rows")
-      // residual-PQ ranking within probed cells must stay in-cluster
+      // a partial probe sees only the vectors of its 2 cells (how many
+      // of the 11 mates that is depends on how the md5-ordered seed
+      // sample fragments the cluster) — but everything it does return
+      // must be an in-cluster mate, ranked by residual-PQ ADC
+      assert(mine.nonEmpty, s"query $q returned no rows")
       assert(mine.forall(t => t._2 / 100 == axis),
         s"query $q leaked neighbors: ${mine.mkString(",")}")
+    }
+    // the FULL probe is recall-complete: exactly k rows, all cluster mates
+    val full = run(8)
+    for (axis <- 0 until 4) {
+      val q = axis * 100L
+      val mine = full.filter(_._1 == q)
+      assert(mine.length === 5, s"query $q returned ${mine.length} rows at full probe")
+      assert(mine.forall(t => t._2 / 100 == axis),
+        s"query $q leaked neighbors at full probe: ${mine.mkString(",")}")
     }
     // widening nprobe only adds candidates: the best ADC distance per
     // query is non-increasing from nprobe=1 to a full probe
