@@ -26,6 +26,7 @@ object SparkEntry {
       (plans.AsOfJoin.queries, plans.AsOfJoin.oracles),
       (ops.WorkflowQueries.queries, ops.WorkflowQueries.oracles),
       (ops.EventAnalytics.queries, ops.EventAnalytics.oracles),
+      (ops.PretrainPipeline.queries, ops.PretrainPipeline.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
