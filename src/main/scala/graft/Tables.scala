@@ -23,14 +23,21 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(path(dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(path(dir, "embeddings"))
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS); Spark's reader
-    * rejects that type, so (with `spark.sql.legacy.parquet.nanosAsLong`,
-    * see [[GraftSession]]) we read the raw int64 nanos and truncate to
-    * micros — the same ns→us truncation DuckDB applies, keeping the
-    * oracle comparable. Result column is TIMESTAMP_NTZ like every other
-    * testdata timestamp.
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's reader only
+    * accepts as raw int64 (`spark.sql.legacy.parquet.nanosAsLong`, see
+    * [[GraftSession]]), truncated here to micros exactly like DuckDB's
+    * ns→us read — and plain TIMESTAMP(MICROS), read natively. Both paths
+    * land on TIMESTAMP_NTZ like every other testdata timestamp, so the
+    * oracle sees identical values either way.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(path(dir, "events"))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
 }
