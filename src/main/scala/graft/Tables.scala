@@ -30,14 +30,64 @@ object Tables {
     * ns→us read — and plain TIMESTAMP(MICROS), read natively. Both paths
     * land on TIMESTAMP_NTZ like every other testdata timestamp, so the
     * oracle sees identical values either way.
+    *
+    * Two hardening guarantees (both session-TZ-independent):
+    *  - The int64 branch fires only when the parquet footer's logical
+    *    type annotation says TIMESTAMP(NANOS) — a genuine BIGINT column
+    *    that merely maps to LongType fails fast instead of being
+    *    silently divided by 1000.
+    *  - Conversion to TIMESTAMP_NTZ goes through `timestampadd` of epoch
+    *    micros onto an NTZ literal — pure integer arithmetic, no
+    *    instant→local cast — so a session NOT built via
+    *    [[GraftSession.configure]] (i.e. not pinned to UTC) still reads
+    *    identical values. (`unix_micros` reads the stored instant
+    *    directly and is TZ-free.)
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = spark.read.parquet(path(dir, "events"))
-    df.schema("ts").dataType match {
+    val p = path(dir, "events")
+    val df = spark.read.parquet(p)
+    val microsSql = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      case _ =>
-        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        if (!tsAnnotatedNanos(spark, p)) sys.error(
+          s"Tables.events: $p column `ts` is INT64 but its parquet logical type " +
+          "annotation is not TIMESTAMP(NANOS) — refusing to guess a time unit " +
+          "for a raw BIGINT. Convert the column or load it explicitly.")
+        "ts div 1000" // ns → us, exactly DuckDB's narrowing read
+      case org.apache.spark.sql.types.TimestampType    => "unix_micros(ts)"
+      case org.apache.spark.sql.types.TimestampNTZType => null // already NTZ wall-clock
+      case other => sys.error(s"Tables.events: unsupported physical type for ts: $other")
     }
+    if (microsSql == null) df
+    else df.withColumn("ts",
+      expr(s"timestampadd(MICROSECOND, $microsSql, TIMESTAMP_NTZ'1970-01-01 00:00:00')"))
+  }
+
+  /** Reads the parquet footer (first footer if `p` is a directory) and
+    * returns true iff column `ts` is annotated TIMESTAMP(unit=NANOS).
+    * One footer read on the driver; no data pass. */
+  private def tsAnnotatedNanos(spark: SparkSession, p: String): Boolean = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hp = new HPath(p)
+    val fs = hp.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(hp).isDirectory)
+        fs.listStatus(hp).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .sortBy(_.getName).headOption
+          .getOrElse(sys.error(s"Tables.events: no parquet files under $p"))
+      else hp
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.containsField("ts") && (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
+      })
+    } finally reader.close()
   }
 }
