@@ -27,6 +27,8 @@ object SparkEntry {
       (ops.WorkflowQueries.queries, ops.WorkflowQueries.oracles),
       (ops.EventAnalytics.queries, ops.EventAnalytics.oracles),
       (ops.PretrainPipeline.queries, ops.PretrainPipeline.oracles),
+      (ops.GraphOps.queries, ops.GraphOps.oracles),
+      (ops.ScaleQueries.queries, ops.ScaleQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

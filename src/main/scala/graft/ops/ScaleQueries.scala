@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gated exposure of the [[ScaleOps]] mechanics (previously
+  * spec-only): the oracle proves salted plans return EXACTLY the rows of
+  * their unsalted equivalents, and that the Z-order bit interleave is
+  * engine-portable integer math. These are identity-under-rewrite gates —
+  * the point of salting/z-ordering is changing the physical distribution
+  * WITHOUT changing the answer, so the correctness contract is "equals the
+  * plain plan", which is precisely what a plain-SQL oracle checks.
+  */
+object ScaleQueries {
+
+  /** B3: skew-salted supplier join — same rows as the plain equi-join,
+    * produced via the salt-replicated plan that spreads one hot key over
+    * `salts` reducer partitions at 100 TB. */
+  def saltedJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .select($"l_suppkey".as("suppkey"), $"l_orderkey", $"l_linenumber")
+    val small = Tables.supplier(s, dir)
+      .select($"s_suppkey".as("suppkey"), $"s_name")
+    ScaleOps.saltedJoin(big, small, "suppkey", salts = 8)
+      .select($"l_orderkey", $"l_linenumber", $"suppkey", $"s_name")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** B4: two-phase salted aggregation — partial on (key, salt), final on
+    * key; exact for the algebraic sum/count pair. Quantities are integral
+    * (TPC-H 1..50), so the long cast is value-exact and the sum is
+    * order-independent. */
+  def saltedAggQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_quantity")
+    ScaleOps.saltedSumCount(li, "l_returnflag", $"l_quantity".cast("long"), salts = 8)
+      .orderBy($"l_returnflag")
+  }
+
+  private val ZBits = 8
+  /** B1: Z-order layout keys — the bit-interleaved clustering key
+    * [[ScaleOps.zOrderWrite]] sorts files by, computed here over
+    * domain-reduced (mod 2^8) part/supp keys so the oracle needs no
+    * min/max scaling pass. Bit b of column j lands at position b·2+j. */
+  def zorderKeyQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pk = pmod($"l_partkey", lit(1 << ZBits)).cast("long")
+    val sk = pmod($"l_suppkey", lit(1 << ZBits)).cast("long")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        pk.as("pk_cell"), sk.as("sk_cell"),
+        ScaleOps.zKey(Seq(pk, sk), ZBits).as("zkey"))
+      .orderBy($"zkey", $"l_orderkey", $"l_linenumber")
+      .limit(200)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b03_join_salted" -> (saltedJoinQuery _),
+    "b04_salted_agg" -> (saltedAggQuery _),
+    "b01_zorder_key" -> (zorderKeyQuery _),
+  )
+
+  /** The z-key oracle replays the same interleave with SQL shift/mask
+    * terms (generated here from the one definition of the bit layout). */
+  private val zkeySql: String = {
+    val terms = for { b <- 0 until ZBits; j <- 0 to 1 } yield {
+      val c = if (j == 0) "pk_cell" else "sk_cell"
+      s"((($c >> $b) & 1) << ${b * 2 + j})"
+    }
+    terms.mkString(" | ")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "b03_join_salted" -> """
+      SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      ORDER BY l_orderkey, l_linenumber
+    """,
+    "b04_salted_agg" -> """
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_value,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "b01_zorder_key" -> s"""
+      WITH cells AS (
+        SELECT l_orderkey, l_linenumber,
+               l_partkey % ${1 << ZBits} AS pk_cell,
+               l_suppkey % ${1 << ZBits} AS sk_cell
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber, pk_cell, sk_cell, ($zkeySql) AS zkey
+      FROM cells ORDER BY zkey, l_orderkey, l_linenumber LIMIT 200
+    """,
+  )
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Planted-graph gates for the degree-oriented triangle kernel (the
+  * b16_triangles / b16_degree_hist oracle checks cover the data-derived
+  * co-purchase graph; these pin the kernel on adversarial shapes). */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)], k: Int = 100) =
+    GraphOps.trianglesOf(spark, edges.toDF("u", "v"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4 plus a dangling path: each clique vertex sits in C(3,2)=3 triangles") {
+    // K4 on {1,2,3,4}; path 4-5-6 adds no triangle
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val got = tri(k4 ++ Seq((4L, 5L), (5L, 6L)))
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("star hub produces zero triangles (hub orientation: spokes point IN)") {
+    // 1 hub x 2000 spokes — the graph twin of the LSH hot bucket. The
+    // degree orientation directs every spoke edge INTO the hub, so the
+    // hub generates zero wedges and the plan stays linear; a naive
+    // src-grouped wedge join would enumerate C(2000,2) ~ 2M pairs.
+    val edges = (1L to 2000L).map(i => (0L, i))
+    assert(tri(edges).isEmpty)
+  }
+
+  test("star plus one rim edge yields exactly one triangle") {
+    val edges = (1L to 500L).map(i => (0L, i)) :+ ((1L, 2L))
+    val got = tri(edges.map { case (u, v) => if (u < v) (u, v) else (v, u) })
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("matches brute force on a deterministic random graph") {
+    // circulant-ish deterministic graph: edge (i, (i*7+3) mod 97) etc.
+    val raw = (0L until 97L).flatMap(i => Seq(
+      (i, (i * 7 + 3) % 97), (i, (i + 1) % 97), (i, (i * 13 + 5) % 97)))
+    val edges = raw.filter { case (u, v) => u != v }
+      .map { case (u, v) => if (u < v) (u, v) else (v, u) }.distinct
+    val es = edges.toSet
+    var brute = Map.empty[Long, Long].withDefaultValue(0L)
+    val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    for {
+      a <- vs; b <- vs if a < b && es((a, b))
+      c <- vs if b < c && es((b, c)) && es((a, c))
+    } Seq(a, b, c).foreach(v => brute += v -> (brute(v) + 1L))
+    assert(tri(edges) == brute.toMap.filter(_._2 > 0))
+  }
+}
