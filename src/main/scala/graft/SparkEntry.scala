@@ -28,6 +28,7 @@ object SparkEntry {
       (ops.EventAnalytics.queries, ops.EventAnalytics.oracles),
       (ops.PretrainPipeline.queries, ops.PretrainPipeline.oracles),
       (ops.GraphOps.queries, ops.GraphOps.oracles),
+      (ops.RagPipeline.queries, ops.RagPipeline.oracles),
       (ops.ScaleQueries.queries, ops.ScaleQueries.oracles),
     )
 

@@ -640,6 +640,69 @@ object TextAnalysis {
   def bpeQuery(s: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.documents(s, dir), numMerges = 10)
 
+  /** Fixed benchmark query set for [[bm25Rank]]: (query_id, term). Mixes
+    * corpus-common terms with the rare "dup" so the idf weighting is
+    * actually exercised. */
+  val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "hash", 1 -> "join",
+    2 -> "window", 2 -> "agg", 2 -> "sort",
+    3 -> "dup", 3 -> "scan",
+    4 -> "stream", 4 -> "batch",
+    5 -> "vector", 5 -> "query", 5 -> "fast")
+
+  /** B13: BM25 document ranking — the lexical-retrieval scorer (Robertson
+    * et al.; k1 = 1.2, b = 0.75), in the ODDS-IDF variant: idf(t) =
+    * (N − df + ½)/(df + ½) without the log. Dropping the log keeps every
+    * factor a ratio of EXACT INTEGERS — the log landed on engine libm,
+    * whose last-ulp behavior Spark and DuckDB do not share, while an
+    * integer-over-integer IEEE division is exactly rounded and therefore
+    * bit-identical cross-engine (same determinism device as
+    * [[tfidfTopTerms]] / [[lmScore]]).
+    *
+    * With ½-free integers (multiply idf by 2/2, the saturation term by
+    * 10·T/10·T where T = corpus token count, N = doc count):
+    *   idf  = (2(N − df) + 1) / (2df + 1)
+    *   sat  = 22·tf·T / (10·T·tf + 3·T + 9·len·N)       [k1+1 = 2.2, k1(1−b) = 0.3, k1·b = 0.9]
+    * Per-term score = idf·sat; per-doc score accumulates in fixed-point
+    * nano units (rounded longs — order-independent exact sums), and the
+    * RANKING compares the long `sp` directly: integer comparisons, no
+    * float ordering anywhere.
+    *
+    * Scale: the query-term table broadcasts (it is user-query-sized);
+    * tf is restricted to query terms BEFORE aggregation, so the corpus
+    * pays one tokenize + one filtered map-side-combinable count — df, len
+    * and the 1-row corpus stats ride the same pass shape as tf-idf. */
+  def bm25Rank(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val lens = docs.select($"doc_id", size(tokens($"text")).as("len"))
+    val stats = broadcast(lens.agg(
+      count(lit(1)).as("n_docs"), sum($"len").cast("long").as("t_toks")))
+    val qt = broadcast(Bm25Queries.toDF("query_id", "tok"))
+    val tf = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+      .join(qt, "tok")
+      .groupBy($"query_id", $"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.select($"tok", $"doc_id").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(lens, "doc_id").join(dfreq, "tok").crossJoin(stats)
+      .withColumn("idf",
+        (lit(2) * ($"n_docs" - $"df") + 1).cast("double") /
+          (lit(2) * $"df" + 1).cast("double"))
+      .withColumn("sat",
+        (lit(22) * $"tf" * $"t_toks").cast("double") /
+          (lit(10) * $"t_toks" * $"tf" + lit(3) * $"t_toks" + lit(9) * $"len" * $"n_docs").cast("double"))
+      .withColumn("c_fp", round($"idf" * $"sat" * lit(1e9)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sp".desc, $"doc_id")
+    contrib.groupBy($"query_id", $"doc_id")
+      .agg(sum($"c_fp").as("sp"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"n_terms",
+        ($"sp".cast("double") / lit(1e9)).as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -659,12 +722,53 @@ object TextAnalysis {
     "b13_filter_funnel" -> (filterFunnel _),
     "b13_quality_threshold" -> (qualityThreshold _),
     "b13_bpe_merges" -> (bpeQuery _),
+    "b13_bm25_rank" -> ((s: SparkSession, dir: String) => bm25Rank(s, dir)),
   )
+
+  private val bm25ValuesSql: String =
+    Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** The bm25 scoring CTE chain through `ranked` — ONE definition shared
+    * by the b13_bm25_rank oracle and the e02 RAG pipeline oracle (the
+    * same no-drift device as the portable-MinHash constants). */
+  private[graft] val Bm25RankedCtes: String = s"""
+      qt AS (SELECT * FROM (VALUES $bm25ValuesSql) v(query_id, tok)),
+      lens AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+      stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS t_toks FROM lens),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT query_id, doc_id, tok, COUNT(*) AS tf
+             FROM toks JOIN qt USING (tok) GROUP BY query_id, doc_id, tok),
+      dfreq AS (SELECT tok, COUNT(*) AS df
+                FROM (SELECT DISTINCT tok, doc_id FROM tf) GROUP BY tok),
+      contrib AS (
+        SELECT query_id, doc_id,
+          CAST(ROUND(
+            (CAST(2 * (n_docs - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) *
+            (CAST(22 * tf * t_toks AS DOUBLE) /
+             CAST(10 * t_toks * tf + 3 * t_toks + 9 * len * n_docs AS DOUBLE)) *
+            1000000000.0) AS BIGINT) AS c_fp
+        FROM tf JOIN lens USING (doc_id) JOIN dfreq USING (tok) CROSS JOIN stats),
+      scored AS (SELECT query_id, doc_id, CAST(SUM(c_fp) AS BIGINT) AS sp,
+                        COUNT(*) AS n_terms
+                 FROM contrib GROUP BY query_id, doc_id),
+      ranked AS (SELECT query_id, doc_id, sp, n_terms,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sp DESC, doc_id) AS "rank"
+                 FROM scored)"""
 
   private def sqlCount(pat: String) =
     s"CAST(len(regexp_extract_all(text, '$pat')) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // mirrors bm25Rank factor-for-factor: integer numerators/denominators,
+    // explicit double casts on both division operands, left-assoc product,
+    // fixed-point nano-unit rounding, integer-ordered ranking
+    "b13_bm25_rank" -> s"""
+      WITH $Bm25RankedCtes
+      SELECT query_id, "rank", doc_id, n_terms,
+             CAST(sp AS DOUBLE) / 1000000000.0 AS score
+      FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank"
+    """,
     // k=4, w=4: grams are toks[i : i+3] (DuckDB inclusive slice = 4
     // tokens); ng = len-3; full windows need pos <= ng-4; the hash is the
     // engine-portable md5-prefix integer, identical on both engines
