@@ -66,12 +66,26 @@ object GraphOps {
 
   /** Degree-oriented triangle participation over any undirected edge set
     * (columns `u`, `v`, u < v, no duplicates). Factored out so specs can
-    * drive planted graphs through the exact production plan. */
+    * drive planted graphs through the exact production plan.
+    *
+    * EDGE-CENTRIC counting (the r6 perf pass): a wedge-join formulation
+    * materializes Σ C(outdeg, 2) rows through a shuffle — 41M at sf0.1
+    * on this graph (flat degree profile), ~10 s. Instead: build each
+    * vertex's sorted out-adjacency array (bounded by the orientation's
+    * O(√m) arboricity outdegree, so a hub's array stays small — the
+    * array-size twin of the hot-bucket cap), then for every oriented
+    * edge (a, b) intersect N⁺(a) with N⁺(b). Each triangle
+    * {a→b, a→c, b→c} is found exactly once, at its (a, b) edge. The
+    * wedge set is never materialized: the intersection runs inside the
+    * row, and only actual triangles (1 row each) are exploded for the
+    * per-vertex attribution — edge (a,b) contributes |I| to a and b and
+    * 1 to every c ∈ I. */
   def trianglesOf(s: SparkSession, edgeSet: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    // edges feed degree + orientation; oriented feeds wedge gen (twice)
-    // + the closing probe — cache each once, released by the caller's
-    // between-query clearCache like the other self-joining pipelines
+    // edges feed degree + orientation; oriented feeds the adjacency
+    // build + both probe joins — cache each once, released by the
+    // caller's between-query clearCache like the other self-joining
+    // pipelines
     val edges = edgeSet.cache()
     val deg = edges.select($"u".as("p")).unionAll(edges.select($"v".as("p")))
       .groupBy($"p").agg(count(lit(1)).as("deg"))
@@ -81,19 +95,22 @@ object GraphOps {
     val fwd = ($"du" < $"dv") || ($"du" === $"dv" && $"u" < $"v")
     val oriented = withDeg.select(
       when(fwd, $"u").otherwise($"v").as("src"),
-      when(fwd, $"v").otherwise($"u").as("dst"),
-      when(fwd, $"dv").otherwise($"du").as("ddeg")).cache()
-    // wedges from each source, dst pair ordered by the SAME (deg, id)
-    // total order the orientation uses — so the closing edge, if present,
-    // is oriented exactly (b -> c) and one equi-join finds it
-    val e1 = oriented.select($"src", $"dst".as("b"), $"ddeg".as("db"))
-    val e2 = oriented.select($"src", $"dst".as("c"), $"ddeg".as("dc"))
-    val triangles = e1.join(e2, Seq("src"))
-      .where(($"db" < $"dc") || ($"db" === $"dc" && $"b" < $"c"))
-      .join(oriented.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"))
-      .select($"src".as("a"), $"b", $"c")
-    triangles.select(explode(array($"a", $"b", $"c")).as("part_key"))
-      .groupBy($"part_key").agg(count(lit(1)).as("n_triangles"))
+      when(fwd, $"v").otherwise($"u").as("dst")).cache()
+    val adj = oriented.groupBy($"src")
+      .agg(sort_array(collect_list($"dst")).as("nbrs"))
+    val tri = oriented
+      .join(adj.select($"src", $"nbrs".as("na")), Seq("src"))
+      .join(adj.select($"src".as("dst"), $"nbrs".as("nb")), Seq("dst"))
+      .withColumn("common", array_intersect($"na", $"nb"))
+      .withColumn("nt", size($"common").cast("long"))
+      .where($"nt" > 0)
+    tri.select(explode(concat(
+        array(struct($"src".as("p"), $"nt".as("c")),
+              struct($"dst".as("p"), $"nt".as("c"))),
+        expr("transform(common, x -> named_struct('p', x, 'c', CAST(1 AS BIGINT)))")))
+        .as("pc"))
+      .select($"pc.p".as("part_key"), $"pc.c".as("c"))
+      .groupBy($"part_key").agg(sum($"c").as("n_triangles"))
       .orderBy($"n_triangles".desc, $"part_key")
       .limit(k)
   }
