@@ -267,7 +267,32 @@ object Relational2 {
     weightedMix(Tables.documents(s, dir),
       expr("(pmod(ascii(substring(source, 1, 1)), 4) + 1) * 0.5"))
 
+  /** B15: per-source document cap — domain balancing, the curation step
+    * that stops one crawl domain from dominating the mixture: keep at most
+    * `cap` documents per source, selected in the engine-portable
+    * md5("cap:" + doc_id) order. Selection is a property of the doc's own
+    * key — re-running after corpus growth keeps every previously-selected
+    * doc whose rank stays under the cap (no reshuffling of survivors on
+    * unrelated inserts, unlike a random sample). Per-source window: the
+    * partition count is the domain count, so the window never serializes
+    * the corpus; a pathological single mega-source degrades to one
+    * partition sorting its own docs — the same bounded shape as
+    * b07_topk_per_group. */
+  def domainCap(s: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"sel_key", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        md5(concat(lit("cap:"), $"doc_id".cast("string"))).as("sel_key"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= cap)
+      .select($"doc_id", $"source", $"rn")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b15_domain_cap" -> ((s: SparkSession, dir: String) => domainCap(s, dir)),
     "b15_stratified_sample" -> (stratifiedSample _),
     "b15_sequence_pack" -> (sequencePackQuery _),
     "b15_global_shuffle" -> (globalShuffleQuery _),
@@ -285,6 +310,13 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "b15_domain_cap" -> """
+      SELECT doc_id, source, rn FROM (
+        SELECT doc_id, source,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+        FROM documents)
+      WHERE rn <= 15 ORDER BY doc_id""",
     "b15_sequence_pack" -> """
       WITH t AS (
         SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
