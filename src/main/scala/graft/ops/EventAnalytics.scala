@@ -159,7 +159,29 @@ object EventAnalytics {
 
   // ---------------------------------------------------------------- wiring
 
+  /** Top-k 3-step user paths — the "what do users actually do" census
+    * behind every funnel design (which concrete event sequences dominate).
+    * One per-user ordered window (two leads ride the same sort), then a
+    * map-side-combinable count over a result bounded by |event_types|³ —
+    * the heavy lifting is the user-keyed window the transitions query
+    * already pays, never a corpus-wide sort. */
+  def topPaths(events: DataFrame, k: Int = 25): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  def topPathsQuery(s: SparkSession, dir: String): DataFrame =
+    topPaths(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b10_top_paths" -> (topPathsQuery _),
     "b10_funnel" -> (funnelQuery _),
     "b10_transitions" -> (transitionsQuery _),
     "b10_retention" -> (retentionQuery _),
@@ -194,6 +216,16 @@ object EventAnalytics {
                THEN CAST(n_users AS DOUBLE) / (SELECT n_users FROM s WHERE step_idx = 1)
              END AS pct_of_first
       FROM s ORDER BY step_idx""",
+    "b10_top_paths" -> """
+      WITH o AS (SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY path ORDER BY n DESC, path LIMIT 25""",
     "b10_transitions" -> """
       WITH o AS (SELECT user_id, event_type,
                    lag(event_type) OVER (PARTITION BY user_id

@@ -703,6 +703,39 @@ object TextAnalysis {
       .orderBy($"query_id", $"rank")
   }
 
+  /** B13: source-vocabulary overlap — pairwise Jaccard between the
+    * distinct token vocabularies of every source pair (the corpus
+    * diagnostic behind mixture design: near-identical vocabularies flag
+    * mirrored/scraped-twice domains, disjoint ones flag domains that need
+    * their own quality calibration). Pairs with zero shared tokens are
+    * omitted (no co-occurrence row to count). Exact-integer intersection /
+    * union, one deterministic division.
+    *
+    * Scale: the token-keyed join emits ≤ C(S,2) rows per token (S =
+    * source count) — exact and fine for S in the hundreds/thousands; at
+    * web scale (millions of domains) swap the exact join for per-source
+    * KMV vocabulary sketches ([[graft.functions.KmvDistinctAgg]] — union
+    * cardinalities are mergeable) and keep this exact formulation as the
+    * oracle-checkable contract on the calibration subset. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = Tables.documents(s, dir)
+      .select($"source", explode(tokens($"text")).as("tok")).distinct()
+      // feeds sizes + both pair sides — one materialization, vocab-sized
+      .cache()
+    val sizes = st.groupBy($"source").agg(count(lit(1)).as("nv"))
+    val inter = st.select($"source".as("sa"), $"tok")
+      .join(st.select($"source".as("sb"), $"tok"), Seq("tok"))
+      .where($"sa" < $"sb")
+      .groupBy($"sa", $"sb").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("sa", "na"), "sa")
+      .join(sizes.toDF("sb", "nb"), "sb")
+      .select($"sa", $"sb", $"inter", $"na", $"nb",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
+      .orderBy($"sa", $"sb")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -723,6 +756,7 @@ object TextAnalysis {
     "b13_quality_threshold" -> (qualityThreshold _),
     "b13_bpe_merges" -> (bpeQuery _),
     "b13_bm25_rank" -> ((s: SparkSession, dir: String) => bm25Rank(s, dir)),
+    "b13_source_overlap" -> (sourceOverlap _),
   )
 
   private val bm25ValuesSql: String =
@@ -760,6 +794,18 @@ object TextAnalysis {
     s"CAST(len(regexp_extract_all(text, '$pat')) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "b13_source_overlap" -> """
+      WITH st AS (SELECT DISTINCT source, tok FROM
+                    (SELECT source, unnest(string_split(text, ' ')) AS tok
+                     FROM documents)),
+      sizes AS (SELECT source, COUNT(*) AS nv FROM st GROUP BY source),
+      i AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+            FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+            GROUP BY sa, sb)
+      SELECT sa, sb, inter, na.nv AS na, nb.nv AS nb,
+             CAST(inter AS DOUBLE) / (na.nv + nb.nv - inter) AS jaccard
+      FROM i JOIN sizes na ON na.source = i.sa JOIN sizes nb ON nb.source = i.sb
+      ORDER BY sa, sb""",
     // mirrors bm25Rank factor-for-factor: integer numerators/denominators,
     // explicit double casts on both division operands, left-assoc product,
     // fixed-point nano-unit rounding, integer-ordered ranking
