@@ -34,6 +34,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("plan shape: two-column pruned scan, no cartesian product") {
+    val qe = GraphOps.triangleParticipation(spark, sfDir).queryExecution
+    val formatted = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!formatted.contains("CartesianProduct"))
+    // the lineitem scan must read ONLY the two edge-build columns
+    val readSchemas = formatted.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(l => l.contains("l_orderkey") && l.contains("l_partkey")
+      && !l.contains("l_extendedprice") && !l.contains("l_quantity")), readSchemas.mkString("\n"))
+  }
+
   test("matches brute force on a deterministic random graph") {
     // circulant-ish deterministic graph: edge (i, (i*7+3) mod 97) etc.
     val raw = (0L until 97L).flatMap(i => Seq(
