@@ -360,6 +360,37 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** As-of NEAREST join (B3, r6): for each purchase, the same user's click
+    * minimizing |Δt| — ties prefer the earlier (backward) click. The
+    * nearest-in-time semantics backward-only as-of can't express, at the
+    * same cost: prev/next candidates are two frames over ONE user-keyed
+    * window sort (the [[joinAsOf]] plan), never a range-join product.
+    * Arithmetic in exact epoch micros (unix_micros under the pinned-UTC
+    * session == DuckDB epoch_us). */
+  def joinAsOfNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).filter($"event_type".isin("click", "purchase"))
+      .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+    val back = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val clickUs = when($"event_type" === "click", $"us")
+    val nearest = when($"prev_us".isNull, $"next_us")
+      .when($"next_us".isNull, $"prev_us")
+      .when($"us" - $"prev_us" <= $"next_us" - $"us", $"prev_us")
+      .otherwise($"next_us")
+    ev.withColumn("prev_us", max(clickUs).over(back))
+      .withColumn("next_us", min(clickUs).over(fwd))
+      .filter($"event_type" === "purchase")
+      .withColumn("near_us", nearest)
+      .select($"event_id", $"user_id", $"ts",
+        expr("timestampadd(MICROSECOND, near_us, TIMESTAMP_NTZ'1970-01-01 00:00:00')")
+          .as("nearest_click_ts"),
+        ($"near_us" - $"us").as("delta_us"))
+      .orderBy($"event_id")
+  }
+
   /** ROLLUP hierarchy totals (B4). */
   def rollupSales(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -658,6 +689,7 @@ object Relational {
     "b03_join_range" -> (joinRange _),
     "b03_join_theta" -> (joinTheta _),
     "b03_join_asof" -> (joinAsOf _),
+    "b03_join_asof_nearest" -> (joinAsOfNearest _),
     "b04_rollup" -> (rollupSales _),
     "b04_cube" -> (cubeFlags _),
     "b04_grouping_sets" -> (groupingSets _),
@@ -786,6 +818,28 @@ object Relational {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
         FROM events WHERE event_type IN ('click','purchase')
       ) WHERE event_type = 'purchase' ORDER BY event_id""",
+    "b03_join_asof_nearest" -> """
+      WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+                  FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (SELECT *,
+              max(CASE WHEN event_type = 'click' THEN us END) OVER
+                (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+              min(CASE WHEN event_type = 'click' THEN us END) OVER
+                (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+            FROM ev),
+      p AS (SELECT event_id, user_id, ts, us,
+              CASE WHEN prev_us IS NULL THEN next_us
+                   WHEN next_us IS NULL THEN prev_us
+                   WHEN us - prev_us <= next_us - us THEN prev_us
+                   ELSE next_us END AS near_us
+            FROM w WHERE event_type = 'purchase')
+      SELECT event_id, user_id, ts,
+             make_timestamp(near_us) AS nearest_click_ts,
+             CAST(near_us - us AS BIGINT) AS delta_us
+      FROM p ORDER BY event_id""",
     "b04_rollup" -> s"""
       SELECT n_name, c_mktsegment, COUNT(*) AS n_cust, CAST(${sum2Sql("c_acctbal")} AS DOUBLE) AS sum_bal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
