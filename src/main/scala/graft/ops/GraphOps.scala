@@ -33,11 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Distinct co-purchase edges with u < v. */
+  /** Distinct co-purchase edges with u < v. No pre-distinct on the
+    * (order, part) pairs: the final (u, v) distinct subsumes it (a part
+    * listed twice in an order only duplicates edge rows that dedup
+    * anyway), saving one full-table shuffle. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
     li.select($"ok", $"pk".as("u"))
       .join(li.select($"ok", $"pk".as("v")), Seq("ok"))
       .where($"u" < $"v")
