@@ -507,6 +507,46 @@ object Streaming {
       }
   }
 
+  case class PathHit(user_id: Long, path: String)
+  case class PathBufState(last2: Seq[BufEvt], buf: Seq[BufEvt])
+
+  /** B10: streaming 3-step path emission —
+    * [[graft.ops.EventAnalytics.topPaths]]'s `flatMapGroupsWithState`
+    * twin, with the [[transitionsStreamOrdered]] watermark-buffer
+    * treatment from the start: events buffer per user until the watermark
+    * passes them, then chain in (ts, event_id) order through a stored
+    * last-TWO marker, emitting one hit per completed 3-gram. Downstream
+    * `groupBy(path).count` equals the batch window's path counts under
+    * any bounded-disorder arrival (spec-pinned). State = two last-event
+    * markers + the in-horizon slice — O(horizon) per user, the same
+    * bound as the funnel/transitions twins. */
+  def pathsStream(events: DataFrame, disorder: String = "10 minutes"): Dataset[PathHit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[SEvent]
+      .withWatermark("ts", disorder)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[SEvent],
+         state: org.apache.spark.sql.streaming.GroupState[PathBufState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(PathBufState(Seq.empty, Seq.empty))
+          val incoming = evs.map(e => BufEvt(e.ts.getTime, e.event_id, e.event_type)).toSeq
+          val (ripe, pending) = (st.buf ++ incoming).partition(_.t <= wm)
+          val out = Seq.newBuilder[PathHit]
+          var last2 = st.last2
+          ripe.sortBy(e => (e.t, e.id)).foreach { e =>
+            if (last2.size == 2)
+              out += PathHit(userId, s"${last2(0).tpe}>${last2(1).tpe}>${e.tpe}")
+            last2 = (last2 :+ e).takeRight(2)
+          }
+          state.update(PathBufState(last2, pending))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.t).min)
+          out.result().iterator
+      }
+  }
+
   case class RetentionState(cohortDay: Int, offsets: Seq[Int])
   case class RetentionHit(user_id: Long, cohort_day: java.time.LocalDate, day_offset: Int)
 

@@ -461,6 +461,34 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.contains(("click", "view"))) // arrival order never leaks
   }
 
+  test("pathsStream == batch 3-gram path counts under reversed delivery (B10)") {
+    // u1: 4 events delivered in reverse event-time order across batches —
+    // true paths are signup>view>click and view>click>purchase; u2 has
+    // only 2 events (no path)
+    val all = Seq(
+      Evt(1, t(0), 1, "signup", 0), Evt(2, t(1), 1, "view", 0),
+      Evt(3, t(2), 1, "click", 0), Evt(4, t(3), 1, "purchase", 0),
+      Evt(5, t(0), 2, "view", 0), Evt(6, t(1), 2, "view", 0))
+    val input = MemoryStream[Evt](spark)
+    val q = Streaming.pathsStream(input.toDF()).writeStream
+      .format("memory").queryName("pathord").outputMode("update").start()
+    input.addData(Seq(all(3), all(2), all(5))); q.processAllAvailable()
+    input.addData(Seq(all(1), all(0), all(4))); q.processAllAvailable()
+    input.addData(Seq(Evt(90, Timestamp.valueOf("2026-01-01 13:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    input.addData(Seq(Evt(91, Timestamp.valueOf("2026-01-01 15:00:00"), 9, "z", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pathord").filter($"user_id" =!= 9)
+      .groupBy("path").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch twin: topPaths with the limit wide open, same fixture
+    val batch = graft.ops.EventAnalytics.topPaths(all.toDF(), k = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed === Map("signup>view>click" -> 1L, "view>click>purchase" -> 1L))
+  }
+
   test("retentionStreamOrdered re-anchors nothing: late-arriving FIRST day sets the cohort (B10)") {
     def d(day: Int, hh: Int) = Timestamp.valueOf(f"2026-01-$day%02d $hh%02d:00:00")
     // u1's day-2 event arrives a batch BEFORE its true day-1 first event
