@@ -223,6 +223,29 @@ object Similarity {
   def ivfQuery(s: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
 
+  /** B12 (r6): ANN index-quality report — recall@10 of the IVF index
+    * against the exact brute-force ranking, per query. The acceptance
+    * gate every index deployment runs before trusting nprobe/numCells;
+    * here it is itself a driver-gated query: both inputs are the
+    * already-hash-gated deterministic pipelines, n_hits is an exact
+    * semi-join count, and recall is one IEEE division — so the report
+    * hash-matches cross-engine. Scale: the join is (|queries|·k)-sized,
+    * independent of corpus size. */
+  def ivfRecallQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+      .select($"query_id", $"vec_id")
+    val ivf = ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+    val hits = ivf.join(brute, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    brute.select($"query_id").distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .select($"query_id", $"n_hits",
+        ($"n_hits".cast("double") / lit(10)).as("recall_at_10"))
+      .orderBy($"query_id")
+  }
+
   /** B12: embedding-cosine near-dup CLUSTERS — the embedding-space
     * counterpart of `Dedup.dedupClustersAtScale`, completing the near-dup
     * family across both representations (token shingles AND embeddings):
@@ -632,6 +655,7 @@ object Similarity {
     "b12_ann_topk" -> (annTopKQuery _),
     "b12_ann_lsh" -> (lshQuery _),
     "b12_ann_ivf" -> (ivfQuery _),
+    "b12_ivf_recall" -> (ivfRecallQuery _),
   )
 
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
@@ -679,6 +703,38 @@ object Similarity {
                      unnest(subq) AS qv FROM $toA)
              GROUP BY sub, cid, pos)
            GROUP BY sub, cid)"""
+
+  /** Shared oracle fragments (one definition, no drift): the brute-force
+    * similarity chain (assumes CTE `e`) and the full IVF candidate chain
+    * (assumes `e`, `en`) — used by b12_ann_topk / b12_ann_ivf and
+    * composed by the b12_ivf_recall report. */
+  private lazy val BruteSimsSql = s"""
+      qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id % 100 = 0),
+      sims AS (SELECT query_id, e.vec_id,
+        CAST(${dotSql("qq", "q")} AS DOUBLE)
+          / (sqrt(CAST(${dotSql("qq", "qq")} AS DOUBLE)) * sqrt(CAST(${dotSql("q", "q")} AS DOUBLE))) AS cosine
+        FROM e JOIN qs ON e.vec_id <> qs.query_id)"""
+  private lazy val IvfCandSql = s"""
+      c AS (SELECT vec_id AS cell_id, q AS cq, norm AS cnorm FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn FROM en)
+            WHERE srn <= 16),
+      asgn0 AS (SELECT v.vec_id, v.q, v.norm, c.cell_id,
+                  CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) AS sim
+                FROM en v, c),
+      asgn AS (SELECT vec_id, q, norm, cell_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, cell_id) AS rn FROM asgn0) WHERE rn = 1),
+      qp0 AS (SELECT v.vec_id AS query_id, v.q AS qq, v.norm AS qnorm, c.cell_id,
+                CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) AS sim
+              FROM en v, c WHERE v.vec_id % 100 = 0),
+      qp AS (SELECT query_id, qq, qnorm, cell_id FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, cell_id) AS rn FROM qp0) WHERE rn <= 4),
+      cand AS (SELECT p.query_id, a.vec_id,
+                 CAST(${dotSql("p.qq", "a.q")} AS DOUBLE) / (p.qnorm * a.norm) AS cosine
+               FROM qp p JOIN asgn a USING (cell_id)
+               WHERE a.vec_id <> p.query_id)"""
 
   val oracles: Map[String, String] = Map(
     // sign-LSH ANN with the literal-constant plane matrix: buckets,
@@ -861,15 +917,31 @@ object Similarity {
       WHERE rn <= 5 ORDER BY query_id, rn""",
     "b12_ann_topk" -> s"""
       WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
-      qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id % 100 = 0),
-      sims AS (SELECT query_id, e.vec_id,
-        CAST(${dotSql("qq", "q")} AS DOUBLE)
-          / (sqrt(CAST(${dotSql("qq", "qq")} AS DOUBLE)) * sqrt(CAST(${dotSql("q", "q")} AS DOUBLE))) AS cosine
-        FROM e JOIN qs ON e.vec_id <> qs.query_id)
+      $BruteSimsSql
       SELECT query_id, vec_id, cosine, rn FROM (
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, vec_id) AS INT) AS rn FROM sims)
       WHERE rn <= 10 ORDER BY query_id, rn""",
+    "b12_ivf_recall" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      en AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
+      $IvfCandSql,
+      itop AS (SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS rn FROM cand) WHERE rn <= 10),
+      $BruteSimsSql,
+      btop AS (SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS rn FROM sims) WHERE rn <= 10),
+      hits AS (SELECT i.query_id, COUNT(*) AS n_hits
+               FROM itop i JOIN btop b
+                 ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+               GROUP BY i.query_id)
+      SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+             CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10 AS recall_at_10
+      FROM (SELECT DISTINCT query_id FROM btop) q
+      LEFT JOIN hits h USING (query_id)
+      ORDER BY query_id""",
     // the FULL IVF pipeline — portable md5-ordered cell seeds, corpus
     // assignment (sim DESC, cell_id tie-break, the max_by struct order),
     // nprobe cell probing, and the in-cell top-k — replayed in SQL. All
@@ -878,26 +950,7 @@ object Similarity {
     "b12_ann_ivf" -> s"""
       WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
       en AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
-      c AS (SELECT vec_id AS cell_id, q AS cq, norm AS cnorm FROM (
-              SELECT *, ROW_NUMBER() OVER (
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn FROM en)
-            WHERE srn <= 16),
-      asgn0 AS (SELECT v.vec_id, v.q, v.norm, c.cell_id,
-                  CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) AS sim
-                FROM en v, c),
-      asgn AS (SELECT vec_id, q, norm, cell_id FROM (
-                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY sim DESC, cell_id) AS rn FROM asgn0) WHERE rn = 1),
-      qp0 AS (SELECT v.vec_id AS query_id, v.q AS qq, v.norm AS qnorm, c.cell_id,
-                CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) AS sim
-              FROM en v, c WHERE v.vec_id % 100 = 0),
-      qp AS (SELECT query_id, qq, qnorm, cell_id FROM (
-               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY sim DESC, cell_id) AS rn FROM qp0) WHERE rn <= 4),
-      cand AS (SELECT p.query_id, a.vec_id,
-                 CAST(${dotSql("p.qq", "a.q")} AS DOUBLE) / (p.qnorm * a.norm) AS cosine
-               FROM qp p JOIN asgn a USING (cell_id)
-               WHERE a.vec_id <> p.query_id)
+      $IvfCandSql
       SELECT query_id, vec_id, cosine, rn FROM (
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, vec_id) AS INT) AS rn FROM cand)
