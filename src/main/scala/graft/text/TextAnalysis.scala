@@ -717,9 +717,12 @@ object TextAnalysis {
     * KMV vocabulary sketches ([[graft.functions.KmvDistinctAgg]] — union
     * cardinalities are mergeable) and keep this exact formulation as the
     * oracle-checkable contract on the calibration subset. */
-  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val st = Tables.documents(s, dir)
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOn(Tables.documents(s, dir))
+
+  def sourceOverlapOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val st = docs
       .select($"source", explode(tokens($"text")).as("tok")).distinct()
       // feeds sizes + both pair sides — one materialization, vocab-sized
       .cache()
@@ -733,6 +736,43 @@ object TextAnalysis {
       .join(sizes.toDF("sb", "nb"), "sb")
       .select($"sa", $"sb", $"inter", $"na", $"nb",
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
+      .orderBy($"sa", $"sb")
+  }
+
+  /** The [[sourceOverlap]] scale path made executable (the doc above
+    * points here): per-source k-minimum-values vocabulary sketches +
+    * Broder's k-min resemblance estimator, J ≈ |kmin_k(A∪B) ∩ A_k ∩
+    * B_k| / k. Per-source state is k hashes (a window-ranked top-k, the
+    * same bounded shape as b07_topk_per_group — never the full
+    * vocabulary), and the pair stage joins k-length arrays instead of
+    * vocabularies, so web-scale source counts pay O(S²·k) instead of
+    * O(V·S²). Estimates are not cross-engine-oracle material (they are
+    * sketch values); the exact twin IS the oracle-gated query, and
+    * TextAnalysisSpec pins the estimator's error against it on the real
+    * corpus (σ ≈ √(J(1−J)/k)). */
+  def sourceOverlapSketch(s: SparkSession, dir: String, k: Int = 256): DataFrame =
+    sourceOverlapSketchOn(Tables.documents(s, dir), k)
+
+  def sourceOverlapSketchOn(docs: DataFrame, k: Int = 256): DataFrame = {
+    import docs.sparkSession.implicits._
+    val st = docs
+      .select($"source", explode(tokens($"text")).as("tok")).distinct()
+      .select($"source", graft.functions.Md5Prefix($"tok", 12).as("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"h")
+    val kmv = st.withColumn("rn", row_number().over(w)).where($"rn" <= k)
+      .groupBy($"source").agg(sort_array(collect_list($"h")).as("kmin"))
+    val pairs = kmv.select($"source".as("sa"), $"kmin".as("ka"))
+      .join(kmv.select($"source".as("sb"), $"kmin".as("kb")), $"sa" < $"sb")
+    // M = the k smallest of the UNION sample; estimator divides by |M|,
+    // so a union smaller than k degrades gracefully to the exact Jaccard
+    pairs
+      .withColumn("merged", expr(s"slice(array_sort(array_union(ka, kb)), 1, $k)"))
+      .select($"sa", $"sb",
+        expr("size(array_intersect(merged, array_intersect(ka, kb)))").as("n_common"),
+        size($"merged").as("m"))
+      .select($"sa", $"sb", $"n_common",
+        ($"n_common".cast("double") / $"m").as("jaccard_est"))
       .orderBy($"sa", $"sb")
   }
 

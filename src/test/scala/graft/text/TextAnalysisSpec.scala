@@ -238,4 +238,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(_._2 == "B").forall(_._4 === 10L))
     assert(!out.exists(_._1 === 1L)) // the p25 straggler is dropped
   }
+
+  test("source-overlap KMV sketch: exact regime on the real corpus, lossy within error") {
+    // exact regime: the testdata vocabulary per source is far under k, so
+    // |M| = |A∪B| and the estimator must EQUAL the oracle-gated exact twin
+    val exact = TextAnalysis.sourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val est = TextAnalysis.sourceOverlapSketch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(est.keySet == exact.keySet, "sketch must cover every co-occurring pair")
+    for ((k2, e) <- est)
+      assert(math.abs(e - exact(k2)) < 1e-12, s"$k2: $e vs ${exact(k2)}")
+    // lossy regime: 5000-token vocabularies, true J = 1/3; k = 256 →
+    // σ ≈ √(J(1−J)/k) ≈ 0.029 — require within 4σ
+    val a = (0 until 5000).map(i => s"t$i").mkString(" ")
+    val b = (2500 until 7500).map(i => s"t$i").mkString(" ")
+    val docs = Seq(("A", a), ("B", b)).toDF("source", "text")
+    val lossy = TextAnalysis.sourceOverlapSketchOn(docs).collect()
+    assert(lossy.length == 1)
+    val j = lossy(0).getDouble(3)
+    assert(math.abs(j - 1.0 / 3) <= 0.12, s"lossy sketch J=$j vs 1/3")
+  }
 }
