@@ -671,7 +671,12 @@ object TextAnalysis {
     * Scale: the query-term table broadcasts (it is user-query-sized);
     * tf is restricted to query terms BEFORE aggregation, so the corpus
     * pays one tokenize + one filtered map-side-combinable count — df, len
-    * and the 1-row corpus stats ride the same pass shape as tf-idf. */
+    * and the 1-row corpus stats ride the same pass shape as tf-idf.
+    *
+    * Deployments that don't need cross-engine replay can swap the
+    * textbook `ln` back in by wrapping the idf factor in `log1p` — the
+    * plan shape, broadcasts, and fixed-point ranking all carry over
+    * unchanged; only the oracle contract is lost. */
   def bm25Rank(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
