@@ -391,6 +391,35 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** B4 (r6): Pearson correlation + population covariance from EXACT
+    * integer moments — the statistical-aggregate family member every
+    * analytics engine ships, made cross-engine deterministic. Built-in
+    * `corr`/`covar_pop` accumulate doubles (shuffle-order-dependent and
+    * engine-divergent); here x = quantity (integral), y = discount in
+    * hundredths (exact 2dp), and all five moments (Σx, Σy, Σxy, Σx²,
+    * Σy²) are map-side-combinable LONG sums — order-independent, well
+    * inside 64 bits at any SF that fits a cluster (Σ(xy) grows linearly
+    * in rows: ~3·10⁸ at sf0.1, ~3·10¹⁴ at a petabyte-class row count).
+    * corr = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) — integer
+    * numerator/denominators, then one sqrt+multiply+divide chain of
+    * exactly-rounded IEEE ops, identical in both engines. */
+  def corrMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"l_quantity".cast("long")
+    val y = ($"l_discount".cast("decimal(4,2)") * 100).cast("long")
+    val m = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    m.select($"l_returnflag", $"n",
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+           sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double")))).as("corr_qty_disc"),
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"n").cast("double")).as("covar_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
   /** ROLLUP hierarchy totals (B4). */
   def rollupSales(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -691,6 +720,7 @@ object Relational {
     "b03_join_asof" -> (joinAsOf _),
     "b03_join_asof_nearest" -> (joinAsOfNearest _),
     "b04_rollup" -> (rollupSales _),
+    "b04_corr_moments" -> (corrMoments _),
     "b04_cube" -> (cubeFlags _),
     "b04_grouping_sets" -> (groupingSets _),
     "b05_median" -> (medianQuantity _),
@@ -840,6 +870,21 @@ object Relational {
              make_timestamp(near_us) AS nearest_click_ts,
              CAST(near_us - us AS BIGINT) AS delta_us
       FROM p ORDER BY event_id""",
+    "b04_corr_moments" -> """
+      WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+          SUM(x*x) AS sxx, SUM(y*y) AS syy
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS y
+              FROM lineitem)
+        GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        CAST(n*sxy - sx*sy AS DOUBLE) /
+          (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+          AS corr_qty_disc,
+        CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS covar_qty_disc
+      FROM m ORDER BY l_returnflag""",
     "b04_rollup" -> s"""
       SELECT n_name, c_mktsegment, COUNT(*) AS n_cust, CAST(${sum2Sql("c_acctbal")} AS DOUBLE) AS sum_bal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
