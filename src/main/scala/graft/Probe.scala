@@ -52,6 +52,37 @@ object Probe {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    if (sys.env.contains("PROBE_STRESS_GRAPH")) {
+      // Graph scaling: replicate lineitem with DISJOINT order keys per
+      // replica (so the co-purchase edge set multiplies ~k×, not the
+      // per-order fan-out) and time the triangle kernel at 1× and k×.
+      // Near-linear growth = no quadratic escape in the oriented plan.
+      import org.apache.spark.sql.functions._
+      val reps = sys.env.getOrElse("PROBE_STRESS_GRAPH", "4").toInt
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      def trianglesOn(frame: org.apache.spark.sql.DataFrame): Unit = {
+        val a = frame.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+        val b = frame.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+        val edges = a.join(b, Seq("ok")).where(col("u") < col("v"))
+          .select(col("u"), col("v")).distinct()
+        ops.GraphOps.trianglesOf(spark, edges, 20)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      trianglesOn(li) // untimed: codegen/JIT warmup for the kernel's plans
+      time("stress_tri_1x") { trianglesOn(li) }
+      // shift BOTH keys per replica: disjoint orders AND disjoint vertex
+      // sets, so edges and triangles multiply exactly k× (shifting only
+      // orders would generate duplicate (u,v) pairs that collapse in the
+      // distinct — measuring edge-build cost, not kernel scaling)
+      val big = li.crossJoin(spark.range(reps).toDF("rep"))
+        .select((col("l_orderkey") + col("rep") * 100000000L).as("l_orderkey"),
+          (col("l_partkey") + col("rep") * 100000000L).as("l_partkey")).cache()
+      println(s"  stress graph lineitem rows=${big.count()} (${reps}x disjoint orders)")
+      time(s"stress_tri_${reps}x") { trianglesOn(big) }
+      big.unpersist()
+    }
     if (sys.env.contains("PROBE_RULES")) {
       // Optimizer-rule scale evidence: the same queries with and without
       // the graft rewrite rules, against real testdata. The naive plans
