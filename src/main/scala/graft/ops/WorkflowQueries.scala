@@ -257,8 +257,43 @@ object WorkflowQueries {
   private def pageRankQuery(s: SparkSession, dir: String): DataFrame =
     pageRank(s, dir)
 
+  /** w08 (r6): PERSONALIZED PageRank — the teleport mass lands only on a
+    * seed set (here: nodes ≡ 0 mod 10) instead of uniformly, so ranks
+    * measure relevance RELATIVE TO the seeds (seed-expansion /
+    * graph-based data-valuation shape). Same exact-integer nano-unit
+    * arithmetic, truncating division, and per-iteration lineage cut as
+    * [[pageRank]]; the only delta is the teleport term — uniform
+    * 0.15·10⁹ becomes 0.15·10⁹·[node ∈ seeds]. Non-seed sinks decay
+    * toward zero; the oracle unrolls the same three iterations. */
+  def personalizedPageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val edges = broaderEdges(s, dir).select($"node".as("u"), $"ancestor".as("v")).cache()
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select($"u".as("node")).union(edges.select($"v".as("node")))
+      .distinct().localCheckpoint(true)
+    val teleport = when($"node" % 10 === 0, lit(150000000L)).otherwise(lit(0L))
+    var ranks = nodes.select($"node",
+      when($"node" % 10 === 0, lit(1000000000L)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(deg, "u")
+        .join(ranks.toDF("u", "r"), "u")
+        .select($"v".as("node"), expr("(r * 85) div (100 * outdeg)").as("c"))
+        .groupBy($"node").agg(sum($"c").as("sc"))
+      ranks = nodes.join(contrib, Seq("node"), "left_outer")
+        .select($"node", (teleport + coalesce($"sc", lit(0L))).as("r"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    ranks.select($"node", $"r".as("ppr_nano"), ($"r".cast("double") / 1e9).as("ppr"))
+      .orderBy($"node")
+  }
+
+  private def pprQuery(s: SparkSession, dir: String): DataFrame =
+    personalizedPageRank(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w07_pagerank" -> (pageRankQuery _),
+    "w08_personalized_pagerank" -> (pprQuery _),
     "w01_translation_funnel" -> (translationFunnel _),
     "w02_reviewer_leaderboard" -> (reviewerLeaderboard _),
     "w03_appeal_aging" -> (appealAging _),
@@ -323,6 +358,35 @@ object WorkflowQueries {
                LEFT JOIN i2 p ON p.node = e.u LEFT JOIN deg d ON d.u = e.u
              GROUP BY n.node)
       SELECT node, r AS pagerank_nano, CAST(r AS DOUBLE) / 1e9 AS pagerank
+      FROM i3 ORDER BY node""",
+    // personalized variant: identical unrolled chain, teleport only on
+    // the seed set (node % 10 = 0), seed-indicator initial mass
+    "w08_personalized_pagerank" -> """
+      WITH e AS (SELECT doc_id AS u, doc_id // 2 AS v FROM documents WHERE doc_id >= 2),
+      deg AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+      nodes AS (SELECT DISTINCT x AS node FROM (SELECT u AS x FROM e UNION SELECT v FROM e)),
+      r0 AS (SELECT node,
+               CAST(CASE WHEN node % 10 = 0 THEN 1000000000 ELSE 0 END AS BIGINT) AS r
+             FROM nodes),
+      i1 AS (SELECT n.node,
+               CAST(CASE WHEN n.node % 10 = 0 THEN 150000000 ELSE 0 END
+                 + COALESCE(SUM((p.r * 85) // (100 * d.outdeg)), 0) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN e ON e.v = n.node
+               LEFT JOIN r0 p ON p.node = e.u LEFT JOIN deg d ON d.u = e.u
+             GROUP BY n.node),
+      i2 AS (SELECT n.node,
+               CAST(CASE WHEN n.node % 10 = 0 THEN 150000000 ELSE 0 END
+                 + COALESCE(SUM((p.r * 85) // (100 * d.outdeg)), 0) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN e ON e.v = n.node
+               LEFT JOIN i1 p ON p.node = e.u LEFT JOIN deg d ON d.u = e.u
+             GROUP BY n.node),
+      i3 AS (SELECT n.node,
+               CAST(CASE WHEN n.node % 10 = 0 THEN 150000000 ELSE 0 END
+                 + COALESCE(SUM((p.r * 85) // (100 * d.outdeg)), 0) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN e ON e.v = n.node
+               LEFT JOIN i2 p ON p.node = e.u LEFT JOIN deg d ON d.u = e.u
+             GROUP BY n.node)
+      SELECT node, r AS ppr_nano, CAST(r AS DOUBLE) / 1e9 AS ppr
       FROM i3 ORDER BY node""",
     "w01_translation_funnel" -> s"""$TFIX
       SELECT language, status, n, lang_total,
