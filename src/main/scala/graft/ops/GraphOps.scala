@@ -85,10 +85,10 @@ object GraphOps {
     * 1 to every c ∈ I. */
   def trianglesOf(s: SparkSession, edgeSet: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    // edges feed degree + orientation; oriented feeds the adjacency
-    // build + both probe joins — cache each once, released by the
-    // caller's between-query clearCache like the other self-joining
-    // pipelines
+    // edges feed degree + orientation (two consumers — cached, released
+    // by the caller's between-query clearCache); `adj` below feeds its
+    // own explode + the probe join through one aggregation, so the
+    // oriented frame needs no cache of its own
     val edges = edgeSet.cache()
     val deg = edges.select($"u".as("p")).unionAll(edges.select($"v".as("p")))
       .groupBy($"p").agg(count(lit(1)).as("deg"))
@@ -98,11 +98,13 @@ object GraphOps {
     val fwd = ($"du" < $"dv") || ($"du" === $"dv" && $"u" < $"v")
     val oriented = withDeg.select(
       when(fwd, $"u").otherwise($"v").as("src"),
-      when(fwd, $"v").otherwise($"u").as("dst")).cache()
+      when(fwd, $"v").otherwise($"u").as("dst"))
     val adj = oriented.groupBy($"src")
-      .agg(sort_array(collect_list($"dst")).as("nbrs"))
-    val tri = oriented
-      .join(adj.select($"src", $"nbrs".as("na")), Seq("src"))
+      .agg(sort_array(collect_list($"dst")).as("nbrs")).cache()
+    // re-derive the oriented edges by EXPLODING the adjacency — each edge
+    // arrives already carrying its source's array, so the closing probe
+    // is ONE join (on dst) instead of two
+    val tri = adj.select($"src", explode($"nbrs").as("dst"), $"nbrs".as("na"))
       .join(adj.select($"src".as("dst"), $"nbrs".as("nb")), Seq("dst"))
       .withColumn("common", array_intersect($"na", $"nb"))
       .withColumn("nt", size($"common").cast("long"))
