@@ -180,7 +180,36 @@ object EventAnalytics {
   def topPathsQuery(s: SparkSession, dir: String): DataFrame =
     topPaths(Tables.events(s, dir))
 
+  /** B6 (r6): truncated EWMA smoothing — the time-series operator between
+    * a running mean and a full recursive EWMA. True EWMA (r_t = αx_t +
+    * (1−α)r_{t−1}) is an unbounded recursion no window frame expresses
+    * and no SQL engine replays exactly in floats; the 8-tap truncation
+    * with α = ½ keeps >99% of the mass (2⁻⁸ tail) and makes every weight
+    * a power of two — value cents × {64,32,…,1,1} (last tap doubled so
+    * weights sum to 128 exactly) is an EXACT integer numerator, one
+    * deterministic division at the end. Emitted only where all 8 taps
+    * exist (the warm region — the null-sum filter IS the contract).
+    * One user-keyed window, 8 lags riding a single sort. */
+  def ewmaTrunc(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val coeffs = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L, 1L)
+    val num = coeffs.zipWithIndex
+      .map { case (co, k) => lag(col("c"), k).over(w) * co }.reduce(_ + _)
+    events
+      .withColumn("c", (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .withColumn("num", num)
+      .filter(col("num").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("c").cast("double") / 100).as("value"),
+        (col("num").cast("double") / 12800).as("ewma8"))
+      .orderBy(col("event_id"))
+  }
+
+  def ewmaQuery(s: SparkSession, dir: String): DataFrame =
+    ewmaTrunc(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b06_ewma" -> (ewmaQuery _),
     "b10_top_paths" -> (topPathsQuery _),
     "b10_funnel" -> (funnelQuery _),
     "b10_transitions" -> (transitionsQuery _),
@@ -216,6 +245,19 @@ object EventAnalytics {
                THEN CAST(n_users AS DOUBLE) / (SELECT n_users FROM s WHERE step_idx = 1)
              END AS pct_of_first
       FROM s ORDER BY step_idx""",
+    "b06_ewma" -> """
+      WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+                  FROM events),
+      l AS (SELECT event_id, user_id, ts, c,
+              64*c + 32*lag(c,1) OVER w + 16*lag(c,2) OVER w + 8*lag(c,3) OVER w
+              + 4*lag(c,4) OVER w + 2*lag(c,5) OVER w + 1*lag(c,6) OVER w
+              + 1*lag(c,7) OVER w AS num
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_id, user_id, ts, CAST(c AS DOUBLE)/100 AS value,
+             CAST(num AS DOUBLE)/12800 AS ewma8
+      FROM l WHERE num IS NOT NULL ORDER BY event_id""",
     "b10_top_paths" -> """
       WITH o AS (SELECT user_id, event_type,
                    lead(event_type, 1) OVER w AS e2,
