@@ -208,7 +208,58 @@ object EventAnalytics {
   def ewmaQuery(s: SparkSession, dir: String): DataFrame =
     ewmaTrunc(Tables.events(s, dir))
 
+  /** B10 (r6): position-based (U-shaped) multi-touch attribution — the
+    * ads-analytics workload that ASSIGNS VALUE to touchpoints, where the
+    * funnel only counts users: each purchase's value is split over the
+    * same user's clicks in a 7-day lookback — 40% to the first touch,
+    * 40% to the last, 20% across the middles (1 touch → 100%; 2 →
+    * 50/50). All splitting is EXACT INTEGER CENTS with deterministic
+    * remainder placement (n=2: odd cent to the first; n≥3: the middle
+    * pool's remainder to the first middle), so every purchase's shares
+    * sum to its cents identically in both engines — no float percentage
+    * ever splits money.
+    *
+    * Scale: the lookback join is user-keyed equi + bounded time range —
+    * one shuffle on user_id, per-user work bounded by activity in the
+    * window (the b10_interval_join shape); the rank/count windows key on
+    * purchase_id, never corpus-wide. */
+  def attribution(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("cents",
+      (col("value").cast("decimal(12,2)") * 100).cast("long"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"), col("cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val pairs = p.join(c, Seq("user_id"))
+      .where(col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+    val byP = Window.partitionBy(col("purchase_id"))
+    val ranked = pairs
+      .withColumn("rnk", row_number().over(byP.orderBy(col("cts"), col("click_id"))))
+      .withColumn("n_clicks", count(lit(1)).over(byP))
+      .withColumn("f", expr("(cents * 40) div 100"))
+      .withColumn("mid_base", expr("CASE WHEN n_clicks >= 3 THEN (cents - 2*f) div (n_clicks - 2) END"))
+      .withColumn("mid_rem", expr("CASE WHEN n_clicks >= 3 THEN (cents - 2*f) % (n_clicks - 2) END"))
+    val share = expr("""
+      CASE WHEN n_clicks = 1 THEN cents
+           WHEN n_clicks = 2 THEN CASE WHEN rnk = 1 THEN cents div 2 + cents % 2
+                                       ELSE cents div 2 END
+           WHEN rnk = 1 THEN f
+           WHEN rnk = n_clicks THEN f
+           WHEN rnk = 2 THEN mid_base + mid_rem
+           ELSE mid_base END""")
+    ranked.select(col("purchase_id"), col("rnk"), col("click_id"), col("n_clicks"),
+        share.as("share_cents"),
+        (share.cast("double") / 100).as("share"))
+      .orderBy(col("purchase_id"), col("rnk"))
+  }
+
+  def attributionQuery(s: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
     "b10_top_paths" -> (topPathsQuery _),
     "b10_funnel" -> (funnelQuery _),
@@ -245,6 +296,43 @@ object EventAnalytics {
                THEN CAST(n_users AS DOUBLE) / (SELECT n_users FROM s WHERE step_idx = 1)
              END AS pct_of_first
       FROM s ORDER BY step_idx""",
+    "b10_attribution" -> """
+      WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                  FROM events),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS pts, cents
+            FROM ev WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS click_id, user_id, ts AS cts
+            FROM ev WHERE event_type = 'click'),
+      pairs AS (SELECT p.purchase_id, p.cents, c.click_id, c.cts
+                FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 7 DAY),
+      ranked AS (SELECT *,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY purchase_id
+                     ORDER BY cts, click_id) AS INT) AS rnk,
+                   COUNT(*) OVER (PARTITION BY purchase_id) AS n_clicks,
+                   (cents * 40) // 100 AS f
+                 FROM pairs),
+      shares AS (SELECT *,
+                   CASE WHEN n_clicks >= 3 THEN (cents - 2*f) // (n_clicks - 2) END AS mid_base,
+                   CASE WHEN n_clicks >= 3 THEN (cents - 2*f) % (n_clicks - 2) END AS mid_rem
+                 FROM ranked)
+      SELECT purchase_id, rnk, click_id, n_clicks,
+        CAST(CASE WHEN n_clicks = 1 THEN cents
+             WHEN n_clicks = 2 THEN CASE WHEN rnk = 1 THEN cents // 2 + cents % 2
+                                         ELSE cents // 2 END
+             WHEN rnk = 1 THEN f
+             WHEN rnk = n_clicks THEN f
+             WHEN rnk = 2 THEN mid_base + mid_rem
+             ELSE mid_base END AS BIGINT) AS share_cents,
+        CAST(CASE WHEN n_clicks = 1 THEN cents
+             WHEN n_clicks = 2 THEN CASE WHEN rnk = 1 THEN cents // 2 + cents % 2
+                                         ELSE cents // 2 END
+             WHEN rnk = 1 THEN f
+             WHEN rnk = n_clicks THEN f
+             WHEN rnk = 2 THEN mid_base + mid_rem
+             ELSE mid_base END AS DOUBLE) / 100 AS share
+      FROM shares ORDER BY purchase_id, rnk""",
     "b06_ewma" -> """
       WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
                     CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c

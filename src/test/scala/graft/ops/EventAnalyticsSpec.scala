@@ -84,4 +84,24 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-01T00:00", 2) -> 1L,
       ("2024-01-02T00:00", 0) -> 1L))
   }
+
+  test("attribution conserves money: shares sum to purchase cents exactly (B10)") {
+    // real corpus: every attributed purchase's integer shares must sum to
+    // its exact cents — the no-float-splits contract — and the U-shape
+    // must hold where n >= 3 (first == last == 40% floor)
+    val ev = graft.Tables.events(spark, sfDir)
+    val out = EventAnalytics.attribution(ev).collect()
+    assert(out.nonEmpty)
+    val cents = ev.filter($"event_type" === "purchase")
+      .select($"event_id", ($"value".cast("decimal(12,2)") * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    for ((pid, rows) <- out.groupBy(_.getLong(0))) {
+      assert(rows.map(_.getLong(4)).sum === cents(pid), s"purchase $pid shares != cents")
+      val n = rows.head.getLong(3)
+      if (n >= 3) {
+        val byRank = rows.map(r => r.getInt(1) -> r.getLong(4)).toMap
+        assert(byRank(1) === cents(pid) * 40 / 100 && byRank(n.toInt) === cents(pid) * 40 / 100)
+      }
+    }
+  }
 }
