@@ -48,6 +48,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.DotProductQ].getName, "dot_q"),
       exprs => { arity("dot_q", exprs, 2)
         graft.functions.DotProductQ(exprs(0), exprs(1)) }),
+    // merge-intersection of two SORTED long arrays (the triangle kernel;
+    // caller contract: ascending, non-null elements)
+    (FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[graft.functions.SortedIntersect].getName, "sorted_intersect"),
+      exprs => { arity("sorted_intersect", exprs, 2)
+        graft.functions.SortedIntersect(exprs(0), exprs(1)) }),
     // per-row document sketches (shuffle-free dedup kernels)
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),

@@ -104,9 +104,12 @@ object GraphOps {
     // re-derive the oriented edges by EXPLODING the adjacency — each edge
     // arrives already carrying its source's array, so the closing probe
     // is ONE join (on dst) instead of two
+    // sorted_intersect: fused two-pointer codegen kernel — array_intersect
+    // builds a hash set per edge (millions of allocations per stage);
+    // both arrays are sorted by construction (sort_array above)
     val tri = adj.select($"src", explode($"nbrs").as("dst"), $"nbrs".as("na"))
       .join(adj.select($"src".as("dst"), $"nbrs".as("nb")), Seq("dst"))
-      .withColumn("common", array_intersect($"na", $"nb"))
+      .withColumn("common", graft.functions.SortedIntersect($"na", $"nb"))
       .withColumn("nt", size($"common").cast("long"))
       .where($"nt" > 0)
     tri.select(explode(concat(
