@@ -85,6 +85,22 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-02T00:00", 0) -> 1L))
   }
 
+  test("ewma: hand-computed 8-tap fixture (B6)") {
+    // one user, values 1..9 dollars at minute intervals. First emission at
+    // the 8th event: num = 64·800 + 32·700 + 16·600 + 8·500 + 4·400 +
+    // 2·300 + 1·200 + 1·100 = 89700 → 89700/12800 = 7.0078125
+    val d = (1 to 9).map(i => (i.toLong,
+      Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"), 1L, "view", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.ewmaTrunc(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out.keySet === Set(8L, 9L))
+    assert(out(8L) === 89700.0 / 12800)
+    // at event 9 the window slides one step: 64·900+32·800+16·700+8·600+
+    // 4·500+2·400+1·300+1·200 = 102500
+    assert(out(9L) === 102500.0 / 12800)
+  }
+
   test("attribution conserves money: shares sum to purchase cents exactly (B10)") {
     // real corpus: every attributed purchase's integer shares must sum to
     // its exact cents — the no-float-splits contract — and the U-shape

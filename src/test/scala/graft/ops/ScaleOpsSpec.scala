@@ -19,6 +19,22 @@ class ScaleOpsSpec extends SparkSpec {
       plain.select("o_orderkey", "c_name")).count() === 0)
   }
 
+  test("salting actually SPREADS a degenerate hot key across partitions") {
+    // 100k rows of ONE key: an unsalted equi-join hashes them all to a
+    // single reducer partition; the salted plan must land them in >1
+    // (up to `salts`) — the property that makes salting worth its
+    // replication cost, previously untested directly
+    val big = spark.range(100000).select(lit(7L).as("k"), $"id")
+    val small = Seq((7L, "x")).toDF("k", "v")
+    def nonEmptyParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0)).sum().toInt
+    val plain = big.join(small, "k")
+    val salted = ScaleOps.saltedJoin(big, small, "k", salts = 8)
+    assert(salted.count() === plain.count())
+    assert(nonEmptyParts(salted.select($"id")) >= 4,
+      "salted join left the hot key on too few partitions")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, sfDir)
     val direct = li.groupBy($"l_suppkey")
