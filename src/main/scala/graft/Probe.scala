@@ -75,10 +75,16 @@ object Probe {
       // shift BOTH keys per replica: disjoint orders AND disjoint vertex
       // sets, so edges and triangles multiply exactly k× (shifting only
       // orders would generate duplicate (u,v) pairs that collapse in the
-      // distinct — measuring edge-build cost, not kernel scaling)
+      // distinct — measuring edge-build cost, not kernel scaling).
+      // The offset derives from the ACTUAL max keys (r6-ADVICE): a fixed
+      // 1e8 constant only guarantees disjoint ranges up to ~sf16, beyond
+      // which replicas overlap and distinct() collapses edges, quietly
+      // invalidating the k×-growth measurement.
+      val mx = li.agg(greatest(max(col("l_orderkey")), max(col("l_partkey"))).as("m"))
+        .head().getLong(0) + 1L
       val big = li.crossJoin(spark.range(reps).toDF("rep"))
-        .select((col("l_orderkey") + col("rep") * 100000000L).as("l_orderkey"),
-          (col("l_partkey") + col("rep") * 100000000L).as("l_partkey")).cache()
+        .select((col("l_orderkey") + col("rep") * mx).as("l_orderkey"),
+          (col("l_partkey") + col("rep") * mx).as("l_partkey")).cache()
       println(s"  stress graph lineitem rows=${big.count()} (${reps}x disjoint orders)")
       time(s"stress_tri_${reps}x") { trianglesOn(big) }
       big.unpersist()

@@ -62,9 +62,13 @@ object Tables {
       expr(s"timestampadd(MICROSECOND, $microsSql, TIMESTAMP_NTZ'1970-01-01 00:00:00')"))
   }
 
-  /** Reads the parquet footer (first footer if `p` is a directory) and
-    * returns true iff column `ts` is annotated TIMESTAMP(unit=NANOS).
-    * One footer read on the driver; no data pass. */
+  /** Reads EVERY parquet footer under `p` (or the single file) and
+    * returns true iff column `ts` is annotated TIMESTAMP(unit=NANOS) in
+    * all of them. A directory whose files disagree on the annotation
+    * fails fast — otherwise a mixed directory whose first file is NANOS
+    * would silently divide the raw-INT64 files by 1000 (the exact
+    * rescale bug this gate exists to prevent). Footer reads are
+    * driver-side metadata only; no data pass. */
   private def tsAnnotatedNanos(spark: SparkSession, p: String): Boolean = {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -73,21 +77,32 @@ object Tables {
     val conf = spark.sparkContext.hadoopConfiguration
     val hp = new HPath(p)
     val fs = hp.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(hp).isDirectory)
-        fs.listStatus(hp).map(_.getPath)
+    val files: Seq[HPath] =
+      if (fs.getFileStatus(hp).isDirectory) {
+        val fp = fs.listStatus(hp).map(_.getPath)
           .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-          .sortBy(_.getName).headOption
-          .getOrElse(sys.error(s"Tables.events: no parquet files under $p"))
-      else hp
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      schema.containsField("ts") && (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-        case _ => false
-      })
-    } finally reader.close()
+          .sortBy(_.getName).toSeq
+        if (fp.isEmpty) sys.error(s"Tables.events: no parquet files under $p")
+        fp
+      } else Seq(hp)
+    def footerNanos(file: HPath): Boolean = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") && (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+      } finally reader.close()
+    }
+    val verdicts = files.map(f => f -> footerNanos(f))
+    val (nanos, notNanos) = verdicts.partition(_._2)
+    if (nanos.nonEmpty && notNanos.nonEmpty) sys.error(
+      s"Tables.events: parquet files under $p disagree on the `ts` logical type " +
+      s"annotation — TIMESTAMP(NANOS): ${nanos.map(_._1.getName).mkString(",")}; " +
+      s"not: ${notNanos.map(_._1.getName).mkString(",")}. Refusing a mixed read " +
+      "(the ns→us rescale would silently corrupt the non-NANOS files).")
+    notNanos.isEmpty
   }
 }

@@ -27,7 +27,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class SortedIntersect(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  // containsNull = false: a null element slot would read as garbage 0 via
+  // getLong, silently corrupting results for SQL callers — reject at analysis.
+  override def inputTypes =
+    Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))
   override def prettyName: String = "sorted_intersect"
   override def nullable: Boolean = left.nullable || right.nullable
 

@@ -37,7 +37,7 @@ object GraphOps {
     * (order, part) pairs: the final (u, v) distinct subsumes it (a part
     * listed twice in an order only duplicates edge rows that dedup
     * anyway), saving one full-table shuffle. */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def buildCopurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
@@ -45,6 +45,46 @@ object GraphOps {
       .join(li.select($"ok", $"pk".as("v")), Seq("ok"))
       .where($"u" < $"v")
       .select($"u", $"v").distinct()
+  }
+
+  /** Materialize-once co-purchase edge table shared by every B16 query
+    * (r6-verdict #3): the lineitem self-join + distinct dominated both
+    * graph queries when rebuilt from cold per query. At 100 TB you'd
+    * bucket-write the edge set by `u` once ([[ScaleOps.writeBucketed]])
+    * and point every graph job at it; locally the same move is a parquet
+    * snapshot under the JVM tmpdir, keyed by the source dir plus the
+    * lineitem table's (bytes, mtime) signature so a regenerated testdata
+    * dir invalidates the snapshot instead of serving stale edges. The
+    * write stages to a unique temp dir and renames in — a concurrent
+    * builder loses the race harmlessly and reads the winner's snapshot.
+    * Layout: repartitioned by `u` (the downstream group/join key) so
+    * consumers start from a sane distribution. Content is IDENTICAL to
+    * [[buildCopurchaseEdges]] — oracle hashes are unaffected. */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = s.sparkContext.hadoopConfiguration
+    val li = new HPath(s"$dir/lineitem.parquet")
+    val fs = li.getFileSystem(conf)
+    val st = fs.getFileStatus(li)
+    val sig = s"${fs.getContentSummary(li).getLength}-${st.getModificationTime}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val cacheDir = new HPath(
+      s"${sys.props("java.io.tmpdir")}/graft_scratch/copurchase_edges_$key")
+    val success = new HPath(cacheDir, "_SUCCESS")
+    if (!fs.exists(success)) {
+      val staged = new HPath(s"$cacheDir-staged-${java.util.UUID.randomUUID().toString.take(8)}")
+      buildCopurchaseEdges(s, dir)
+        .repartition(col("u"))
+        .write.mode("overwrite").parquet(staged.toString)
+      fs.mkdirs(cacheDir.getParent)
+      if (!fs.rename(staged, cacheDir)) {
+        // lost the race to a concurrent builder — use theirs
+        fs.delete(staged, true)
+        if (!fs.exists(success)) sys.error(s"copurchaseEdges: cannot materialize $cacheDir")
+      }
+    }
+    s.read.parquet(cacheDir.toString)
   }
 
   /** B16: degree profile of the co-purchase graph — the first sanity
@@ -85,10 +125,12 @@ object GraphOps {
     * 1 to every c ∈ I. */
   def trianglesOf(s: SparkSession, edgeSet: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    // edges feed degree + orientation (two consumers — cached, released
-    // by the caller's between-query clearCache); `adj` below feeds its
-    // own explode + the probe join through one aggregation, so the
-    // oriented frame needs no cache of its own
+    // edges feed degree + orientation (two consumers); `adj` below feeds
+    // its own explode + the probe join through one aggregation, so the
+    // oriented frame needs no cache of its own. Both caches are released
+    // before returning (r6-ADVICE): the top-k result is eagerly
+    // checkpointed (≤k rows), so callers that never clearCache — a
+    // long-running query loop — do not accumulate cached partitions.
     val edges = edgeSet.cache()
     val deg = edges.select($"u".as("p")).unionAll(edges.select($"v".as("p")))
       .groupBy($"p").agg(count(lit(1)).as("deg"))
@@ -112,7 +154,7 @@ object GraphOps {
       .withColumn("common", graft.functions.SortedIntersect($"na", $"nb"))
       .withColumn("nt", size($"common").cast("long"))
       .where($"nt" > 0)
-    tri.select(explode(concat(
+    val top = tri.select(explode(concat(
         array(struct($"src".as("p"), $"nt".as("c")),
               struct($"dst".as("p"), $"nt".as("c"))),
         expr("transform(common, x -> named_struct('p', x, 'c', CAST(1 AS BIGINT)))")))
@@ -121,6 +163,10 @@ object GraphOps {
       .groupBy($"part_key").agg(sum($"c").as("n_triangles"))
       .orderBy($"n_triangles".desc, $"part_key")
       .limit(k)
+      .localCheckpoint(true)
+    edges.unpersist()
+    adj.unpersist()
+    top
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

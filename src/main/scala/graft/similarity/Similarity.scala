@@ -230,19 +230,26 @@ object Similarity {
     * already-hash-gated deterministic pipelines, n_hits is an exact
     * semi-join count, and recall is one IEEE division — so the report
     * hash-matches cross-engine. Scale: the join is (|queries|·k)-sized,
-    * independent of corpus size. */
+    * independent of corpus size.
+    *
+    * `RecallK` is threaded into BOTH top-k calls and the denominator so
+    * the three can never drift apart; the denominator is additionally
+    * `min(RecallK, per-query brute hits)` so a query with fewer than k
+    * true neighbors can still reach recall 1.0 (r6-ADVICE). */
+  val RecallK = 10
   def ivfRecallQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val brute = bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+    val brute = bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
       .select($"query_id", $"vec_id")
-    val ivf = ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+    val ivf = ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
     val hits = ivf.join(brute, Seq("query_id", "vec_id"), "left_semi")
       .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
-    brute.select($"query_id").distinct()
+    val denom = brute.groupBy($"query_id").agg(count(lit(1)).as("n_brute"))
+    denom
       .join(hits, Seq("query_id"), "left_outer")
       .na.fill(0L, Seq("n_hits"))
       .select($"query_id", $"n_hits",
-        ($"n_hits".cast("double") / lit(10)).as("recall_at_10"))
+        ($"n_hits".cast("double") / least(lit(RecallK), $"n_brute")).as("recall_at_10"))
       .orderBy($"query_id")
   }
 
@@ -936,10 +943,11 @@ object Similarity {
       hits AS (SELECT i.query_id, COUNT(*) AS n_hits
                FROM itop i JOIN btop b
                  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
-               GROUP BY i.query_id)
-      SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
-             CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10 AS recall_at_10
-      FROM (SELECT DISTINCT query_id FROM btop) q
+               GROUP BY i.query_id),
+      bc AS (SELECT query_id, COUNT(*) AS n_brute FROM btop GROUP BY query_id)
+      SELECT bc.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+             CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / LEAST(10, bc.n_brute) AS recall_at_10
+      FROM bc
       LEFT JOIN hits h USING (query_id)
       ORDER BY query_id""",
     // the FULL IVF pipeline — portable md5-ordered cell seeds, corpus

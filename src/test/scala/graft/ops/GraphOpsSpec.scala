@@ -35,7 +35,10 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("plan shape: two-column pruned scan, no cartesian product") {
-    val qe = GraphOps.triangleParticipation(spark, sfDir).queryExecution
+    // the lineitem scan lives in the ONE-TIME edge materialization (r7:
+    // b16 queries share a parquet edge snapshot); audit the build plan —
+    // that is where pruning matters at 100 TB
+    val qe = GraphOps.buildCopurchaseEdges(spark, sfDir).queryExecution
     val formatted = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!formatted.contains("CartesianProduct"))
     // the lineitem scan must read ONLY the two edge-build columns
