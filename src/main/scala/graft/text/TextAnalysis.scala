@@ -84,13 +84,52 @@ object TextAnalysis {
   }
 
   /** B13: document fingerprint via the custom codegen'd rolling-hash
-    * expression (no SQL oracle — cross-engine hash functions differ). */
+    * expression (no SQL oracle — the FULL-document hash lives in 64-bit
+    * wraparound arithmetic no SQL engine replays; the portable twin
+    * below hash-gates the same kernel in its exact regime). */
   def fingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(
       $"doc_id",
       RollingHash($"text").as("fingerprint"),
       RollingHash(lower($"text")).as("fingerprint_ci"))
+      .orderBy($"doc_id")
+  }
+
+  /** Tokens whose RollingHash is EXACT 64-bit integer arithmetic: ≤ 12
+    * ASCII bytes. h = Σ byte·31^i is bounded by 255·(31^12−1)/30 ≈
+    * 6.7e18 < 2^63−1, so no wraparound occurs — every arithmetic step is
+    * plain BIGINT math an ANSI engine replays verbatim. 13 bytes would
+    * overflow (≈2.1e20). ASCII-only because the kernel hashes UTF-8
+    * BYTES while SQL `ord(substr(tok,i,1))` yields CODE POINTS — equal
+    * exactly on ASCII. */
+  private[text] val FingerprintMaxLen = 12
+  private[text] val FingerprintAsciiRe = "^[ -~]*$"
+  private val FingerprintHornerSql: String =
+    (1 to FingerprintMaxLen).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(CASE WHEN length(tok) >= $i THEN ($acc) * 31 + ord(substr(tok, $i, 1)) ELSE ($acc) END)"
+    }
+
+  /** B13 (r7): PORTABLE rolling-hash fingerprint — the b12_minhash_portable
+    * move applied to [[RollingHash]] (r6-verdict #1): run the REAL codegen
+    * kernel on windows where its arithmetic is exact (per-token, ≤ 12
+    * ASCII bytes — the whole corpus vocabulary here), so DuckDB can replay
+    * the identical polynomial with an unrolled Horner chain and the
+    * fingerprint operator gets a cross-engine hash gate. Output is the
+    * per-document fingerprint record: min/max token hash + distinct hash
+    * count. Plan shape: explode → scan-side codegen hash → one
+    * map-side-combinable aggregate keyed on doc_id; no corpus-wide
+    * shuffle beyond the group-by. */
+  def fingerprintPortable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok").between(1, FingerprintMaxLen) &&
+        $"tok".rlike(FingerprintAsciiRe))
+      .select($"doc_id", RollingHash($"tok").as("fp"))
+      .groupBy($"doc_id")
+      .agg(min($"fp").as("fp_min"), max($"fp").as("fp_max"),
+        countDistinct($"fp").as("n_distinct_fp"))
       .orderBy($"doc_id")
   }
 
@@ -792,6 +831,7 @@ object TextAnalysis {
     "b13_quality_score" -> (qualityScore _),
     "b13_language_id" -> (languageId _),
     "b13_fingerprint" -> (fingerprints _),
+    "b13_fingerprint_portable" -> (fingerprintPortable _),
     "b13_winnow_fingerprint" -> (winnowQuery _),
     "b13_tfidf_top_terms" -> (tfidfTopTerms _),
     "b13_chunking" -> (chunkDocs _),
@@ -860,6 +900,20 @@ object TextAnalysis {
              CAST(sp AS DOUBLE) / 1000000000.0 AS score
       FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank"
     """,
+    // the unrolled Horner chain replaying RollingHash exactly on tokens
+    // in its exact-integer regime (≤ 12 ASCII bytes — see
+    // FingerprintMaxLen): h_i = h_{i-1}·31 + codepoint_i while i ≤ len
+    "b13_fingerprint_portable" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      f AS (
+        SELECT doc_id, tok FROM toks
+        WHERE length(tok) BETWEEN 1 AND $FingerprintMaxLen
+          AND regexp_matches(tok, '^[ -~]*$$')),
+      h AS (SELECT doc_id, $FingerprintHornerSql AS fp FROM f)
+      SELECT doc_id, MIN(fp) AS fp_min, MAX(fp) AS fp_max,
+             COUNT(DISTINCT fp) AS n_distinct_fp
+      FROM h GROUP BY doc_id ORDER BY doc_id""",
     // k=4, w=4: grams are toks[i : i+3] (DuckDB inclusive slice = 4
     // tokens); ng = len-3; full windows need pos <= ng-4; the hash is the
     // engine-portable md5-prefix integer, identical on both engines

@@ -15,6 +15,21 @@ class RollingHashSpec extends SparkSpec {
     assert(got.toSeq === inputs.map(reference))
   }
 
+  test("exact regime (b13_fingerprint_portable): kernel == pure-BigInt polynomial " +
+    "for <=12 ASCII bytes; 13 bytes overflows") {
+    // the portable-twin contract: within FingerprintMaxLen ASCII bytes the
+    // 64-bit hash never wraps, so an ANSI engine's plain BIGINT Horner
+    // chain replays it bit-exactly. Pin the boundary with the max-valued
+    // ASCII byte '~' (126): 12 bytes stays under 2^63; 13 does not.
+    def exact(s: String): BigInt =
+      s.getBytes("UTF-8").foldLeft(BigInt(0))((h, b) => h * 31 + (b & 0xff))
+    val inBound = Seq("~" * 12, "a", "hello", "x" * 12, " !~", "0123456789ab")
+    assert(inBound.forall(s => exact(s) <= Long.MaxValue))
+    val got = inBound.toDF("s").select(RollingHash($"s")).collect().map(_.getLong(0))
+    assert(got.toSeq === inBound.map(s => exact(s).toLong))
+    assert(exact("~" * 13) > Long.MaxValue) // 13 bytes: wraparound regime
+  }
+
   test("rolling_hash is null-safe and whole-stage-codegen friendly") {
     val df = Seq(Some("abc"), None).toDF("s").select(RollingHash($"s").as("h"))
     val rows = df.collect()
