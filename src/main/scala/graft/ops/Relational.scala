@@ -506,6 +506,50 @@ object Relational {
       .limit(25)
   }
 
+  /** B5 (r7): the b05_approx_stats report rebuilt from this library's OWN
+    * mergeable sketches in their EXACT regimes (r6-verdict #2 — the
+    * b12-portable move applied to the sketch family): KMV distinct-count
+    * with k = 2^14 > the ~11k distinct orderkeys per flag at gate scale,
+    * and the deterministic KLL-style quantile sketch with capacity 2^19 >
+    * the largest per-flag group even at sf0.1 — no counter evicts, no
+    * compactor fires, so the outputs are exactly COUNT(DISTINCT) and the
+    * ⌈p·n⌉-rank order statistics and the row hash-gates against DuckDB.
+    * (The engine-HLL/percentile_approx original stays rows-only: its
+    * internals are not replayable cross-engine.) Dispersion comes from
+    * exact integer moments (prices as rounded cents, quantities as
+    * longs): stddev_pop = sqrt(n·Σx² − (Σx)²)/n with ONE IEEE sqrt and
+    * division at the end — shuffle-order-independent and portable, the
+    * b04 exact-moment convention. Beyond the exact regime the SAME code
+    * degrades to the documented estimator/bounded-error behavior with
+    * capacity-bounded partials (KMV stays merge-tree-invariant even
+    * lossy), so the 100 TB path is this query with smaller constants. */
+  def approxStatsExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kmv = udaf(new graft.functions.KmvDistinctAgg(1 << 14))
+    val qs = udaf(new graft.functions.QuantileSketchAgg(1 << 19,
+      Seq(1 -> 4, 1 -> 2, 3 -> 4)))
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        $"l_orderkey", $"l_partkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("qn"))
+      .groupBy($"l_returnflag")
+      .agg(
+        kmv($"l_orderkey".cast("string")).as("n_orders"),
+        kmv($"l_partkey".cast("string")).as("n_parts"),
+        qs($"cents").as("q"),
+        count(lit(1)).as("n"),
+        sum($"qn").as("sq"),
+        sum($"qn" * $"qn").as("sq2"))
+      .select($"l_returnflag", $"n_orders", $"n_parts",
+        $"q" (0).as("price_p25_cents"),
+        $"q" (1).as("price_p50_cents"),
+        $"q" (2).as("price_p75_cents"),
+        (sqrt(($"n" * $"sq2" - $"sq" * $"sq").cast("double")) / $"n".cast("double"))
+          .as("qty_stddev"))
+      .orderBy($"l_returnflag")
+  }
+
   /** B5: per-source length percentiles via the mergeable
     * [[graft.functions.QuantileSketchAgg]] — the bounded-memory quantile
     * aggregate behind dynamic curation cutoffs (see
@@ -728,6 +772,7 @@ object Relational {
     "b05_heavy_hitters" -> (heavyHitters _),
     "b05_quantile_sketch" -> (quantileSketch _),
     "b05_distinct_sketch" -> (distinctSketch _),
+    "b05_approx_stats_exact" -> (approxStatsExact _),
     "b03_fuzzy_join" -> (fuzzyJoinQuery _),
     "b05_histogram" -> (histogram _),
     "b06_window_rank" -> (windowRank _),
@@ -941,6 +986,38 @@ object Relational {
         COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
         COUNT(DISTINCT l_partkey) AS distinct_parts
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // exact-regime sketch semantics: percentiles are the ⌈p·n⌉-rank order
+    // statistics (the sketch's percentile_disc contract), distincts are
+    // plain COUNT(DISTINCT), stddev from exact integer moments with one
+    // IEEE sqrt/division — same final-op arithmetic as the Spark side
+    "b05_approx_stats_exact" -> """
+      WITH l AS (
+        SELECT l_returnflag, l_orderkey, l_partkey,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST(l_quantity AS BIGINT) AS qn
+        FROM lineitem),
+      r AS (
+        SELECT l_returnflag, cents,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+        FROM l),
+      pct AS (
+        SELECT l_returnflag,
+          MAX(CASE WHEN rn = (cnt + 3) // 4 THEN cents END) AS price_p25_cents,
+          MAX(CASE WHEN rn = (cnt + 1) // 2 THEN cents END) AS price_p50_cents,
+          MAX(CASE WHEN rn = (3 * cnt + 3) // 4 THEN cents END) AS price_p75_cents
+        FROM r GROUP BY l_returnflag),
+      base AS (
+        SELECT l_returnflag,
+          COUNT(DISTINCT l_orderkey) AS n_orders,
+          COUNT(DISTINCT l_partkey) AS n_parts,
+          COUNT(*) AS n, SUM(qn) AS sq, SUM(qn * qn) AS sq2
+        FROM l GROUP BY l_returnflag)
+      SELECT b.l_returnflag, b.n_orders, b.n_parts,
+        p.price_p25_cents, p.price_p50_cents, p.price_p75_cents,
+        sqrt(CAST(b.n * b.sq2 - b.sq * b.sq AS DOUBLE)) / CAST(b.n AS DOUBLE) AS qty_stddev
+      FROM base b JOIN pct p USING (l_returnflag)
+      ORDER BY b.l_returnflag""",
     "b06_window_rank" -> """
       SELECT o_custkey, o_orderkey, o_totalprice,
         CAST(ROW_NUMBER() OVER w AS INT) AS rn,
