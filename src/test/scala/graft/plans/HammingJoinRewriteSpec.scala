@@ -88,6 +88,38 @@ class HammingJoinRewriteSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("declared b12_hamming_join_sql goes THROUGH the rule: chunked " +
+    "equi-join union, no nested loop, matches the rule-free join") {
+    // the driver-gated query's exact SQL, with the rule active the same
+    // way the query activates it — assert the re-planned shape on the
+    // un-checkpointed frame (the declared query materializes eagerly, so
+    // its own plan is the checkpoint scan)
+    graft.dedup.Dedup.simHash63Portable(
+        graft.Tables.documents(spark, sfDir))
+      .createOrReplaceTempView("graft_hamming_sketches")
+    val sql = """
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(bit_count(a.sim ^ b.sim) AS INT) AS hamming
+      FROM graft_hamming_sketches a JOIN graft_hamming_sketches b
+        ON a.doc_id < b.doc_id AND bit_count(a.sim ^ b.sim) <= 3"""
+    val noRule = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    withRule {
+      val df = spark.sql(sql)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      val physical = df.queryExecution.executedPlan.toString
+      assert(optimized.contains("Union"), optimized.take(2000))
+      assert(!physical.contains("BroadcastNestedLoopJoin") &&
+        !physical.contains("CartesianProduct"), physical.take(2000))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      assert(got === noRule)
+    }
+    // and the declared query itself (checkpointed) returns the same pairs
+    val declared = graft.dedup.Dedup.hammingJoinSqlQuery(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(declared === noRule)
+  }
+
   test("k = 0 degenerates to a single equality join") {
     withRule {
       val a = sigs.toDF("a", "sa")
