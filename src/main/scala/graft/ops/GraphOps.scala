@@ -123,6 +123,25 @@ object GraphOps {
     * row, and only actual triangles (1 row each) are exploded for the
     * per-vertex attribution — edge (a,b) contributes |I| to a and b and
     * 1 to every c ∈ I. */
+  /** Degree-oriented sorted out-adjacency: each edge directed from its
+    * (degree, id)-smaller endpoint, so a hub's spokes all point INTO it
+    * and its own out-array stays arboricity-bounded (O(√m)) — the
+    * planted-hub spec asserts this directly on a 10k-spoke star. */
+  private[ops] def orientedAdjacency(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("p")).unionAll(edges.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("p").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("p").as("v"), col("deg").as("dv")), "v")
+    val fwd = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    withDeg.select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+  }
+
   def trianglesOf(s: SparkSession, edgeSet: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     // edges feed degree + orientation (two consumers); `adj` below feeds
@@ -132,17 +151,7 @@ object GraphOps {
     // checkpointed (≤k rows), so callers that never clearCache — a
     // long-running query loop — do not accumulate cached partitions.
     val edges = edgeSet.cache()
-    val deg = edges.select($"u".as("p")).unionAll(edges.select($"v".as("p")))
-      .groupBy($"p").agg(count(lit(1)).as("deg"))
-    val withDeg = edges
-      .join(deg.select($"p".as("u"), $"deg".as("du")), "u")
-      .join(deg.select($"p".as("v"), $"deg".as("dv")), "v")
-    val fwd = ($"du" < $"dv") || ($"du" === $"dv" && $"u" < $"v")
-    val oriented = withDeg.select(
-      when(fwd, $"u").otherwise($"v").as("src"),
-      when(fwd, $"v").otherwise($"u").as("dst"))
-    val adj = oriented.groupBy($"src")
-      .agg(sort_array(collect_list($"dst")).as("nbrs")).cache()
+    val adj = orientedAdjacency(edges).cache()
     // re-derive the oriented edges by EXPLODING the adjacency — each edge
     // arrives already carrying its source's array, so the closing probe
     // is ONE join (on dst) instead of two

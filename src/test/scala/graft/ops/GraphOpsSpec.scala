@@ -34,6 +34,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("planted 10k-spoke hub: orientation keeps the hub's out-adjacency " +
+    "empty, max out-degree O(1), counts exact (r6-verdict #5)") {
+    // hub 0 — 10k spokes, plus a rim ring (i, i+1): the graph twin of
+    // the 2000-identical-doc LSH flood. Every hub-rim-rim wedge closes a
+    // triangle, so a naive src-grouped plan would enumerate C(10k, 2) ≈
+    // 50M wedges from the hub's own adjacency; the degree orientation
+    // must instead point every spoke INTO the hub.
+    val n = 10000L
+    val spokes = (1L to n).map(i => (0L, i))
+    val rim = (1L until n).map(i => (i, i + 1))
+    val edges = (spokes ++ rim).toDF("u", "v")
+    val adj = GraphOps.orientedAdjacency(edges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // hub emits NOTHING: all 10k spoke edges orient spoke -> hub
+    assert(!adj.contains(0L) || adj(0L).isEmpty)
+    // and no vertex's out-array grows beyond the rim+hub bound — the
+    // wedge work per edge is O(1), linear overall, no quadratic term
+    assert(adj.values.map(_.length).max <= 2)
+    // exact counts: hub sits in n-1 triangles (one per rim edge); rim
+    // interior vertices in 2, the two rim endpoints in 1
+    val got = tri(spokes ++ rim, k = (n + 1).toInt)
+    assert(got(0L) === n - 1)
+    assert(got(1L) === 1L && got(n) === 1L)
+    assert(got(2L) === 2L && got(n / 2) === 2L)
+    assert(got.values.sum === (n - 1) * 3) // each triangle counted at 3 vertices
+  }
+
   test("plan shape: two-column pruned scan, no cartesian product") {
     // the lineitem scan lives in the ONE-TIME edge materialization (r7:
     // b16 queries share a parquet edge snapshot); audit the build plan —
