@@ -61,6 +61,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.sum === (n - 1) * 3) // each triangle counted at 3 vertices
   }
 
+  private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int) =
+    GraphOps.kCore(spark, edges.toDF("u", "v"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("k-core: K4 plus a pendant path — the clique IS the 2-core, path peels one vertex per round") {
+    // K4 on 1..4; path 4-5-6-7. Peel at k=2 removes only the current
+    // endpoint each round (7, then 6, then 5) — a genuine 3-round
+    // cascade, not a single simultaneous sweep.
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val got = kcore(edges, 2, 10)
+    // survivors: the clique, every member at induced degree 3
+    assert(got === (1L to 4L).map(_ -> 3L).toMap)
+    // bounded == unbounded once rounds cover the fixpoint; one round
+    // short the path's last vertex is still alive
+    assert(kcore(edges, 2, 3) === got)
+    assert(kcore(edges, 2, 2) !== got)
+  }
+
+  test("k-core: k above the max degree empties; k=1 keeps every non-isolated vertex") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(kcore(path, 3, 10).isEmpty)
+    assert(kcore(path, 1, 10) === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("plan shape: two-column pruned scan, no cartesian product") {
     // the lineitem scan lives in the ONE-TIME edge materialization (r7:
     // b16 queries share a parquet edge snapshot); audit the build plan —
