@@ -89,6 +89,56 @@ object Probe {
       time(s"stress_tri_${reps}x") { trianglesOn(big) }
       big.unpersist()
     }
+    if (sys.env.contains("PROBE_STRESS_PIPE")) {
+      // E1/E2 composition scaling (r6-verdict #7): run each flagship
+      // pipeline on a 1× and a k× DISJOINT corpus replica and compare
+      // walls. Disjointness for e01 is in CONTENT space: every token
+      // gets a per-replica suffix, so cross-replica docs share no token,
+      // gram, shingle, or hash — while within-replica dup/near-dup/
+      // contamination structure and the quality/language gates (labeled
+      // lang column, token counts) are preserved replica-for-replica.
+      // The 1× baseline gets the SAME rep-0 treatment so selectivity is
+      // identical and the ratio is clean. doc_id offsets are a multiple
+      // of 50 so the %50 bench-slice classes replicate exactly. e02
+      // replicates ids only (text unchanged — the fixed BM25 query
+      // tokens must keep matching); its stages 2-3 are retrieval-sized
+      // by construction, so near-flat growth there is the expectation.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val reps = sys.env.getOrElse("PROBE_STRESS_PIPE", "8").toInt
+      val docs = Tables.documents(spark, dir).select(
+        col("doc_id"), col("text"), col("lang")).cache()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val off = ((maxId / 50) + 1) * 50
+      def suffixed(r: Int): DataFrame = docs
+        .crossJoin(spark.range(r).toDF("rep"))
+        .select((col("doc_id") + col("rep") * off).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_r"), col("rep").cast("string"))), " ").as("text"),
+          col("lang"))
+        .cache()
+      def shifted(r: Int): DataFrame = docs
+        .crossJoin(spark.range(r).toDF("rep"))
+        .select((col("doc_id") + col("rep") * off).as("doc_id"), col("text"))
+        .cache()
+      def run(name: String, df: => DataFrame): Unit = {
+        time(name) { df.write.format("noop").mode("overwrite").save() }
+        spark.catalog.clearCache()
+      }
+      val s1 = suffixed(1); println(s"  e01 1x docs=${s1.count()}")
+      run("stress_e01_warm", ops.PretrainPipeline.curateDocs(s1))
+      val s1b = suffixed(1)
+      run("stress_e01_1x", ops.PretrainPipeline.curateDocs(s1b))
+      val sk = suffixed(reps); println(s"  e01 ${reps}x docs=${sk.count()}")
+      run(s"stress_e01_${reps}x", ops.PretrainPipeline.curateDocs(sk))
+      val r1 = shifted(1)
+      run("stress_e02_warm", ops.RagPipeline.ragRetrievalDocs(r1))
+      val r1b = shifted(1)
+      run("stress_e02_1x", ops.RagPipeline.ragRetrievalDocs(r1b))
+      val rk = shifted(reps); println(s"  e02 ${reps}x docs=${rk.count()}")
+      run(s"stress_e02_${reps}x", ops.RagPipeline.ragRetrievalDocs(rk))
+      docs.unpersist()
+    }
     if (sys.env.contains("PROBE_RULES")) {
       // Optimizer-rule scale evidence: the same queries with and without
       // the graft rewrite rules, against real testdata. The naive plans

@@ -32,14 +32,20 @@ object RagPipeline {
   val RetrieveK = 20
   val TokenBudget = 800
 
-  def ragRetrieval(s: SparkSession, dir: String): DataFrame = {
+  def ragRetrieval(s: SparkSession, dir: String): DataFrame =
+    ragRetrievalDocs(Tables.documents(s, dir))
+
+  /** The pipeline over any `(doc_id, text)` frame — the corpus-input
+    * seam the e02 scale probe replicates through. */
+  def ragRetrievalDocs(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
     import s.implicits._
-    val retrieved = graft.text.TextAnalysis.bm25Rank(s, dir, RetrieveK)
+    val retrieved = graft.text.TextAnalysis.bm25RankDocs(corpus, RetrieveK)
       .select($"query_id", $"rank", $"doc_id", $"score")
       // feeds candidate-pair gen (twice), the gram build's id filter, and
       // the survivor join — one materialization, retrieval-sized
       .cache()
-    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val docs = corpus.select($"doc_id", $"text")
     val rdocs = docs.join(retrieved.select($"doc_id").distinct(), "doc_id")
     val grams = rdocs.select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 3)

@@ -716,9 +716,14 @@ object TextAnalysis {
     * textbook `ln` back in by wrapping the idf factor in `log1p` — the
     * plan shape, broadcasts, and fixed-point ranking all carry over
     * unchanged; only the oracle contract is lost. */
-  def bm25Rank(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def bm25Rank(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25RankDocs(Tables.documents(s, dir), k)
+
+  /** [[bm25Rank]] over any `(doc_id, text)` frame — the corpus-input
+    * seam the e02 scale probe replicates through. */
+  def bm25RankDocs(docs: DataFrame, k: Int = 10): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, dir)
     val lens = docs.select($"doc_id", size(tokens($"text")).as("len"))
     val stats = broadcast(lens.agg(
       count(lit(1)).as("n_docs"), sum($"len").cast("long").as("t_toks")))
