@@ -267,7 +267,17 @@ object WorkflowQueries {
     * toward zero; the oracle unrolls the same three iterations. */
   def personalizedPageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import s.implicits._
-    val edges = broaderEdges(s, dir).select($"node".as("u"), $"ancestor".as("v")).cache()
+    personalizedPageRankEdges(
+      broaderEdges(s, dir).select($"node".as("u"), $"ancestor".as("v")), iters)
+  }
+
+  /** [[personalizedPageRank]] over any `(u, v)` edge frame — the
+    * graph-input seam shared by the batch query and the streaming
+    * refresh twin ([[graft.streaming.Streaming.PprRefresh]]). */
+  def personalizedPageRankEdges(edgeSet: DataFrame, iters: Int = 3): DataFrame = {
+    val s = edgeSet.sparkSession
+    import s.implicits._
+    val edges = edgeSet.cache()
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("outdeg"))
     val nodes = edges.select($"u".as("node")).union(edges.select($"v".as("node")))
       .distinct().localCheckpoint(true)

@@ -656,6 +656,43 @@ object Streaming {
     graft.harvest.Store.writeTable(terms, storeDir, "terms")
   }
 
+  /** w08 streaming twin (r7, r6-verdict #8): iterative graph algorithms
+    * cannot run INSIDE a streaming dataflow — a fixed-point loop is not
+    * a streaming operator (there is no cross-key iteration within a
+    * trigger: each round's contributions traverse edges, i.e. cross
+    * grouping keys, so `flatMapGroupsWithState` cannot express it). The
+    * graph family therefore gets the OTHER production pattern, the
+    * foreachBatch REFRESH: edge micro-batches accumulate into the
+    * distinct edge set (per-batch lineage cut via eager checkpoint),
+    * and each trigger recomputes personalized PageRank over the
+    * graph-so-far with the exact batch kernel
+    * ([[graft.ops.WorkflowQueries.personalizedPageRankEdges]]). Every
+    * emitted snapshot is therefore bit-identical to the batch query on
+    * the same edge prefix, and after the final batch streamed == batch
+    * exactly — both pinned in StreamingSpec. At 100 TB the accumulated
+    * edge set is a bucketed table and the refresh runs per trigger
+    * cadence; incremental PPR maintenance (residual push à la
+    * Andersen-Chung-Lang) would trade the exactness gate for per-edge
+    * work and is deliberately not the declared semantics. */
+  final class PprRefresh {
+    @volatile private var acc: Option[DataFrame] = None
+    @volatile private var last: Option[DataFrame] = None
+    /** foreachBatch body: merge the micro-batch of `(u, v)` edges into
+      * the accumulated graph and recompute the ranks snapshot. */
+    def update(batch: DataFrame, batchId: Long): Unit = {
+      val edges = batch.select(col("u"), col("v"))
+      val merged = acc match {
+        case Some(a) => a.unionByName(edges).distinct()
+        case None    => edges.distinct()
+      }
+      val snap = merged.localCheckpoint(true)
+      acc = Some(snap)
+      last = Some(graft.ops.WorkflowQueries.personalizedPageRankEdges(snap))
+    }
+    /** Latest ranks snapshot (None before the first batch). */
+    def ranks: Option[DataFrame] = last
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

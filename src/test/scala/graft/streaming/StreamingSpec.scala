@@ -222,6 +222,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.getLong(4)).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("w08 streaming refresh: per-trigger PPR snapshot == batch PPR on the " +
+    "edge prefix; final streamed == batch (r6-verdict #8)") {
+    // two seed nodes (0, 10 ≡ 0 mod 10) and a small DAG; batch 2 adds
+    // edges that reroute mass, so prefix and final snapshots differ —
+    // the pin is non-vacuous
+    val batch1 = Seq((1L, 10L), (2L, 10L), (10L, 20L), (3L, 20L))
+    val batch2 = Seq((20L, 0L), (4L, 10L), (0L, 30L))
+    def pprOf(edges: Seq[(Long, Long)]) =
+      graft.ops.WorkflowQueries.personalizedPageRankEdges(edges.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val refresh = new Streaming.PprRefresh
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = input.toDF().toDF("u", "v").writeStream
+      .foreachBatch(refresh.update _).outputMode("update").start()
+    input.addData(batch1); q.processAllAvailable()
+    val snap1 = refresh.ranks.get.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap1 === pprOf(batch1)) // trigger snapshot == batch on the prefix
+    input.addData(batch2); q.processAllAvailable()
+    val snap2 = refresh.ranks.get.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(snap2 === pprOf(batch1 ++ batch2)) // final streamed == batch
+    assert(snap1 !== snap2) // batch 2 really moved mass
+  }
+
   test("foreachBatch harvest sink merges micro-batches with stable ids (B10/A21)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val input = MemoryStream[String](spark)
