@@ -142,14 +142,20 @@ object GraphOps {
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
   }
 
-  def trianglesOf(s: SparkSession, edgeSet: DataFrame, k: Int): DataFrame = {
+  /** Runs `f` over (cached edges, triangle listing) and eagerly
+    * checkpoints the (small, top-k-sized) result so both caches can be
+    * released before returning (r6-ADVICE: callers that never clearCache
+    * — a long-running query loop — must not accumulate cached
+    * partitions). The listing has one row per oriented edge (src, dst)
+    * that closes at least one triangle, carrying `common` = the sorted
+    * array of closing vertices — every triangle {src, dst, c} appears
+    * exactly once, at its (deg, id)-smallest edge. */
+  private def overTriangles(s: SparkSession, edgeSet: DataFrame)(
+      f: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import s.implicits._
     // edges feed degree + orientation (two consumers); `adj` below feeds
     // its own explode + the probe join through one aggregation, so the
-    // oriented frame needs no cache of its own. Both caches are released
-    // before returning (r6-ADVICE): the top-k result is eagerly
-    // checkpointed (≤k rows), so callers that never clearCache — a
-    // long-running query loop — do not accumulate cached partitions.
+    // oriented frame needs no cache of its own.
     val edges = edgeSet.cache()
     val adj = orientedAdjacency(edges).cache()
     // re-derive the oriented edges by EXPLODING the adjacency — each edge
@@ -161,22 +167,93 @@ object GraphOps {
     val tri = adj.select($"src", explode($"nbrs").as("dst"), $"nbrs".as("na"))
       .join(adj.select($"src".as("dst"), $"nbrs".as("nb")), Seq("dst"))
       .withColumn("common", graft.functions.SortedIntersect($"na", $"nb"))
-      .withColumn("nt", size($"common").cast("long"))
-      .where($"nt" > 0)
-    val top = tri.select(explode(concat(
-        array(struct($"src".as("p"), $"nt".as("c")),
-              struct($"dst".as("p"), $"nt".as("c"))),
-        expr("transform(common, x -> named_struct('p', x, 'c', CAST(1 AS BIGINT)))")))
-        .as("pc"))
-      .select($"pc.p".as("part_key"), $"pc.c".as("c"))
-      .groupBy($"part_key").agg(sum($"c").as("n_triangles"))
-      .orderBy($"n_triangles".desc, $"part_key")
-      .limit(k)
-      .localCheckpoint(true)
+      .where(size($"common") > 0)
+      .select($"src", $"dst", $"common")
+    val out = f(edges, tri).localCheckpoint(true)
     edges.unpersist()
     adj.unpersist()
-    top
+    out
   }
+
+  /** Per-vertex triangle membership counts from the listing: edge
+    * (src, dst) with |common| = n closing vertices contributes n to src
+    * and dst and 1 to every c ∈ common. */
+  private def vertexTriangleCounts(tri: DataFrame): DataFrame =
+    tri.withColumn("nt", size(col("common")).cast("long"))
+      .select(explode(concat(
+        array(struct(col("src").as("p"), col("nt").as("c")),
+              struct(col("dst").as("p"), col("nt").as("c"))),
+        expr("transform(common, x -> named_struct('p', x, 'c', CAST(1 AS BIGINT)))")))
+        .as("pc"))
+      .select(col("pc.p").as("part_key"), col("pc.c").as("c"))
+      .groupBy(col("part_key")).agg(sum(col("c")).as("n_triangles"))
+
+  private def degreesOf(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("p")).unionAll(edges.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("degree"))
+
+  def trianglesOf(s: SparkSession, edgeSet: DataFrame, k: Int): DataFrame =
+    overTriangles(s, edgeSet) { (_, tri) =>
+      vertexTriangleCounts(tri)
+        .orderBy(col("n_triangles").desc, col("part_key"))
+        .limit(k)
+    }
+
+  /** B16 (r7): top-k edges by neighborhood Jaccard (edge embeddedness —
+    * |N(u)∩N(v)| / |N(u)∪N(v)| over the endpoints' neighbor sets minus
+    * the endpoints themselves). The strong-tie detector behind community
+    * pruning and link prediction: an edge whose endpoints share most of
+    * their neighborhoods is intra-community; an embeddedness-0 edge is a
+    * bridge.
+    *
+    * Scale shape: common-neighbor counts are NOT computed from full
+    * adjacency arrays (a hub's array is vertex-scale) — each triangle
+    * from the degree-oriented listing contributes one common-neighbor
+    * witness to each of its three edges, so the count rides the same
+    * arboricity-bounded kernel as b16_triangles plus one
+    * map-side-combinable (u, v) count. Union size needs only the two
+    * endpoint degrees: |N(u)∪N(v)| = deg(u)−1 + deg(v)−1 − common.
+    * The ratio is served as exact integer parts-per-billion (floor
+    * division) so the ranking is total and replayable cross-engine. */
+  def edgeJaccardOf(s: SparkSession, edgeSet: DataFrame, k: Int): DataFrame =
+    overTriangles(s, edgeSet) { (edges, tri) =>
+      val triEdges = tri
+        .select(col("src"), col("dst"), explode(col("common")).as("c"))
+        .select(explode(array(
+          struct(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v")),
+          struct(least(col("src"), col("c")).as("u"), greatest(col("src"), col("c")).as("v")),
+          struct(least(col("dst"), col("c")).as("u"), greatest(col("dst"), col("c")).as("v"))))
+          .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val deg = degreesOf(edges)
+      triEdges.groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))
+        .join(deg.select(col("p").as("u"), col("degree").as("du")), "u")
+        .join(deg.select(col("p").as("v"), col("degree").as("dv")), "v")
+        .select(col("u").as("part_u"), col("v").as("part_v"), col("n_common"),
+          (col("du") + col("dv") - lit(2) - col("n_common")).as("n_union"))
+        .withColumn("jaccard_ppb", expr("(1000000000L * n_common) div n_union"))
+        .orderBy(col("jaccard_ppb").desc, col("part_u"), col("part_v"))
+        .limit(k)
+    }
+
+  /** B16 (r7): top-k vertices by local clustering coefficient
+    * 2·tri(v) / (deg(v)·(deg(v)−1)) — how close each vertex's
+    * neighborhood is to a clique (the community-membership signal; the
+    * graph-level average is Watts–Strogatz clustering). Exact integer
+    * parts-per-billion; vertices in no triangle (coefficient 0) are
+    * excluded, mirroring the triangle listing. One degree count joined
+    * to the [[vertexTriangleCounts]] aggregate — nothing beyond the
+    * triangle kernel's cost. */
+  def clusteringOf(s: SparkSession, edgeSet: DataFrame, k: Int): DataFrame =
+    overTriangles(s, edgeSet) { (edges, tri) =>
+      vertexTriangleCounts(tri)
+        .join(degreesOf(edges).select(col("p").as("part_key"), col("degree")), "part_key")
+        .withColumn("clustering_ppb",
+          expr("(2000000000L * n_triangles) div (degree * (degree - 1L))"))
+        .select(col("part_key"), col("degree"), col("n_triangles"), col("clustering_ppb"))
+        .orderBy(col("clustering_ppb").desc, col("part_key"))
+        .limit(k)
+    }
 
   /** B16 (r7): k-core via iterative peel (r6-verdict #6) — the classic
     * subgraph-density primitive (community cores, spam/bot filtering,
@@ -243,37 +320,75 @@ object GraphOps {
   def kCoreQuery(s: SparkSession, dir: String): DataFrame =
     kCore(s, copurchaseEdges(s, dir), KCoreK, KCoreRounds)
 
+  def edgeJaccardQuery(s: SparkSession, dir: String): DataFrame =
+    edgeJaccardOf(s, copurchaseEdges(s, dir), 20)
+
+  def clusteringQuery(s: SparkSession, dir: String): DataFrame =
+    clusteringOf(s, copurchaseEdges(s, dir), 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b16_degree_hist" -> ((s, dir) => degreeHistogram(s, dir)),
     "b16_triangles" -> ((s, dir) => triangleParticipation(s, dir)),
     "b16_kcore" -> (kCoreQuery _),
+    "b16_edge_jaccard" -> (edgeJaccardQuery _),
+    "b16_clustering" -> (clusteringQuery _),
   )
 
-  /** Oracle uses the naive u<v orientation — the triangle SET is
-    * orientation-invariant, so the per-part counts hash-match while the
-    * Spark plan keeps the degree-oriented shape that survives hubs. */
-  val oracles: Map[String, String] = Map(
-    "b16_degree_hist" -> """
-      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+  /** Shared oracle fragments (one definition, every consumer — the
+    * b12-ivf factoring discipline): the naive u<v orientation is used
+    * throughout; the triangle SET is orientation-invariant, so counts
+    * hash-match while the Spark plan keeps the degree-oriented shape
+    * that survives hubs. In `OracleTri` the join orientation forces
+    * a < b < c, so the per-triangle edge pairs (a,b), (a,c), (b,c) are
+    * already (min, max)-normalized. */
+  private val OracleEdges = """
+      li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)"""
+  private val OracleDegs = """
       degs AS (SELECT p, COUNT(*) AS degree FROM (
                  SELECT u AS p FROM edges UNION ALL SELECT v AS p FROM edges)
-               GROUP BY p)
-      SELECT degree, COUNT(*) AS n_parts FROM degs GROUP BY degree ORDER BY degree
-    """,
-    "b16_triangles" -> """
-      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+               GROUP BY p)"""
+  private val OracleTri = """
       tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
               FROM edges e1 JOIN edges e2 ON e1.v = e2.u
-              JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+              JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)"""
+
+  val oracles: Map[String, String] = Map(
+    "b16_degree_hist" -> s"""
+      WITH $OracleEdges, $OracleDegs
+      SELECT degree, COUNT(*) AS n_parts FROM degs GROUP BY degree ORDER BY degree
+    """,
+    "b16_triangles" -> s"""
+      WITH $OracleEdges, $OracleTri,
       parts AS (SELECT unnest([a, b, c]) AS part_key FROM tri)
       SELECT part_key, COUNT(*) AS n_triangles FROM parts
       GROUP BY part_key ORDER BY n_triangles DESC, part_key LIMIT 20
     """,
     "b16_kcore" -> kCoreOracleSql,
+    "b16_edge_jaccard" -> s"""
+      WITH $OracleEdges, $OracleDegs, $OracleTri,
+      tedges AS (SELECT a AS u, b AS v FROM tri UNION ALL
+                 SELECT a AS u, c AS v FROM tri UNION ALL
+                 SELECT b AS u, c AS v FROM tri),
+      ec AS (SELECT u, v, COUNT(*) AS n_common FROM tedges GROUP BY u, v)
+      SELECT ec.u AS part_u, ec.v AS part_v, ec.n_common,
+             du.degree + dv.degree - 2 - ec.n_common AS n_union,
+             (1000000000 * ec.n_common) // (du.degree + dv.degree - 2 - ec.n_common)
+               AS jaccard_ppb
+      FROM ec JOIN degs du ON du.p = ec.u JOIN degs dv ON dv.p = ec.v
+      ORDER BY jaccard_ppb DESC, part_u, part_v LIMIT 20
+    """,
+    "b16_clustering" -> s"""
+      WITH $OracleEdges, $OracleDegs, $OracleTri,
+      parts AS (SELECT unnest([a, b, c]) AS part_key FROM tri),
+      vt AS (SELECT part_key, COUNT(*) AS n_triangles FROM parts GROUP BY part_key)
+      SELECT vt.part_key, d.degree, vt.n_triangles,
+             (2000000000 * vt.n_triangles) // (d.degree * (d.degree - 1))
+               AS clustering_ppb
+      FROM vt JOIN degs d ON d.p = vt.part_key
+      ORDER BY clustering_ppb DESC, part_key LIMIT 20
+    """,
   )
 
   /** Unrolled-CTE replay of the bounded peel (the w07_pagerank oracle

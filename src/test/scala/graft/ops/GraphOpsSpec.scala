@@ -100,6 +100,72 @@ class GraphOpsSpec extends SparkSpec {
       && !l.contains("l_extendedprice") && !l.contains("l_quantity")), readSchemas.mkString("\n"))
   }
 
+  private def jacc(edges: Seq[(Long, Long)], k: Int = 1000) =
+    GraphOps.edgeJaccardOf(spark, edges.toDF("u", "v"), k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+  private def clus(edges: Seq[(Long, Long)], k: Int = 1000) =
+    GraphOps.clusteringOf(spark, edges.toDF("u", "v"), k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("edge Jaccard: K4 edges are fully embedded; a bridge is absent") {
+    // two K3s {1,2,3} and {4,5,6} joined by bridge (3,4): every clique
+    // edge has common=1, union = 2+2-2-1 = 1 except edges at the bridge
+    // endpoints (deg 3)
+    val t1 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val t2 = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val got = jacc(t1 ++ t2 :+ ((3L, 4L)))
+    assert(!got.contains((3L, 4L))) // embeddedness-0 bridge: no common neighbor
+    assert(got((1L, 2L)) === ((1L, 1L, 1000000000L)))
+    // (1,3): deg(1)=2, deg(3)=3 -> union = 2+3-2-1 = 2
+    assert(got((1L, 3L)) === ((1L, 2L, 500000000L)))
+    assert(got((4L, 5L)) === ((1L, 2L, 500000000L)))
+    assert(got((5L, 6L)) === ((1L, 1L, 1000000000L)))
+    // K4: every edge shares both off-edge vertices: 2 / (3+3-2-2) = 1
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    assert(jacc(k4).values.toSet === Set((2L, 2L, 1000000000L)))
+  }
+
+  test("clustering coefficient: K4 is 1.0; pendant-path vertices are excluded") {
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val got = clus(k4 ++ Seq((4L, 5L), (5L, 6L)))
+    // 1..3: deg 3, 3 triangles -> 2*3/(3*2) = 1.0
+    Seq(1L, 2L, 3L).foreach(v => assert(got(v) === ((3L, 3L, 1000000000L))))
+    // 4: deg 4 (gains the pendant), still 3 triangles -> 6/(4*3) = 0.5
+    assert(got(4L) === ((4L, 3L, 500000000L)))
+    // 5, 6 close no triangle: excluded, mirroring the triangle listing
+    assert(!got.contains(5L) && !got.contains(6L))
+  }
+
+  test("edge Jaccard + clustering match brute force on a deterministic random graph") {
+    val raw = (0L until 97L).flatMap(i => Seq(
+      (i, (i * 7 + 3) % 97), (i, (i + 1) % 97), (i, (i * 13 + 5) % 97)))
+    val edges = raw.filter { case (u, v) => u != v }
+      .map { case (u, v) => if (u < v) (u, v) else (v, u) }.distinct
+    val nbr = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupMap(_._1)(_._2).map { case (v, ns) => v -> ns.toSet }
+    val bruteJ = edges.flatMap { case (u, v) =>
+      val common = (nbr(u) & nbr(v)).size.toLong
+      val union = (nbr(u) - v | nbr(v) - u).size.toLong
+      if (common > 0) Some((u, v) -> ((common, union, 1000000000L * common / union)))
+      else None
+    }.toMap
+    assert(jacc(edges) === bruteJ)
+    val bruteC = nbr.flatMap { case (v, ns) =>
+      val d = ns.size.toLong
+      val t = ns.toSeq.combinations(2).count { case Seq(a, b) =>
+        nbr(a).contains(b)
+      }.toLong
+      if (t > 0) Some(v -> ((d, t, 2000000000L * t / (d * (d - 1)))))
+      else None
+    }
+    assert(clus(edges) === bruteC)
+  }
+
   test("matches brute force on a deterministic random graph") {
     // circulant-ish deterministic graph: edge (i, (i*7+3) mod 97) etc.
     val raw = (0L until 97L).flatMap(i => Seq(
