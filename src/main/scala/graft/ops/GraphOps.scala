@@ -320,6 +320,55 @@ object GraphOps {
   def kCoreQuery(s: SparkSession, dir: String): DataFrame =
     kCore(s, copurchaseEdges(s, dir), KCoreK, KCoreRounds)
 
+  /** Distinct-per-order co-purchase pairs kept only when they co-occur in
+    * at least `minOrders` orders — the STRONG co-purchase graph. The
+    * threshold is the graph twin of a support cut in frequent-itemset
+    * mining: it prunes the quadratic noise floor (pairs sharing a single
+    * order) before any iterative work. One bounded-fan-out order-keyed
+    * shuffle + one map-side-combinable (u, v) count. */
+  private[ops] def weightedCopurchaseEdges(s: SparkSession, dir: String,
+      minOrders: Int): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    li.select($"ok", $"pk".as("u"))
+      .join(li.select($"ok", $"pk".as("v")), Seq("ok"))
+      .where($"u" < $"v")
+      .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+      .where($"w" >= minOrders)
+      .select($"u", $"v")
+  }
+
+  /** B16 (r7): connected components of the strong co-purchase graph —
+    * the product-affinity clusters a recommender or assortment planner
+    * reads off the graph. Components come from the large-star/small-star
+    * algorithm ([[graft.dedup.Dedup.connectedComponentsStar]], Kiveris
+    * et al.): O(log n) rounds REGARDLESS of diameter — the support
+    * threshold leaves a sparse graph whose giant component can be
+    * long-chained, exactly the regime where min-label propagation's
+    * O(diameter) rounds lose. Size attribution is a combinable count
+    * joined back on the label, never a window over the (hot) giant
+    * component. Output: every non-isolated vertex with its component's
+    * canonical (minimum-id) representative and size. */
+  def componentsOf(edgeSet: DataFrame): DataFrame = {
+    val labels = graft.dedup.Dedup.connectedComponentsStar(
+      edgeSet.select(col("u").as("a"), col("v").as("b")))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, "label")
+      .select(col("u").as("part_key"), col("label").as("component_rep"),
+        col("component_size"))
+      .orderBy(col("part_key"))
+  }
+
+  /** Gate constant: minOrders=2 keeps 3445 of ~340k sf0.01 pairs —
+    * 6 pair-components, one triple, one 5-chain, and a 1860-vertex giant
+    * component (the robust mixed regime: neither all-singletons nor one
+    * blob). */
+  private val ComponentsMinOrders = 2
+
+  def componentsQuery(s: SparkSession, dir: String): DataFrame =
+    componentsOf(weightedCopurchaseEdges(s, dir, ComponentsMinOrders))
+
   def edgeJaccardQuery(s: SparkSession, dir: String): DataFrame =
     edgeJaccardOf(s, copurchaseEdges(s, dir), 20)
 
@@ -332,6 +381,7 @@ object GraphOps {
     "b16_kcore" -> (kCoreQuery _),
     "b16_edge_jaccard" -> (edgeJaccardQuery _),
     "b16_clustering" -> (clusteringQuery _),
+    "b16_components" -> (componentsQuery _),
   )
 
   /** Shared oracle fragments (one definition, every consumer — the
@@ -378,6 +428,24 @@ object GraphOps {
                AS jaccard_ppb
       FROM ec JOIN degs du ON du.p = ec.u JOIN degs dv ON dv.p = ec.v
       ORDER BY jaccard_ppb DESC, part_u, part_v LIMIT 20
+    """,
+    "b16_components" -> s"""
+      WITH RECURSIVE
+      li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      we AS (SELECT a.pk AS u, b.pk AS v
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY a.pk, b.pk HAVING COUNT(*) >= $ComponentsMinOrders),
+      sym AS (SELECT u, v FROM we UNION SELECT v, u FROM we),
+      reach AS (SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+                WHERE s.v <> r.u),
+      labels AS (SELECT u AS part_key, CAST(LEAST(u, MIN(v)) AS BIGINT) AS component_rep
+                 FROM reach GROUP BY u),
+      sizes AS (SELECT component_rep, COUNT(*) AS component_size
+                FROM labels GROUP BY component_rep)
+      SELECT l.part_key, l.component_rep, s.component_size
+      FROM labels l JOIN sizes s USING (component_rep) ORDER BY part_key
     """,
     "b16_clustering" -> s"""
       WITH $OracleEdges, $OracleDegs, $OracleTri,

@@ -166,6 +166,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(clus(edges) === bruteC)
   }
 
+  test("components: planted multi-component graph labels by min id with sizes") {
+    val edges = Seq((2L, 3L), (1L, 2L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+    val got = GraphOps.componentsOf(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 2L)), 11L -> ((10L, 2L)),
+      20L -> ((20L, 4L)), 21L -> ((20L, 4L)), 22L -> ((20L, 4L)), 23L -> ((20L, 4L))))
+  }
+
+  test("strong co-purchase edges are a subset of the plain edge set") {
+    val all = GraphOps.buildCopurchaseEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = GraphOps.weightedCopurchaseEdges(spark, sfDir, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strong.nonEmpty || all.isEmpty) // sf0.001 may or may not have repeat pairs
+    assert(strong.forall(all)) // support-2 never invents a pair
+    // threshold 1 reproduces the plain edge set exactly
+    val w1 = GraphOps.weightedCopurchaseEdges(spark, sfDir, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w1 === all)
+  }
+
   test("matches brute force on a deterministic random graph") {
     // circulant-ish deterministic graph: edge (i, (i*7+3) mod 97) etc.
     val raw = (0L until 97L).flatMap(i => Seq(
