@@ -693,6 +693,37 @@ object Streaming {
     def ranks: Option[DataFrame] = last
   }
 
+  /** B12 cross-corpus streaming twin (r7): incremental near-dedup of an
+    * arriving document stream against a FIXED reference corpus — the
+    * production shape of continuous ingestion ("is this new crawl doc a
+    * near-dup of anything we already hold?"). The decision for each
+    * incoming doc depends only on that doc and the static reference
+    * (bucket stats — size and min-id witness — are computed from the
+    * reference alone), so the operator is stateless across triggers and
+    * the honest streaming integration is foreachBatch over the exact
+    * audited batch kernel [[graft.dedup.Dedup.minHashNearDupAcross]]:
+    * the union of per-batch emissions is bit-identical to the batch
+    * answer on the union of the batches — including the hot-bucket
+    * single-witness probing path — pinned in StreamingSpec. Per-batch
+    * results accumulate with a lineage cut. At 100 TB the reference's
+    * band-bucket table is materialized once as a bucketed table (the
+    * [[graft.ops.GraphOps]] edge-snapshot move) instead of being derived
+    * per trigger; the per-trigger work is then one bucket equi-join
+    * sized by the micro-batch. */
+  final class CrossNearDupSink(refDocs: DataFrame, k: Int = 3,
+      threshold: Double = 0.5) {
+    private val ref = refDocs.localCheckpoint(true)
+    @volatile private var acc: Option[DataFrame] = None
+    /** foreachBatch body: near-dedup the micro-batch against the
+      * reference and append the verified pairs. */
+    def update(batch: DataFrame, batchId: Long): Unit = {
+      val pairs = graft.dedup.Dedup.minHashNearDupAcross(batch, ref, k, threshold)
+      acc = Some(acc.map(_.unionByName(pairs).localCheckpoint(true)).getOrElse(pairs))
+    }
+    /** All (new_id, ref_id, inter, na, nb, jaccard) hits so far. */
+    def pairs: Option[DataFrame] = acc
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -246,6 +246,38 @@ class StreamingSpec extends SparkSpec {
     assert(snap1 !== snap2) // batch 2 really moved mass
   }
 
+  test("cross-corpus streaming sink: union of per-batch hits == batch kernel " +
+    "on the union, incl. hot-bucket witness path (B10xB12, r7)") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 29).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val other = (100 to 130).map(i => s"word$i").mkString(" ")
+    val flood = (300 to 330).map(i => s"hot$i").mkString(" ")
+    // reference: base, other, and a 300-doc identical flood (over
+    // MaxBucket=256 → incoming flood matches get ONE bucket-min witness)
+    val ref = (Seq((101L, base), (103L, other)) ++
+      (1 to 300).map(i => (1000L + i, flood))).toDF("doc_id", "text")
+    val batch1 = Seq((1L, nearDup), (2L, (200 to 230).map(i => s"new$i").mkString(" ")))
+    val batch2 = Seq((3L, base), (4L, flood))
+    val sink = new Streaming.CrossNearDupSink(ref)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink.update _).outputMode("update").start()
+    input.addData(batch1); q.processAllAvailable()
+    val afterB1 = sink.pairs.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterB1 === Set((1L, 101L))) // batch-1 prefix: only the near-dup
+    input.addData(batch2); q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    val streamed = sink.pairs.get.collect().map(key).toSet
+    val batch = graft.dedup.Dedup.minHashNearDupAcross(
+      (batch1 ++ batch2).toDF("doc_id", "text"), ref).collect().map(key).toSet
+    assert(streamed === batch, s"streamed=$streamed batch=$batch")
+    // the flood match was answered by the single bucket-min witness
+    assert(streamed.count(_._1 == 4L) === 1)
+    assert(streamed.exists(p => p._1 == 4L && p._2 == 1001L))
+  }
+
   test("foreachBatch harvest sink merges micro-batches with stable ids (B10/A21)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val input = MemoryStream[String](spark)
