@@ -133,6 +133,67 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Content-defined chunking constants: window 8 ASCII bytes (Horner
+    * base-31 over 8 code points tops out at ≈8.4e12 — exact BIGINT in
+    * any engine), boundary where the window hash ≡ 0 mod 64 → expected
+    * chunk length 64 bytes. */
+  private[text] val CdcW = 8
+  private[text] val CdcDiv = 64
+
+  /** B13 (r7): content-defined chunking — the storage/transfer dedup
+    * primitive (Rabin-fingerprint chunking as in LBFS, Muthitacharoen et
+    * al. SOSP'01; the mechanism behind rsync-style delta sync and
+    * chunk-level dedup stores): cut each document at positions where a
+    * w-byte rolling window hash hits a mask, so chunk boundaries follow
+    * CONTENT, not offsets — an insertion early in a doc shifts only the
+    * chunk it lands in, and identical passages across docs yield
+    * identical chunks (byte-shifted copies re-align, which fixed-stride
+    * chunking can never do; 3184 distinct of 4041 chunk hashes at
+    * sf0.01 — real chunk-level duplication surfaces immediately).
+    *
+    * This is the MASK-ONLY variant: no min/max chunk clamps. Production
+    * CDC's clamps make each boundary depend on the previous one
+    * (sequential state); mask-only boundaries are POSITION-LOCAL, which
+    * buys (a) the cross-engine oracle gate, and (b) the scale property
+    * that a 100 TB corpus chunks every file split independently —
+    * a reader needs only w−1 bytes of overlap to agree with its
+    * neighbor on every boundary. Plan shape: pure scan-side per-doc
+    * array algebra (code-point array → window Horner filter → zip +
+    * posexplode), zero shuffles before the output sort; chunk count is
+    * linear in bytes. The window hash is the [[RollingHash]] polynomial
+    * restricted to its exact-integer regime ([[FingerprintMaxLen]]
+    * argument: 8 ASCII bytes < 2^63), replayed in the oracle as an
+    * unrolled Horner chain per position. */
+  def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val d = docs
+      .filter(length(col("text")) > 0 && col("text").rlike(FingerprintAsciiRe))
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    d
+      .withColumn("codes",
+        expr("transform(sequence(1, len), i -> ascii(substring(text, i, 1)))"))
+      // sequence ascends only when stop >= start, hence the greatest()
+      // guard + p <= len refilter for docs shorter than the window
+      .withColumn("bounds", expr(
+        s"""filter(sequence($CdcW, greatest(len, $CdcW)), p -> p <= len AND
+              aggregate(slice(codes, p - ${CdcW - 1}, $CdcW), CAST(0 AS BIGINT),
+                        (acc, c) -> acc * 31 + c) % $CdcDiv = 0)"""))
+      .withColumn("starts",
+        expr("concat(array(1), transform(filter(bounds, p -> p < len), p -> p + 1))"))
+      .withColumn("ends", expr("concat(filter(bounds, p -> p < len), array(len))"))
+      .select(col("doc_id"), col("text"),
+        posexplode(arrays_zip(col("starts"), col("ends"))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col.starts").cast("long").as("chunk_start"),
+        (col("col.ends") - col("col.starts") + 1).cast("long").as("chunk_len"),
+        md5(expr("substring(text, col.starts, col.ends - col.starts + 1)"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(s, dir))
+
   /** B13: TF-IDF-style term scoring — explode → tf per (doc, token) →
     * document frequency → score = tf·N/df (linear idf: ln() is not
     * bit-identical across libm implementations, so the oracle-checked
@@ -847,7 +908,16 @@ object TextAnalysis {
     "b13_bpe_merges" -> (bpeQuery _),
     "b13_bm25_rank" -> ((s: SparkSession, dir: String) => bm25Rank(s, dir)),
     "b13_source_overlap" -> (sourceOverlap _),
+    "b13_cdc_chunks" -> (cdcChunks _),
   )
+
+  /** Unrolled Horner chain for the CDC window hash at position `p`
+    * (base 31 over the [[CdcW]] code points ending at p) — the same
+    * polynomial [[cdcChunksOf]]'s in-row aggregate computes. */
+  private val CdcHornerSql: String =
+    (0 until CdcW).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc) * 31 + ord(substr(text, p - ${CdcW - 1 - j}, 1)))"
+    }
 
   private val bm25ValuesSql: String =
     Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
@@ -919,6 +989,27 @@ object TextAnalysis {
       SELECT doc_id, MIN(fp) AS fp_min, MAX(fp) AS fp_max,
              COUNT(DISTINCT fp) AS n_distinct_fp
       FROM h GROUP BY doc_id ORDER BY doc_id""",
+    // content-defined chunking replay: per-position unrolled Horner
+    // window hash → boundary set → starts/ends paired by per-doc rank
+    // (each start_i <= end_i < start_{i+1} by construction)
+    "b13_cdc_chunks" -> s"""
+      WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+                 WHERE length(text) > 0 AND regexp_matches(text, '^[ -~]*$$')),
+      pos AS (SELECT doc_id, text, len, unnest(range($CdcW, len + 1)) AS p FROM d),
+      bnd AS (SELECT doc_id, len, p FROM pos WHERE ($CdcHornerSql) % $CdcDiv = 0),
+      starts AS (SELECT doc_id, 1 AS s FROM d
+                 UNION ALL SELECT doc_id, p + 1 AS s FROM bnd WHERE p < len),
+      ends AS (SELECT doc_id, p AS e FROM bnd WHERE p < len
+               UNION ALL SELECT doc_id, len AS e FROM d),
+      ss AS (SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS i FROM starts),
+      ee AS (SELECT doc_id, e,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS i FROM ends)
+      SELECT d.doc_id, i AS chunk_idx, CAST(s AS BIGINT) AS chunk_start,
+             CAST(e - s + 1 AS BIGINT) AS chunk_len,
+             md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_md5
+      FROM ss JOIN ee USING (doc_id, i) JOIN d USING (doc_id)
+      ORDER BY doc_id, chunk_idx""",
     // k=4, w=4: grams are toks[i : i+3] (DuckDB inclusive slice = 4
     // tokens); ng = len-3; full windows need pos <= ng-4; the hash is the
     // engine-portable md5-prefix integer, identical on both engines

@@ -6,6 +6,42 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("CDC chunks: brute-force boundary equality, exact coverage, " +
+    "shifted copy re-aligns chunk-for-chunk (B13, r7)") {
+    val t1 = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val t2 = "PREFIX INSERTED " + t1 // byte-shifted copy of t1
+    val fixtures = Seq((1L, t1), (2L, t2), (3L, "short"))
+    val got = TextAnalysis.cdcChunksOf(fixtures.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // brute-force mask-only CDC: boundary after p iff base-31 Horner over
+    // the 8 chars ending at p is ≡ 0 mod 64
+    def chunksOf(text: String): Seq[(Int, Int)] = {
+      val n = text.length
+      val bounds = (8 to n).filter { p =>
+        (p - 8 until p).foldLeft(0L)((acc, i) => acc * 31 + text.charAt(i).toInt) % 64 == 0
+      }
+      val starts = 1 +: bounds.filter(_ < n).map(_ + 1)
+      val ends = bounds.filter(_ < n) :+ n
+      starts.zip(ends).map { case (s, e) => (s, e - s + 1) }
+    }
+    for ((id, text) <- fixtures) {
+      val exp = chunksOf(text)
+      val g = got.filter(_._1 == id).sortBy(_._2)
+      assert(g.map(_._2).toSeq === g.indices.map(_.toLong)) // dense chunk_idx
+      assert(g.map(c => (c._3.toInt, c._4.toInt)).toSeq === exp)
+      assert(g.map(_._4).sum === text.length) // chunks tile the doc exactly
+    }
+    // content re-alignment: every t1 boundary survives the byte shift
+    // (window sits fully inside the copied region), and any extra t2
+    // boundary lands inside t1's FIRST chunk — so every non-head t1
+    // chunk reappears verbatim in t2. Fixed-stride chunking has none of
+    // this; it is the point of CDC.
+    val h1 = got.filter(t => t._1 == 1L && t._2 > 0).map(_._5).toSet
+    val h2 = got.filter(_._1 == 2L).map(_._5).toSet
+    assert(h1.nonEmpty) // t1 really has interior boundaries
+    assert(h1.subsetOf(h2))
+  }
+
   test("repetition: boilerplate doc fails, diverse doc passes (B13)") {
     val spam = (("buy now" + " ") * 20).trim                 // one bigram dominates
     val diverse = (1 to 40).map(i => s"tok$i").mkString(" ") // all bigrams unique
