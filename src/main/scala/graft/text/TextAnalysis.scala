@@ -194,6 +194,28 @@ object TextAnalysis {
   def cdcChunks(s: SparkSession, dir: String): DataFrame =
     cdcChunksOf(Tables.documents(s, dir))
 
+  /** B13 (r7): the dedup application of [[cdcChunksOf]] — chunks stored
+    * more than once across the corpus, ranked by copy count: the
+    * chunk-store savings report (what a dedup store would NOT write
+    * twice) and the cross-doc boilerplate detector at sub-document
+    * granularity. One map-side-combinable aggregate over the chunk
+    * table; doc span via min/max rather than a collected list, so a
+    * chunk shared by a million docs still aggregates in O(1) state. */
+  def cdcDedupOf(docs: DataFrame, k: Int = 50): DataFrame =
+    cdcChunksOf(docs)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("chunk_len")).as("chunk_len"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .where(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("chunk_md5"))
+      .limit(k)
+
+  def cdcDedup(s: SparkSession, dir: String): DataFrame =
+    cdcDedupOf(Tables.documents(s, dir))
+
   /** B13: TF-IDF-style term scoring — explode → tf per (doc, token) →
     * document frequency → score = tf·N/df (linear idf: ln() is not
     * bit-identical across libm implementations, so the oracle-checked
@@ -909,6 +931,7 @@ object TextAnalysis {
     "b13_bm25_rank" -> ((s: SparkSession, dir: String) => bm25Rank(s, dir)),
     "b13_source_overlap" -> (sourceOverlap _),
     "b13_cdc_chunks" -> (cdcChunks _),
+    "b13_cdc_dedup" -> (cdcDedup _),
   )
 
   /** Unrolled Horner chain for the CDC window hash at position `p`
@@ -918,6 +941,30 @@ object TextAnalysis {
     (0 until CdcW).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
       s"(($acc) * 31 + ord(substr(text, p - ${CdcW - 1 - j}, 1)))"
     }
+
+  /** The CDC chunk-table CTE chain through `chunks` — ONE definition
+    * shared by the b13_cdc_chunks and b13_cdc_dedup oracles (the
+    * Bm25RankedCtes no-drift device): per-position window hash →
+    * boundary set → starts/ends paired by per-doc rank (each
+    * start_i ≤ end_i < start_{i+1} by construction). */
+  private val CdcChunksCtes: String = s"""
+      d AS (SELECT doc_id, text, length(text) AS len FROM documents
+            WHERE length(text) > 0 AND regexp_matches(text, '^[ -~]*$$')),
+      pos AS (SELECT doc_id, text, len, unnest(range($CdcW, len + 1)) AS p FROM d),
+      bnd AS (SELECT doc_id, len, p FROM pos WHERE ($CdcHornerSql) % $CdcDiv = 0),
+      starts AS (SELECT doc_id, 1 AS s FROM d
+                 UNION ALL SELECT doc_id, p + 1 AS s FROM bnd WHERE p < len),
+      ends AS (SELECT doc_id, p AS e FROM bnd WHERE p < len
+               UNION ALL SELECT doc_id, len AS e FROM d),
+      ss AS (SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS i FROM starts),
+      ee AS (SELECT doc_id, e,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS i FROM ends),
+      chunks AS (
+        SELECT d.doc_id, i AS chunk_idx, CAST(s AS BIGINT) AS chunk_start,
+               CAST(e - s + 1 AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_md5
+        FROM ss JOIN ee USING (doc_id, i) JOIN d USING (doc_id))"""
 
   private val bm25ValuesSql: String =
     Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
@@ -989,27 +1036,17 @@ object TextAnalysis {
       SELECT doc_id, MIN(fp) AS fp_min, MAX(fp) AS fp_max,
              COUNT(DISTINCT fp) AS n_distinct_fp
       FROM h GROUP BY doc_id ORDER BY doc_id""",
-    // content-defined chunking replay: per-position unrolled Horner
-    // window hash → boundary set → starts/ends paired by per-doc rank
-    // (each start_i <= end_i < start_{i+1} by construction)
     "b13_cdc_chunks" -> s"""
-      WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
-                 WHERE length(text) > 0 AND regexp_matches(text, '^[ -~]*$$')),
-      pos AS (SELECT doc_id, text, len, unnest(range($CdcW, len + 1)) AS p FROM d),
-      bnd AS (SELECT doc_id, len, p FROM pos WHERE ($CdcHornerSql) % $CdcDiv = 0),
-      starts AS (SELECT doc_id, 1 AS s FROM d
-                 UNION ALL SELECT doc_id, p + 1 AS s FROM bnd WHERE p < len),
-      ends AS (SELECT doc_id, p AS e FROM bnd WHERE p < len
-               UNION ALL SELECT doc_id, len AS e FROM d),
-      ss AS (SELECT doc_id, s,
-               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS i FROM starts),
-      ee AS (SELECT doc_id, e,
-               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS i FROM ends)
-      SELECT d.doc_id, i AS chunk_idx, CAST(s AS BIGINT) AS chunk_start,
-             CAST(e - s + 1 AS BIGINT) AS chunk_len,
-             md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_md5
-      FROM ss JOIN ee USING (doc_id, i) JOIN d USING (doc_id)
-      ORDER BY doc_id, chunk_idx""",
+      WITH $CdcChunksCtes
+      SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5
+      FROM chunks ORDER BY doc_id, chunk_idx""",
+    "b13_cdc_dedup" -> s"""
+      WITH $CdcChunksCtes
+      SELECT chunk_md5, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs,
+             MIN(chunk_len) AS chunk_len, MIN(doc_id) AS first_doc,
+             MAX(doc_id) AS last_doc
+      FROM chunks GROUP BY chunk_md5 HAVING COUNT(*) > 1
+      ORDER BY n_copies DESC, chunk_md5 LIMIT 50""",
     // k=4, w=4: grams are toks[i : i+3] (DuckDB inclusive slice = 4
     // tokens); ng = len-3; full windows need pos <= ng-4; the hash is the
     // engine-portable md5-prefix integer, identical on both engines
