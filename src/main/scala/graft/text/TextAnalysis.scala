@@ -216,6 +216,31 @@ object TextAnalysis {
   def cdcDedup(s: SparkSession, dir: String): DataFrame =
     cdcDedupOf(Tables.documents(s, dir))
 
+  /** Rounds in the portable BPE gate (= [[bpeTrain]]'s default). */
+  private[text] val BpePortableRounds = 10
+
+  /** B13 (r7): PORTABLE BPE — the b12_minhash_portable move applied to
+    * [[bpeTrain]]: run the REAL distributed trainer on the regime a SQL
+    * engine can replay (ASCII docs with no `|`, so `|`-guarded string
+    * surgery is unambiguous), and unroll the training loop in the oracle.
+    * Each oracle round replays one iteration exactly: pair counts from
+    * the `||`-joined symbol string, argmax under the same total
+    * (count DESC, left, right) order, then the merge applied via literal
+    * `replace` of `|l||r|` with `|lr|` — single-separator guards on the
+    * outside of each double separator make token boundaries unambiguous
+    * AND leave the neighbor's guard intact, so consecutive matches chain
+    * and the scan is exactly the trainer's leftmost non-overlapping
+    * fold (the aggregate() in [[bpeTrain]]). Contract: the corpus must
+    * admit `BpePortableRounds` merges (sf0.01 vocabulary does; an
+    * exhausted corpus would end the Spark loop early while the oracle
+    * emits empty rounds). This flips the last SQL-replayable no-oracle
+    * text entry: b13_bpe_merges stays the engine-default declaration,
+    * this twin is its cross-engine witness. */
+  def bpePortable(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(s, dir)
+      .filter(col("text").rlike(FingerprintAsciiRe) && !col("text").contains("|")),
+      BpePortableRounds)
+
   /** B13: TF-IDF-style term scoring — explode → tf per (doc, token) →
     * document frequency → score = tf·N/df (linear idf: ln() is not
     * bit-identical across libm implementations, so the oracle-checked
@@ -932,7 +957,37 @@ object TextAnalysis {
     "b13_source_overlap" -> (sourceOverlap _),
     "b13_cdc_chunks" -> (cdcChunks _),
     "b13_cdc_dedup" -> (cdcDedup _),
+    "b13_bpe_portable" -> (bpePortable _),
   )
+
+  /** Unrolled replay of [[bpePortable]]'s training loop — validated
+    * round-for-round (including the count-tie argmax at rounds 9/10)
+    * against an independent brute-force implementation before wiring. */
+  private def bpePortableOracle: String = {
+    val w0 = """w0 AS MATERIALIZED (
+      SELECT '||' || array_to_string(string_split(word, ''), '||') || '||' AS rep,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            WHERE text NOT LIKE '%|%' AND regexp_matches(text, '^[ -~]*$'))
+      WHERE word <> '' GROUP BY word)"""
+    val rounds = (1 to BpePortableRounds).map { t =>
+      s"""p$t AS (
+        SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM (SELECT syms, cnt, unnest(range(2, len(syms) - 1)) AS i
+              FROM (SELECT string_split(rep, '||') AS syms, cnt FROM w${t - 1}))
+        GROUP BY 1, 2),
+      m$t AS MATERIALIZED (SELECT l, r, n FROM p$t ORDER BY n DESC, l, r LIMIT 1),
+      w$t AS MATERIALIZED (
+        SELECT replace(w.rep, '|' || m.l || '||' || m.r || '|',
+                       '|' || m.l || m.r || '|') AS rep, cnt
+        FROM w${t - 1} w CROSS JOIN m$t m)"""
+    }.mkString(",\n      ")
+    val sel = (1 to BpePortableRounds).map { t =>
+      s"""SELECT $t AS merge_idx, l AS "left", r AS "right", l || r AS merged,
+             n AS pair_count FROM m$t"""
+    }.mkString("\n      UNION ALL ")
+    s"WITH $w0,\n      $rounds\n      $sel ORDER BY merge_idx"
+  }
 
   /** Unrolled Horner chain for the CDC window hash at position `p`
     * (base 31 over the [[CdcW]] code points ending at p) — the same
@@ -1040,6 +1095,7 @@ object TextAnalysis {
       WITH $CdcChunksCtes
       SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5
       FROM chunks ORDER BY doc_id, chunk_idx""",
+    "b13_bpe_portable" -> bpePortableOracle,
     "b13_cdc_dedup" -> s"""
       WITH $CdcChunksCtes
       SELECT chunk_md5, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs,
