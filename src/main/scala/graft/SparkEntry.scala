@@ -29,6 +29,7 @@ object SparkEntry {
       (ops.PretrainPipeline.queries, ops.PretrainPipeline.oracles),
       (ops.GraphOps.queries, ops.GraphOps.oracles),
       (ops.RagPipeline.queries, ops.RagPipeline.oracles),
+      (ops.IngestPipeline.queries, ops.IngestPipeline.oracles),
       (ops.ScaleQueries.queries, ops.ScaleQueries.oracles),
     )
 

@@ -1242,7 +1242,14 @@ object Dedup {
     * the hot-bucket witness cap, the cross-only candidate join, and the
     * exact-Jaccard verify. Unlike [[minHashPortableOracle]] there is no
     * bucket-regime assumption: the cap itself is in the SQL. */
-  private def crossPortableOracle: String = {
+  /** The portable cross-corpus LSH oracle CTE chain through `ins`
+    * (candidate pairs with intersection counts), parameterized by SQL
+    * predicates selecting the incoming and reference doc sets over the
+    * shared per-doc `bnd` band table — ONE definition consumed by the
+    * b12_cross_portable oracle and the e03 ingest-pipeline oracle (the
+    * Bm25RankedCtes no-drift device). Callers apply the verification
+    * threshold (`inter * 2 >= na + nb - inter`) themselves. */
+  private[graft] def portableCrossCtes(newFilter: String, refFilter: String): String = {
     val sigSelects = PortablePerms.zipWithIndex.map { case ((a, b), i) =>
       s"MIN((h * $a + $b) % $PortableP) AS s$i"
     }.mkString(",\n               ")
@@ -1251,8 +1258,7 @@ object Dedup {
         .mkString(" || ':' || ")
       s"WHEN $bd THEN $key"
     }.mkString(" ")
-    s"""
-      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
                  WHERE len(string_split(text, ' ')) >= 3),
       g AS (SELECT DISTINCT doc_id,
               CAST(('0x' || substr(md5(array_to_string(toks[i : i + 2], ' ')), 1, 12)) AS BIGINT) AS h
@@ -1263,8 +1269,8 @@ object Dedup {
       bnd AS (SELECT doc_id, b AS band_idx,
                CASE b $bandCases END AS band_hash
               FROM sig, UNNEST([0, 1, 2, 3]) AS u(b)),
-      bn AS (SELECT * FROM bnd WHERE doc_id % 2 = 0),
-      br AS (SELECT * FROM bnd WHERE doc_id % 2 <> 0),
+      bn AS (SELECT * FROM bnd WHERE $newFilter),
+      br AS (SELECT * FROM bnd WHERE $refFilter),
       st AS (SELECT band_idx, band_hash, COUNT(*) AS bsz, MIN(doc_id) AS bmin
              FROM br GROUP BY band_idx, band_hash),
       direct AS (SELECT n.doc_id AS a, r.doc_id AS b
@@ -1282,7 +1288,11 @@ object Dedup {
               FROM cand c
               JOIN g ga ON ga.doc_id = c.a
               JOIN g gb ON gb.doc_id = c.b AND gb.h = ga.h
-              GROUP BY c.a, c.b)
+              GROUP BY c.a, c.b)"""
+  }
+
+  private def crossPortableOracle: String = s"""
+      WITH ${portableCrossCtes("doc_id % 2 = 0", "doc_id % 2 <> 0")}
       SELECT i.a AS new_id, i.b AS ref_id, i.inter, na.n AS na, nb.n AS nb,
              CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) AS jaccard
       FROM ins i
@@ -1290,7 +1300,6 @@ object Dedup {
       JOIN szs nb ON nb.doc_id = i.b
       WHERE i.inter * 2 >= na.n + nb.n - i.inter
       ORDER BY new_id, ref_id"""
-  }
 
   val oracles: Map[String, String] = Map(
     "b12_minhash_portable" -> minHashPortableOracle,

@@ -168,15 +168,15 @@ object TextAnalysis {
     val d = docs
       .filter(length(col("text")) > 0 && col("text").rlike(FingerprintAsciiRe))
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    // boundary scan: the CdcBoundaries codegen kernel — one O(len)
+    // incremental-window byte pass per doc. The HOF formulation
+    // (transform a code-point array, aggregate a slice per position) is
+    // interpreted AND goes O(len³) once CollapseProject inlines the
+    // codes array into every position's slice — measured as a 19-minute
+    // single task at sf0.1 before the kernel (see CdcBoundaries doc).
     d
-      .withColumn("codes",
-        expr("transform(sequence(1, len), i -> ascii(substring(text, i, 1)))"))
-      // sequence ascends only when stop >= start, hence the greatest()
-      // guard + p <= len refilter for docs shorter than the window
-      .withColumn("bounds", expr(
-        s"""filter(sequence($CdcW, greatest(len, $CdcW)), p -> p <= len AND
-              aggregate(slice(codes, p - ${CdcW - 1}, $CdcW), CAST(0 AS BIGINT),
-                        (acc, c) -> acc * 31 + c) % $CdcDiv = 0)"""))
+      .withColumn("bounds",
+        graft.functions.CdcBoundaries(col("text"), CdcW, CdcDiv))
       .withColumn("starts",
         expr("concat(array(1), transform(filter(bounds, p -> p < len), p -> p + 1))"))
       .withColumn("ends", expr("concat(filter(bounds, p -> p < len), array(len))"))
