@@ -22,7 +22,14 @@ object Bench {
     // them between queries so every measurement starts from the same
     // storage state; the release is outside the query's own timed window.
     def releaseCaches(): Unit = spark.catalog.clearCache()
+    // optional comma-separated name filter for local iteration on a query
+    // subset (driver runs with it unset → full bench); mirrors Verify's
+    // SPARK_GRAFT_ONLY. Blank values count as unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
     // Warmup at the smallest SF: triggers codegen + JIT compilation of each
     // query's generated code so the timed pass measures data-plane cost,
     // not JVM compilation.
