@@ -408,10 +408,47 @@ object GraphOps {
     * blob). */
   private val ComponentsMinOrders = 2
 
-  def componentsQuery(s: SparkSession, dir: String): DataFrame =
-    componentsOf(snapshot(s, dir, s"strong_edges_m$ComponentsMinOrders") {
+  /** Materialize-once support-≥2 strong edge table (shared by
+    * b16_components and b16_link_predict). */
+  private def strongEdges(s: SparkSession, dir: String): DataFrame =
+    snapshot(s, dir, s"strong_edges_m$ComponentsMinOrders") {
       weightedCopurchaseEdges(s, dir, ComponentsMinOrders).repartition(col("u"))
-    })
+    }
+
+  def componentsQuery(s: SparkSession, dir: String): DataFrame =
+    componentsOf(strongEdges(s, dir))
+
+  /** B16 (r7): common-neighbor link prediction over the strong
+    * co-purchase graph — the classic candidate generator for "customers
+    * who bought X also ended up buying Y": rank NON-adjacent vertex
+    * pairs at distance 2 by how many neighbors they share (Liben-Nowell
+    * & Kleinberg's common-neighbours predictor, the baseline every link-
+    * prediction system starts from). Output: top-k (u, v) non-edges by
+    * shared-neighbor count, ties broken by (u, v) so the cut is total
+    * and replayable.
+    *
+    * Scale shape: wedge enumeration is Σ C(deg, 2) over the STRONG
+    * graph — the support cut (the b16_components argument) prunes the
+    * quadratic noise floor BEFORE the wedge stage, exactly how
+    * production candidate generators bound this step (threshold or
+    * degree-cap first, then enumerate). The wedge join shuffles on the
+    * center vertex; the pair count is map-side combinable; existing
+    * edges leave via one anti-join against the (far smaller) strong
+    * edge set. Never an all-pairs product. */
+  def linkPredictOf(edgeSet: DataFrame, k: Int): DataFrame = {
+    val nbr = edgeSet.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(edgeSet.select(col("v").as("w"), col("u").as("x")))
+    val wedges = nbr.join(nbr.select(col("w"), col("x").as("y")), "w")
+      .where(col("x") < col("y"))
+    wedges.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_common"))
+      .join(edgeSet, col("x") === col("u") && col("y") === col("v"), "left_anti")
+      .select(col("x").as("part_u"), col("y").as("part_v"), col("n_common"))
+      .orderBy(col("n_common").desc, col("part_u"), col("part_v"))
+      .limit(k)
+  }
+
+  def linkPredictQuery(s: SparkSession, dir: String): DataFrame =
+    linkPredictOf(strongEdges(s, dir), 20)
 
   def edgeJaccardQuery(s: SparkSession, dir: String): DataFrame =
     overTriangleSnapshot(s, dir)(edgeJaccardTopK(20))
@@ -426,6 +463,7 @@ object GraphOps {
     "b16_edge_jaccard" -> (edgeJaccardQuery _),
     "b16_clustering" -> (clusteringQuery _),
     "b16_components" -> (componentsQuery _),
+    "b16_link_predict" -> (linkPredictQuery _),
   )
 
   /** Shared oracle fragments (one definition, every consumer — the
@@ -447,6 +485,14 @@ object GraphOps {
       tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
               FROM edges e1 JOIN edges e2 ON e1.v = e2.u
               JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)"""
+
+  /** Strong (support-≥ [[ComponentsMinOrders]]) edge CTE — one
+    * definition shared by the components and link-predict oracles. */
+  private val OracleStrongEdges = s"""
+      li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      we AS (SELECT a.pk AS u, b.pk AS v
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY a.pk, b.pk HAVING COUNT(*) >= $ComponentsMinOrders)"""
 
   val oracles: Map[String, String] = Map(
     "b16_degree_hist" -> s"""
@@ -474,11 +520,7 @@ object GraphOps {
       ORDER BY jaccard_ppb DESC, part_u, part_v LIMIT 20
     """,
     "b16_components" -> s"""
-      WITH RECURSIVE
-      li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      we AS (SELECT a.pk AS u, b.pk AS v
-             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-             GROUP BY a.pk, b.pk HAVING COUNT(*) >= $ComponentsMinOrders),
+      WITH RECURSIVE $OracleStrongEdges,
       sym AS (SELECT u, v FROM we UNION SELECT v, u FROM we),
       reach AS (SELECT u, v FROM sym
                 UNION
@@ -500,6 +542,17 @@ object GraphOps {
                AS clustering_ppb
       FROM vt JOIN degs d ON d.p = vt.part_key
       ORDER BY clustering_ppb DESC, part_key LIMIT 20
+    """,
+    "b16_link_predict" -> s"""
+      WITH $OracleStrongEdges,
+      nbr AS (SELECT u AS w, v AS x FROM we UNION ALL SELECT v AS w, u AS x FROM we),
+      cn AS (SELECT n1.x AS u, n2.x AS v, COUNT(*) AS n_common
+             FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w AND n1.x < n2.x
+             GROUP BY n1.x, n2.x)
+      SELECT cn.u AS part_u, cn.v AS part_v, cn.n_common
+      FROM cn LEFT JOIN we ON we.u = cn.u AND we.v = cn.v
+      WHERE we.u IS NULL
+      ORDER BY n_common DESC, part_u, part_v LIMIT 20
     """,
   )
 

@@ -189,6 +189,43 @@ class GraphOpsSpec extends SparkSpec {
     assert(w1 === all)
   }
 
+  private def lp(edges: Seq[(Long, Long)], k: Int = 1000) =
+    GraphOps.linkPredictOf(edges.toDF("u", "v"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("link prediction: path predicts its distance-2 pair, never an existing edge") {
+    // path 1-2-3: (1,3) share neighbor 2; square 10-11-12-13-10: both
+    // diagonals share 2 neighbors; triangle 20-21-22: fully connected,
+    // nothing to predict
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))
+    val triangle = Seq((20L, 21L), (20L, 22L), (21L, 22L))
+    val got = lp(Seq((1L, 2L), (2L, 3L)) ++ square ++ triangle)
+    assert(got === Map((1L, 3L) -> 1L, (10L, 12L) -> 2L, (11L, 13L) -> 2L))
+  }
+
+  test("link prediction: star spokes pairwise share the hub; no spoke-hub prediction") {
+    val got = lp((1L to 5L).map(i => (0L, i)))
+    // C(5,2)=10 spoke pairs, each with exactly the hub in common
+    assert(got.size === 10 && got.values.forall(_ == 1L))
+    assert(got.keys.forall { case (u, v) => u >= 1L && v >= 1L && u < v })
+  }
+
+  test("link prediction matches brute force on a deterministic random graph") {
+    val raw = (0L until 97L).flatMap(i => Seq(
+      (i, (i * 7 + 3) % 97), (i, (i + 1) % 97), (i, (i * 13 + 5) % 97)))
+    val edges = raw.filter { case (u, v) => u != v }
+      .map { case (u, v) => if (u < v) (u, v) else (v, u) }.distinct
+    val es = edges.toSet
+    val nbr = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupMap(_._1)(_._2).map { case (v, ns) => v -> ns.toSet }
+    val vs = nbr.keys.toSeq.sorted
+    val brute = (for {
+      u <- vs; v <- vs if u < v && !es((u, v))
+      c = (nbr(u) & nbr(v)).size.toLong if c > 0
+    } yield (u, v) -> c).toMap
+    assert(lp(edges, k = 10000) === brute)
+  }
+
   test("matches brute force on a deterministic random graph") {
     // circulant-ish deterministic graph: edge (i, (i*7+3) mod 97) etc.
     val raw = (0L until 97L).flatMap(i => Seq(
