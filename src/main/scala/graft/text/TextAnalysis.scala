@@ -241,6 +241,60 @@ object TextAnalysis {
       .filter(col("text").rlike(FingerprintAsciiRe) && !col("text").contains("|")),
       BpePortableRounds)
 
+  /** B13 (r7): BPE ENCODE — apply the trained merge table to the corpus,
+    * the tokenizer-apply step every training pipeline runs after
+    * training (token counting for mixture planning, context packing,
+    * billing). Train on the portable regime ([[bpePortable]]'s filter),
+    * then encode every regime doc and report per-doc token counts and
+    * the chars-per-token compression the tokenizer achieves.
+    *
+    * Scale shape: the merge table is vocab-bounded (10 rows here, 10k-
+    * 100k in production) and is folded into the scan-side expression —
+    * the Spark idiom for "broadcast the tokenizer to every executor";
+    * the corpus-scale work is ONE projection pass, zero shuffles before
+    * the output sort. Encoding uses the same guard representation as the
+    * portable oracle: each word becomes `||c1||c2||…||`, merge (l, r)
+    * is a literal replace of `|l||r|` → `|lr|` (leftmost non-overlapping
+    * — exactly [[bpeTrain]]'s fold; the single-pipe guards outside each
+    * double separator keep neighbours' guards intact so consecutive
+    * merge sites chain). Words are joined by a space (words are
+    * space-free by construction, so no merge pattern can span a word
+    * boundary), making the whole-doc encode ONE scalar string
+    * expression: token count falls out as #(`||`) − #words without ever
+    * materializing per-token rows. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeOf(Tables.documents(s, dir))
+
+  /** [[bpeEncode]] over any (doc_id, text) frame — factored so specs can
+    * drive planted corpora through the exact production plan. */
+  def bpeEncodeOf(docs: DataFrame): DataFrame = {
+    val regime = docs
+      .filter(col("text").rlike(FingerprintAsciiRe) && !col("text").contains("|"))
+    // vocab-bounded driver fetch (10 rows) — the documented merge-table
+    // broadcast, NOT a data-scale collect
+    val merges = bpeTrain(regime, BpePortableRounds)
+      .select(col("left"), col("right")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rep0 =
+      "concat('||', array_join(transform(words, w -> array_join(split(w, ''), '||')), '|| ||'), '||')"
+    val repN = merges.foldLeft(rep0) { case (acc, (l, r)) =>
+      s"replace($acc, ${sqlStr("|" + l + "||" + r + "|")}, ${sqlStr("|" + l + r + "|")})"
+    }
+    regime
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .filter(size(col("words")) > 0)
+      .withColumn("n_chars", expr("CAST(length(array_join(words, '')) AS BIGINT)"))
+      .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+      .withColumn("rep", expr(repN))
+      // every symbol contributes one '||' plus one trailing guard per
+      // word: #('||') = n_tokens + n_words
+      .withColumn("n_tokens", expr(
+        "CAST((length(rep) - length(replace(rep, '||', ''))) div 2 AS BIGINT) - n_words"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_tokens"),
+        expr("(1000000000L * n_tokens) div n_chars").as("tokens_per_char_ppb"))
+      .orderBy(col("doc_id"))
+  }
+
   /** B13: TF-IDF-style term scoring — explode → tf per (doc, token) →
     * document frequency → score = tf·N/df (linear idf: ln() is not
     * bit-identical across libm implementations, so the oracle-checked
@@ -958,12 +1012,16 @@ object TextAnalysis {
     "b13_cdc_chunks" -> (cdcChunks _),
     "b13_cdc_dedup" -> (cdcDedup _),
     "b13_bpe_portable" -> (bpePortable _),
+    "b13_bpe_encode" -> (bpeEncode _),
   )
 
   /** Unrolled replay of [[bpePortable]]'s training loop — validated
     * round-for-round (including the count-tie argmax at rounds 9/10)
     * against an independent brute-force implementation before wiring. */
-  private def bpePortableOracle: String = {
+  /** The unrolled BPE training CTE chain (w0 … w_N, m1 … m_N) — ONE
+    * definition shared by the b13_bpe_portable and b13_bpe_encode
+    * oracles (the Bm25RankedCtes no-drift device). */
+  private def bpeTrainCtes: String = {
     val w0 = """w0 AS MATERIALIZED (
       SELECT '||' || array_to_string(string_split(word, ''), '||') || '||' AS rep,
              CAST(COUNT(*) AS BIGINT) AS cnt
@@ -982,11 +1040,47 @@ object TextAnalysis {
                        '|' || m.l || m.r || '|') AS rep, cnt
         FROM w${t - 1} w CROSS JOIN m$t m)"""
     }.mkString(",\n      ")
+    s"$w0,\n      $rounds"
+  }
+
+  /** Unrolled replay of [[bpePortable]]'s training loop — validated
+    * round-for-round (including the count-tie argmax at rounds 9/10)
+    * against an independent brute-force implementation before wiring. */
+  private def bpePortableOracle: String = {
     val sel = (1 to BpePortableRounds).map { t =>
       s"""SELECT $t AS merge_idx, l AS "left", r AS "right", l || r AS merged,
              n AS pair_count FROM m$t"""
     }.mkString("\n      UNION ALL ")
-    s"WITH $w0,\n      $rounds\n      $sel ORDER BY merge_idx"
+    s"WITH $bpeTrainCtes\n      $sel ORDER BY merge_idx"
+  }
+
+  /** [[bpeEncode]]'s oracle: replay training via [[bpeTrainCtes]], then
+    * encode per WORD (the Spark side encodes the whole doc in one scalar
+    * expression; Σ over words is identical because word boundaries admit
+    * no merge) with the merge chain applied through scalar subqueries on
+    * m1 … m_N. */
+  private def bpeEncodeOracle: String = {
+    val rep0 = "'||' || array_to_string(string_split(word, ''), '||') || '||'"
+    val repN = (1 to BpePortableRounds).foldLeft(rep0) { (acc, t) =>
+      s"""replace($acc, (SELECT '|' || l || '||' || r || '|' FROM m$t),
+                  (SELECT '|' || l || r || '|' FROM m$t))"""
+    }
+    s"""WITH $bpeTrainCtes,
+      dw AS (SELECT doc_id, word FROM (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents
+               WHERE text NOT LIKE '%|%' AND regexp_matches(text, '^[ -~]*$$'))
+             WHERE word <> ''),
+      enc AS (SELECT doc_id, word, $repN AS rep FROM dw),
+      agg AS (SELECT doc_id,
+                CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+                CAST(COUNT(*) AS BIGINT) AS n_words,
+                CAST(SUM((len(rep) - len(replace(rep, '||', ''))) // 2 - 1) AS BIGINT)
+                  AS n_tokens
+              FROM enc GROUP BY doc_id)
+      SELECT doc_id, n_chars, n_words, n_tokens,
+             (1000000000 * n_tokens) // n_chars AS tokens_per_char_ppb
+      FROM agg ORDER BY doc_id"""
   }
 
   /** Unrolled Horner chain for the CDC window hash at position `p`
@@ -1096,6 +1190,7 @@ object TextAnalysis {
       SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5
       FROM chunks ORDER BY doc_id, chunk_idx""",
     "b13_bpe_portable" -> bpePortableOracle,
+    "b13_bpe_encode" -> bpeEncodeOracle,
     "b13_cdc_dedup" -> s"""
       WITH $CdcChunksCtes
       SELECT chunk_md5, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs,

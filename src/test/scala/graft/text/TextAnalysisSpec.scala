@@ -232,6 +232,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._2 === "aaa" && out(1)._3 === 2L)
   }
 
+  test("bpeEncode: token counts match an independent train-then-apply on planted corpora (B13)") {
+    // classic Sennrich vocabulary plus a messy corpus with chaining merge
+    // sites ("aaa", overlapping runs) — the scalar guarded-separator
+    // encode must equal a reference apply (leftmost non-overlapping fold
+    // per word, merges in training order)
+    val classic = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val messy = "aaa aaab banana bandana abba abab x yz aaa low lowest"
+    val docs = Seq((1L, classic), (2L, messy), (3L, "aaaa aa a"),
+      (4L, ""), (5L, "   ")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(
+        docs.filter($"text".rlike("^[ -~]*$") && !$"text".contains("|")),
+        numMerges = 10)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    def applyWord(w: String): Seq[String] =
+      merges.foldLeft(w.split("").toSeq) { case (syms, (l, r)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+          else out += x
+        }
+        out.toSeq
+      }
+    val expected = Seq((1L, classic), (2L, messy), (3L, "aaaa aa a"))
+      .map { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty).toSeq
+        (id, ws.map(_.length).sum.toLong, ws.length.toLong,
+          ws.map(w => applyWord(w).length.toLong).sum)
+      }
+    val got = TextAnalysis.bpeEncodeOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 4 (empty) and 5 (spaces only) hold no words: excluded
+    assert(got.toSeq === expected)
+    // and the compression column is the exact integer ratio
+    val ppb = TextAnalysis.bpeEncodeOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    expected.foreach { case (id, chars, _, toks) =>
+      assert(ppb(id) === 1000000000L * toks / chars)
+    }
+  }
+
   test("bpeTrainLocal == bpeTrain merge tables in the exact regime (B13 scale recipe)") {
     // the classic fixture AND a messier corpus (repeats, overlapping
     // runs, singleton symbols) — the vocab-bounded in-memory trainer
