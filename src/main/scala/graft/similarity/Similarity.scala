@@ -383,6 +383,54 @@ object Similarity {
   def kMeansQuery(s: SparkSession, dir: String): DataFrame =
     kMeans(Tables.embeddings(s, dir))
 
+  /** B12 (r7): SemDeDup (Abbas et al. 2023) — semantic deduplication in
+    * embedding space: cluster the corpus with [[kMeans]], then inside
+    * each cluster drop every vector that has a SMALLER-id cluster-mate
+    * with cosine ≥ `minCosine` (keep-first, the paper's representative
+    * rule made deterministic by id order). Output: the dropped vectors
+    * with their cluster, minimal witness, and the cosine to that
+    * witness.
+    *
+    * Scale shape: this is the SemDeDup design point — the quadratic
+    * pair stage is bounded PER CLUSTER by an equi-join on cluster_id,
+    * never corpus×corpus; in production k scales with the corpus
+    * (k ≈ n / target-cluster-size, the paper's regime) so per-cluster
+    * work stays constant as n grows. Here k=32 (finer than b12_kmeans's
+    * 8 — dedup wants tight clusters) over 2 Lloyd iterations; every
+    * step — md5-ordered seeds, integer dot products, the round-through-
+    * double centroid mean, the final guarded cosine — is the audited
+    * replayable kernel, so the WHOLE pipeline (training included) is
+    * hash-gated. */
+  def semDedup(embeddings: DataFrame, k: Int = 32, iters: Int = 2,
+      minCosine: Double = 0.35): DataFrame = {
+    val assign = kMeans(embeddings, k, iters).select(col("vec_id"), col("cluster_id"))
+    // one join materializes (vec, cluster, q, norm); both pair sides read
+    // it, so cache for the self-join and release after the checkpoint
+    val m = quantizedWithNorm(embeddings).join(assign, "vec_id")
+      .select(col("vec_id"), col("cluster_id"), col("q"), col("norm"))
+      .cache()
+    val a = m.select(col("cluster_id"), col("vec_id").as("witness"),
+      col("q").as("qa"), col("norm").as("na"))
+    val b = m.select(col("cluster_id"), col("vec_id"),
+      col("q").as("qb"), col("norm").as("nb"))
+    val out = a.join(b, Seq("cluster_id")).where(col("witness") < col("vec_id"))
+      // zero-norm guard: sim -1 never passes a positive threshold, and
+      // ANSI division by zero must not throw
+      .withColumn("cosine", when(col("na") * col("nb") === 0.0d, lit(-1.0d))
+        .otherwise(cosinePre(col("qa"), col("qb"), col("na"), col("nb"))))
+      .where(col("cosine") >= minCosine)
+      .groupBy(col("vec_id"), col("cluster_id"))
+      .agg(min(col("witness")).as("witness_id"),
+        min_by(col("cosine"), col("witness")).as("witness_cosine"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint(true)
+    m.unpersist()
+    out
+  }
+
+  def semDedupQuery(s: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.embeddings(s, dir))
+
   // ------------------------------------------- product quantization (B12)
 
   /** Exact integer squared-L2 distance between quantized sub-vectors —
@@ -654,6 +702,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_embed_neardup" -> (embedNearDupQuery _),
     "b12_kmeans" -> (kMeansQuery _),
+    "b12_semdedup" -> (semDedupQuery _),
     "b12_pq_topk" -> (pqQuery _),
     "b12_ivfpq_topk" -> (ivfPqQuery _),
     "b12_hybrid_search" -> (hybridQuery _),
@@ -678,6 +727,29 @@ object Similarity {
   /** One k-means iteration as three CTEs: guarded-cosine scores, argmax
     * assignment ((sim DESC, cid) — the max_by struct order), centroid
     * rebuild through the identical round(double)/re-norm. */
+  /** The unrolled Lloyd chain (ke/ken → md5-seeded kc0 → `steps`
+    * assign/rebuild rounds → final guarded-cosine `kassign`) — ONE
+    * parameterized definition shared by the b12_kmeans and b12_semdedup
+    * oracles (the Bm25RankedCtes no-drift device). `kassign` carries
+    * (vec_id, q, norm, cid, sim). */
+  private def kMeansCtes(k: Int, steps: Int): String = {
+    val chain = (1 to steps).map(i => kmStepSql(s"kc${i - 1}", i)).mkString(",")
+    s"""ke AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      ken AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM ke),
+      ks AS (SELECT q, array_to_string(q, ',') AS sstr FROM (SELECT DISTINCT q FROM ke)),
+      kc0 AS (SELECT cid, q AS cq, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS cnorm FROM (
+               SELECT q, ROW_NUMBER() OVER (ORDER BY md5(sstr), sstr) - 1 AS cid
+               FROM ks) WHERE cid < $k),
+      $chain,
+      kdf AS (SELECT v.vec_id, v.q, v.norm, c.cid,
+               CASE WHEN v.norm * c.cnorm = 0 THEN -1.0
+                    ELSE CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) END AS sim
+             FROM ken v, kc$steps c),
+      kassign AS (SELECT vec_id, q, norm, cid, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sim DESC, cid) AS rn FROM kdf) WHERE rn = 1)"""
+  }
+
   private def kmStepSql(fromCb: String, i: Int) = s"""
       kd$i AS (SELECT v.vec_id, v.q, v.norm, c.cid,
                CASE WHEN v.norm * c.cnorm = 0 THEN -1.0
@@ -774,23 +846,23 @@ object Similarity {
     // FULL 3-iteration Lloyd k-means — portable md5-ordered seeds, three
     // unrolled assign/rebuild rounds, final guarded-cosine assignment
     "b12_kmeans" -> s"""
-      WITH ke AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
-      ken AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM ke),
-      ks AS (SELECT q, array_to_string(q, ',') AS sstr FROM (SELECT DISTINCT q FROM ke)),
-      kc0 AS (SELECT cid, q AS cq, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS cnorm FROM (
-               SELECT q, ROW_NUMBER() OVER (ORDER BY md5(sstr), sstr) - 1 AS cid
-               FROM ks) WHERE cid < 8),
-      ${kmStepSql("kc0", 1)},
-      ${kmStepSql("kc1", 2)},
-      ${kmStepSql("kc2", 3)},
-      kdf AS (SELECT v.vec_id, c.cid,
-               CASE WHEN v.norm * c.cnorm = 0 THEN -1.0
-                    ELSE CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) END AS sim
-             FROM ken v, kc3 c)
-      SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sim FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-          ORDER BY sim DESC, cid) AS rn FROM kdf)
-      WHERE rn = 1 ORDER BY vec_id""",
+      WITH ${kMeansCtes(8, 3)}
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sim FROM kassign
+      ORDER BY vec_id""",
+    // SemDeDup: the k=32/2-iteration Lloyd chain (same audited kernel)
+    // feeding the within-cluster keep-first pair stage
+    "b12_semdedup" -> s"""
+      WITH ${kMeansCtes(32, 2)},
+      pp AS (SELECT b.vec_id AS vec_id, b.cid AS cluster_id, a.vec_id AS witness,
+               CASE WHEN a.norm * b.norm = 0 THEN -1.0
+                    ELSE CAST(${dotSql("a.q", "b.q")} AS DOUBLE) / (a.norm * b.norm)
+               END AS cosine
+             FROM kassign a JOIN kassign b
+               ON a.cid = b.cid AND a.vec_id < b.vec_id)
+      SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             MIN(witness) AS witness_id, arg_min(cosine, witness) AS witness_cosine
+      FROM pp WHERE cosine >= 0.35
+      GROUP BY vec_id, cluster_id ORDER BY vec_id""",
     // the FULL IVFADC pipeline — portable md5-ordered coarse cells,
     // residual encoding, both Lloyd iterations on residual sub-vectors,
     // per-(query,cell) LUTs, ADC ranking — replayed as unrolled CTEs

@@ -136,6 +136,27 @@ class SimilaritySpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("semDedup drops later near-identical cluster-mates with the min witness (B12)") {
+    // two tight axis families (0,1,2 and 10,11) plus a loner: keep-first
+    // drops 1,2 (witness 0) and 11 (witness 10); 0, 10, 99 survive
+    def cvec(axis: Int): Seq[Float] =
+      (0 until 8).map(d => (if (d == axis) 1.0f else 0.0f) + (if (d == 7) 0.1f else 0.0f))
+    val df = Seq(
+      (0L, cvec(0)), (1L, cvec(0)), (2L, cvec(0)),
+      (10L, cvec(3)), (11L, cvec(3)),
+      (99L, cvec(5))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, k = 3, iters = 2, minCosine = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 11L))
+    assert(out(1L)._1 === 0L && out(2L)._1 === 0L && out(11L)._1 === 10L)
+    // identical vectors: cosine with the witness is exactly 1.0
+    out.values.foreach { case (_, c) => assert(math.abs(c - 1.0d) < 1e-12) }
+    // keep-first is deterministic: a second run agrees
+    val again = Similarity.semDedup(df, k = 3, iters = 2, minCosine = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(again === out)
+  }
+
   test("kMeans assigns zero-norm vectors deterministically instead of NULL clusters") {
     val km = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
