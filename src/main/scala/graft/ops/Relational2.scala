@@ -267,6 +267,41 @@ object Relational2 {
     weightedMix(Tables.documents(s, dir),
       expr("(pmod(ascii(substring(source, 1, 1)), 4) + 1) * 0.5"))
 
+  /** B15 (r7): temperature-scaled source mixing — the mT5/PaLM mixture
+    * planner: sampling rate ∝ n_i^α with α = 1/2, flattening the natural
+    * distribution so head sources stop drowning tail sources without
+    * discarding the head (the standard multilingual/multi-domain
+    * balancing move). Per source: natural share, temperature share, and
+    * the planned document count for a fixed sampling budget.
+    *
+    * Exactness: n^(1/2) is served as the exact integer
+    * isqrt(n·10⁸) = ⌊10⁴·√n⌋ — the argument is an exactly-representable
+    * double below 2⁵², where a correctly-rounded IEEE sqrt (JVM hardware
+    * instruction and DuckDB's C sqrt alike) cannot cross an integer
+    * boundary, so ⌊√·⌋ is the true integer square root in BOTH engines;
+    * shares are integer floor-division ppb. One map-side-combinable
+    * count + a broadcast 1-row total — nothing here scales with corpus
+    * size beyond the count scan. */
+  def temperatureMix(s: SparkSession, dir: String, budget: Long = 100000L): DataFrame =
+    temperatureMixOf(Tables.documents(s, dir), budget)
+
+  /** [[temperatureMix]] over any frame with a `source` column. */
+  def temperatureMixOf(docs: DataFrame, budget: Long = 100000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bySrc = docs
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sk", expr(
+        "CAST(floor(sqrt(CAST(n_docs * 100000000 AS DOUBLE))) AS BIGINT)"))
+    val tot = broadcast(bySrc.agg(
+      sum($"n_docs").as("n_total"), sum($"sk").as("s_total")))
+    bySrc.crossJoin(tot)
+      .select($"source", $"n_docs",
+        expr("(1000000000L * n_docs) div n_total").as("nat_share_ppb"),
+        expr("(1000000000L * sk) div s_total").as("temp_share_ppb"),
+        expr(s"(${budget}L * sk) div s_total").as("planned_docs"))
+      .orderBy($"source")
+  }
+
   /** B15: per-source document cap — domain balancing, the curation step
     * that stops one crawl domain from dominating the mixture: keep at most
     * `cap` documents per source, selected in the engine-portable
@@ -297,6 +332,7 @@ object Relational2 {
     "b15_sequence_pack" -> (sequencePackQuery _),
     "b15_global_shuffle" -> (globalShuffleQuery _),
     "b15_weighted_mix" -> (weightedMixQuery _),
+    "b15_temperature_mix" -> ((s: SparkSession, dir: String) => temperatureMix(s, dir)),
     "b15_group_split" -> (groupSplit _),
     "b03_subquery_corr" -> (subqueryCorr _),
     "b06_range_frame" -> (rangeFrame _),
@@ -360,6 +396,19 @@ object Relational2 {
       SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
       FROM c WHERE n_copies >= 1
       ORDER BY doc_id, copy_idx""",
+    "b15_temperature_mix" -> """
+      WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source),
+      s AS (SELECT source, n_docs,
+              CAST(floor(sqrt(CAST(n_docs * 100000000 AS DOUBLE))) AS BIGINT) AS sk
+            FROM c),
+      t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                   CAST(SUM(sk) AS BIGINT) AS s_total FROM s)
+      SELECT source, n_docs,
+             (1000000000 * n_docs) // n_total AS nat_share_ppb,
+             (1000000000 * sk) // s_total AS temp_share_ppb,
+             (100000 * sk) // s_total AS planned_docs
+      FROM s CROSS JOIN t ORDER BY source""",
     "b03_subquery_corr" -> """
       SELECT l_orderkey, l_linenumber, l_partkey
       FROM lineitem l1

@@ -100,6 +100,25 @@ class Relational2Spec extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("temperatureMix: hand-computed isqrt shares flatten the head without dropping it (B15)") {
+    // sources A:16 B:4 C:1 docs — sk = 10⁴·√n = 40000/20000/10000,
+    // s_total 70000; natural shares 16/21, 4/21, 1/21 become 4/7, 2/7, 1/7
+    val docs = ((1 to 16).map(i => (i.toLong, "A")) ++
+      (17 to 20).map(i => (i.toLong, "B")) :+ ((21L, "C")))
+      .toDF("doc_id", "source")
+    val got = Relational2.temperatureMixOf(docs, budget = 70000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("A") === ((16L, 1000000000L * 16 / 21, 1000000000L * 4 / 7, 40000L)))
+    assert(got("B") === ((4L, 1000000000L * 4 / 21, 1000000000L * 2 / 7, 20000L)))
+    assert(got("C") === ((1L, 1000000000L * 1 / 21, 1000000000L * 1 / 7, 10000L)))
+    // the defining property: temperature RAISES every tail share and
+    // LOWERS the head share, and shares still sum to ~1
+    assert(got("C")._3 > got("C")._2 && got("B")._3 > got("B")._2)
+    assert(got("A")._3 < got("A")._2)
+    assert(got.values.map(_._3).sum > 999999990L)
+  }
+
   test("groupSplit: every source lands in exactly ONE fold (leakage-safe) (B15)") {
     val out = Relational2.groupSplit(spark, sfDir)
     val perSource = out.groupBy($"source")
