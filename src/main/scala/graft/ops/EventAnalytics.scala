@@ -208,6 +208,41 @@ object EventAnalytics {
   def ewmaQuery(s: SparkSession, dir: String): DataFrame =
     ewmaTrunc(Tables.events(s, dir))
 
+  /** B06 (r7): time-weighted average value per user — the irregular-
+    * time-series mean (industrial telemetry, position/balance averaging):
+    * each observation holds until the next one, so it weighs by the
+    * interval it was live, not once per row (a plain AVG over-counts
+    * bursts and under-counts sparse stretches). Intervals from one lead()
+    * on a user-keyed window; the last observation has no successor and
+    * carries no weight. All arithmetic exact: epoch-micro durations ×
+    * value cents; the milli-cent average is served via the two-step
+    * floor division q·1000 + (1000·r) div d (algebraically floor of
+    * 1000·num/d, but immune to the 1000·num overflow), identical in
+    * both engines. Users whose observations all share one timestamp
+    * have zero held time and are excluded (their TWA is undefined).
+    * One window sort + one combinable aggregate, both keyed on user. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events
+      .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("cents", (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dt", col("next_us") - col("us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("held_us"),
+        sum(col("cents") * col("dt")).as("num"))
+      .filter(col("held_us") > 0)
+      .select(col("user_id"), col("n_intervals"), col("held_us"),
+        expr("(num div held_us) * 1000L + (1000L * (num % held_us)) div held_us")
+          .as("twa_millicents"))
+      .orderBy(col("user_id"))
+  }
+
+  def timeWeightedAvgQuery(s: SparkSession, dir: String): DataFrame =
+    timeWeightedAvg(Tables.events(s, dir))
+
   /** B10 (r6): position-based (U-shaped) multi-touch attribution — the
     * ads-analytics workload that ASSIGNS VALUE to touchpoints, where the
     * funnel only counts users: each purchase's value is split over the
@@ -261,6 +296,7 @@ object EventAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
+    "b06_time_weighted" -> (timeWeightedAvgQuery _),
     "b10_top_paths" -> (topPathsQuery _),
     "b10_funnel" -> (funnelQuery _),
     "b10_transitions" -> (transitionsQuery _),
@@ -346,6 +382,21 @@ object EventAnalytics {
       SELECT event_id, user_id, ts, CAST(c AS DOUBLE)/100 AS value,
              CAST(num AS DOUBLE)/12800 AS ewma8
       FROM l WHERE num IS NOT NULL ORDER BY event_id""",
+    "b06_time_weighted" -> """
+      WITH ev AS (SELECT user_id, event_id,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                  FROM events),
+      iv AS (SELECT user_id, cents, lead(us) OVER w - us AS dt
+             FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                CAST(SUM(dt) AS BIGINT) AS held_us,
+                CAST(SUM(cents * dt) AS BIGINT) AS num
+              FROM iv WHERE dt IS NOT NULL GROUP BY user_id)
+      SELECT user_id, n_intervals, held_us,
+             (num // held_us) * 1000 + (1000 * (num % held_us)) // held_us
+               AS twa_millicents
+      FROM agg WHERE held_us > 0 ORDER BY user_id""",
     "b10_top_paths" -> """
       WITH o AS (SELECT user_id, event_type,
                    lead(event_type, 1) OVER w AS e2,

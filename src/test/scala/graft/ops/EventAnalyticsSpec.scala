@@ -101,6 +101,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(9L) === 102500.0 / 12800)
   }
 
+  test("time-weighted average: hand-computed interval weighting (B6)") {
+    // user 1: $1 held 1 min, $3 held 3 min, $10 tail (no successor, no
+    // weight) → TWA = (100·60e6 + 300·180e6)/(240e6 us) = 250 cents
+    // user 2: single event — no interval, excluded
+    // user 3: two events at the SAME instant — held_us 0, excluded
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(sec: Int) = new Timestamp(t0.getTime + sec * 1000L)
+    val d = Seq(
+      (1L, at(0), 1L, "v", 1.0), (2L, at(60), 1L, "v", 3.0),
+      (3L, at(240), 1L, "v", 10.0),
+      (4L, at(0), 2L, "v", 5.0),
+      (5L, at(7), 3L, "v", 2.0), (6L, at(7), 3L, "v", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.timeWeightedAvg(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L) === ((2L, 240000000L, 250000L)))
+    // a plain average would say (1+3+10)/3 ≈ 4.67 — interval weighting
+    // must NOT equal it
+    assert(out(1L)._3 !== 4667L * 100)
+  }
+
   test("attribution conserves money: shares sum to purchase cents exactly (B10)") {
     // real corpus: every attributed purchase's integer shares must sum to
     // its exact cents — the no-float-splits contract — and the U-shape
