@@ -243,6 +243,46 @@ object EventAnalytics {
   def timeWeightedAvgQuery(s: SparkSession, dir: String): DataFrame =
     timeWeightedAvg(Tables.events(s, dir))
 
+  /** B10 (r7): RFM segmentation — the classic customer-value scoring
+    * (recency / frequency / monetary quintiles, 5 = best): per user over
+    * purchase events, recency = last purchase instant, frequency =
+    * purchase count, monetary = exact cents sum; each metric ranked into
+    * ntile(5) with the user_id tie-break so the cut is total and
+    * replayable; rfm_code = 100·R + 10·F + M is the segment label
+    * marketers read ("555" = champions).
+    *
+    * Scale shape: the event-scale work is ONE map-side-combinable
+    * aggregate to the user dimension; the three ntile windows then run
+    * over USERS — the small output of that aggregate, orders of
+    * magnitude below event cardinality (at 100 TB of events the user
+    * table is the thing you'd ntile in one partition-ranged sort; the
+    * un-partitioned window here is over that reduced table, not the
+    * corpus). */
+  def rfm(events: DataFrame): DataFrame = {
+    val base = events
+      .filter(col("event_type") === "purchase")
+      .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("cents", (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(max(col("us")).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+    val rW = Window.orderBy(col("recency_us"), col("user_id"))
+    val fW = Window.orderBy(col("frequency"), col("user_id"))
+    val mW = Window.orderBy(col("monetary_cents"), col("user_id"))
+    base
+      .withColumn("r_q", ntile(5).over(rW).cast("long"))
+      .withColumn("f_q", ntile(5).over(fW).cast("long"))
+      .withColumn("m_q", ntile(5).over(mW).cast("long"))
+      .select(col("user_id"), col("recency_us"), col("frequency"),
+        col("monetary_cents"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_code"))
+      .orderBy(col("user_id"))
+  }
+
+  def rfmQuery(s: SparkSession, dir: String): DataFrame =
+    rfm(Tables.events(s, dir))
+
   /** B10 (r6): position-based (U-shaped) multi-touch attribution — the
     * ads-analytics workload that ASSIGNS VALUE to touchpoints, where the
     * funnel only counts users: each purchase's value is split over the
@@ -297,6 +337,7 @@ object EventAnalytics {
     "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
     "b06_time_weighted" -> (timeWeightedAvgQuery _),
+    "b10_rfm" -> (rfmQuery _),
     "b10_top_paths" -> (topPathsQuery _),
     "b10_funnel" -> (funnelQuery _),
     "b10_transitions" -> (transitionsQuery _),
@@ -397,6 +438,23 @@ object EventAnalytics {
              (num // held_us) * 1000 + (1000 * (num % held_us)) // held_us
                AS twa_millicents
       FROM agg WHERE held_us > 0 ORDER BY user_id""",
+    "b10_rfm" -> """
+      WITH p AS (SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                 FROM events WHERE event_type = 'purchase'),
+      base AS (SELECT user_id, MAX(us) AS recency_us,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(cents) AS BIGINT) AS monetary_cents
+               FROM p GROUP BY user_id),
+      q AS (SELECT *,
+              CAST(ntile(5) OVER (ORDER BY recency_us, user_id) AS BIGINT) AS r_q,
+              CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_q,
+              CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT) AS m_q
+            FROM base)
+      SELECT user_id, recency_us, frequency, monetary_cents, r_q, f_q, m_q,
+             r_q * 100 + f_q * 10 + m_q AS rfm_code
+      FROM q ORDER BY user_id""",
     "b10_top_paths" -> """
       WITH o AS (SELECT user_id, event_type,
                    lead(event_type, 1) OVER w AS e2,

@@ -450,6 +450,42 @@ object GraphOps {
   def linkPredictQuery(s: SparkSession, dir: String): DataFrame =
     linkPredictOf(strongEdges(s, dir), 20)
 
+  /** B16 (r7): degree assortativity (Newman 2002) — the one-number
+    * mixing summary every graph profile reports: the Pearson correlation
+    * of endpoint degrees over edges (positive = hubs attach to hubs,
+    * social-network-like; negative = hub-and-spoke, web/biology-like).
+    * Tells you up front whether hub mitigation (orientation, salting)
+    * will matter downstream.
+    *
+    * Exactness: each undirected edge contributes both (du, dv) and
+    * (dv, du) — the standard symmetrization — and all five moments are
+    * exact BIGINT sums (the b04 exact-moment corr pattern); the single
+    * final double expression (M·Σxy − Σx·Σy) / (M·Σxx − Σx²) replays
+    * bit-identically cross-engine (x/y marginals coincide under
+    * symmetrization, so the usual sqrt·sqrt denominator reduces to one
+    * integer term). Two degree joins + one combinable aggregate — no
+    * new shuffle shape beyond the triangle kernel's first stage. */
+  def assortativityOf(edgeSet: DataFrame): DataFrame = {
+    val deg = degreesOf(edgeSet)
+    val withDeg = edgeSet
+      .join(deg.select(col("p").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("p").as("v"), col("degree").as("dv")), "v")
+    val sym = withDeg.select(col("du").as("x"), col("dv").as("y"))
+      .unionAll(withDeg.select(col("dv").as("x"), col("du").as("y")))
+    sym.agg(
+        count(lit(1)).as("m2"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("m2"), col("sx"), col("sxx"), col("sxy"),
+        (( col("m2") * col("sxy") - col("sx") * col("sx")).cast("double") /
+         ( col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
+
+  def assortativityQuery(s: SparkSession, dir: String): DataFrame =
+    assortativityOf(copurchaseEdges(s, dir))
+
   def edgeJaccardQuery(s: SparkSession, dir: String): DataFrame =
     overTriangleSnapshot(s, dir)(edgeJaccardTopK(20))
 
@@ -464,6 +500,7 @@ object GraphOps {
     "b16_clustering" -> (clusteringQuery _),
     "b16_components" -> (componentsQuery _),
     "b16_link_predict" -> (linkPredictQuery _),
+    "b16_assortativity" -> (assortativityQuery _),
   )
 
   /** Shared oracle fragments (one definition, every consumer — the
@@ -553,6 +590,19 @@ object GraphOps {
       FROM cn LEFT JOIN we ON we.u = cn.u AND we.v = cn.v
       WHERE we.u IS NULL
       ORDER BY n_common DESC, part_u, part_v LIMIT 20
+    """,
+    "b16_assortativity" -> s"""
+      WITH $OracleEdges, $OracleDegs,
+      wd AS (SELECT du.degree AS du, dv.degree AS dv
+             FROM edges e JOIN degs du ON du.p = e.u JOIN degs dv ON dv.p = e.v),
+      sym AS (SELECT du AS x, dv AS y FROM wd UNION ALL SELECT dv AS x, du AS y FROM wd)
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(x) AS DOUBLE) /
+             CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) AS assortativity
+      FROM sym
     """,
   )
 

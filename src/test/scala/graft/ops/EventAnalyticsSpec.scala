@@ -123,6 +123,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(1L)._3 !== 4667L * 100)
   }
 
+  test("rfm: quintiles rank 10 planted users deterministically (B10)") {
+    // users 1..10: user i purchases i times, $i each, last at minute i —
+    // all three metrics rank users in id order, so ntile(5) puts
+    // {1,2}->1, {3,4}->2, …, {9,10}->5 on every axis
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val d = (1 to 10).flatMap { u =>
+      (1 to u).map { k =>
+        ((u * 100 + k).toLong, new Timestamp(t0.getTime + (u * 60 + k) * 1000L),
+          u.toLong, "purchase", u.toDouble)
+      }
+    } :+ ((9999L, t0, 3L, "view", 500.0)) // non-purchase: ignored entirely
+    val out = EventAnalytics.rfm(d.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(7)))).toMap
+    assert(out.keySet === (1L to 10L).toSet)
+    (1 to 10).foreach { u =>
+      val q = (u + 1) / 2
+      assert(out(u.toLong) === ((u.toLong, u.toLong * u * 100, q * 111L)),
+        s"user $u")
+    }
+  }
+
   test("attribution conserves money: shares sum to purchase cents exactly (B10)") {
     // real corpus: every attributed purchase's integer shares must sum to
     // its exact cents — the no-float-splits contract — and the U-shape

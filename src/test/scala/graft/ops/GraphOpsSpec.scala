@@ -226,6 +226,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(lp(edges, k = 10000) === brute)
   }
 
+  test("assortativity: star is -1; brute-force Pearson on a deterministic random graph") {
+    // K1,4: sym pairs (4,1)x4 + (1,4)x4 -> perfectly disassortative
+    val star = (1L to 4L).map(i => (0L, i))
+    val s0 = GraphOps.assortativityOf(star.toDF("u", "v")).collect()(0)
+    assert(s0.getDouble(4) === -1.0)
+    // deterministic random graph vs a direct Pearson over symmetrized ends
+    val raw = (0L until 97L).flatMap(i => Seq(
+      (i, (i * 7 + 3) % 97), (i, (i + 1) % 97), (i, (i * 13 + 5) % 97)))
+    val edges = raw.filter { case (u, v) => u != v }
+      .map { case (u, v) => if (u < v) (u, v) else (v, u) }.distinct
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, xs) => v -> xs.size.toLong }
+    val xs = edges.flatMap { case (u, v) => Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+    val m = xs.size.toLong
+    val sx = xs.map(_._1).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val expected = (m * sxy - sx * sx).toDouble / (m * sxx - sx * sx).toDouble
+    val got = GraphOps.assortativityOf(edges.toDF("u", "v")).collect()(0)
+    assert(got.getLong(0) === m && got.getLong(1) === sx)
+    assert(got.getLong(2) === sxx && got.getLong(3) === sxy)
+    assert(got.getDouble(4) === expected)
+  }
+
   test("matches brute force on a deterministic random graph") {
     // circulant-ish deterministic graph: edge (i, (i*7+3) mod 97) etc.
     val raw = (0L until 97L).flatMap(i => Seq(
