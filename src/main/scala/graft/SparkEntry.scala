@@ -31,6 +31,7 @@ object SparkEntry {
       (ops.RagPipeline.queries, ops.RagPipeline.oracles),
       (ops.IngestPipeline.queries, ops.IngestPipeline.oracles),
       (ops.ScaleQueries.queries, ops.ScaleQueries.oracles),
+      (ops.TpchQueries.queries, ops.TpchQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -34,21 +34,21 @@ object Relational {
     * differences. Sums pre-cast to DECIMAL(28,s) so the engine sum type is
     * DECIMAL(38,s) in Spark and DuckDB alike.
     */
-  private def money(c: Column): Column = c.cast("decimal(12,2)")
-  private def rate(c: Column): Column = c.cast("decimal(4,2)")
-  private val one = lit(1.0).cast("decimal(3,2)")
+  private[ops] def money(c: Column): Column = c.cast("decimal(12,2)")
+  private[ops] def rate(c: Column): Column = c.cast("decimal(4,2)")
+  private[ops] val one = lit(1.0).cast("decimal(3,2)")
   /** Exact sum of a 2dp column → DECIMAL(38,2). */
-  private def sum2(c: Column): Column = sum(money(c).cast("decimal(28,2)"))
+  private[ops] def sum2(c: Column): Column = sum(money(c).cast("decimal(28,2)"))
   /** Exact sum of price*(1-disc) → DECIMAL(38,4). */
-  private def sumRev(p: Column, d: Column): Column =
+  private[ops] def sumRev(p: Column, d: Column): Column =
     sum((money(p) * (one - rate(d))).cast("decimal(28,4)"))
   /** Exact sum of price*(1-disc)*(1+tax) → DECIMAL(38,6). */
-  private def sumCharge(p: Column, d: Column, t: Column): Column =
+  private[ops] def sumCharge(p: Column, d: Column, t: Column): Column =
     sum((money(p) * (one - rate(d)) * (one + rate(t))).cast("decimal(28,6)"))
   /** Exact sum of price*rate → DECIMAL(38,4). */
-  private def sumProd(p: Column, d: Column): Column =
+  private[ops] def sumProd(p: Column, d: Column): Column =
     sum((money(p) * rate(d)).cast("decimal(28,4)"))
-  private def tsLit(s: String): Column = lit(s).cast("timestamp_ntz")
+  private[ops] def tsLit(s: String): Column = lit(s).cast("timestamp_ntz")
 
   // ---------------------------------------------------------------- queries
 
@@ -793,13 +793,13 @@ object Relational {
   // SQL mirrors of the exact-decimal aggregation helpers above — the
   // oracle must perform the IDENTICAL arithmetic, not just an equivalent
   // one, so hash comparison is exact.
-  private def sum2Sql(c: String) =
+  private[ops] def sum2Sql(c: String) =
     s"SUM(CAST(CAST($c AS DECIMAL(12,2)) AS DECIMAL(28,2)))"
-  private def sumRevSql(p: String, d: String) =
+  private[ops] def sumRevSql(p: String, d: String) =
     s"SUM(CAST(CAST($p AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST($d AS DECIMAL(4,2))) AS DECIMAL(28,4)))"
-  private def sumChargeSql(p: String, d: String, t: String) =
+  private[ops] def sumChargeSql(p: String, d: String, t: String) =
     s"SUM(CAST(CAST($p AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST($d AS DECIMAL(4,2))) * (CAST(1.0 AS DECIMAL(3,2)) + CAST($t AS DECIMAL(4,2))) AS DECIMAL(28,6)))"
-  private def sumProdSql(p: String, d: String) =
+  private[ops] def sumProdSql(p: String, d: String) =
     s"SUM(CAST(CAST($p AS DECIMAL(12,2)) * CAST($d AS DECIMAL(4,2)) AS DECIMAL(28,4)))"
 
   val oracles: Map[String, String] = Map(
