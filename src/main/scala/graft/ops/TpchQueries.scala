@@ -260,22 +260,25 @@ object TpchQueries {
     * date). The classic formulation is a quadruple self-join with EXISTS
     * and NOT EXISTS; the scale-right plan is one orderkey-keyed two-level
     * aggregation: per-(order,supplier) late flag, then per-order
-    * (suppliers, late-suppliers) counts, then the gate nsupp>1 ∧ nlate=1
-    * picks the culprit rows — fact data is shuffled once on orderkey and
-    * every aggregate is map-side combinable. */
+    * (suppliers, late-suppliers) counts via a WINDOW over the aggregated
+    * table (not a self-join — a second reference to the aggregate would
+    * make Spark recompute the whole fact subtree), then the gate
+    * nsupp>1 ∧ nlate=1 picks the culprit rows. Fact data is shuffled once
+    * on orderkey with map-side combine; the window re-exchange carries
+    * only the order-dimension-sized aggregate. */
   def q21SoleLateSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val perSupp = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 120 DAY"), 1)
         .otherwise(0)).as("late"))
-    val perOrder = perSupp.groupBy($"l_orderkey")
-      .agg(count(lit(1)).as("nsupp"), sum($"late").as("nlate"))
-      .filter($"nsupp" > 1 && $"nlate" === 1)
-      .select($"l_orderkey".as("bad_orderkey"))
-    perSupp.filter($"late" === 1)
-      .join(perOrder, $"l_orderkey" === $"bad_orderkey")
+    val w = Window.partitionBy($"l_orderkey")
+    perSupp
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .withColumn("nlate", sum($"late").over(w))
+      .filter($"late" === 1 && $"nsupp" > 1 && $"nlate" === 1)
       .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
       .select($"s_name", $"numwait")
