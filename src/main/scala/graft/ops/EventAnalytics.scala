@@ -157,6 +157,57 @@ object EventAnalytics {
   def resampleQuery(s: SparkSession, dir: String): DataFrame =
     resampleFfill(Tables.events(s, dir))
 
+  /** B06 (r7): resample + LINEAR interpolation — the harder twin of
+    * [[resampleFfill]] (gap cells take the straight line between the
+    * surrounding observations instead of carrying the last one). Same
+    * grid device (floor-mod bucket, sequence-explode span, max_by pick);
+    * the surrounding observations come from four IGNORE-NULLS frame
+    * windows over ONE user-keyed sort (prev = trailing last_value, next
+    * = leading first_value — no self-join, no second shuffle).
+    *
+    * Cross-engine exactness: values are integer cents and every grid
+    * bucket lies between its user's first and last observation, so the
+    * interpolant is the convex combination
+    * (pv·(nb−b) + nv·(b−pb))·1000 div (nb−pb) — a NON-NEGATIVE integer
+    * numerator (events.value > 0), where truncating and floor division
+    * agree, served in milli-cents. No IEEE arithmetic anywhere. */
+  def resampleInterp(events: DataFrame, stepSec: Long = 86400L): DataFrame = {
+    val ev = events.select(col("user_id"),
+      expr(s"""unix_seconds(cast(ts as timestamp))
+               - ((unix_seconds(cast(ts as timestamp)) % $stepSec + $stepSec) % $stepSec)""")
+        .as("bucket_sec"),
+      format_string("%020d|%020d",
+        expr("unix_micros(cast(ts as timestamp))"), col("event_id")).as("ord_key"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val obs = ev.groupBy(col("user_id"), col("bucket_sec"))
+      .agg(max_by(col("cents"), col("ord_key")).as("c_obs"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("bucket_sec")).as("b0"), max(col("bucket_sec")).as("b1"))
+      .select(col("user_id"), explode(expr(s"sequence(b0, b1, $stepSec)")).as("bucket_sec"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("bucket_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("bucket_sec"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(obs, Seq("user_id", "bucket_sec"), "left_outer")
+      .withColumn("pb",
+        last(when(col("c_obs").isNotNull, col("bucket_sec")), ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(col("c_obs"), ignoreNulls = true).over(wPrev))
+      .withColumn("nb",
+        first(when(col("c_obs").isNotNull, col("bucket_sec")), ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(col("c_obs"), ignoreNulls = true).over(wNext))
+      .select(col("user_id"),
+        timestamp_seconds(col("bucket_sec")).cast("timestamp_ntz").as("bucket_ts"),
+        when(col("c_obs").isNotNull, col("c_obs") * 1000)
+          .otherwise(expr(
+            "(pv * (nb - bucket_sec) + nv * (bucket_sec - pb)) * 1000 div (nb - pb)"))
+          .as("interp_mc"),
+        when(col("c_obs").isNotNull, 1).otherwise(0).as("observed"))
+      .orderBy(col("user_id"), col("bucket_ts"))
+  }
+
+  def interpQuery(s: SparkSession, dir: String): DataFrame =
+    resampleInterp(Tables.events(s, dir))
+
   // ---------------------------------------------------------------- wiring
 
   /** Top-k 3-step user paths — the "what do users actually do" census
@@ -343,6 +394,7 @@ object EventAnalytics {
     "b10_transitions" -> (transitionsQuery _),
     "b10_retention" -> (retentionQuery _),
     "b06_resample_ffill" -> (resampleQuery _),
+    "b06_interpolate" -> (interpQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,6 +545,37 @@ object EventAnalytics {
              last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_sec
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
       FROM j ORDER BY user_id, bucket_ts""",
+    "b06_interpolate" -> """
+      WITH ev AS (SELECT user_id,
+              CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400 * 86400 AS bucket_sec,
+              printf('%020d|%020d', epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS ord_key,
+              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+      obs AS (SELECT user_id, bucket_sec, arg_max(cents, ord_key) AS c_obs
+              FROM ev GROUP BY 1, 2),
+      span AS (SELECT user_id, MIN(bucket_sec) AS b0, MAX(bucket_sec) AS b1
+               FROM ev GROUP BY 1),
+      grid AS (SELECT user_id, u.bucket_sec
+               FROM span, UNNEST(range(b0, b1 + 86400, 86400)) AS u(bucket_sec)),
+      j AS (SELECT g.user_id, g.bucket_sec, o.c_obs
+            FROM grid g LEFT JOIN obs o USING (user_id, bucket_sec)),
+      f AS (SELECT *,
+              last_value(CASE WHEN c_obs IS NOT NULL THEN bucket_sec END IGNORE NULLS)
+                OVER wp AS pb,
+              last_value(c_obs IGNORE NULLS) OVER wp AS pv,
+              first_value(CASE WHEN c_obs IS NOT NULL THEN bucket_sec END IGNORE NULLS)
+                OVER wn AS nb,
+              first_value(c_obs IGNORE NULLS) OVER wn AS nv
+            FROM j
+            WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_sec
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY user_id ORDER BY bucket_sec
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, make_timestamp(bucket_sec * 1000000) AS bucket_ts,
+             CASE WHEN c_obs IS NOT NULL THEN c_obs * 1000
+                  ELSE (pv * (nb - bucket_sec) + nv * (bucket_sec - pb)) * 1000
+                       // (nb - pb) END AS interp_mc,
+             CASE WHEN c_obs IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM f ORDER BY user_id, bucket_ts""",
     "b10_retention" -> """
       WITH c AS (SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
                  FROM events GROUP BY user_id),

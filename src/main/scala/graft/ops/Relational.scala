@@ -464,6 +464,37 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** B4/B5 (r7): exact weighted median — the smallest price whose
+    * cumulative quantity weight reaches half the group total (freight
+    * optimization, price-point selection: "the price below which half the
+    * VOLUME trades", which a plain median of rows gets wrong whenever
+    * quantity and price correlate). Event-scale work is ONE map-side-
+    * combinable (flag, price) weight aggregate; the cumulative window
+    * then runs over distinct prices per group — the reduced table. All
+    * integer (cents × integral quantities), gate cross-multiplied
+    * (2·cum ≥ total), so the pick replays bit-identically. At 100 TB
+    * with unbounded distinct prices the same contract is served by the
+    * KLL-style weighted quantile sketch (b05_quantile_sketch); this is
+    * the exact path. */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pv = Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        (money($"l_extendedprice") * 100).cast("long").as("price_c"),
+        $"l_quantity".cast("long").as("qty"))
+      .groupBy($"l_returnflag", $"price_c")
+      .agg(sum($"qty").as("wsum"))
+    val wCum = Window.partitionBy($"l_returnflag").orderBy($"price_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"l_returnflag")
+    pv.withColumn("cum", sum($"wsum").over(wCum))
+      .withColumn("total", sum($"wsum").over(wTot))
+      .filter($"cum" * 2 >= $"total")
+      .groupBy($"l_returnflag")
+      .agg(min($"price_c").as("wmedian_cents"), min($"total").as("total_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Approximate aggregates — HLL distinct + approx quantiles (B5). Sketch
     * implementations differ across engines, so no SQL oracle (rows-only).
     * The quartile sketch result is flattened to three scalar columns:
@@ -768,6 +799,7 @@ object Relational {
     "b04_cube" -> (cubeFlags _),
     "b04_grouping_sets" -> (groupingSets _),
     "b05_median" -> (medianQuantity _),
+    "b04_weighted_median" -> (weightedMedian _),
     "b05_approx_stats" -> (approxStats _),
     "b05_heavy_hitters" -> (heavyHitters _),
     "b05_quantile_sketch" -> (quantileSketch _),
@@ -950,6 +982,20 @@ object Relational {
       SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
              MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "b04_weighted_median" -> """
+      WITH pv AS (SELECT l_returnflag,
+                    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c,
+                    SUM(CAST(l_quantity AS BIGINT)) AS wsum
+                  FROM lineitem GROUP BY 1, 2),
+      c AS (SELECT *,
+              SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              SUM(wsum) OVER (PARTITION BY l_returnflag) AS total
+            FROM pv)
+      SELECT l_returnflag, MIN(price_c) AS wmedian_cents,
+             CAST(MIN(total) AS BIGINT) AS total_qty
+      FROM c WHERE cum * 2 >= total
+      GROUP BY 1 ORDER BY l_returnflag""",
     "b05_heavy_hitters" -> """
       SELECT p_brand, COUNT(*) AS n_parts
       FROM part GROUP BY p_brand

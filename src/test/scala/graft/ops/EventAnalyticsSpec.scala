@@ -61,6 +61,43 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, "2024-01-02") -> 7.0))
   }
 
+  test("interpolation: gap cells take the exact milli-cent line between neighbors (B06, r7)") {
+    val d = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L, "view", 1.00),
+      (2L, Timestamp.valueOf("2024-01-05 09:00:00"), 1L, "view", 3.00), // 3-day gap: 1.50/2.00/2.50
+      (3L, Timestamp.valueOf("2024-01-02 09:00:00"), 2L, "view", 7.00), // single-day user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.resampleInterp(d).collect()
+      .map(x => ((x.getLong(0), x.getAs[java.time.LocalDateTime](1).toLocalDate.toString),
+        (x.getLong(2), x.getInt(3))))
+    assert(r.toSeq === Seq(
+      (1L, "2024-01-01") -> ((100000L, 1)),
+      (1L, "2024-01-02") -> ((150000L, 0)),
+      (1L, "2024-01-03") -> ((200000L, 0)),
+      (1L, "2024-01-04") -> ((250000L, 0)),
+      (1L, "2024-01-05") -> ((300000L, 1)),
+      (2L, "2024-01-02") -> ((700000L, 1))))
+  }
+
+  test("weighted median: the pick is the smallest value whose cumulative weight reaches half (B04, r7)") {
+    // brute-force the same contract over the sf0.001 table
+    val got = Relational.weightedMedian(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .selectExpr("l_returnflag",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c",
+        "CAST(l_quantity AS BIGINT) AS q").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val brute = rows.groupBy(_._1).map { case (flag, xs) =>
+      val total = xs.map(_._3).sum
+      val byPrice = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val cum = byPrice.scanLeft(0L)(_ + _._2).tail
+      val idx = cum.indexWhere(_ * 2 >= total)
+      flag -> ((byPrice(idx)._1, total))
+    }
+    assert(got === brute)
+  }
+
   test("resample+ffill: same-timestamp tie breaks by event_id via the string key (B06)") {
     val ts0 = Timestamp.valueOf("2024-01-01 09:00:00")
     val d = Seq(

@@ -226,6 +226,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(lp(edges, k = 10000) === brute)
   }
 
+  test("resource allocation: star spokes score 10^9 div hubdeg; brute force on a random graph") {
+    // K1,5: each spoke pair's sole common neighbor is the hub (degree 5)
+    val star = (1L to 5L).map(i => (0L, i))
+    val gotStar = GraphOps.resourceAllocOf(star.toDF("u", "v"), 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotStar.size === 10 && gotStar.values.forall(_ == 1000000000L / 5))
+    // deterministic random graph vs brute-force sum of floor-divided
+    // center contributions
+    val raw = (0L until 97L).flatMap(i => Seq(
+      (i, (i * 7 + 3) % 97), (i, (i + 1) % 97), (i, (i * 13 + 5) % 97)))
+    val edges = raw.filter { case (u, v) => u != v }
+      .map { case (u, v) => if (u < v) (u, v) else (v, u) }.distinct
+    val es = edges.toSet
+    val nbr = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupMap(_._1)(_._2).map { case (v, ns) => v -> ns.toSet }
+    val vs = nbr.keys.toSeq.sorted
+    val brute = (for {
+      u <- vs; v <- vs if u < v && !es((u, v))
+      zs = nbr(u) & nbr(v) if zs.nonEmpty
+    } yield (u, v) -> zs.toSeq.map(z => 1000000000L / nbr(z).size).sum).toMap
+    val got = GraphOps.resourceAllocOf(edges.toDF("u", "v"), 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === brute)
+  }
+
   test("assortativity: star is -1; brute-force Pearson on a deterministic random graph") {
     // K1,4: sym pairs (4,1)x4 + (1,4)x4 -> perfectly disassortative
     val star = (1L to 4L).map(i => (0L, i))
