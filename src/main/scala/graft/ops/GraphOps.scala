@@ -362,6 +362,67 @@ object GraphOps {
   def kCoreQuery(s: SparkSession, dir: String): DataFrame =
     kCore(s, copurchaseEdges(s, dir), KCoreK, KCoreRounds)
 
+  /** B16 (r7): k-truss decomposition — the EDGE analogue of k-core and
+    * the standard cohesive-community core detector (Cohen 2008): the
+    * maximal subgraph in which every edge closes ≥ k−2 triangles within
+    * the subgraph. Stricter than k-core (a k-truss is always inside the
+    * (k−1)-core) and robust to hub noise, because membership requires
+    * shared neighborhoods, not raw degree.
+    *
+    * Scale shape: per round, edge support rides the SAME
+    * arboricity-bounded edge-centric triangle kernel as b16_triangles —
+    * each listed triangle attributes one support unit to its three
+    * normalized edges (explode of actual triangles only), one combinable
+    * (u, v) count, one semi-join drops light edges. The first round
+    * reuses the materialized triangle-listing snapshot; later rounds run
+    * on the (sharply shrinking) survivor set. Per-round lineage cut via
+    * localCheckpoint, fixpoint early-exit (count equality on a
+    * monotonically shrinking set). */
+  def kTruss(s: SparkSession, edgeSet: DataFrame, k: Int, rounds: Int,
+      firstTri: Option[DataFrame] = None): DataFrame = {
+    def supportOf(tri: DataFrame): DataFrame =
+      tri.select(col("src"), col("dst"), explode(col("common")).as("c"))
+        .select(explode(array(
+          struct(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v")),
+          struct(least(col("src"), col("c")).as("u"),
+            greatest(col("src"), col("c")).as("v")),
+          struct(least(col("dst"), col("c")).as("u"),
+            greatest(col("dst"), col("c")).as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    var edges = edgeSet.select(col("u"), col("v")).localCheckpoint(true)
+    var cnt = edges.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val tri = if (r == 0) firstTri.getOrElse(buildTriangleListing(edges))
+                else buildTriangleListing(edges)
+      val heavy = supportOf(tri).filter(col("support") >= k - 2)
+      val next = edges.join(heavy, Seq("u", "v"), "left_semi").localCheckpoint(true)
+      val n = next.count()
+      // next ⊆ edges, so equal counts mean equal sets: fixpoint
+      converged = n == cnt
+      edges = next
+      cnt = n
+      r += 1
+    }
+    edges.join(supportOf(buildTriangleListing(edges)), Seq("u", "v"))
+      .select(col("u").as("part_u"), col("v").as("part_v"), col("support"))
+      .orderBy(col("part_u"), col("part_v"))
+  }
+
+  /** Gate constants: k=12 peels the sf0.01 co-purchase graph through a
+    * 5-round cascade (115729 → 69588 → 22275 → 2565 → 1127 → fixpoint)
+    * and the sf0.1 graph through 3 (1196000 → 29299 → 9790 → fixpoint) —
+    * the robust mixed regime in both; rounds=7 = worst fixpoint+2. */
+  private val KTrussK = 12
+  private val KTrussRounds = 7
+
+  def kTrussQuery(s: SparkSession, dir: String): DataFrame =
+    kTruss(s, copurchaseEdges(s, dir), KTrussK, KTrussRounds,
+      firstTri = Some(triangleListing(s, dir)))
+
   /** Distinct-per-order co-purchase pairs kept only when they co-occur in
     * at least `minOrders` orders — the STRONG co-purchase graph. The
     * threshold is the graph twin of a support cut in frequent-itemset
@@ -532,6 +593,7 @@ object GraphOps {
     "b16_degree_hist" -> ((s, dir) => degreeHistogram(s, dir)),
     "b16_triangles" -> ((s, dir) => triangleParticipation(s, dir)),
     "b16_kcore" -> (kCoreQuery _),
+    "b16_ktruss" -> (kTrussQuery _),
     "b16_edge_jaccard" -> (edgeJaccardQuery _),
     "b16_clustering" -> (clusteringQuery _),
     "b16_components" -> (componentsQuery _),
@@ -580,6 +642,7 @@ object GraphOps {
       GROUP BY part_key ORDER BY n_triangles DESC, part_key LIMIT 20
     """,
     "b16_kcore" -> kCoreOracleSql,
+    "b16_ktruss" -> kTrussOracleSql,
     "b16_edge_jaccard" -> s"""
       WITH $OracleEdges, $OracleDegs, $OracleTri,
       tedges AS (SELECT a AS u, b AS v FROM tri UNION ALL
@@ -663,6 +726,48 @@ object GraphOps {
     * pattern): a0 = all vertices; a_t = vertices with induced degree ≥ k
     * among a_{t−1}. The early-exit in [[kCore]] is invisible to the
     * result — after the fixpoint every unrolled round is an identity. */
+  /** Unrolled replay of the truss peel (the kCore oracle pattern): each
+    * round enumerates triangles of the surviving edge set with the naive
+    * u<v three-way join (orientation-invariant, so it matches the
+    * engine's degree-oriented kernel), attributes support to the three
+    * edges of each triangle, and keeps edges with support ≥ k−2. After
+    * the fixpoint every unrolled round is an identity. */
+  private def kTrussOracleSql: String = {
+    def round(r: Int): String =
+      s"""t$r AS MATERIALIZED (
+           SELECT a.u AS x, a.v AS y, b.v AS z
+           FROM e$r a JOIN e$r b ON a.v = b.u
+           JOIN e$r c ON c.u = a.u AND c.v = b.v),
+         s$r AS MATERIALIZED (
+           SELECT u, v, COUNT(*) AS support FROM (
+             SELECT x AS u, y AS v FROM t$r
+             UNION ALL SELECT x AS u, z AS v FROM t$r
+             UNION ALL SELECT y AS u, z AS v FROM t$r)
+           GROUP BY 1, 2),
+         e${r + 1} AS MATERIALIZED (
+           SELECT e.u, e.v FROM e$r e
+           JOIN s$r s ON e.u = s.u AND e.v = s.v AND s.support >= ${KTrussK - 2})"""
+    val peel = (0 until KTrussRounds).map(round).mkString(",\n      ")
+    val last = KTrussRounds
+    s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+              FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      $peel,
+      tf AS MATERIALIZED (
+        SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM e$last a JOIN e$last b ON a.v = b.u
+        JOIN e$last c ON c.u = a.u AND c.v = b.v),
+      sf AS (SELECT u, v, COUNT(*) AS support FROM (
+               SELECT x AS u, y AS v FROM tf
+               UNION ALL SELECT x AS u, z AS v FROM tf
+               UNION ALL SELECT y AS u, z AS v FROM tf)
+             GROUP BY 1, 2)
+      SELECT e.u AS part_u, e.v AS part_v, s.support
+      FROM e$last e JOIN sf s ON e.u = s.u AND e.v = s.v
+      ORDER BY part_u, part_v"""
+  }
+
   private def kCoreOracleSql: String = {
     // AS MATERIALIZED (DuckDB + Postgres syntax): each a_t references
     // a_{t-1} four times, so default CTE inlining would expand 4^rounds

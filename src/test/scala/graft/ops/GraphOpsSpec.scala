@@ -226,6 +226,54 @@ class GraphOpsSpec extends SparkSpec {
     assert(lp(edges, k = 10000) === brute)
   }
 
+  private def kt(edges: Seq[(Long, Long)], k: Int) =
+    GraphOps.kTruss(spark, edges.toDF("u", "v"), k, rounds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  private def bruteTruss(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+    var es = edges.toSet
+    var changed = true
+    def support(e: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val nbr = e.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+      e.toSeq.map { case (u, v) => (u, v) -> (nbr(u) & nbr(v)).size.toLong }.toMap
+    }
+    while (changed) {
+      val sup = support(es)
+      val next = es.filter(e => sup(e) >= k - 2)
+      changed = next != es
+      es = next
+    }
+    support(es)
+  }
+
+  test("k-truss: K4 is a 4-truss (support 2 everywhere), peels empty at k=5") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(kt(k4, 4) === k4.map(_ -> 2L).toMap)
+    assert(kt(k4, 5) === Map.empty)
+  }
+
+  test("k-truss: K5 minus an edge cascades to empty at k=5 in two rounds, survives whole at k=4") {
+    val vs = 1L to 5L
+    val k5m = (for (u <- vs; v <- vs if u < v) yield (u, v))
+      .filterNot(_ == (4L, 5L))
+    // k=5: edges touching 4 or 5 have support 2 -> removed; the leftover
+    // triangle {1,2,3} then has support 1 -> removed (the cascade)
+    assert(kt(k5m, 5) === Map.empty)
+    val got4 = kt(k5m, 4)
+    assert(got4.keySet === k5m.toSet)
+    assert(got4((1L, 2L)) === 3L && got4((1L, 4L)) === 2L)
+  }
+
+  test("k-truss matches brute force on a deterministic random graph") {
+    val raw = (0L until 97L).flatMap(i => Seq(
+      (i, (i * 7 + 3) % 97), (i, (i + 1) % 97), (i, (i * 13 + 5) % 97)))
+    val edges = raw.filter { case (u, v) => u != v }
+      .map { case (u, v) => if (u < v) (u, v) else (v, u) }.distinct
+    assert(kt(edges, 3) === bruteTruss(edges, 3))
+    assert(kt(edges, 4) === bruteTruss(edges, 4))
+  }
+
   test("resource allocation: star spokes score 10^9 div hubdeg; brute force on a random graph") {
     // K1,5: each spoke pair's sole common neighbor is the hub (degree 5)
     val star = (1L to 5L).map(i => (0L, i))
