@@ -326,7 +326,60 @@ object Relational2 {
       .orderBy($"doc_id")
   }
 
+  /** B15 (r7): length-bucketed batch planning — the dynamic-batching
+    * step every training loop runs (batch docs of similar length so
+    * per-batch padding-to-max wastes the fewest tokens; cf. the bucketed
+    * batching in fairseq/T5). Docs are bucketed by exact GLOBAL token-
+    * count quartile, then batched in engine-portable md5 order within
+    * (bucket, shard); the report prices the plan: per batch, docs,
+    * max length, and padded (wasted) tokens.
+    *
+    * Scale shape: corpus-scale work is ONE combinable (length → count)
+    * aggregate; the quartile boundaries come from a cumulative window
+    * over the DISTINCT-length table (bounded domain — the
+    * b04_weighted_median device, never a corpus-wide rank) and ride a
+    * one-row broadcast; batch assignment windows are per-(bucket,shard)
+    * — the globalShuffle sharding idiom, so no global sort exists and
+    * readers consume shards independently. All counts exact integers. */
+  def lengthBuckets(s: SparkSession, dir: String, numShards: Int = 2,
+      batchSize: Int = 16): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+    val lc = d.groupBy($"n_tokens").agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy($"n_tokens")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val bounds = lc.withColumn("cum", sum($"cnt").over(wCum))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_total"))))
+      .agg(
+        min(when($"cum" * 4 >= $"n_total", $"n_tokens")).as("q1"),
+        min(when($"cum" * 2 >= $"n_total", $"n_tokens")).as("q2"),
+        min(when($"cum" * 4 >= $"n_total" * 3, $"n_tokens")).as("q3"))
+    val keyed = d.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when($"n_tokens" <= $"q1", 0).when($"n_tokens" <= $"q2", 1)
+          .when($"n_tokens" <= $"q3", 2).otherwise(3))
+      .withColumn("bkey", md5(concat(lit("lb:"), $"doc_id".cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring($"bkey", 1, 8), 16, 10).cast("long"),
+          lit(numShards.toLong)).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket", $"shard").orderBy($"bkey", $"doc_id")
+    keyed.withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(rn - 1) div $batchSize").cast("int"))
+      .groupBy($"bucket", $"shard", $"batch_id")
+      .agg(count(lit(1)).as("n_docs"), max($"n_tokens").as("max_tokens"),
+        sum($"n_tokens").as("sum_tokens"))
+      .withColumn("padded_tokens", $"n_docs" * $"max_tokens" - $"sum_tokens")
+      .orderBy($"bucket", $"shard", $"batch_id")
+  }
+
+  private def lengthBucketsQuery(s: SparkSession, dir: String): DataFrame =
+    lengthBuckets(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b15_length_buckets" -> (lengthBucketsQuery _),
     "b15_domain_cap" -> ((s: SparkSession, dir: String) => domainCap(s, dir)),
     "b15_stratified_sample" -> (stratifiedSample _),
     "b15_sequence_pack" -> (sequencePackQuery _),
@@ -346,6 +399,36 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "b15_length_buckets" -> """
+      WITH d AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      lc AS (SELECT n_tokens, COUNT(*) AS cnt FROM d GROUP BY 1),
+      cum AS (SELECT n_tokens,
+                SUM(cnt) OVER (ORDER BY n_tokens
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM lc),
+      tot AS (SELECT COUNT(*) AS n_total FROM d),
+      b AS (SELECT MIN(CASE WHEN cum * 4 >= n_total THEN n_tokens END) AS q1,
+                   MIN(CASE WHEN cum * 2 >= n_total THEN n_tokens END) AS q2,
+                   MIN(CASE WHEN cum * 4 >= n_total * 3 THEN n_tokens END) AS q3
+            FROM cum, tot),
+      k AS (SELECT doc_id, n_tokens,
+              CASE WHEN n_tokens <= q1 THEN 0 WHEN n_tokens <= q2 THEN 1
+                   WHEN n_tokens <= q3 THEN 2 ELSE 3 END AS bucket,
+              md5('lb:' || CAST(doc_id AS VARCHAR)) AS bkey
+            FROM d, b),
+      sh AS (SELECT *,
+               CAST(CAST(('0x' || substr(bkey, 1, 8)) AS BIGINT) % 2 AS INT) AS shard
+             FROM k),
+      r AS (SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY bucket, shard ORDER BY bkey, doc_id) AS rn
+            FROM sh)
+      SELECT bucket, shard, CAST((rn - 1) // 16 AS INT) AS batch_id,
+             COUNT(*) AS n_docs, MAX(n_tokens) AS max_tokens,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padded_tokens
+      FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "b15_domain_cap" -> """
       SELECT doc_id, source, rn FROM (
         SELECT doc_id, source,

@@ -241,4 +241,24 @@ class Relational2Spec extends SparkSpec {
       a.zip(b).count { case (x, y) => x != y } <= 1 && a.length == b.length
     })
   }
+
+  test("length buckets: batches partition the corpus, buckets are value-ordered, padding exact (B15, r7)") {
+    val rows = Relational2.lengthBuckets(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._4).sum === nDocs) // every doc in exactly one batch
+    assert(rows.forall { case (_, _, _, n, mx, sm, pad) =>
+      n >= 1 && n <= 16 && pad == n * mx - sm && pad >= 0 })
+    // buckets are value-ordered: every batch max in bucket i is below
+    // every batch max in bucket i+1 (bucket membership is by value)
+    val byBucket = rows.groupBy(_._1).view.mapValues(_.map(_._5)).toMap
+    for (b <- byBucket.keys.toSeq.sorted.dropRight(1) if byBucket.contains(b + 1))
+      assert(byBucket(b).max <= byBucket(b + 1).min)
+    // batch ids are dense per (bucket, shard) and only the last is partial
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === sorted.indices.toSeq)
+      assert(sorted.dropRight(1).forall(_._4 == 16L))
+    }
+  }
 }
