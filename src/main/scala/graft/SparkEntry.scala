@@ -32,6 +32,7 @@ object SparkEntry {
       (ops.IngestPipeline.queries, ops.IngestPipeline.oracles),
       (ops.ScaleQueries.queries, ops.ScaleQueries.oracles),
       (ops.TpchQueries.queries, ops.TpchQueries.oracles),
+      (ops.TrainPipeline.queries, ops.TrainPipeline.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

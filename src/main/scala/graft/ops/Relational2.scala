@@ -285,8 +285,10 @@ object Relational2 {
   def temperatureMix(s: SparkSession, dir: String, budget: Long = 100000L): DataFrame =
     temperatureMixOf(Tables.documents(s, dir), budget)
 
-  /** [[temperatureMix]] over any frame with a `source` column. */
-  def temperatureMixOf(docs: DataFrame, budget: Long = 100000L): DataFrame = {
+  /** Per-source (n_docs, sk = isqrt(n·10⁸), n_total, s_total) shares
+    * frame — the temperature-planning core shared by [[temperatureMixOf]]
+    * and the e04 training-batches flagship so the two cannot drift. */
+  private[ops] def temperatureShares(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val bySrc = docs
       .groupBy($"source").agg(count(lit(1)).as("n_docs"))
@@ -295,6 +297,12 @@ object Relational2 {
     val tot = broadcast(bySrc.agg(
       sum($"n_docs").as("n_total"), sum($"sk").as("s_total")))
     bySrc.crossJoin(tot)
+  }
+
+  /** [[temperatureMix]] over any frame with a `source` column. */
+  def temperatureMixOf(docs: DataFrame, budget: Long = 100000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    temperatureShares(docs)
       .select($"source", $"n_docs",
         expr("(1000000000L * n_docs) div n_total").as("nat_share_ppb"),
         expr("(1000000000L * sk) div s_total").as("temp_share_ppb"),
