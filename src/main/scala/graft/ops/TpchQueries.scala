@@ -140,17 +140,20 @@ object TpchQueries {
   }
 
   /** Q11 shape — important parts: parts whose lineitem value exceeds
-    * 1/2000 of the corpus total. The global total is a one-row broadcast;
-    * the gate cross-multiplies in exact decimal (value·2000 > total), so
+    * 1.5× the mean part value (a scale-FREE gate: a fixed corpus-total
+    * fraction like TPC-H's 1/10000 empties or floods as the part count
+    * scales; the mean-multiple keeps selectivity stable at every sf).
+    * The global (total, count) is a one-row broadcast; the gate
+    * cross-multiplies in exact decimal (2·value·n_parts > 3·total), so
     * no fraction is ever computed. */
   def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pv = Tables.lineitem(s, dir)
       .groupBy($"l_partkey")
       .agg(sum2($"l_extendedprice").as("value"))
-    val tot = pv.agg(sum($"value").as("total"))
+    val tot = pv.agg(sum($"value").as("total"), count(lit(1)).as("n_parts"))
     pv.crossJoin(broadcast(tot))
-      .filter($"value" * 2000 > $"total")
+      .filter($"value" * $"n_parts" * 2 > $"total" * 3)
       .select($"l_partkey", $"value".cast("double").as("value"))
       .orderBy($"value".desc, $"l_partkey")
   }
@@ -383,9 +386,10 @@ object TpchQueries {
       ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q11_important_parts" -> s"""
       WITH pv AS (SELECT l_partkey, ${sum2Sql("l_extendedprice")} AS value
-                  FROM lineitem GROUP BY 1)
+                  FROM lineitem GROUP BY 1),
+      t AS (SELECT SUM(value) AS total, COUNT(*) AS n_parts FROM pv)
       SELECT l_partkey, CAST(value AS DOUBLE) AS value
-      FROM pv WHERE value * 2000 > (SELECT SUM(value) FROM pv)
+      FROM pv, t WHERE value * n_parts * 2 > total * 3
       ORDER BY value DESC, l_partkey""",
     "q13_order_distribution" -> """
       WITH oc AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders

@@ -70,7 +70,7 @@ class TpchQueriesSpec extends SparkSpec {
     assert(got === bruteTop)
   }
 
-  test("q11: the value gate is exact — every kept part clears 1/2000 of total, no excluded part does") {
+  test("q11: the value gate is exact — every kept part clears 1.5x the mean part value, no excluded part does") {
     val prices = Tables.lineitem(spark, sfDir)
       .selectExpr("l_partkey", "CAST(l_extendedprice AS DECIMAL(12,2)) AS p").collect()
       .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1)))
@@ -78,7 +78,8 @@ class TpchQueriesSpec extends SparkSpec {
     val total = byPart.values.sum
     val kept = TpchQueries.q11ImportantParts(spark, sfDir).collect()
       .map(_.getLong(0)).toSet
-    val expect = byPart.filter { case (_, v) => v * 2000 > total }.keySet
+    val expect = byPart.filter { case (_, v) =>
+      v * byPart.size * 2 > total * 3 }.keySet
     assert(kept === expect)
   }
 
