@@ -208,6 +208,50 @@ object EventAnalytics {
   def interpQuery(s: SparkSession, dir: String): DataFrame =
     resampleInterp(Tables.events(s, dir))
 
+  /** B10 (r7): A/B experiment readout — the two-proportion conversion
+    * comparison every product experiment ends in. Users are assigned by
+    * the deterministic Knuth multiplicative hash of user_id (the b15
+    * sampling device — assignment is a property of the user's own key,
+    * stable under data growth); conversion = any
+    * high-value purchase (value ≥ 200 — the tail event; "any purchase"
+    * converts at 100% on this corpus and a degenerate p̂ ∈ {0, 1} has no
+    * defined z).
+    *
+    * Scale shape: event-scale work is ONE combinable aggregate to the
+    * user dimension (max-is-purchase flag), then one combinable
+    * aggregate to the 2-variant dimension. Conversion rates are exact
+    * integer ppb (floor-div); the z statistic is the single final
+    * double expression over the four exact counts (every step an
+    * exactly-rounded IEEE op incl. hardware sqrt — the b16_assortativity
+    * determinism device), so it replays bit-identically. */
+  def abTest(events: DataFrame): DataFrame = {
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 200, 1)
+        .otherwise(0)).as("converted"))
+      .withColumn("variant",
+        when(pmod(col("user_id") * 2654435761L, lit(100)) < 50, "A").otherwise("B"))
+    users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+      .withColumn("conv_ppb", expr("(1000000000L * n_converted) div n_users"))
+      .groupBy()
+      .agg(
+        sum(when(col("variant") === "A", col("n_users"))).as("n_a"),
+        sum(when(col("variant") === "A", col("n_converted"))).as("conv_a"),
+        max(when(col("variant") === "A", col("conv_ppb"))).as("cr_a_ppb"),
+        sum(when(col("variant") === "B", col("n_users"))).as("n_b"),
+        sum(when(col("variant") === "B", col("n_converted"))).as("conv_b"),
+        max(when(col("variant") === "B", col("conv_ppb"))).as("cr_b_ppb"))
+      .withColumn("z_score", expr(
+        """(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+           / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b))"""))
+  }
+
+  def abTestQuery(s: SparkSession, dir: String): DataFrame =
+    abTest(Tables.events(s, dir))
+
   // ---------------------------------------------------------------- wiring
 
   /** Top-k 3-step user paths — the "what do users actually do" census
@@ -389,6 +433,7 @@ object EventAnalytics {
     "b06_ewma" -> (ewmaQuery _),
     "b06_time_weighted" -> (timeWeightedAvgQuery _),
     "b10_rfm" -> (rfmQuery _),
+    "b10_ab_test" -> (abTestQuery _),
     "b10_top_paths" -> (topPathsQuery _),
     "b10_funnel" -> (funnelQuery _),
     "b10_transitions" -> (transitionsQuery _),
@@ -507,6 +552,31 @@ object EventAnalytics {
       SELECT user_id, recency_us, frequency, monetary_cents, r_q, f_q, m_q,
              r_q * 100 + f_q * 10 + m_q AS rfm_code
       FROM q ORDER BY user_id""",
+    "b10_ab_test" -> """
+      WITH u AS (SELECT user_id,
+              MAX(CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id),
+      v AS (SELECT CASE WHEN (user_id * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END AS variant,
+              converted
+            FROM u),
+      g AS (SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_converted,
+              (1000000000 * SUM(converted)) // COUNT(*) AS conv_ppb
+            FROM v GROUP BY variant)
+      SELECT CAST(SUM(CASE WHEN variant = 'A' THEN n_users END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 'A' THEN n_converted END) AS BIGINT) AS conv_a,
+             CAST(MAX(CASE WHEN variant = 'A' THEN conv_ppb END) AS BIGINT) AS cr_a_ppb,
+             CAST(SUM(CASE WHEN variant = 'B' THEN n_users END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 'B' THEN n_converted END) AS BIGINT) AS conv_b,
+             CAST(MAX(CASE WHEN variant = 'B' THEN conv_ppb END) AS BIGINT) AS cr_b_ppb,
+             (CAST(SUM(CASE WHEN variant = 'A' THEN n_converted END) AS DOUBLE)
+                / SUM(CASE WHEN variant = 'A' THEN n_users END)
+              - CAST(SUM(CASE WHEN variant = 'B' THEN n_converted END) AS DOUBLE)
+                / SUM(CASE WHEN variant = 'B' THEN n_users END))
+             / sqrt((CAST(SUM(n_converted) AS DOUBLE) / SUM(n_users))
+                    * (1.0 - CAST(SUM(n_converted) AS DOUBLE) / SUM(n_users))
+                    * (1.0 / SUM(CASE WHEN variant = 'A' THEN n_users END)
+                       + 1.0 / SUM(CASE WHEN variant = 'B' THEN n_users END))) AS z_score
+      FROM g""",
     "b10_top_paths" -> """
       WITH o AS (SELECT user_id, event_type,
                    lead(event_type, 1) OVER w AS e2,

@@ -98,6 +98,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("A/B readout: variant counts, exact ppb rates, hand-computed z on a planted fixture (B10, r7)") {
+    // users 1..20 assigned by the Knuth hash; plant conversions (value
+    // 250 purchase) for a chosen subset and verify against brute force
+    val ts0 = Timestamp.valueOf("2024-01-01 09:00:00")
+    val converters = Set(1L, 2L, 3L, 4L, 5L)
+    val rows = (1L to 20L).flatMap { u =>
+      Seq((u * 10, ts0, u, "view", 10.0)) ++
+        (if (converters(u)) Seq((u * 10 + 1, ts0, u, "purchase", 250.0))
+         else Seq((u * 10 + 1, ts0, u, "purchase", 50.0)))
+    }
+    val d = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.abTest(d).collect()(0)
+    val isA = (u: Long) => (u * 2654435761L) % 100 < 50
+    val (na, nb) = ((1L to 20L).count(isA), (1L to 20L).count(!isA(_)))
+    val (ca, cb) = (converters.count(isA), converters.count(!isA(_)))
+    assert((r.getLong(0), r.getLong(3)) === ((na.toLong, nb.toLong)))
+    assert((r.getLong(1), r.getLong(4)) === ((ca.toLong, cb.toLong)))
+    assert(r.getLong(2) === 1000000000L * ca / na)
+    assert(r.getLong(5) === 1000000000L * cb / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (ca.toDouble / na - cb.toDouble / nb) /
+      math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(r.getDouble(6) === z)
+  }
+
   test("resample+ffill: same-timestamp tie breaks by event_id via the string key (B06)") {
     val ts0 = Timestamp.valueOf("2024-01-01 09:00:00")
     val d = Seq(
