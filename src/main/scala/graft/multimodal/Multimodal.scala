@@ -246,6 +246,60 @@ object Multimodal {
       .orderBy($"asset_id")
   }
 
+  /** 63-bit difference hash (dHash) from DECODED pixels: sample an 8×8
+    * luma grid (x = 2i, y = (3j) div 2 over the 16×12 frame), bit
+    * (j·8+i) = 1 iff luma(2i, y) > luma(2i+1, y) — the classic
+    * perceptual image-dedup sketch (adjacent-pixel gradient signs
+    * survive re-encode/resize noise). 63 bits (the (7,7) position is
+    * dropped) so the value stays a positive BIGINT in every engine. */
+  def imageDHash(img: java.awt.image.BufferedImage): Long = {
+    def luma(x: Int, y: Int): Long = {
+      val rgb = img.getRGB(x, y)
+      299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+    }
+    var h = 0L
+    var j = 0
+    while (j < 8) {
+      val y = (3 * j) / 2
+      var i = 0
+      while (i < 8) {
+        if (!(i == 7 && j == 7) && luma(2 * i, y) > luma(2 * i + 1, y))
+          h |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    h
+  }
+
+  /** B14 (r7): image perceptual-hash report over the REAL codec path —
+    * and, uniquely for an image operator, DuckDB-oracle HASH-GATED: the
+    * asset payloads are losslessly PNG-encoded closed-form pixels, so
+    * the oracle replays the pixel FORMULA while Spark decodes the actual
+    * bytes — a green hash proves the whole decode→luma→dHash path is
+    * exact, not just deterministic. Per asset: the 63-bit dHash and how
+    * many corpus images share it (the image exact-dup clustering signal;
+    * near-dup = Hamming-close, pinned in the spec via a perturbed
+    * re-encode). Scale: decode is partition-local (no shuffle); the
+    * share-count is one combinable aggregate on the hash. */
+  def imageDHashQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assetsDf = imageAssets(s, dir)
+    val out = assetsDf.select($"asset_id", $"payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val h = decodeImage(r.getAs[Array[Byte]](1)).map(imageDHash).getOrElse(-1L)
+        Row(r.getLong(0), h)
+      }
+    }
+    val df = s.createDataFrame(out, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false))))
+    val counts = df.groupBy($"dhash").agg(count(lit(1)).as("n_same_hash"))
+    df.join(counts, Seq("dhash"))
+      .select($"asset_id", $"dhash", $"n_same_hash")
+      .orderBy($"asset_id")
+  }
+
   /** Frame sampling query (oracle-checkable plumbing). */
   def framesQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -287,11 +341,36 @@ object Multimodal {
     "b14_multimodal_meta" -> (metaQuery _),
     "b14_multimodal_features" -> (featureQuery _),
     "b14_image_features" -> (imageFeatureQuery _),
+    "b14_image_dhash" -> (imageDHashQuery _),
     "b14_multimodal_frames" -> (framesQuery _),
     "b14_multimodal_pack" -> (packQuery _),
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the RENDER FORMULA (the lossless-PNG closed form) while the
+    // engine decodes real bytes — a green hash certifies the decode path
+    "b14_image_dhash" -> """
+      WITH pos AS (SELECT i, j, (3 * j) // 2 AS y
+                   FROM range(8) t1(i), range(8) t2(j)
+                   WHERE NOT (i = 7 AND j = 7)),
+      lum AS (SELECT d.doc_id, p.i, p.j,
+                (299 * ((d.doc_id * 37 + (2 * p.i) * 16) % 256)
+                 + 587 * ((d.doc_id * 11 + p.y * 21) % 256)
+                 + 114 * (CASE WHEN ((2 * p.i) + p.y + d.doc_id) % 4 = 0
+                          THEN 255 ELSE 0 END)) AS l1,
+                (299 * ((d.doc_id * 37 + (2 * p.i + 1) * 16) % 256)
+                 + 587 * ((d.doc_id * 11 + p.y * 21) % 256)
+                 + 114 * (CASE WHEN ((2 * p.i + 1) + p.y + d.doc_id) % 4 = 0
+                          THEN 255 ELSE 0 END)) AS l2
+              FROM documents d, pos p),
+      h AS (SELECT doc_id AS asset_id,
+              CAST(SUM(CASE WHEN l1 > l2
+                       THEN (CAST(1 AS BIGINT) << (j * 8 + i)) ELSE 0 END)
+                   AS BIGINT) AS dhash
+            FROM lum GROUP BY 1),
+      c AS (SELECT dhash, COUNT(*) AS n_same_hash FROM h GROUP BY 1)
+      SELECT h.asset_id, h.dhash, c.n_same_hash
+      FROM h JOIN c USING (dhash) ORDER BY asset_id""",
     // same asset derivation as b14_multimodal_meta; all-integer modality
     // cost model; ceil over an exact double (cum < 2^53)
     "b14_multimodal_pack" -> """

@@ -100,4 +100,35 @@ class MultimodalSpec extends SparkSpec {
       sorted.foreach(t => assert(math.ceil(t._5.toDouble / 8192).toInt === t._6))
     }
   }
+
+  test("dHash: decode==formula, a perturbed re-encode stays Hamming-close, a different image is far (B14, r7)") {
+    // render one asset the imageAssets way and hash it through the REAL
+    // decode; recompute from the closed-form pixels directly
+    def render(id: Long, perturb: Boolean = false): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val r = ((id * 37 + x * 16) % 256).toInt
+        val g = ((id * 11 + y * 21) % 256).toInt
+        val b = if ((x + y + id) % 4 == 0) 255 else 0
+        val rr = if (perturb && x == 5 && y == 5) (r + 3) % 256 else r
+        img.setRGB(x, y, (rr << 16) | (g << 8) | b)
+      }
+      img
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val h7 = Multimodal.imageDHash(Multimodal.decodeImage(png(render(7L))).get)
+    // decode == direct-formula hash
+    assert(h7 === Multimodal.imageDHash(render(7L)))
+    // a 1-pixel perturbation moves at most the 2 bits that straddle it
+    val h7p = Multimodal.imageDHash(Multimodal.decodeImage(png(render(7L, perturb = true))).get)
+    assert(java.lang.Long.bitCount(h7 ^ h7p) <= 2)
+    // a different image is far (the gradient phase shifts every row)
+    val h8 = Multimodal.imageDHash(Multimodal.decodeImage(png(render(8L))).get)
+    assert(java.lang.Long.bitCount(h7 ^ h8) > 8)
+  }
 }
