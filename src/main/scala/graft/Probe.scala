@@ -139,6 +139,60 @@ object Probe {
       run(s"stress_e02_${reps}x", ops.RagPipeline.ragRetrievalDocs(rk))
       docs.unpersist()
     }
+    if (sys.env.contains("PROBE_STRESS_E0304")) {
+      // E3/E4 composition scaling (the PROBE_STRESS_PIPE pattern): e04 on
+      // a 1× vs k× corpus replica (ids shifted, sources suffixed per
+      // replica so the per-source quota plan replicates structure); e03
+      // with a FIXED arrival batch against a 1× vs k× reference corpus
+      // (content-suffixed like the e01 probe so replicas share no gram) —
+      // the per-ingest cost claim is "scales with the batch, not the
+      // corpus", so the e03 ratio should stay well under k.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val reps = sys.env.getOrElse("PROBE_STRESS_E0304", "8").toInt
+      val docs = Tables.documents(spark, dir).select(
+        col("doc_id"), col("text"), col("source")).cache()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val off = ((maxId / 50) + 1) * 50
+      def replicated(r: Int): DataFrame = docs
+        .crossJoin(spark.range(r).toDF("rep"))
+        .select((col("doc_id") + col("rep") * off).as("doc_id"),
+          concat(col("source"), lit("_r"), col("rep").cast("string")).as("source"),
+          col("text"))
+        .cache()
+      def suffixed(r: Int): DataFrame = docs
+        .crossJoin(spark.range(r).toDF("rep"))
+        .select((col("doc_id") + col("rep") * off).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_r"), col("rep").cast("string"))), " ").as("text"),
+          col("source"))
+        .cache()
+      def run(name: String, df: => DataFrame): Unit = {
+        time(name) { df.write.format("noop").mode("overwrite").save() }
+        spark.catalog.clearCache()
+      }
+      val e1 = replicated(1); println(s"  e04 1x docs=${e1.count()}")
+      run("stress_e04_warm", ops.TrainPipeline.trainingBatchesDocs(e1))
+      val e1b = replicated(1)
+      run("stress_e04_1x", ops.TrainPipeline.trainingBatchesDocs(e1b))
+      val ek = replicated(reps); println(s"  e04 ${reps}x docs=${ek.count()}")
+      run(s"stress_e04_${reps}x", ops.TrainPipeline.trainingBatchesDocs(ek))
+      // e03: fixed arrival batch (rep-0 docs with id%7==3, the declared
+      // slice) against growing reference corpora
+      val arrivals = suffixed(1).filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id"), col("text"), col("source")).cache()
+      println(s"  e03 arrivals=${arrivals.count()}")
+      def ref(r: Int): DataFrame = suffixed(r)
+        .filter(pmod(col("doc_id"), lit(7)) =!= 3)
+        .select(col("doc_id"), col("text"), col("source")).cache()
+      val r1 = ref(1)
+      run("stress_e03_warm", ops.IngestPipeline.ingestReport(arrivals, r1))
+      val r1b = ref(1)
+      run("stress_e03_1x", ops.IngestPipeline.ingestReport(arrivals, r1b))
+      val rk = ref(reps); println(s"  e03 ref ${reps}x docs=${rk.count()}")
+      run(s"stress_e03_${reps}x", ops.IngestPipeline.ingestReport(arrivals, rk))
+      docs.unpersist()
+    }
     if (sys.env.contains("PROBE_RULES")) {
       // Optimizer-rule scale evidence: the same queries with and without
       // the graft rewrite rules, against real testdata. The naive plans
