@@ -4,11 +4,12 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The classic TPC-H compositional suite (q4/q7/q8/q10/q11/q13/q14/q15/
-  * q17/q18/q19/q21/q22 shapes), adapted to the testdata schema (no
-  * partsupp/commitdate/shipmode/phone columns) — the relational
-  * completeness battery a user of any OLAP engine expects to run.
-  * Complements the q1/q3/q5/q6 flagships in [[Relational]].
+/** The classic TPC-H compositional suite — all 18 shapes beyond the
+  * q1/q3/q5/q6 flagships in [[Relational]] (q2/q4/q7–q22), adapted to
+  * the testdata schema (no partsupp/commitdate/shipmode/phone columns),
+  * so every one of the 22 canonical relational compositions has a
+  * hash-gated declared query. The relational completeness battery a
+  * user of any OLAP engine expects to run.
   *
   * Reference anchor: the reference engine answers arbitrary SPARQL-algebra
   * compositions of these same primitives (join / semi-join / anti-join /
@@ -309,7 +310,114 @@ object TpchQueries {
       .orderBy($"c_nationkey")
   }
 
+  /** Q2 shape — min-cost supplier per part (no partsupp table: the
+    * cheapest observed lineitem price stands in for the supply cost).
+    * The min-per-group WITH its argument is picked via one `min_by` on
+    * a zero-padded (price_cents, suppkey) string key — lexicographic ==
+    * numeric, so both engines choose the identical supplier on price
+    * ties (the resample ord-key device). One combinable aggregate after
+    * the broadcast part filter; no join-back pass. */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables.part(s, dir)
+      .filter($"p_type" === "LARGE" && $"p_size".between(10, 20))
+      .select($"p_partkey", $"p_name")
+    val best = Tables.lineitem(s, dir)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"p_name",
+        format_string("%020d|%020d",
+          (money($"l_extendedprice") * 100).cast("long"), $"l_suppkey").as("pk"))
+      .groupBy($"l_partkey", $"p_name")
+      .agg(min($"pk").as("best"))
+    best.select($"l_partkey", $"p_name",
+        (substring($"best", 1, 20).cast("long").cast("double") / 100).as("best_price"),
+        substring($"best", 22, 20).cast("long").as("best_suppkey"))
+      .join(broadcast(Tables.supplier(s, dir)), $"best_suppkey" === $"s_suppkey")
+      .select($"l_partkey", $"p_name", $"best_price", $"best_suppkey", $"s_name")
+      .orderBy($"best_price".desc, $"l_partkey")
+      .limit(100)
+  }
+
+  /** Q9 shape — product-type profit by (supplier nation, year): revenue
+    * minus a retail-derived cost proxy (qty·retail/2 — no ps_supplycost
+    * column), for parts whose name contains "red". Exact decimal
+    * arithmetic throughout; the LIKE filter reaches the part scan. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val redParts = Tables.part(s, dir).filter($"p_name".contains("red"))
+      .select($"p_partkey", $"p_retailprice")
+    val profit = (money($"l_extendedprice") * (one - rate($"l_discount")) -
+      money($"p_retailprice") * money($"l_quantity") * lit(0.5).cast("decimal(2,1)"))
+      .cast("decimal(28,6)")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(redParts, $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("long").as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"), count(lit(1)).as("n_rows"))
+      .orderBy($"n_name", $"o_year".desc)
+  }
+
+  /** Q12 shape — shipping-lateness priority audit: one-year lineitems
+    * classed late (shipped >120 days after order) vs ontime, with
+    * high/low order-priority conditional counts — the CASE-sum shape. */
+  def q12LatenessPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= tsLit("1997-01-01") && $"l_shipdate" < tsLit("1998-01-01"))
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 120 DAY"), "late")
+        .otherwise("ontime").as("ship_class"))
+      .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+        sum(when(hi, 0).otherwise(1)).as("low_line_count"))
+      .orderBy($"ship_class")
+  }
+
+  /** Q16 shape — supplier diversity per (brand, size): distinct
+    * suppliers shipping the part class, excluding a complaint set
+    * (negative-balance suppliers) via NOT IN → left-anti join. */
+  def q16SupplierCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val excluded = Tables.supplier(s, dir).filter($"s_acctbal" < 0).select($"s_suppkey")
+    val sized = Tables.part(s, dir).filter($"p_size".isin(5, 15, 25, 35, 45))
+      .select($"p_partkey", $"p_brand", $"p_size")
+    Tables.lineitem(s, dir)
+      .join(broadcast(sized), $"l_partkey" === $"p_partkey")
+      .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+  }
+
+  /** Q20 shape — promotion-capable suppliers: suppliers whose shipped
+    * PROMO-part quantity exceeds 1.1× the mean per-supplier PROMO
+    * quantity (cross-multiplied exact gate over a one-row broadcast —
+    * the scalar-subquery device; the 1.1 multiple keeps selectivity
+    * stable across sf on this near-uniform corpus). */
+  def q20PromoSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val promo = Tables.part(s, dir).filter($"p_type" === "PROMO").select($"p_partkey")
+    val sp = Tables.lineitem(s, dir)
+      .join(broadcast(promo), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_quantity".cast("long")).as("promo_qty"))
+    val tot = sp.agg(sum($"promo_qty").as("tq"), count(lit(1)).as("ns"))
+    sp.crossJoin(broadcast(tot))
+      .filter($"promo_qty" * $"ns" * 10 > $"tq" * 11)
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name", $"promo_qty")
+      .orderBy($"promo_qty".desc, $"s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q12_lateness_priority" -> (q12LatenessPriority _),
+    "q16_supplier_count" -> (q16SupplierCount _),
+    "q20_promo_suppliers" -> (q20PromoSuppliers _),
     "q4_late_priority" -> (q4LatePriority _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_market_share" -> (q8MarketShare _),
@@ -331,6 +439,64 @@ object TpchQueries {
     "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(28,4))"
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> """
+      WITH best AS (
+        SELECT l_partkey, p_name,
+          MIN(printf('%020d|%020d',
+            CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+            l_suppkey)) AS best
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+        GROUP BY 1, 2)
+      SELECT l_partkey, p_name,
+             CAST(CAST(substr(best, 1, 20) AS BIGINT) AS DOUBLE) / 100 AS best_price,
+             CAST(substr(best, 22, 20) AS BIGINT) AS best_suppkey,
+             s_name
+      FROM best JOIN supplier ON CAST(substr(best, 22, 20) AS BIGINT) = s_suppkey
+      ORDER BY best_price DESC, l_partkey LIMIT 100""",
+    "q9_product_profit" -> """
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(0.5 AS DECIMAL(2,1))
+                  AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY 1, 2 ORDER BY n_name, o_year DESC""",
+    "q12_lateness_priority" -> """
+      SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY
+                  THEN 'late' ELSE 'ontime' END AS ship_class,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1 ORDER BY ship_class""",
+    "q16_supplier_count" -> """
+      SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size IN (5, 15, 25, 35, 45)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""",
+    "q20_promo_suppliers" -> """
+      WITH sp AS (SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS promo_qty
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_type = 'PROMO' GROUP BY 1),
+      t AS (SELECT SUM(promo_qty) AS tq, COUNT(*) AS ns FROM sp)
+      SELECT s_suppkey, s_name, n_name, promo_qty
+      FROM sp, t
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE promo_qty * ns * 10 > tq * 11
+      ORDER BY promo_qty DESC, s_suppkey""",
     "q4_late_priority" -> """
       SELECT o_orderpriority, COUNT(*) AS n_orders
       FROM orders o

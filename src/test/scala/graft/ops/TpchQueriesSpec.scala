@@ -83,6 +83,33 @@ class TpchQueriesSpec extends SparkSpec {
     assert(kept === expect)
   }
 
+  test("q16: excluded suppliers never count; q20: the promo gate matches brute force") {
+    val excluded = Tables.supplier(spark, sfDir)
+      .filter("s_acctbal < 0").collect().map(_.getLong(0)).toSet
+    val sized = Tables.part(spark, sfDir)
+      .filter("p_size IN (5, 15, 25, 35, 45)")
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute16 = li.filter(t => sized.contains(t._1) && !excluded(t._2))
+      .groupBy(t => sized(t._1)).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val got16 = TpchQueries.q16SupplierCount(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got16 === brute16)
+
+    val promo = Tables.part(spark, sfDir).filter("p_type = 'PROMO'")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val sp = li.filter(t => promo(t._1)).groupBy(_._2)
+      .view.mapValues(_.map(_._3.toLong).sum).toMap
+    val (tq, ns) = (sp.values.sum, sp.size)
+    val brute20 = sp.filter { case (_, q) => q * ns * 10 > tq * 11 }
+    val got20 = TpchQueries.q20PromoSuppliers(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got20 === brute20)
+  }
+
   test("q22: every dormant customer has no recent order and an above-average balance") {
     val recent = Tables.orders(spark, sfDir)
       .filter("o_orderdate >= TIMESTAMP_NTZ '2000-01-01'")
