@@ -237,20 +237,42 @@ object Similarity {
     * `min(RecallK, per-query brute hits)` so a query with fewer than k
     * true neighbors can still reach recall 1.0 (r6-ADVICE). */
   val RecallK = 10
+
+  /** Shared recall-report core (one definition for the IVF and PQ
+    * acceptance gates — they cannot drift): per query, |approx ∩ brute|
+    * over min(k, brute hits). */
+  private def recallReport(brute: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = approx.join(brute, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val denom = brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+    denom
+      .join(hits, Seq("query_id"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / least(lit(RecallK), col("n_brute")))
+          .as("recall_at_10"))
+      .orderBy(col("query_id"))
+  }
+
   def ivfRecallQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val brute = bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
       .select($"query_id", $"vec_id")
-    val ivf = ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
-    val hits = ivf.join(brute, Seq("query_id", "vec_id"), "left_semi")
-      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
-    val denom = brute.groupBy($"query_id").agg(count(lit(1)).as("n_brute"))
-    denom
-      .join(hits, Seq("query_id"), "left_outer")
-      .na.fill(0L, Seq("n_hits"))
-      .select($"query_id", $"n_hits",
-        ($"n_hits".cast("double") / least(lit(RecallK), $"n_brute")).as("recall_at_10"))
-      .orderBy($"query_id")
+    recallReport(brute,
+      ivfTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK))
+  }
+
+  /** B12 (r7): the PQ acceptance gate — recall@10 of the ADC ranking vs
+    * the exact brute-force neighbors, completing the index-acceptance
+    * family (IVF has b12_ivf_recall). PQ trades 64× memory for rank
+    * fidelity; this is the report that says whether the trade held. */
+  def pqRecallQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
+      .select($"query_id", $"vec_id")
+    recallReport(brute,
+      pqTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
+        .select($"query_id", $"vec_id"))
   }
 
   /** B12: embedding-cosine near-dup CLUSTERS — the embedding-space
@@ -712,6 +734,7 @@ object Similarity {
     "b12_ann_lsh" -> (lshQuery _),
     "b12_ann_ivf" -> (ivfQuery _),
     "b12_ivf_recall" -> (ivfRecallQuery _),
+    "b12_pq_recall" -> (pqRecallQuery _),
   )
 
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
@@ -814,6 +837,36 @@ object Similarity {
                  CAST(${dotSql("p.qq", "a.q")} AS DOUBLE) / (p.qnorm * a.norm) AS cosine
                FROM qp p JOIN asgn a USING (cell_id)
                WHERE a.vec_id <> p.query_id)"""
+
+  /** The full PQ/ADC chain (assumes CTE `e` with vec_id, q, is_q) —
+    * shared by b12_pq_topk and the b12_pq_recall acceptance report. */
+  private lazy val PqESql = s"""e AS (SELECT vec_id, ${Q.format("embedding")} AS q,
+                   vec_id % 100 = 0 AS is_q FROM embeddings)"""
+  private lazy val PqChainSql = s"""sv AS (SELECT vec_id, is_q, CAST(s.sub AS INT) AS sub,
+               q[s.sub*8+1 : s.sub*8+8] AS subq
+             FROM e, UNNEST(range(0, 8)) AS s(sub)),
+      cs AS (SELECT vec_id, sub, subq FROM sv WHERE NOT is_q),
+      sk AS (SELECT sub, subq,
+               CAST(sub AS VARCHAR) || ':' || array_to_string(subq, ',') AS sstr
+             FROM (SELECT DISTINCT sub, subq FROM cs)),
+      cb0 AS (SELECT sub, cid, subq AS cq FROM (
+               SELECT sub, subq, CAST(ROW_NUMBER() OVER (PARTITION BY sub
+                 ORDER BY md5(sstr), sstr) AS INT) - 1 AS cid FROM sk)
+             WHERE cid < 16),
+      ${lloydSql("cb0", "d1", "a1", "cb1")},
+      ${lloydSql("cb1", "d2", "a2", "cb2")},
+      d3 AS (SELECT v.vec_id, v.sub, c.cid, ${l2Sql("v.subq", "c.cq")} AS d
+             FROM cs v JOIN cb2 c USING (sub)),
+      codes AS (SELECT vec_id, sub, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                 ORDER BY d, cid) AS rn FROM d3) WHERE rn = 1),
+      lut AS (SELECT v.vec_id AS query_id, v.sub, c.cid,
+                ${l2Sql("v.subq", "c.cq")} AS d
+              FROM (SELECT vec_id, sub, subq FROM sv WHERE is_q) v
+              JOIN cb2 c USING (sub)),
+      adc AS (SELECT l.query_id, co.vec_id, CAST(SUM(l.d) AS BIGINT) AS pq_dist
+              FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+              GROUP BY l.query_id, co.vec_id)"""
 
   val oracles: Map[String, String] = Map(
     // sign-LSH ANN with the literal-constant plane matrix: buckets,
@@ -921,37 +974,32 @@ object Similarity {
     // replayed in SQL; every step is integer arithmetic or the identical
     // double round, so the trained codebooks themselves are hash-gated
     "b12_pq_topk" -> s"""
-      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q,
-                   vec_id % 100 = 0 AS is_q FROM embeddings),
-      sv AS (SELECT vec_id, is_q, CAST(s.sub AS INT) AS sub,
-               q[s.sub*8+1 : s.sub*8+8] AS subq
-             FROM e, UNNEST(range(0, 8)) AS s(sub)),
-      cs AS (SELECT vec_id, sub, subq FROM sv WHERE NOT is_q),
-      sk AS (SELECT sub, subq,
-               CAST(sub AS VARCHAR) || ':' || array_to_string(subq, ',') AS sstr
-             FROM (SELECT DISTINCT sub, subq FROM cs)),
-      cb0 AS (SELECT sub, cid, subq AS cq FROM (
-               SELECT sub, subq, CAST(ROW_NUMBER() OVER (PARTITION BY sub
-                 ORDER BY md5(sstr), sstr) AS INT) - 1 AS cid FROM sk)
-             WHERE cid < 16),
-      ${lloydSql("cb0", "d1", "a1", "cb1")},
-      ${lloydSql("cb1", "d2", "a2", "cb2")},
-      d3 AS (SELECT v.vec_id, v.sub, c.cid, ${l2Sql("v.subq", "c.cq")} AS d
-             FROM cs v JOIN cb2 c USING (sub)),
-      codes AS (SELECT vec_id, sub, cid FROM (
-               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                 ORDER BY d, cid) AS rn FROM d3) WHERE rn = 1),
-      lut AS (SELECT v.vec_id AS query_id, v.sub, c.cid,
-                ${l2Sql("v.subq", "c.cq")} AS d
-              FROM (SELECT vec_id, sub, subq FROM sv WHERE is_q) v
-              JOIN cb2 c USING (sub)),
-      adc AS (SELECT l.query_id, co.vec_id, CAST(SUM(l.d) AS BIGINT) AS pq_dist
-              FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
-              GROUP BY l.query_id, co.vec_id)
+      WITH $PqESql,
+      $PqChainSql
       SELECT query_id, vec_id, pq_dist, rn FROM (
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY pq_dist, vec_id) AS INT) AS rn FROM adc)
       WHERE rn <= 10 ORDER BY query_id, rn""",
+    "b12_pq_recall" -> s"""
+      WITH $PqESql,
+      $PqChainSql,
+      ptop AS (SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY pq_dist, vec_id) AS rn FROM adc) WHERE rn <= 10),
+      $BruteSimsSql,
+      btop AS (SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS rn FROM sims) WHERE rn <= 10),
+      hits AS (SELECT p.query_id, COUNT(*) AS n_hits
+               FROM ptop p JOIN btop b
+                 ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+               GROUP BY p.query_id),
+      bc AS (SELECT query_id, COUNT(*) AS n_brute FROM btop GROUP BY query_id)
+      SELECT bc.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+             CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / LEAST(10, bc.n_brute) AS recall_at_10
+      FROM bc
+      LEFT JOIN hits h USING (query_id)
+      ORDER BY query_id""",
     "b12_centroids" -> """
       WITH q AS (
         SELECT label,
