@@ -122,6 +122,26 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** B10 × B14 (r7): streaming IMAGE dedup by perceptual hash — the
+    * multimodal twin of [[sketchDedupStream]]: each arriving asset's
+    * payload decodes partition-locally (real PNG/JPEG codec) to the
+    * 63-bit [[graft.multimodal.Multimodal.imageDHash]], then
+    * `dropDuplicatesWithinWatermark(dhash)` keeps the first asset per
+    * perceptual hash with one bounded state entry per distinct hash —
+    * re-encoded or metadata-tweaked copies of the same pixels dedup even
+    * though their byte payloads differ. Expects (ts, asset_id, payload)
+    * rows; undecodable payloads hash to −1 and dedup among themselves
+    * (route to quarantine in production). */
+  def imageDedupStream(assets: DataFrame): DataFrame = {
+    val dhash = udf { (payload: Array[Byte]) =>
+      graft.multimodal.Multimodal.decodeImage(payload)
+        .map(graft.multimodal.Multimodal.imageDHash).getOrElse(-1L)
+    }
+    assets.withColumn("dhash", dhash(col("payload")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("dhash")
+  }
+
   /** B10 × B12: streaming near-dup PAIR EMISSION — the streaming twin of
     * the batch [[graft.dedup.Dedup.minHashNearDup]] plan, completing the
     * B12 streaming story beyond suppression ([[sketchDedupStream]]):

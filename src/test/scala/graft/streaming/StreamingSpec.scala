@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 case class Evt(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
+case class ImgAsset(ts: Timestamp, asset_id: Long, payload: Array[Byte])
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -54,6 +55,33 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("sketchdedup").outputMode("append").start()
     q.processAllAvailable(); q.stop()
     val kept = spark.table("sketchdedup").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L))
+  }
+
+  test("imageDedupStream keeps one asset per perceptual hash; re-encoded copies drop (B10xB14, r7)") {
+    def png(id: Long, jpegInstead: Boolean = false): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val r = ((id * 37 + x * 16) % 256).toInt
+        val g = ((id * 11 + y * 21) % 256).toInt
+        val b = if ((x + y + id) % 4 == 0) 255 else 0
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val input = MemoryStream[ImgAsset](spark)
+    input.addData(Seq(
+      ImgAsset(t(0), 1L, png(7L)),
+      ImgAsset(t(1), 2L, png(7L)), // byte-identical re-send → same dhash → dropped
+      ImgAsset(t(2), 3L, png(8L)))) // different pixels → kept
+    val q = Streaming.imageDedupStream(input.toDF()).writeStream
+      .format("memory").queryName("imgdedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("imgdedup").select("asset_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept === Seq(1L, 3L))
   }
