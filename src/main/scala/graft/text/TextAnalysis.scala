@@ -216,6 +216,46 @@ object TextAnalysis {
   def cdcDedup(s: SparkSession, dir: String): DataFrame =
     cdcDedupOf(Tables.documents(s, dir))
 
+  /** B13 (r7): sub-document CONTAINMENT detection over the CDC chunk
+    * table — the asymmetric near-dup relation Jaccard misses: a short
+    * doc quoted wholesale inside a long one scores high containment
+    * (|chunks(a)∩chunks(b)| / |chunks(a)|) but low Jaccard, so
+    * quote/subset duplication needs this report (Broder's containment,
+    * the MinHash-resemblance companion). Content-defined chunks make the
+    * match alignment-free: a shifted copy re-chunks identically.
+    *
+    * Scale shape: the pair stage is an inverted-index equi-join on
+    * chunk_md5 with STOP-CHUNK pruning first (chunks in > maxChunkDf
+    * docs are boilerplate and carry no containment signal — the
+    * hybrid-search stop-token device), so join fan-out is df-bounded,
+    * never all-pairs. Denominator = the doc's rare-chunk count
+    * (containment measured in the informative-chunk space). Exact
+    * integer ppb; the top-k cut is total-ordered and replays. */
+  def containmentOf(docs: DataFrame, maxChunkDf: Int = 64,
+      minPpb: Long = 500000000L, k: Int = 50): DataFrame = {
+    val dc = cdcChunksOf(docs).select(col("doc_id"), col("chunk_md5")).distinct()
+    val rare = dc.join(
+      dc.groupBy(col("chunk_md5")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxChunkDf),
+      Seq("chunk_md5"))
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks_a"))
+    rare.select(col("chunk_md5"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("chunk_md5"), col("doc_id").as("doc_b")), Seq("chunk_md5"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .withColumn("containment_ppb",
+        expr("(1000000000L * n_common) div n_chunks_a"))
+      .filter(col("containment_ppb") >= minPpb)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_chunks_a"), col("containment_ppb"))
+      .orderBy(col("containment_ppb").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentOf(Tables.documents(s, dir))
+
   /** Rounds in the portable BPE gate (= [[bpeTrain]]'s default). */
   private[text] val BpePortableRounds = 10
 
@@ -1011,6 +1051,7 @@ object TextAnalysis {
     "b13_source_overlap" -> (sourceOverlap _),
     "b13_cdc_chunks" -> (cdcChunks _),
     "b13_cdc_dedup" -> (cdcDedup _),
+    "b13_containment" -> (containment _),
     "b13_bpe_portable" -> (bpePortable _),
     "b13_bpe_encode" -> (bpeEncode _),
   )
@@ -1191,6 +1232,24 @@ object TextAnalysis {
       FROM chunks ORDER BY doc_id, chunk_idx""",
     "b13_bpe_portable" -> bpePortableOracle,
     "b13_bpe_encode" -> bpeEncodeOracle,
+    "b13_containment" -> s"""
+      WITH $CdcChunksCtes,
+      dc AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+      dfr AS (SELECT chunk_md5, COUNT(*) AS df FROM dc GROUP BY 1),
+      rare AS (SELECT dc.doc_id, dc.chunk_md5
+               FROM dc JOIN dfr USING (chunk_md5) WHERE df <= 64),
+      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks_a
+                FROM rare GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_common
+                FROM rare a JOIN rare b
+                  ON a.chunk_md5 = b.chunk_md5 AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common, s.n_chunks_a,
+             (1000000000 * n_common) // s.n_chunks_a AS containment_ppb
+      FROM pairs JOIN sizes s ON s.doc_id = pairs.doc_a
+      WHERE (1000000000 * n_common) // s.n_chunks_a >= 500000000
+      ORDER BY containment_ppb DESC, doc_a, doc_b LIMIT 50""",
     "b13_cdc_dedup" -> s"""
       WITH $CdcChunksCtes
       SELECT chunk_md5, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs,

@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("containment: a chunk-aligned prefix scores 10^9; an unrelated doc never pairs (B13, r7)") {
+    val long = (1 to 200).map(i => s"tok$i").mkString(" ")
+    // find the long doc's own chunk boundaries, then cut A exactly at one
+    val bounds = TextAnalysis.cdcChunksOf(Seq((9L, long)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(bounds.length >= 3, "fixture long doc must chunk")
+    val cutAt = (bounds(bounds.length - 2)._1 + bounds(bounds.length - 2)._2 - 1).toInt
+    val prefix = long.substring(0, cutAt) // ends ON a content boundary
+    val docs = Seq((1L, prefix), (2L, long),
+      (3L, (500 to 700).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.containmentOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // every chunk of the aligned prefix reappears in the long doc
+    assert(got((1L, 2L)) === 1000000000L)
+    // the unrelated doc shares no chunk with anything
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("CDC chunks: brute-force boundary equality, exact coverage, " +
     "shifted copy re-aligns chunk-for-chunk (B13, r7)") {
     val t1 = (1 to 100).map(i => s"tok$i").mkString(" ")
