@@ -208,6 +208,34 @@ object EventAnalytics {
   def interpQuery(s: SparkSession, dir: String): DataFrame =
     resampleInterp(Tables.events(s, dir))
 
+  /** B06 (r7): OHLC resample — the candlestick aggregate every
+    * financial/telemetry store ships: per (user, day), the first (open)
+    * and last (close) observed value plus high/low and volume. Open and
+    * close are PICKED via min_by/max_by on the zero-padded
+    * (epoch_micros, event_id) string key (the resample device — both
+    * engines choose the identical row on same-microsecond ties);
+    * high/low/volume are plain exact-cents aggregates. ONE map-side-
+    * combinable aggregate keyed on (user, day); no windows. */
+  def ohlcResample(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      date_trunc("DAY", col("ts")).cast("timestamp_ntz").as("day"),
+      format_string("%020d|%020d",
+        expr("unix_micros(cast(ts as timestamp))"), col("event_id")).as("ord_key"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    ev.groupBy(col("user_id"), col("day"))
+      .agg(
+        min_by(col("cents"), col("ord_key")).as("open_c"),
+        max(col("cents")).as("high_c"),
+        min(col("cents")).as("low_c"),
+        max_by(col("cents"), col("ord_key")).as("close_c"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("volume_c"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  def ohlcQuery(s: SparkSession, dir: String): DataFrame =
+    ohlcResample(Tables.events(s, dir))
+
   /** B10 (r7): A/B experiment readout — the two-proportion conversion
     * comparison every product experiment ends in. Users are assigned by
     * the deterministic Knuth multiplicative hash of user_id (the b15
@@ -434,6 +462,7 @@ object EventAnalytics {
     "b06_time_weighted" -> (timeWeightedAvgQuery _),
     "b10_rfm" -> (rfmQuery _),
     "b10_ab_test" -> (abTestQuery _),
+    "b06_ohlc" -> (ohlcQuery _),
     "b10_top_paths" -> (topPathsQuery _),
     "b10_funnel" -> (funnelQuery _),
     "b10_transitions" -> (transitionsQuery _),
@@ -552,6 +581,20 @@ object EventAnalytics {
       SELECT user_id, recency_us, frequency, monetary_cents, r_q, f_q, m_q,
              r_q * 100 + f_q * 10 + m_q AS rfm_code
       FROM q ORDER BY user_id""",
+    "b06_ohlc" -> """
+      WITH ev AS (SELECT user_id,
+              date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+              printf('%020d|%020d', epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS ord_key,
+              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+            FROM events)
+      SELECT user_id, day,
+             arg_min(cents, ord_key) AS open_c,
+             MAX(cents) AS high_c,
+             MIN(cents) AS low_c,
+             arg_max(cents, ord_key) AS close_c,
+             COUNT(*) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS volume_c
+      FROM ev GROUP BY 1, 2 ORDER BY user_id, day""",
     "b10_ab_test" -> """
       WITH u AS (SELECT user_id,
               MAX(CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END) AS converted

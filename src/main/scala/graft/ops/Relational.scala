@@ -495,6 +495,26 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** B4 (r7): exact deterministic MODE — the most frequent value per
+    * group with an explicit smallest-value-on-ties rule (engines' builtin
+    * `mode()` leaves ties unspecified, so it can never hash-gate). One
+    * combinable (group, value) count, then one max over the zero-padded
+    * (count, 10¹⁰−value) string key — lexicographic max picks the highest
+    * count and, among ties, the smallest value, identically in both
+    * engines (the resample ord-key device). */
+  def modeQuantity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_quantity".cast("long").as("qty"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"l_returnflag")
+      .agg(max(format_string("%020d|%020d", $"cnt", lit(10000000000L) - $"qty")).as("key"))
+      .select($"l_returnflag",
+        (lit(10000000000L) - substring($"key", 22, 20).cast("long")).as("mode_qty"),
+        substring($"key", 1, 20).cast("long").as("mode_count"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Approximate aggregates — HLL distinct + approx quantiles (B5). Sketch
     * implementations differ across engines, so no SQL oracle (rows-only).
     * The quartile sketch result is flattened to three scalar columns:
@@ -800,6 +820,7 @@ object Relational {
     "b04_grouping_sets" -> (groupingSets _),
     "b05_median" -> (medianQuantity _),
     "b04_weighted_median" -> (weightedMedian _),
+    "b04_mode" -> (modeQuantity _),
     "b05_approx_stats" -> (approxStats _),
     "b05_heavy_hitters" -> (heavyHitters _),
     "b05_quantile_sketch" -> (quantileSketch _),
@@ -982,6 +1003,17 @@ object Relational {
       SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
              MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "b04_mode" -> """
+      WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                   COUNT(*) AS cnt
+                 FROM lineitem GROUP BY 1, 2),
+      k AS (SELECT l_returnflag,
+              MAX(printf('%020d|%020d', cnt, 10000000000 - qty)) AS key
+            FROM c GROUP BY 1)
+      SELECT l_returnflag,
+             10000000000 - CAST(substr(key, 22, 20) AS BIGINT) AS mode_qty,
+             CAST(substr(key, 1, 20) AS BIGINT) AS mode_count
+      FROM k ORDER BY l_returnflag""",
     "b04_weighted_median" -> """
       WITH pv AS (SELECT l_returnflag,
                     CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c,

@@ -98,6 +98,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("OHLC: open/close picked by event order, high/low/volume exact (B06, r7)") {
+    val d = Seq(
+      (3L, Timestamp.valueOf("2024-01-01 15:00:00"), 1L, "view", 2.50), // close
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L, "view", 1.00), // open
+      (2L, Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "view", 9.00), // high
+      (4L, Timestamp.valueOf("2024-01-02 09:00:00"), 1L, "view", 7.00), // next day
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.ohlcResample(d).collect()
+      .map(x => (x.getLong(0), x.getAs[java.time.LocalDateTime](1).toLocalDate.toString,
+        x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7)))
+    assert(r.toSeq === Seq(
+      (1L, "2024-01-01", 100L, 900L, 100L, 250L, 3L, 1250L),
+      (1L, "2024-01-02", 700L, 700L, 700L, 700L, 1L, 700L)))
+  }
+
+  test("mode: highest count wins, smallest value on ties — brute-forced (B04, r7)") {
+    val got = Relational.modeQuantity(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .selectExpr("l_returnflag", "CAST(l_quantity AS BIGINT) AS q").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val brute = rows.groupBy(_._1).map { case (f, xs) =>
+      val counts = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val best = counts.toSeq.sortBy { case (q, c) => (-c, q) }.head
+      f -> ((best._1, best._2))
+    }
+    assert(got === brute)
+  }
+
   test("A/B readout: variant counts, exact ppb rates, hand-computed z on a planted fixture (B10, r7)") {
     // users 1..20 assigned by the Knuth hash; plant conversions (value
     // 250 purchase) for a chosen subset and verify against brute force
