@@ -291,9 +291,12 @@ object Multimodal {
         Row(r.getLong(0), h)
       }
     }
+    // checkpointed: the share-count aggregate and the join both read it —
+    // a second reference would re-render and re-decode every PNG
     val df = s.createDataFrame(out, StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("dhash", LongType, nullable = false))))
+      .localCheckpoint(true)
     val counts = df.groupBy($"dhash").agg(count(lit(1)).as("n_same_hash"))
     df.join(counts, Seq("dhash"))
       .select($"asset_id", $"dhash", $"n_same_hash")

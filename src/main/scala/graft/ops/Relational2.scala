@@ -358,8 +358,10 @@ object Relational2 {
     val wCum = org.apache.spark.sql.expressions.Window.orderBy($"n_tokens")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // n_total = Σcnt comes from the (small) distinct-length table itself —
+    // no second corpus scan
     val bounds = lc.withColumn("cum", sum($"cnt").over(wCum))
-      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_total"))))
+      .crossJoin(broadcast(lc.agg(sum($"cnt").as("n_total"))))
       .agg(
         min(when($"cum" * 4 >= $"n_total", $"n_tokens")).as("q1"),
         min(when($"cum" * 2 >= $"n_total", $"n_tokens")).as("q2"),

@@ -149,9 +149,13 @@ object TpchQueries {
     * no fraction is ever computed. */
   def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // part-dimension sized; eagerly checkpointed because BOTH the gate and
+    // the one-row total read it — a second reference would otherwise
+    // recompute the whole lineitem aggregate (the q21 lesson)
     val pv = Tables.lineitem(s, dir)
       .groupBy($"l_partkey")
       .agg(sum2($"l_extendedprice").as("value"))
+      .localCheckpoint(true)
     val tot = pv.agg(sum($"value").as("total"), count(lit(1)).as("n_parts"))
     pv.crossJoin(broadcast(tot))
       .filter($"value" * $"n_parts" * 2 > $"total" * 3)
@@ -195,10 +199,13 @@ object TpchQueries {
     * scalar MAX subquery is a one-row broadcast and ties are kept. */
   def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // supplier-dimension sized; checkpointed — the MAX subquery and the
+    // gate both read it (see q11)
     val sr = Tables.lineitem(s, dir)
       .filter($"l_shipdate" >= tsLit("1997-01-01") && $"l_shipdate" < tsLit("1997-07-01"))
       .groupBy($"l_suppkey")
       .agg(sumRev($"l_extendedprice", $"l_discount").as("total_rev"))
+      .localCheckpoint(true)
     val mx = sr.agg(max($"total_rev").as("mx"))
     sr.crossJoin(broadcast(mx)).filter($"total_rev" === $"mx")
       .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
@@ -399,10 +406,13 @@ object TpchQueries {
   def q20PromoSuppliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val promo = Tables.part(s, dir).filter($"p_type" === "PROMO").select($"p_partkey")
+    // supplier-dimension sized; checkpointed — the one-row total and the
+    // gate both read it (see q11)
     val sp = Tables.lineitem(s, dir)
       .join(broadcast(promo), $"l_partkey" === $"p_partkey")
       .groupBy($"l_suppkey")
       .agg(sum($"l_quantity".cast("long")).as("promo_qty"))
+      .localCheckpoint(true)
     val tot = sp.agg(sum($"promo_qty").as("tq"), count(lit(1)).as("ns"))
     sp.crossJoin(broadcast(tot))
       .filter($"promo_qty" * $"ns" * 10 > $"tq" * 11)

@@ -233,11 +233,16 @@ object TextAnalysis {
     * integer ppb; the top-k cut is total-ordered and replays. */
   def containmentOf(docs: DataFrame, maxChunkDf: Int = 64,
       minPpb: Long = 500000000L, k: Int = 50): DataFrame = {
+    // distinct (doc, chunk) pairs feed the df table AND the pair join's
+    // both sides — checkpointed so the CDC boundary scan runs once, not
+    // once per reference (the q21 lesson); chunk-table sized
     val dc = cdcChunksOf(docs).select(col("doc_id"), col("chunk_md5")).distinct()
+      .localCheckpoint(true)
     val rare = dc.join(
       dc.groupBy(col("chunk_md5")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxChunkDf),
       Seq("chunk_md5"))
+      .localCheckpoint(true)
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks_a"))
     rare.select(col("chunk_md5"), col("doc_id").as("doc_a"))
       .join(rare.select(col("chunk_md5"), col("doc_id").as("doc_b")), Seq("chunk_md5"))
