@@ -564,7 +564,7 @@ object Dedup {
   /** Distinct engine-portable 48-bit gram hashes per doc — the shingle
     * stage of the portable pipelines ([[minHashPortable]],
     * [[minHashPortableAcross]]). */
-  private def portableShingleHashes(docs: DataFrame, k: Int): DataFrame = docs
+  private[dedup] def portableShingleHashes(docs: DataFrame, k: Int): DataFrame = docs
     .select(col("doc_id"), split(col("text"), " ").as("toks"))
     .filter(size(col("toks")) >= k)
     .select(col("doc_id"), explode(expr(
@@ -614,6 +614,63 @@ object Dedup {
     sh.unpersist()
     out.orderBy(col("a"), col("b"))
   }
+
+  /** B12 (r7): EXACT set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo/Ma/Srikant WWW'07, Xiao/Wang/Lin/Yu
+    * WWW'08): every pair with gram-Jaccard ≥ 0.5, with NO approximation
+    * and no LSH recall loss, yet never an all-pairs product. The pruning
+    * theorem: order the universe of grams by (document frequency asc,
+    * gram asc) — rarest first — and take from each doc only its PREFIX of
+    * the first |x| − ⌈t·|x|⌉ + 1 grams. Any pair with J ≥ t must share at
+    * least one gram inside BOTH prefixes (if the order-smallest common
+    * gram fell beyond either side's prefix, that side could hold at most
+    * ⌈t·|x|⌉ − 1 < t·|x| ≤ |a∩b| common grams — contradiction), so the
+    * prefix equi-join is candidate-COMPLETE and exact verification of
+    * the candidates recovers exactly the brute-force answer
+    * (spec-pinned against brute force in PpJoinSpec).
+    *
+    * Scale shape: df is one map-side-combinable gram count (the TF-IDF
+    * table); the per-doc (df, gram) rank window is doc-bounded; the
+    * candidate join keys on the globally RAREST grams, so bucket fan-out
+    * is df-bounded exactly where df is smallest — the algorithm's whole
+    * point. The size filter (2·nb ≥ na ∧ 2·na ≥ nb, necessary for
+    * J ≥ 0.5) rides the join. Degenerate corpora (thousands of identical
+    * docs) make every pair a TRUE result, so the quadratic there is
+    * output cost, not candidate waste — unlike LSH, whose capped variant
+    * ([[minHashPortable]]) stays the right tool when only the connected
+    * components are wanted. Grams are the engine-portable 48-bit
+    * md5-prefix family, threshold division-free (2·inter ≥ na+nb−inter),
+    * so the whole pipeline hash-gates against a brute-force DuckDB
+    * oracle. */
+  def ppJoin(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("hbase"))
+    val sh = portableShingleHashes(docs, k).cache()
+    val dfreq = sh.groupBy(col("hbase")).agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // prefix: rn ≤ n − ⌈n/2⌉ + 1 ⇔ 2·rn ≤ n + 2 (integer, division-free)
+    val prefix = sh.join(dfreq, Seq("hbase"))
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rn") * 2 <= col("n") + 2)
+      .select(col("doc_id"), col("hbase"), col("n"))
+      .localCheckpoint(true) // feeds both candidate-join sides
+    val cand = prefix.select(col("doc_id").as("a"), col("hbase"), col("n").as("pna"))
+      .join(prefix.select(col("doc_id").as("b"), col("hbase"), col("n").as("pnb")),
+        Seq("hbase"))
+      .filter(col("a") < col("b") &&
+        col("pnb") * 2 >= col("pna") && col("pna") * 2 >= col("pnb"))
+      .select(col("a"), col("b")).distinct()
+    val out = verifyJaccard(cand, sh.select(col("doc_id"), col("hbase").as("shingle")))
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out.orderBy(col("a"), col("b"))
+  }
+
+  def ppJoinQuery(s: SparkSession, dir: String): DataFrame =
+    ppJoin(Tables.documents(s, dir))
 
   /** B12: the ORACLE-CHECKED twin of [[minHashNearDupAcross]] — same
     * incremental plan shape (incoming batch probes the reference's band
@@ -1191,6 +1248,7 @@ object Dedup {
     "b12_cross_portable" -> (crossPortableQuery _),
     "b12_simhash_portable" -> (simHashPortableQuery _),
     "b12_hamming_join_sql" -> (hammingJoinSqlQuery _),
+    "b12_ppjoin" -> (ppJoinQuery _),
   )
 
   /** Generated from [[PortablePerms]]/[[PortableP]] — the oracle replays
@@ -1301,8 +1359,31 @@ object Dedup {
       WHERE i.inter * 2 >= na.n + nb.n - i.inter
       ORDER BY new_id, ref_id"""
 
+  /** Brute force IS the oracle for [[ppJoin]]: prefix filtering is a
+    * pure candidate pruning, so the exact answer is the unfiltered
+    * all-pairs gram join — the candidate-completeness theorem checked
+    * cross-engine on real data. */
+  private def ppJoinOracle: String = """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT DISTINCT doc_id,
+              CAST(('0x' || substr(md5(array_to_string(toks[i : i + 2], ' ')), 1, 12)) AS BIGINT) AS h
+            FROM d, UNNEST(range(1, len(toks) - 1)) AS r(i)),
+      szs AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      ins AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+              FROM g ga JOIN g gb ON gb.h = ga.h AND ga.doc_id < gb.doc_id
+              GROUP BY 1, 2)
+      SELECT i.a, i.b, i.inter, na.n AS na, nb.n AS nb,
+             CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) AS jaccard
+      FROM ins i
+      JOIN szs na ON na.doc_id = i.a
+      JOIN szs nb ON nb.doc_id = i.b
+      WHERE i.inter * 2 >= na.n + nb.n - i.inter
+      ORDER BY i.a, i.b"""
+
   val oracles: Map[String, String] = Map(
     "b12_minhash_portable" -> minHashPortableOracle,
+    "b12_ppjoin" -> ppJoinOracle,
     "b11_entity_match" -> entityMatchOracle,
     "b12_cross_portable" -> crossPortableOracle,
     "b12_simhash_portable" -> simHashPortableOracle,

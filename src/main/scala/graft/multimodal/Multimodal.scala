@@ -284,24 +284,84 @@ object Multimodal {
     * share-count is one combinable aggregate on the hash. */
   def imageDHashQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val assetsDf = imageAssets(s, dir)
-    val out = assetsDf.select($"asset_id", $"payload").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val h = decodeImage(r.getAs[Array[Byte]](1)).map(imageDHash).getOrElse(-1L)
-        Row(r.getLong(0), h)
-      }
-    }
-    // checkpointed: the share-count aggregate and the join both read it —
-    // a second reference would re-render and re-decode every PNG
-    val df = s.createDataFrame(out, StructType(Seq(
-      StructField("asset_id", LongType, nullable = false),
-      StructField("dhash", LongType, nullable = false))))
-      .localCheckpoint(true)
+    val df = dhashFrame(s, dir)
     val counts = df.groupBy($"dhash").agg(count(lit(1)).as("n_same_hash"))
     df.join(counts, Seq("dhash"))
       .select($"asset_id", $"dhash", $"n_same_hash")
       .orderBy($"asset_id")
   }
+
+  /** (asset_id, dhash) through the REAL render→PNG→decode path,
+    * checkpointed — every dhash consumer reads it once; a second plan
+    * reference would re-render and re-decode every PNG. */
+  private def dhashFrame(s: SparkSession, dir: String): DataFrame = {
+    val assetsDf = imageAssets(s, dir)
+    val out = assetsDf.select(col("asset_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val h = decodeImage(r.getAs[Array[Byte]](1)).map(imageDHash).getOrElse(-1L)
+        Row(r.getLong(0), h)
+      }
+    }
+    s.createDataFrame(out, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false))))
+      .localCheckpoint(true)
+  }
+
+  /** B14 (r7): image NEAR-dup clustering by perceptual hash — the
+    * full image-dedup operator ([[imageDHashQuery]] stops at exact hash
+    * groups): assets whose dHashes differ by ≤ `maxDist` bits land in
+    * one cluster with a canonical representative (the training pipeline
+    * drops `asset_id != cluster_rep`).
+    *
+    * Scale shape — dedup at SKETCH granularity, never asset granularity:
+    * the corpus-sized work is one decode scan plus one combinable
+    * group-by dhash; the quadratic-looking near-link stage runs over the
+    * DISTINCT hash table (vocabulary-sized — duplicate-heavy corpora
+    * have few distinct sketches, which is exactly when dedup matters)
+    * through a pigeonhole chunk join: 7 chunks of 9 bits, so two hashes
+    * within Hamming 6 MUST agree on ≥1 chunk (≤6 chunks can differ) and
+    * the equi-join on (chunk_idx, chunk_val) is candidate-COMPLETE —
+    * the same lossless-pruning theorem as the SimHash chunk join, here
+    * applied hash-to-hash. Verified links (`bit_count(xor) ≤ maxDist`)
+    * feed the O(log n) large-star/small-star CC kernel; isolated hashes
+    * keep their own label. A green DuckDB hash certifies decode → luma →
+    * dHash → chunk-join → Hamming verify → connected components → asset
+    * assignment end to end (the oracle replays the render formula and
+    * brute-forces the distinct-hash links — pruning losslessness checked
+    * cross-engine). */
+  def imageNearDupClusters(s: SparkSession, dir: String, maxDist: Int = 6): DataFrame = {
+    import s.implicits._
+    val df = dhashFrame(s, dir)
+    // hash-granularity reduction: one row per distinct sketch
+    val hashes = df.groupBy($"dhash")
+      .agg(count(lit(1)).as("n_assets"), min($"asset_id").as("min_asset"))
+      .localCheckpoint(true) // chunk explode + two label joins read it
+    val chunks = hashes.select($"dhash",
+      explode(expr("transform(sequence(0, 6), c -> " +
+        "struct(c AS ci, shiftright(dhash, 9 * c) % 512 AS cv))")).as("ch"))
+      .select($"dhash", $"ch.ci", $"ch.cv")
+    val links = chunks.select($"dhash".as("ha"), $"ci", $"cv")
+      .join(chunks.select($"dhash".as("hb"), $"ci", $"cv"), Seq("ci", "cv"))
+      .filter($"ha" < $"hb")
+      .select($"ha", $"hb").distinct()
+      .filter(bit_count($"ha".bitwiseXOR($"hb")) <= maxDist)
+    val labels = graft.dedup.Dedup.connectedComponentsStar(
+      links.select($"ha".as("a"), $"hb".as("b")))
+    val labeled = hashes.join(labels.select($"u".as("dhash"), $"label"),
+        Seq("dhash"), "left_outer")
+      .withColumn("label", coalesce($"label", $"dhash"))
+    val clusters = labeled.groupBy($"label")
+      .agg(sum($"n_assets").as("cluster_size"), min($"min_asset").as("cluster_rep"))
+    val byHash = labeled.join(clusters, Seq("label"))
+      .select($"dhash", $"cluster_rep", $"cluster_size")
+    df.join(byHash, Seq("dhash"))
+      .select($"asset_id", $"dhash", $"cluster_rep", $"cluster_size")
+      .orderBy($"asset_id")
+  }
+
+  private def imageNearDupQuery(s: SparkSession, dir: String): DataFrame =
+    imageNearDupClusters(s, dir)
 
   /** Frame sampling query (oracle-checkable plumbing). */
   def framesQuery(s: SparkSession, dir: String): DataFrame = {
@@ -345,6 +405,7 @@ object Multimodal {
     "b14_multimodal_features" -> (featureQuery _),
     "b14_image_features" -> (imageFeatureQuery _),
     "b14_image_dhash" -> (imageDHashQuery _),
+    "b14_image_neardup" -> (imageNearDupQuery _),
     "b14_multimodal_frames" -> (framesQuery _),
     "b14_multimodal_pack" -> (packQuery _),
   )
@@ -374,6 +435,52 @@ object Multimodal {
       c AS (SELECT dhash, COUNT(*) AS n_same_hash FROM h GROUP BY 1)
       SELECT h.asset_id, h.dhash, c.n_same_hash
       FROM h JOIN c USING (dhash) ORDER BY asset_id""",
+    // render-formula dhash (shared with b14_image_dhash), then the
+    // near-dup clustering replayed at hash granularity: brute-force
+    // distinct-hash links at Hamming ≤ 6 (the plan's pigeonhole chunk
+    // join is lossless pruning, so brute force IS its oracle), recursive
+    // reachability for components, min-asset representative per cluster
+    "b14_image_neardup" -> """
+      WITH RECURSIVE pos AS (SELECT i, j, (3 * j) // 2 AS y
+                   FROM range(8) t1(i), range(8) t2(j)
+                   WHERE NOT (i = 7 AND j = 7)),
+      lum AS (SELECT d.doc_id, p.i, p.j,
+                (299 * ((d.doc_id * 37 + (2 * p.i) * 16) % 256)
+                 + 587 * ((d.doc_id * 11 + p.y * 21) % 256)
+                 + 114 * (CASE WHEN ((2 * p.i) + p.y + d.doc_id) % 4 = 0
+                          THEN 255 ELSE 0 END)) AS l1,
+                (299 * ((d.doc_id * 37 + (2 * p.i + 1) * 16) % 256)
+                 + 587 * ((d.doc_id * 11 + p.y * 21) % 256)
+                 + 114 * (CASE WHEN ((2 * p.i + 1) + p.y + d.doc_id) % 4 = 0
+                          THEN 255 ELSE 0 END)) AS l2
+              FROM documents d, pos p),
+      h AS (SELECT doc_id AS asset_id,
+              CAST(SUM(CASE WHEN l1 > l2
+                       THEN (CAST(1 AS BIGINT) << (j * 8 + i)) ELSE 0 END)
+                   AS BIGINT) AS dhash
+            FROM lum GROUP BY 1),
+      hs AS (SELECT dhash, COUNT(*) AS n_assets, MIN(asset_id) AS min_asset
+             FROM h GROUP BY 1),
+      lnk AS (SELECT a.dhash AS ha, b.dhash AS hb
+              FROM hs a JOIN hs b ON a.dhash < b.dhash
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+      sym AS (SELECT ha AS u, hb AS v FROM lnk UNION SELECT hb, ha FROM lnk),
+      reach AS (SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+                WHERE s.v <> r.u),
+      lbl AS (SELECT u AS dhash, CAST(LEAST(u, MIN(v)) AS BIGINT) AS label
+              FROM reach GROUP BY u),
+      labeled AS (SELECT hs.dhash, hs.n_assets, hs.min_asset,
+                    COALESCE(lbl.label, hs.dhash) AS label
+                  FROM hs LEFT JOIN lbl USING (dhash)),
+      cl AS (SELECT label, SUM(n_assets) AS cluster_size,
+                    MIN(min_asset) AS cluster_rep
+             FROM labeled GROUP BY label)
+      SELECT h.asset_id, h.dhash, cl.cluster_rep,
+             CAST(cl.cluster_size AS BIGINT) AS cluster_size
+      FROM h JOIN labeled USING (dhash) JOIN cl USING (label)
+      ORDER BY asset_id""",
     // same asset derivation as b14_multimodal_meta; all-integer modality
     // cost model; ceil over an exact double (cum < 2^53)
     "b14_multimodal_pack" -> """

@@ -456,7 +456,89 @@ object EventAnalytics {
   def attributionQuery(s: SparkSession, dir: String): DataFrame =
     attribution(Tables.events(s, dir))
 
+  /** Lower median of `valCol` per `keyCol` over a long-valued column —
+    * the exact distinct-value-table device (b04_weighted_median): one
+    * combinable (key, value) count, a cumulative window over DISTINCT
+    * values (bounded domain — never a row-scale window), the gate
+    * cross-multiplied so no division exists. Returns (key, med). */
+  private def lowerMedian(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val n = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val dv = df.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("w"))
+    val cum = dv.withColumn("cw",
+      sum(col("w")).over(Window.partitionBy(col(keyCol)).orderBy(col(valCol))))
+    cum.join(n, Seq(keyCol))
+      .filter(col("cw") * 2 >= col("n"))
+      .groupBy(col(keyCol)).agg(min(col(valCol)).as("med"))
+  }
+
+  /** B10 (r7): robust outlier detection via median absolute deviation —
+    * the spike detector that survives the heavy tail that wrecks
+    * mean/stddev z-scores (one whale purchase inflates σ until nothing
+    * is an outlier; the median and MAD barely move). Per event type:
+    * med = lower median of integer cents, MAD = lower median of
+    * |cents − med|, outlier ⇔ dev > k·MAD — every quantity an exact
+    * integer, the threshold division-free, so the flagged set replays
+    * bit-identically cross-engine (a float MAD would put boundary events
+    * on an IEEE knife edge).
+    *
+    * Scale shape: two combinable aggregates to DISTINCT-value tables
+    * (value domain is price-bounded, never event-scale) + cumulative
+    * windows over those tables; the 5-row per-type stats broadcast back
+    * onto the event scan — no event-scale shuffle anywhere. */
+  def madOutliers(events: DataFrame, k: Int = 8): DataFrame = {
+    val e = events.select(col("event_id"), col("event_type"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .localCheckpoint(true) // scanned by med, dev, and the output filter
+    val med = lowerMedian(e, "event_type", "cents")
+      .withColumnRenamed("med", "med_c")
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("cents") - col("med_c")))
+    val mad = lowerMedian(dev, "event_type", "dev")
+      .withColumnRenamed("med", "mad_c")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("dev") > lit(k) * col("mad_c"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med_c"), col("mad_c"), col("dev"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  def madOutliersQuery(s: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.events(s, dir))
+
+  /** B10 (r7): rolling active-user counts — the DAU/WAU dashboard pair
+    * (every product-analytics store's first chart). WAU's "distinct
+    * users in the trailing 7 days, for every day" is NOT a window
+    * aggregate Spark (or any engine) can run directly — count-distinct
+    * doesn't decompose over sliding frames — so it uses the standard
+    * scale-out device: each (user, active-day) row EXPLODES to the ≤7
+    * future days whose trailing window it can serve, then one distinct
+    * + one combinable count per day. Fan-out is a fixed ×7 of the
+    * (user, day) table — which is itself the first distinct, far
+    * smaller than the event log. Everything is exact integers; days
+    * surface as midnight TIMESTAMP_NTZ (the repo's cross-engine date
+    * convention). Output keeps days with ≥1 active user (inner join),
+    * so WAU rows beyond the data's horizon never appear. */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(true) // feeds dau + the 7-day explode
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud.select(col("user_id"),
+        explode(expr("sequence(0, 6)")).as("i"), col("day"))
+      .select(col("user_id"), expr("date_add(day, int(i))").as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day").cast("timestamp_ntz").as("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  def activeUsersQuery(s: SparkSession, dir: String): DataFrame =
+    activeUsers(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b10_mad_outliers" -> (madOutliersQuery _),
+    "b10_active_users" -> (activeUsersQuery _),
     "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
     "b06_time_weighted" -> (timeWeightedAvgQuery _),
@@ -472,6 +554,43 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer lower medians over distinct-value tables, threshold
+    // division-free — the Spark plan replayed literally
+    "b10_mad_outliers" -> """
+      WITH e AS (SELECT event_id, event_type,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                 FROM events),
+      n AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+      dv AS (SELECT event_type, cents, COUNT(*) AS w FROM e GROUP BY 1, 2),
+      cum AS (SELECT event_type, cents,
+                SUM(w) OVER (PARTITION BY event_type ORDER BY cents) AS cw FROM dv),
+      med AS (SELECT c.event_type, MIN(c.cents) AS med_c
+              FROM cum c JOIN n USING (event_type)
+              WHERE 2 * c.cw >= n.n GROUP BY 1),
+      d AS (SELECT e.event_id, e.event_type, e.cents, m.med_c,
+              ABS(e.cents - m.med_c) AS dev
+            FROM e JOIN med m USING (event_type)),
+      dd AS (SELECT event_type, dev, COUNT(*) AS w FROM d GROUP BY 1, 2),
+      dcum AS (SELECT event_type, dev,
+                 SUM(w) OVER (PARTITION BY event_type ORDER BY dev) AS cw FROM dd),
+      mad AS (SELECT c.event_type, MIN(c.dev) AS mad_c
+              FROM dcum c JOIN n USING (event_type)
+              WHERE 2 * c.cw >= n.n GROUP BY 1)
+      SELECT d.event_id, d.event_type, d.cents, d.med_c, mad.mad_c, d.dev
+      FROM d JOIN mad USING (event_type)
+      WHERE d.dev > 8 * mad.mad_c
+      ORDER BY event_type, event_id""",
+    // the trailing-window explode device replayed: ≤7 future days per
+    // (user, day), distinct, count — exact, never a sliding distinct
+    "b10_active_users" -> """
+      WITH ud AS (SELECT DISTINCT user_id,
+                    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+      w AS (SELECT DISTINCT user_id, day + CAST(i AS INT) AS day
+            FROM ud, UNNEST(range(0, 7)) t(i)),
+      wau AS (SELECT day, COUNT(*) AS wau FROM w GROUP BY 1)
+      SELECT d.day, d.dau, w2.wau
+      FROM dau d JOIN wau w2 USING (day) ORDER BY day""",
     // earliest-qualifying-chain funnel, steps chained as CTEs; ts is
     // ns→us truncated via CAST before every comparison, matching the
     // Spark reader's truncation

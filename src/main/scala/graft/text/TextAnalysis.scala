@@ -578,6 +578,50 @@ object TextAnalysis {
   private def topNgramsQuery(s: SparkSession, dir: String): DataFrame =
     topNgrams(s, dir)
 
+  /** B13 (r7): collocation extraction — top bigrams by DICE association
+    * (2·c(xy) / (c(x)+c(y)), Smadja's collocation score and the pair
+    * statistic BPE merges maximize): where [[topNgrams]] ranks by raw
+    * count and surfaces boilerplate ("of the"), Dice surfaces pairs
+    * whose words rarely appear APART — multiword expressions, named
+    * entities — the phrase-mining step before tokenizer training and
+    * stop-phrase curation. PMI-style lift needs corpus-size factors
+    * that overflow exact integers at scale; Dice is the association
+    * score that stays division-free-rankable: dice_ppb =
+    * (2·c_xy·10⁹) div (c_x+c_y), exact in both engines, so the top-k
+    * cut under (dice_ppb, w1, w2) is total and replayable.
+    *
+    * Scale: two map-side-combinable counts (unigram, bigram) over one
+    * scan-side explode each; the support floor (c_xy ≥ minCount) prunes
+    * the bigram tail BEFORE the two vocabulary-sized count joins; top
+    * slice is a distributed sort+limit, never a global window. */
+  def collocations(s: SparkSession, dir: String, k: Int = 20,
+                   minCount: Int = 5): DataFrame =
+    collocationsOf(Tables.documents(s, dir), k, minCount)
+
+  /** [[collocations]] over any `(…, text)` frame — the spec fixture seam. */
+  def collocationsOf(docs: DataFrame, k: Int = 20, minCount: Int = 5): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toksDf = docs.select(split($"text", " ").as("toks"))
+    val uni = toksDf.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val bi = toksDf.filter(size($"toks") >= 2)
+      .select(explode(arrays_zip(
+        slice($"toks", lit(1), size($"toks") - 1),
+        slice($"toks", lit(2), size($"toks") - 1))).as("p"))
+      .select($"p.0".as("w1"), $"p.1".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
+      .filter($"c_xy" >= minCount)
+    bi.join(uni.select($"w".as("w1"), $"c".as("c_x")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"c".as("c_y")), Seq("w2"))
+      .select($"w1", $"w2", $"c_xy", $"c_x", $"c_y",
+        expr("(2 * c_xy * 1000000000) div (c_x + c_y)").as("dice_ppb"))
+      .orderBy($"dice_ppb".desc, $"w1", $"w2").limit(k)
+  }
+
+  private def collocationsQuery(s: SparkSession, dir: String): DataFrame =
+    collocations(s, dir)
+
   /** B13: winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     * the MOSS local document fingerprinting algorithm): hash every k-token
     * gram, slide a w-gram window, select each window's MINIMUM hash; the
@@ -1037,6 +1081,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b13_corpus_mix" -> (corpusMix _),
     "b13_top_ngrams" -> (topNgramsQuery _),
+    "b13_collocations" -> (collocationsQuery _),
     "b13_lm_score" -> (lmScore _),
     "b13_repetition" -> (repetition _),
     "b13_token_counts" -> (tokenCounts _),
@@ -1297,6 +1342,20 @@ object TextAnalysis {
         FROM d, UNNEST(range(1, len(toks))) AS r(i))
       SELECT bigram, COUNT(*) AS n FROM bi
       GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    // Dice ppb is one exact floor division; the (dice_ppb, w1, w2)
+    // sort key makes the top-20 cut total in both engines
+    "b13_collocations" -> """
+      WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      uni AS (SELECT w, COUNT(*) AS c
+              FROM (SELECT unnest(toks) AS w FROM d) GROUP BY 1),
+      bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS c_xy
+             FROM d, UNNEST(range(1, len(toks))) AS r(i)
+             WHERE len(toks) >= 2
+             GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+             (2 * b.c_xy * 1000000000) // (u1.c + u2.c) AS dice_ppb
+      FROM bi b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2
+      ORDER BY dice_ppb DESC, w1, w2 LIMIT 20""",
     "b13_lm_score" -> """
       WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -435,4 +435,42 @@ class DedupSpec extends SparkSpec {
     assert(capped === unc)
     assert(byId.size === recs.size)
   }
+
+  test("ppJoin: planted near/exact dups with exact counts, unrelated doc excluded (B12)") {
+    val out = Dedup.ppJoin(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // identical shingle expectations as the portable-minhash fixture —
+    // ppJoin is the EXACT join, so it must find at least everything LSH did
+    assert(out((1L, 2L)) === ((27L, 28L, 28L)))
+    assert(out((1L, 4L)) === ((28L, 28L, 28L)))
+    assert(out((2L, 4L)) === ((27L, 28L, 28L))) // symmetry of the 1-2 edit
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    assert(out.size === 3)
+  }
+
+  test("property: ppJoin == unfiltered brute-force gram join (prefix filter is lossless)") {
+    // overlapping token ranges: consecutive docs share most of their
+    // window, distant docs share none — a spread of Jaccard values
+    // straddling the 0.5 threshold, sizes varying so the length filter
+    // is exercised too
+    val corpus = (1 to 80).map { i =>
+      val start = (i * 3) % 60
+      val len = 12 + (i % 9)
+      (i.toLong, (start until start + len).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.ppJoin(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = Dedup.portableShingleHashes(corpus, 3).cache()
+    val ids = corpus.select($"doc_id").as[Long].collect()
+    val allPairs = ids.flatMap(a => ids.filter(_ > a).map(b => (a, b)))
+      .toSeq.toDF("a", "b")
+    val brute = Dedup.verifyJaccard(allPairs,
+        sh.select($"doc_id", $"hbase".as("shingle")))
+      .filter($"inter" * 2 >= $"na" + $"nb" - $"inter")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    sh.unpersist()
+    assert(got === brute)
+    assert(got.nonEmpty) // the fixture actually crosses the threshold
+  }
 }

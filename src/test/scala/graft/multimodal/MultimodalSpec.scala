@@ -131,4 +131,38 @@ class MultimodalSpec extends SparkSpec {
     val h8 = Multimodal.imageDHash(Multimodal.decodeImage(png(render(8L))).get)
     assert(java.lang.Long.bitCount(h7 ^ h8) > 8)
   }
+
+  test("image near-dup clusters: exact-dup groups merge, clusters == brute-force CC (B14, r7)") {
+    val out = Multimodal.imageNearDupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // every asset assigned exactly once
+    assert(out.size === 500)
+    // the render formula depends on doc_id only mod 256 (r: 37·id mod 256,
+    // b stripe: id mod 4, g cancels at equal y), so id and id+256 are
+    // EXACT hash dups and must share a cluster with rep = the smaller id
+    assert(out(300L)._1 === out(44L)._1)
+    assert(out(300L)._2 === out(44L)._2)
+    assert(out(44L)._2 <= 44L)
+    // brute-force reference: group assets by hash, link hashes with
+    // Hamming ≤ 6, transitive closure over the (tiny) distinct-hash set
+    val byHash = out.toSeq.groupBy(_._2._1)
+    val hs = byHash.keys.toArray.sorted
+    val parent = scala.collection.mutable.Map(hs.map(h => h -> h): _*)
+    def find(h: Long): Long = if (parent(h) == h) h else { val r = find(parent(h)); parent(h) = r; r }
+    for (a <- hs; b <- hs if a < b && java.lang.Long.bitCount(a ^ b) <= 6) {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = hs.map { h =>
+      val members = hs.filter(x => find(x) == find(h))
+      val assets = members.flatMap(m => byHash(m).map(_._1))
+      h -> (assets.min, assets.length.toLong)
+    }.toMap
+    out.foreach { case (asset, (h, rep, size)) =>
+      assert((rep, size) === expect(h), s"asset $asset hash $h")
+    }
+    // the near layer is not vacuous on this corpus: some cluster spans
+    // MULTIPLE distinct hashes
+    assert(hs.exists(x => hs.exists(y => y != x && find(y) == find(x))))
+  }
 }

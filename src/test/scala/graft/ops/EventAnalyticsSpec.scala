@@ -255,4 +255,45 @@ class EventAnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("mad outliers: hand fixture — robust to the whale that breaks z-scores (B10)") {
+    // type A: a 9.80..10.60 ladder plus one 500.00 whale. Cents
+    // [980,990,...,1060, 50000]: lower median = 1020 (cum 5 ≥ 10/2);
+    // deviations [40,30,20,10,0,10,20,30,40,48980] → distinct-dev cum
+    // hits 5 at dev 20 → MAD = 20. Whale dev 48980 > 8·20 → flagged;
+    // the ladder (dev ≤ 40 ≤ 160) is not. A stddev gate would put
+    // σ ≈ 14700 and flag NOTHING (48980 < 8σ).
+    val rows = (1 to 9).map(i => (i.toLong, "A", 9.70 + 0.10 * i)) :+ (10L, "A", 500.00)
+    val df = rows.toDF("event_id", "event_type", "value")
+    val out = EventAnalytics.madOutliers(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 10L && r.getLong(2) === 50000L &&
+      r.getLong(3) === 1020L && r.getLong(4) === 20L && r.getLong(5) === 48980L)
+    // MAD = 0 regime (constant bulk): only deviators flagged
+    val const = ((1 to 8).map(i => (i.toLong, "B", 5.00)) :+ (9L, "B", 5.01))
+      .toDF("event_id", "event_type", "value")
+    val outB = EventAnalytics.madOutliers(const).collect()
+    assert(outB.map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
+  test("active users: DAU counts a user once per day, WAU spans exactly 7 trailing days (B10)") {
+    def day(d: Int, u: Long) = (Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"), u)
+    // u1 on days 1 and 2 (twice on day 1), u2 on day 1 only, u3 on day 9
+    val rows = Seq(day(1, 1L), day(1, 1L), day(1, 2L), day(2, 1L), day(9, 3L))
+      .zipWithIndex.map { case ((t, u), i) => (i.toLong, t, u) }
+      .toDF("event_id", "ts", "user_id")
+    val out = EventAnalytics.activeUsers(rows).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0).getDayOfMonth ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // day 1: u1+u2 active; trailing week = day 1 only
+    assert(out(1) === ((2L, 2L)))
+    // day 2: u1 active; trailing week covers day 1 too → u1, u2
+    assert(out(2) === ((1L, 2L)))
+    // day 9: u3; day 2 (u1) is 7 days back — OUTSIDE the 7-day window
+    // (window = days 3..9), day 1 even further → wau = 1
+    assert(out(9) === ((1L, 1L)))
+    // days with no events never appear
+    assert(out.keySet === Set(1, 2, 9))
+  }
 }

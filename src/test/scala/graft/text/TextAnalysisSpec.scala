@@ -354,4 +354,24 @@ class TextAnalysisSpec extends SparkSpec {
     val j = lossy(0).getDouble(3)
     assert(math.abs(j - 1.0 / 3) <= 0.12, s"lossy sketch J=$j vs 1/3")
   }
+
+  test("collocations: Dice ranks the always-together pair above the frequent-but-independent one (B13)") {
+    // "united states" appears 6 times and its words nowhere apart →
+    // dice = 2·6/(6+6) = 1.0 exactly. "of the" appears 8 times but its
+    // words also pair with unique fillers (of: 16, the: 16) →
+    // dice = 2·8/32 = 0.5. Raw count would rank "of the" first;
+    // association must not. All filler pairs stay under minCount.
+    val filler = (1 to 8).map(i => s"of x$i the y$i of the z$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 6).map(i => s"united states f$i").mkString(" ")),
+      (2L, filler)).toDF("doc_id", "text")
+    val out = TextAnalysis.collocationsOf(docs, k = 5, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    assert(out.head._1 === "united" && out.head._2 === "states")
+    assert(out.head._3 === 6L && out.head._4 === 1000000000L)
+    val ofThe = out.find(t => t._1 == "of" && t._2 == "the").get
+    assert(ofThe._4 < 1000000000L)
+    // support floor: pairs under minCount never surface
+    assert(out.forall(_._3 >= 5L))
+  }
 }
