@@ -536,9 +536,48 @@ object EventAnalytics {
   def activeUsersQuery(s: SparkSession, dir: String): DataFrame =
     activeUsers(Tables.events(s, dir))
 
+  /** B10 (r7): time-to-convert — per signup-day cohort, how many users
+    * converted (first purchase strictly after first signup) and the
+    * median latency in whole seconds. The funnel says IF users convert;
+    * this says HOW FAST — the activation-latency readout growth teams
+    * steer by, and median (not mean) because conversion latencies are
+    * exactly the heavy-tail regime b10_mad_outliers guards against.
+    * Latency is an exact epoch-micros difference floored to seconds
+    * (positive, so floor == truncate in both engines — not
+    * `timestampdiff`/`date_diff`, which count boundary CROSSINGS in
+    * DuckDB but complete units in Spark and diverge on sub-second
+    * offsets); the median is the exact integer
+    * distinct-value device shared with [[madOutliers]]. Everything
+    * user-keyed until the cohort-day aggregate; cohort table is
+    * day-bounded. */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val su = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val pu = events.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    val conv = su.join(pu, Seq("user_id"))
+      .select(to_date(col("signup_ts")).as("cohort_day"),
+        expr("(unix_micros(cast(purchase_ts as timestamp)) - " +
+          "unix_micros(cast(signup_ts as timestamp))) div 1000000").as("latency_s"))
+      .localCheckpoint(true) // feeds the count + the median device
+    val n = conv.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_converted"))
+    val med = lowerMedian(conv, "cohort_day", "latency_s")
+      .withColumnRenamed("med", "median_latency_s")
+    n.join(med, Seq("cohort_day"))
+      .select(col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
+        col("n_converted"), col("median_latency_s"))
+      .orderBy(col("cohort_day"))
+  }
+
+  def timeToConvertQuery(s: SparkSession, dir: String): DataFrame =
+    timeToConvert(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b10_mad_outliers" -> (madOutliersQuery _),
     "b10_active_users" -> (activeUsersQuery _),
+    "b10_time_to_convert" -> (timeToConvertQuery _),
     "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
     "b06_time_weighted" -> (timeWeightedAvgQuery _),
@@ -591,6 +630,28 @@ object EventAnalytics {
       wau AS (SELECT day, COUNT(*) AS wau FROM w GROUP BY 1)
       SELECT d.day, d.dau, w2.wau
       FROM dau d JOIN wau w2 USING (day) ORDER BY day""",
+    // first-signup → strictly-later first-purchase latency in whole
+    // seconds; exact lower median per signup-day cohort
+    "b10_time_to_convert" -> """
+      WITH su AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+             FROM events e JOIN su USING (user_id)
+             WHERE e.event_type = 'purchase'
+               AND CAST(e.ts AS TIMESTAMP) > su.signup_ts GROUP BY 1),
+      conv AS (SELECT CAST(su.signup_ts AS DATE) AS cohort_day,
+                 (epoch_us(pu.purchase_ts) - epoch_us(su.signup_ts)) // 1000000
+                   AS latency_s
+               FROM su JOIN pu USING (user_id)),
+      n AS (SELECT cohort_day, COUNT(*) AS n_converted FROM conv GROUP BY 1),
+      dv AS (SELECT cohort_day, latency_s, COUNT(*) AS w FROM conv GROUP BY 1, 2),
+      cum AS (SELECT cohort_day, latency_s,
+                SUM(w) OVER (PARTITION BY cohort_day ORDER BY latency_s) AS cw FROM dv),
+      med AS (SELECT c.cohort_day, MIN(c.latency_s) AS median_latency_s
+              FROM cum c JOIN n USING (cohort_day)
+              WHERE 2 * c.cw >= n.n_converted GROUP BY 1)
+      SELECT n.cohort_day, n.n_converted, med.median_latency_s
+      FROM n JOIN med USING (cohort_day) ORDER BY cohort_day""",
     // earliest-qualifying-chain funnel, steps chained as CTEs; ts is
     // ns→us truncated via CAST before every comparison, matching the
     // Spark reader's truncation

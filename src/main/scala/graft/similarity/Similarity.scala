@@ -275,6 +275,32 @@ object Similarity {
         .select($"query_id", $"vec_id"))
   }
 
+  /** B12 (r7): k-NN classification over the labeled embedding corpus —
+    * the evaluation harness every embedding model ships with (and the
+    * label-propagation shape weak supervision uses to extend a small
+    * labeled set): each probe vector is predicted as the MAJORITY label
+    * of its k exact nearest neighbors, ties broken by the smaller label
+    * so the vote is total and replayable. Rides [[bruteForceTopK]]
+    * unchanged (broadcast-guarded probe set), plus one label join on the
+    * (|queries|·k)-row neighbor table and one per-query vote window over
+    * ≤k rows — classification costs nothing beyond the search it grades. */
+  def knnClassify(s: SparkSession, dir: String, k: Int = RecallK): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val labels = emb.select($"vec_id", $"label")
+    val votes = bruteForceTopK(emb, col("vec_id") % 100 === 0, k)
+      .join(labels, Seq("vec_id"))
+      .groupBy($"query_id", $"label").agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"n_votes".desc, $"label")
+    votes.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"query_id", $"label".as("predicted"), $"n_votes")
+      .join(labels.toDF("query_id", "true_label"), Seq("query_id"))
+      .select($"query_id", $"true_label", $"predicted", $"n_votes",
+        when($"true_label" === $"predicted", 1).otherwise(0).as("correct"))
+      .orderBy($"query_id")
+  }
+
   /** B12: embedding-cosine near-dup CLUSTERS — the embedding-space
     * counterpart of `Dedup.dedupClustersAtScale`, completing the near-dup
     * family across both representations (token shingles AND embeddings):
@@ -735,6 +761,7 @@ object Similarity {
     "b12_ann_ivf" -> (ivfQuery _),
     "b12_ivf_recall" -> (ivfRecallQuery _),
     "b12_pq_recall" -> (pqRecallQuery _),
+    "b12_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
   )
 
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
@@ -999,6 +1026,24 @@ object Similarity {
              CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / LEAST(10, bc.n_brute) AS recall_at_10
       FROM bc
       LEFT JOIN hits h USING (query_id)
+      ORDER BY query_id""",
+    // majority label of the exact top-10 (shared brute chain); the
+    // (n_votes DESC, label) vote window makes the prediction total
+    "b12_knn_classify" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      $BruteSimsSql,
+      top AS (SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS rn FROM sims) WHERE rn <= 10),
+      votes AS (SELECT t.query_id, emb.label, COUNT(*) AS n_votes
+                FROM top t JOIN embeddings emb ON emb.vec_id = t.vec_id
+                GROUP BY 1, 2),
+      pred AS (SELECT query_id, label AS predicted, n_votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY n_votes DESC, label) AS rn FROM votes) WHERE rn = 1)
+      SELECT p.query_id, q.label AS true_label, p.predicted, p.n_votes,
+             CASE WHEN q.label = p.predicted THEN 1 ELSE 0 END AS correct
+      FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
       ORDER BY query_id""",
     "b12_centroids" -> """
       WITH q AS (

@@ -296,4 +296,31 @@ class EventAnalyticsSpec extends SparkSpec {
     // days with no events never appear
     assert(out.keySet === Set(1, 2, 9))
   }
+
+  test("time to convert: strictly-after purchase, exact lower-median latency per cohort (B10)") {
+    def e(id: Long, t: String, u: Long, typ: String) =
+      (id, Timestamp.valueOf(t), u, typ)
+    val rows = Seq(
+      // u1: signs up 10:00, purchases 10:10 → 600 s
+      e(1, "2024-01-01 10:00:00", 1, "signup"), e(2, "2024-01-01 10:10:00", 1, "purchase"),
+      // u2: purchase BEFORE signup, then 30 s after → 30 s (pre-signup ignored)
+      e(3, "2024-01-01 09:00:00", 2, "purchase"), e(4, "2024-01-01 10:00:00", 2, "signup"),
+      e(5, "2024-01-01 10:00:30", 2, "purchase"),
+      // u3: signs up, never purchases → not converted
+      e(6, "2024-01-01 11:00:00", 3, "signup"),
+      // u4: day-2 cohort, converts in 90 s
+      e(7, "2024-01-02 08:00:00", 4, "signup"), e(8, "2024-01-02 08:01:30", 4, "purchase"),
+      // u5: purchase at the EXACT signup instant does not count; later one does
+      e(9, "2024-01-02 09:00:00", 5, "signup"), e(10, "2024-01-02 09:00:00", 5, "purchase"),
+      e(11, "2024-01-02 09:00:10", 5, "purchase"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.timeToConvert(rows).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0).getDayOfMonth ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // day 1: u1 (600 s), u2 (30 s) → lower median 30
+    assert(out(1) === ((2L, 30L)))
+    // day 2: u4 (90 s), u5 (10 s) → lower median 10
+    assert(out(2) === ((2L, 10L)))
+    assert(out.size === 2)
+  }
 }

@@ -277,4 +277,26 @@ class SimilaritySpec extends SparkSpec {
         lexK = 1, k = 5, maxDf = 3).collect().map(_.getLong(1))
     assert(cut.toSeq === Seq(1L))
   }
+
+  test("knnClassify: prediction == driver-recomputed majority of brute top-k (B12)") {
+    val out = Similarity.knnClassify(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4))).toMap
+    assert(out.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val top = Similarity.bruteForceTopK(
+        graft.Tables.embeddings(spark, sfDir), col("vec_id") % 100 === 0)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for ((q, nbrs) <- top.groupBy(_._1)) {
+      val votes = nbrs.map(n => labels(n._2)).groupBy(identity)
+        .map { case (l, v) => (l, v.length) }
+      val (expLabel, expVotes) = votes.toSeq.minBy { case (l, n) => (-n, l) }
+      val (trueL, pred, nv, correct) = out(q)
+      assert(pred === expLabel && nv === expVotes.toLong, s"query $q")
+      assert(trueL === labels(q))
+      assert(correct === (if (pred == trueL) 1 else 0))
+    }
+  }
 }
