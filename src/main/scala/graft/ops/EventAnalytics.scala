@@ -518,10 +518,18 @@ object EventAnalytics {
     * surface as midnight TIMESTAMP_NTZ (the repo's cross-engine date
     * convention). Output keeps days with ≥1 active user (inner join),
     * so WAU rows beyond the data's horizon never appear. */
-  def activeUsers(events: DataFrame): DataFrame = {
-    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
-      .localCheckpoint(true) // feeds dau + the 7-day explode
+  def activeUsers(events: DataFrame): DataFrame =
+    activeUsersOfUserDays(
+      events.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint(true)) // feeds dau + the 7-day explode
+
+  /** [[activeUsers]] core over an already-distinct `(user_id, day)`
+    * frame — shared with the streaming refresh twin
+    * ([[graft.streaming.Streaming.ActiveUsersRefresh]]), which
+    * accumulates exactly this frame across triggers. Caller
+    * materializes `ud` (two consumers). */
+  def activeUsersOfUserDays(ud: DataFrame): DataFrame = {
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = ud.select(col("user_id"),
         explode(expr("sequence(0, 6)")).as("i"), col("day"))

@@ -713,6 +713,41 @@ object Streaming {
     def ranks: Option[DataFrame] = last
   }
 
+  /** B10 streaming twin (r7): the DAU/WAU dashboard as a foreachBatch
+    * refresh. A single streaming dataflow cannot serve BOTH aggregates —
+    * DAU and WAU count DIFFERENT distinct sets ((user, day) vs the
+    * 7-day-explode (user, served-day)), and chaining two stateful
+    * dedup→aggregate stages inside one query is not a supported
+    * streaming plan — so the dashboard gets the [[PprRefresh]] pattern:
+    * micro-batches fold into the accumulated DISTINCT (user_id, day)
+    * table (the only state, far smaller than the event log; per-batch
+    * lineage cut via eager checkpoint) and each trigger recomputes the
+    * exact batch kernel
+    * ([[graft.ops.EventAnalytics.activeUsersOfUserDays]]) over the
+    * set-so-far. Every emitted snapshot is bit-identical to
+    * `activeUsers` on the event prefix; after the final batch
+    * streamed == batch exactly — both pinned in StreamingSpec. At
+    * 100 TB the accumulated user-day set is a bucketed table and the
+    * per-trigger fold is one co-partitioned distinct. */
+  final class ActiveUsersRefresh {
+    @volatile private var acc: Option[DataFrame] = None
+    @volatile private var last: Option[DataFrame] = None
+    /** foreachBatch body: fold the micro-batch into the distinct
+      * (user_id, day) set and refresh the DAU/WAU snapshot. */
+    def update(batch: DataFrame, batchId: Long): Unit = {
+      val ud = batch.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val merged = acc match {
+        case Some(a) => a.unionByName(ud).distinct()
+        case None    => ud
+      }
+      val snap = merged.localCheckpoint(true)
+      acc = Some(snap)
+      last = Some(graft.ops.EventAnalytics.activeUsersOfUserDays(snap))
+    }
+    /** Latest DAU/WAU snapshot (None before the first batch). */
+    def counts: Option[DataFrame] = last
+  }
+
   /** B12 cross-corpus streaming twin (r7): incremental near-dedup of an
     * arriving document stream against a FIXED reference corpus — the
     * production shape of continuous ingestion ("is this new crawl doc a

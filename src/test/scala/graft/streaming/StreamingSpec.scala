@@ -274,6 +274,34 @@ class StreamingSpec extends SparkSpec {
     assert(snap1 !== snap2) // batch 2 really moved mass
   }
 
+  test("DAU/WAU streaming refresh: per-trigger snapshot == batch activeUsers " +
+    "on the event prefix; final streamed == batch (B10, r7)") {
+    // batch 2 re-activates user 1 on a later day and adds a brand-new
+    // user inside day 1's trailing week — both DAU and WAU move, so the
+    // prefix pin is non-vacuous. Duplicate (user, day) events across
+    // batches must not double-count.
+    def e(id: Long, d: Int, u: Long) =
+      Evt(id, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"), u, "view", 0)
+    val batch1 = Seq(e(1, 1, 1), e(2, 1, 2), e(3, 2, 1))
+    val batch2 = Seq(e(4, 2, 1), e(5, 2, 3), e(6, 8, 1))
+    def batchOf(evs: Seq[Evt]) =
+      graft.ops.EventAnalytics.activeUsers(evs.toDF()).collect()
+        .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1), r.getLong(2))).toSeq
+    val refresh = new Streaming.ActiveUsersRefresh
+    val input = MemoryStream[Evt](spark)
+    val q = input.toDF().writeStream
+      .foreachBatch(refresh.update _).outputMode("update").start()
+    input.addData(batch1); q.processAllAvailable()
+    val snap1 = refresh.counts.get.collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1), r.getLong(2))).toSeq
+    assert(snap1 === batchOf(batch1))
+    input.addData(batch2); q.processAllAvailable(); q.stop()
+    val snap2 = refresh.counts.get.collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1), r.getLong(2))).toSeq
+    assert(snap2 === batchOf(batch1 ++ batch2))
+    assert(snap1 !== snap2) // batch 2 really moved the counts
+  }
+
   test("cross-corpus streaming sink: union of per-batch hits == batch kernel " +
     "on the union, incl. hot-bucket witness path (B10xB12, r7)") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
