@@ -362,6 +362,58 @@ object GraphOps {
   def kCoreQuery(s: SparkSession, dir: String): DataFrame =
     kCore(s, copurchaseEdges(s, dir), KCoreK, KCoreRounds)
 
+  /** B16 (r7): label-propagation communities (Raghavan/Albert/Kumara
+    * 2007) — the near-linear community detector between connected
+    * components (too coarse: one giant blob) and k-core/k-truss (too
+    * strict: density thresholds): each vertex adopts the label most
+    * common among its neighbors, and densely-linked regions converge to
+    * shared labels. Textbook async LPA is ORDER-DEPENDENT — its result
+    * changes with visit order, which is exactly what a cross-engine
+    * hash gate cannot tolerate — so the declared semantics are
+    * SYNCHRONOUS rounds with the total (count DESC, label ASC) argmax:
+    * labels after exactly `rounds` rounds, bit-deterministic in both
+    * engines (the bounded-peel contract of kCore applied to label
+    * flow; fixed rounds also sidestep sync-LPA's bipartite
+    * oscillation, which has no fixpoint to wait for).
+    *
+    * Scale shape: one symmetric neighbor table materialized once; per
+    * round ONE join of it against the (vertex-sized) label table keyed
+    * on the neighbor + one map-side-combinable (vertex, label) count +
+    * the per-vertex argmax — O(rounds) shuffles with a per-round
+    * lineage cut, the w07/kCore iterative discipline. Community sizes
+    * come from a combinable count on the final labels, joined back —
+    * never a window over the (hot) giant community. */
+  def lpaOf(edgeSet: DataFrame, rounds: Int): DataFrame = {
+    val sym = edgeSet.select(col("u").as("x"), col("v").as("nbr"))
+      .unionAll(edgeSet.select(col("v").as("x"), col("u").as("nbr")))
+      .localCheckpoint(true) // consumed every round
+    var labels = sym.select(col("x")).distinct()
+      .select(col("x"), col("x").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = sym.join(labels.select(col("x").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy(col("x"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("x"))
+        .agg(min_by(col("label"), struct((-col("cnt")).as("nc"), col("label")))
+          .as("label"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("x").as("part_key"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("part_key"))
+  }
+
+  /** Gate constants: 4 synchronous rounds partition the sf0.01 strong
+    * graph into 349 communities over 1880 vertices (sf0.1: 4784/5922)
+    * — the robust mixed regime, far from both the all-singletons and
+    * one-blob ends. */
+  private val LpaRounds = 4
+
+  def lpaQuery(s: SparkSession, dir: String): DataFrame =
+    lpaOf(strongEdges(s, dir), LpaRounds)
+
   /** B16 (r7): k-truss decomposition — the EDGE analogue of k-core and
     * the standard cohesive-community core detector (Cohen 2008): the
     * maximal subgraph in which every edge closes ≥ k−2 triangles within
@@ -597,6 +649,7 @@ object GraphOps {
     "b16_edge_jaccard" -> (edgeJaccardQuery _),
     "b16_clustering" -> (clusteringQuery _),
     "b16_components" -> (componentsQuery _),
+    "b16_lpa" -> (lpaQuery _),
     "b16_link_predict" -> (linkPredictQuery _),
     "b16_resource_alloc" -> (resourceAllocQuery _),
     "b16_assortativity" -> (assortativityQuery _),
@@ -622,6 +675,29 @@ object GraphOps {
               FROM edges e1 JOIN edges e2 ON e1.v = e2.u
               JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)"""
 
+  /** The synchronous-LPA round chain unrolled ([[LpaRounds]] rounds) —
+    * per round the (vertex, neighbor-label) count and the
+    * (cnt DESC, label) argmax, replaying [[lpaOf]]'s min_by struct
+    * order exactly (the kCore/kTruss unrolled-replay device). */
+  private def lpaOracleSql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""c$i AS (SELECT s.x, l.label, COUNT(*) AS cnt
+              FROM sym s JOIN l${i - 1} l ON l.x = s.nbr GROUP BY s.x, l.label),
+      l$i AS (SELECT x, label FROM (
+                SELECT x, label, ROW_NUMBER() OVER (PARTITION BY x
+                  ORDER BY cnt DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH $OracleStrongEdges,
+      sym AS (SELECT u AS x, v AS nbr FROM we UNION ALL SELECT v AS x, u AS nbr FROM we),
+      l0 AS (SELECT DISTINCT x, x AS label FROM sym),
+      $rounds,
+      sizes AS (SELECT label, COUNT(*) AS community_size FROM l$LpaRounds GROUP BY label)
+      SELECT l.x AS part_key, l.label AS community, s.community_size
+      FROM l$LpaRounds l JOIN sizes s USING (label)
+      ORDER BY part_key"""
+  }
+
   /** Strong (support-≥ [[ComponentsMinOrders]]) edge CTE — one
     * definition shared by the components and link-predict oracles. */
   private val OracleStrongEdges = s"""
@@ -643,6 +719,7 @@ object GraphOps {
     """,
     "b16_kcore" -> kCoreOracleSql,
     "b16_ktruss" -> kTrussOracleSql,
+    "b16_lpa" -> lpaOracleSql,
     "b16_edge_jaccard" -> s"""
       WITH $OracleEdges, $OracleDegs, $OracleTri,
       tedges AS (SELECT a AS u, b AS v FROM tri UNION ALL

@@ -60,6 +60,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** B13 (r7): per-source quantile calibration of a quality score — the
+    * normalization step between scoring and thresholding: a raw score
+    * cut applied corpus-wide silently skews the mix toward whichever
+    * source happens to score high (arXiv prose outscores forum text on
+    * any length-based metric), so production curation calibrates each
+    * doc to its percentile WITHIN its source and thresholds on that
+    * (the per-source generalization of `qualityThreshold`'s fixed-p25
+    * cut). Score is integer milli-chars-per-token (the avg-token-length
+    * gate of `qualityScore`, integerized); percentile is the exact
+    * competition rank served as ppb: rank = 1 + Σ weight(score' <
+    * score), pct_ppb = (rank−1)·10⁹ div (n−1), single-doc sources 0.
+    *
+    * Scale shape: the rank comes from the DISTINCT (source, score)
+    * table — one combinable count, a cumulative window over a
+    * price-bounded score domain, one join back on (source, score) —
+    * never a row-scale rank window over a giant source partition (the
+    * madOutliers/weighted-median device applied to ranking). */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"score_mi")
+    val docs = Tables.documents(s, dir)
+      .filter(size(tokens($"text")) >= 1)
+      .select($"doc_id", $"source",
+        expr("(1000 * length(text)) div size(split(text, ' '))").as("score_mi"))
+      .localCheckpoint(true) // feeds the rank table + the output join
+    val n = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val ranks = docs.groupBy($"source", $"score_mi").agg(count(lit(1)).as("cnt"))
+      .withColumn("cw", sum($"cnt").over(w))
+      .select($"source", $"score_mi", ($"cw" - $"cnt" + 1).as("src_rank"))
+    docs.join(ranks, Seq("source", "score_mi"))
+      .join(broadcast(n), Seq("source"))
+      .select($"doc_id", $"source", $"score_mi", $"src_rank",
+        when($"n" > 1, expr("((src_rank - 1) * 1000000000) div (n - 1)"))
+          .otherwise(0L).as("pct_ppb"))
+      .orderBy($"doc_id")
+  }
+
   /** B13: language-ID by marker-word argmax (ties resolved in declaration
     * order, 'und' when no marker fires). */
   def langGuess(text: Column): Column = {
@@ -1082,6 +1120,7 @@ object TextAnalysis {
     "b13_corpus_mix" -> (corpusMix _),
     "b13_top_ngrams" -> (topNgramsQuery _),
     "b13_collocations" -> (collocationsQuery _),
+    "b13_quality_calibration" -> (qualityCalibration _),
     "b13_lm_score" -> (lmScore _),
     "b13_repetition" -> (repetition _),
     "b13_token_counts" -> (tokenCounts _),
@@ -1356,6 +1395,24 @@ object TextAnalysis {
              (2 * b.c_xy * 1000000000) // (u1.c + u2.c) AS dice_ppb
       FROM bi b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2
       ORDER BY dice_ppb DESC, w1, w2 LIMIT 20""",
+    // competition rank from the distinct (source, score) table; ppb is
+    // one exact floor division, single-doc sources pinned to 0
+    "b13_quality_calibration" -> """
+      WITH d AS (SELECT doc_id, source,
+                   (1000 * length(text)) // len(string_split(text, ' ')) AS score_mi
+                 FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      n AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+      dv AS (SELECT source, score_mi, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+      cum AS (SELECT source, score_mi, cnt,
+                CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY score_mi)
+                     AS BIGINT) AS cw FROM dv),
+      rk AS (SELECT source, score_mi, cw - cnt + 1 AS src_rank FROM cum)
+      SELECT d.doc_id, d.source, d.score_mi, rk.src_rank,
+             CASE WHEN n.n > 1
+               THEN ((rk.src_rank - 1) * 1000000000) // (n.n - 1)
+               ELSE 0 END AS pct_ppb
+      FROM d JOIN rk USING (source, score_mi) JOIN n USING (source)
+      ORDER BY doc_id""",
     "b13_lm_score" -> """
       WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -338,4 +338,47 @@ class GraphOpsSpec extends SparkSpec {
     } Seq(a, b, c).foreach(v => brute += v -> (brute(v) + 1L))
     assert(tri(edges) == brute.toMap.filter(_._2 > 0))
   }
+
+  /** Synchronous-LPA reference: the same (count DESC, label ASC) argmax
+    * rule, driver-side. */
+  private def refLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = edges ++ edges.map { case (u, v) => (v, u) }
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lab = nbrs.map { case (v, ns) =>
+        val counts = ns.groupBy(n => lab(n)).view.mapValues(_.size).toMap
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("LPA: two cliques with one bridge each converge to one label per clique (B16, r7)") {
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L), (12L, 14L), (13L, 14L))
+    val edges = k4a ++ k4b :+ (4L, 11L)
+    val got = GraphOps.lpaOf(edges.toDF("u", "v"), 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact equality with the synchronous reference
+    val ref = refLpa(edges, 4)
+    assert(got.view.mapValues(_._1).toMap === ref)
+    // clique A converges to one shared label; sizes consistent
+    val aLabels = (1L to 4L).map(v => got(v)._1).toSet
+    assert(aLabels.size === 1)
+    val sizeByLabel = got.values.groupBy(_._1).view.mapValues(_.size)
+    got.values.foreach { case (l, sz) => assert(sz === sizeByLabel(l).toLong) }
+  }
+
+  test("LPA == synchronous reference on a deterministic random graph (B16, r7)") {
+    val raw = for {
+      i <- 1L to 60L; j <- (i + 1) to 60L
+      if (i * 31 + j * 17) % 11 == 0
+    } yield (i, j)
+    val edges = raw.toSeq
+    val got = GraphOps.lpaOf(edges.toDF("u", "v"), 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refLpa(edges, 4))
+    assert(got.values.toSet.size > 1) // not one blob — the pin is non-vacuous
+  }
 }

@@ -374,4 +374,25 @@ class TextAnalysisSpec extends SparkSpec {
     // support floor: pairs under minCount never surface
     assert(out.forall(_._3 >= 5L))
   }
+
+  test("quality calibration: per-source competition ranks, ties share rank, ppb exact (B13)") {
+    val out = TextAnalysis.qualityCalibration(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.nonEmpty)
+    // recompute ranks driver-side per source
+    for ((src, docs) <- out.values.groupBy(_._1)) {
+      val scores = docs.map(_._2).toSeq
+      val n = scores.length
+      for ((_, score, rank, ppb) <- docs) {
+        val expRank = scores.count(_ < score) + 1L
+        assert(rank === expRank, s"source $src score $score")
+        val expPpb = if (n > 1) (expRank - 1) * 1000000000L / (n - 1) else 0L
+        assert(ppb === expPpb)
+      }
+      // ties share the same rank — equal scores map to equal ppb
+      val byScore = docs.groupBy(_._2).view.mapValues(_.map(_._4).toSet)
+      assert(byScore.values.forall(_.size == 1))
+    }
+  }
 }
