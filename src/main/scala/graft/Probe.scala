@@ -193,6 +193,39 @@ object Probe {
       run(s"stress_e03_${reps}x", ops.IngestPipeline.ingestReport(arrivals, rk))
       docs.unpersist()
     }
+    if (sys.env.contains("PROBE_STRESS_PPJOIN")) {
+      // b12_ppjoin scaling (the PROBE_STRESS_PIPE pattern): the prefix
+      // join's candidate cost is Σ df(prefix gram)² over the RAREST
+      // grams. Content-suffixed disjoint replicas keep every
+      // per-replica df unchanged, so candidates and verified pairs both
+      // grow exactly k× and the honest expectation is ~linear wall
+      // growth; a super-linear ratio would mean the prefix filter is
+      // degenerating into an all-pairs join.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val reps = sys.env.getOrElse("PROBE_STRESS_PPJOIN", "8").toInt
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).cache()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val off = maxId + 1
+      def suffixed(r: Int): DataFrame = docs
+        .crossJoin(spark.range(r).toDF("rep"))
+        .select((col("doc_id") + col("rep") * off).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_r"), col("rep").cast("string"))), " ").as("text"))
+        .cache()
+      def run(name: String, df: => DataFrame): Unit = {
+        time(name) { df.write.format("noop").mode("overwrite").save() }
+        spark.catalog.clearCache()
+      }
+      val p1 = suffixed(1); println(s"  ppjoin 1x docs=${p1.count()}")
+      run("stress_ppjoin_warm", dedup.Dedup.ppJoin(p1))
+      val p1b = suffixed(1)
+      run("stress_ppjoin_1x", dedup.Dedup.ppJoin(p1b))
+      val pk = suffixed(reps); println(s"  ppjoin ${reps}x docs=${pk.count()}")
+      run(s"stress_ppjoin_${reps}x", dedup.Dedup.ppJoin(pk))
+      docs.unpersist()
+    }
     if (sys.env.contains("PROBE_RULES")) {
       // Optimizer-rule scale evidence: the same queries with and without
       // the graft rewrite rules, against real testdata. The naive plans
