@@ -102,6 +102,103 @@ object ScaleOps {
     }
   }
 
+  /** Minimal versioned table with snapshot isolation and time travel —
+    * the manifest-pointer design every table format (Delta, Iceberg,
+    * Hudi) builds on, reduced to its load-bearing core: data for
+    * version N lives immutably under `<dir>/v<N>/`; a commit PUBLISHES
+    * by creating the empty marker file `<dir>/_commits/<N>` with
+    * create-exclusive semantics (`FileSystem.create(overwrite=false)`
+    * — an atomic claim on HDFS/local; the object-store caveat of
+    * [[compact]] applies), so a version number can never be published
+    * twice and a lost race retries with the next number. Readers list
+    * the marker directory and resolve max N (or an explicit `asOf`) —
+    * they never see a half-written snapshot because the marker appears
+    * only after the data write completed, and concurrent vacuum can
+    * only drop versions whose marker was already removed FIRST (marker
+    * delete, then data delete — a reader that resolved a version holds
+    * a directory that outlives its marker). Writers never mutate
+    * published data — an overwrite is just the next version, and
+    * time-travel reads of older versions keep working. At 100 TB this
+    * is exactly the cheap part: commits move one empty marker file
+    * regardless of data size, and readers pay one directory listing. */
+  object Versioned {
+    private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    private def markerDir(dir: String) =
+      new org.apache.hadoop.fs.Path(dir + "/_commits")
+
+    /** Published version numbers, ascending (empty for a fresh dir). */
+    def versions(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Long] = {
+      val (fs, _) = fsOf(spark, dir)
+      val md = markerDir(dir)
+      if (!fs.exists(md)) Seq.empty
+      else fs.listStatus(md).map(_.getPath.getName.toLong).sorted.toSeq
+    }
+
+    /** Commit `df` as the next version; returns the version published.
+      * Retries the claim on a lost race (bounded — a pathological
+      * contender stampede fails loudly rather than spinning). */
+    def commit(df: DataFrame, dir: String, maxRetries: Int = 20): Long = {
+      val spark = df.sparkSession
+      val (fs, _) = fsOf(spark, dir)
+      fs.mkdirs(markerDir(dir))
+      var attempt = 0
+      while (attempt < maxRetries) {
+        val v = versions(spark, dir).lastOption.getOrElse(-1L) + 1
+        val data = new org.apache.hadoop.fs.Path(s"$dir/v$v")
+        df.write.mode("overwrite").parquet(data.toString)
+        val marker = new org.apache.hadoop.fs.Path(markerDir(dir), v.toString)
+        try {
+          fs.create(marker, false).close() // atomic create-exclusive claim
+          return v
+        } catch {
+          case _: java.io.IOException =>
+            // lost the race: another writer published v first. Our
+            // orphan data dir is unreferenced (no marker) — remove it
+            // and retry against the new head.
+            fs.delete(data, true)
+            attempt += 1
+        }
+      }
+      sys.error(s"Versioned.commit: lost the publish race $maxRetries times on $dir")
+    }
+
+    /** Snapshot read: latest published version, or `asOf` exactly.
+      * Fails loudly on an unpublished or vacuumed version. */
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String,
+             asOf: Option[Long] = None): DataFrame = {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"Versioned.read: no published versions under $dir")
+      val v = asOf match {
+        case Some(n) =>
+          require(vs.contains(n),
+            s"Versioned.read: version $n of $dir is not published " +
+              s"(available: ${vs.mkString(",")}) — unpublished, or vacuumed")
+          n
+        case None => vs.last
+      }
+      spark.read.parquet(s"$dir/v$v")
+    }
+
+    /** Drop all but the newest `keepLast` versions. Marker first, data
+      * second — a concurrently resolving reader that already picked a
+      * version reads data that outlives its marker; a reader arriving
+      * after sees only retained versions. Returns the dropped ids. */
+    def vacuum(spark: org.apache.spark.sql.SparkSession, dir: String,
+               keepLast: Int): Seq[Long] = {
+      require(keepLast >= 1, "Versioned.vacuum: keepLast must be >= 1")
+      val (fs, _) = fsOf(spark, dir)
+      val drop = versions(spark, dir).dropRight(keepLast)
+      drop.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(markerDir(dir), v.toString), false)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
+      }
+      drop
+    }
+  }
+
   /** Bit-interleaved Z-order key over pre-scaled non-negative longs
     * (each < 2^bits): bit b of column j lands at position b·ncols + j.
     * Pure column algebra (bits×ncols shift/mask/or terms) → codegen'd,

@@ -189,4 +189,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(n >= 1 && spark.read.parquet(dir).count() === rows)
     assert(!new java.io.File(dir + "_compact_old").exists())
   }
+
+  test("versioned table: commits are snapshots, time travel reads any version (B1)") {
+    val dir = Files.createTempDirectory("graft_versioned").toString + "/t"
+    val v0 = ScaleOps.Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    val v1 = ScaleOps.Versioned.commit(Seq((1L, "a2"), (3L, "c")).toDF("id", "s"), dir)
+    assert(v0 === 0L && v1 === 1L)
+    assert(ScaleOps.Versioned.versions(spark, dir) === Seq(0L, 1L))
+    // latest = v1; time travel = v0, unchanged by the later commit
+    assert(ScaleOps.Versioned.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "a2"), (3L, "c")))
+    assert(ScaleOps.Versioned.read(spark, dir, Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "a"), (2L, "b")))
+    // unpublished version fails loudly
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.Versioned.read(spark, dir, Some(7L))
+    }
+    assert(e.getMessage.contains("not published"))
+  }
+
+  test("versioned table: lost publish race retries with the next number; vacuum drops marker-first (B1)") {
+    val dir = Files.createTempDirectory("graft_versioned2").toString + "/t"
+    ScaleOps.Versioned.commit(Seq((1L, "x")).toDF("id", "s"), dir)
+    // simulate a concurrent writer that already claimed version 1: the
+    // marker exists, so our commit must land at 2 (and clean its orphan)
+    val claimed = new java.io.File(dir + "/_commits/1")
+    assert(claimed.createNewFile())
+    new java.io.File(dir + "/v1").mkdirs() // the racer's data
+    val v = ScaleOps.Versioned.commit(Seq((2L, "y")).toDF("id", "s"), dir)
+    assert(v === 2L)
+    assert(ScaleOps.Versioned.versions(spark, dir) === Seq(0L, 1L, 2L))
+    assert(ScaleOps.Versioned.read(spark, dir).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // vacuum keeps the newest two; dropped version reads fail, survivors fine
+    val dropped = ScaleOps.Versioned.vacuum(spark, dir, keepLast = 2)
+    assert(dropped === Seq(0L))
+    assert(!new java.io.File(dir + "/v0").exists())
+    assert(ScaleOps.Versioned.versions(spark, dir) === Seq(1L, 2L))
+    assert(ScaleOps.Versioned.read(spark, dir).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(intercept[IllegalArgumentException] {
+      ScaleOps.Versioned.read(spark, dir, Some(0L))
+    }.getMessage.contains("vacuumed"))
+  }
 }
