@@ -228,21 +228,29 @@ object Multimodal {
   }
 
   /** REAL-pixel feature extraction end to end: deterministic PNG
-    * payloads → ImageIO decode → exact pixel statistics. No oracle (a
-    * SQL engine can't decode PNG) but fully deterministic — decoded
-    * pixels are a pure function of doc_id, features are exact rationals
-    * — so the rows-only driver check is run-stable; the pixel math is
-    * spec-pinned against hand-computed fixtures. */
+    * payloads → ImageIO decode → exact pixel statistics — and (r7
+    * final) DuckDB-oracle HASH-GATED by the b14_image_dhash device: the
+    * payloads are losslessly-encoded closed-form pixels, so the oracle
+    * recomputes the integer pixel sums from the render FORMULA and
+    * applies the IDENTICAL IEEE expression tree ([[imageFeatures]]
+    * accumulates exact integer sums in a fixed order, then derives
+    * each feature in one fixed float expression — every op correctly
+    * rounded, same shape in SQL ⇒ bit-equal doubles). The features are
+    * emitted UNROUNDED for exactly that reason: `round(x, 6)` is
+    * BigDecimal HALF_UP in Spark but C-library rounding in DuckDB and
+    * diverges on representability edges, while the raw doubles are
+    * bit-identical by construction. A green hash certifies the whole
+    * render → PNG encode → decode → pixel-sum → feature path. */
   def imageFeatureQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     extractFeaturesReal(imageAssets(s, dir))
       .select($"asset_id", $"decoded",
         element_at($"features", 1).as("w"),
         element_at($"features", 2).as("h"),
-        round(element_at($"features", 3), 6).as("mean_r"),
-        round(element_at($"features", 6), 6).as("mean_luma"),
-        round(element_at($"features", 7), 6).as("var_luma"),
-        round(element_at($"features", 8), 6).as("frac_bright"))
+        element_at($"features", 3).as("mean_r"),
+        element_at($"features", 6).as("mean_luma"),
+        element_at($"features", 7).as("var_luma"),
+        element_at($"features", 8).as("frac_bright"))
       .orderBy($"asset_id")
   }
 
@@ -411,6 +419,32 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer pixel sums from the render formula + the IDENTICAL IEEE
+    // expression tree as imageFeatures — raw doubles are bit-equal
+    "b14_image_features" -> """
+      WITH pos AS (SELECT x, y FROM range(16) t1(x), range(12) t2(y)),
+      px AS (SELECT d.doc_id,
+               (d.doc_id * 37 + p.x * 16) % 256 AS r,
+               (d.doc_id * 11 + p.y * 21) % 256 AS g,
+               CASE WHEN (p.x + p.y + d.doc_id) % 4 = 0 THEN 255 ELSE 0 END AS b
+             FROM documents d, pos p),
+      sums AS (SELECT doc_id AS asset_id,
+                 CAST(SUM(r) AS BIGINT) AS sr,
+                 CAST(SUM(299 * r + 587 * g + 114 * b) AS BIGINT) AS sluma,
+                 CAST(SUM((299 * r + 587 * g + 114 * b) * (299 * r + 587 * g + 114 * b))
+                      AS BIGINT) AS sluma2,
+                 CAST(SUM(CASE WHEN 299 * r + 587 * g + 114 * b >= 128000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bright
+               FROM px GROUP BY 1)
+      SELECT asset_id, TRUE AS decoded,
+             CAST(16 AS DOUBLE) AS w, CAST(12 AS DOUBLE) AS h,
+             CAST(sr AS DOUBLE) / 192 AS mean_r,
+             CAST(sluma AS DOUBLE) / (1000.0 * 192) AS mean_luma,
+             (CAST(sluma2 AS DOUBLE) / 192
+              - (CAST(sluma AS DOUBLE) / 192) * (CAST(sluma AS DOUBLE) / 192))
+               / 1000000.0 AS var_luma,
+             CAST(bright AS DOUBLE) / 192 AS frac_bright
+      FROM sums ORDER BY asset_id""",
     // replays the RENDER FORMULA (the lossless-PNG closed form) while the
     // engine decodes real bytes — a green hash certifies the decode path
     "b14_image_dhash" -> """
