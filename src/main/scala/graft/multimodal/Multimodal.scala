@@ -43,21 +43,28 @@ object Multimodal {
   }
 
   /** ================= STUB: real codec goes here =================
-    * Deterministic fake decode: 8 feature doubles derived from payload
-    * bytes by chunked polynomial hashing. Runs batched per partition —
-    * the exact call shape a vectorized (Arrow/pandas-style) decoder needs:
-    * the decoder sees a batch of payloads, not one row at a time. */
+    * Deterministic fake decode: 8 feature doubles derived from the
+    * payload by a keyed 48-bit md5-prefix hash (the repo's portable
+    * hash contract), mapped to [0, 1) via ONE correctly-rounded
+    * division. Runs batched per partition — the exact call shape a
+    * vectorized (Arrow/pandas-style) decoder needs: the decoder sees a
+    * batch of payloads, not one row at a time. The hash is DELIBERATELY
+    * engine-portable (r7 final — it replaced a wrapping-arithmetic fold
+    * whose double accumulation order no SQL engine could replay): the
+    * stub's entire job is to stand in for the codec while the
+    * Spark-side plumbing (binary columns, batch shape, partition-local
+    * decode, schema) is certified, and with a replayable stub the whole
+    * b14_multimodal_features path DuckDB-hash-gates instead of
+    * rows-only. The real-codec twin of this gate is b14_image_features. */
   def stubDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
     payloads.map { bytes =>
-      val feats = new Array[Double](8)
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) {
-        h = h * 31 + (bytes(i) & 0xff)
-        feats(i % 8) += (h % 1000).toDouble / 1000.0
-        i += 1
+      Array.tabulate(8) { k =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(bytes)
+        md.update(s"#$k".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = md.digest().take(6).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble / 1000000.0
       }
-      feats
     }
 
   /** Feature extraction over the asset table: batches of `batchSize` rows
@@ -216,14 +223,18 @@ object Multimodal {
       .orderBy($"asset_id")
   }
 
-  /** Feature extraction through the batched stub decoder (no oracle —
-    * the stub hash is engine-specific). */
+  /** Feature extraction through the batched stub decoder — DuckDB
+    * hash-gated (r7 final) since the stub hash is the engine-portable
+    * md5-prefix contract: the oracle recomputes the keyed hashes from
+    * the payload text and the [0,1) mapping is one correctly-rounded
+    * division, so the raw doubles are bit-equal (unrounded for the
+    * same reason as b14_image_features). */
   def featureQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     extractFeatures(assets(s, dir))
       .select($"asset_id", $"media_type",
-        round(element_at($"features", 1), 3).as("f0"),
-        round(element_at($"features", 8), 3).as("f7"))
+        element_at($"features", 1).as("f0"),
+        element_at($"features", 8).as("f7"))
       .orderBy($"asset_id")
   }
 
@@ -419,6 +430,17 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // the stub codec is the portable keyed md5-prefix hash — replay it
+    // and divide once; payload = UTF-8 text bytes, so md5(text || key)
+    // hashes the identical byte stream in both engines
+    "b14_multimodal_features" -> """
+      SELECT doc_id AS asset_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+             CAST(CAST(('0x' || substr(md5(text || '#0'), 1, 12)) AS BIGINT) % 1000000
+                  AS DOUBLE) / 1000000.0 AS f0,
+             CAST(CAST(('0x' || substr(md5(text || '#7'), 1, 12)) AS BIGINT) % 1000000
+                  AS DOUBLE) / 1000000.0 AS f7
+      FROM documents ORDER BY asset_id""",
     // integer pixel sums from the render formula + the IDENTICAL IEEE
     // expression tree as imageFeatures — raw doubles are bit-equal
     "b14_image_features" -> """
