@@ -56,10 +56,35 @@ object ScaleQueries {
       .limit(200)
   }
 
+  /** B1 (r7 final): time-travel read through [[ScaleOps.Versioned]] —
+    * the driver gate that proves snapshot isolation END TO END: commit
+    * the nation table as v0, commit a row-for-row MUTATED copy (every
+    * name suffixed) as v1, then read AS OF version 0 and hash-compare
+    * against the original parquet. A versioned reader that leaked even
+    * one v1 row — or resolved the wrong snapshot — fails the gate. The
+    * temp store is rebuilt fresh per run (the a22_sqlite_artifact
+    * build-then-read-back discipline). */
+  def timeTravelQuery(s: SparkSession, dir: String): DataFrame = {
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_versioned_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    val nation = Tables.nation(s, dir)
+    ScaleOps.Versioned.commit(nation, store) // v0
+    ScaleOps.Versioned.commit(
+      nation.withColumn("n_name", concat(col("n_name"), lit("_v1"))), store) // v1
+    ScaleOps.Versioned.read(s, store, asOf = Some(0L))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b03_join_salted" -> (saltedJoinQuery _),
     "b04_salted_agg" -> (saltedAggQuery _),
     "b01_zorder_key" -> (zorderKeyQuery _),
+    "b01_time_travel" -> (timeTravelQuery _),
   )
 
   /** The z-key oracle replays the same interleave with SQL shift/mask
@@ -73,6 +98,12 @@ object ScaleQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the AS-OF-0 snapshot must be exactly the original table — v1's
+    // suffixed names leak nowhere
+    "b01_time_travel" -> """
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey
+    """,
     "b03_join_salted" -> """
       SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
