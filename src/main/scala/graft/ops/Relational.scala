@@ -185,6 +185,36 @@ object Relational {
       .orderBy($"bucket")
   }
 
+  /** B5 (r7): exact EQUI-DEPTH histogram — the optimizer-statistics
+    * primitive ([[histogram]] is equi-WIDTH; selectivity estimation
+    * wants equal-count buckets): boundary k = the smallest value whose
+    * cumulative count reaches k·n/B — i.e. B exact order statistics,
+    * served by the distinct-value cumulative device (one combinable
+    * (value, count) aggregate, a window over the DISTINCT value
+    * domain, the rank gate cross-multiplied: cum·B ≥ k·n — division-
+    * free, so boundaries replay bit-identically). Exactness is honest
+    * only where the value domain is bounded (l_quantity: 50 distinct
+    * values); a near-unique continuous column (prices) would make the
+    * distinct table row-scale, and THAT regime is what the mergeable
+    * KLL-style sketch (b05_quantile_sketch) is for — the two queries
+    * are the two halves of the statistics story. */
+  def equiDepthHistogram(s: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    import s.implicits._
+    val dv = Tables.lineitem(s, dir)
+      .select($"l_quantity".cast("long").as("qty"))
+      .groupBy($"qty").agg(count(lit(1)).as("w"))
+      .localCheckpoint(true) // total + the boundary scan
+    val n = dv.agg(sum($"w")).head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"qty")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = dv.withColumn("cum", sum($"w").over(w))
+    val ks = s.range(1, buckets + 1).toDF("k")
+    cum.join(broadcast(ks), $"cum" * buckets >= $"k" * n)
+      .groupBy($"k").agg(min($"qty").as("boundary_qty"))
+      .select($"k", $"boundary_qty", expr(s"(k * $n) div $buckets").as("target_rank"))
+      .orderBy($"k")
+  }
+
   /** B3: edit-distance fuzzy self-join with COMPLETE pigeonhole blocking
     * (PassJoin-style, Li et al., VLDB 2011) — the entity-resolution join:
     * find all distinct-name pairs within Levenshtein distance `maxDist`
@@ -828,6 +858,7 @@ object Relational {
     "b05_approx_stats_exact" -> (approxStatsExact _),
     "b03_fuzzy_join" -> (fuzzyJoinQuery _),
     "b05_histogram" -> (histogram _),
+    "b05_equidepth" -> ((s: SparkSession, dir: String) => equiDepthHistogram(s, dir)),
     "b06_window_rank" -> (windowRank _),
     "b06_running_sum" -> (windowRunningSum _),
     "b07_topk_per_group" -> (topKPerGroup _),
@@ -1039,6 +1070,17 @@ object Relational {
       SELECT bucket, bucket * 500.0 AS lo_dollars, (bucket + 1) * 500.0 AS hi_dollars,
         COUNT(*) AS n
       FROM c GROUP BY bucket ORDER BY bucket""",
+    // B exact order statistics via the distinct-value cumulative device;
+    // gate cross-multiplied (cum·B ≥ k·n)
+    "b05_equidepth" -> """
+      WITH dv AS (SELECT CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS w
+                  FROM lineitem GROUP BY 1),
+      n AS (SELECT CAST(SUM(w) AS BIGINT) AS n FROM dv),
+      cum AS (SELECT qty, CAST(SUM(w) OVER (ORDER BY qty) AS BIGINT) AS cum FROM dv)
+      SELECT k, MIN(qty) AS boundary_qty, (k * n.n) // 10 AS target_rank
+      FROM cum, UNNEST(range(1, 11)) t(k), n
+      WHERE cum * 10 >= k * n.n
+      GROUP BY k, n.n ORDER BY k""",
     "b03_fuzzy_join" -> """
       WITH n AS (SELECT p_name AS name, COUNT(*) AS cnt FROM part GROUP BY p_name)
       SELECT a.name AS name_a, b.name AS name_b,
