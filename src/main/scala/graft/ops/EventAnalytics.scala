@@ -582,10 +582,40 @@ object EventAnalytics {
   def timeToConvertQuery(s: SparkSession, dir: String): DataFrame =
     timeToConvert(Tables.events(s, dir))
 
+  /** B06 (r7 final): per-type z-score standardization — the feature
+    * normalization every downstream model expects, as a distributed
+    * plan: the event-scale work is ONE map-side-combinable moment
+    * aggregate (n, Σc, Σc² — exact BIGINTs) per type; μ, σ and each
+    * row's z derive in a FIXED IEEE expression tree from those
+    * integers (the b16_assortativity determinism device), so the
+    * doubles replay bit-identically cross-engine. The 5-row moment
+    * table broadcasts back onto the scan — no event-scale shuffle.
+    * Contrast with [[madOutliers]]: z-scores are the parametric
+    * normalization, MAD the robust outlier gate; a pipeline wants
+    * both. */
+  def zScores(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), col("event_type"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val m = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+      sum(col("cents") * col("cents")).as("s2"))
+    e.join(broadcast(m), Seq("event_type"))
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("sigma",
+        sqrt(col("s2").cast("double") / col("n") - col("mu") * col("mu")))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        ((col("cents").cast("double") - col("mu")) / col("sigma")).as("z"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  def zScoresQuery(s: SparkSession, dir: String): DataFrame =
+    zScores(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b10_mad_outliers" -> (madOutliersQuery _),
     "b10_active_users" -> (activeUsersQuery _),
     "b10_time_to_convert" -> (timeToConvertQuery _),
+    "b06_zscore" -> (zScoresQuery _),
     "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
     "b06_time_weighted" -> (timeWeightedAvgQuery _),
@@ -660,6 +690,23 @@ object EventAnalytics {
               WHERE 2 * c.cw >= n.n_converted GROUP BY 1)
       SELECT n.cohort_day, n.n_converted, med.median_latency_s
       FROM n JOIN med USING (cohort_day) ORDER BY cohort_day""",
+    // exact integer moments per type + the identical IEEE expression
+    // tree — μ, σ, z bit-equal cross-engine
+    "b06_zscore" -> """
+      WITH e AS (SELECT event_id, event_type,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+                 FROM events),
+      m AS (SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(cents) AS BIGINT) AS s1,
+              CAST(SUM(cents * cents) AS BIGINT) AS s2
+            FROM e GROUP BY 1),
+      mm AS (SELECT event_type, n, s1, s2,
+               CAST(s1 AS DOUBLE) / n AS mu FROM m)
+      SELECT e.event_id, e.event_type, e.cents,
+             (CAST(e.cents AS DOUBLE) - mm.mu)
+               / sqrt(CAST(mm.s2 AS DOUBLE) / mm.n - mm.mu * mm.mu) AS z
+      FROM e JOIN mm USING (event_type)
+      ORDER BY event_type, event_id""",
     // earliest-qualifying-chain funnel, steps chained as CTEs; ts is
     // ns→us truncated via CAST before every comparison, matching the
     // Spark reader's truncation

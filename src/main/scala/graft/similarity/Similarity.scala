@@ -68,6 +68,37 @@ object Similarity {
       .orderBy(col("a"))
   }
 
+  /** B12 (r7 final): RADIUS (range) search — every corpus vector within
+    * cosine ≥ `minCosine` of each probe, completing the index API
+    * family beside top-k ([[bruteForceTopK]]) and the recall gates:
+    * near-dup mining and dedup want "everything closer than τ", not a
+    * fixed k (FAISS ships range_search beside search for exactly this
+    * reason). Same broadcast-guarded probe join and exact quantized
+    * cosine kernel as brute top-k; the τ cut replaces the rank window,
+    * so the per-query result is data-dependent and the (query_id,
+    * vec_id) order total. At corpus-scale probe sets the same cut
+    * applies on the IVF candidate chain instead of the full scan. */
+  def rangeSearch(embeddings: DataFrame, queryPred: Column,
+                  minCosine: Double): DataFrame = {
+    val e = quantizedWithNorm(embeddings).cache()
+    val queries = e.filter(queryPred).toDF("query_id", "qq", "qnorm")
+    val nQueries = queries.count()
+    require(nQueries <= MaxBroadcastQueries,
+      s"rangeSearch: $nQueries query vectors exceed the broadcast ceiling " +
+        s"($MaxBroadcastQueries); run the threshold cut on the IVF candidate chain instead")
+    val out = e.toDF("vec_id", "qv", "vnorm")
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosinePre(col("qq"), col("qv"), col("qnorm"), col("vnorm")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .localCheckpoint(true)
+    e.unpersist()
+    out.orderBy(col("query_id"), col("vec_id"))
+  }
+
+  def rangeSearchQuery(s: SparkSession, dir: String): DataFrame =
+    rangeSearch(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, 0.25)
+
   /** Hard ceiling on the broadcast query-set size for [[bruteForceTopK]].
     * At ~(4 + 8·dims) bytes per quantized vector, 100k 64-dim queries is
     * ≈52 MB — the most a forced broadcast should ever carry. */
@@ -762,6 +793,7 @@ object Similarity {
     "b12_ivf_recall" -> (ivfRecallQuery _),
     "b12_pq_recall" -> (pqRecallQuery _),
     "b12_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
+    "b12_range_search" -> (rangeSearchQuery _),
   )
 
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
@@ -1027,6 +1059,13 @@ object Similarity {
       FROM bc
       LEFT JOIN hits h USING (query_id)
       ORDER BY query_id""",
+    // the τ cut over the shared brute chain — per-query neighbor count
+    // is data-dependent, (query_id, vec_id) order total
+    "b12_range_search" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      $BruteSimsSql
+      SELECT query_id, vec_id, cosine FROM sims
+      WHERE cosine >= 0.25 ORDER BY query_id, vec_id""",
     // majority label of the exact top-10 (shared brute chain); the
     // (n_votes DESC, label) vote window makes the prediction total
     "b12_knn_classify" -> s"""

@@ -277,6 +277,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(outB.map(_.getLong(0)).toSeq === Seq(9L))
   }
 
+  test("z-scores: exact moments fixture — symmetric values, unit spread (B6)") {
+    // type A cents [100, 200, 300]: μ = 200, σ = sqrt((140000/3) - 40000)
+    // = sqrt(20000/3); z of 300 = 100/σ — recompute the identical tree
+    val df = Seq((1L, "A", 1.00), (2L, "A", 2.00), (3L, "A", 3.00))
+      .toDF("event_id", "event_type", "value")
+    val out = EventAnalytics.zScores(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val mu = 600.0 / 3
+    val sigma = math.sqrt(140000.0 / 3 - mu * mu)
+    assert(out(1L) === (100.0 - mu) / sigma)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === (300.0 - mu) / sigma)
+    assert(out(1L) === -out(3L))
+  }
+
   test("active users: DAU counts a user once per day, WAU spans exactly 7 trailing days (B10)") {
     def day(d: Int, u: Long) = (Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"), u)
     // u1 on days 1 and 2 (twice on day 1), u2 on day 1 only, u3 on day 9

@@ -22,6 +22,18 @@ class SimilaritySpec extends SparkSpec {
     assert(top.forall(_._2 > 0.99))
   }
 
+  test("range search: τ cut keeps cluster mates, drops orthogonal clusters (B12, r7)") {
+    val hits = Similarity.rangeSearch(embeddings, col("vec_id") === 0, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // probe 0: its own cluster {1, 2} clears 0.9; clusters 3/6 are ~orthogonal
+    assert(hits.map(_._2).toSet === Set(1L, 2L))
+    assert(hits.forall(h => h._1 === 0L && h._3 >= 0.9))
+    // a looser τ admits nothing extra from orthogonal clusters
+    val loose = Similarity.rangeSearch(embeddings, col("vec_id") === 0, 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(loose === Set(1L, 2L))
+  }
+
   test("cosine kernel: exact integer quantization, orthogonal = 0") {
     val e = embeddings.select($"vec_id", Similarity.quantize($"embedding").as("q"))
     val a = e.filter($"vec_id" === 0).toDF("a", "qa")
