@@ -611,11 +611,42 @@ object EventAnalytics {
   def zScoresQuery(s: SparkSession, dir: String): DataFrame =
     zScores(Tables.events(s, dir))
 
+  /** B10 (r7 final): revenue concentration — the top-k spenders with
+    * their individual and CUMULATIVE share of total purchase revenue
+    * (the "whale curve" behind every monetization dashboard: how much
+    * of revenue the top 20 accounts carry). Event-scale work is one
+    * combinable per-user spend aggregate; the total is a 1-row
+    * broadcast; shares are exact ppb floor divisions; the cumulative
+    * window runs over the k-row top slice only — never the full user
+    * table. Cut and cumsum keyed (spend desc, user_id), total and
+    * replayable. */
+  def whales(events: DataFrame, k: Int = 20): DataFrame = {
+    val spend = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("spend_c"), count(lit(1)).as("n_purchases"))
+    val total = spend.agg(sum(col("spend_c")).as("total_c"))
+    val top = spend.orderBy(col("spend_c").desc, col("user_id")).limit(k)
+    val w = Window.orderBy(col("spend_c").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("cum_c", sum(col("spend_c")).over(w))
+      .select(col("user_id"), col("spend_c"), col("n_purchases"),
+        expr("(spend_c * 1000000000) div total_c").as("share_ppb"),
+        expr("(cum_c * 1000000000) div total_c").as("cum_share_ppb"))
+      .orderBy(col("spend_c").desc, col("user_id"))
+  }
+
+  def whalesQuery(s: SparkSession, dir: String): DataFrame =
+    whales(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b10_mad_outliers" -> (madOutliersQuery _),
     "b10_active_users" -> (activeUsersQuery _),
     "b10_time_to_convert" -> (timeToConvertQuery _),
     "b06_zscore" -> (zScoresQuery _),
+    "b10_whales" -> (whalesQuery _),
     "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
     "b06_time_weighted" -> (timeWeightedAvgQuery _),
@@ -707,6 +738,22 @@ object EventAnalytics {
                / sqrt(CAST(mm.s2 AS DOUBLE) / mm.n - mm.mu * mm.mu) AS z
       FROM e JOIN mm USING (event_type)
       ORDER BY event_type, event_id""",
+    // top-k spend slice + 1-row total; shares exact ppb; cumsum over
+    // the k-row frame only
+    "b10_whales" -> """
+      WITH s AS (SELECT user_id,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS spend_c,
+                   COUNT(*) AS n_purchases
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      t AS (SELECT CAST(SUM(spend_c) AS BIGINT) AS total_c FROM s),
+      top AS (SELECT * FROM s ORDER BY spend_c DESC, user_id LIMIT 20),
+      c AS (SELECT *, CAST(SUM(spend_c) OVER (ORDER BY spend_c DESC, user_id)
+                           AS BIGINT) AS cum_c FROM top)
+      SELECT c.user_id, c.spend_c, c.n_purchases,
+             (c.spend_c * 1000000000) // t.total_c AS share_ppb,
+             (c.cum_c * 1000000000) // t.total_c AS cum_share_ppb
+      FROM c, t ORDER BY spend_c DESC, user_id""",
     // earliest-qualifying-chain funnel, steps chained as CTEs; ts is
     // ns→us truncated via CAST before every comparison, matching the
     // Spark reader's truncation

@@ -215,6 +215,29 @@ object Relational {
       .orderBy($"k")
   }
 
+  /** B4 (r7 final): Gini impurity of the order-status mix per priority
+    * class — the decision-tree split statistic (CART's default) and the
+    * "how mixed is this segment" readout, exactly computable where
+    * Shannon entropy is not (entropy needs cross-engine log();
+    * impurity = 1 − Σ pᵢ² needs only integer class counts): per group
+    * one combinable (group, class) count, then impurity derives from
+    * the exact BIGINTs n and Σnᵢ² in ONE fixed IEEE expression
+    * (1.0 − s2/(n·n) — the assortativity determinism device), so the
+    * double replays bit-identically. */
+  def giniImpurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("ni"))
+    counts.groupBy($"o_orderpriority")
+      .agg(sum($"ni").as("n"), sum($"ni" * $"ni").as("s2"),
+        count(lit(1)).as("n_classes"))
+      .select($"o_orderpriority", $"n", $"n_classes",
+        (lit(1.0) - $"s2".cast("double") / ($"n".cast("double") * $"n"))
+          .as("impurity"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** B3: edit-distance fuzzy self-join with COMPLETE pigeonhole blocking
     * (PassJoin-style, Li et al., VLDB 2011) — the entity-resolution join:
     * find all distinct-name pairs within Levenshtein distance `maxDist`
@@ -859,6 +882,7 @@ object Relational {
     "b03_fuzzy_join" -> (fuzzyJoinQuery _),
     "b05_histogram" -> (histogram _),
     "b05_equidepth" -> ((s: SparkSession, dir: String) => equiDepthHistogram(s, dir)),
+    "b04_gini_impurity" -> (giniImpurity _),
     "b06_window_rank" -> (windowRank _),
     "b06_running_sum" -> (windowRunningSum _),
     "b07_topk_per_group" -> (topKPerGroup _),
@@ -1081,6 +1105,18 @@ object Relational {
       FROM cum, UNNEST(range(1, 11)) t(k), n
       WHERE cum * 10 >= k * n.n
       GROUP BY k, n.n ORDER BY k""",
+    // exact class counts, impurity in one fixed IEEE expression
+    "b04_gini_impurity" -> """
+      WITH c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS ni
+                 FROM orders GROUP BY 1, 2),
+      g AS (SELECT o_orderpriority,
+              CAST(SUM(ni) AS BIGINT) AS n,
+              CAST(SUM(ni * ni) AS BIGINT) AS s2,
+              COUNT(*) AS n_classes
+            FROM c GROUP BY 1)
+      SELECT o_orderpriority, n, n_classes,
+             1.0 - CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS impurity
+      FROM g ORDER BY o_orderpriority""",
     "b03_fuzzy_join" -> """
       WITH n AS (SELECT p_name AS name, COUNT(*) AS cnt FROM part GROUP BY p_name)
       SELECT a.name AS name_a, b.name AS name_b,

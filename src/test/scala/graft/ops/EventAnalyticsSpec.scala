@@ -277,6 +277,19 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(outB.map(_.getLong(0)).toSeq === Seq(9L))
   }
 
+  test("whales: top slice ordered, shares exact, cumulative consistent (B10)") {
+    // u1 spends 60%, u2 30%, u3 10% (600/300/100 cents)
+    val df = Seq((1L, 1L, "purchase", 6.00), (2L, 2L, "purchase", 3.00),
+      (3L, 3L, "purchase", 1.00), (4L, 1L, "view", 99.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val out = EventAnalytics.whales(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // view events never count; k=2 keeps u1, u2
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(out(0) === ((1L, 600L, 600000000L, 600000000L)))
+    assert(out(1) === ((2L, 300L, 300000000L, 900000000L)))
+  }
+
   test("z-scores: exact moments fixture — symmetric values, unit spread (B6)") {
     // type A cents [100, 200, 300]: μ = 200, σ = sqrt((140000/3) - 40000)
     // = sqrt(20000/3); z of 300 = 100/σ — recompute the identical tree
