@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.graftbridge.bridge
 
 /** AS-OF join as a first-class operator: logical node + planner strategy +
@@ -235,10 +235,66 @@ object AsOfJoin {
       .orderBy(col("event_id"))
   }
 
+  /** B3 (r7 final): plain SQL through [[RangeBinJoinRewrite]] — the
+    * second optimizer rule driver-gated end to end (the
+    * b12_hamming_join_sql treatment): a pure interval join (purchases
+    * within 10 minutes AFTER any signup, across users — no equi-key
+    * anywhere) that Spark would plan as a nested-loop product. The rule
+    * re-plans it to the binned equi-join; the gate ASSERTS the rewrite
+    * actually fired (no nested-loop in the physical plan — otherwise
+    * the gate would silently certify the naive path) and the DuckDB
+    * oracle replays the naive quadratic join, so a green hash proves
+    * the rewrite preserves the result including multiplicity. */
+  def rangeJoinSqlQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("x"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("x"))
+      .createOrReplaceTempView("graft_range_points")
+    ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("x").as("lo"),
+        (col("x") + 600).as("hi"))
+      .createOrReplaceTempView("graft_range_intervals")
+    val prev = s.experimental.extraOptimizations
+    s.experimental.extraOptimizations = prev :+ RangeBinJoinRewrite(s)
+    val prevWidth = s.conf.getOption(RangeBinJoinRewrite.WidthKey)
+    s.conf.set(RangeBinJoinRewrite.WidthKey, "600")
+    try {
+      val out = s.sql("""
+        SELECT i.s_id, p.p_id, p.x - i.lo AS lag_s
+        FROM graft_range_intervals i JOIN graft_range_points p
+          ON p.x >= i.lo AND p.x <= i.hi""")
+      val phys = out.queryExecution.executedPlan.toString
+      require(!phys.contains("NestedLoop"),
+        "b03_range_join_sql: RangeBinJoinRewrite did not fire — the gate would " +
+          "certify the naive nested-loop plan instead of the rewrite")
+      out.localCheckpoint(true).orderBy(col("s_id"), col("p_id"))
+    } finally {
+      s.experimental.extraOptimizations = prev
+      prevWidth match {
+        case Some(v) => s.conf.set(RangeBinJoinRewrite.WidthKey, v)
+        case None    => s.conf.unset(RangeBinJoinRewrite.WidthKey)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "b03_join_asof_exec" -> (joinAsOfExec _))
+    "b03_join_asof_exec" -> (joinAsOfExec _),
+    "b03_range_join_sql" -> (rangeJoinSqlQuery _))
 
   val oracles: Map[String, String] = Map(
+    // the NAIVE quadratic interval join — DuckDB at verify scale affords
+    // the O(n·m) the rewrite exists to avoid
+    "b03_range_join_sql" -> """
+      WITH e AS (SELECT event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS x FROM events),
+      p AS (SELECT event_id AS p_id, x FROM e WHERE event_type = 'purchase'),
+      i AS (SELECT event_id AS s_id, x AS lo, x + 600 AS hi
+            FROM e WHERE event_type = 'signup')
+      SELECT i.s_id, p.p_id, p.x - i.lo AS lag_s
+      FROM i JOIN p ON p.x >= i.lo AND p.x <= i.hi
+      ORDER BY s_id, p_id""",
     "b03_join_asof_exec" -> """
       WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                  FROM events WHERE event_type = 'purchase'),
