@@ -127,13 +127,16 @@ object Probe {
       }
       val s1 = suffixed(1); println(s"  e01 1x docs=${s1.count()}")
       run("stress_e01_warm", ops.PretrainPipeline.curateDocs(s1))
-      val s1b = suffixed(1)
+      // 1x baselines materialize before timing, like the kx count()s —
+      // otherwise the replica build lands in the 1x wall and deflates
+      // the ratio (review fix, late r7)
+      val s1b = suffixed(1); s1b.count()
       run("stress_e01_1x", ops.PretrainPipeline.curateDocs(s1b))
       val sk = suffixed(reps); println(s"  e01 ${reps}x docs=${sk.count()}")
       run(s"stress_e01_${reps}x", ops.PretrainPipeline.curateDocs(sk))
       val r1 = shifted(1)
       run("stress_e02_warm", ops.RagPipeline.ragRetrievalDocs(r1))
-      val r1b = shifted(1)
+      val r1b = shifted(1); r1b.count()
       run("stress_e02_1x", ops.RagPipeline.ragRetrievalDocs(r1b))
       val rk = shifted(reps); println(s"  e02 ${reps}x docs=${rk.count()}")
       run(s"stress_e02_${reps}x", ops.RagPipeline.ragRetrievalDocs(rk))
@@ -173,7 +176,7 @@ object Probe {
       }
       val e1 = replicated(1); println(s"  e04 1x docs=${e1.count()}")
       run("stress_e04_warm", ops.TrainPipeline.trainingBatchesDocs(e1))
-      val e1b = replicated(1)
+      val e1b = replicated(1); e1b.count() // materialized 1x baseline (see e01)
       run("stress_e04_1x", ops.TrainPipeline.trainingBatchesDocs(e1b))
       val ek = replicated(reps); println(s"  e04 ${reps}x docs=${ek.count()}")
       run(s"stress_e04_${reps}x", ops.TrainPipeline.trainingBatchesDocs(ek))
@@ -187,7 +190,7 @@ object Probe {
         .select(col("doc_id"), col("text"), col("source")).cache()
       val r1 = ref(1)
       run("stress_e03_warm", ops.IngestPipeline.ingestReport(arrivals, r1))
-      val r1b = ref(1)
+      val r1b = ref(1); r1b.count() // materialized 1x baseline (see e01)
       run("stress_e03_1x", ops.IngestPipeline.ingestReport(arrivals, r1b))
       val rk = ref(reps); println(s"  e03 ref ${reps}x docs=${rk.count()}")
       run(s"stress_e03_${reps}x", ops.IngestPipeline.ingestReport(arrivals, rk))
@@ -220,7 +223,11 @@ object Probe {
       }
       val p1 = suffixed(1); println(s"  ppjoin 1x docs=${p1.count()}")
       run("stress_ppjoin_warm", dedup.Dedup.ppJoin(p1))
-      val p1b = suffixed(1)
+      // materialize the 1x input cache before timing (the kx run gets
+      // its cache from the count() below — an unmaterialized 1x baseline
+      // would fold the replica build into the timed wall and deflate the
+      // kx/1x ratio, the exact statistic this probe reports)
+      val p1b = suffixed(1); p1b.count()
       run("stress_ppjoin_1x", dedup.Dedup.ppJoin(p1b))
       val pk = suffixed(reps); println(s"  ppjoin ${reps}x docs=${pk.count()}")
       run(s"stress_ppjoin_${reps}x", dedup.Dedup.ppJoin(pk))

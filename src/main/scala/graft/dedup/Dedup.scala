@@ -478,7 +478,10 @@ object Dedup {
           ON a.doc_id < b.doc_id AND bit_count(a.sim ^ b.sim) <= 3""")
         .localCheckpoint(true)
         .orderBy(col("a"), col("b"))
-    } finally s.experimental.extraOptimizations = prev
+    } finally {
+      s.experimental.extraOptimizations = prev
+      s.catalog.dropTempView("graft_hamming_sketches") // no stale catalog state
+    }
   }
 
   /** Oracle for [[hammingJoinSqlQuery]]: the 63-bit sketch replay plus the

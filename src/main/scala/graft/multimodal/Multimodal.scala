@@ -58,9 +58,12 @@ object Multimodal {
     * rows-only. The real-codec twin of this gate is b14_image_features. */
   def stubDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
     payloads.map { bytes =>
+      // ONE pass over the payload: digest the shared prefix once, clone
+      // per key for the 2-byte suffix (MD5 MessageDigest is cloneable)
+      val base = java.security.MessageDigest.getInstance("MD5")
+      base.update(bytes)
       Array.tabulate(8) { k =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.update(bytes)
+        val md = base.clone().asInstanceOf[java.security.MessageDigest]
         md.update(s"#$k".getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val hex = md.digest().take(6).map(b => f"$b%02x").mkString
         (java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble / 1000000.0
@@ -351,6 +354,12 @@ object Multimodal {
     * cross-engine). */
   def imageNearDupClusters(s: SparkSession, dir: String, maxDist: Int = 6): DataFrame = {
     import s.implicits._
+    // the 7×9-bit pigeonhole is candidate-complete only while fewer
+    // chunks can differ than exist — a larger radius needs more chunks,
+    // not a silent recall hole
+    require(maxDist >= 0 && maxDist <= 6,
+      s"imageNearDupClusters: maxDist=$maxDist breaks the 7-chunk pigeonhole " +
+        "guarantee (complete only for Hamming <= 6); derive more chunks instead")
     val df = dhashFrame(s, dir)
     // hash-granularity reduction: one row per distinct sketch
     val hashes = df.groupBy($"dhash")

@@ -603,8 +603,12 @@ object EventAnalytics {
       .withColumn("mu", col("s1").cast("double") / col("n"))
       .withColumn("sigma",
         sqrt(col("s2").cast("double") / col("n") - col("mu") * col("mu")))
+      // σ = 0 (a constant-valued type) pins z to 0.0 — every value IS
+      // the mean; without the guard 0/0 would emit NaN rows
       .select(col("event_id"), col("event_type"), col("cents"),
-        ((col("cents").cast("double") - col("mu")) / col("sigma")).as("z"))
+        when(col("sigma") === 0.0, lit(0.0))
+          .otherwise((col("cents").cast("double") - col("mu")) / col("sigma"))
+          .as("z"))
       .orderBy(col("event_type"), col("event_id"))
   }
 
@@ -732,10 +736,13 @@ object EventAnalytics {
               CAST(SUM(cents * cents) AS BIGINT) AS s2
             FROM e GROUP BY 1),
       mm AS (SELECT event_type, n, s1, s2,
-               CAST(s1 AS DOUBLE) / n AS mu FROM m)
+               CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sigma
+             FROM m)
       SELECT e.event_id, e.event_type, e.cents,
-             (CAST(e.cents AS DOUBLE) - mm.mu)
-               / sqrt(CAST(mm.s2 AS DOUBLE) / mm.n - mm.mu * mm.mu) AS z
+             CASE WHEN mm.sigma = 0.0 THEN 0.0
+                  ELSE (CAST(e.cents AS DOUBLE) - mm.mu) / mm.sigma END AS z
       FROM e JOIN mm USING (event_type)
       ORDER BY event_type, event_id""",
     // top-k spend slice + 1-row total; shares exact ppb; cumsum over

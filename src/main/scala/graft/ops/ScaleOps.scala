@@ -128,40 +128,62 @@ object ScaleOps {
     }
     private def markerDir(dir: String) =
       new org.apache.hadoop.fs.Path(dir + "/_commits")
+    private def claimDir(dir: String) =
+      new org.apache.hadoop.fs.Path(dir + "/_claims")
+
+    private def listIds(fs: org.apache.hadoop.fs.FileSystem,
+                        d: org.apache.hadoop.fs.Path): Seq[Long] =
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).map(_.getPath.getName.toLong).sorted.toSeq
 
     /** Published version numbers, ascending (empty for a fresh dir). */
     def versions(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Long] = {
       val (fs, _) = fsOf(spark, dir)
-      val md = markerDir(dir)
-      if (!fs.exists(md)) Seq.empty
-      else fs.listStatus(md).map(_.getPath.getName.toLong).sorted.toSeq
+      listIds(fs, markerDir(dir))
     }
 
     /** Commit `df` as the next version; returns the version published.
-      * Retries the claim on a lost race (bounded — a pathological
-      * contender stampede fails loudly rather than spinning). */
+      *
+      * Protocol (no writer ever touches another writer's data — the
+      * naive "write to v<N> then claim" would let a lost race delete
+      * the winner's published directory): (1) write ONCE to a
+      * writer-unique staging dir; (2) claim a version number via
+      * create-exclusive in `_claims/<N>` (N = 1 + max over claims ∪
+      * commits, so an orphaned claim is skipped, never fought over);
+      * (3) rename staging → `v<N>` — the claim guarantees the target
+      * is free; (4) publish `_commits/<N>`. Readers list `_commits`
+      * only, so a crash between any steps leaves at most an invisible
+      * orphan (skipped number), never a half-visible snapshot. A lost
+      * claim race retries with the next number; the staged data is
+      * written once regardless. */
     def commit(df: DataFrame, dir: String, maxRetries: Int = 20): Long = {
       val spark = df.sparkSession
       val (fs, _) = fsOf(spark, dir)
-      fs.mkdirs(markerDir(dir))
+      fs.mkdirs(markerDir(dir)); fs.mkdirs(claimDir(dir))
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$dir/_staging_${java.util.UUID.randomUUID().toString}")
+      df.write.mode("overwrite").parquet(staging.toString)
       var attempt = 0
       while (attempt < maxRetries) {
-        val v = versions(spark, dir).lastOption.getOrElse(-1L) + 1
-        val data = new org.apache.hadoop.fs.Path(s"$dir/v$v")
-        df.write.mode("overwrite").parquet(data.toString)
-        val marker = new org.apache.hadoop.fs.Path(markerDir(dir), v.toString)
-        try {
-          fs.create(marker, false).close() // atomic create-exclusive claim
+        val v = (listIds(fs, claimDir(dir)) ++ listIds(fs, markerDir(dir)))
+          .foldLeft(-1L)(math.max) + 1
+        val claim = new org.apache.hadoop.fs.Path(claimDir(dir), v.toString)
+        val claimed =
+          try { fs.create(claim, false).close(); true } // atomic create-exclusive
+          catch { case _: java.io.IOException => false }
+        if (claimed) {
+          val data = new org.apache.hadoop.fs.Path(s"$dir/v$v")
+          if (!fs.rename(staging, data)) {
+            fs.delete(staging, true)
+            sys.error(s"Versioned.commit: cannot move staged data to $data")
+          }
+          fs.create(new org.apache.hadoop.fs.Path(markerDir(dir), v.toString),
+            false).close()
           return v
-        } catch {
-          case _: java.io.IOException =>
-            // lost the race: another writer published v first. Our
-            // orphan data dir is unreferenced (no marker) — remove it
-            // and retry against the new head.
-            fs.delete(data, true)
-            attempt += 1
         }
+        attempt += 1 // lost the race — retry against the new head; staging intact
       }
+      fs.delete(staging, true)
       sys.error(s"Versioned.commit: lost the publish race $maxRetries times on $dir")
     }
 
@@ -185,7 +207,9 @@ object ScaleOps {
     /** Drop all but the newest `keepLast` versions. Marker first, data
       * second — a concurrently resolving reader that already picked a
       * version reads data that outlives its marker; a reader arriving
-      * after sees only retained versions. Returns the dropped ids. */
+      * after sees only retained versions. The claim marker goes last so
+      * a dropped number is never re-issued mid-vacuum. Returns the
+      * dropped ids. */
     def vacuum(spark: org.apache.spark.sql.SparkSession, dir: String,
                keepLast: Int): Seq[Long] = {
       require(keepLast >= 1, "Versioned.vacuum: keepLast must be >= 1")
@@ -194,6 +218,7 @@ object ScaleOps {
       drop.foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(markerDir(dir), v.toString), false)
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(claimDir(dir), v.toString), false)
       }
       drop
     }

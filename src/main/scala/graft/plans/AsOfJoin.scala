@@ -276,6 +276,9 @@ object AsOfJoin {
         case Some(v) => s.conf.set(RangeBinJoinRewrite.WidthKey, v)
         case None    => s.conf.unset(RangeBinJoinRewrite.WidthKey)
       }
+      // catalog state is session-global — leave no stale views behind
+      s.catalog.dropTempView("graft_range_points")
+      s.catalog.dropTempView("graft_range_intervals")
     }
   }
 

@@ -79,22 +79,10 @@ object Similarity {
     * vec_id) order total. At corpus-scale probe sets the same cut
     * applies on the IVF candidate chain instead of the full scan. */
   def rangeSearch(embeddings: DataFrame, queryPred: Column,
-                  minCosine: Double): DataFrame = {
-    val e = quantizedWithNorm(embeddings).cache()
-    val queries = e.filter(queryPred).toDF("query_id", "qq", "qnorm")
-    val nQueries = queries.count()
-    require(nQueries <= MaxBroadcastQueries,
-      s"rangeSearch: $nQueries query vectors exceed the broadcast ceiling " +
-        s"($MaxBroadcastQueries); run the threshold cut on the IVF candidate chain instead")
-    val out = e.toDF("vec_id", "qv", "vnorm")
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosinePre(col("qq"), col("qv"), col("qnorm"), col("vnorm")).as("cosine"))
-      .filter(col("cosine") >= minCosine)
-      .localCheckpoint(true)
-    e.unpersist()
-    out.orderBy(col("query_id"), col("vec_id"))
-  }
+                  minCosine: Double): DataFrame =
+    bruteSimsThen(embeddings, queryPred, "rangeSearch")(
+      _.filter(col("cosine") >= minCosine))
+      .orderBy(col("query_id"), col("vec_id"))
 
   def rangeSearchQuery(s: SparkSession, dir: String): DataFrame =
     rangeSearch(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, 0.25)
@@ -111,26 +99,35 @@ object Similarity {
     * [[ivfTopK]] for large query sets. The broadcast is size-guarded so a
     * misuse fails fast instead of OOMing the driver. */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    bruteSimsThen(embeddings, queryPred, "bruteForceTopK")(
+      _.withColumn("rn", row_number().over(w)).filter(col("rn") <= k))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** The exact-similarity scaffold shared by [[bruteForceTopK]] and
+    * [[rangeSearch]] (one definition — broadcast guard, self-exclusion,
+    * cosine kernel can never drift between the two cuts): quantize +
+    * cache the corpus, size-guard and broadcast the probe set, emit the
+    * (query_id, vec_id, cosine) frame, apply the caller's cut,
+    * checkpoint the (small) result, release the corpus cache — the
+    * per-call hygiene of minHashNearDup. */
+  private def bruteSimsThen(embeddings: DataFrame, queryPred: Column,
+      caller: String)(cut: DataFrame => DataFrame): DataFrame = {
     val e = quantizedWithNorm(embeddings).cache()
     val queries = e.filter(queryPred).toDF("query_id", "qq", "qnorm")
     val nQueries = queries.count()
     require(nQueries <= MaxBroadcastQueries,
-      s"bruteForceTopK: $nQueries query vectors exceed the broadcast ceiling " +
+      s"$caller: $nQueries query vectors exceed the broadcast ceiling " +
         s"($MaxBroadcastQueries); use ivfTopK/lshNearNeighbors for corpus-scale query sets")
-    val joined = e.toDF("vec_id", "qv", "vnorm")
+    val sims = e.toDF("vec_id", "qv", "vnorm")
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosinePre(col("qq"), col("qv"), col("qnorm"), col("vnorm")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    // checkpoint the (|queries|×k)-row result and release the corpus
-    // cache this function registered — per-call hygiene, same pattern as
-    // minHashNearDup
-    val top = joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .localCheckpoint(true)
+    val out = cut(sims).localCheckpoint(true)
     e.unpersist()
-    top.orderBy(col("query_id"), col("rn"))
+    out
   }
 
   def annTopKQuery(s: SparkSession, dir: String): DataFrame =

@@ -303,6 +303,11 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(2L) === 0.0)
     assert(out(3L) === (300.0 - mu) / sigma)
     assert(out(1L) === -out(3L))
+    // σ = 0 regime: a constant-valued type pins z to 0.0, never NaN
+    val const = Seq((1L, "B", 9.99), (2L, "B", 9.99), (3L, "B", 9.99))
+      .toDF("event_id", "event_type", "value")
+    val zs = EventAnalytics.zScores(const).collect().map(_.getDouble(3))
+    assert(zs.toSeq === Seq(0.0, 0.0, 0.0))
   }
 
   test("active users: DAU counts a user once per day, WAU spans exactly 7 trailing days (B10)") {
