@@ -47,13 +47,25 @@ object GraphOps {
       .select($"u", $"v").distinct()
   }
 
+  /** Bump when ANY snapshot builder's OUTPUT changes: the cache key must
+    * invalidate on derivation-logic changes, not only on data changes —
+    * otherwise an edited builder silently serves stale pre-change
+    * results from the tmpdir (review finding, late r7). */
+  private val SnapshotVersion = 2
+
   /** Materialize-once parquet snapshot under the JVM tmpdir, keyed by
-    * the source dir plus the lineitem table's (bytes, mtime) signature so
-    * a regenerated testdata dir invalidates the snapshot instead of
-    * serving stale derived data. The write stages to a unique temp dir
-    * and renames in — a concurrent builder loses the race harmlessly and
-    * reads the winner's snapshot. The local stand-in for the bucketed
-    * derived tables you'd write once at 100 TB
+    * the source dir, the lineitem table's (bytes, mtime) signature, and
+    * [[SnapshotVersion]] — a regenerated testdata dir OR an edited
+    * builder invalidates the snapshot instead of serving stale derived
+    * data. Publication is claim-then-rename: a bare `rename(staged,
+    * cacheDir)` is NOT a safe race arbiter on the local filesystem
+    * (Hadoop's RawLocalFileSystem falls back to copying the staged dir
+    * INSIDE an existing destination and returns true — the loser would
+    * silently nest a duplicate copy in the winner's snapshot), so the
+    * loser is decided by a create-exclusive claim file and then waits
+    * for the winner's `_SUCCESS`; a stale claim (crashed builder) is
+    * broken once after the wait times out. The local stand-in for the
+    * bucketed derived tables you'd write once at 100 TB
     * ([[ScaleOps.writeBucketed]]) and point every graph job at. */
   private def snapshot(s: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
@@ -64,20 +76,44 @@ object GraphOps {
     val st = fs.getFileStatus(li)
     val sig = s"${fs.getContentSummary(li).getLength}-${st.getModificationTime}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      .digest(s"$dir|$sig|v$SnapshotVersion".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     val cacheDir = new HPath(
       s"${sys.props("java.io.tmpdir")}/graft_scratch/${name}_$key")
     val success = new HPath(cacheDir, "_SUCCESS")
-    if (!fs.exists(success)) {
-      val staged = new HPath(s"$cacheDir-staged-${java.util.UUID.randomUUID().toString.take(8)}")
+    def publish(retryOnStaleClaim: Boolean): Unit = {
+      val staged = new HPath(
+        s"$cacheDir-staged-${java.util.UUID.randomUUID().toString.take(8)}")
       build.write.mode("overwrite").parquet(staged.toString)
       fs.mkdirs(cacheDir.getParent)
-      if (!fs.rename(staged, cacheDir)) {
-        // lost the race to a concurrent builder — use theirs
+      val claim = new HPath(s"$cacheDir.claim")
+      val claimed =
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        if (fs.exists(success)) fs.delete(staged, true) // published by a past JVM
+        else {
+          fs.delete(cacheDir, true) // corrupt leftover from a crash, if any
+          if (!fs.rename(staged, cacheDir)) {
+            fs.delete(staged, true)
+            sys.error(s"snapshot: cannot move staged build into $cacheDir")
+          }
+        }
+      } else {
+        // lost the claim — the winner is publishing; wait for its _SUCCESS
         fs.delete(staged, true)
-        if (!fs.exists(success)) sys.error(s"snapshot: cannot materialize $cacheDir")
+        var tries = 0
+        while (!fs.exists(success) && tries < 300) { Thread.sleep(100); tries += 1 }
+        if (!fs.exists(success)) {
+          if (retryOnStaleClaim) { // crashed claimant: break the claim once
+            fs.delete(claim, false)
+            publish(retryOnStaleClaim = false)
+          } else sys.error(s"snapshot: cannot materialize $cacheDir " +
+            s"(stale claim at $claim survived a retry)")
+        }
       }
     }
+    if (!fs.exists(success)) publish(retryOnStaleClaim = true)
     s.read.parquet(cacheDir.toString)
   }
 
@@ -169,11 +205,10 @@ object GraphOps {
     * and its own out-array stays arboricity-bounded (O(√m)) — the
     * planted-hub spec asserts this directly on a 10k-spoke star. */
   private[ops] def orientedAdjacency(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("p")).unionAll(edges.select(col("v").as("p")))
-      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val deg = degreesOf(edges) // ONE degree definition for every consumer
     val withDeg = edges
-      .join(deg.select(col("p").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("p").as("v"), col("deg").as("dv")), "v")
+      .join(deg.select(col("p").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("p").as("v"), col("degree").as("dv")), "v")
     val fwd = (col("du") < col("dv")) ||
       (col("du") === col("dv") && col("u") < col("v"))
     withDeg.select(
@@ -227,6 +262,21 @@ object GraphOps {
     edges.select(col("u").as("p")).unionAll(edges.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("degree"))
 
+  /** Every listed triangle {src, dst, c} exploded to its three
+    * (min, max)-normalized edges — ONE definition shared by the
+    * edge-Jaccard common-neighbor count and the k-truss support count
+    * (review fix: two verbatim copies could drift). */
+  private def triangleEdges(tri: DataFrame): DataFrame =
+    tri.select(col("src"), col("dst"), explode(col("common")).as("c"))
+      .select(explode(array(
+        struct(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")),
+        struct(least(col("src"), col("c")).as("u"),
+          greatest(col("src"), col("c")).as("v")),
+        struct(least(col("dst"), col("c")).as("u"),
+          greatest(col("dst"), col("c")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
   private def triangleTopK(k: Int): (DataFrame, DataFrame) => DataFrame =
     (_, tri) =>
       vertexTriangleCounts(tri)
@@ -257,16 +307,8 @@ object GraphOps {
 
   private def edgeJaccardTopK(k: Int): (DataFrame, DataFrame) => DataFrame =
     (edges, tri) => {
-      val triEdges = tri
-        .select(col("src"), col("dst"), explode(col("common")).as("c"))
-        .select(explode(array(
-          struct(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v")),
-          struct(least(col("src"), col("c")).as("u"), greatest(col("src"), col("c")).as("v")),
-          struct(least(col("dst"), col("c")).as("u"), greatest(col("dst"), col("c")).as("v"))))
-          .as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
       val deg = degreesOf(edges)
-      triEdges.groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))
+      triangleEdges(tri).groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))
         .join(deg.select(col("p").as("u"), col("degree").as("du")), "u")
         .join(deg.select(col("p").as("v"), col("degree").as("dv")), "v")
         .select(col("u").as("part_u"), col("v").as("part_v"), col("n_common"),
@@ -433,20 +475,12 @@ object GraphOps {
   def kTruss(s: SparkSession, edgeSet: DataFrame, k: Int, rounds: Int,
       firstTri: Option[DataFrame] = None): DataFrame = {
     def supportOf(tri: DataFrame): DataFrame =
-      tri.select(col("src"), col("dst"), explode(col("common")).as("c"))
-        .select(explode(array(
-          struct(least(col("src"), col("dst")).as("u"),
-            greatest(col("src"), col("dst")).as("v")),
-          struct(least(col("src"), col("c")).as("u"),
-            greatest(col("src"), col("c")).as("v")),
-          struct(least(col("dst"), col("c")).as("u"),
-            greatest(col("dst"), col("c")).as("v")))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+      triangleEdges(tri).groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
     var edges = edgeSet.select(col("u"), col("v")).localCheckpoint(true)
     var cnt = edges.count()
     var r = 0
     var converged = false
+    var lastTri: Option[DataFrame] = None
     while (r < rounds && !converged) {
       val tri = if (r == 0) firstTri.getOrElse(buildTriangleListing(edges))
                 else buildTriangleListing(edges)
@@ -457,9 +491,17 @@ object GraphOps {
       converged = n == cnt
       edges = next
       cnt = n
+      lastTri = Some(tri)
       r += 1
     }
-    edges.join(supportOf(buildTriangleListing(edges)), Seq("u", "v"))
+    // on the converged path the final round's listing was built on the
+    // IDENTICAL edge set — rebuilding it would repeat the most expensive
+    // kernel for nothing (review fix); rebuild only when the round
+    // budget ran out with the edge set still shrinking
+    val finalTri =
+      if (converged && lastTri.isDefined) lastTri.get
+      else buildTriangleListing(edges)
+    edges.join(supportOf(finalTri), Seq("u", "v"))
       .select(col("u").as("part_u"), col("v").as("part_v"), col("support"))
       .orderBy(col("part_u"), col("part_v"))
   }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The classic TPC-H compositional suite — all 18 shapes beyond the
@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   *    all before the final display cast.
   */
 object TpchQueries {
-  import Relational.{money, one, rate, sum2, sumCharge, sumProd, sumRev, tsLit}
+  import Relational.{money, one, rate, sum2, sumRev, tsLit}
 
   /** Q4 shape — order-priority checking: orders with at least one lineitem
     * shipped >300 days after the order date, counted per priority. The
@@ -292,7 +292,9 @@ object TpchQueries {
       .filter($"late" === 1 && $"nsupp" > 1 && $"nlate" === 1)
       .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
-      .select($"s_name", $"numwait")
+      // the output key is s_name (the oracle's GROUP BY): two suppkeys
+      // sharing a name must collapse to one row, not two
+      .groupBy($"s_name").agg(sum($"numwait").as("numwait"))
       .orderBy($"numwait".desc, $"s_name")
       .limit(25)
   }
