@@ -654,6 +654,58 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Count-Min frequency estimates over `items` (single string column
+    * `k`) probed at `probes` (single long column `key`) — the core shared
+    * by the declared query and the planted-skew spec. The sketch is the
+    * Cormode–Muthukrishnan counter matrix: `d` rows × `w` columns, cell
+    * (j, h_j(x)) accumulates every occurrence of x, the point estimate is
+    * min over the d cells — never an underestimate, over by at most
+    * εn = (e/w)·n with probability 1 − e^(−d). Hashes are the repo's
+    * engine-portable md5-prefix contract (seeded per row j), so DuckDB
+    * replays the exact counter matrix and the gate certifies the sketch
+    * END TO END, not just its exact regime. Scale: the update is one
+    * map-side-combinable groupBy whose partials are capped at d·w
+    * counters per partition REGARDLESS of corpus size (the point of CMS
+    * vs exact GROUP BY at 100 TB); the probe side joins d constant-size
+    * cells per key against the ≤ d·w-row counter table (broadcast). */
+  private[ops] def countMinEstimates(
+      items: DataFrame, probes: DataFrame, d: Int, w: Long): DataFrame = {
+    import items.sparkSession.implicits._
+    val hash = (j: Column, k: Column) =>
+      pmod(conv(substring(md5(concat(lit("cm"), j.cast("string"), lit(":"), k)),
+        1, 12), 16, 10).cast("long"), lit(w))
+    val js = array((0 until d).map(lit): _*)
+    val cms = items.select(explode(js).as("j"), $"k")
+      .select($"j", hash($"j", $"k").as("col"))
+      .groupBy($"j", $"col").agg(count(lit(1)).as("c"))
+    probes.select($"key", explode(js).as("j"))
+      .select($"key", $"j", hash($"j", $"key".cast("string")).as("col"))
+      .join(broadcast(cms), Seq("j", "col"), "left")
+      .groupBy($"key").agg(min(coalesce($"c", lit(0L))).as("est_count"))
+  }
+
+  /** B5 (r7): Count-Min sketch — the classic streaming frequency
+    * summary completing the mergeable-sketch family (Misra-Gries heavy
+    * hitters, KMV distinct, KLL-style quantiles): per-supplier lineitem
+    * frequencies estimated from a 4×512 counter matrix and reported
+    * beside the exact counts. Unlike the exact-regime gates, this gate
+    * checks the LOSSY estimator itself — both engines compute the same
+    * collision pattern from the portable hashes, so est_count hash-gates
+    * even where collisions inflate it; the CMS guarantees (est ≥ exact,
+    * planted-heavy survival) are additionally spec-pinned on fixtures. */
+  def countMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, dir).select($"l_suppkey".cast("string").as("k"))
+    val probes = Tables.supplier(s, dir).select($"s_suppkey".as("key")).filter($"key" < 50)
+    val exact = Tables.lineitem(s, dir)
+      .groupBy($"l_suppkey".as("key")).agg(count(lit(1)).as("exact_count"))
+    countMinEstimates(items, probes, d = 4, w = 512L)
+      .join(exact, Seq("key"), "left")
+      .select($"key".as("s_suppkey"), $"est_count",
+        coalesce($"exact_count", lit(0L)).as("exact_count"))
+      .orderBy($"s_suppkey")
+  }
+
   /** B5: per-source length percentiles via the mergeable
     * [[graft.functions.QuantileSketchAgg]] — the bounded-memory quantile
     * aggregate behind dynamic curation cutoffs (see
@@ -879,6 +931,7 @@ object Relational {
     "b05_quantile_sketch" -> (quantileSketch _),
     "b05_distinct_sketch" -> (distinctSketch _),
     "b05_approx_stats_exact" -> (approxStatsExact _),
+    "b05_countmin" -> (countMin _),
     "b03_fuzzy_join" -> (fuzzyJoinQuery _),
     "b05_histogram" -> (histogram _),
     "b05_equidepth" -> ((s: SparkSession, dir: String) => equiDepthHistogram(s, dir)),
@@ -1174,6 +1227,29 @@ object Relational {
         sqrt(CAST(b.n * b.sq2 - b.sq * b.sq AS DOUBLE)) / CAST(b.n AS DOUBLE) AS qty_stddev
       FROM base b JOIN pct p USING (l_returnflag)
       ORDER BY b.l_returnflag""",
+    // the CMS counter matrix replays exactly: same md5-prefix row hashes,
+    // same 4×512 geometry, so even collision-inflated estimates hash-gate
+    "b05_countmin" -> """
+      WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      cms AS (
+        SELECT j,
+          CAST(('0x' || substr(md5('cm' || j || ':' || CAST(l_suppkey AS VARCHAR)), 1, 12)) AS BIGINT) % 512 AS col,
+          COUNT(*) AS c
+        FROM lineitem, js
+        GROUP BY 1, 2),
+      probes AS (SELECT s_suppkey AS key FROM supplier WHERE s_suppkey < 50),
+      est AS (
+        SELECT p.key, MIN(COALESCE(c.c, 0)) AS est_count
+        FROM probes p
+        CROSS JOIN js
+        LEFT JOIN cms c ON c.j = js.j
+          AND c.col = CAST(('0x' || substr(md5('cm' || js.j || ':' || CAST(p.key AS VARCHAR)), 1, 12)) AS BIGINT) % 512
+        GROUP BY 1),
+      ex AS (SELECT l_suppkey AS key, COUNT(*) AS exact_count FROM lineitem GROUP BY 1)
+      SELECT e.key AS s_suppkey, e.est_count,
+        COALESCE(x.exact_count, 0) AS exact_count
+      FROM est e LEFT JOIN ex x USING (key)
+      ORDER BY s_suppkey""",
     "b06_window_rank" -> """
       SELECT o_custkey, o_orderkey, o_totalprice,
         CAST(ROW_NUMBER() OVER w AS INT) AS rn,
