@@ -582,6 +582,59 @@ object EventAnalytics {
   def timeToConvertQuery(s: SparkSession, dir: String): DataFrame =
     timeToConvert(Tables.events(s, dir))
 
+  /** B10 (r7): discrete survival / churn-hazard table with RIGHT
+    * CENSORING — the Kaplan-Meier-style readout behind every churn
+    * dashboard. Each user's observed lifetime is first→last event day;
+    * users still active within `censorDays` of the corpus horizon are
+    * CENSORED (we cannot know they churned — counting them as churners
+    * is the classic retention-inflation bug), everyone else churned at
+    * their lifetime week. Per week w: n_risk = users whose observed
+    * lifetime reaches w (total minus everyone who exited earlier —
+    * derived by cumulative subtraction, never a per-user × per-week
+    * explode), n_churned / n_censored exits, and the discrete hazard
+    * d_w/n_w as an exact integer ppb floor division. KM survival is the
+    * running product Π(1 − hazard) — a float fold the cross-engine gate
+    * cannot replay exactly, so the gate pins the hazard table and the
+    * spec pins the product's factors; any consumer multiplies the
+    * gated ratios.
+    *
+    * Scale: the event-scale work is ONE map-side-combinable per-user
+    * min/max aggregate; everything after operates on the user table,
+    * then on the week axis — bounded by the observation span in WEEKS
+    * (the single-partition cumulative window runs over that axis, ~5
+    * rows here, never over users or events). */
+  def survival(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    val pu = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("first_day"),
+        to_date(max(col("ts"))).as("last_day"))
+    val h = pu.agg(max(col("last_day")).as("horizon"))
+    val u = pu.crossJoin(broadcast(h))
+      .select(col("user_id"),
+        expr("datediff(last_day, first_day) div 7").cast("int").as("week"),
+        when(datediff(col("horizon"), col("last_day")) >= censorDays, 1L)
+          .otherwise(0L).as("churned"))
+    val wk = u.groupBy(col("week"))
+      .agg(sum(col("churned")).as("n_churned"),
+        sum(lit(1L) - col("churned")).as("n_censored"))
+    val axis = u.agg(max(col("week")).as("mw"), count(lit(1)).as("total"))
+      .select(explode(sequence(lit(0), col("mw"))).as("week"), col("total"))
+    val cum = Window.orderBy(col("week"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    axis.join(wk, Seq("week"), "left")
+      .select(col("week"), col("total"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        coalesce(col("n_censored"), lit(0L)).as("n_censored"))
+      .withColumn("n_risk",
+        col("total") - coalesce(
+          sum(col("n_churned") + col("n_censored")).over(cum), lit(0L)))
+      .select(col("week"), col("n_risk"), col("n_churned"), col("n_censored"),
+        expr("(n_churned * 1000000000) div n_risk").as("hazard_ppb"))
+      .orderBy(col("week"))
+  }
+
+  def survivalQuery(s: SparkSession, dir: String): DataFrame =
+    survival(Tables.events(s, dir))
+
   /** B06 (r7 final): per-type z-score standardization — the feature
     * normalization every downstream model expects, as a distributed
     * plan: the event-scale work is ONE map-side-combinable moment
@@ -649,6 +702,7 @@ object EventAnalytics {
     "b10_mad_outliers" -> (madOutliersQuery _),
     "b10_active_users" -> (activeUsersQuery _),
     "b10_time_to_convert" -> (timeToConvertQuery _),
+    "b10_survival" -> (survivalQuery _),
     "b06_zscore" -> (zScoresQuery _),
     "b10_whales" -> (whalesQuery _),
     "b10_attribution" -> (attributionQuery _),
@@ -666,6 +720,37 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // every aggregate CAST to BIGINT (DuckDB SUM → HUGEINT → pandas
+    // float64 otherwise); hazard is the exact ppb floor division
+    "b10_survival" -> """
+      WITH pu AS (
+        SELECT user_id,
+          CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS first_day,
+          CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS last_day
+        FROM events GROUP BY user_id),
+      h AS (SELECT MAX(last_day) AS horizon FROM pu),
+      u AS (
+        SELECT user_id,
+          date_diff('day', first_day, last_day) // 7 AS week,
+          CASE WHEN date_diff('day', last_day, horizon) >= 7
+               THEN 1 ELSE 0 END AS churned
+        FROM pu CROSS JOIN h),
+      wk AS (SELECT week, CAST(SUM(churned) AS BIGINT) AS n_churned,
+               CAST(SUM(1 - churned) AS BIGINT) AS n_censored
+             FROM u GROUP BY week),
+      ax AS (SELECT unnest(range(0, (SELECT MAX(week) + 1 FROM u))) AS week),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM u),
+      j AS (SELECT ax.week, COALESCE(wk.n_churned, 0) AS n_churned,
+              COALESCE(wk.n_censored, 0) AS n_censored
+            FROM ax LEFT JOIN wk USING (week)),
+      r AS (SELECT week, n_churned, n_censored,
+              t.total - CAST(COALESCE(SUM(n_churned + n_censored) OVER
+                (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS n_risk
+            FROM j CROSS JOIN t)
+      SELECT CAST(week AS INT) AS week, n_risk, n_churned, n_censored,
+        (n_churned * 1000000000) // n_risk AS hazard_ppb
+      FROM r ORDER BY week""",
     // exact integer lower medians over distinct-value tables, threshold
     // division-free — the Spark plan replayed literally
     "b10_mad_outliers" -> """

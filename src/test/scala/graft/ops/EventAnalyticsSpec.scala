@@ -356,4 +356,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(2) === ((2L, 10L)))
     assert(out.size === 2)
   }
+
+  test("survival: censoring, dense week axis, exact hazards on a hand fixture (B10)") {
+    def e(id: Long, d: Int, u: Long) =
+      (id, Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"), u, "view")
+    val rows = Seq(
+      e(1, 1, 1), e(2, 11, 1),   // lifetime 10d → week 1, churned (30-11 ≥ 7)
+      e(3, 1, 2), e(4, 29, 2),   // lifetime 28d → week 4, CENSORED (30-29 < 7)
+      e(5, 30, 3),               // week 0, CENSORED — also sets horizon=30
+      e(6, 5, 4),                // week 0, churned
+      e(7, 2, 5), e(8, 16, 5),   // lifetime 14d → week 2, churned
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.survival(rows).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // dense axis 0..4 even though week 3 has no exits
+    assert(out.map(_._1).toSeq === (0 to 4))
+    val m = out.toMap
+    assert(m(0) === ((5L, 1L, 1L, 200000000L)))   // u4 churned, u3 censored
+    assert(m(1) === ((3L, 1L, 0L, 333333333L)))   // u1
+    assert(m(2) === ((2L, 1L, 0L, 500000000L)))   // u5
+    assert(m(3) === ((1L, 0L, 0L, 0L)))           // nobody exits
+    assert(m(4) === ((1L, 0L, 1L, 0L)))           // u2 censored, hazard 0
+    // at-risk conservation: each week's pool = previous minus exits
+    out.sliding(2).foreach { case Array((_, p), (_, c)) =>
+      assert(c._1 === p._1 - p._2 - p._3)
+    }
+  }
 }
