@@ -88,6 +88,39 @@ object Relational2 {
       .orderBy($"split")
   }
 
+  /** B15 (r7): k-fold cross-validation plan — the rotation every
+    * hyperparameter sweep runs: fold i's validation set is the hash
+    * residue class i, its train set everyone else, so the k train/val
+    * pairs tile the corpus with no leakage and no duplication.
+    * Assignment is a property of the row's own key — stable under
+    * corpus growth and engine changes, unlike `randomSplit` — via the
+    * seeded md5-prefix contract, NOT the Knuth multiplier: 2654435761
+    * ≡ 1 (mod 5), so the multiplicative bucket collapses to a bare
+    * `doc_id % 5` residue for this k and any id stride correlated with
+    * 5 would skew the folds; the md5 device has no such resonance for
+    * ANY k. The report is
+    * per-fold doc and char budgets; train-side numbers derive from the
+    * one-row corpus total by subtraction (never a k× re-scan of the
+    * corpus). One combinable groupBy + a 1-row broadcast — the k-fold
+    * PLAN at any scale; materializing fold f is a scan-side
+    * `fold != f` filter on the same expression. */
+  def kFold(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val folds = Tables.documents(s, dir)
+      .select(pmod(conv(substring(
+          md5(concat(lit("kf:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+          .cast("long"), lit(k.toLong)).as("fold"), $"n_chars")
+      .groupBy($"fold")
+      .agg(count(lit(1)).as("n_val_docs"), sum($"n_chars").as("val_chars"))
+    val tot = folds.agg(sum($"n_val_docs").as("total_docs"),
+      sum($"val_chars").as("total_chars"))
+    folds.crossJoin(broadcast(tot))
+      .select($"fold", $"n_val_docs",
+        ($"total_docs" - $"n_val_docs").as("n_train_docs"),
+        $"val_chars", ($"total_chars" - $"val_chars").as("train_chars"))
+      .orderBy($"fold")
+  }
+
   /** B15: leakage-safe GROUP split — every document of a group (here: its
     * `source`) lands in the same train/valid/test fold, so near-identical
     * documents from one origin can never straddle the train/test boundary
@@ -406,6 +439,7 @@ object Relational2 {
     "a14_pivot_wide" -> (pivotWide _),
     "b15_hash_sample" -> (hashSample _),
     "b15_train_test_split" -> (trainTestSplit _),
+    "b15_kfold" -> ((s: SparkSession, dir: String) => kFold(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,5 +598,18 @@ object Relational2 {
               CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100 AS gb
             FROM documents)
       ORDER BY doc_id""",
+    // train-side budgets by subtraction from the one-row total, like the
+    // Spark plan; SUMs cast to BIGINT (HUGEINT→pandas float64 otherwise)
+    "b15_kfold" -> """
+      WITH f AS (
+        SELECT CAST(('0x' || substr(md5('kf:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold,
+          CAST(COUNT(*) AS BIGINT) AS n_val_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS val_chars
+        FROM documents GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_val_docs) AS BIGINT) AS total_docs,
+              CAST(SUM(val_chars) AS BIGINT) AS total_chars FROM f)
+      SELECT fold, n_val_docs, total_docs - n_val_docs AS n_train_docs,
+        val_chars, total_chars - val_chars AS train_chars
+      FROM f CROSS JOIN t ORDER BY fold""",
   )
 }

@@ -261,4 +261,29 @@ class Relational2Spec extends SparkSpec {
       assert(sorted.dropRight(1).forall(_._4 == 16L))
     }
   }
+
+  test("kFold: folds tile the corpus, train budgets are exact complements (B15)") {
+    val rows = Relational2.kFold(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (0L to 4L)) // every fold populated
+    val (totalDocs, totalChars) = (rows.map(_._2).sum, rows.map(_._4).sum)
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(totalDocs === nDocs) // tiling: no doc dropped or duplicated
+    rows.foreach { case (_, nv, nt, vc, tc) =>
+      assert(nt === totalDocs - nv)
+      assert(tc === totalChars - vc)
+    }
+    // assignment is keyed, not positional: md5 residue recomputed driver-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold(id: Long): Long = {
+      val hex = md.digest(s"kf:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 5
+    }
+    val expected = graft.Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).groupBy(fold).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (f, nv, _, _, _) => assert(expected(f) === nv, s"fold $f") }
+    // no fold starves: balanced within 3x of uniform on this corpus
+    assert(rows.map(_._2).min * 3 >= totalDocs / 5)
+  }
 }
