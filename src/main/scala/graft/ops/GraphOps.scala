@@ -641,6 +641,42 @@ object GraphOps {
   def resourceAllocQuery(s: SparkSession, dir: String): DataFrame =
     resourceAllocOf(strongEdges(s, dir), 20)
 
+  /** B16 (r7): 4-cycle (square) census over the strong graph — the
+    * second motif count every graph profile reports beside triangles:
+    * squares measure bipartite-style redundancy (two products bought
+    * together indirectly through TWO distinct co-purchase partners),
+    * the signal behind rectangle-based recommendation and bipartite
+    * community detection. A square is an unordered vertex pair plus two
+    * distinct common neighbors, so the census derives from the
+    * codegree table: Σ C(codeg, 2) over all pairs counts every square
+    * exactly twice (once per diagonal), hence the final halving.
+    * Output: diagonals (pairs with ≥ 2 common neighbors), the exact
+    * square count, and the peak codegree.
+    *
+    * Scale shape: identical to [[linkPredictOf]] — the codegree table
+    * IS the wedge aggregation that stage already runs (Σ C(deg, 2)
+    * wedges over the support-cut strong graph, center-keyed shuffle,
+    * map-side-combinable count); the census is then one combinable
+    * aggregate over the pair table. Exact integers throughout —
+    * C(c, 2) per row is even·odd/2, and Σ C(c, 2) = 2·squares by the
+    * double-count argument, so both floor divisions are exact. */
+  def squaresOf(edgeSet: DataFrame): DataFrame = {
+    val nbr = edgeSet.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(edgeSet.select(col("v").as("w"), col("u").as("x")))
+    val wedges = nbr.join(nbr.select(col("w"), col("x").as("y")), "w")
+      .where(col("x") < col("y"))
+    val cd = wedges.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+    cd.agg(count(lit(1)).as("n_diagonals"),
+        sum(expr("(c * (c - 1)) DIV 2")).as("s2"),
+        max(col("c")).as("max_codegree"))
+      .select(col("n_diagonals"), expr("s2 DIV 2").as("n_squares"),
+        col("max_codegree"))
+  }
+
+  def squaresQuery(s: SparkSession, dir: String): DataFrame =
+    squaresOf(strongEdges(s, dir))
+
   /** B16 (r7): degree assortativity (Newman 2002) — the one-number
     * mixing summary every graph profile reports: the Pearson correlation
     * of endpoint degrees over edges (positive = hubs attach to hubs,
@@ -694,6 +730,7 @@ object GraphOps {
     "b16_lpa" -> (lpaQuery _),
     "b16_link_predict" -> (linkPredictQuery _),
     "b16_resource_alloc" -> (resourceAllocQuery _),
+    "b16_squares" -> (squaresQuery _),
     "b16_assortativity" -> (assortativityQuery _),
   )
 
@@ -825,6 +862,18 @@ object GraphOps {
       FROM cn LEFT JOIN we ON we.u = cn.cu AND we.v = cn.cv
       WHERE we.u IS NULL
       ORDER BY ra_ppb DESC, part_u, part_v LIMIT 20
+    """,
+    "b16_squares" -> s"""
+      WITH $OracleStrongEdges,
+      nbr AS (SELECT u AS w, v AS x FROM we UNION ALL SELECT v AS w, u AS x FROM we),
+      cd AS (SELECT n1.x, n2.x AS y, COUNT(*) AS c
+             FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w AND n1.x < n2.x
+             GROUP BY n1.x, n2.x
+             HAVING COUNT(*) >= 2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_diagonals,
+             CAST(SUM((c * (c - 1)) // 2) AS BIGINT) // 2 AS n_squares,
+             CAST(MAX(c) AS BIGINT) AS max_codegree
+      FROM cd
     """,
     "b16_assortativity" -> s"""
       WITH $OracleEdges, $OracleDegs,

@@ -381,4 +381,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === refLpa(edges, 4))
     assert(got.values.toSet.size > 1) // not one blob — the pin is non-vacuous
   }
+
+  private def sq(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    GraphOps.squaresOf(edges.toDF("u", "v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+  }
+
+  test("squares: C4 is one square, K4 three, K2,3 three; path and star none (B16, r7)") {
+    assert(sq(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) === ((2L, 1L, 2L)))
+    assert(sq(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      === ((6L, 3L, 2L)))
+    // K2,3: centers 1,2 each adjacent to 10,11,12 — 3 squares, peak codeg 3
+    assert(sq(Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L), (2L, 12L)))
+      === ((4L, 3L, 3L)))
+    val path = GraphOps.squaresOf(Seq((1L, 2L), (2L, 3L)).toDF("u", "v")).collect()(0)
+    assert(path.getLong(0) === 0L) // no diagonal reaches codegree 2
+    val star = GraphOps.squaresOf(
+      (2L to 10L).map(sp => (1L, sp)).toDF("u", "v")).collect()(0)
+    assert(star.getLong(0) === 0L)
+  }
+
+  test("squares match brute force on a deterministic random graph (B16, r7)") {
+    val raw = (0L until 97L).flatMap(i => Seq(
+      (i, (i * 7 + 3) % 97), (i, (i + 1) % 97), (i, (i * 13 + 5) % 97)))
+    val edges = raw.filter { case (u, v) => u != v }
+      .map { case (u, v) => if (u < v) (u, v) else (v, u) }.distinct
+    val nbr = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupMap(_._1)(_._2).map { case (v, ns) => v -> ns.toSet }
+    val vs = nbr.keys.toSeq.sorted
+    val codegs = for { u <- vs; v <- vs if u < v
+      c = (nbr(u) & nbr(v)).size.toLong if c >= 2 } yield c
+    val expect = (codegs.length.toLong,
+      codegs.map(c => c * (c - 1) / 2).sum / 2, codegs.max)
+    assert(sq(edges) === expect)
+    assert(expect._2 > 0L) // the pin is non-vacuous
+  }
 }
