@@ -87,6 +87,72 @@ object Similarity {
   def rangeSearchQuery(s: SparkSession, dir: String): DataFrame =
     rangeSearch(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, 0.25)
 
+  /** b12_mmr geometry: candidate pool per probe, picks per probe. */
+  val MmrCand = 20
+  val MmrK = 5
+
+  /** B12 (r7): Maximal Marginal Relevance re-ranking (Carbonell &
+    * Goldstein, SIGIR'98) — the diversity stage between retrieval and
+    * the context window: greedy-pick `k` of the top-`nCand` candidates,
+    * each round taking the candidate maximizing λ·rel(c) −
+    * (1−λ)·max_{s∈selected} sim(c, s), so near-duplicate hits stop
+    * crowding out coverage (the RAG failure e02's context dedup only
+    * partially addresses — dedup removes twins, MMR also spreads the
+    * survivors). λ = 1/2, served as the 2×-scaled score rel − penalty
+    * (same argmax, no fractional constants); ties break by vec_id so
+    * every pick is total. The greedy recursion is inherently
+    * sequential, but each of the k−1 unrolled rounds runs on the
+    * CANDIDATE table — nCand rows per probe regardless of corpus size
+    * (the e02 stages-2-3 retrieval-sized argument), with a per-round
+    * lineage cut. Candidate generation and the nCand² per-probe pair
+    * sims ride the shared brute kernel; at corpus scale the candidate
+    * stage swaps for [[ivfTopK]] unchanged. */
+  def mmrSelect(embeddings: DataFrame, queryPred: Column,
+      nCand: Int = MmrCand, k: Int = MmrK): DataFrame = {
+    val cand = bruteForceTopK(embeddings, queryPred, nCand)
+      .select(col("query_id"), col("vec_id"), col("cosine").as("rel"))
+      .localCheckpoint(true)
+    val e = quantizedWithNorm(embeddings).cache()
+    val ca = cand.select(col("query_id"), col("vec_id").as("a"))
+      .join(e.toDF("a", "qa", "na"), "a")
+    val cb = cand.select(col("query_id"), col("vec_id").as("b"))
+      .join(e.toDF("b", "qb", "nb"), "b")
+    val pairs = ca.join(cb, "query_id").where(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        cosinePre(col("qa"), col("qb"), col("na"), col("nb")).as("sim"))
+      .localCheckpoint(true)
+    e.unpersist()
+    val perQuery = Window.partitionBy(col("query_id"))
+    var sel = cand
+      .withColumn("rn", row_number().over(
+        perQuery.orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("rank"),
+        col("rel"), col("rel").as("mmr"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val picked = cand
+        .join(sel.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(pairs.withColumnRenamed("a", "vec_id"), Seq("query_id", "vec_id"))
+        .join(sel.select(col("query_id"), col("vec_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(col("rel")).as("rel"), max(col("sim")).as("pen"))
+        .withColumn("mmr", col("rel") - col("pen"))
+        .withColumn("rn", row_number().over(
+          perQuery.orderBy(col("mmr").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), lit(r).as("rank"),
+          col("rel"), col("mmr"))
+      sel = sel.unionAll(picked).localCheckpoint(true)
+    }
+    sel.orderBy(col("query_id"), col("rank"))
+  }
+
+  def mmrQuery(s: SparkSession, dir: String): DataFrame =
+    mmrSelect(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+
   /** Hard ceiling on the broadcast query-set size for [[bruteForceTopK]].
     * At ~(4 + 8·dims) bytes per quantized vector, 100k 64-dim queries is
     * ≈52 MB — the most a forced broadcast should ever carry. */
@@ -791,6 +857,7 @@ object Similarity {
     "b12_pq_recall" -> (pqRecallQuery _),
     "b12_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
     "b12_range_search" -> (rangeSearchQuery _),
+    "b12_mmr" -> (mmrQuery _),
   )
 
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
@@ -893,6 +960,51 @@ object Similarity {
                  CAST(${dotSql("p.qq", "a.q")} AS DOUBLE) / (p.qnorm * a.norm) AS cosine
                FROM qp p JOIN asgn a USING (cell_id)
                WHERE a.vec_id <> p.query_id)"""
+
+  /** Unrolled greedy-MMR replay ([[MmrK]] rounds — the lpa/kCore
+    * unrolled-round device): s1 is the per-probe relevance argmax; each
+    * later round recomputes every unselected candidate's max-sim
+    * penalty against the union of earlier picks and takes the
+    * (rel − pen DESC, vec_id) argmax — [[mmrSelect]]'s window order
+    * exactly. Pair sims recompute the identical cosine expression from
+    * the quantized vectors. */
+  private def mmrOracleSql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      val selU = (1 until r).map(i => s"SELECT query_id, vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""r$r AS (SELECT c.query_id, c.vec_id, c.rel, MAX(p.sim) AS pen
+            FROM cand c
+            JOIN p ON p.query_id = c.query_id AND p.a = c.vec_id
+            JOIN ($selU) sel ON sel.query_id = p.query_id AND sel.vec_id = p.b
+            WHERE NOT EXISTS (SELECT 1 FROM ($selU) x
+                              WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+            GROUP BY 1, 2, 3),
+      s$r AS (SELECT query_id, vec_id, $r AS rank, rel, rel - pen AS mmr FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY rel - pen DESC, vec_id) AS rn FROM r$r) WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    val unionAll = (1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      $BruteSimsSql,
+      cand AS (SELECT query_id, vec_id, cosine AS rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS rn FROM sims) WHERE rn <= $MmrCand),
+      p AS (SELECT ca.query_id, ca.vec_id AS a, cb.vec_id AS b,
+              CAST(${dotSql("ea.q", "eb.q")} AS DOUBLE) /
+                (sqrt(CAST(${dotSql("ea.q", "ea.q")} AS DOUBLE)) *
+                 sqrt(CAST(${dotSql("eb.q", "eb.q")} AS DOUBLE))) AS sim
+            FROM cand ca JOIN cand cb
+              ON ca.query_id = cb.query_id AND ca.vec_id <> cb.vec_id
+            JOIN e ea ON ea.vec_id = ca.vec_id
+            JOIN e eb ON eb.vec_id = cb.vec_id),
+      s1 AS (SELECT query_id, vec_id, 1 AS rank, rel, rel AS mmr FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+      $rounds
+      SELECT query_id, vec_id, CAST(rank AS INT) AS rank, rel, mmr
+      FROM ($unionAll) ORDER BY query_id, rank"""
+  }
 
   /** The full PQ/ADC chain (assumes CTE `e` with vec_id, q, is_q) —
     * shared by b12_pq_topk and the b12_pq_recall acceptance report. */
@@ -1056,6 +1168,9 @@ object Similarity {
       FROM bc
       LEFT JOIN hits h USING (query_id)
       ORDER BY query_id""",
+    // greedy MMR unrolled to MmrK rounds over the shared brute chain;
+    // each round's argmax replays the (mmr DESC, vec_id) window exactly
+    "b12_mmr" -> mmrOracleSql,
     // the τ cut over the shared brute chain — per-query neighbor count
     // is data-dependent, (query_id, vec_id) order total
     "b12_range_search" -> s"""

@@ -311,4 +311,35 @@ class SimilaritySpec extends SparkSpec {
       assert(correct === (if (pred == trueL) 1 else 0))
     }
   }
+
+  test("MMR: diversity demotes the near-duplicate of an earlier pick (B12, r7)") {
+    // probe 0 on axis 0. Candidates: 1 and 2 near-identical tilted
+    // vectors (rel ≈ .95/.94, mutual sim ≈ 1), 10 moderately relevant
+    // but DIVERSE (rel .6, sim to 1 ≈ .57), 11 orthogonal filler.
+    // Pure relevance ranks (1, 2, 10); MMR must pick 1, then 10 —
+    // the twin 2's penalty (≈1 against pick 1) buries it to rank 3.
+    def mix(ws: (Int, Float)*): Seq[Float] = {
+      val m = ws.toMap
+      (0 until 8).map(d => m.getOrElse(d, 0.0f))
+    }
+    val df = Seq(
+      (0L, mix(0 -> 1.0f)),
+      (1L, mix(0 -> 0.90f, 1 -> 0.30f)),
+      (2L, mix(0 -> 0.89f, 1 -> 0.31f)),
+      (10L, mix(0 -> 0.6f, 3 -> 0.8f)),
+      (11L, mix(3 -> 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(df, col("vec_id") === 0, nCand = 4, k = 3)
+      .collect().map(r => (r.getInt(2), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq === Seq(1, 2, 3)) // dense ranks
+    assert(out.map(_._2).toSeq === Seq(1L, 10L, 2L)) // relevance alone would give 1, 2, 10
+    // rank-1 carries its relevance as the (2x-scaled) mmr score
+    assert(out.head._3 === out.head._4)
+    // later picks are penalized: mmr strictly below relevance
+    out.tail.foreach { case (_, _, rel, mmr) => assert(mmr < rel) }
+    // greedy is prefix-stable: k=2 equals the first two rows of k=3
+    val k2 = Similarity.mmrSelect(df, col("vec_id") === 0, nCand = 4, k = 2)
+      .collect().map(r => (r.getInt(2), r.getLong(1)))
+    assert(k2.toSeq === out.take(2).map(t => (t._1, t._2)).toSeq)
+  }
 }
