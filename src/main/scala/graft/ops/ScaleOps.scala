@@ -271,6 +271,41 @@ object ScaleOps {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** File-level min/max data skipping — the manifest primitive behind
+    * Delta/Iceberg-style pruning: a table written range-clustered on a
+    * key (so per-file key ranges are tight and near-disjoint) carries a
+    * per-file [min, max] manifest, and a range query consults the
+    * manifest FIRST, then reads only the overlapping files. At 100 TB
+    * the manifest is metadata-scale (one row per file, written at
+    * commit time beside the data — here recomputed with one aggregate,
+    * `input_file_name`-keyed, because the gate rebuilds its store per
+    * run) while the data scan shrinks by the clustering factor; this is
+    * the coarse complement of parquet's row-group stats, which Spark
+    * only consults AFTER listing and opening every file. */
+  def statsManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      key: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(key)).as("mn"), max(col(key)).as("mx"))
+
+  /** Read only the files whose [min, max] range overlaps [lo, hi],
+    * returning the pruned frame plus (kept, total) file counts so
+    * callers can assert the pruning actually engaged. The residual
+    * predicate still applies — file grain is coarser than row grain. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      key: String, lo: Column, hi: Column): (DataFrame, Int, Int) = {
+    val mf = statsManifest(spark, path, key).cache()
+    val total = mf.count().toInt
+    val keep = mf.where(!(col("mx") < lo || col("mn") > hi))
+      .collect().map(_.getString(0))
+    mf.unpersist()
+    val out =
+      if (keep.isEmpty) spark.read.parquet(path).where(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+        .where(col(key) >= lo && col(key) <= hi)
+    (out, keep.length, total)
+  }
+
   /** Run `f` with Catalyst's runtime bloom-filter join pruning forced on:
     * when one join side carries a selective filter, the optimizer injects a
     * bloom-filter aggregate on that side and a `might_contain` probe into

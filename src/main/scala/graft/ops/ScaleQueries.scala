@@ -80,11 +80,44 @@ object ScaleQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  /** B1 (r7): file-stats data skipping end to end — write orders
+    * range-clustered on o_orderdate into 8 files, then answer a
+    * one-year range query through [[ScaleOps.prunedRead]]: manifest
+    * lookup → read ONLY the overlapping files → residual predicate.
+    * The query ASSERTS files were actually skipped (a manifest that
+    * keeps everything would silently certify the plain scan — the
+    * b03_range_join_sql no-vacuous-gate discipline), and the oracle
+    * replays the naive full-table filter, so the green hash proves the
+    * skip lost no rows and the residual predicate re-filters file-grain
+    * overflow exactly. */
+  def statsSkippingQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_stats_skip_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    Tables.orders(s, dir)
+      .repartitionByRange(8, $"o_orderdate")
+      .sortWithinPartitions($"o_orderdate")
+      .write.parquet(store)
+    val kt = s.read.parquet(store).schema("o_orderdate").dataType.sql
+    val lo = expr(s"CAST('1997-01-01 00:00:00' AS $kt)")
+    val hi = expr(s"CAST('1997-12-31 23:59:59' AS $kt)")
+    val (pruned, kept, total) = ScaleOps.prunedRead(s, store, "o_orderdate", lo, hi)
+    require(kept < total,
+      s"stats skipping kept all $total files — the pruning gate would be vacuous")
+    pruned.select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b03_join_salted" -> (saltedJoinQuery _),
     "b04_salted_agg" -> (saltedAggQuery _),
     "b01_zorder_key" -> (zorderKeyQuery _),
     "b01_time_travel" -> (timeTravelQuery _),
+    "b01_stats_skipping" -> (statsSkippingQuery _),
   )
 
   /** The z-key oracle replays the same interleave with SQL shift/mask
@@ -108,6 +141,15 @@ object ScaleQueries {
       SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       ORDER BY l_orderkey, l_linenumber
+    """,
+    // the naive full-table filter: a pruned read that lost a file's rows
+    // (or skipped the residual predicate) hash-mismatches here
+    "b01_stats_skipping" -> """
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+      ORDER BY o_orderkey
     """,
     "b04_salted_agg" -> """
       SELECT l_returnflag,

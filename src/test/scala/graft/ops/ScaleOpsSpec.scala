@@ -230,4 +230,23 @@ class ScaleOpsSpec extends SparkSpec {
       ScaleOps.Versioned.read(spark, dir, Some(0L))
     }.getMessage.contains("vacuumed"))
   }
+
+  test("stats skipping: manifest prunes files, pruned read equals full filter (B1, r7)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_skip").toString + "/t"
+    // 1000 rows over key 0..999, range-clustered into 10 files
+    spark.range(1000).select($"id".as("k"), ($"id" * 7 % 91).as("payload"))
+      .repartitionByRange(10, $"k").sortWithinPartitions($"k")
+      .write.parquet(dir)
+    val (pruned, kept, total) = ScaleOps.prunedRead(spark, dir, "k", lit(150L), lit(249L))
+    assert(total === 10)
+    assert(kept >= 1 && kept <= 3, s"kept $kept of $total") // ~1 file + boundary overlap
+    val got = pruned.select($"k", $"payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = (150L to 249L).map(k => (k, k * 7 % 91))
+    assert(got.toSeq === want) // no row lost at file boundaries, residual exact
+    // no overlap → empty frame, zero files read
+    val (none, kept0, _) = ScaleOps.prunedRead(spark, dir, "k", lit(5000L), lit(6000L))
+    assert(kept0 === 0 && none.count() === 0L)
+  }
 }
