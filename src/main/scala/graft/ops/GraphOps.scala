@@ -677,6 +677,46 @@ object GraphOps {
   def squaresQuery(s: SparkSession, dir: String): DataFrame =
     squaresOf(strongEdges(s, dir))
 
+  /** B16 (r7): HITS hub/authority scores (Kleinberg 1999) over the
+    * DIRECTED buyer→part bipartite graph — the eigen-pair family member
+    * beside PageRank (w07): a part is authoritative when bought by
+    * hubby buyers, a buyer hubby when buying authoritative parts.
+    * Declared semantics are TWO synchronous unrolled rounds from h≡1
+    * (the fixed-round LPA device) with NO normalization: the usual
+    * per-round rescale is a uniform positive scalar, so for any fixed
+    * round count it changes no ranking and dropping it keeps every
+    * score an exact BIGINT (a1 = in-degree; h1 = Σ a1 over the buyer's
+    * parts; a2 = Σ h1 over the part's buyers) — bounded by
+    * maxdeg³·|E|, nowhere near overflow. Iterating to the principal
+    * eigenvector would need float normalization (the w07 treatment);
+    * two rounds already separate "popular" from "bought by heavy
+    * multi-category buyers", which is the readout this gate pins.
+    *
+    * Scale shape: the edge build is the order-keyed join + distinct of
+    * the co-purchase builder; each round is ONE equi-join against the
+    * previous score table + one map-side-combinable sum — PageRank's
+    * per-round shape, no new machinery. */
+  def hitsOf(edges: DataFrame, k: Int): DataFrame = {
+    val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+    val h1 = edges.join(a1, "p").groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+    val a2 = edges.join(h1, "c").groupBy(col("p")).agg(sum(col("h1")).as("a2"))
+    a2.join(a1, "p")
+      .select(col("p").as("part_key"), col("a1").as("n_buyers"), col("a2").as("authority2"))
+      .orderBy(col("authority2").desc, col("part_key"))
+      .limit(k)
+  }
+
+  private[ops] def buyerPartEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select($"o_orderkey".as("ok"), $"o_custkey".as("c"))
+      .join(Tables.lineitem(s, dir).select($"l_orderkey".as("ok"), $"l_partkey".as("p")),
+        Seq("ok"))
+      .select($"c", $"p").distinct()
+  }
+
+  def hitsQuery(s: SparkSession, dir: String): DataFrame =
+    hitsOf(buyerPartEdges(s, dir), 20)
+
   /** B16 (r7): degree assortativity (Newman 2002) — the one-number
     * mixing summary every graph profile reports: the Pearson correlation
     * of endpoint degrees over edges (positive = hubs attach to hubs,
@@ -731,6 +771,7 @@ object GraphOps {
     "b16_link_predict" -> (linkPredictQuery _),
     "b16_resource_alloc" -> (resourceAllocQuery _),
     "b16_squares" -> (squaresQuery _),
+    "b16_hits" -> (hitsQuery _),
     "b16_assortativity" -> (assortativityQuery _),
   )
 
@@ -862,6 +903,20 @@ object GraphOps {
       FROM cn LEFT JOIN we ON we.u = cn.cu AND we.v = cn.cv
       WHERE we.u IS NULL
       ORDER BY ra_ppb DESC, part_u, part_v LIMIT 20
+    """,
+    // two unrolled synchronous HITS rounds, unnormalized exact BIGINTs;
+    // SUMs cast (DuckDB HUGEINT → pandas float64 otherwise)
+    "b16_hits" -> """
+      WITH be AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      a1 AS (SELECT p, COUNT(*) AS a1 FROM be GROUP BY p),
+      h1 AS (SELECT be.c, CAST(SUM(a1.a1) AS BIGINT) AS h1
+             FROM be JOIN a1 USING (p) GROUP BY be.c),
+      a2 AS (SELECT be.p, CAST(SUM(h1.h1) AS BIGINT) AS a2
+             FROM be JOIN h1 USING (c) GROUP BY be.p)
+      SELECT a2.p AS part_key, a1.a1 AS n_buyers, a2.a2 AS authority2
+      FROM a2 JOIN a1 USING (p)
+      ORDER BY authority2 DESC, part_key LIMIT 20
     """,
     "b16_squares" -> s"""
       WITH $OracleStrongEdges,

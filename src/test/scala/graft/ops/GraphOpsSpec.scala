@@ -402,6 +402,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(star.getLong(0) === 0L)
   }
 
+  test("HITS: two unrolled rounds on a hand bipartite fixture; brute equality (B16, r7)") {
+    import spark.implicits._
+    // c1→{p1,p2}, c2→{p1}, c3→{p1,p2,p3}: a1 = (3,2,1),
+    // h1 = (5,3,6), a2 = (p1: 5+3+6, p2: 5+6, p3: 6)
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 10L), (3L, 11L), (3L, 12L))
+      .toDF("c", "p")
+    val got = GraphOps.hitsOf(edges, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((10L, 3L, 14L), (11L, 2L, 11L), (12L, 1L, 6L)))
+
+    // brute reference on a deterministic random bipartite graph
+    val raw = (0L until 83L).flatMap(c => Seq(
+      (c, 100L + (c * 7 + 3) % 41), (c, 100L + (c * 13 + 5) % 41), (c, 100L + c % 41)))
+      .distinct
+    val a1 = raw.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val h1 = raw.groupBy(_._1).view.mapValues(_.map(e => a1(e._2)).sum).toMap
+    val a2 = raw.groupBy(_._2).view.mapValues(_.map(e => h1(e._1)).sum).toMap
+    val expect = a2.toSeq.map { case (p, a) => (p, a1(p), a) }
+      .sortBy { case (p, _, a) => (-a, p) }.take(20)
+    val out = GraphOps.hitsOf(raw.toDF("c", "p"), 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === expect)
+  }
+
   test("squares match brute force on a deterministic random graph (B16, r7)") {
     val raw = (0L until 97L).flatMap(i => Seq(
       (i, (i * 7 + 3) % 97), (i, (i + 1) % 97), (i, (i * 13 + 5) % 97)))
