@@ -668,21 +668,39 @@ object Relational {
     * counters per partition REGARDLESS of corpus size (the point of CMS
     * vs exact GROUP BY at 100 TB); the probe side joins d constant-size
     * cells per key against the ≤ d·w-row counter table (broadcast). */
-  private[ops] def countMinEstimates(
-      items: DataFrame, probes: DataFrame, d: Int, w: Long): DataFrame = {
+  private def cmHash(w: Long)(j: Column, k: Column): Column =
+    pmod(conv(substring(md5(concat(lit("cm"), j.cast("string"), lit(":"), k)),
+      1, 12), 16, 10).cast("long"), lit(w))
+
+  /** The d×w counter matrix for `items` (single string column `k`) —
+    * split out so the streaming sink can fold per-batch matrices
+    * (CMS matrices merge by cell-wise addition, the defining
+    * mergeable-summary property). */
+  private[graft] def countMinMatrix(items: DataFrame, d: Int, w: Long): DataFrame = {
     import items.sparkSession.implicits._
-    val hash = (j: Column, k: Column) =>
-      pmod(conv(substring(md5(concat(lit("cm"), j.cast("string"), lit(":"), k)),
-        1, 12), 16, 10).cast("long"), lit(w))
+    val hash = cmHash(w) _
     val js = array((0 until d).map(lit): _*)
-    val cms = items.select(explode(js).as("j"), $"k")
+    items.select(explode(js).as("j"), $"k")
       .select($"j", hash($"j", $"k").as("col"))
       .groupBy($"j", $"col").agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates for `probes` (single long column `key`) against a
+    * counter matrix: min over the d probed cells, absent cells read 0. */
+  private[graft] def countMinProbe(
+      cms: DataFrame, probes: DataFrame, d: Int, w: Long): DataFrame = {
+    import probes.sparkSession.implicits._
+    val hash = cmHash(w) _
+    val js = array((0 until d).map(lit): _*)
     probes.select($"key", explode(js).as("j"))
       .select($"key", $"j", hash($"j", $"key".cast("string")).as("col"))
       .join(broadcast(cms), Seq("j", "col"), "left")
       .groupBy($"key").agg(min(coalesce($"c", lit(0L))).as("est_count"))
   }
+
+  private[ops] def countMinEstimates(
+      items: DataFrame, probes: DataFrame, d: Int, w: Long): DataFrame =
+    countMinProbe(countMinMatrix(items, d, w), probes, d, w)
 
   /** B5 (r7): Count-Min sketch — the classic streaming frequency
     * summary completing the mergeable-sketch family (Misra-Gries heavy

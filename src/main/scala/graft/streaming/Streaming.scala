@@ -779,6 +779,37 @@ object Streaming {
     def pairs: Option[DataFrame] = acc
   }
 
+  /** B5 streaming twin (r7): Count-Min sketch maintenance over a
+    * stream — mergeability IS the sketch's defining property (counter
+    * matrices add cell-wise), so the foreachBatch fold sums each
+    * micro-batch's d×w matrix into the accumulator, and the snapshot
+    * is bit-identical to running the batch kernel on the union of the
+    * batches (exact-integer sums are associative; StreamingSpec pins
+    * snapshot == batch-on-prefix after every trigger). State is ≤ d·w
+    * counter rows REGARDLESS of stream length — the reason CMS is the
+    * canonical streaming frequency summary, and the contrast with the
+    * unbounded distinct-key state an exact streaming GROUP BY needs. */
+  final class CountMinSink(d: Int = 4, w: Long = 512L) {
+    @volatile private var acc: Option[DataFrame] = None
+    /** foreachBatch body: fold the micro-batch (single string column
+      * `k`) into the accumulated counter matrix. */
+    def update(batch: DataFrame, batchId: Long): Unit = {
+      val m = graft.ops.Relational.countMinMatrix(batch, d, w)
+      val merged = acc match {
+        case Some(a) => a.unionByName(m).groupBy(col("j"), col("col"))
+          .agg(sum(col("c")).as("c"))
+        case None => m
+      }
+      acc = Some(merged.localCheckpoint(true))
+    }
+    /** Latest accumulated d×w counter matrix (None before batch 1). */
+    def matrix: Option[DataFrame] = acc
+    /** Point estimates for `probes` (single long column `key`) from the
+      * accumulated matrix. */
+    def estimates(probes: DataFrame): Option[DataFrame] =
+      acc.map(a => graft.ops.Relational.countMinProbe(a, probes, d, w))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

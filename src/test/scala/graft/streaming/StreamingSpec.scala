@@ -656,4 +656,28 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(stream === batch && stream.nonEmpty)
   }
+
+  test("count-min sink: snapshot matrix == batch kernel on the stream prefix (B5, r7)") {
+    val sink = new Streaming.CountMinSink(d = 4, w = 64L)
+    val b1 = Seq.fill(100)("7") ++ (100 to 150).map(_.toString)
+    val b2 = Seq.fill(30)("7") ++ (140 to 190).map(_.toString)
+    def batchMatrix(keys: Seq[String]) =
+      graft.ops.Relational.countMinMatrix(keys.toDF("k"), 4, 64L)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def snapMatrix() = sink.matrix.get
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val input = MemoryStream[String](spark)
+    val q = input.toDF().toDF("k").writeStream
+      .foreachBatch(sink.update _).outputMode("update").start()
+    input.addData(b1); q.processAllAvailable()
+    assert(snapMatrix() === batchMatrix(b1))
+    input.addData(b2); q.processAllAvailable(); q.stop()
+    assert(snapMatrix() === batchMatrix(b1 ++ b2)) // cell-wise merge exact
+    // estimates from the accumulated matrix honor the one-sided bound
+    val est = sink.estimates(Seq(7L, 100L, 145L).toDF("key"))
+      .get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est(7L) >= 130L)   // the hot key across both batches
+    assert(est(100L) >= 1L)
+    assert(est(145L) >= 2L)   // present in both batches
+  }
 }
