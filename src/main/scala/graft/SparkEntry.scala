@@ -33,6 +33,7 @@ object SparkEntry {
       (ops.ScaleQueries.queries, ops.ScaleQueries.oracles),
       (ops.TpchQueries.queries, ops.TpchQueries.oracles),
       (ops.TrainPipeline.queries, ops.TrainPipeline.oracles),
+      (ops.EvalPipeline.queries, ops.EvalPipeline.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
