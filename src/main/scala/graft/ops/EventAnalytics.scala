@@ -635,6 +635,59 @@ object EventAnalytics {
   def survivalQuery(s: SparkSession, dir: String): DataFrame =
     survival(Tables.events(s, dir))
 
+  /** B10 (r7): growth accounting — the weekly NEW / RETAINED /
+    * RESURRECTED / CHURNED decomposition (the Social Capital growth
+    * framework every consumer dashboard replicates): for each calendar
+    * week, actives split into first-ever users, continuing users, and
+    * returners after a gap; churned counts last week's actives who went
+    * silent. The identities active(w) = new + retained + resurrected
+    * and churned(w) = active(w−1) − retained(w) make the table
+    * self-auditing (spec-pinned). Week index is the exact integer
+    * (epoch_sec div 86400) div 7 — engine-portable floor arithmetic,
+    * not `date_trunc('week')` whose week-start convention is an engine
+    * choice.
+    *
+    * Scale: the event stream reduces to the distinct (user, week)
+    * activity table in one combinable aggregate; everything after is
+    * user-week-scale self-joins on (user, week±1) plus one first-week
+    * aggregate — all equi-keyed, no windows over users. The dense week
+    * axis explodes from a 1-row span aggregate (the b10_survival
+    * device). */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+        expr("((unix_micros(cast(ts as timestamp)) div 1000000) div 86400) div 7")
+          .as("week"))
+      .distinct().localCheckpoint(true)
+    val firstWeek = uw.groupBy(col("user_id")).agg(min(col("week")).as("fw"))
+    val prev = uw.select(col("user_id"), (col("week") + 1).as("week"),
+      lit(1).as("was_active"))
+    val cur = uw.join(firstWeek, "user_id")
+      .join(prev, Seq("user_id", "week"), "left")
+      .select(col("week"),
+        when(col("week") === col("fw"), 1L).otherwise(0L).as("is_new"),
+        when(col("was_active").isNotNull && col("week") =!= col("fw"), 1L)
+          .otherwise(0L).as("is_ret"),
+        when(col("was_active").isNull && col("week") > col("fw"), 1L)
+          .otherwise(0L).as("is_res"))
+      .groupBy(col("week"))
+      .agg(sum(col("is_new")).as("n_new"), sum(col("is_ret")).as("n_retained"),
+        sum(col("is_res")).as("n_resurrected"))
+    val churn = prev.join(uw, Seq("user_id", "week"), "left_anti")
+      .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    val axis = uw.agg(min(col("week")).as("lo"), max(col("week")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("week"))
+    axis.join(cur, Seq("week"), "left").join(churn, Seq("week"), "left")
+      .select(col("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("week"))
+  }
+
+  def growthAccountingQuery(s: SparkSession, dir: String): DataFrame =
+    growthAccounting(Tables.events(s, dir))
+
   /** B06 (r7 final): per-type z-score standardization — the feature
     * normalization every downstream model expects, as a distributed
     * plan: the event-scale work is ONE map-side-combinable moment
@@ -703,6 +756,7 @@ object EventAnalytics {
     "b10_active_users" -> (activeUsersQuery _),
     "b10_time_to_convert" -> (timeToConvertQuery _),
     "b10_survival" -> (survivalQuery _),
+    "b10_growth_accounting" -> (growthAccountingQuery _),
     "b06_zscore" -> (zScoresQuery _),
     "b10_whales" -> (whalesQuery _),
     "b10_attribution" -> (attributionQuery _),
@@ -720,6 +774,38 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer week index (never date_trunc('week') — week-start
+    // is an engine convention); SUMs cast to BIGINT
+    "b10_growth_accounting" -> """
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+          ((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 86400) // 7 AS week
+        FROM events),
+      fw AS (SELECT user_id, MIN(week) AS fw FROM uw GROUP BY user_id),
+      cur AS (
+        SELECT u.week,
+          CAST(SUM(CASE WHEN u.week = f.fw THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          CAST(SUM(CASE WHEN p.user_id IS NOT NULL AND u.week <> f.fw
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+          CAST(SUM(CASE WHEN p.user_id IS NULL AND u.week > f.fw
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM uw u JOIN fw f USING (user_id)
+        LEFT JOIN uw p ON p.user_id = u.user_id AND p.week = u.week - 1
+        GROUP BY u.week),
+      churn AS (
+        SELECT a.week + 1 AS week, CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM uw a LEFT JOIN uw n ON n.user_id = a.user_id AND n.week = a.week + 1
+        WHERE n.user_id IS NULL
+        GROUP BY a.week + 1),
+      ax AS (SELECT unnest(range((SELECT MIN(week) FROM uw),
+                                 (SELECT MAX(week) + 1 FROM uw))) AS week)
+      SELECT ax.week,
+        COALESCE(c.n_new, 0) AS n_new,
+        COALESCE(c.n_retained, 0) AS n_retained,
+        COALESCE(c.n_resurrected, 0) AS n_resurrected,
+        COALESCE(ch.n_churned, 0) AS n_churned
+      FROM ax LEFT JOIN cur c USING (week) LEFT JOIN churn ch USING (week)
+      ORDER BY ax.week""",
     // every aggregate CAST to BIGINT (DuckDB SUM → HUGEINT → pandas
     // float64 otherwise); hazard is the exact ppb floor division
     "b10_survival" -> """

@@ -382,4 +382,31 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(c._1 === p._1 - p._2 - p._3)
     }
   }
+
+  test("growth accounting: new/retained/resurrected/churned on a hand fixture (B10)") {
+    // epoch-day div 7 weeks: Jan 1 / 8 / 15 2024 fall in consecutive
+    // distinct index weeks A / B / C (boundaries at Jan 4 and Jan 11)
+    def e(id: Long, d: Int, u: Long) =
+      (id, Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"), u, "view")
+    val rows = Seq(
+      e(1, 1, 1), e(2, 8, 1), e(3, 15, 1),  // u1: A, B, C — retained twice
+      e(4, 1, 2), e(5, 15, 2),              // u2: A, gap, C — resurrected in C
+      e(6, 1, 3),                           // u3: A only — churned in B
+      e(7, 8, 4),                           // u4: new in B, churned in C
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.growthAccounting(rows).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 3) // dense A..C axis
+    assert(out(0) === ((3L, 0L, 0L, 0L)))  // A: all new
+    assert(out(1) === ((1L, 1L, 0L, 2L)))  // B: u4 new, u1 retained; u2+u3 churn
+    assert(out(2) === ((0L, 1L, 1L, 1L)))  // C: u1 retained, u2 back, u4 churns
+    // self-audit identities on the declared gate's real data
+    val real = EventAnalytics.growthAccountingQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val active = real.map(t => t._1 + t._2 + t._3)
+    real.indices.drop(1).foreach { i =>
+      assert(real(i)._4 === active(i - 1) - real(i)._2,
+        s"churned(w) != active(w-1) - retained(w) at $i")
+    }
+  }
 }
