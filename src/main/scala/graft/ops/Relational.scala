@@ -668,6 +668,43 @@ object Relational {
     * counters per partition REGARDLESS of corpus size (the point of CMS
     * vs exact GROUP BY at 100 TB); the probe side joins d constant-size
     * cells per key against the ≤ d·w-row counter table (broadcast). */
+  /** Columns profiled by [[profileQuery]]; ONE list generates both the
+    * Spark aggregates and the oracle SQL so the two cannot drift. */
+  private val ProfileCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+  /** B1 (r7): table profile — the per-column completeness/cardinality
+    * summary every data-quality harness (Deequ, Great Expectations)
+    * computes before trusting a feed: row count, null count and exact
+    * distinct count per column, emitted long-form (one row per column)
+    * so downstream checks are data, not schema. One scan produces every
+    * aggregate; the exact COUNT(DISTINCT) expand is the honest cost at
+    * gate scale — at 100 TB each distinct count swaps for the KMV
+    * sketch ([[distinctSketch]]'s aggregator) with the same output
+    * contract, and null counts stay map-side combinable. */
+  def profileQuery(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val aggs = ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c"),
+      countDistinct(col(c)).as(s"d_$c"))) :+ count(lit(1)).as("n_rows")
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${ProfileCols.size}, " +
+      ProfileCols.map(c => s"'$c', n_$c, d_$c").mkString(", ") +
+      ") as (column_name, n_nulls, n_distinct)"
+    one.select(expr(stackExpr), col("n_rows"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+      .orderBy(col("column_name"))
+  }
+
+  private[ops] def profileOracle: String =
+    ProfileCols.map(c =>
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem""")
+      .mkString(" UNION ALL ") + " ORDER BY column_name"
+
   private def cmHash(w: Long)(j: Column, k: Column): Column =
     pmod(conv(substring(md5(concat(lit("cm"), j.cast("string"), lit(":"), k)),
       1, 12), 16, 10).cast("long"), lit(w))
@@ -950,6 +987,7 @@ object Relational {
     "b05_distinct_sketch" -> (distinctSketch _),
     "b05_approx_stats_exact" -> (approxStatsExact _),
     "b05_countmin" -> (countMin _),
+    "b01_profile" -> (profileQuery _),
     "b03_fuzzy_join" -> (fuzzyJoinQuery _),
     "b05_histogram" -> (histogram _),
     "b05_equidepth" -> ((s: SparkSession, dir: String) => equiDepthHistogram(s, dir)),
@@ -1245,6 +1283,7 @@ object Relational {
         sqrt(CAST(b.n * b.sq2 - b.sq * b.sq AS DOUBLE)) / CAST(b.n AS DOUBLE) AS qty_stddev
       FROM base b JOIN pct p USING (l_returnflag)
       ORDER BY b.l_returnflag""",
+    "b01_profile" -> profileOracle,
     // the CMS counter matrix replays exactly: same md5-prefix row hashes,
     // same 4×512 geometry, so even collision-inflated estimates hash-gate
     "b05_countmin" -> """
