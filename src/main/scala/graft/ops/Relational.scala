@@ -705,6 +705,60 @@ object Relational {
          CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem""")
       .mkString(" UNION ALL ") + " ORDER BY column_name"
 
+  /** HLL geometry of [[hllPortable]]: p=8 → m=256 registers, 40-bit
+    * rank field, α_m bias constant. Exposed for the spec. */
+  private[ops] val HllP = 8
+  private[ops] val HllM = 1 << HllP
+  private[ops] val HllAlpha = 0.7213 / (1 + 1.079 / HllM)
+  private[ops] val HllC = HllAlpha * HllM * HllM * math.pow(2, 41)
+
+  /** Portable HyperLogLog raw estimate over `items` (columns `g`
+    * group, `v` string value) — the CMS move applied to Flajolet's
+    * sketch: hashes are the engine-portable 48-bit md5 prefix (top 8
+    * bits pick the register, the 40-bit remainder carries the rank),
+    * the rank is `41 − length(bin(w))` — `bin()` renders the minimal
+    * binary string in BOTH engines, so `length(bin(w))` IS
+    * ⌊log2 w⌋+1 cross-engine with zero float math — and the harmonic
+    * sum Σ 2^(−M_j) is served EXACTLY as Σ 2^(41−M_j) in BIGINT
+    * (≤ 256·2^41 < 2^63), leaving ONE final IEEE division by the
+    * author-time constant α·m²·2^41 (the literal-constants device).
+    * Raw estimate only — no small/large-range correction, documented;
+    * the exact-regime alternative is [[distinctSketch]]'s KMV. Scale:
+    * one combinable (g, register) max + a 256-row-per-group axis. */
+  private[ops] def hllEstimates(items: DataFrame): DataFrame = {
+    import items.sparkSession.implicits._
+    val field = 1L << 40
+    val h = conv(substring(md5(concat(lit("hll:"), $"v")), 1, 12), 16, 10)
+      .cast("long")
+    val regs = items.select($"g", h.as("h"))
+      .select($"g", expr(s"h div $field").as("idx"),
+        (lit(41) - length(bin(pmod($"h", lit(field))))).as("rho"))
+      .groupBy($"g", $"idx").agg(max($"rho").as("mreg"))
+    val axis = items.select($"g").distinct()
+      .crossJoin(items.sparkSession.range(HllM).toDF("idx"))
+    axis.join(regs, Seq("g", "idx"), "left")
+      .select($"g",
+        expr("CAST(power(2, 41 - coalesce(mreg, 0)) AS BIGINT)").as("term"))
+      .groupBy($"g").agg(sum($"term").as("ssum"))
+      .select($"g", (lit(HllC) / $"ssum".cast("double")).as("hll_estimate"))
+  }
+
+  /** B5 (r7): portable-HLL distinct-count report per return flag,
+    * beside the exact COUNT(DISTINCT) — the lossy estimator itself
+    * hash-gates (both engines compute the identical register file from
+    * the portable hashes), unlike engine HLLs whose internals differ
+    * (the reason b05_approx_stats is rows-only). */
+  def hllPortableQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("g"), $"l_orderkey".cast("string").as("v"))
+    val exact = Tables.lineitem(s, dir).groupBy($"l_returnflag".as("g"))
+      .agg(countDistinct($"l_orderkey").as("n_exact"))
+    hllEstimates(items).join(exact, Seq("g"))
+      .select($"g".as("l_returnflag"), $"hll_estimate", $"n_exact")
+      .orderBy($"l_returnflag")
+  }
+
   private def cmHash(w: Long)(j: Column, k: Column): Column =
     pmod(conv(substring(md5(concat(lit("cm"), j.cast("string"), lit(":"), k)),
       1, 12), 16, 10).cast("long"), lit(w))
@@ -988,6 +1042,7 @@ object Relational {
     "b05_approx_stats_exact" -> (approxStatsExact _),
     "b05_countmin" -> (countMin _),
     "b01_profile" -> (profileQuery _),
+    "b05_hll_portable" -> (hllPortableQuery _),
     "b03_fuzzy_join" -> (fuzzyJoinQuery _),
     "b05_histogram" -> (histogram _),
     "b05_equidepth" -> ((s: SparkSession, dir: String) => equiDepthHistogram(s, dir)),
@@ -1284,6 +1339,29 @@ object Relational {
       FROM base b JOIN pct p USING (l_returnflag)
       ORDER BY b.l_returnflag""",
     "b01_profile" -> profileOracle,
+    // the identical register file from the portable 48-bit md5 hashes;
+    // rank via length(bin(w)) — minimal binary string in both engines —
+    // and the harmonic sum exact in BIGINT, one final IEEE division
+    "b05_hll_portable" -> s"""
+      WITH v AS (SELECT l_returnflag AS g, CAST(l_orderkey AS VARCHAR) AS v
+                 FROM lineitem),
+      h AS (SELECT g, CAST(('0x' || substr(md5('hll:' || v), 1, 12)) AS BIGINT) AS h
+            FROM v),
+      r AS (SELECT g, h // ${1L << 40} AS idx,
+              41 - length(bin(h % ${1L << 40})) AS rho FROM h),
+      m AS (SELECT g, idx, MAX(rho) AS mreg FROM r GROUP BY g, idx),
+      ax AS (SELECT DISTINCT g FROM v),
+      reg AS (SELECT unnest(range(0, $HllM)) AS idx),
+      f AS (SELECT ax.g, reg.idx, COALESCE(m.mreg, 0) AS mreg
+            FROM ax CROSS JOIN reg
+            LEFT JOIN m ON m.g = ax.g AND m.idx = reg.idx),
+      s AS (SELECT g, CAST(SUM(CAST(power(2, 41 - mreg) AS BIGINT)) AS BIGINT) AS ssum
+            FROM f GROUP BY g),
+      ex AS (SELECT l_returnflag AS g, COUNT(DISTINCT l_orderkey) AS n_exact
+             FROM lineitem GROUP BY 1)
+      SELECT s.g AS l_returnflag, $HllC / CAST(s.ssum AS DOUBLE) AS hll_estimate,
+             ex.n_exact
+      FROM s JOIN ex USING (g) ORDER BY l_returnflag""",
     // the CMS counter matrix replays exactly: same md5-prefix row hashes,
     // same 4×512 geometry, so even collision-inflated estimates hash-gate
     "b05_countmin" -> """
