@@ -112,12 +112,51 @@ object ScaleQueries {
       .orderBy($"o_orderkey")
   }
 
+  /** B3 (r7): dynamic partition pruning end to end — the star-join scan
+    * reducer every partitioned lakehouse leans on: the fact table is
+    * hive-partitioned by year, the (tiny, broadcast) year dimension
+    * carries the selective predicate, and Catalyst injects the dim's
+    * surviving keys into the fact scan's partition filters at RUNTIME,
+    * so non-matching partitions are never listed or read. The query
+    * ASSERTS the dynamicpruning expression is present in the fact scan
+    * (otherwise the gate would certify a full-scan plan — the
+    * b03_range_join_sql discipline) and the oracle replays the naive
+    * filter, so the green hash proves pruning lost no rows. */
+  def dppJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_dpp_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    Tables.orders(s, dir)
+      .withColumn("o_year", year($"o_orderdate").cast("int"))
+      .write.partitionBy("o_year").parquet(store)
+    val fact = s.read.parquet(store)
+    val dim = s.range(1990, 2010)
+      .select($"id".cast("int").as("d_year"), ($"id" >= 1999).as("is_recent"))
+    val out = fact.join(broadcast(dim),
+        $"o_year" === $"d_year" && $"is_recent")
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(12,2)").cast("decimal(28,2)"))
+          .cast("double").as("revenue"))
+      .orderBy($"o_year")
+    val phys = out.queryExecution.executedPlan.toString
+    require(phys.contains("dynamicpruning"),
+      "b03_dpp_join: no dynamicpruning expression in the fact scan — the gate " +
+        "would certify a full-scan plan instead of runtime partition pruning")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b03_join_salted" -> (saltedJoinQuery _),
     "b04_salted_agg" -> (saltedAggQuery _),
     "b01_zorder_key" -> (zorderKeyQuery _),
     "b01_time_travel" -> (timeTravelQuery _),
     "b01_stats_skipping" -> (statsSkippingQuery _),
+    "b03_dpp_join" -> (dppJoinQuery _),
   )
 
   /** The z-key oracle replays the same interleave with SQL shift/mask
@@ -141,6 +180,16 @@ object ScaleQueries {
       SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       ORDER BY l_orderkey, l_linenumber
+    """,
+    // the naive filter over the unpartitioned table — identical rows
+    // whether or not the engine pruned partitions
+    "b03_dpp_join" -> """
+      SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS o_year,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE year(CAST(o_orderdate AS TIMESTAMP)) >= 1999
+      GROUP BY 1 ORDER BY 1
     """,
     // the naive full-table filter: a pruned read that lost a file's rows
     // (or skipped the residual predicate) hash-mismatches here
