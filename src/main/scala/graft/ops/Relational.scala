@@ -705,6 +705,64 @@ object Relational {
          CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem""")
       .mkString(" UNION ALL ") + " ORDER BY column_name"
 
+  /** Benford expected first-digit shares in ppb — log10(1 + 1/d)
+    * computed at AUTHOR time (the literal-constants device: libm runs
+    * here once, never in either engine), so the comparison is exact
+    * integer arithmetic cross-engine. */
+  private[ops] val BenfordPpb: Seq[(Int, Long)] = Seq(
+    1 -> 301029996L, 2 -> 176091259L, 3 -> 124938737L, 4 -> 96910013L,
+    5 -> 79181246L, 6 -> 66946790L, 7 -> 57991947L, 8 -> 51152522L,
+    9 -> 45757491L)
+
+  /** B4 (r7): Benford first-digit audit — the classic fraud /
+    * data-quality screen: the observed first-significant-digit
+    * distribution of order totals beside Benford's law expectation,
+    * with the signed ppb deviation. The digit is extracted
+    * ARITHMETICALLY from the exact integer cents via the decimal
+    * string length (BIGINT→VARCHAR is identical cross-engine; a
+    * float's leading digit via log10 would land on libm and never
+    * gate); ×100 to cents shifts the decimal point and cannot change
+    * the leading significant digit. One combinable digit count + a
+    * 9-row broadcast constant table; a digit with zero observations
+    * still reports (dense axis). */
+  def benfordQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = round($"o_totalprice" * 100).cast("long")
+    val obs = Tables.orders(s, dir)
+      .select(expr(
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val exp = BenfordPpb.toDF("digit", "exp_ppb")
+    val tot = obs.agg(sum($"n").as("total"))
+    broadcast(exp).join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"digit", coalesce($"n", lit(0L)).as("n"),
+        expr("(coalesce(n, 0) * 1000000000) div total").as("obs_ppb"), $"exp_ppb")
+      .withColumn("dev_ppb", $"obs_ppb" - $"exp_ppb")
+      .orderBy($"digit")
+  }
+
+  /** B10 (r7): day-of-week × hour-of-day activity heatmap — the
+    * engagement matrix every analytics UI renders. Both axes are exact
+    * integer epoch arithmetic ((days+3) % 7 with Monday = 0, hours mod
+    * 24 — never the engines' dayofweek()/weekday(), whose start-of-week
+    * and indexing conventions differ), counts + exact ppb share of
+    * total. One map-side-combinable aggregate over the scan. */
+  def activityHeatmapQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .select(expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"))
+      .select(pmod(expr("sec div 86400") + 3, lit(7)).as("dow"),
+        pmod(expr("sec div 3600"), lit(24)).as("hour"))
+      .groupBy($"dow", $"hour").agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum($"n").as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select($"dow", $"hour", $"n",
+        expr("(n * 1000000000) div total").as("share_ppb"))
+      .orderBy($"dow", $"hour")
+  }
+
   /** HLL geometry of [[hllPortable]]: p=8 → m=256 registers, 40-bit
     * rank field, α_m bias constant. Exposed for the spec. */
   private[ops] val HllP = 8
@@ -1043,6 +1101,8 @@ object Relational {
     "b05_countmin" -> (countMin _),
     "b01_profile" -> (profileQuery _),
     "b05_hll_portable" -> (hllPortableQuery _),
+    "b04_benford" -> (benfordQuery _),
+    "b10_activity_heatmap" -> (activityHeatmapQuery _),
     "b03_fuzzy_join" -> (fuzzyJoinQuery _),
     "b05_histogram" -> (histogram _),
     "b05_equidepth" -> ((s: SparkSession, dir: String) => equiDepthHistogram(s, dir)),
@@ -1339,6 +1399,32 @@ object Relational {
       FROM base b JOIN pct p USING (l_returnflag)
       ORDER BY b.l_returnflag""",
     "b01_profile" -> profileOracle,
+    // digit from the BIGINT cents' decimal string (identical
+    // cross-engine); expectation = author-time log10 literals
+    "b04_benford" -> s"""
+      WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1),
+      exp AS (SELECT * FROM (VALUES ${BenfordPpb.map { case (d, p) => s"($d, ${p}::BIGINT)" }.mkString(", ")}) AS t(digit, exp_ppb)),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+      SELECT e.digit, COALESCE(o.n, 0) AS n,
+        (COALESCE(o.n, 0) * 1000000000) // t.total AS obs_ppb,
+        e.exp_ppb,
+        (COALESCE(o.n, 0) * 1000000000) // t.total - e.exp_ppb AS dev_ppb
+      FROM exp e LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+      ORDER BY e.digit""",
+    // exact integer epoch axes: (days+3) % 7 (Monday = 0), hours % 24 —
+    // never the engines' divergent dayofweek conventions
+    "b10_activity_heatmap" -> """
+      WITH c AS (
+        SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400) + 3) % 7 AS dow,
+               (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) % 24 AS hour,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+      SELECT c.dow, c.hour, c.n, (c.n * 1000000000) // t.total AS share_ppb
+      FROM c CROSS JOIN t ORDER BY c.dow, c.hour""",
     // the identical register file from the portable 48-bit md5 hashes;
     // rank via length(bin(w)) — minimal binary string in both engines —
     // and the harmonic sum exact in BIGINT, one final IEEE division
