@@ -196,6 +196,43 @@ object Probe {
       run(s"stress_e03_${reps}x", ops.IngestPipeline.ingestReport(arrivals, rk))
       docs.unpersist()
     }
+    if (sys.env.contains("PROBE_STRESS_E05")) {
+      // e05 composition scaling (the E0304 pattern): the eval-suite
+      // builder on a 1× vs k× disjoint corpus replica — ids shifted,
+      // sources AND token content suffixed per replica so replicas share
+      // no gram (cross-replica contamination joins would otherwise grow
+      // the gram fan-out by k and unfairly super-linearize the probe) and
+      // the held-out-source pool replicates structure. Every e05 stage is
+      // claimed linear (scan gates, one distinct, one gram equi-join
+      // driven by the ~10% eval side, a per-lang window on the reduced
+      // pool), so the k× wall should stay well under k.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val reps = sys.env.getOrElse("PROBE_STRESS_E05", "8").toInt
+      val docs = Tables.documents(spark, dir).select(
+        col("doc_id"), col("text"), col("lang"), col("source")).cache()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val off = ((maxId / 50) + 1) * 50
+      def suffixed(r: Int): DataFrame = docs
+        .crossJoin(spark.range(r).toDF("rep"))
+        .select((col("doc_id") + col("rep") * off).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_r"), col("rep").cast("string"))), " ").as("text"),
+          col("lang"),
+          concat(col("source"), lit("_r"), col("rep").cast("string")).as("source"))
+        .cache()
+      def run(name: String, df: => DataFrame): Unit = {
+        time(name) { df.write.format("noop").mode("overwrite").save() }
+        spark.catalog.clearCache()
+      }
+      val e1 = suffixed(1); println(s"  e05 1x docs=${e1.count()}")
+      run("stress_e05_warm", ops.EvalPipeline.evalSuite(e1))
+      val e1b = suffixed(1); e1b.count() // materialized 1x baseline
+      run("stress_e05_1x", ops.EvalPipeline.evalSuite(e1b))
+      val ek = suffixed(reps); println(s"  e05 ${reps}x docs=${ek.count()}")
+      run(s"stress_e05_${reps}x", ops.EvalPipeline.evalSuite(ek))
+      docs.unpersist()
+    }
     if (sys.env.contains("PROBE_STRESS_PPJOIN")) {
       // b12_ppjoin scaling (the PROBE_STRESS_PIPE pattern): the prefix
       // join's candidate cost is Σ df(prefix gram)² over the RAREST
