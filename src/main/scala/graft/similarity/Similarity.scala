@@ -153,6 +153,59 @@ object Similarity {
   def mmrQuery(s: SparkSession, dir: String): DataFrame =
     mmrSelect(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
 
+  /** B12 (r7): scalar-quantization (SQ8) ANN — the third index
+    * compression family beside PQ and IVF-PQ (FAISS's
+    * IndexScalarQuantizer): each dimension is affinely mapped to one
+    * byte using per-dimension [min, max] trained from the corpus, so a
+    * 64-dim vector costs 64 bytes and distances decode by a per-dim
+    * rescale. Served EXACTLY: the encoded-and-rescaled coordinate
+    * w8_d = ⌊(v_d − mn_d)·255 / rng_d⌋ · rng_d is an integer, and the
+    * ranking distance Σ (w8a − w8b)² is a BIGINT (≤ 64·(2·10⁶)² —
+    * nowhere near overflow), computed through the fused `dot_q` kernel
+    * on the difference vector — no float anywhere, so the LOSSY
+    * quantizer itself hash-gates (the b05_countmin discipline). The
+    * 64-row (mn, rng) table is collected once and embedded as literal
+    * arrays (the sign-LSH planes device — constants at plan-build
+    * time, encode stays scan-side with zero extra shuffle); the oracle
+    * re-derives identical mins/maxes relationally. Constant dimensions
+    * (rng = 0) encode to 0 on both sides. */
+  def sqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .cache()
+    val dims = e.select(posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("d")).collect()
+    val mnL = dims.map(_.getLong(1))
+    val rngL = dims.map(r => r.getLong(2) - r.getLong(1))
+    val enc = e
+      .withColumn("mnL", array(mnL.map(lit).toIndexedSeq: _*))
+      .withColumn("rngL", array(rngL.map(lit).toIndexedSeq: _*))
+      .select(col("vec_id"), expr(
+        s"transform(sequence(0, ${mnL.length - 1}), i -> " +
+          "CASE WHEN rngL[i] = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE ((q[i] - mnL[i]) * 255) div rngL[i] * rngL[i] END)").as("w8"))
+      .cache()
+    val qs = enc.filter(queryPred).toDF("query_id", "wq")
+    val nQ = qs.count()
+    require(nQ <= MaxBroadcastQueries,
+      s"sqTopK: $nQ query vectors exceed the broadcast ceiling")
+    val diff = zip_with(col("wq"), col("wv"), (a, b) => a - b)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_dist"), col("vec_id"))
+    val out = enc.toDF("vec_id", "wv")
+      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), dotQ(diff, diff).as("sq_dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("sq_dist"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+      .localCheckpoint(true)
+    enc.unpersist(); e.unpersist()
+    out
+  }
+
+  def sqTopKQuery(s: SparkSession, dir: String): DataFrame =
+    sqTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+
   /** Hard ceiling on the broadcast query-set size for [[bruteForceTopK]].
     * At ~(4 + 8·dims) bytes per quantized vector, 100k 64-dim queries is
     * ≈52 MB — the most a forced broadcast should ever carry. */
@@ -858,6 +911,7 @@ object Similarity {
     "b12_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
     "b12_range_search" -> (rangeSearchQuery _),
     "b12_mmr" -> (mmrQuery _),
+    "b12_sq_topk" -> (sqTopKQuery _),
   )
 
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
@@ -1171,6 +1225,28 @@ object Similarity {
     // greedy MMR unrolled to MmrK rounds over the shared brute chain;
     // each round's argmax replays the (mmr DESC, vec_id) window exactly
     "b12_mmr" -> mmrOracleSql,
+    // SQ8: per-dim [min,max] re-derived relationally; w8 and the BIGINT
+    // squared distance replay the exact integer encode bit-for-bit
+    "b12_sq_topk" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      dims AS (SELECT CAST(s.d AS INT) AS d, MIN(q[s.d + 1]) AS mn, MAX(q[s.d + 1]) AS mx
+               FROM e, UNNEST(range(0, 64)) AS s(d) GROUP BY 1),
+      enc AS (SELECT e.vec_id, CAST(s.d AS INT) AS d,
+                CASE WHEN dm.mx = dm.mn THEN 0
+                     ELSE ((q[s.d + 1] - dm.mn) * 255) // (dm.mx - dm.mn) * (dm.mx - dm.mn)
+                END AS w8
+              FROM e, UNNEST(range(0, 64)) AS s(d)
+              JOIN dims dm ON dm.d = CAST(s.d AS INT)),
+      qs AS (SELECT vec_id AS query_id, d, w8 FROM enc WHERE vec_id % 100 = 0),
+      dist AS (SELECT q.query_id, c.vec_id,
+                 CAST(SUM((q.w8 - c.w8) * (q.w8 - c.w8)) AS BIGINT) AS sq_dist
+               FROM qs q JOIN enc c ON c.d = q.d AND c.vec_id <> q.query_id
+               GROUP BY 1, 2)
+      SELECT query_id, vec_id, sq_dist, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY sq_dist, vec_id) AS INT) AS rn
+        FROM dist) WHERE rn <= 10
+      ORDER BY query_id, rn""",
     // the τ cut over the shared brute chain — per-query neighbor count
     // is data-dependent, (query_id, vec_id) order total
     "b12_range_search" -> s"""

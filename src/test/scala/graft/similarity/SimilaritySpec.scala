@@ -312,6 +312,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ8: quantized ranking keeps cluster mates first; constant dims harmless (B12, r7)") {
+    // the shared two-cluster fixture: probe 0's nearest under ANY
+    // monotone distance are its cluster mates 1, 2
+    val top = Similarity.sqTopK(embeddings, col("vec_id") === 0, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(top.map(_._1).toSeq === Seq(1L, 2L))
+    // distances are monotone with the true ordering on this fixture
+    assert(top(0)._2 <= top(1)._2)
+    // every dimension except the active axes is CONSTANT zero across the
+    // corpus (rng = 0) — the encode must not divide by zero and absent
+    // axes contribute nothing; determinism across runs
+    val again = Similarity.sqTopK(embeddings, col("vec_id") === 0, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === top.toSeq)
+  }
+
   test("MMR: diversity demotes the near-duplicate of an earlier pick (B12, r7)") {
     // probe 0 on axis 0. Candidates: 1 and 2 near-identical tilted
     // vectors (rel ≈ .95/.94, mutual sim ≈ 1), 10 moderately relevant
