@@ -206,6 +206,22 @@ object Similarity {
   def sqTopKQuery(s: SparkSession, dir: String): DataFrame =
     sqTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
 
+  /** B12 (r7): the SQ acceptance gate — recall@10 of the SQ8 ranking
+    * vs the exact brute-force neighbors, completing the
+    * index-acceptance family (IVF and PQ each have theirs). The SQ8
+    * rank ordering differs from cosine's in principle (squared L2 on
+    * affinely rescaled coordinates vs angle), so the recall report is
+    * exactly the number that says whether 1 byte/dim held rank
+    * fidelity on this corpus. */
+  def sqRecallQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = bruteForceTopK(Tables.embeddings(s, dir),
+      col("vec_id") % 100 === 0, k = RecallK)
+      .select($"query_id", $"vec_id")
+    recallReport(brute,
+      sqTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK))
+  }
+
   /** Hard ceiling on the broadcast query-set size for [[bruteForceTopK]].
     * At ~(4 + 8·dims) bytes per quantized vector, 100k 64-dim queries is
     * ≈52 MB — the most a forced broadcast should ever carry. */
@@ -912,6 +928,7 @@ object Similarity {
     "b12_range_search" -> (rangeSearchQuery _),
     "b12_mmr" -> (mmrQuery _),
     "b12_sq_topk" -> (sqTopKQuery _),
+    "b12_sq_recall" -> (sqRecallQuery _),
   )
 
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
@@ -1059,6 +1076,29 @@ object Similarity {
       SELECT query_id, vec_id, CAST(rank AS INT) AS rank, rel, mmr
       FROM ($unionAll) ORDER BY query_id, rank"""
   }
+
+  /** The SQ8 chain (assumes CTE `e` with vec_id, q) — shared by
+    * b12_sq_topk and the b12_sq_recall acceptance report: per-dim
+    * [min, max] training, exact integer encode-and-rescale, BIGINT
+    * squared distances, the (sq_dist, vec_id) top-10 window. */
+  private lazy val SqChainSql = s"""
+      dims AS (SELECT CAST(s.d AS INT) AS d, MIN(q[s.d + 1]) AS mn, MAX(q[s.d + 1]) AS mx
+               FROM e, UNNEST(range(0, 64)) AS s(d) GROUP BY 1),
+      enc AS (SELECT e.vec_id, CAST(s.d AS INT) AS d,
+                CASE WHEN dm.mx = dm.mn THEN 0
+                     ELSE ((q[s.d + 1] - dm.mn) * 255) // (dm.mx - dm.mn) * (dm.mx - dm.mn)
+                END AS w8
+              FROM e, UNNEST(range(0, 64)) AS s(d)
+              JOIN dims dm ON dm.d = CAST(s.d AS INT)),
+      sqq AS (SELECT vec_id AS query_id, d, w8 FROM enc WHERE vec_id % 100 = 0),
+      sqdist AS (SELECT q.query_id, c.vec_id,
+                   CAST(SUM((q.w8 - c.w8) * (q.w8 - c.w8)) AS BIGINT) AS sq_dist
+                 FROM sqq q JOIN enc c ON c.d = q.d AND c.vec_id <> q.query_id
+                 GROUP BY 1, 2),
+      sqtop AS (SELECT query_id, vec_id, sq_dist, rn FROM (
+                  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sq_dist, vec_id) AS INT) AS rn
+                  FROM sqdist) WHERE rn <= 10)"""
 
   /** The full PQ/ADC chain (assumes CTE `e` with vec_id, q, is_q) —
     * shared by b12_pq_topk and the b12_pq_recall acceptance report. */
@@ -1229,24 +1269,28 @@ object Similarity {
     // squared distance replay the exact integer encode bit-for-bit
     "b12_sq_topk" -> s"""
       WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
-      dims AS (SELECT CAST(s.d AS INT) AS d, MIN(q[s.d + 1]) AS mn, MAX(q[s.d + 1]) AS mx
-               FROM e, UNNEST(range(0, 64)) AS s(d) GROUP BY 1),
-      enc AS (SELECT e.vec_id, CAST(s.d AS INT) AS d,
-                CASE WHEN dm.mx = dm.mn THEN 0
-                     ELSE ((q[s.d + 1] - dm.mn) * 255) // (dm.mx - dm.mn) * (dm.mx - dm.mn)
-                END AS w8
-              FROM e, UNNEST(range(0, 64)) AS s(d)
-              JOIN dims dm ON dm.d = CAST(s.d AS INT)),
-      qs AS (SELECT vec_id AS query_id, d, w8 FROM enc WHERE vec_id % 100 = 0),
-      dist AS (SELECT q.query_id, c.vec_id,
-                 CAST(SUM((q.w8 - c.w8) * (q.w8 - c.w8)) AS BIGINT) AS sq_dist
-               FROM qs q JOIN enc c ON c.d = q.d AND c.vec_id <> q.query_id
-               GROUP BY 1, 2)
-      SELECT query_id, vec_id, sq_dist, rn FROM (
-        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-          ORDER BY sq_dist, vec_id) AS INT) AS rn
-        FROM dist) WHERE rn <= 10
+      $SqChainSql
+      SELECT query_id, vec_id, sq_dist, rn FROM sqtop
       ORDER BY query_id, rn""",
+    // the SQ acceptance gate: recall@10 of the SQ ranking vs brute
+    // (shared sq chain + shared brute chain — one definition each)
+    "b12_sq_recall" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      $SqChainSql,
+      $BruteSimsSql,
+      btop AS (SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS rn FROM sims) WHERE rn <= 10),
+      hits AS (SELECT s.query_id, COUNT(*) AS n_hits
+               FROM sqtop s JOIN btop b
+                 ON b.query_id = s.query_id AND b.vec_id = s.vec_id
+               GROUP BY s.query_id),
+      bc AS (SELECT query_id, COUNT(*) AS n_brute FROM btop GROUP BY query_id)
+      SELECT bc.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+             CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / LEAST(10, bc.n_brute) AS recall_at_10
+      FROM bc
+      LEFT JOIN hits h USING (query_id)
+      ORDER BY query_id""",
     // the τ cut over the shared brute chain — per-query neighbor count
     // is data-dependent, (query_id, vec_id) order total
     "b12_range_search" -> s"""
