@@ -57,6 +57,7 @@ object EvalPipeline {
       .select($"doc_id", $"text", $"lang", $"source",
         pmod(conv(substring(md5($"source"), 1, 8), 16, 10).cast("long"),
           lit(100L)).as("gb"))
+      .cache() // the pool filter and the gram build both consume it
     val evalPool = qual.filter($"gb" >= 90)
     val g8 = qual.select($"doc_id", $"gb", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 8)
@@ -68,14 +69,16 @@ object EvalPipeline {
     val contaminated = g8.filter($"gb" >= 90).join(trainGrams, Seq("gram"))
       .select($"doc_id").distinct()
     val w = Window.partitionBy($"lang").orderBy($"sel_key", $"doc_id")
-    evalPool.join(contaminated, Seq("doc_id"), "left_anti")
+    val out = evalPool.join(contaminated, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"source",
         size(split($"text", " ")).cast("long").as("n_tokens"),
         md5(concat(lit("ev:"), $"doc_id".cast("string"))).as("sel_key"))
       .withColumn("slot", row_number().over(w))
       .filter($"slot" <= capPerLang)
       .select($"lang", $"slot", $"doc_id", $"source", $"n_tokens")
-      .orderBy($"lang", $"slot")
+      .localCheckpoint(true) // budget-sized; lets the qual cache release
+    qual.unpersist()
+    out.orderBy($"lang", $"slot")
   }
 
   def evalSuiteQuery(s: SparkSession, dir: String): DataFrame =

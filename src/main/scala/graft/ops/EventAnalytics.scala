@@ -607,12 +607,14 @@ object EventAnalytics {
     val pu = events.groupBy(col("user_id"))
       .agg(to_date(min(col("ts"))).as("first_day"),
         to_date(max(col("ts"))).as("last_day"))
+      .localCheckpoint(true) // user-scale; horizon and u both consume it
     val h = pu.agg(max(col("last_day")).as("horizon"))
     val u = pu.crossJoin(broadcast(h))
       .select(col("user_id"),
         expr("datediff(last_day, first_day) div 7").cast("int").as("week"),
         when(datediff(col("horizon"), col("last_day")) >= censorDays, 1L)
           .otherwise(0L).as("churned"))
+      .localCheckpoint(true) // user-scale; wk and the axis both consume it
     val wk = u.groupBy(col("week"))
       .agg(sum(col("churned")).as("n_churned"),
         sum(lit(1L) - col("churned")).as("n_censored"))

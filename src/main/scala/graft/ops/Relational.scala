@@ -733,6 +733,7 @@ object Relational {
         "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
         .as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // ≤9 rows; the total must not re-scan orders
     val exp = BenfordPpb.toDF("digit", "exp_ppb")
     val tot = obs.agg(sum($"n").as("total"))
     broadcast(exp).join(obs, Seq("digit"), "left")
@@ -756,6 +757,7 @@ object Relational {
       .select(pmod(expr("sec div 86400") + 3, lit(7)).as("dow"),
         pmod(expr("sec div 3600"), lit(24)).as("hour"))
       .groupBy($"dow", $"hour").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // ≤168 rows; the total must not re-scan events
     val tot = cells.agg(sum($"n").as("total"))
     cells.crossJoin(broadcast(tot))
       .select($"dow", $"hour", $"n",
@@ -786,8 +788,8 @@ object Relational {
   private[ops] def hllEstimates(items: DataFrame): DataFrame = {
     import items.sparkSession.implicits._
     val field = 1L << 40
-    val h = conv(substring(md5(concat(lit("hll:"), $"v")), 1, 12), 16, 10)
-      .cast("long")
+    // fused kernel == the oracle's composed md5 formulation bit-for-bit
+    val h = graft.functions.Md5Prefix(concat(lit("hll:"), $"v"), 12)
     val regs = items.select($"g", h.as("h"))
       .select($"g", expr(s"h div $field").as("idx"),
         (lit(41) - length(bin(pmod($"h", lit(field))))).as("rho"))
@@ -817,9 +819,12 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // the fused Md5Prefix kernel IS the composed conv(substring(md5(·),1,12))
+  // bit-for-bit (property-tested in Md5PrefixSpec) — the oracle SQL keeps
+  // the composed formulation, the hot path skips three string allocations
   private def cmHash(w: Long)(j: Column, k: Column): Column =
-    pmod(conv(substring(md5(concat(lit("cm"), j.cast("string"), lit(":"), k)),
-      1, 12), 16, 10).cast("long"), lit(w))
+    pmod(graft.functions.Md5Prefix(
+      concat(lit("cm"), j.cast("string"), lit(":"), k), 12), lit(w))
 
   /** The d×w counter matrix for `items` (single string column `k`) —
     * split out so the streaming sink can fold per-batch matrices

@@ -112,6 +112,7 @@ object Relational2 {
           .cast("long"), lit(k.toLong)).as("fold"), $"n_chars")
       .groupBy($"fold")
       .agg(count(lit(1)).as("n_val_docs"), sum($"n_chars").as("val_chars"))
+      .localCheckpoint(true) // k rows; the total must not re-scan the corpus
     val tot = folds.agg(sum($"n_val_docs").as("total_docs"),
       sum($"val_chars").as("total_chars"))
     folds.crossJoin(broadcast(tot))
