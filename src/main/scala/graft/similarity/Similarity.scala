@@ -594,6 +594,35 @@ object Similarity {
   def kMeansQuery(s: SparkSession, dir: String): DataFrame =
     kMeans(Tables.embeddings(s, dir))
 
+  /** B12 (r7): per-cluster inertia — the within-cluster sum of squared
+    * distances every k-means elbow/quality readout plots, served EXACTLY:
+    * Σ‖x − μ_c‖² has the closed form (n·Σ‖x‖² − ‖Σx‖²)/n, so the
+    * n-SCALED inertia n·Σ‖x‖² − ‖Σx‖² is a pure BIGINT of the quantized
+    * coordinates (no rational centroid ever materializes; consumers
+    * divide by n at display). One pass over the assigned corpus: count,
+    * Σ dot(q,q) through the fused kernel, and the element-wise vector
+    * sum via the single-buffer [[graft.functions.VecSumAgg]]; ‖Σx‖² is
+    * dot_q of the k-row sums with themselves. Magnitudes: n·Σ‖x‖² stays
+    * under 2⁶³ through sf0.1 corpus scale; beyond that the same
+    * aggregate emits DECIMAL(38,0) unchanged. Completes the clustering
+    * family's acceptance story (assignment gate: b12_kmeans; usage:
+    * b12_semdedup; quality: this). */
+  def inertiaOf(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val asg = kMeans(embeddings, k, iters).select(col("vec_id"), col("cluster_id"))
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val vsum = udaf(new graft.functions.VecSumAgg)
+    e.join(asg, "vec_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(dotQ(col("q"), col("q"))).as("sq2"),
+        vsum(col("q")).as("sv"))
+      .select(col("cluster_id"), col("n"),
+        (col("n") * col("sq2") - dotQ(col("sv"), col("sv"))).as("inertia_n"))
+      .orderBy(col("cluster_id"))
+  }
+
+  def inertiaQuery(s: SparkSession, dir: String): DataFrame =
+    inertiaOf(Tables.embeddings(s, dir))
+
   /** B12 (r7): SemDeDup (Abbas et al. 2023) — semantic deduplication in
     * embedding space: cluster the corpus with [[kMeans]], then inside
     * each cluster drop every vector that has a SMALLER-id cluster-mate
@@ -929,6 +958,7 @@ object Similarity {
     "b12_mmr" -> (mmrQuery _),
     "b12_sq_topk" -> (sqTopKQuery _),
     "b12_sq_recall" -> (sqRecallQuery _),
+    "b12_inertia" -> (inertiaQuery _),
   )
 
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
@@ -1164,6 +1194,19 @@ object Similarity {
       WITH ${kMeansCtes(8, 3)}
       SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sim FROM kassign
       ORDER BY vec_id""",
+    // n-scaled exact inertia over the same Lloyd chain: n·Σ|x|² − |Σx|²
+    // all in integer arithmetic (HUGEINT intermediates cast at the end)
+    "b12_inertia" -> s"""
+      WITH ${kMeansCtes(8, 3)},
+      pd AS (SELECT cid, CAST(s.d AS INT) AS d, CAST(SUM(q[s.d + 1]) AS BIGINT) AS sd
+             FROM kassign, UNNEST(range(0, 64)) AS s(d) GROUP BY 1, 2),
+      sq AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(${dotSql("q", "q")}) AS BIGINT) AS sq2
+             FROM kassign GROUP BY cid),
+      d2 AS (SELECT cid, CAST(SUM(sd * sd) AS BIGINT) AS sd2 FROM pd GROUP BY cid)
+      SELECT CAST(sq.cid AS BIGINT) AS cluster_id, sq.n,
+             sq.n * sq.sq2 - d2.sd2 AS inertia_n
+      FROM sq JOIN d2 USING (cid) ORDER BY cluster_id""",
     // SemDeDup: the k=32/2-iteration Lloyd chain (same audited kernel)
     // feeding the within-cluster keep-first pair stage
     "b12_semdedup" -> s"""

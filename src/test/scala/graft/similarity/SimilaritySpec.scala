@@ -312,6 +312,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("inertia: n-scaled closed form equals brute Σ over the assignment (B12, r7)") {
+    val out = Similarity.inertiaOf(embeddings, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // brute-force recompute: same assignment, per-cluster n·Σ|x|² − |Σx|²
+    val asg = Similarity.kMeans(embeddings, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = embeddings.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(v => math.round(v * 1000).toLong)).toMap
+    asg.groupBy(_._2).foreach { case (c, members) =>
+      val qs = members.keys.toSeq.map(vecs)
+      val n = qs.length.toLong
+      val sq2 = qs.map(q => q.map(x => x * x).sum).sum
+      val sv = qs.transpose.map(_.sum)
+      val expect = n * sq2 - sv.map(x => x * x).sum
+      assert(out(c) === ((n, expect)), s"cluster $c")
+      assert(expect >= 0L) // Σ|x−μ|² is nonnegative, scaled or not
+    }
+  }
+
   test("SQ8: quantized ranking keeps cluster mates first; constant dims harmless (B12, r7)") {
     // the shared two-cluster fixture: probe 0's nearest under ANY
     // monotone distance are its cluster mates 1, 2
