@@ -717,6 +717,48 @@ object GraphOps {
   def hitsQuery(s: SparkSession, dir: String): DataFrame =
     hitsOf(buyerPartEdges(s, dir), 20)
 
+  /** B16 (r7): Newman-Girvan modularity of the LPA communities — THE
+    * community-quality number (how much denser inside communities than
+    * a degree-preserving random graph): Q = Σ_c [m_c/m − (d_c/2m)²].
+    * Served per community with the n-scaled EXACT contribution
+    * 4·m·m_c − d_c² (BIGINT — m is thousands, no overflow) and the
+    * one-division IEEE q_contrib (the assortativity device; Q itself
+    * is the gated column sum). Completes the community family's
+    * acceptance story: detector (b16_lpa) + quality gate (this) — the
+    * same detector/report pairing as kmeans/inertia and the ANN recall
+    * gates.
+    *
+    * Scale: two label equi-joins onto the edge set + one degree join +
+    * combinable per-community aggregates — nothing beyond the LPA
+    * round shape; the edge count is ONE driver scalar (metadata). */
+  def modularityOf(edgeSet: DataFrame, rounds: Int): DataFrame = {
+    val edges = edgeSet.localCheckpoint(true) // m + intra + degrees consume it
+    val labels = lpaOf(edges, rounds)
+      .select(col("part_key").as("p"), col("community"))
+      .localCheckpoint(true)
+    val m = edges.count()
+    val intra = edges
+      .join(labels.select(col("p").as("u"), col("community").as("cu")), "u")
+      .join(labels.select(col("p").as("v"), col("community").as("cv")), "v")
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val ds = degreesOf(edges).join(labels, "p")
+      .groupBy(col("community"))
+      .agg(sum(col("degree")).as("degree_sum"), count(lit(1)).as("n_members"))
+    ds.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_members"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"))
+      .withColumn("contribution_scaled",
+        lit(4L * m) * col("intra_edges") - col("degree_sum") * col("degree_sum"))
+      .withColumn("q_contrib",
+        col("contribution_scaled").cast("double") / lit(4.0 * m * m))
+      .orderBy(col("community"))
+  }
+
+  def modularityQuery(s: SparkSession, dir: String): DataFrame =
+    modularityOf(strongEdges(s, dir), LpaRounds)
+
   /** B16 (r7): degree assortativity (Newman 2002) — the one-number
     * mixing summary every graph profile reports: the Pearson correlation
     * of endpoint degrees over edges (positive = hubs attach to hubs,
@@ -772,6 +814,7 @@ object GraphOps {
     "b16_resource_alloc" -> (resourceAllocQuery _),
     "b16_squares" -> (squaresQuery _),
     "b16_hits" -> (hitsQuery _),
+    "b16_modularity" -> (modularityQuery _),
     "b16_assortativity" -> (assortativityQuery _),
   )
 
@@ -799,7 +842,10 @@ object GraphOps {
     * per round the (vertex, neighbor-label) count and the
     * (cnt DESC, label) argmax, replaying [[lpaOf]]'s min_by struct
     * order exactly (the kCore/kTruss unrolled-replay device). */
-  private def lpaOracleSql: String = {
+  /** The synchronous-LPA CTE chain through `l{LpaRounds}` — ONE
+    * definition shared by the lpa and modularity oracles (the
+    * kMeansCtes factoring discipline). */
+  private def lpaChainCtes: String = {
     val rounds = (1 to LpaRounds).map { i =>
       s"""c$i AS (SELECT s.x, l.label, COUNT(*) AS cnt
               FROM sym s JOIN l${i - 1} l ON l.x = s.nbr GROUP BY s.x, l.label),
@@ -807,16 +853,40 @@ object GraphOps {
                 SELECT x, label, ROW_NUMBER() OVER (PARTITION BY x
                   ORDER BY cnt DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
     }.mkString(",\n      ")
-    s"""
-      WITH $OracleStrongEdges,
+    s"""$OracleStrongEdges,
       sym AS (SELECT u AS x, v AS nbr FROM we UNION ALL SELECT v AS x, u AS nbr FROM we),
       l0 AS (SELECT DISTINCT x, x AS label FROM sym),
-      $rounds,
+      $rounds"""
+  }
+
+  private def lpaOracleSql: String = s"""
+      WITH $lpaChainCtes,
       sizes AS (SELECT label, COUNT(*) AS community_size FROM l$LpaRounds GROUP BY label)
       SELECT l.x AS part_key, l.label AS community, s.community_size
       FROM l$LpaRounds l JOIN sizes s USING (label)
       ORDER BY part_key"""
-  }
+
+  private def modularityOracleSql: String = s"""
+      WITH $lpaChainCtes,
+      lab AS (SELECT x AS p, label AS community FROM l$LpaRounds),
+      mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM we),
+      intra AS (SELECT lu.community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+                FROM we JOIN lab lu ON lu.p = we.u JOIN lab lv ON lv.p = we.v
+                WHERE lu.community = lv.community GROUP BY 1),
+      deg AS (SELECT p, COUNT(*) AS degree FROM (
+                SELECT u AS p FROM we UNION ALL SELECT v AS p FROM we) GROUP BY p),
+      ds AS (SELECT lab.community, CAST(SUM(deg.degree) AS BIGINT) AS degree_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+             FROM deg JOIN lab ON lab.p = deg.p GROUP BY 1)
+      SELECT ds.community, ds.n_members,
+        COALESCE(i.intra_edges, 0) AS intra_edges, ds.degree_sum,
+        CAST(4 * mm.m * COALESCE(i.intra_edges, 0)
+             - ds.degree_sum * ds.degree_sum AS BIGINT) AS contribution_scaled,
+        CAST(4 * mm.m * COALESCE(i.intra_edges, 0)
+             - ds.degree_sum * ds.degree_sum AS DOUBLE)
+          / (4.0 * mm.m * mm.m) AS q_contrib
+      FROM ds LEFT JOIN intra i USING (community) CROSS JOIN mm
+      ORDER BY ds.community"""
 
   /** Strong (support-≥ [[ComponentsMinOrders]]) edge CTE — one
     * definition shared by the components and link-predict oracles. */
@@ -840,6 +910,7 @@ object GraphOps {
     "b16_kcore" -> kCoreOracleSql,
     "b16_ktruss" -> kTrussOracleSql,
     "b16_lpa" -> lpaOracleSql,
+    "b16_modularity" -> modularityOracleSql,
     "b16_edge_jaccard" -> s"""
       WITH $OracleEdges, $OracleDegs, $OracleTri,
       tedges AS (SELECT a AS u, b AS v FROM tri UNION ALL

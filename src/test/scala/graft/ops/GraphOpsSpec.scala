@@ -426,6 +426,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.toSeq === expect)
   }
 
+  test("modularity: two cliques with one bridge — positive Q, brute equality (B16, r7)") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(1L to 4L) ++ clique(11L to 14L) :+ (4L, 11L)).toDF("u", "v")
+    val out = GraphOps.modularityOf(edges, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // LPA on this fixture yields one label per clique (pinned in the LPA
+    // spec); modularity must see 2 communities, 6 intra edges each
+    assert(out.length === 2)
+    val m = 13L // 2 cliques of 6 + bridge
+    out.foreach { case (_, n, intra, dsum, contrib, q) =>
+      assert(n === 4L && intra === 6L)
+      assert(contrib === 4 * m * intra - dsum * dsum)
+      assert(q === contrib.toDouble / (4.0 * m * m))
+    }
+    // the two degree sums: 12 + bridge endpoint = 13 each
+    assert(out.map(_._4).toSeq === Seq(13L, 13L))
+    val totalQ = out.map(_._6).sum
+    assert(totalQ > 0.3 && totalQ < 1.0, s"Q=$totalQ") // strongly modular split
+  }
+
   test("squares match brute force on a deterministic random graph (B16, r7)") {
     val raw = (0L until 97L).flatMap(i => Seq(
       (i, (i * 7 + 3) % 97), (i, (i + 1) % 97), (i, (i * 13 + 5) % 97)))
