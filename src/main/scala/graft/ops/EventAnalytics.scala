@@ -690,6 +690,41 @@ object EventAnalytics {
   def growthAccountingQuery(s: SparkSession, dir: String): DataFrame =
     growthAccounting(Tables.events(s, dir))
 
+  /** B10 (r7): SEASONAL outlier gate — the baseline family member the
+    * rolling/MAD/z-score trio lacks: a value that is normal at Friday
+    * 20:00 is a spike at Tuesday 04:00, so the threshold must condition
+    * on the hour-of-week cell, not a global or trailing statistic.
+    * Baseline = exact integer lower median of cents per (dow, hour)
+    * cell (the shared distinct-value device); an event is flagged when
+    * cents > `mult`·median — division-free, bit-replayable. Output is
+    * the per-cell audit: n events, the median baseline, and the
+    * flagged count. Axes are the b10_activity_heatmap exact epoch
+    * integers (never the engines' divergent dayofweek()).
+    *
+    * Scale: the event stream reduces to (cell, cents) scan-side; the
+    * median runs over the price-bounded distinct-value table per cell
+    * (168 partitions); the 168-row baseline broadcasts back onto the
+    * scan for the flag count. No event-scale shuffle beyond the one
+    * combinable aggregate. */
+  def seasonalOutliers(events: DataFrame, mult: Int = 4): DataFrame = {
+    val e = events.select(
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .select((pmod(expr("sec div 86400") + 3, lit(7)) * 24 +
+        pmod(expr("sec div 3600"), lit(24))).as("cell"), col("cents"))
+      .localCheckpoint(true) // the median device and the flag scan share it
+    val med = lowerMedian(e, "cell", "cents")
+    e.join(broadcast(med), Seq("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("median_cents"),
+        sum(when(col("cents") > lit(mult) * col("med"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .orderBy(col("cell"))
+  }
+
+  def seasonalOutliersQuery(s: SparkSession, dir: String): DataFrame =
+    seasonalOutliers(Tables.events(s, dir))
+
   /** B06 (r7 final): per-type z-score standardization — the feature
     * normalization every downstream model expects, as a distributed
     * plan: the event-scale work is ONE map-side-combinable moment
@@ -759,6 +794,7 @@ object EventAnalytics {
     "b10_time_to_convert" -> (timeToConvertQuery _),
     "b10_survival" -> (survivalQuery _),
     "b10_growth_accounting" -> (growthAccountingQuery _),
+    "b10_seasonal_outliers" -> (seasonalOutliersQuery _),
     "b06_zscore" -> (zScoresQuery _),
     "b10_whales" -> (whalesQuery _),
     "b10_attribution" -> (attributionQuery _),
@@ -776,6 +812,27 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // hour-of-week cells from exact epoch integers; per-cell lower
+    // median via the shared distinct-value device; division-free flag
+    "b10_seasonal_outliers" -> """
+      WITH e AS (
+        SELECT (((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400) + 3) % 7) * 24
+                 + (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) % 24 AS cell,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      n AS (SELECT cell, COUNT(*) AS n FROM e GROUP BY cell),
+      dv AS (SELECT cell, cents, COUNT(*) AS w FROM e GROUP BY 1, 2),
+      cum AS (SELECT cell, cents,
+                SUM(w) OVER (PARTITION BY cell ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+              FROM dv),
+      med AS (SELECT c.cell, MIN(c.cents) AS med
+              FROM cum c JOIN n USING (cell)
+              WHERE c.cw * 2 >= n.n GROUP BY c.cell)
+      SELECT e.cell, CAST(COUNT(*) AS BIGINT) AS n, MAX(m.med) AS median_cents,
+        CAST(SUM(CASE WHEN e.cents > 4 * m.med THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      FROM e JOIN med m USING (cell)
+      GROUP BY e.cell ORDER BY e.cell""",
     // exact integer week index (never date_trunc('week') — week-start
     // is an engine convention); SUMs cast to BIGINT
     "b10_growth_accounting" -> """

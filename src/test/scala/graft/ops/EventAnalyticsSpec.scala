@@ -383,6 +383,27 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("seasonal outliers: per-cell median baseline, strict 4x flag boundary (B10)") {
+    // hours 09 and 10 of one day are distinct hour-of-week cells
+    def e(id: Long, h: Int, m: Int, v: Double) =
+      (id, Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00"), 1L, "purchase", v)
+    val rows = (
+      (1 to 5).map(i => e(i, 9, i, 1.00)) ++ Seq(   // five 100c: median 100
+        e(6, 9, 30, 4.00),                          // exactly 4×median: NOT flagged
+        e(7, 9, 40, 4.01),                          // strictly above: flagged
+        e(8, 10, 0, 100.00), e(9, 10, 30, 100.00))  // own cell, own baseline
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.seasonalOutliers(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 2)
+    val (cell9, cell10) = (out.keys.min, out.keys.max)
+    assert(cell10 === cell9 + 1)
+    // lower median of {100×5, 400, 401} = 100; only 401 > 4·100
+    assert(out(cell9) === ((7L, 100L, 1L)))
+    // the 10:00 cell never inherits the 09:00 baseline
+    assert(out(cell10) === ((2L, 10000L, 0L)))
+  }
+
   test("growth accounting: new/retained/resurrected/churned on a hand fixture (B10)") {
     // epoch-day div 7 weeks: Jan 1 / 8 / 15 2024 fall in consecutive
     // distinct index weeks A / B / C (boundaries at Jan 4 and Jan 11)
