@@ -725,6 +725,34 @@ object EventAnalytics {
   def seasonalOutliersQuery(s: SparkSession, dir: String): DataFrame =
     seasonalOutliers(Tables.events(s, dir))
 
+  /** B10 (r7): activity-streak distribution — the gaps-and-islands
+    * classic behind every "longest streak" engagement metric: a user's
+    * consecutive-active-day runs are islands where day − rank(day) is
+    * constant, the per-user longest island is their streak, and the
+    * output is the distribution (streak length → user count) — stable
+    * under corpus growth where a per-user listing would not be. Exact
+    * integer epoch days.
+    *
+    * Scale: one combinable distinct to the user-day table, one
+    * user-partitioned rank window (never global), two combinable
+    * aggregates. The distribution is day-span-bounded. */
+  def streaks(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+        expr("(unix_micros(cast(ts as timestamp)) div 1000000) div 86400").as("day"))
+      .distinct()
+    val grp = uw.withColumn("grp", col("day") -
+      row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day"))))
+    val longest = grp.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id")).agg(max(col("len")).as("longest"))
+    longest.groupBy(col("longest").as("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("streak_days"))
+  }
+
+  def streaksQuery(s: SparkSession, dir: String): DataFrame =
+    streaks(Tables.events(s, dir))
+
   /** B06 (r7 final): per-type z-score standardization — the feature
     * normalization every downstream model expects, as a distributed
     * plan: the event-scale work is ONE map-side-combinable moment
@@ -795,6 +823,7 @@ object EventAnalytics {
     "b10_survival" -> (survivalQuery _),
     "b10_growth_accounting" -> (growthAccountingQuery _),
     "b10_seasonal_outliers" -> (seasonalOutliersQuery _),
+    "b10_streaks" -> (streaksQuery _),
     "b06_zscore" -> (zScoresQuery _),
     "b10_whales" -> (whalesQuery _),
     "b10_attribution" -> (attributionQuery _),
@@ -812,6 +841,21 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // gaps-and-islands: islands keyed by day − rank(day); the histogram
+    // of per-user longest islands
+    "b10_streaks" -> """
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+          (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 86400 AS day
+        FROM events),
+      g AS (SELECT user_id, day,
+              day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+            FROM uw),
+      runs AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2),
+      longest AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS streak_days
+                  FROM runs GROUP BY user_id)
+      SELECT streak_days, COUNT(*) AS n_users
+      FROM longest GROUP BY streak_days ORDER BY streak_days""",
     // hour-of-week cells from exact epoch integers; per-cell lower
     // median via the shared distinct-value device; division-free flag
     "b10_seasonal_outliers" -> """

@@ -404,6 +404,20 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(cell10) === ((2L, 10000L, 0L)))
   }
 
+  test("streaks: gaps-and-islands longest runs on a hand fixture (B10)") {
+    def e(id: Long, d: Int, u: Long) =
+      (id, Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"), u, "view")
+    val rows = Seq(
+      e(1, 1, 1), e(2, 2, 1), e(3, 3, 1), e(4, 5, 1), // u1: 3-run then 1-run → 3
+      e(5, 1, 2), e(6, 1, 2), e(7, 2, 2),             // u2: dup same day → 2
+      e(8, 4, 3),                                     // u3: singleton → 1
+      e(9, 10, 4), e(10, 11, 4), e(11, 12, 4), e(12, 13, 4), // u4 → 4
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.streaks(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("growth accounting: new/retained/resurrected/churned on a hand fixture (B10)") {
     // epoch-day div 7 weeks: Jan 1 / 8 / 15 2024 fall in consecutive
     // distinct index weeks A / B / C (boundaries at Jan 4 and Jan 11)
