@@ -759,6 +759,35 @@ object GraphOps {
   def modularityQuery(s: SparkSession, dir: String): DataFrame =
     modularityOf(strongEdges(s, dir), LpaRounds)
 
+  /** B16 (r7): the one-row graph profile card — the summary every graph
+    * system prints before any analysis runs: order, size, peak degree,
+    * density, triangle count, and the GLOBAL clustering coefficient
+    * 3·triangles / wedges (transitivity — how often two co-purchase
+    * partners are themselves co-purchased). All exact integers with ppb
+    * floor divisions; triangle and wedge counts reuse the materialized
+    * listing and the degree table (zero new kernels — the card is three
+    * 1-row aggregates cross-joined). 2·m·10⁹ stays under 2⁶³ through
+    * sf1-scale edge counts; beyond that the same expressions emit
+    * DECIMAL(38,0). */
+  def graphSummaryQuery(s: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
+    val em = edges.agg(count(lit(1)).as("n_edges"))
+    val ds = degreesOf(edges).agg(
+      count(lit(1)).as("n_vertices"),
+      max(col("degree")).as("max_degree"),
+      sum(expr("(degree * (degree - 1)) DIV 2")).as("n_wedges"))
+    val tr = triangleListing(s, dir)
+      .agg(coalesce(sum(size(col("common")).cast("long")), lit(0L))
+        .as("n_triangles"))
+    ds.crossJoin(broadcast(em)).crossJoin(broadcast(tr))
+      .select(col("n_vertices"), col("n_edges"), col("max_degree"),
+        expr("(2 * n_edges * 1000000000) div (n_vertices * (n_vertices - 1))")
+          .as("density_ppb"),
+        col("n_triangles"),
+        expr("(3 * n_triangles * 1000000000) div n_wedges")
+          .as("global_clustering_ppb"))
+  }
+
   /** B16 (r7): degree assortativity (Newman 2002) — the one-number
     * mixing summary every graph profile reports: the Pearson correlation
     * of endpoint degrees over edges (positive = hubs attach to hubs,
@@ -815,6 +844,7 @@ object GraphOps {
     "b16_squares" -> (squaresQuery _),
     "b16_hits" -> (hitsQuery _),
     "b16_modularity" -> (modularityQuery _),
+    "b16_summary" -> (graphSummaryQuery _),
     "b16_assortativity" -> (assortativityQuery _),
   )
 
@@ -911,6 +941,20 @@ object GraphOps {
     "b16_ktruss" -> kTrussOracleSql,
     "b16_lpa" -> lpaOracleSql,
     "b16_modularity" -> modularityOracleSql,
+    "b16_summary" -> s"""
+      WITH $OracleEdges, $OracleDegs, $OracleTri,
+      em AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+      ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+               CAST(MAX(degree) AS BIGINT) AS max_degree,
+               CAST(SUM((degree * (degree - 1)) // 2) AS BIGINT) AS n_wedges
+             FROM degs),
+      tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri)
+      SELECT ds.n_vertices, em.n_edges, ds.max_degree,
+        (2 * em.n_edges * 1000000000) // (ds.n_vertices * (ds.n_vertices - 1)) AS density_ppb,
+        tr.n_triangles,
+        (3 * tr.n_triangles * 1000000000) // ds.n_wedges AS global_clustering_ppb
+      FROM ds CROSS JOIN em CROSS JOIN tr
+    """,
     "b16_edge_jaccard" -> s"""
       WITH $OracleEdges, $OracleDegs, $OracleTri,
       tedges AS (SELECT a AS u, b AS v FROM tri UNION ALL
