@@ -705,6 +705,39 @@ object Relational {
          CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem""")
       .mkString(" UNION ALL ") + " ORDER BY column_name"
 
+  /** B9 (r7): bitmap-index set algebra — the roaring-bitmap pattern
+    * every OLAP accelerator uses for fast set intersection over a
+    * bounded key domain: each return flag's distinct supplier SET is a
+    * table of ⌈domain/63⌉ BIGINT words (bit j of word w set ⇔ supplier
+    * 63w+j present — 63 bits per word so values stay positive in both
+    * engines, the Bloom-word-table device), built with one combinable
+    * `bit_or` aggregate; pairwise overlap is then Σ bit_count(a & b)
+    * over an equi-join on the word index — set intersection at
+    * bit-parallel speed with NO distinct-value shuffle, and the exact
+    * Jaccard derives from the three counts. At 100 TB the bitmap table
+    * is domain-bounded (not row-bounded), which is the entire point. */
+  def bitmapOpsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("flag"),
+        expr("l_suppkey div 63").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(l_suppkey % 63 AS INT))").as("b"))
+      .groupBy($"flag", $"w").agg(expr("bit_or(b)").as("bits"))
+      .localCheckpoint(true) // sizes and the pair join both consume it
+    val sz = words.groupBy($"flag")
+      .agg(sum(expr("bit_count(bits)").cast("long")).as("n"))
+    val px = words.toDF("flag_a", "w", "ba")
+      .join(words.toDF("flag_b", "w", "bb"), "w")
+      .where($"flag_a" < $"flag_b")
+      .groupBy($"flag_a", $"flag_b")
+      .agg(sum(expr("bit_count(ba & bb)").cast("long")).as("n_shared"))
+    px.join(sz.toDF("flag_a", "n_a"), "flag_a")
+      .join(sz.toDF("flag_b", "n_b"), "flag_b")
+      .select($"flag_a", $"flag_b", $"n_shared", $"n_a", $"n_b",
+        expr("(n_shared * 1000000000) div (n_a + n_b - n_shared)").as("jaccard_ppb"))
+      .orderBy($"flag_a", $"flag_b")
+  }
+
   /** Benford expected first-digit shares in ppb — log10(1 + 1/d)
     * computed at AUTHOR time (the literal-constants device: libm runs
     * here once, never in either engine), so the comparison is exact
@@ -1107,6 +1140,7 @@ object Relational {
     "b01_profile" -> (profileQuery _),
     "b05_hll_portable" -> (hllPortableQuery _),
     "b04_benford" -> (benfordQuery _),
+    "b09_bitmap_ops" -> (bitmapOpsQuery _),
     "b10_activity_heatmap" -> (activityHeatmapQuery _),
     "b03_fuzzy_join" -> (fuzzyJoinQuery _),
     "b05_histogram" -> (histogram _),
@@ -1404,6 +1438,24 @@ object Relational {
       FROM base b JOIN pct p USING (l_returnflag)
       ORDER BY b.l_returnflag""",
     "b01_profile" -> profileOracle,
+    // identical 63-bit word layout both engines; bit_or/bit_count/& are
+    // exact integer ops, so the whole bitmap algebra replays
+    "b09_bitmap_ops" -> """
+      WITH wds AS (
+        SELECT l_returnflag AS flag, l_suppkey // 63 AS w,
+          CAST(bit_or(CAST(1 AS BIGINT) << CAST(l_suppkey % 63 AS INT)) AS BIGINT) AS bits
+        FROM lineitem GROUP BY 1, 2),
+      sz AS (SELECT flag, CAST(SUM(bit_count(bits)) AS BIGINT) AS n
+             FROM wds GROUP BY flag),
+      px AS (SELECT a.flag AS flag_a, b.flag AS flag_b,
+               CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_shared
+             FROM wds a JOIN wds b ON a.w = b.w AND a.flag < b.flag
+             GROUP BY 1, 2)
+      SELECT px.flag_a, px.flag_b, px.n_shared, sa.n AS n_a, sb.n AS n_b,
+        (px.n_shared * 1000000000) // (sa.n + sb.n - px.n_shared) AS jaccard_ppb
+      FROM px JOIN sz sa ON sa.flag = px.flag_a
+      JOIN sz sb ON sb.flag = px.flag_b
+      ORDER BY flag_a, flag_b""",
     // digit from the BIGINT cents' decimal string (identical
     // cross-engine); expectation = author-time log10 literals
     "b04_benford" -> s"""
