@@ -753,6 +753,43 @@ object EventAnalytics {
   def streaksQuery(s: SparkSession, dir: String): DataFrame =
     streaks(Tables.events(s, dir))
 
+  /** B10 (r7): cohort LTV curve — cumulative purchase revenue per
+    * (first-activity-day cohort, week offset): the money-weighted
+    * companion of b10_retention (retention says who comes back; LTV
+    * says what they're worth by week w — the payback-period readout
+    * acquisition spend is judged against). Exact integer cents; the
+    * cumulative window is partitioned by cohort and ordered over the
+    * WEEK-OFFSET axis — bounded by the observation span, never by
+    * users or events. Rows exist for observed offsets (a cohort with
+    * no week-3 purchases carries its cumulative forward at the next
+    * observed offset). */
+  def ltv(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val wk = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"),
+        expr("datediff(day, cohort_day) div 7").cast("int").as("week_offset"),
+        col("cents"))
+      .groupBy(col("cohort_day"), col("week_offset"))
+      .agg(sum(col("cents")).as("week_cents"))
+    val cum = Window.partitionBy(col("cohort_day")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_cohort_users"))
+    wk.withColumn("cum_cents", sum(col("week_cents")).over(cum))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
+        col("week_offset"), col("n_cohort_users"),
+        col("week_cents"), col("cum_cents"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
+  def ltvQuery(s: SparkSession, dir: String): DataFrame =
+    ltv(Tables.events(s, dir))
+
   /** B06 (r7 final): per-type z-score standardization — the feature
     * normalization every downstream model expects, as a distributed
     * plan: the event-scale work is ONE map-side-combinable moment
@@ -824,6 +861,7 @@ object EventAnalytics {
     "b10_growth_accounting" -> (growthAccountingQuery _),
     "b10_seasonal_outliers" -> (seasonalOutliersQuery _),
     "b10_streaks" -> (streaksQuery _),
+    "b10_ltv" -> (ltvQuery _),
     "b06_zscore" -> (zScoresQuery _),
     "b10_whales" -> (whalesQuery _),
     "b10_attribution" -> (attributionQuery _),
@@ -841,6 +879,26 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer cents; cumulative over the bounded week-offset axis;
+    // SUMs cast to BIGINT (HUGEINT → pandas float64 otherwise)
+    "b10_ltv" -> """
+      WITH c AS (SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
+                 FROM events GROUP BY user_id),
+      wk AS (SELECT c.cohort_day,
+               date_diff('day', c.cohort_day, CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) // 7 AS week_offset,
+               CAST(SUM(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS week_cents
+             FROM events e JOIN c USING (user_id)
+             WHERE e.event_type = 'purchase'
+             GROUP BY 1, 2),
+      sz AS (SELECT cohort_day, COUNT(*) AS n_cohort_users FROM c GROUP BY cohort_day)
+      SELECT CAST(wk.cohort_day AS TIMESTAMP) AS cohort_day,
+        CAST(wk.week_offset AS INT) AS week_offset,
+        sz.n_cohort_users, wk.week_cents,
+        CAST(SUM(wk.week_cents) OVER (PARTITION BY wk.cohort_day
+          ORDER BY wk.week_offset
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      FROM wk JOIN sz USING (cohort_day)
+      ORDER BY cohort_day, week_offset""",
     // gaps-and-islands: islands keyed by day − rank(day); the histogram
     // of per-user longest islands
     "b10_streaks" -> """

@@ -705,6 +705,30 @@ object Relational {
          CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem""")
       .mkString(" UNION ALL ") + " ORDER BY column_name"
 
+  /** B4 (r7): period-over-period delta decomposition — the "what drove
+    * the change" drill every BI review runs: 1998-vs-1997 revenue per
+    * order priority with the exact signed cents delta, ranked by
+    * magnitude so the headline driver reads first. Exact DECIMAL cents
+    * throughout; NO ppb share division — total deltas can be negative
+    * and `div` truncates toward zero in Spark but floors in DuckDB, so
+    * a signed-share floor division would diverge cross-engine (the
+    * negative-operand trap; callers derive shares from the gated
+    * deltas). One scan, one combinable conditional-sum aggregate. */
+  def deltaDriversQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val yr = year($"o_orderdate")
+    Tables.orders(s, dir)
+      .filter(yr === 1997 || yr === 1998)
+      .select($"o_orderpriority",
+        when(yr === 1997, money($"o_totalprice")).otherwise(lit(0).cast(Dec)).as("a"),
+        when(yr === 1998, money($"o_totalprice")).otherwise(lit(0).cast(Dec)).as("b"))
+      .groupBy($"o_orderpriority")
+      .agg((sum($"a") * 100).cast("long").as("rev_1997_cents"),
+        (sum($"b") * 100).cast("long").as("rev_1998_cents"))
+      .withColumn("delta_cents", $"rev_1998_cents" - $"rev_1997_cents")
+      .orderBy(abs($"delta_cents").desc, $"o_orderpriority")
+  }
+
   /** B9 (r7): bitmap-index set algebra — the roaring-bitmap pattern
     * every OLAP accelerator uses for fast set intersection over a
     * bounded key domain: each return flag's distinct supplier SET is a
@@ -1141,6 +1165,7 @@ object Relational {
     "b05_hll_portable" -> (hllPortableQuery _),
     "b04_benford" -> (benfordQuery _),
     "b09_bitmap_ops" -> (bitmapOpsQuery _),
+    "b04_delta_drivers" -> (deltaDriversQuery _),
     "b10_activity_heatmap" -> (activityHeatmapQuery _),
     "b03_fuzzy_join" -> (fuzzyJoinQuery _),
     "b05_histogram" -> (histogram _),
@@ -1438,6 +1463,22 @@ object Relational {
       FROM base b JOIN pct p USING (l_returnflag)
       ORDER BY b.l_returnflag""",
     "b01_profile" -> profileOracle,
+    // exact decimal cents, signed deltas, magnitude rank; no division
+    // (Spark div truncates, DuckDB // floors — diverge on negatives)
+    "b04_delta_drivers" -> """
+      WITH p AS (
+        SELECT o_orderpriority,
+          CAST(SUM(CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1997
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE 0 END) * 100 AS BIGINT) AS rev_1997_cents,
+          CAST(SUM(CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1998
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE 0 END) * 100 AS BIGINT) AS rev_1998_cents
+        FROM orders
+        WHERE year(CAST(o_orderdate AS TIMESTAMP)) IN (1997, 1998)
+        GROUP BY o_orderpriority)
+      SELECT o_orderpriority, rev_1997_cents, rev_1998_cents,
+        rev_1998_cents - rev_1997_cents AS delta_cents
+      FROM p
+      ORDER BY abs(rev_1998_cents - rev_1997_cents) DESC, o_orderpriority""",
     // identical 63-bit word layout both engines; bit_or/bit_count/& are
     // exact integer ops, so the whole bitmap algebra replays
     "b09_bitmap_ops" -> """
