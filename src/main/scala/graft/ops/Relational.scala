@@ -979,6 +979,67 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Sketch size of [[kmvSetOps]] — small enough that the gate runs the
+    * genuinely LOSSY regime (each return flag holds thousands of
+    * distinct order keys at sf0.01, far above 256). */
+  private[ops] val KmvSetK = 256
+
+  /** KMV set-operation estimates over `items` (columns `g` group, `v`
+    * string value): for every group pair, union cardinality, Jaccard
+    * and intersection estimated from the groups' bottom-k sketches
+    * ALONE (Beyer et al., SIGMOD 2007, "On synopses for distinct value
+    * estimation under multiset operations"): the k smallest distinct
+    * hashes of A ∪ B are a subset of K_A ∪ K_B, so the merged sketch
+    * is re-derivable from the per-group sketches; the union estimate is
+    * the plain KMV estimator (k−1)·2^48 div h_k on it, and the Jaccard
+    * estimate is the fraction of merged-sketch members present in BOTH
+    * input sketches. Hashes are the engine-portable 48-bit md5 prefix
+    * and every estimator step is exact BIGINT arithmetic, so the LOSSY
+    * estimates themselves hash-gate (the b05_countmin /
+    * b05_hll_portable discipline). Scale: per-group shuffle partials
+    * are ≤k longs ([[graft.functions.KmvSetSketchAgg]]); the pair
+    * table is group-count-bounded, never row-bounded; all array work
+    * runs on ≤k-element arrays. */
+  private[ops] def kmvSetOpsOf(items: DataFrame, k: Int): DataFrame = {
+    import items.sparkSession.implicits._
+    val sk = udaf(new graft.functions.KmvSetSketchAgg(k))
+    val h = graft.functions.Md5Prefix(concat(lit("kmv:"), $"v"), 12)
+    val sketches = items.select($"g", h.as("h"))
+      .groupBy($"g").agg(sk($"h").as("sk"))
+    val pairs = sketches.select($"g".as("ga"), $"sk".as("ska"))
+      .join(sketches.select($"g".as("gb"), $"sk".as("skb")), $"ga" < $"gb")
+    pairs
+      .withColumn("u", slice(array_sort(array_union($"ska", $"skb")), 1, k))
+      .withColumn("m", size($"u").cast("long"))
+      .withColumn("kth", element_at($"u", size($"u")))
+      .withColumn("n_both",
+        size(array_intersect(array_intersect($"u", $"ska"), $"skb")).cast("long"))
+      // below k merged members the sketches hold EVERY distinct hash —
+      // the exact regime; at k the classic estimator takes over. h_k is
+      // guarded against the (2^-48-probability) zero hash: both engines
+      // would divide by zero identically, but loudly failing beats that.
+      .select($"ga", $"gb", $"m", $"n_both",
+        when($"m" < k, $"m")
+          .otherwise(expr(s"(${k - 1}L * ${1L << 48}L) div greatest(kth, 1L)"))
+          .as("est_union"),
+        expr("(n_both * 1000000000) div m").as("jaccard_ppb"))
+      .withColumn("est_intersection", expr("(n_both * est_union) div m"))
+      .orderBy($"ga", $"gb")
+  }
+
+  /** B5 (r7 cont.): the set-algebra companion of [[distinctSketch]] —
+    * per-return-flag order-key sets compared pairwise WITHOUT ever
+    * joining the underlying rows: union / Jaccard / intersection served
+    * from 256-long mergeable sketches (at 100 TB the sketches are the
+    * only thing that moves; the flags' row sets never co-locate). */
+  def kmvSetOpsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kmvSetOpsOf(
+      Tables.lineitem(s, dir)
+        .select($"l_returnflag".as("g"), $"l_orderkey".cast("string").as("v")),
+      KmvSetK)
+  }
+
   /** Ranking window functions: row_number / rank / dense_rank / lag / lead
     * over a per-customer frame (B6). */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
@@ -1163,6 +1224,7 @@ object Relational {
     "b05_countmin" -> (countMin _),
     "b01_profile" -> (profileQuery _),
     "b05_hll_portable" -> (hllPortableQuery _),
+    "b05_kmv_setops" -> (kmvSetOpsQuery _),
     "b04_benford" -> (benfordQuery _),
     "b09_bitmap_ops" -> (bitmapOpsQuery _),
     "b04_delta_drivers" -> (deltaDriversQuery _),
@@ -1546,6 +1608,38 @@ object Relational {
       SELECT s.g AS l_returnflag, $HllC / CAST(s.ssum AS DOUBLE) AS hll_estimate,
              ex.n_exact
       FROM s JOIN ex USING (g) ORDER BY l_returnflag""",
+    // the bottom-k sketches replay exactly (rank ≤ k over the identical
+    // md5 hashes), so the LOSSY union/Jaccard/intersection estimates
+    // hash-gate; `//` and `div` agree because every operand is ≥ 0
+    "b05_kmv_setops" -> s"""
+      WITH h AS (SELECT DISTINCT l_returnflag AS g,
+          CAST(('0x' || substr(md5('kmv:' || CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM lineitem),
+      r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+      sk AS (SELECT g, h FROM r WHERE rn <= $KmvSetK),
+      gs AS (SELECT DISTINCT g FROM sk),
+      p AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+      uh AS (SELECT DISTINCT p.ga, p.gb, s.h
+             FROM p JOIN sk s ON s.g = p.ga OR s.g = p.gb),
+      ur AS (SELECT ga, gb, h,
+               ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM uh),
+      uk AS (SELECT ga, gb, h FROM ur WHERE rn <= $KmvSetK),
+      mem AS (SELECT u.ga, u.gb, u.h,
+          CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END AS in_both
+        FROM uk u
+        LEFT JOIN sk sa ON sa.g = u.ga AND sa.h = u.h
+        LEFT JOIN sk sb ON sb.g = u.gb AND sb.h = u.h),
+      agg AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS kth,
+          CAST(SUM(in_both) AS BIGINT) AS n_both
+        FROM mem GROUP BY 1, 2),
+      est AS (SELECT ga, gb, m, n_both,
+          CASE WHEN m < $KmvSetK THEN m
+               ELSE (${KmvSetK - 1} * ${1L << 48}) // greatest(kth, 1) END AS est_union
+        FROM agg)
+      SELECT ga, gb, m, n_both, est_union,
+        (n_both * 1000000000) // m AS jaccard_ppb,
+        (n_both * est_union) // m AS est_intersection
+      FROM est ORDER BY ga, gb""",
     // the CMS counter matrix replays exactly: same md5-prefix row hashes,
     // same 4×512 geometry, so even collision-inflated estimates hash-gate
     "b05_countmin" -> """
