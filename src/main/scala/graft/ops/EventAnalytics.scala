@@ -823,6 +823,62 @@ object EventAnalytics {
   def zScoresQuery(s: SparkSession, dir: String): DataFrame =
     zScores(Tables.events(s, dir))
 
+  /** B06 (r7 cont.): lag-k autocorrelation of the daily purchase-revenue
+    * series — the seasonality detector behind every forecasting
+    * pipeline (a strong lag-7 r is the "weekly cycle" smoking gun).
+    *
+    * Shape: event-scale work is ONE combinable daily aggregate; the
+    * dense day grid (missing days = 0 — a calendar series, not an
+    * observed-row series) is a bounded sequence-explode; the lag pairs
+    * are a day-axis self-equi-join on `day + lag` (≤ maxLag·span rows);
+    * moments per lag are exact BIGINT sums over that bounded axis.
+    * Pearson r derives from the integer moments in a FIXED IEEE tree
+    * (each moment cast to double FIRST — n·Σxy overflows int64 — then
+    * one multiply/subtract/divide/sqrt chain, the b06_zscore device),
+    * so the doubles replay bit-identically cross-engine. A constant
+    * series (zero variance) pins r to 0.0 instead of NaN.
+    *
+    * 100 TB note: moments grow with DAILY totals, not row count (the
+    * day axis is bounded), but at extreme scale daily cents square
+    * past int64 — pre-aggregate the series to whole currency units or
+    * widen the moment sums to DECIMAL(38,0) there. */
+  def autocorr(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val obs = events.filter(col("event_type") === "purchase")
+      .select(expr("unix_date(to_date(cast(ts as timestamp)))").as("day"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("v"))
+    val grid = obs.agg(min(col("day")).as("b0"), max(col("day")).as("b1"))
+      .select(explode(expr("sequence(b0, b1)")).as("day"))
+      .join(obs, Seq("day"), "left")
+      .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+    val left = grid
+      .select(col("day"), col("v").as("x"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lag_days"))
+      .select(col("lag_days"), (col("day") + col("lag_days")).as("jday"), col("x"))
+    val pairs = left
+      .join(grid.select(col("day").as("jday"), col("v").as("y")), Seq("jday"))
+    val m = pairs.groupBy(col("lag_days")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sx2"),
+      sum(col("y") * col("y")).as("sy2"))
+    val nD = col("n_pairs").cast("double")
+    val denx = nD * col("sx2").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val deny = nD * col("sy2").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    m.select(col("lag_days"), col("n_pairs"), col("sx"), col("sy"), col("sxy"),
+      when(denx * deny <= 0.0, lit(0.0)).otherwise(num / sqrt(denx * deny))
+        .as("autocorr"))
+      .orderBy(col("lag_days"))
+  }
+
+  def autocorrQuery(s: SparkSession, dir: String): DataFrame =
+    autocorr(Tables.events(s, dir))
+
   /** B10 (r7 final): revenue concentration — the top-k spenders with
     * their individual and CUMULATIVE share of total purchase revenue
     * (the "whale curve" behind every monetization dashboard: how much
@@ -863,6 +919,7 @@ object EventAnalytics {
     "b10_streaks" -> (streaksQuery _),
     "b10_ltv" -> (ltvQuery _),
     "b06_zscore" -> (zScoresQuery _),
+    "b06_autocorr" -> ((s: SparkSession, dir: String) => autocorrQuery(s, dir)),
     "b10_whales" -> (whalesQuery _),
     "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
@@ -879,6 +936,39 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact BIGINT moments over the dense day grid; Pearson r replayed in
+    // the identical fixed IEEE tree (each moment cast to double FIRST)
+    "b06_autocorr" -> """
+      WITH d AS (SELECT
+          date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      obs AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS v FROM d GROUP BY day),
+      span AS (SELECT MIN(day) AS b0, MAX(day) AS b1 FROM obs),
+      axis AS (SELECT unnest(range(b0, b1 + 1)) AS day FROM span),
+      g AS (SELECT a.day, COALESCE(obs.v, 0) AS v
+            FROM axis a LEFT JOIN obs USING (day)),
+      lags AS (SELECT unnest(range(1, 8)) AS lag_days),
+      p AS (SELECT l.lag_days, x.v AS x, y.v AS y
+            FROM lags l JOIN g x ON TRUE JOIN g y ON y.day = x.day + l.lag_days),
+      m AS (SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * y) AS BIGINT) AS sxy,
+              CAST(SUM(x * x) AS BIGINT) AS sx2,
+              CAST(SUM(y * y) AS BIGINT) AS sy2
+            FROM p GROUP BY lag_days)
+      SELECT CAST(lag_days AS INT) AS lag_days, n_pairs, sx, sy, sxy,
+        CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0 THEN 0.0
+             ELSE (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS autocorr
+      FROM m ORDER BY lag_days""",
     // exact integer cents; cumulative over the bounded week-offset axis;
     // SUMs cast to BIGINT (HUGEINT → pandas float64 otherwise)
     "b10_ltv" -> """

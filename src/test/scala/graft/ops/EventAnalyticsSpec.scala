@@ -444,4 +444,33 @@ class EventAnalyticsSpec extends SparkSpec {
         s"churned(w) != active(w-1) - retained(w) at $i")
     }
   }
+
+  test("autocorr: period-2 series pins lag-2 r to exactly 1.0, lag-1 negative (B06)") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 09:00:00")
+    // 14 days alternating 1.00 / 2.00 revenue — exact weekly-style cycle of 2
+    val rows = (0 until 14).map { d =>
+      (d.toLong, day(d), 1L, "purchase", if (d % 2 == 0) 1.0 else 2.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.autocorr(rows).collect()
+      .map(x => x.getInt(0) -> x.getDouble(5)).toMap
+    assert(r(2) === 1.0) // identical subseries; moments small → IEEE-exact 1.0
+    assert(r(4) === 1.0 && r(6) === 1.0)
+    assert(r(1) < -0.8 && r(3) < -0.8)
+  }
+
+  test("autocorr: missing days count as zero revenue; constant series pins r=0") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 09:00:00")
+    // observations only on even days → dense grid alternates v,0 → period 2
+    val gappy = (0 until 14 by 2).map { d =>
+      (d.toLong, day(d), 1L, "purchase", 3.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val g = EventAnalytics.autocorr(gappy).collect()
+      .map(x => x.getInt(0) -> x.getDouble(5)).toMap
+    assert(g(2) === 1.0 && g(1) < -0.8)
+    // constant series: zero variance → r pinned to 0.0, not NaN
+    val const = (0 until 10).map { d =>
+      (d.toLong, day(d), 1L, "purchase", 5.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventAnalytics.autocorr(const).collect().forall(_.getDouble(5) === 0.0))
+  }
 }
