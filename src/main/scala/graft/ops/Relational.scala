@@ -979,6 +979,45 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** B4 (r7 cont.): chi-square independence screen over the
+    * order-priority × order-status contingency table — the categorical
+    * association test beside [[giniImpurity]] (impurity scores one
+    * split; chi-square asks whether the two dimensions are associated
+    * at all). Row-scale work is ONE combinable cell count; margins,
+    * the full (zero-filled) cell axis, and the per-cell expected /
+    * contribution derive on the bounded domain (5×3 here). Expected
+    * counts and contributions are served in a FIXED IEEE tree from the
+    * exact BIGINT margins (R·C overflows int64 at scale, so each
+    * factor casts to double FIRST — the b06_zscore device). Per-cell
+    * contributions are emitted rather than a summed χ² statistic:
+    * cross-engine double SUMS are summation-order-dependent, per-cell
+    * doubles are bit-exact (the b16_modularity precedent); the spec
+    * pins the driver-side total. */
+  def chiSquare(s: SparkSession, dir: String): DataFrame =
+    chiSquareOf(Tables.orders(s, dir))
+
+  private[ops] def chiSquareOf(orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    val cells = orders
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy($"o_orderpriority").agg(sum($"obs").as("row_tot"))
+    val colTot = cells.groupBy($"o_orderstatus").agg(sum($"obs").as("col_tot"))
+    val total = cells.agg(sum($"obs").as("n"))
+    val axis = rowTot.crossJoin(colTot) // bounded: |priorities| × |statuses|
+    axis.join(cells, Seq("o_orderpriority", "o_orderstatus"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("obs", coalesce($"obs", lit(0L)))
+      .withColumn("expected",
+        $"row_tot".cast("double") * $"col_tot".cast("double") / $"n".cast("double"))
+      .withColumn("contrib",
+        ($"obs".cast("double") - $"expected") * ($"obs".cast("double") - $"expected")
+          / $"expected")
+      .select($"o_orderpriority", $"o_orderstatus", $"obs", $"row_tot",
+        $"col_tot", $"n", $"expected", $"contrib")
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
   /** Sketch size of [[kmvSetOps]] — small enough that the gate runs the
     * genuinely LOSSY regime (each return flag holds thousands of
     * distinct order keys at sf0.01, far above 256). */
@@ -1225,6 +1264,7 @@ object Relational {
     "b01_profile" -> (profileQuery _),
     "b05_hll_portable" -> (hllPortableQuery _),
     "b05_kmv_setops" -> (kmvSetOpsQuery _),
+    "b04_chisq" -> (chiSquare _),
     "b04_benford" -> (benfordQuery _),
     "b09_bitmap_ops" -> (bitmapOpsQuery _),
     "b04_delta_drivers" -> (deltaDriversQuery _),
@@ -1608,6 +1648,31 @@ object Relational {
       SELECT s.g AS l_returnflag, $HllC / CAST(s.ssum AS DOUBLE) AS hll_estimate,
              ex.n_exact
       FROM s JOIN ex USING (g) ORDER BY l_returnflag""",
+    // exact BIGINT margins over the zero-filled cell axis; expected and
+    // contribution replayed in the identical fixed IEEE tree (factors
+    // cast to double first); per-cell contribs, never a double sum
+    "b04_chisq" -> """
+      WITH c AS (SELECT o_orderpriority, o_orderstatus,
+          CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2),
+      r AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS row_tot
+            FROM c GROUP BY 1),
+      cl AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS col_tot
+             FROM c GROUP BY 1),
+      t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM c),
+      f AS (SELECT r.o_orderpriority, cl.o_orderstatus,
+              COALESCE(c.obs, 0) AS obs, r.row_tot, cl.col_tot, t.n
+            FROM r CROSS JOIN cl
+            LEFT JOIN c ON c.o_orderpriority = r.o_orderpriority
+                       AND c.o_orderstatus = cl.o_orderstatus
+            CROSS JOIN t),
+      e AS (SELECT *, CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                        / CAST(n AS DOUBLE) AS expected
+            FROM f)
+      SELECT o_orderpriority, o_orderstatus, obs, row_tot, col_tot, n, expected,
+        (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
+          / expected AS contrib
+      FROM e ORDER BY o_orderpriority, o_orderstatus""",
     // the bottom-k sketches replay exactly (rank ≤ k over the identical
     // md5 hashes), so the LOSSY union/Jaccard/intersection estimates
     // hash-gate; `//` and `div` agree because every operand is ≥ 0
