@@ -1055,6 +1055,34 @@ object TextAnalysis {
     * KMV vocabulary sketches ([[graft.functions.KmvDistinctAgg]] — union
     * cardinalities are mergeable) and keep this exact formulation as the
     * oracle-checkable contract on the calibration subset. */
+  /** B13 (r7 cont.): vocabulary richness per source — token count,
+    * type (distinct-token) count, hapax legomena (tokens occurring
+    * exactly once), and the type-token / hapax ratios as exact ppb
+    * floor divisions. The Heaps'-law dashboard numbers behind corpus
+    * curation: a source whose TTR collapses is boilerplate-heavy; a
+    * hapax ratio near 1 is OCR noise or ID-like junk. Shape: one
+    * explode → ONE combinable (source, token) count → one combinable
+    * per-source rollup; no row-scale window or join anywhere. Same
+    * whitespace tokenizer as [[tokenCounts]] (split on single space;
+    * consecutive spaces yield empty tokens in BOTH engines — counted,
+    * deliberately, as the tokenizer's replayable contract). */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(n_types * 1000000000) div n_tokens").as("ttr_ppb"),
+        expr("(n_hapax * 1000000000) div n_types").as("hapax_ppb"))
+      .orderBy(col("source"))
+  }
+
+  def vocabGrowthQuery(s: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.documents(s, dir))
+
   def sourceOverlap(s: SparkSession, dir: String): DataFrame =
     sourceOverlapOn(Tables.documents(s, dir))
 
@@ -1138,6 +1166,7 @@ object TextAnalysis {
     "b13_bpe_merges" -> (bpeQuery _),
     "b13_bm25_rank" -> ((s: SparkSession, dir: String) => bm25Rank(s, dir)),
     "b13_source_overlap" -> (sourceOverlap _),
+    "b13_vocab_growth" -> (vocabGrowthQuery _),
     "b13_cdc_chunks" -> (cdcChunks _),
     "b13_cdc_dedup" -> (cdcDedup _),
     "b13_containment" -> (containment _),
@@ -1280,6 +1309,20 @@ object TextAnalysis {
     s"CAST(len(regexp_extract_all(text, '$pat')) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // same whitespace split as b13_token_counts; exact integer counts
+    // and ppb floor divisions (all operands non-negative)
+    "b13_vocab_growth" -> """
+      WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+      tc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      agg AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS n_types,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+              FROM tc GROUP BY source)
+      SELECT source, n_tokens, n_types, n_hapax,
+        (n_types * 1000000000) // n_tokens AS ttr_ppb,
+        (n_hapax * 1000000000) // n_types AS hapax_ppb
+      FROM agg ORDER BY source""",
     "b13_source_overlap" -> """
       WITH st AS (SELECT DISTINCT source, tok FROM
                     (SELECT source, unnest(string_split(text, ' ')) AS tok

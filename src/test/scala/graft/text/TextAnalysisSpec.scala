@@ -395,4 +395,19 @@ class TextAnalysisSpec extends SparkSpec {
       assert(byScore.values.forall(_.size == 1))
     }
   }
+
+  test("vocab growth: hand-computed tokens/types/hapax and ppb ratios (B13)") {
+    import spark.implicits._
+    val docs = Seq(("s1", "a b a c"), ("s1", "d a"), ("s2", "x x x"))
+      .toDF("source", "text")
+    val out = TextAnalysis.vocabGrowth(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // s1: tokens a,b,a,c,d,a → 6 tokens, 4 types, hapax {b,c,d}=3
+    assert(out("s1") === ((6L, 4L, 3L,
+      4L * 1000000000L / 6L, 3L * 1000000000L / 4L)))
+    // s2: one type repeated → zero hapax, TTR 1/3
+    assert(out("s2") === ((3L, 1L, 0L, 1000000000L / 3L, 0L)))
+  }
 }
