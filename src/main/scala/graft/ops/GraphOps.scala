@@ -573,6 +573,55 @@ object GraphOps {
   def componentsQuery(s: SparkSession, dir: String): DataFrame =
     componentsOf(strongEdges(s, dir))
 
+  /** B16 (r7 cont.): bounded-hop BFS reachability profile from the
+    * graph's busiest vertex — "how much of the catalog is within h
+    * hops of the hub product": per-distance vertex counts for
+    * distances 0..`rounds`, plus one `dist = -1` row for vertices not
+    * reached within the horizon (always emitted, 0-count included, so
+    * the gate covers the whole vertex universe). The seed is the
+    * max-degree vertex with a (degree DESC, vertex) tie-break — total
+    * and replayable, no collect.
+    *
+    * Scale shape: per round ONE frontier semi-join against the
+    * symmetric neighbor table + distinct + one anti-join against the
+    * (vertex-sized) visited set — O(rounds) shuffles with per-round
+    * lineage cuts, the kCore/lpa iterative discipline; never a
+    * transitive-closure materialization (contrast w06's closure, which
+    * is the right tool only on the small curated hierarchy). Bounded
+    * rounds keep the oracle an unrolled CTE chain; an unbounded BFS at
+    * 100 TB runs the same loop to frontier-exhaustion with the
+    * frontier count as the convergence probe. */
+  def bfsOf(edgeSet: DataFrame, rounds: Int): DataFrame = {
+    val sym = edgeSet.select(col("u").as("x"), col("v").as("nbr"))
+      .unionAll(edgeSet.select(col("v").as("x"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    val seed = sym.groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .agg(min_by(col("x"), struct((-col("d")).as("nd"), col("x"))).as("x"))
+    var dist = seed.select(col("x"), lit(0).as("dist")).localCheckpoint(true)
+    for (i <- 1 to rounds) {
+      val frontier = dist.filter(col("dist") === i - 1).select(col("x"))
+      val next = sym.join(frontier, Seq("x"), "left_semi")
+        .select(col("nbr").as("x")).distinct()
+        .join(dist.select(col("x")), Seq("x"), "left_anti")
+        .select(col("x"), lit(i).as("dist"))
+      dist = dist.unionAll(next).localCheckpoint(true)
+    }
+    val hist = dist.groupBy(col("dist")).agg(count(lit(1)).as("n_vertices"))
+    val unreached = sym.select(col("x")).distinct()
+      .join(dist.select(col("x")), Seq("x"), "left_anti")
+      .agg(count(lit(1)).as("n_vertices"))
+      .select(lit(-1).as("dist"), col("n_vertices"))
+    unreached.unionAll(hist).orderBy(col("dist"))
+  }
+
+  /** Gate constant: 4 hops from the strong graph's hub reach most of
+    * the giant component while leaving a real frontier tail and the
+    * small components unreached — the robust mixed regime. */
+  private val BfsRounds = 4
+
+  def bfsQuery(s: SparkSession, dir: String): DataFrame =
+    bfsOf(strongEdges(s, dir), BfsRounds)
+
   /** B16 (r7): common-neighbor link prediction over the strong
     * co-purchase graph — the classic candidate generator for "customers
     * who bought X also ended up buying Y": rank NON-adjacent vertex
@@ -838,6 +887,7 @@ object GraphOps {
     "b16_edge_jaccard" -> (edgeJaccardQuery _),
     "b16_clustering" -> (clusteringQuery _),
     "b16_components" -> (componentsQuery _),
+    "b16_bfs" -> (bfsQuery _),
     "b16_lpa" -> (lpaQuery _),
     "b16_link_predict" -> (linkPredictQuery _),
     "b16_resource_alloc" -> (resourceAllocQuery _),
@@ -926,7 +976,37 @@ object GraphOps {
              FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
              GROUP BY a.pk, b.pk HAVING COUNT(*) >= $ComponentsMinOrders)"""
 
+  /** The BFS frontier chain unrolled ([[BfsRounds]] rounds) — per round
+    * the frontier's neighbor set minus the visited set, replaying
+    * [[bfsOf]] exactly (the kCore/lpa unrolled-replay device). */
+  private def bfsOracleSql: String = {
+    val rounds = (1 to BfsRounds).map { i =>
+      s"""f$i AS (SELECT DISTINCT s.nbr AS x
+              FROM sym s JOIN d${i - 1} d ON d.x = s.x AND d.dist = ${i - 1}),
+      d$i AS (SELECT x, dist FROM d${i - 1} UNION ALL
+              SELECT f$i.x, $i AS dist FROM f$i
+              WHERE f$i.x NOT IN (SELECT x FROM d${i - 1}))"""
+    }.mkString(",\n      ")
+    s"""
+      WITH $OracleStrongEdges,
+      sym AS (SELECT u AS x, v AS nbr FROM we UNION ALL SELECT v AS x, u AS nbr FROM we),
+      degs AS (SELECT x, COUNT(*) AS d FROM sym GROUP BY x),
+      seed AS (SELECT x FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY d DESC, x) AS rn
+                              FROM degs) WHERE rn = 1),
+      d0 AS (SELECT x, 0 AS dist FROM seed),
+      $rounds,
+      hist AS (SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_vertices
+               FROM d$BfsRounds GROUP BY dist),
+      unre AS (SELECT -1 AS dist, CAST(COUNT(*) AS BIGINT) AS n_vertices
+               FROM (SELECT DISTINCT x FROM sym) v
+               WHERE v.x NOT IN (SELECT x FROM d$BfsRounds))
+      SELECT CAST(dist AS INT) AS dist, n_vertices
+      FROM (SELECT * FROM unre UNION ALL SELECT * FROM hist)
+      ORDER BY dist"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "b16_bfs" -> bfsOracleSql,
     "b16_degree_hist" -> s"""
       WITH $OracleEdges, $OracleDegs
       SELECT degree, COUNT(*) AS n_parts FROM degs GROUP BY degree ORDER BY degree

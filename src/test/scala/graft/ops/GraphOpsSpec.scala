@@ -464,4 +464,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(sq(edges) === expect)
     assert(expect._2 > 0L) // the pin is non-vacuous
   }
+
+  test("bfs: path-graph frontier profile, deterministic seed, unreached row (B16)") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6-7 plus disjoint pair 10-11; degrees: 2..6 have
+    // degree 2 (tie → min vertex 2 seeds), ends and the pair degree 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (10L, 11L)).toDF("u", "v")
+    val out = GraphOps.bfsOf(edges, rounds = 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // from 2: d1={1,3}, d2={4}, d3={5}, d4={6}; unreached {7,10,11}
+    assert(out === Map(-1 -> 3L, 0 -> 1L, 1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 1L))
+    // full-reach graph still emits the unreached row, at zero
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val all = GraphOps.bfsOf(tri, rounds = 2).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(all === Map(-1 -> 0L, 0 -> 1L, 1 -> 2L))
+  }
 }
