@@ -150,7 +150,69 @@ object ScaleQueries {
     out
   }
 
+  /** B1 (r7 cont.): small-file compaction end to end — write orders as
+    * 32 deliberately-tiny files (the per-minute micro-batch pathology),
+    * run [[ScaleOps.compact]], ASSERT the on-disk file count actually
+    * dropped (a no-op rewrite would certify nothing — the
+    * b01_stats_skipping vacuity discipline), and hash-compare the
+    * compacted table against the plain oracle: the rewrite must be
+    * row-for-row lossless through the stage-and-swap rename dance. */
+  def compactQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_compact_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    Tables.orders(s, dir).repartition(32).write.parquet(store)
+    def dataFiles() = fs.listStatus(p)
+      .count(f => f.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    ScaleOps.compact(s, store, targetMB = 512)
+    val after = dataFiles()
+    require(after < before,
+      s"b01_compact: $before files before, $after after — compaction gate vacuous")
+    s.read.parquet(store)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** B1 (r7 cont.): schema evolution end to end — the add-a-column read
+    * contract every lakehouse table format promises: an early batch is
+    * written WITHOUT `n_name_len`, a later batch with it; the merged
+    * read (`mergeSchema`) must surface the union schema with NULL for
+    * the pre-evolution rows. The added column is derived
+    * deterministically (length of the name) so the oracle replays the
+    * whole story from the source table — a reader that dropped the old
+    * batch, defaulted the missing column to anything but NULL, or lost
+    * the new column entirely hash-mismatches. */
+  def schemaEvolutionQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_schema_evo_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    val nation = Tables.nation(s, dir)
+    nation.filter($"n_nationkey" < 13)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.parquet(s"$store/batch=0")
+    nation.filter($"n_nationkey" >= 13)
+      .select($"n_nationkey", $"n_name", $"n_regionkey",
+        length($"n_name").cast("int").as("n_name_len"))
+      .write.parquet(s"$store/batch=1")
+    val merged = s.read.option("mergeSchema", "true").parquet(store)
+    require(merged.columns.contains("n_name_len"),
+      "b01_schema_evolution: merged schema lost the evolved column")
+    merged.select($"n_nationkey", $"n_name", $"n_regionkey", $"n_name_len")
+      .orderBy($"n_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b01_compact" -> (compactQuery _),
+    "b01_schema_evolution" -> (schemaEvolutionQuery _),
     "b03_join_salted" -> (saltedJoinQuery _),
     "b04_salted_agg" -> (saltedAggQuery _),
     "b01_zorder_key" -> (zorderKeyQuery _),
@@ -170,6 +232,19 @@ object ScaleQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the compacted table must be row-for-row the original orders
+    "b01_compact" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders ORDER BY o_orderkey
+    """,
+    // pre-evolution rows surface NULL for the added column; the added
+    // column is a deterministic derivation the oracle replays
+    "b01_schema_evolution" -> """
+      SELECT n_nationkey, n_name, n_regionkey,
+        CASE WHEN n_nationkey < 13 THEN NULL
+             ELSE CAST(length(n_name) AS INT) END AS n_name_len
+      FROM nation ORDER BY n_nationkey
+    """,
     // the AS-OF-0 snapshot must be exactly the original table — v1's
     // suffixed names leak nowhere
     "b01_time_travel" -> """
