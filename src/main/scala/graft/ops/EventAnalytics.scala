@@ -879,6 +879,54 @@ object EventAnalytics {
   def autocorrQuery(s: SparkSession, dir: String): DataFrame =
     autocorr(Tables.events(s, dir))
 
+  /** B06 (r7 cont.): per-type OLS trend — slope and intercept of daily
+    * value against the day index, the "is this metric growing"
+    * regression behind every KPI dashboard, as the exact-moments
+    * companion of [[autocorr]]: same dense per-type day grid (missing
+    * days = 0 — a level trend, not an activity-conditioned one), exact
+    * BIGINT moments (n, Σx, Σy, Σxy, Σx²) over the bounded axis with x
+    * re-based to the type's first day (keeps x² small and the
+    * intercept meaningful: "level at the series start"), and the
+    * closed-form slope/intercept in a FIXED IEEE tree — each moment
+    * cast to double before combining (n·Σxy overflows int64), so both
+    * engines replay bit-identically. A single-day series (zero x
+    * variance) pins slope 0 and intercept to the day's value. */
+  def trend(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_date(to_date(cast(ts as timestamp)))").as("day"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("v"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("b0"), max(col("day")).as("b1"))
+      .select(col("event_type"), col("b0"),
+        explode(expr("sequence(b0, b1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), (col("day") - col("b0")).cast("long").as("x"),
+        coalesce(col("v"), lit(0L)).as("y"))
+    val m = grid.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sx2"))
+    val nD = col("n_days").cast("double")
+    val den = nD * col("sx2").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = when(den <= 0.0, lit(0.0))
+      .otherwise((nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) / den)
+    m.withColumn("slope_cents_per_day", slope)
+      .select(col("event_type"), col("n_days"), col("sx"), col("sy"),
+        col("sxy"), col("sx2"), col("slope_cents_per_day"),
+        ((col("sy").cast("double") -
+          col("slope_cents_per_day") * col("sx").cast("double")) / nD)
+          .as("intercept_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  def trendQuery(s: SparkSession, dir: String): DataFrame =
+    trend(Tables.events(s, dir))
+
   /** B10 (r7 final): revenue concentration — the top-k spenders with
     * their individual and CUMULATIVE share of total purchase revenue
     * (the "whale curve" behind every monetization dashboard: how much
@@ -920,6 +968,7 @@ object EventAnalytics {
     "b10_ltv" -> (ltvQuery _),
     "b06_zscore" -> (zScoresQuery _),
     "b06_autocorr" -> ((s: SparkSession, dir: String) => autocorrQuery(s, dir)),
+    "b06_trend" -> (trendQuery _),
     "b10_whales" -> (whalesQuery _),
     "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
@@ -969,6 +1018,39 @@ object EventAnalytics {
                   * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS autocorr
       FROM m ORDER BY lag_days""",
+    // same dense per-type day grid and fixed IEEE tree as b06_autocorr;
+    // x re-based per type so moments stay small
+    "b06_trend" -> """
+      WITH d AS (SELECT event_type,
+          date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      obs AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS v
+              FROM d GROUP BY 1, 2),
+      span AS (SELECT event_type, MIN(day) AS b0, MAX(day) AS b1
+               FROM obs GROUP BY 1),
+      grid AS (SELECT event_type, b0, u.day
+               FROM span, UNNEST(range(b0, b1 + 1)) AS u(day)),
+      g AS (SELECT gr.event_type, gr.day - gr.b0 AS x, COALESCE(o.v, 0) AS y
+            FROM grid gr LEFT JOIN obs o
+              ON o.event_type = gr.event_type AND o.day = gr.day),
+      m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * y) AS BIGINT) AS sxy,
+              CAST(SUM(x * x) AS BIGINT) AS sx2
+            FROM g GROUP BY 1),
+      sl AS (SELECT *, CASE WHEN CAST(n_days AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0 THEN 0.0
+               ELSE (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n_days AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+               AS slope_cents_per_day
+            FROM m)
+      SELECT event_type, n_days, sx, sy, sxy, sx2, slope_cents_per_day,
+        (CAST(sy AS DOUBLE) - slope_cents_per_day * CAST(sx AS DOUBLE))
+          / CAST(n_days AS DOUBLE) AS intercept_cents
+      FROM sl ORDER BY event_type""",
     // exact integer cents; cumulative over the bounded week-offset axis;
     // SUMs cast to BIGINT (HUGEINT → pandas float64 otherwise)
     "b10_ltv" -> """

@@ -473,4 +473,30 @@ class EventAnalyticsSpec extends SparkSpec {
     }.toDF("event_id", "ts", "user_id", "event_type", "value")
     assert(EventAnalytics.autocorr(const).collect().forall(_.getDouble(5) === 0.0))
   }
+
+  test("trend: exact-line fixture recovers slope/intercept; gaps count as zero (B06)") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 09:00:00")
+    // y = 100 + 50x cents over 5 days — a perfect line
+    val line = (0 until 5).map { d =>
+      (d.toLong, day(d), 1L, "buy", (100 + 50 * d) / 100.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.trend(line).collect().head
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(r.getAs[Double]("slope_cents_per_day") === 50.0)
+    assert(r.getAs[Double]("intercept_cents") === 100.0)
+    // observations on days 0 and 2 only → grid day 1 is zero revenue:
+    // x=(0,1,2), y=(300,0,300) → slope 0, intercept 200
+    val gappy = Seq((0L, day(0), 1L, "buy", 3.0), (1L, day(2), 1L, "buy", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val g = EventAnalytics.trend(gappy).collect().head
+    assert(g.getAs[Long]("n_days") === 3L)
+    assert(g.getAs[Double]("slope_cents_per_day") === 0.0)
+    assert(g.getAs[Double]("intercept_cents") === 200.0)
+    // single-day series: zero x-variance pins slope 0, intercept = value
+    val one = Seq((0L, day(0), 1L, "buy", 7.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val o = EventAnalytics.trend(one).collect().head
+    assert(o.getAs[Double]("slope_cents_per_day") === 0.0)
+    assert(o.getAs[Double]("intercept_cents") === 750.0)
+  }
 }
