@@ -492,6 +492,67 @@ object Similarity {
   def embedNearDupQuery(s: SparkSession, dir: String): DataFrame =
     embedNearDupClusters(Tables.embeddings(s, dir), minCosine = 0.35)
 
+  /** B12 (r7 cont.): DBSCAN over the embedding corpus (Ester et al.,
+    * KDD'96) — DENSITY clustering beside the centroid family (k-means
+    * finds convex blobs and must pick k; DBSCAN finds arbitrary-shape
+    * dense regions and labels sparse points noise, the outlier-robust
+    * grouping a curation pipeline wants for topic islands).
+    * ε-neighborhoods are "cosine ≥ minCosine" served by the SAME
+    * LSH-bucketed candidate join as [[embedNearDupClusters]] (never an
+    * all-pairs product; recall bucket-collision-bounded, documented
+    * there); a vector with ≥ minPts neighbors is CORE; clusters are
+    * connected components over core–core edges (min-label canonical
+    * rep, isolated cores label themselves); a non-core vector adjacent
+    * to a core joins its MINIMUM-labelled core neighbor (classic
+    * DBSCAN leaves border assignment order-dependent — the min-label
+    * rule makes it total and replayable); everything else is noise.
+    * Output covers the whole corpus: (vec_id, role, cluster_rep) with
+    * cluster_rep NULL exactly on noise. Gate constants: τ=0.25 /
+    * minPts=2 — the synthetic corpus has no planted dense regions
+    * (production semantic-dedup runs ≈0.9), and 0.25 is where the
+    * sf0.01 neighborhood graph grows degree-≥2 vertices: 15 core / 17
+    * border / 468 noise, the robust mixed regime. */
+  def dbscan(embeddings: DataFrame, numPlanes: Int = 8,
+             minCosine: Double = 0.95, minPts: Int = 2): DataFrame = {
+    val edges = lshNearNeighbors(embeddings, numPlanes, minCosine)
+      .select(col("a"), col("b")).localCheckpoint(true)
+    dbscanOnEdges(embeddings.select(col("vec_id")), edges, minPts)
+  }
+
+  /** The DBSCAN role/label stage over a precomputed ε-neighborhood edge
+    * set (`a < b` pairs) — split out so the semantics pin under
+    * synthetic edges independent of LSH bucket recall. */
+  private[similarity] def dbscanOnEdges(universe: DataFrame, edges: DataFrame,
+                                        minPts: Int): DataFrame = {
+    val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+    val core = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minPts).select(col("v"))
+    val coreEdges = edges
+      .join(core.select(col("v").as("a")), Seq("a"), "left_semi")
+      .join(core.select(col("v").as("b")), Seq("b"), "left_semi")
+    val cc = graft.dedup.Dedup.connectedComponents(
+        coreEdges.select(col("a"), col("b")))
+      .select(col("u").as("v"), col("label"))
+    val coreLabels = core.join(cc, Seq("v"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+    val borderLabels = sym
+      .join(coreLabels.select(col("v").as("b"), col("label")), Seq("b"))
+      .select(col("a").as("v"), col("label"))
+      .join(core, Seq("v"), "left_anti")
+      .groupBy(col("v")).agg(min(col("label")).as("label"))
+    val roles = coreLabels.withColumn("role", lit("core"))
+      .unionByName(borderLabels.withColumn("role", lit("border")))
+    universe.select(col("vec_id").as("v"))
+      .join(roles, Seq("v"), "left")
+      .select(col("v").as("vec_id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        col("label").as("cluster_rep"))
+      .orderBy(col("vec_id"))
+  }
+
+  def dbscanQuery(s: SparkSession, dir: String): DataFrame =
+    dbscan(Tables.embeddings(s, dir), minCosine = 0.25, minPts = 2)
+
   /** B12: per-label embedding centroids — the aggregate behind k-means
     * assignment refresh, cluster summarization, and class prototypes.
     * posexplode turns each vector into (pos, component) rows, then ONE
@@ -941,6 +1002,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_embed_neardup" -> (embedNearDupQuery _),
+    "b12_dbscan" -> (dbscanQuery _),
     "b12_kmeans" -> (kMeansQuery _),
     "b12_semdedup" -> (semDedupQuery _),
     "b12_pq_topk" -> (pqQuery _),
@@ -1188,6 +1250,42 @@ object Similarity {
                 SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u)
       SELECT u AS vec_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_rep
       FROM reach GROUP BY u ORDER BY vec_id""",
+    // the LSH pair stage at the DBSCAN threshold; degree → core set →
+    // core-core recursive reachability → min-label border attach; the
+    // whole corpus surfaces with NULL cluster_rep exactly on noise
+    "b12_dbscan" -> s"""
+      WITH RECURSIVE
+      e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      b AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm,
+              ${bucketSql("q")} AS bucket FROM e),
+      p AS (SELECT a.vec_id AS a, b2.vec_id AS b,
+              CAST(${dotSql("a.q", "b2.q")} AS DOUBLE) / (a.norm * b2.norm) AS cosine
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+      edges AS (SELECT a, b FROM p WHERE cosine >= 0.25),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      core AS (SELECT a AS v FROM sym GROUP BY a HAVING COUNT(*) >= 2),
+      ce AS (SELECT a, b FROM edges
+             WHERE a IN (SELECT v FROM core) AND b IN (SELECT v FROM core)),
+      csym AS (SELECT a AS u, b AS v FROM ce UNION SELECT b, a FROM ce),
+      reach AS (SELECT u, v FROM csym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN csym s ON r.v = s.u
+                WHERE s.v <> r.u),
+      cc AS (SELECT u AS v, CAST(LEAST(u, MIN(v)) AS BIGINT) AS label
+             FROM reach GROUP BY u),
+      corelab AS (SELECT c.v, COALESCE(cc.label, c.v) AS label
+                  FROM core c LEFT JOIN cc ON cc.v = c.v),
+      border AS (SELECT s.a AS v, MIN(cl.label) AS label
+                 FROM sym s JOIN corelab cl ON cl.v = s.b
+                 WHERE s.a NOT IN (SELECT v FROM core)
+                 GROUP BY s.a),
+      lab AS (SELECT v, 'core' AS role, label FROM corelab
+              UNION ALL SELECT v, 'border' AS role, label FROM border)
+      SELECT em.vec_id, COALESCE(lab.role, 'noise') AS role,
+             lab.label AS cluster_rep
+      FROM (SELECT vec_id FROM embeddings) em
+      LEFT JOIN lab ON lab.v = em.vec_id
+      ORDER BY vec_id""",
     // FULL 3-iteration Lloyd k-means — portable md5-ordered seeds, three
     // unrolled assign/rebuild rounds, final guarded-cosine assignment
     "b12_kmeans" -> s"""

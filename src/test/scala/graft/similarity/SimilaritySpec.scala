@@ -377,4 +377,45 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getInt(2), r.getLong(1)))
     assert(k2.toSeq === out.take(2).map(t => (t._1, t._2)).toSeq)
   }
+
+  test("dbscan roles: core/border/noise and min-label attachment (B12, r7)") {
+    // path 1-2-3 (2 is core at minPts=2, 1/3 border), triangle 10-11-12
+    // (all core, rep 10), isolated edge 20-21 (degree 1, no core
+    // neighbor → noise), lone 99 → noise
+    val universe = (Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 99L))
+      .toDF("vec_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val out = Similarity.dbscanOnEdges(universe, edges, minPts = 2).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(2L) === (("core", 2L)))   // isolated core labels itself
+    assert(out(1L) === (("border", 2L)) && out(3L) === (("border", 2L)))
+    assert(out(10L) === (("core", 10L)) && out(11L) === (("core", 10L))
+      && out(12L) === (("core", 10L)))
+    assert(out(20L) === (("noise", -1L)) && out(21L) === (("noise", -1L)))
+    assert(out(99L) === (("noise", -1L)))
+    // border attaches to the MINIMUM core label when several qualify:
+    // at minPts=3 only 12 (deg 3 via 50) and 30 (deg 3 via 50) are core —
+    // separate single-vertex clusters — and bridge vertex 50 sees both,
+    // so it must take the smaller label 12
+    val u2 = Seq(10L, 11L, 12L, 30L, 31L, 32L, 50L).toDF("vec_id")
+    val e2 = Seq((10L, 11L), (10L, 12L), (11L, 12L), (30L, 31L), (30L, 32L),
+      (31L, 32L), (12L, 50L), (30L, 50L)).toDF("a", "b")
+    val out2 = Similarity.dbscanOnEdges(u2, e2, minPts = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out2(12L) === (("core", 12L)) && out2(30L) === (("core", 30L)))
+    assert(out2(50L) === (("border", 12L)))
+    assert(out2(10L) === (("border", 12L)) && out2(31L) === (("border", 30L)))
+  }
+
+  test("dbscan gate regime is mixed on the real corpus (non-vacuous)") {
+    val roles = Similarity.dbscanQuery(spark, "/root/testdata/sf0.01")
+      .groupBy(col("role")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roles.getOrElse("core", 0L) > 0L)
+    assert(roles.getOrElse("border", 0L) > 0L)
+    assert(roles.getOrElse("noise", 0L) > 0L)
+  }
 }
