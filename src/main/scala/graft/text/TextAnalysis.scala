@@ -1055,6 +1055,39 @@ object TextAnalysis {
     * KMV vocabulary sketches ([[graft.functions.KmvDistinctAgg]] — union
     * cardinalities are mergeable) and keep this exact formulation as the
     * oracle-checkable contract on the calibration subset. */
+  /** B13 (r7 cont.): readability scoring — Flesch reading ease and
+    * Flesch-Kincaid grade from fully deterministic counts: words =
+    * whitespace tokens (the [[tokenCounts]] contract), sentences =
+    * `[.!?]+` runs (floored at 1 — headlines have no terminator),
+    * syllables = vowel-group runs `[aeiouyAEIOUY]+` (runs never span a
+    * space, so the whole-text count equals the per-word sum — the
+    * classic cheap syllable estimator). The two scores are fixed IEEE
+    * trees over the exact integer counts with author-time literal
+    * coefficients, so both engines replay them bit-identically. One
+    * scan-side pass, no shuffle except the final order. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(tokens(col("text"))).cast("long")
+    val sents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val sylls = regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
+    docs.select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        sylls.as("n_syllables"))
+      .withColumn("wps", col("n_words").cast("double") /
+        col("n_sentences").cast("double"))
+      .withColumn("spw", col("n_syllables").cast("double") /
+        col("n_words").cast("double"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+          .as("flesch_ease"),
+        (lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59))
+          .as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
+  def readabilityQuery(s: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(s, dir))
+
   /** B13 (r7 cont.): vocabulary richness per source — token count,
     * type (distinct-token) count, hapax legomena (tokens occurring
     * exactly once), and the type-token / hapax ratios as exact ppb
@@ -1167,6 +1200,7 @@ object TextAnalysis {
     "b13_bm25_rank" -> ((s: SparkSession, dir: String) => bm25Rank(s, dir)),
     "b13_source_overlap" -> (sourceOverlap _),
     "b13_vocab_growth" -> (vocabGrowthQuery _),
+    "b13_readability" -> (readabilityQuery _),
     "b13_cdc_chunks" -> (cdcChunks _),
     "b13_cdc_dedup" -> (cdcDedup _),
     "b13_containment" -> (containment _),
@@ -1309,6 +1343,24 @@ object TextAnalysis {
     s"CAST(len(regexp_extract_all(text, '$pat')) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // exact integer counts (words/sentence-runs/vowel-runs) and the two
+    // literal-coefficient IEEE trees replayed verbatim
+    "b13_readability" -> s"""
+      WITH c AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+            AS n_sentences,
+          CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+            AS n_syllables
+        FROM documents),
+      r AS (SELECT *,
+          CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+          CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+        FROM c)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        206.835 - 1.015 * wps - 84.6 * spw AS flesch_ease,
+        0.39 * wps + 11.8 * spw - 15.59 AS fk_grade
+      FROM r ORDER BY doc_id""",
     // same whitespace split as b13_token_counts; exact integer counts
     // and ppb floor divisions (all operands non-negative)
     "b13_vocab_growth" -> """

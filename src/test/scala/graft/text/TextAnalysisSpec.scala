@@ -410,4 +410,21 @@ class TextAnalysisSpec extends SparkSpec {
     // s2: one type repeated → zero hapax, TTR 1/3
     assert(out("s2") === ((3L, 1L, 0L, 1000000000L / 3L, 0L)))
   }
+
+  test("readability: hand-counted words/sentences/syllables and both scores (B13)") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello world. It works!"), (2L, "no terminator here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = out(1L)
+    // 4 ws tokens; 2 sentence runs (. and !); vowel runs e,o,o,I,o = 5
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((4L, 2L, 5L)))
+    assert(math.abs(a.getDouble(5) - (0.39 * 2.0 + 11.8 * 1.25 - 15.59)) < 1e-12)
+    assert(math.abs(a.getDouble(4) - (206.835 - 1.015 * 2.0 - 84.6 * 1.25)) < 1e-12)
+    // no [.!?] at all → sentence count floored at 1, scores finite
+    val b = out(2L)
+    assert(b.getLong(2) === 1L)
+    assert(!b.getDouble(4).isNaN && !b.getDouble(5).isNaN)
+  }
 }
