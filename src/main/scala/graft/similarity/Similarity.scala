@@ -684,6 +684,50 @@ object Similarity {
   def inertiaQuery(s: SparkSession, dir: String): DataFrame =
     inertiaOf(Tables.embeddings(s, dir))
 
+  /** B12 (r7 cont.): per-point simplified silhouette over the Lloyd
+    * chain — the pointwise cluster-quality score beside the per-cluster
+    * [[inertiaOf]] aggregate: a(i) = squared distance to the OWN
+    * cluster's centroid, b(i) = min squared distance to any OTHER
+    * centroid, s(i) = (b−a)/max(a,b) ∈ [−1, 1] (the "simplified
+    * silhouette" of Hruschka et al. — centroid-based, so it costs one
+    * k-row broadcast per point instead of the classic all-pairs
+    * definition, which is exactly why it is the variant that scales).
+    * Centroids rebuild from the final assignment with the chain's own
+    * integer-rounded mean, distances stay exact BIGINT through the
+    * fused dot_q kernel on difference vectors (the b12_sq_topk
+    * device), and the score is ONE final IEEE division — so the lossy
+    * clustering's quality report itself hash-gates. Identical
+    * point-and-centroid degeneracy (max(a,b)=0) pins s to 0. */
+  def silhouetteOf(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val asg = kMeans(embeddings, k, iters).select(col("vec_id"), col("cluster_id"))
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val pts = e.join(asg, "vec_id").localCheckpoint(true)
+    val vsum = udaf(new graft.functions.VecSumAgg)
+    val cents = pts.groupBy(col("cluster_id"))
+      .agg(vsum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("cluster_id").as("cid"),
+        transform(col("s"), v =>
+          round(v.cast("double") / col("n")).cast("long")).as("cq"))
+    val d2 = pts.crossJoin(broadcast(cents))
+      .withColumn("diff", zip_with(col("q"), col("cq"), (x, c) => x - c))
+      .select(col("vec_id"), col("cluster_id"), col("cid"),
+        dotQ(col("diff"), col("diff")).as("d2"))
+    val own = d2.filter(col("cid") === col("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("d2").as("a_sq"))
+    val other = d2.filter(col("cid") =!= col("cluster_id"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("b_sq"))
+    own.join(other, Seq("vec_id"))
+      .select(col("vec_id"), col("cluster_id"), col("a_sq"), col("b_sq"),
+        when(greatest(col("a_sq"), col("b_sq")) === 0L, lit(0.0))
+          .otherwise((col("b_sq") - col("a_sq")).cast("double")
+            / greatest(col("a_sq"), col("b_sq")).cast("double"))
+          .as("silhouette"))
+      .orderBy(col("vec_id"))
+  }
+
+  def silhouetteQuery(s: SparkSession, dir: String): DataFrame =
+    silhouetteOf(Tables.embeddings(s, dir))
+
   /** B12 (r7): SemDeDup (Abbas et al. 2023) — semantic deduplication in
     * embedding space: cluster the corpus with [[kMeans]], then inside
     * each cluster drop every vector that has a SMALLER-id cluster-mate
@@ -1003,6 +1047,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_embed_neardup" -> (embedNearDupQuery _),
     "b12_dbscan" -> (dbscanQuery _),
+    "b12_silhouette" -> (silhouetteQuery _),
     "b12_kmeans" -> (kMeansQuery _),
     "b12_semdedup" -> (semDedupQuery _),
     "b12_pq_topk" -> (pqQuery _),
@@ -1305,6 +1350,29 @@ object Similarity {
       SELECT CAST(sq.cid AS BIGINT) AS cluster_id, sq.n,
              sq.n * sq.sq2 - d2.sd2 AS inertia_n
       FROM sq JOIN d2 USING (cid) ORDER BY cluster_id""",
+    // simplified silhouette over the same Lloyd chain: centroids rebuilt
+    // with the chain's integer-rounded mean, exact BIGINT squared
+    // distances, one final IEEE division per point
+    "b12_silhouette" -> s"""
+      WITH ${kMeansCtes(8, 3)},
+      sc AS (SELECT cid, list(sq ORDER BY pos) AS cq FROM (
+               SELECT cid, pos,
+                 CAST(round(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS sq
+               FROM (SELECT cid, generate_subscripts(q, 1) AS pos,
+                       unnest(q) AS qv FROM kassign)
+               GROUP BY cid, pos) GROUP BY cid),
+      dd AS (SELECT ka.vec_id, ka.cid AS cluster_id, c.cid,
+               ${l2Sql("ka.q", "c.cq")} AS d2
+             FROM kassign ka CROSS JOIN sc c),
+      aa AS (SELECT vec_id, cluster_id, d2 AS a_sq FROM dd WHERE cid = cluster_id),
+      bb AS (SELECT vec_id, MIN(d2) AS b_sq FROM dd WHERE cid <> cluster_id
+             GROUP BY vec_id)
+      SELECT aa.vec_id, CAST(aa.cluster_id AS BIGINT) AS cluster_id,
+        aa.a_sq, bb.b_sq,
+        CASE WHEN greatest(aa.a_sq, bb.b_sq) = 0 THEN 0.0
+             ELSE CAST(bb.b_sq - aa.a_sq AS DOUBLE)
+                  / CAST(greatest(aa.a_sq, bb.b_sq) AS DOUBLE) END AS silhouette
+      FROM aa JOIN bb USING (vec_id) ORDER BY vec_id""",
     // SemDeDup: the k=32/2-iteration Lloyd chain (same audited kernel)
     // feeding the within-cluster keep-first pair stage
     "b12_semdedup" -> s"""

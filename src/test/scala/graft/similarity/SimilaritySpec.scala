@@ -378,6 +378,37 @@ class SimilaritySpec extends SparkSpec {
     assert(k2.toSeq === out.take(2).map(t => (t._1, t._2)).toSeq)
   }
 
+  test("silhouette: brute recompute from the assignment and rebuilt centroids (B12, r7)") {
+    val out = Similarity.silhouetteOf(embeddings, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val asg = Similarity.kMeans(embeddings, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = embeddings.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(v => math.round(v * 1000).toLong)).toMap
+    // rebuild integer centroids exactly as the chain does (rounded mean)
+    val cents = asg.groupBy(_._2).map { case (c, members) =>
+      val qs = members.keys.toSeq.map(vecs)
+      c -> qs.transpose.map(ds =>
+        math.round(ds.sum.toDouble / ds.length)).toSeq
+    }
+    def d2(q: Seq[Long], c: Seq[Long]): Long =
+      q.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    for ((v, (cl, aSq, bSq, s)) <- out) {
+      assert(cl === asg(v))
+      assert(aSq === d2(vecs(v), cents(cl)))
+      val expB = cents.collect { case (c, cq) if c != cl => d2(vecs(v), cq) }.min
+      assert(bSq === expB)
+      val expS = if (math.max(aSq, bSq) == 0) 0.0
+        else (bSq - aSq).toDouble / math.max(aSq, bSq).toDouble
+      assert(s === expS)
+      assert(s >= -1.0 && s <= 1.0)
+    }
+    // tight orthogonal clusters separate well: mean silhouette is high
+    val mean = out.values.map(_._4).sum / out.size
+    assert(mean > 0.5, s"mean silhouette $mean unexpectedly low")
+  }
+
   test("dbscan roles: core/border/noise and min-label attachment (B12, r7)") {
     // path 1-2-3 (2 is core at minPts=2, 1/3 border), triangle 10-11-12
     // (all core, rep 10), isolated edge 20-21 (degree 1, no core
