@@ -210,7 +210,50 @@ object ScaleQueries {
       .orderBy($"n_nationkey")
   }
 
+  /** B3 (r7 cont.): runtime bloom-filter join pruning end to end — the
+    * row-level companion of [[dppJoinQuery]]'s partition pruning: when a
+    * selective dimension filters a shuffle join, Catalyst's
+    * InjectRuntimeFilter builds a bloom filter over the dim's join keys
+    * and pushes `might_contain` onto the fact side, so non-joining fact
+    * rows die at the scan instead of crossing the shuffle — at 100 TB
+    * that IS the join's cost. The gate lowers the application-side size
+    * threshold (sized for real clusters, far above sf0.01) and disables
+    * broadcast so the shuffle-join rewrite actually fires, ASSERTS the
+    * bloom filter is in the physical plan (the no-vacuous-gate
+    * discipline), restores every touched conf, and hash-compares
+    * against the plain join — pruning must lose no rows. */
+  def runtimeFilterQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val touched = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = touched.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set(touched(0), "0")
+      s.conf.set(touched(1), "100MB")
+      s.conf.set(touched(2), "-1")
+      val sel = Tables.supplier(s, dir).filter($"s_nationkey" === 3)
+      val out = Tables.lineitem(s, dir)
+        .join(sel, $"l_suppkey" === $"s_suppkey")
+        .select($"l_orderkey", $"l_linenumber", $"s_suppkey", $"s_name")
+        .orderBy($"l_orderkey", $"l_linenumber")
+      // forces physical planning NOW, while the confs are in effect;
+      // the plan is cached on this DataFrame for the later write
+      val phys = out.queryExecution.executedPlan.toString
+      require(phys.toLowerCase.contains("bloomfilter")
+          || phys.toLowerCase.contains("might_contain"),
+        "b03_runtime_filter: no bloom runtime filter in the physical plan — " +
+          "the gate would certify the plain join instead of the rewrite")
+      out
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b03_runtime_filter" -> (runtimeFilterQuery _),
     "b01_compact" -> (compactQuery _),
     "b01_schema_evolution" -> (schemaEvolutionQuery _),
     "b03_join_salted" -> (saltedJoinQuery _),
@@ -232,6 +275,13 @@ object ScaleQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the plain join — bloom pruning must be invisible in the result
+    "b03_runtime_filter" -> """
+      SELECT l_orderkey, l_linenumber, s_suppkey, s_name
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 3
+      ORDER BY l_orderkey, l_linenumber
+    """,
     // the compacted table must be row-for-row the original orders
     "b01_compact" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -249,4 +249,16 @@ class ScaleOpsSpec extends SparkSpec {
     val (none, kept0, _) = ScaleOps.prunedRead(spark, dir, "k", lit(5000L), lit(6000L))
     assert(kept0 === 0 && none.count() === 0L)
   }
+
+  test("runtime bloom filter: gate plan carries the filter, confs restored (B3, r7)") {
+    val before = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val out = ScaleQueries.runtimeFilterQuery(spark, sfDir)
+    // the in-query require already proved the bloom filter is in the plan;
+    // here: result non-empty and every touched conf restored afterwards
+    assert(out.count() > 0L)
+    assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold") === before)
+    assert(spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      !== Some("0"))
+  }
 }
