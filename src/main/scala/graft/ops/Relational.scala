@@ -1018,6 +1018,61 @@ object Relational {
       .orderBy($"o_orderpriority", $"o_orderstatus")
   }
 
+  /** AMS geometry: 64 ±1 estimators in 8 groups of 8 — each group sum
+    * is an 8-scaled F2 estimate, the lower median of the 8 group sums
+    * is the reported sketch value (Alon-Matias-Szegedy, STOC'96). */
+  private[ops] val AmsJ = 64
+  private[ops] val AmsGroup = 8
+
+  /** B5 (r7 cont.): AMS second-frequency-moment (F2) sketch — the
+    * fourth classic mergeable sketch beside Misra-Gries / KMV / KLL /
+    * CMS / HLL: F2 = Σ c_k² is the self-join size (the query-planner
+    * cardinality input) and the "surprise number" skew measure, and AMS
+    * estimates it from J counters regardless of key cardinality: z_j =
+    * Σ_k sign_j(k)·c_k with 4-wise-independent ±1 hashes, E[z²] = F2.
+    * Served with engine-portable md5 sign hashes and EXACT integer
+    * arithmetic end to end — group sums of z² are 8-scaled estimates,
+    * the final value is their lower median (the exact even-count
+    * device), so the LOSSY estimate itself hash-gates (the
+    * b05_countmin discipline). The exact F2 rides along for the error
+    * readout. Scale: the z table is one combinable aggregate over the
+    * J-replicated DISTINCT-key table — counters move, keys don't. */
+  def amsF2Query(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    amsF2Of(Tables.lineitem(s, dir)
+        .select($"l_returnflag".as("g"), $"l_orderkey".as("k")))
+      .select($"g".as("l_returnflag"), $"f2_exact", $"ams_f2", $"ams_scaled8")
+      .orderBy($"l_returnflag")
+  }
+
+  /** AMS over `items` (columns `g` group, `k` key; multiplicity = row
+    * count per (g, k)). Returns (g, f2_exact, ams_f2, ams_scaled8). */
+  private[ops] def amsF2Of(items: DataFrame): DataFrame = {
+    import items.sparkSession.implicits._
+    val counts = items
+      .groupBy($"g", $"k")
+      .agg(count(lit(1)).as("c"))
+    val exact = counts.groupBy($"g").agg(sum($"c" * $"c").as("f2_exact"))
+    val js = array((0 until AmsJ).map(lit): _*)
+    val sign = when(
+      pmod(graft.functions.Md5Prefix(
+        concat(lit("ams"), $"j".cast("string"), lit(":"), $"k".cast("string")), 12),
+        lit(2L)) === 0L, lit(1L)).otherwise(lit(-1L))
+    val z = counts.select($"g", $"k", $"c", explode(js).as("j"))
+      .select($"g", $"j", (sign * $"c").as("sc"))
+      .groupBy($"g", $"j").agg(sum($"sc").as("z"))
+    val groups = z.select($"g", expr(s"j div $AmsGroup").as("grp"), ($"z" * $"z").as("z2"))
+      .groupBy($"g", $"grp").agg(sum($"z2").as("est8"))
+    // lower median of the 8 group sums: rank 4 of 8 under (est8, grp)
+    val w = Window.partitionBy($"g").orderBy($"est8", $"grp")
+    val med = groups.withColumn("rn", row_number().over(w))
+      .filter($"rn" === (AmsJ / AmsGroup + 1) / 2)
+      .select($"g", $"est8".as("ams_scaled8"))
+    med.join(exact, Seq("g"))
+      .select($"g", $"f2_exact",
+        expr(s"ams_scaled8 div $AmsGroup").as("ams_f2"), $"ams_scaled8")
+  }
+
   /** Sketch size of [[kmvSetOps]] — small enough that the gate runs the
     * genuinely LOSSY regime (each return flag holds thousands of
     * distinct order keys at sf0.01, far above 256). */
@@ -1264,6 +1319,7 @@ object Relational {
     "b01_profile" -> (profileQuery _),
     "b05_hll_portable" -> (hllPortableQuery _),
     "b05_kmv_setops" -> (kmvSetOpsQuery _),
+    "b05_ams_f2" -> (amsF2Query _),
     "b04_chisq" -> (chiSquare _),
     "b04_benford" -> (benfordQuery _),
     "b09_bitmap_ops" -> (bitmapOpsQuery _),
@@ -1673,6 +1729,29 @@ object Relational {
         (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
           / expected AS contrib
       FROM e ORDER BY o_orderpriority, o_orderstatus""",
+    // the ±1 estimator matrix replays exactly (same md5 sign hashes,
+    // same 8×8 geometry, lower median as rank-4-of-8), so the lossy F2
+    // estimate hash-gates; all operands of div/// are non-negative
+    "b05_ams_f2" -> s"""
+      WITH counts AS (SELECT l_returnflag AS g, l_orderkey AS k,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+      exact AS (SELECT g, CAST(SUM(c * c) AS BIGINT) AS f2_exact
+                FROM counts GROUP BY g),
+      js AS (SELECT unnest(range(0, $AmsJ)) AS j),
+      z AS (SELECT g, j,
+              CAST(SUM(CASE WHEN CAST(('0x' || substr(md5('ams' || j || ':' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                       THEN c ELSE -c END) AS BIGINT) AS z
+            FROM counts, js GROUP BY 1, 2),
+      grp AS (SELECT g, j // $AmsGroup AS grp, CAST(SUM(z * z) AS BIGINT) AS est8
+              FROM z GROUP BY 1, 2),
+      med AS (SELECT g, est8 AS ams_scaled8 FROM (
+                SELECT g, grp, est8,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY est8, grp) AS rn
+                FROM grp) WHERE rn = ${(AmsJ / AmsGroup + 1) / 2})
+      SELECT med.g AS l_returnflag, exact.f2_exact,
+        med.ams_scaled8 // $AmsGroup AS ams_f2, med.ams_scaled8
+      FROM med JOIN exact USING (g) ORDER BY l_returnflag""",
     // the bottom-k sketches replay exactly (rank ≤ k over the identical
     // md5 hashes), so the LOSSY union/Jaccard/intersection estimates
     // hash-gate; `//` and `div` agree because every operand is ≥ 0
