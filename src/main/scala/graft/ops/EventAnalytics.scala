@@ -927,6 +927,51 @@ object EventAnalytics {
   def trendQuery(s: SparkSession, dir: String): DataFrame =
     trend(Tables.events(s, dir))
 
+  /** B06 (r7 cont.): CUSUM changepoint detection — "when did this
+    * metric's level shift" per event type, the third leg of the series
+    * triad ([[autocorr]] cycles, [[trend]] drift, this: breaks). The
+    * classic statistic is max_k |Σ_{i≤k}(y_i − ȳ)|; multiplied through
+    * by n it is the EXACT integer n·prefix_k − (k+1)·Σy, so the whole
+    * curve and its argmax replay with zero float math (the inertia
+    * n-scaling device; consumers divide by n at display). Same dense
+    * per-type day grid as [[trend]]; the argmax is total via the
+    * (|cusum| DESC, day) min_by struct — the lpa argmax device. Window
+    * runs over the bounded DAY axis, never event rows. */
+  def changepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_date(to_date(cast(ts as timestamp)))").as("day"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("v"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("b0"), max(col("day")).as("b1"))
+      .select(col("event_type"), col("b0"),
+        explode(expr("sequence(b0, b1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        (col("day") - col("b0")).cast("long").as("x"),
+        coalesce(col("v"), lit(0L)).as("y"))
+    val tot = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cus = grid.join(tot, Seq("event_type"))
+      .withColumn("prefix", sum(col("y")).over(w))
+      .select(col("event_type"), col("n_days"), col("day"),
+        (col("n_days") * col("prefix") - (col("x") + 1) * col("sy")).as("cusum_n"))
+    cus.groupBy(col("event_type"))
+      .agg(first(col("n_days")).as("n_days"),
+        min_by(struct(col("day"), col("cusum_n")),
+          struct((-abs(col("cusum_n"))).as("na"), col("day"))).as("best"))
+      .select(col("event_type"), col("n_days"),
+        col("best.day").as("cp_day"), col("best.cusum_n").as("cusum_n"),
+        abs(col("best.cusum_n")).as("cusum_abs_n"))
+      .orderBy(col("event_type"))
+  }
+
+  def changepointQuery(s: SparkSession, dir: String): DataFrame =
+    changepoint(Tables.events(s, dir))
+
   /** B10 (r7 final): revenue concentration — the top-k spenders with
     * their individual and CUMULATIVE share of total purchase revenue
     * (the "whale curve" behind every monetization dashboard: how much
@@ -969,6 +1014,7 @@ object EventAnalytics {
     "b06_zscore" -> (zScoresQuery _),
     "b06_autocorr" -> ((s: SparkSession, dir: String) => autocorrQuery(s, dir)),
     "b06_trend" -> (trendQuery _),
+    "b06_changepoint" -> (changepointQuery _),
     "b10_whales" -> (whalesQuery _),
     "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
@@ -1018,6 +1064,35 @@ object EventAnalytics {
                   * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS autocorr
       FROM m ORDER BY lag_days""",
+    // exact n-scaled CUSUM over the dense per-type grid; argmax replayed
+    // as (|cusum| DESC, day) rank 1; window SUM cast to BIGINT (HUGEINT)
+    "b06_changepoint" -> """
+      WITH d AS (SELECT event_type,
+          date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      obs AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS v
+              FROM d GROUP BY 1, 2),
+      span AS (SELECT event_type, MIN(day) AS b0, MAX(day) AS b1
+               FROM obs GROUP BY 1),
+      grid AS (SELECT event_type, b0, u.day
+               FROM span, UNNEST(range(b0, b1 + 1)) AS u(day)),
+      g AS (SELECT gr.event_type, gr.day, gr.day - gr.b0 AS x,
+              COALESCE(o.v, 0) AS y
+            FROM grid gr LEFT JOIN obs o
+              ON o.event_type = gr.event_type AND o.day = gr.day),
+      t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+              CAST(SUM(y) AS BIGINT) AS sy FROM g GROUP BY 1),
+      c AS (SELECT g.event_type, t.n_days, g.day,
+              t.n_days * CAST(SUM(g.y) OVER (PARTITION BY g.event_type
+                ORDER BY g.x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) - (g.x + 1) * t.sy AS cusum_n
+            FROM g JOIN t USING (event_type)),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY abs(cusum_n) DESC, day) AS rn FROM c)
+      SELECT event_type, n_days, CAST(day AS INT) AS cp_day, cusum_n,
+        abs(cusum_n) AS cusum_abs_n
+      FROM r WHERE rn = 1 ORDER BY event_type""",
     // same dense per-type day grid and fixed IEEE tree as b06_autocorr;
     // x re-based per type so moments stay small
     "b06_trend" -> """

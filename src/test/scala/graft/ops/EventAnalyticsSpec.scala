@@ -499,4 +499,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(o.getAs[Double]("slope_cents_per_day") === 0.0)
     assert(o.getAs[Double]("intercept_cents") === 750.0)
   }
+
+  test("changepoint: step series peaks CUSUM exactly at the break (B06)") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 09:00:00")
+    // level 1.00 for days 0..4, then 3.00 for days 5..9: n=10, Σy=2000,
+    // |cusum| is maximal at the last low day (day index 4)
+    val step = (0 until 10).map { d =>
+      (d.toLong, day(d), 1L, "buy", if (d < 5) 1.0 else 3.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventAnalytics.changepoint(step).collect().head
+    assert(r.getAs[Long]("n_days") === 10L)
+    val epoch0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    assert(r.getAs[Int]("cp_day") === (epoch0 + 4).toInt)
+    // hand value: n*prefix(4) - 5*Σy = 10*500 - 5*2000 = -5000
+    assert(r.getAs[Long]("cusum_n") === -5000L)
+    assert(r.getAs[Long]("cusum_abs_n") === 5000L)
+    // constant series: cusum identically 0, argmax tie-breaks to day 0
+    val const = (0 until 6).map { d =>
+      (d.toLong, day(d), 1L, "buy", 2.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val c = EventAnalytics.changepoint(const).collect().head
+    assert(c.getAs[Long]("cusum_abs_n") === 0L)
+    assert(c.getAs[Int]("cp_day") === epoch0.toInt)
+  }
 }
