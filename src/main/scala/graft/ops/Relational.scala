@@ -1045,32 +1045,44 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
-  /** AMS over `items` (columns `g` group, `k` key; multiplicity = row
-    * count per (g, k)). Returns (g, f2_exact, ams_f2, ams_scaled8). */
-  private[ops] def amsF2Of(items: DataFrame): DataFrame = {
+  /** The AMS ±1 counter table (g, j, z) for `items` (columns `g`, `k`;
+    * multiplicity = row count per (g, k)) — split out because z
+    * counters MERGE BY ADDITION, which is what the streaming sink folds
+    * per micro-batch (the countMinMatrix factoring). */
+  private[graft] def amsZTable(items: DataFrame): DataFrame = {
     import items.sparkSession.implicits._
-    val counts = items
-      .groupBy($"g", $"k")
-      .agg(count(lit(1)).as("c"))
-    val exact = counts.groupBy($"g").agg(sum($"c" * $"c").as("f2_exact"))
+    val counts = items.groupBy($"g", $"k").agg(count(lit(1)).as("c"))
     val js = array((0 until AmsJ).map(lit): _*)
     val sign = when(
       pmod(graft.functions.Md5Prefix(
         concat(lit("ams"), $"j".cast("string"), lit(":"), $"k".cast("string")), 12),
         lit(2L)) === 0L, lit(1L)).otherwise(lit(-1L))
-    val z = counts.select($"g", $"k", $"c", explode(js).as("j"))
+    counts.select($"g", $"k", $"c", explode(js).as("j"))
       .select($"g", $"j", (sign * $"c").as("sc"))
       .groupBy($"g", $"j").agg(sum($"sc").as("z"))
+  }
+
+  /** Median-of-means finish over a z table: (g, ams_f2, ams_scaled8). */
+  private[graft] def amsEstimate(z: DataFrame): DataFrame = {
+    import z.sparkSession.implicits._
     val groups = z.select($"g", expr(s"j div $AmsGroup").as("grp"), ($"z" * $"z").as("z2"))
       .groupBy($"g", $"grp").agg(sum($"z2").as("est8"))
     // lower median of the 8 group sums: rank 4 of 8 under (est8, grp)
     val w = Window.partitionBy($"g").orderBy($"est8", $"grp")
-    val med = groups.withColumn("rn", row_number().over(w))
+    groups.withColumn("rn", row_number().over(w))
       .filter($"rn" === (AmsJ / AmsGroup + 1) / 2)
-      .select($"g", $"est8".as("ams_scaled8"))
-    med.join(exact, Seq("g"))
-      .select($"g", $"f2_exact",
-        expr(s"ams_scaled8 div $AmsGroup").as("ams_f2"), $"ams_scaled8")
+      .select($"g", expr(s"est8 div $AmsGroup").as("ams_f2"),
+        $"est8".as("ams_scaled8"))
+  }
+
+  /** AMS over `items` (columns `g` group, `k` key; multiplicity = row
+    * count per (g, k)). Returns (g, f2_exact, ams_f2, ams_scaled8). */
+  private[ops] def amsF2Of(items: DataFrame): DataFrame = {
+    import items.sparkSession.implicits._
+    val exact = items.groupBy($"g", $"k").agg(count(lit(1)).as("c"))
+      .groupBy($"g").agg(sum($"c" * $"c").as("f2_exact"))
+    amsEstimate(amsZTable(items)).join(exact, Seq("g"))
+      .select($"g", $"f2_exact", $"ams_f2", $"ams_scaled8")
   }
 
   /** Sketch size of [[kmvSetOps]] — small enough that the gate runs the

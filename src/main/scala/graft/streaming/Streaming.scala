@@ -810,6 +810,35 @@ object Streaming {
       acc.map(a => graft.ops.Relational.countMinProbe(a, probes, d, w))
   }
 
+  /** B5 streaming twin (r7 cont.): AMS F2 maintenance over a stream —
+    * the same mergeability argument as [[CountMinSink]] applied to the
+    * second-moment sketch: z_j = Σ sign_j(k) is LINEAR in the stream,
+    * so per-batch counter vectors add cell-wise (this is the "linear
+    * sketch" property that also gives AMS its famous turnstile/DELETE
+    * support — a retraction is just a −1 contribution). State is ≤
+    * |groups|·J counter rows regardless of stream length; the estimate
+    * is re-derived from the accumulated counters on demand; snapshot ==
+    * batch-on-prefix pinned in StreamingSpec. */
+  final class AmsSink {
+    @volatile private var acc: Option[DataFrame] = None
+    /** foreachBatch body: fold the micro-batch (columns `g`, `k`) into
+      * the accumulated z-counter table. */
+    def update(batch: DataFrame, batchId: Long): Unit = {
+      val z = graft.ops.Relational.amsZTable(batch)
+      val merged = acc match {
+        case Some(a) => a.unionByName(z).groupBy(col("g"), col("j"))
+          .agg(sum(col("z")).as("z"))
+        case None => z
+      }
+      acc = Some(merged.localCheckpoint(true))
+    }
+    /** Latest accumulated (g, j, z) counter table (None before batch 1). */
+    def zTable: Option[DataFrame] = acc
+    /** F2 estimates from the accumulated counters. */
+    def estimates: Option[DataFrame] =
+      acc.map(graft.ops.Relational.amsEstimate)
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

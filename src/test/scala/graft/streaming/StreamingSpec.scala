@@ -680,4 +680,30 @@ class StreamingSpec extends SparkSpec {
     assert(est(100L) >= 1L)
     assert(est(145L) >= 2L)   // present in both batches
   }
+
+  test("AMS sink: snapshot z-table == batch kernel on the stream prefix (B5, r7)") {
+    val sink = new Streaming.AmsSink
+    val b1 = (1 to 300).map(i => ("g1", s"k${i % 37}")) ++
+      (1 to 100).map(i => ("g2", s"k${i % 11}"))
+    val b2 = (1 to 200).map(i => ("g1", s"k${i % 53}"))
+    def batchZ(rows: Seq[(String, String)]) =
+      graft.ops.Relational.amsZTable(rows.toDF("g", "k"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def snapZ() = sink.zTable.get
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val input = MemoryStream[(String, String)](spark)
+    val q = input.toDF().toDF("g", "k").writeStream
+      .foreachBatch(sink.update _).outputMode("update").start()
+    input.addData(b1); q.processAllAvailable()
+    assert(snapZ() === batchZ(b1))
+    input.addData(b2); q.processAllAvailable(); q.stop()
+    assert(snapZ() === batchZ(b1 ++ b2)) // linear-sketch cell-wise merge exact
+    // estimates from the accumulated counters match the batch finish
+    val streamed = sink.estimates.get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Relational.amsEstimate(
+        graft.ops.Relational.amsZTable((b1 ++ b2).toDF("g", "k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
 }
