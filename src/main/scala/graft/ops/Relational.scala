@@ -1197,6 +1197,43 @@ object Relational {
       .limit(20)
   }
 
+  /** B7 (r7 cont.): KEYSET pagination (the "seek method") — the
+    * scale-correct page fetch: OFFSET n forces the engine through n
+    * sorted rows before the page (at 100 TB, page 10⁶ re-sorts the
+    * world), while a keyset cursor turns the page into a PUSHED-DOWN
+    * range filter plus a top-k — cost proportional to the page, not
+    * the offset. The cursor is the last (balance, key) of the previous
+    * page — here derived by a bounded 1-row collect standing in for
+    * the client-supplied cursor, embedded as plan literals precisely
+    * so the predicate reaches the parquet scan (ASSERTED in-plan: a
+    * cursor that stayed a join would not push down — the no-vacuous-
+    * gate discipline). Ties at the page boundary are exact via the
+    * strict composite (bal, key) comparison. The oracle replays plain
+    * OFFSET/LIMIT under the same total order — keyset ≡ offset is the
+    * correctness claim. */
+  def keysetPage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ordered = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    // "previous page" boundary: row 40 under the total order (bounded
+    // top-40 fetch; in a real API the client sends this cursor back)
+    val cur = ordered.limit(40).collect().last
+    val (curBal, curKey) = (cur.getDouble(2), cur.getLong(0))
+    val page = Tables.customer(s, dir)
+      .filter($"c_acctbal" < curBal ||
+        ($"c_acctbal" === curBal && $"c_custkey" > curKey))
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+      .limit(20)
+    val phys = page.queryExecution.executedPlan.toString
+    require(phys.contains("PushedFilters") &&
+        phys.contains("LessThan(c_acctbal"),
+      "b07_keyset_page: cursor predicate did not reach the parquet scan — " +
+        "the gate would certify an unpushed filter")
+    page
+  }
+
   /** UNION ALL with provenance tags (B8). */
   def unionTagged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1332,6 +1369,7 @@ object Relational {
     "b05_hll_portable" -> (hllPortableQuery _),
     "b05_kmv_setops" -> (kmvSetOpsQuery _),
     "b05_ams_f2" -> (amsF2Query _),
+    "b07_keyset_page" -> (keysetPage _),
     "b04_chisq" -> (chiSquare _),
     "b04_benford" -> (benfordQuery _),
     "b09_bitmap_ops" -> (bitmapOpsQuery _),
@@ -1741,6 +1779,12 @@ object Relational {
         (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
           / expected AS contrib
       FROM e ORDER BY o_orderpriority, o_orderstatus""",
+    // plain OFFSET/LIMIT under the identical total order — keyset page 3
+    // must equal offset page 3 including boundary ties
+    "b07_keyset_page" -> """
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 20 OFFSET 40""",
     // the ±1 estimator matrix replays exactly (same md5 sign hashes,
     // same 8×8 geometry, lower median as rank-4-of-8), so the lossy F2
     // estimate hash-gates; all operands of div/// are non-negative
