@@ -808,6 +808,46 @@ object GraphOps {
   def modularityQuery(s: SparkSession, dir: String): DataFrame =
     modularityOf(strongEdges(s, dir), LpaRounds)
 
+  /** E6 (r7 cont.): the SIXTH flagship — a graph-analytics MART build,
+    * the composition a BI team actually ships: detect product
+    * communities on the strong co-purchase graph ([[lpaOf]], the
+    * audited 4-round synchronous kernel), then attribute LINEITEM
+    * revenue to each community and serve the ranked mart (members,
+    * line count, exact revenue cents, ppb revenue share). The whole
+    * pipeline — edge build → LPA rounds → revenue join → shares —
+    * hash-gates as ONE query via the shared [[lpaChainCtes]] oracle
+    * fragment (the kMeansCtes no-drift discipline).
+    *
+    * Scale shape: the revenue join keys on l_partkey against the
+    * (vertex-sized) label table — at 100 TB a broadcast of labels or a
+    * bucketed co-partitioning, never a shuffle of lineitem onto the
+    * graph; the mart axis is community-bounded. */
+  def communityMartQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = lpaOf(strongEdges(s, dir), LpaRounds)
+      .select($"part_key".as("l_partkey"), $"community")
+      .localCheckpoint(true)
+    val sizes = labels.groupBy($"community").agg(count(lit(1)).as("n_members"))
+    val li = Tables.lineitem(s, dir).select($"l_partkey",
+      ($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val rev = li.join(labels, Seq("l_partkey"))
+      .groupBy($"community")
+      .agg(count(lit(1)).as("n_lineitems"), sum($"cents").as("revenue_cents"))
+    val tot = rev.agg(sum($"revenue_cents").as("t"))
+    sizes.join(rev, Seq("community"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"community", $"n_members",
+        coalesce($"n_lineitems", lit(0L)).as("n_lineitems"),
+        coalesce($"revenue_cents", lit(0L)).as("revenue_cents"),
+        // revenue_cents·10⁹ passes 2⁶³ at sf0.01 already — the share is
+        // exact integer math widened through DECIMAL(38,0) (`div` takes
+        // the integral part; the oracle widens through HUGEINT)
+        expr("""CAST((CAST(coalesce(revenue_cents, 0) AS DECIMAL(38,0))
+                     * 1000000000) div CAST(t AS DECIMAL(38,0)) AS BIGINT)""")
+          .as("share_ppb"))
+      .orderBy($"community")
+  }
+
   /** B16 (r7): the one-row graph profile card — the summary every graph
     * system prints before any analysis runs: order, size, peak degree,
     * density, triangle count, and the GLOBAL clustering coefficient
@@ -894,6 +934,7 @@ object GraphOps {
     "b16_squares" -> (squaresQuery _),
     "b16_hits" -> (hitsQuery _),
     "b16_modularity" -> (modularityQuery _),
+    "e06_community_mart" -> (communityMartQuery _),
     "b16_summary" -> (graphSummaryQuery _),
     "b16_assortativity" -> (assortativityQuery _),
   )
@@ -1021,6 +1062,26 @@ object GraphOps {
     "b16_ktruss" -> kTrussOracleSql,
     "b16_lpa" -> lpaOracleSql,
     "b16_modularity" -> modularityOracleSql,
+    // the full mart: shared LPA chain + exact-cents revenue attribution
+    "e06_community_mart" -> s"""
+      WITH $lpaChainCtes,
+      lab AS (SELECT x AS p, label AS community FROM l$LpaRounds),
+      sizes AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_members
+                FROM lab GROUP BY 1),
+      lir AS (SELECT l_partkey,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+             FROM lineitem),
+      rev AS (SELECT lab.community, CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+                CAST(SUM(lir.cents) AS BIGINT) AS revenue_cents
+              FROM lir JOIN lab ON lab.p = lir.l_partkey GROUP BY 1),
+      tot AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS t FROM rev)
+      SELECT s.community, s.n_members,
+        COALESCE(r.n_lineitems, 0) AS n_lineitems,
+        COALESCE(r.revenue_cents, 0) AS revenue_cents,
+        CAST((CAST(COALESCE(r.revenue_cents, 0) AS HUGEINT) * 1000000000)
+             // tot.t AS BIGINT) AS share_ppb
+      FROM sizes s LEFT JOIN rev r USING (community) CROSS JOIN tot
+      ORDER BY community""",
     "b16_summary" -> s"""
       WITH $OracleEdges, $OracleDegs, $OracleTri,
       em AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),

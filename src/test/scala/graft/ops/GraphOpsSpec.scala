@@ -481,4 +481,21 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(all === Map(-1 -> 0L, 0 -> 1L, 1 -> 2L))
   }
+
+  test("community mart: membership, line and share identities hold (E6)") {
+    val mart = GraphOps.communityMartQuery(spark, sfDir).collect()
+    assert(mart.nonEmpty)
+    // membership identity: mart members == LPA vertex universe
+    val lpaRows = GraphOps.lpaQuery(spark, sfDir).count()
+    assert(mart.map(_.getAs[Long]("n_members")).sum === lpaRows)
+    // shares are a partition of the attributed revenue: Σ ≤ 1e9 and
+    // within one floor-division ulp per community of the full pie
+    val shares = mart.map(_.getAs[Long]("share_ppb"))
+    assert(shares.forall(s => s >= 0L && s <= 1000000000L))
+    assert(shares.sum <= 1000000000L)
+    assert(shares.sum >= 1000000000L - mart.length)
+    // every community with revenue has lineitems and vice versa
+    assert(mart.forall(r => (r.getAs[Long]("n_lineitems") == 0L)
+      == (r.getAs[Long]("revenue_cents") == 0L)))
+  }
 }
