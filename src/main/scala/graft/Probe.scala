@@ -89,6 +89,45 @@ object Probe {
       time(s"stress_tri_${reps}x") { trianglesOn(big) }
       big.unpersist()
     }
+    if (sys.env.contains("PROBE_STRESS_E06")) {
+      // e06 composition scaling (the PROBE_STRESS_GRAPH pattern):
+      // disjoint-key lineitem replicas multiply the strong edge set, the
+      // LPA vertex set and the revenue rows ~k×; every stage is claimed
+      // linear (edge build = per-order pair groupBy, per-round LPA
+      // neighbor join + combinable argmax, ONE revenue equi-join on the
+      // vertex-sized label table), so k× data should cost well under k×
+      // wall. Offsets derive from the actual max keys (the r6-ADVICE
+      // discipline).
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val reps = sys.env.getOrElse("PROBE_STRESS_E06", "8").toInt
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      def strongOn(frame: DataFrame): DataFrame = {
+        val a = frame.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+        val b = frame.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+        a.join(b, Seq("ok")).where(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select(col("u"), col("v"))
+      }
+      def mart(frame: DataFrame): Unit = {
+        ops.GraphOps.communityMartOn(strongOn(frame), frame)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      mart(li) // untimed: codegen/JIT warmup
+      val li1 = li.cache(); li1.count() // materialized 1x baseline
+      time("stress_e06_1x") { mart(li1) }
+      val mx = li.agg(greatest(max(col("l_orderkey")), max(col("l_partkey"))))
+        .head().getLong(0) + 1L
+      val big = li.crossJoin(spark.range(reps).toDF("rep"))
+        .select((col("l_orderkey") + col("rep") * mx).as("l_orderkey"),
+          (col("l_partkey") + col("rep") * mx).as("l_partkey"),
+          col("l_extendedprice")).cache()
+      println(s"  stress e06 lineitem rows=${big.count()} (${reps}x disjoint)")
+      time(s"stress_e06_${reps}x") { mart(big) }
+      li1.unpersist(); big.unpersist()
+    }
     if (sys.env.contains("PROBE_STRESS_PIPE")) {
       // E1/E2 composition scaling (r6-verdict #7): run each flagship
       // pipeline on a 1× and a k× DISJOINT corpus replica and compare

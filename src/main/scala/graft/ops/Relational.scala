@@ -1052,14 +1052,26 @@ object Relational {
   private[graft] def amsZTable(items: DataFrame): DataFrame = {
     import items.sparkSession.implicits._
     val counts = items.groupBy($"g", $"k").agg(count(lit(1)).as("c"))
-    val js = array((0 until AmsJ).map(lit): _*)
-    val sign = when(
-      pmod(graft.functions.Md5Prefix(
-        concat(lit("ams"), $"j".cast("string"), lit(":"), $"k".cast("string")), 12),
-        lit(2L)) === 0L, lit(1L)).otherwise(lit(-1L))
-    counts.select($"g", $"k", $"c", explode(js).as("j"))
-      .select($"g", $"j", (sign * $"c").as("sc"))
-      .groupBy($"g", $"j").agg(sum($"sc").as("z"))
+    // all 64 signs from TWO 48-bit md5 fields per key (bits 0..47 of
+    // h1, 0..15 of h2) — the first cut hashed (j, k) per estimator:
+    // 64 md5s and a 64× row explode per key, 4.97 s at sf0.1 (the
+    // bench's slowest query); bit-sliced + VecSumAgg-folded, the same
+    // sketch is one hash pair and one combinable vector sum per key,
+    // with the only explode on the |groups|-row z vectors
+    val vsum = udaf(new graft.functions.VecSumAgg)
+    counts
+      .withColumn("h1", graft.functions.Md5Prefix(
+        concat(lit("ams1:"), $"k".cast("string")), 12))
+      .withColumn("h2", graft.functions.Md5Prefix(
+        concat(lit("ams2:"), $"k".cast("string")), 12))
+      .withColumn("sv", expr(
+        s"""transform(sequence(0, ${AmsJ - 1}), j ->
+            CASE WHEN j < 48
+                 THEN IF((shiftright(h1, j) & 1) = 1, c, -c)
+                 ELSE IF((shiftright(h2, j - 48) & 1) = 1, c, -c) END)"""))
+      .groupBy($"g").agg(vsum($"sv").as("zv"))
+      .select($"g", posexplode($"zv"))
+      .toDF("g", "j", "z")
   }
 
   /** Median-of-means finish over a z table: (g, ams_f2, ams_scaled8). */
@@ -1795,10 +1807,15 @@ object Relational {
       exact AS (SELECT g, CAST(SUM(c * c) AS BIGINT) AS f2_exact
                 FROM counts GROUP BY g),
       js AS (SELECT unnest(range(0, $AmsJ)) AS j),
+      hh AS (SELECT g, k, c,
+               CAST(('0x' || substr(md5('ams1:' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5('ams2:' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) AS h2
+             FROM counts),
       z AS (SELECT g, j,
-              CAST(SUM(CASE WHEN CAST(('0x' || substr(md5('ams' || j || ':' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
-                       THEN c ELSE -c END) AS BIGINT) AS z
-            FROM counts, js GROUP BY 1, 2),
+              CAST(SUM(CASE WHEN j < 48
+                       THEN (CASE WHEN ((h1 >> j) & 1) = 1 THEN c ELSE -c END)
+                       ELSE (CASE WHEN ((h2 >> (j - 48)) & 1) = 1 THEN c ELSE -c END) END) AS BIGINT) AS z
+            FROM hh, js GROUP BY 1, 2),
       grp AS (SELECT g, j // $AmsGroup AS grp, CAST(SUM(z * z) AS BIGINT) AS est8
               FROM z GROUP BY 1, 2),
       med AS (SELECT g, est8 AS ams_scaled8 FROM (
