@@ -37,6 +37,25 @@ class KmvSetOpsSpec extends SparkSpec {
     assert(math.abs(inter - 2500L) <= 2500L / 2, s"intersection $inter off 2500")
   }
 
+  test("property: sketch == brute bottom-k under any split/merge order") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    val agg = new graft.functions.KmvSetSketchAgg(16)
+    val gen = Gen.listOf(Gen.chooseNum(0L, 1L << 48))
+    val cuts = Gen.chooseNum(1, 5)
+    val prop = Prop.forAll(gen, cuts) { (xs: List[Long], n: Int) =>
+      // fold in arbitrary chunkings, then merge — mergeable-summary
+      // contract: result == bottom-k of the whole set
+      val parts = xs.grouped(math.max(1, xs.length / n)).toList
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val want = xs.distinct.sorted.take(16)
+      agg.finish(merged) == want
+    }
+    val res = scCheck(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("partition-invariant in the lossy regime (set-property sketches)") {
     val xs = (1 to 4000).map(("a", _)) ++ (3000 to 9000).map(("b", _)) ++
       (500 to 1500).map(("c", _))
