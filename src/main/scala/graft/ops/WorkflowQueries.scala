@@ -301,7 +301,56 @@ object WorkflowQueries {
   private def pprQuery(s: SparkSession, dir: String): DataFrame =
     personalizedPageRank(s, dir)
 
+  /** Fixture: double-review table — every translation item carries two
+    * verdicts from a deterministic rater pair (the [[translations]]
+    * derivation discipline: pure doc_id arithmetic, so the oracle
+    * replays the table from `documents`). */
+  def raterReviews(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id".as("item_id"),
+      concat(lit("rev"), $"doc_id" % 5).as("rater_a"),
+      concat(lit("rev"), ($"doc_id" + 1) % 5).as("rater_b"),
+      when($"doc_id" % 3 =!= 0, "approve").otherwise("reject").as("verdict_a"),
+      when(($"doc_id" % 7) % 3 =!= 0, "approve").otherwise("reject").as("verdict_b"))
+  }
+
+  /** W9 (r7 cont.): Cohen's kappa per rater pair — THE inter-annotator
+    * agreement statistic behind every labeling/RLHF rater-QA dashboard
+    * (raw agreement flatters raters who share a bias toward one
+    * verdict; kappa discounts the agreement their marginals would
+    * produce by chance). With binary verdicts, κ = (n·agree − E) /
+    * (n² − E) where E = a₊b₊ + a₋b₋ — numerator and denominator are
+    * EXACT BIGINTs from one combinable aggregate per pair, emitted
+    * alongside κ as one guarded IEEE division (κ can be negative, so
+    * no ppb floor-div — the b04_delta_drivers sign lesson). Scale: one
+    * map-side-combinable groupBy on the pair key; the pair axis is
+    * rater-bounded. */
+  def raterKappa(s: SparkSession, dir: String): DataFrame =
+    kappaOf(raterReviews(s, dir))
+
+  private[ops] def kappaOf(reviews: DataFrame): DataFrame = {
+    import reviews.sparkSession.implicits._
+    val m = reviews
+      .groupBy($"rater_a", $"rater_b")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"verdict_a" === $"verdict_b", 1L).otherwise(0L)).as("n_agree"),
+        sum(when($"verdict_a" === "approve", 1L).otherwise(0L)).as("a_approve"),
+        sum(when($"verdict_b" === "approve", 1L).otherwise(0L)).as("b_approve"))
+    val chance = $"a_approve" * $"b_approve" +
+      ($"n" - $"a_approve") * ($"n" - $"b_approve")
+    m.withColumn("kappa_num", $"n" * $"n_agree" - chance)
+      .withColumn("kappa_den", $"n" * $"n" - chance)
+      .select($"rater_a", $"rater_b", $"n", $"n_agree",
+        $"a_approve", $"b_approve", $"kappa_num", $"kappa_den",
+        when($"kappa_den" === 0L, lit(0.0))
+          .otherwise($"kappa_num".cast("double") / $"kappa_den".cast("double"))
+          .as("kappa"))
+      .orderBy($"rater_a", $"rater_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w09_rater_kappa" -> (raterKappa _),
     "w07_pagerank" -> (pageRankQuery _),
     "w08_personalized_pagerank" -> (pprQuery _),
     "w01_translation_funnel" -> (translationFunnel _),
@@ -344,6 +393,30 @@ object WorkflowQueries {
   """
 
   val oracles: Map[String, String] = Map(
+    // the review fixture replays from documents (pure doc_id
+    // arithmetic); kappa's num/den are exact BIGINTs, the ratio is one
+    // guarded IEEE division (kappa can be negative — no floor div)
+    "w09_rater_kappa" -> """
+      WITH r AS (SELECT doc_id AS item_id,
+          'rev' || CAST(doc_id % 5 AS VARCHAR) AS rater_a,
+          'rev' || CAST((doc_id + 1) % 5 AS VARCHAR) AS rater_b,
+          CASE WHEN doc_id % 3 <> 0 THEN 'approve' ELSE 'reject' END AS verdict_a,
+          CASE WHEN (doc_id % 7) % 3 <> 0 THEN 'approve' ELSE 'reject' END AS verdict_b
+        FROM documents),
+      m AS (SELECT rater_a, rater_b, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN verdict_a = verdict_b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+          CAST(SUM(CASE WHEN verdict_a = 'approve' THEN 1 ELSE 0 END) AS BIGINT) AS a_approve,
+          CAST(SUM(CASE WHEN verdict_b = 'approve' THEN 1 ELSE 0 END) AS BIGINT) AS b_approve
+        FROM r GROUP BY 1, 2),
+      k AS (SELECT *,
+          n * n_agree - (a_approve * b_approve + (n - a_approve) * (n - b_approve)) AS kappa_num,
+          n * n - (a_approve * b_approve + (n - a_approve) * (n - b_approve)) AS kappa_den
+        FROM m)
+      SELECT rater_a, rater_b, n, n_agree, a_approve, b_approve,
+        kappa_num, kappa_den,
+        CASE WHEN kappa_den = 0 THEN 0.0
+             ELSE CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE) END AS kappa
+      FROM k ORDER BY rater_a, rater_b""",
     // 3 PageRank iterations UNROLLED as chained CTEs; integer nano-unit
     // arithmetic — (r*85)//(100*outdeg) is truncating division on
     // positives in both engines, so the hash must match exactly

@@ -26,4 +26,30 @@ class WorkflowQueriesSpec extends SparkSpec {
     assert(seeds.forall(s => out(s) >= 150000000L))
     assert((expected -- seeds).forall(n => out(n) < 1000000000L))
   }
+
+  test("rater kappa: hand 2x2 table, perfect agreement, degenerate marginals (W9)") {
+    import spark.implicits._
+    def rows(pairs: Seq[(String, String)]) = pairs.zipWithIndex.map {
+      case ((va, vb), i) => (i.toLong, "r1", "r2", va, vb)
+    }.toDF("item_id", "rater_a", "rater_b", "verdict_a", "verdict_b")
+    // hand fixture: n=100, agree=70 (45 app/app + 25 rej/rej), marginals
+    // a+=60, b+=60 → E = 60·60 + 40·40 = 5200; κ = (7000−5200)/(10⁴−5200)
+    val mixed = rows(
+      Seq.fill(45)(("approve", "approve")) ++ Seq.fill(15)(("approve", "reject")) ++
+      Seq.fill(15)(("reject", "approve")) ++ Seq.fill(25)(("reject", "reject")))
+    val k = WorkflowQueries.kappaOf(mixed).collect().head
+    assert(k.getAs[Long]("kappa_num") === 1800L)
+    assert(k.getAs[Long]("kappa_den") === 4800L)
+    assert(k.getAs[Double]("kappa") === 1800.0 / 4800.0)
+    // perfect mixed-marginal agreement → κ exactly 1
+    val perfect = rows(Seq.fill(30)(("approve", "approve")) ++
+      Seq.fill(20)(("reject", "reject")))
+    assert(WorkflowQueries.kappaOf(perfect).collect().head
+      .getAs[Double]("kappa") === 1.0)
+    // both raters approve everything: chance == observed == all, den=0 →
+    // κ pinned 0 instead of 0/0
+    val degen = rows(Seq.fill(10)(("approve", "approve")))
+    assert(WorkflowQueries.kappaOf(degen).collect().head
+      .getAs[Double]("kappa") === 0.0)
+  }
 }
