@@ -40,6 +40,45 @@ object Relational2 {
       .orderBy($"doc_id")
   }
 
+  /** B2 (r7 cont.): referential-integrity audit — per FK relationship,
+    * how many child rows point at a missing parent (the dq check every
+    * warehouse load runs beside A18-A20's URI/CHECK/UNIQUE gates; the
+    * TPC-H generator guarantees zeros here, which the oracle proves,
+    * and a corrupted load would surface non-zero orphan rows and fail
+    * the hash). One left-anti join per relationship (parent sides are
+    * dimension-sized → broadcast; at 100 TB the fact-keyed anti-join
+    * shuffles on the key like any join) + one combinable count; the
+    * output axis is relationship-bounded. */
+  private[ops] def auditRelation(rel: String, child: DataFrame,
+                                 parent: DataFrame): DataFrame = {
+    val orphans = child.join(parent, Seq("k"), "left_anti")
+    child.agg(count(lit(1)).as("n_child_rows"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_rows"),
+        countDistinct(col("k")).as("n_orphan_keys")))
+      .select(lit(rel).as("relationship"), col("n_child_rows"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
+  }
+
+  def referentialAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def audit(rel: String, child: DataFrame, parent: DataFrame): DataFrame =
+      auditRelation(rel, child, parent)
+    val li = Tables.lineitem(s, dir)
+    audit("lineitem.l_orderkey->orders.o_orderkey",
+        li.select($"l_orderkey".as("k")),
+        Tables.orders(s, dir).select($"o_orderkey".as("k")))
+      .unionByName(audit("lineitem.l_partkey->part.p_partkey",
+        li.select($"l_partkey".as("k")),
+        Tables.part(s, dir).select($"p_partkey".as("k"))))
+      .unionByName(audit("lineitem.l_suppkey->supplier.s_suppkey",
+        li.select($"l_suppkey".as("k")),
+        Tables.supplier(s, dir).select($"s_suppkey".as("k"))))
+      .unionByName(audit("orders.o_custkey->customer.c_custkey",
+        Tables.orders(s, dir).select($"o_custkey".as("k")),
+        Tables.customer(s, dir).select($"c_custkey".as("k"))))
+      .orderBy($"relationship")
+  }
+
   /** A14 inverse: pivot the EAV store back to wide — groupBy + pivot with
     * fixed column values (never dynamic at scale: fixed pivot values keep
     * it one pass, no extra distinct-collect job). */
@@ -437,6 +476,7 @@ object Relational2 {
     "b08_except_all" -> (exceptAll _),
     "b08_intersect_all" -> (intersectAll _),
     "b02_nullsafe_eq" -> (nullSafeEq _),
+    "b02_referential_audit" -> (referentialAudit _),
     "a14_pivot_wide" -> (pivotWide _),
     "b15_hash_sample" -> (hashSample _),
     "b15_train_test_split" -> (trainTestSplit _),
@@ -576,6 +616,41 @@ object Relational2 {
         INTERSECT ALL
         SELECT s_suppkey AS key FROM supplier
       ) ORDER BY key""",
+    // NOT-IN replay per relationship; TPC-H guarantees zero orphans —
+    // a corrupted load would surface counts and hash-mismatch
+    "b02_referential_audit" -> """
+      WITH a AS (
+        SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relationship,
+          (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+          (SELECT COUNT(*) FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphan_rows,
+          (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphan_keys
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part.p_partkey',
+          (SELECT COUNT(*) FROM lineitem),
+          (SELECT COUNT(*) FROM lineitem
+           WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+          (SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+           WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+          (SELECT COUNT(*) FROM lineitem),
+          (SELECT COUNT(*) FROM lineitem
+           WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+          (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem
+           WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer.c_custkey',
+          (SELECT COUNT(*) FROM orders),
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+          (SELECT COUNT(DISTINCT o_custkey) FROM orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+      SELECT relationship, CAST(n_child_rows AS BIGINT) AS n_child_rows,
+        CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+        CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys
+      FROM a ORDER BY relationship""",
     "b02_nullsafe_eq" -> """
       SELECT d1.doc_id, d1.l1 FROM
         (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN lang END AS l1 FROM documents) d1

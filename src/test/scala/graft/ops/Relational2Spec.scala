@@ -286,4 +286,19 @@ class Relational2Spec extends SparkSpec {
     // no fold starves: balanced within 3x of uniform on this corpus
     assert(rows.map(_._2).min * 3 >= totalDocs / 5)
   }
+
+  test("referential audit: planted orphans surface with exact counts (B2)") {
+    import spark.implicits._
+    // children 1,2,2,3,9,9,9 vs parents 1,2,3 → orphan rows {9,9,9},
+    // orphan keys {9}
+    val child = Seq(1L, 2L, 2L, 3L, 9L, 9L, 9L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("k")
+    val r = Relational2.auditRelation("c->p", child, parent).collect().head
+    assert(r.getString(0) === "c->p")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((7L, 3L, 1L)))
+    // clean load: zeros everywhere on the generated data
+    val clean = Relational2.referentialAudit(spark, sfDir).collect()
+    assert(clean.length === 4)
+    assert(clean.forall(x => x.getLong(2) === 0L && x.getLong(3) === 0L))
+  }
 }
