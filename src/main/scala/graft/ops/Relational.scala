@@ -1018,6 +1018,50 @@ object Relational {
       .orderBy($"o_orderpriority", $"o_orderstatus")
   }
 
+  /** B5 (r7 cont.): CONTINUOUS (interpolated) percentiles served
+    * EXACTLY — the percentile_cont companion of the family's
+    * percentile_disc rank picks: at quartile k/4 the interpolation
+    * weight is the exact rational rem/4 with rem = (n−1)·k mod 4, so
+    * the interpolated value ×4 is the pure integer
+    * v_lo·(4−rem) + v_hi·rem — no float interpolation to diverge
+    * cross-engine; the display value is ONE final division by 4.
+    * Rank picks ride the distinct-value cumulative device (the
+    * b04_weighted_median shape): one combinable (flag, cents) count,
+    * a window over DISTINCT values only, and a bounded 3-row target
+    * join — never a row-scale rank window. A single-row group
+    * degenerates to v_hi = v_lo via the left-join coalesce. */
+  def percentileCont(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cc = Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"l_returnflag", $"cents").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cc.withColumn("hi", sum($"c").over(w))
+      .withColumn("lo_excl", $"hi" - $"c")
+    val n = cc.groupBy($"l_returnflag").agg(sum($"c").as("n"))
+    val targets = n
+      .crossJoin(Seq(1, 2, 3).toDF("quarter"))
+      .select($"l_returnflag", $"n", $"quarter",
+        expr("((n - 1) * quarter) div 4 + 1").as("lo_rank"),
+        expr("((n - 1) * quarter) % 4").as("rem"))
+    val vLo = targets.join(cum.select($"l_returnflag", $"cents", $"hi", $"lo_excl"),
+        Seq("l_returnflag"))
+      .filter($"lo_excl" < $"lo_rank" && $"lo_rank" <= $"hi")
+      .select($"l_returnflag", $"quarter", $"n", $"rem", $"cents".as("v_lo"))
+    val vHi = targets.join(cum.select($"l_returnflag", $"cents", $"hi", $"lo_excl"),
+        Seq("l_returnflag"))
+      .filter($"lo_excl" < $"lo_rank" + 1 && $"lo_rank" + 1 <= $"hi")
+      .select($"l_returnflag", $"quarter", $"cents".as("v_hi"))
+    vLo.join(vHi, Seq("l_returnflag", "quarter"), "left")
+      .withColumn("v_hi", coalesce($"v_hi", $"v_lo"))
+      .select($"l_returnflag", $"quarter", $"n", $"v_lo", $"v_hi",
+        ($"v_lo" * (lit(4) - $"rem") + $"v_hi" * $"rem").as("cents_x4"))
+      .withColumn("value_cents", $"cents_x4".cast("double") / 4.0)
+      .orderBy($"l_returnflag", $"quarter")
+  }
+
   /** AMS geometry: 64 ±1 estimators in 8 groups of 8 — each group sum
     * is an 8-scaled F2 estimate, the lower median of the 8 group sums
     * is the reported sketch value (Alon-Matias-Szegedy, STOC'96). */
@@ -1382,6 +1426,7 @@ object Relational {
     "b05_kmv_setops" -> (kmvSetOpsQuery _),
     "b05_ams_f2" -> (amsF2Query _),
     "b07_keyset_page" -> (keysetPage _),
+    "b05_percentile_cont" -> (percentileCont _),
     "b04_chisq" -> (chiSquare _),
     "b04_benford" -> (benfordQuery _),
     "b09_bitmap_ops" -> (bitmapOpsQuery _),
@@ -1791,6 +1836,37 @@ object Relational {
         (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
           / expected AS contrib
       FROM e ORDER BY o_orderpriority, o_orderstatus""",
+    // distinct-value ranks + the exact ×4 interpolation integers; the
+    // display value is the one final /4 division
+    "b05_percentile_cont" -> """
+      WITH cc AS (SELECT l_returnflag,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (SELECT l_returnflag, cents, c,
+          CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+        FROM cc),
+      cm AS (SELECT *, hi - c AS lo_excl FROM cum),
+      n AS (SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY 1),
+      q AS (SELECT unnest([1, 2, 3]) AS quarter),
+      t AS (SELECT n.l_returnflag, n.n, q.quarter,
+          ((n.n - 1) * q.quarter) // 4 + 1 AS lo_rank,
+          ((n.n - 1) * q.quarter) % 4 AS rem
+        FROM n CROSS JOIN q),
+      vlo AS (SELECT t.l_returnflag, t.quarter, t.n, t.rem, cm.cents AS v_lo
+              FROM t JOIN cm ON cm.l_returnflag = t.l_returnflag
+                AND cm.lo_excl < t.lo_rank AND t.lo_rank <= cm.hi),
+      vhi AS (SELECT t.l_returnflag, t.quarter, cm.cents AS v_hi
+              FROM t JOIN cm ON cm.l_returnflag = t.l_returnflag
+                AND cm.lo_excl < t.lo_rank + 1 AND t.lo_rank + 1 <= cm.hi)
+      SELECT vlo.l_returnflag, CAST(vlo.quarter AS INT) AS quarter, vlo.n,
+        vlo.v_lo, COALESCE(vhi.v_hi, vlo.v_lo) AS v_hi,
+        vlo.v_lo * (4 - vlo.rem) + COALESCE(vhi.v_hi, vlo.v_lo) * vlo.rem AS cents_x4,
+        CAST(vlo.v_lo * (4 - vlo.rem) + COALESCE(vhi.v_hi, vlo.v_lo) * vlo.rem
+          AS DOUBLE) / 4.0 AS value_cents
+      FROM vlo LEFT JOIN vhi USING (l_returnflag, quarter)
+      ORDER BY l_returnflag, quarter""",
     // plain OFFSET/LIMIT under the identical total order — keyset page 3
     // must equal offset page 3 including boundary ties
     "b07_keyset_page" -> """
