@@ -280,6 +280,43 @@ object EventAnalytics {
   def abTestQuery(s: SparkSession, dir: String): DataFrame =
     abTest(Tables.events(s, dir))
 
+  /** B10 (r7 cont.): A/B power analysis — the PLANNING half of
+    * [[abTest]]'s readout: given the observed baseline conversion
+    * rate, how many users per arm does detecting a 5/10/20/50%
+    * relative lift need at α=0.05 / power=0.80 (two-sided two-
+    * proportion formula, z literals 1.96/0.84 fixed at author time)?
+    * Event-scale work is the SAME per-user conversion aggregate as
+    * abTest; everything after runs on one row × a 4-row lift axis in
+    * a fixed IEEE tree, with n_per_arm as one final ceil. A zero-
+    * conversion corpus pins n_per_arm NULL (no detectable-effect
+    * denominator) instead of dividing by zero. */
+  def powerAnalysis(events: DataFrame): DataFrame = {
+    val base = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 200, 1L)
+        .otherwise(0L)).as("converted"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+    val lifts = events.sparkSession.range(0).sparkSession
+      .createDataFrame(Seq(Tuple1(5), Tuple1(10), Tuple1(20), Tuple1(50)))
+      .toDF("lift_pct")
+    base.crossJoin(broadcast(lifts))
+      .withColumn("p1", col("n_converted").cast("double") / col("n_users"))
+      .withColumn("p2",
+        col("p1") * (lit(1.0) + col("lift_pct").cast("double") / 100.0))
+      .select(col("lift_pct"), col("n_users"), col("n_converted"),
+        col("p1"), col("p2"),
+        when(col("n_converted") === 0L, lit(null).cast("long"))
+          .otherwise(ceil(
+            lit(2.8) * lit(2.8) *
+              (col("p1") * (lit(1.0) - col("p1")) +
+               col("p2") * (lit(1.0) - col("p2"))) /
+              ((col("p2") - col("p1")) * (col("p2") - col("p1")))))
+          .as("n_per_arm"))
+      .orderBy(col("lift_pct"))
+  }
+
+  def powerQuery(s: SparkSession, dir: String): DataFrame =
+    powerAnalysis(Tables.events(s, dir))
+
   // ---------------------------------------------------------------- wiring
 
   /** Top-k 3-step user paths — the "what do users actually do" census
@@ -1015,6 +1052,7 @@ object EventAnalytics {
     "b06_autocorr" -> ((s: SparkSession, dir: String) => autocorrQuery(s, dir)),
     "b06_trend" -> (trendQuery _),
     "b06_changepoint" -> (changepointQuery _),
+    "b10_power" -> (powerQuery _),
     "b10_whales" -> (whalesQuery _),
     "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
@@ -1064,6 +1102,26 @@ object EventAnalytics {
                   * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS autocorr
       FROM m ORDER BY lag_days""",
+    // same per-user conversion aggregate as b10_ab_test; the planning
+    // card replays the identical fixed IEEE tree + one ceil
+    "b10_power" -> """
+      WITH u AS (SELECT user_id,
+          MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+                   THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id),
+      b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(converted) AS BIGINT) AS n_converted FROM u),
+      l AS (SELECT unnest([5, 10, 20, 50]) AS lift_pct),
+      p AS (SELECT l.lift_pct, b.n_users, b.n_converted,
+              CAST(b.n_converted AS DOUBLE) / b.n_users AS p1,
+              (CAST(b.n_converted AS DOUBLE) / b.n_users)
+                * (1.0 + CAST(l.lift_pct AS DOUBLE) / 100.0) AS p2
+            FROM b CROSS JOIN l)
+      SELECT CAST(lift_pct AS INT) AS lift_pct, n_users, n_converted, p1, p2,
+        CASE WHEN n_converted = 0 THEN NULL
+             ELSE CAST(ceil(2.8 * 2.8 * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                            / ((p2 - p1) * (p2 - p1))) AS BIGINT) END AS n_per_arm
+      FROM p ORDER BY lift_pct""",
     // exact n-scaled CUSUM over the dense per-type grid; argmax replayed
     // as (|cusum| DESC, day) rank 1; window SUM cast to BIGINT (HUGEINT)
     "b06_changepoint" -> """

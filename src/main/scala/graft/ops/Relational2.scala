@@ -79,6 +79,33 @@ object Relational2 {
       .orderBy($"relationship")
   }
 
+  /** B15 (r7 cont.): k-anonymity audit — before a dataset ships, every
+    * quasi-identifier equivalence class must hold ≥ k individuals
+    * (Sweeney 2002; the release gate privacy review actually runs,
+    * beside the PII redaction of b13). Quasi-identifiers here:
+    * (nation, market segment); gate k=10 flags 35 of 125 classes at
+    * sf0.01 — the robust mixed regime. Output: one row per equivalence class
+    * with its size and flag, plus exact at-risk totals carried on
+    * every row (class axis is domain-bounded; the at-risk share is an
+    * exact ppb floor division). Row-scale work is ONE combinable
+    * count; suppression/generalization policy stays downstream. */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val classes = Tables.customer(s, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("is_k_anonymous", ($"class_size" >= k).cast("int"))
+    val risk = classes.agg(
+      sum($"class_size").as("n_rows"),
+      sum(when($"is_k_anonymous" === 0, $"class_size").otherwise(0L))
+        .as("n_rows_at_risk"))
+    classes.crossJoin(broadcast(risk))
+      .select($"c_nationkey", $"c_mktsegment", $"class_size",
+        $"is_k_anonymous", $"n_rows_at_risk",
+        expr("(n_rows_at_risk * 1000000000) div n_rows").as("risk_share_ppb"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
   /** A14 inverse: pivot the EAV store back to wide — groupBy + pivot with
     * fixed column values (never dynamic at scale: fixed pivot values keep
     * it one pass, no extra distinct-collect job). */
@@ -477,6 +504,7 @@ object Relational2 {
     "b08_intersect_all" -> (intersectAll _),
     "b02_nullsafe_eq" -> (nullSafeEq _),
     "b02_referential_audit" -> (referentialAudit _),
+    "b15_k_anonymity" -> ((s: SparkSession, dir: String) => kAnonymity(s, dir)),
     "a14_pivot_wide" -> (pivotWide _),
     "b15_hash_sample" -> (hashSample _),
     "b15_train_test_split" -> (trainTestSplit _),
@@ -616,6 +644,24 @@ object Relational2 {
         INTERSECT ALL
         SELECT s_suppkey AS key FROM supplier
       ) ORDER BY key""",
+    // exact class sizes on the bounded QI axis; at-risk totals replayed
+    // with the identical ppb floor division (operands non-negative)
+    "b15_k_anonymity" -> """
+      WITH c AS (SELECT c_nationkey, c_mktsegment,
+          CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM customer GROUP BY 1, 2),
+      f AS (SELECT *, CASE WHEN class_size >= 10 THEN 1 ELSE 0 END AS is_k_anonymous
+            FROM c),
+      r AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+              CAST(SUM(CASE WHEN is_k_anonymous = 0 THEN class_size ELSE 0 END) AS BIGINT)
+                AS n_rows_at_risk
+            FROM f)
+      SELECT f.c_nationkey, f.c_mktsegment, f.class_size,
+        CAST(f.is_k_anonymous AS INT) AS is_k_anonymous,
+        r.n_rows_at_risk,
+        (r.n_rows_at_risk * 1000000000) // r.n_rows AS risk_share_ppb
+      FROM f CROSS JOIN r
+      ORDER BY c_nationkey, c_mktsegment""",
     // NOT-IN replay per relationship; TPC-H guarantees zero orphans —
     // a corrupted load would surface counts and hash-mismatch
     "b02_referential_audit" -> """

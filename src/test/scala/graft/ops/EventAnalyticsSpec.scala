@@ -522,4 +522,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(c.getAs[Long]("cusum_abs_n") === 0L)
     assert(c.getAs[Int]("cp_day") === epoch0.toInt)
   }
+
+  test("power analysis: hand p=0.2 baseline, monotone in lift, zero-conv guard (B10)") {
+    // 10 users, 2 converters (value>=200 purchases) → p1 = 0.2
+    val rows = (1 to 10).flatMap { u =>
+      val v = if (u <= 2) 250.0 else 50.0
+      Seq((u.toLong * 10, ts(u % 60), u.toLong, "purchase", v))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.powerAnalysis(rows).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet === Set(5, 10, 20, 50))
+    val r20 = out(20)
+    assert(r20.getAs[Long]("n_users") === 10L && r20.getAs[Long]("n_converted") === 2L)
+    val p1 = 0.2; val p2 = 0.2 * 1.2
+    val exp = math.ceil(2.8 * 2.8 * (p1 * (1 - p1) + p2 * (1 - p2))
+      / ((p2 - p1) * (p2 - p1))).toLong
+    assert(r20.getAs[Long]("n_per_arm") === exp)
+    // bigger detectable lift needs fewer users
+    val ns = Seq(5, 10, 20, 50).map(out(_).getAs[Long]("n_per_arm"))
+    assert(ns === ns.sorted.reverse)
+    // zero conversions → NULL plan, not a division error
+    val none = Seq((1L, ts(0), 1L, "view", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventAnalytics.powerAnalysis(none).collect()
+      .forall(_.isNullAt(5)))
+  }
 }

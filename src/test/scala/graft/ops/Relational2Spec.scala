@@ -301,4 +301,17 @@ class Relational2Spec extends SparkSpec {
     assert(clean.length === 4)
     assert(clean.forall(x => x.getLong(2) === 0L && x.getLong(3) === 0L))
   }
+
+  test("k-anonymity: mixed gate regime, risk totals reconstruct (B15)") {
+    val out = Relational2.kAnonymity(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length === 125)
+    val atRisk = out.filter(_.getAs[Int]("is_k_anonymous") == 0)
+    assert(atRisk.nonEmpty && atRisk.length < out.length) // non-vacuous
+    // flag consistent with the threshold
+    assert(out.forall(r =>
+      (r.getAs[Long]("class_size") >= 10L) == (r.getAs[Int]("is_k_anonymous") == 1)))
+    // the carried at-risk total equals the sum of flagged class sizes
+    val expRisk = atRisk.map(_.getAs[Long]("class_size")).sum
+    assert(out.forall(_.getAs[Long]("n_rows_at_risk") === expRisk))
+  }
 }
