@@ -268,6 +268,43 @@ object Similarity {
   def annTopKQuery(s: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
 
+  /** B12 (r7 cont.): attribute-FILTERED vector search — top-k under a
+    * metadata predicate (here: same label as the probe), the
+    * "filtered ANN" every production vector store ships because
+    * post-filtering a plain top-k silently starves selective filters
+    * (k survivors of the filter ≠ top-k of the filtered set). The
+    * scale point: the predicate becomes the JOIN KEY — candidates are
+    * generated per (label) bucket, never filtered after an unfiltered
+    * ranking — so selectivity CUTS cost instead of recall. Same exact
+    * quantized-cosine kernel, broadcast-guarded probe set, total
+    * (cosine DESC, vec_id) ranking. At corpus scale the same shape
+    * rides IVF: cell candidates intersect the label partition first. */
+  def filteredTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      .withColumn("norm", sqrt(dotQ(col("q"), col("q")).cast("double")))
+      .cache()
+    val queries = e.filter(queryPred).toDF("query_id", "label", "qq", "qnorm")
+    val nQueries = queries.count()
+    require(nQueries <= MaxBroadcastQueries,
+      s"filteredTopK: $nQueries query vectors exceed the broadcast ceiling " +
+        s"($MaxBroadcastQueries); intersect IVF cells with the label partition instead")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val out = e.toDF("vec_id", "label", "qv", "vnorm")
+      .join(broadcast(queries), Seq("label")) // the filter IS the join key
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"), col("vec_id"),
+        cosinePre(col("qq"), col("qv"), col("qnorm"), col("vnorm")).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .localCheckpoint(true)
+    e.unpersist()
+    out.orderBy(col("query_id"), col("rn"))
+  }
+
+  def filteredTopKQuery(s: SparkSession, dir: String): DataFrame =
+    filteredTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+
   /** Deterministic pseudo-random hyperplane MATRIX for sign-LSH:
     * component (plane, dim) is the 48-bit md5 prefix of "plane:dim"
     * mapped to [-500, 500) milliunits. The matrix is numPlanes×dims
@@ -1048,6 +1085,7 @@ object Similarity {
     "b12_embed_neardup" -> (embedNearDupQuery _),
     "b12_dbscan" -> (dbscanQuery _),
     "b12_silhouette" -> (silhouetteQuery _),
+    "b12_filtered_topk" -> (filteredTopKQuery _),
     "b12_kmeans" -> (kMeansQuery _),
     "b12_semdedup" -> (semDedupQuery _),
     "b12_pq_topk" -> (pqQuery _),
@@ -1350,6 +1388,22 @@ object Similarity {
       SELECT CAST(sq.cid AS BIGINT) AS cluster_id, sq.n,
              sq.n * sq.sq2 - d2.sd2 AS inertia_n
       FROM sq JOIN d2 USING (cid) ORDER BY cluster_id""",
+    // label-keyed candidate join + the shared cosine kernel: top-k OF
+    // the filtered set, replayed with the identical total ranking
+    "b12_filtered_topk" -> s"""
+      WITH e AS (SELECT vec_id, label, ${Q.format("embedding")} AS q FROM embeddings),
+      en AS (SELECT vec_id, label, q,
+               sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
+      qs AS (SELECT vec_id AS query_id, label, q AS qq, norm AS qnorm
+             FROM en WHERE vec_id % 100 = 0),
+      sims AS (SELECT qs.query_id, qs.label, en.vec_id,
+          CAST(${dotSql("qs.qq", "en.q")} AS DOUBLE) / (qs.qnorm * en.norm) AS cosine
+        FROM en JOIN qs ON en.label = qs.label AND en.vec_id <> qs.query_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rn FROM sims)
+      SELECT query_id, CAST(label AS INT) AS label, vec_id, cosine,
+        CAST(rn AS INT) AS rn
+      FROM r WHERE rn <= 10 ORDER BY query_id, rn""",
     // simplified silhouette over the same Lloyd chain: centroids rebuilt
     // with the chain's integer-rounded mean, exact BIGINT squared
     // distances, one final IEEE division per point

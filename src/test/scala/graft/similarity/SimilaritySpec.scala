@@ -378,6 +378,26 @@ class SimilaritySpec extends SparkSpec {
     assert(k2.toSeq === out.take(2).map(t => (t._1, t._2)).toSeq)
   }
 
+  test("filtered top-k: predicate bounds candidates, not the ranking (B12, r7)") {
+    import org.apache.spark.sql.functions.col
+    // probe 0 (label 1): its geometric nearest (1, 2) carry label 2 and
+    // MUST NOT appear; the only same-label vectors are the orthogonal
+    // 10/11 — a post-filtered plain top-k would instead return nothing
+    // once (1, 2) were discarded
+    val labeled = Seq(
+      (0L, vec(0, 0.00f), 1), (1L, vec(0, 0.01f), 2), (2L, vec(0, 0.02f), 2),
+      (10L, vec(3, 0.00f), 1), (11L, vec(3, 0.01f), 1), (99L, vec(6, 0.40f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredTopK(labeled, col("vec_id") === 0, k = 2)
+      .collect().map(r => (r.getLong(2), r.getInt(4)))
+    assert(out.map(_._1).toSet === Set(10L, 11L))
+    assert(out.map(_._2).toSeq === Seq(1, 2))
+    // every emitted candidate shares the probe's label by construction
+    val all = Similarity.filteredTopK(labeled, col("vec_id") === 0, k = 10)
+      .collect().map(_.getLong(2)).toSet
+    assert(all === Set(10L, 11L)) // label-1 corpus minus the probe itself
+  }
+
   test("silhouette: brute recompute from the assignment and rebuilt centroids (B12, r7)") {
     val out = Similarity.silhouetteOf(embeddings, k = 2, iters = 2).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
