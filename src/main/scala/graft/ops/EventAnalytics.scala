@@ -1009,6 +1009,54 @@ object EventAnalytics {
   def changepointQuery(s: SparkSession, dir: String): DataFrame =
     changepoint(Tables.events(s, dir))
 
+  /** B06 (r7 cont.): Theil-Sen robust trend — the median of all
+    * pairwise slopes (Sen 1968), the estimator that shrugs off the
+    * outlier days that drag [[trend]]'s OLS line (29.3% breakdown
+    * point vs OLS's zero). Slopes are QUANTIZED to exact micro-units:
+    * floor(10⁶·Δy/Δx) — Δy, Δx are exact ints whose 10⁶-scaled
+    * product stays under 2⁵³, so the IEEE division and floor replay
+    * bit-identically cross-engine, and the floor (not a truncating
+    * integer div) keeps negative slopes consistent between Spark's
+    * `div` and DuckDB's `//` conventions by avoiding both. The median
+    * is the exact lower median under the (slope, x1, x2) total order.
+    * Scale: the pair stage is DAY-AXIS-bounded (O(span²) per type,
+    * never row-bounded) — the reason Theil-Sen is tractable here at
+    * all; row-scale work stays the one daily aggregate. */
+  def theilSen(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_date(to_date(cast(ts as timestamp)))").as("day"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("v"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("b0"), max(col("day")).as("b1"))
+      .select(col("event_type"), col("b0"),
+        explode(expr("sequence(b0, b1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), (col("day") - col("b0")).cast("long").as("x"),
+        coalesce(col("v"), lit(0L)).as("y"))
+    val a = grid.toDF("event_type", "x1", "y1")
+    val b = grid.toDF("event_type", "x2", "y2")
+    val pairs = a.join(b, Seq("event_type")).filter(col("x2") > col("x1"))
+      .select(col("event_type"), col("x1"), col("x2"),
+        floor((col("y2") - col("y1")).cast("double") * 1e6 /
+          (col("x2") - col("x1")).cast("double")).cast("long")
+          .as("slope_micro"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope_micro"), col("x1"), col("x2"))
+    val counted = pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    counted.filter(col("rn") === (col("n_pairs") + 1) / 2) // exact lower median
+      .select(col("event_type"), col("n_pairs"), col("slope_micro"),
+        (col("slope_micro").cast("double") / 1e6).as("slope_cents_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  def theilSenQuery(s: SparkSession, dir: String): DataFrame =
+    theilSen(Tables.events(s, dir))
+
   /** B10 (r7 final): revenue concentration — the top-k spenders with
     * their individual and CUMULATIVE share of total purchase revenue
     * (the "whale curve" behind every monetization dashboard: how much
@@ -1053,6 +1101,7 @@ object EventAnalytics {
     "b06_trend" -> (trendQuery _),
     "b06_changepoint" -> (changepointQuery _),
     "b10_power" -> (powerQuery _),
+    "b06_theilsen" -> (theilSenQuery _),
     "b10_whales" -> (whalesQuery _),
     "b10_attribution" -> (attributionQuery _),
     "b06_ewma" -> (ewmaQuery _),
@@ -1102,6 +1151,34 @@ object EventAnalytics {
                   * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS autocorr
       FROM m ORDER BY lag_days""",
+    // day-axis-bounded pair stage; micro-quantized slopes via IEEE
+    // floor (avoids div-vs-// on negatives); exact lower median
+    "b06_theilsen" -> """
+      WITH d AS (SELECT event_type,
+          date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      obs AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS v
+              FROM d GROUP BY 1, 2),
+      span AS (SELECT event_type, MIN(day) AS b0, MAX(day) AS b1
+               FROM obs GROUP BY 1),
+      grid AS (SELECT event_type, b0, u.day
+               FROM span, UNNEST(range(b0, b1 + 1)) AS u(day)),
+      g AS (SELECT gr.event_type, gr.day - gr.b0 AS x, COALESCE(o.v, 0) AS y
+            FROM grid gr LEFT JOIN obs o
+              ON o.event_type = gr.event_type AND o.day = gr.day),
+      p AS (SELECT a.event_type, a.x AS x1, b.x AS x2,
+              CAST(floor(CAST(b.y - a.y AS DOUBLE) * 1e6
+                         / CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS slope_micro
+            FROM g a JOIN g b ON b.event_type = a.event_type AND b.x > a.x),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY slope_micro, x1, x2) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+            FROM p)
+      SELECT event_type, n_pairs, slope_micro,
+        CAST(slope_micro AS DOUBLE) / 1e6 AS slope_cents_per_day
+      FROM r WHERE rn = (n_pairs + 1) // 2
+      ORDER BY event_type""",
     // same per-user conversion aggregate as b10_ab_test; the planning
     // card replays the identical fixed IEEE tree + one ceil
     "b10_power" -> """

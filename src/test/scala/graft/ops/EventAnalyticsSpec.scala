@@ -523,6 +523,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(c.getAs[Int]("cp_day") === epoch0.toInt)
   }
 
+  test("theil-sen: robust to the outlier day that drags OLS (B06)") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 09:00:00")
+    // perfect 50-cents/day line for 9 days plus one absurd spike at the
+    // end: OLS slope inflates, Theil-Sen's median slope stays 50
+    val rows = (0 until 9).map { d =>
+      (d.toLong, day(d), 1L, "buy", (100 + 50 * d) / 100.0)
+    } :+ ((9L, day(9), 1L, "buy", 10000.0))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ts9 = EventAnalytics.theilSen(df).collect().head
+    assert(ts9.getAs[Long]("n_pairs") === 45L) // C(10,2)
+    assert(ts9.getAs[Long]("slope_micro") === 50000000L) // exactly 50 c/day
+    assert(ts9.getAs[Double]("slope_cents_per_day") === 50.0)
+    val ols = EventAnalytics.trend(df).collect().head
+    assert(ols.getAs[Double]("slope_cents_per_day") > 1000.0) // dragged
+    // pure line: both agree exactly
+    val clean = (0 until 6).map { d =>
+      (d.toLong, day(d), 1L, "buy", (200 + 25 * d) / 100.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventAnalytics.theilSen(clean).collect().head
+      .getAs[Double]("slope_cents_per_day") === 25.0)
+  }
+
   test("power analysis: hand p=0.2 baseline, monotone in lift, zero-conv guard (B10)") {
     // 10 users, 2 converters (value>=200 purchases) → p1 = 0.2
     val rows = (1 to 10).flatMap { u =>
