@@ -396,6 +396,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("readability plan is scan-side — only the output sort shuffles (B13)") {
+    val q = TextAnalysis.readability(graft.Tables.documents(spark, sfDir))
+    q.write.format("noop").mode("overwrite").save()
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size === 1, finalPlan.toString)
+  }
+
   test("vocab growth: hand-computed tokens/types/hapax and ppb ratios (B13)") {
     import spark.implicits._
     val docs = Seq(("s1", "a b a c"), ("s1", "d a"), ("s2", "x x x"))
