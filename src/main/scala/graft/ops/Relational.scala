@@ -1018,6 +1018,55 @@ object Relational {
       .orderBy($"o_orderpriority", $"o_orderstatus")
   }
 
+  /** B4 (r7 cont.): Spearman rank correlation per return flag — the
+    * robust companion of [[b04_corr_moments]]'s Pearson (monotone
+    * association, outlier-immune: one whale order bends Pearson, barely
+    * moves ranks). Tie handling is the textbook AVERAGE rank, served
+    * EXACTLY: from the distinct-value cumulative table, a value's
+    * average rank ×2 is the pure integer 2·(rows before) + count + 1 —
+    * no fractional ranks, no row-scale rank window (the
+    * b04_weighted_median device, once per variable); rows join back to
+    * their doubled ranks, moments are exact BIGINTs, and ρ derives in
+    * the fixed IEEE tree (each moment cast to double first — the
+    * b06_autocorr finish; the ×2 scaling cancels in ρ). */
+  def spearman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    spearmanOf(Tables.lineitem(s, dir).select($"l_returnflag",
+      $"l_quantity".cast("long").as("x"),
+      round($"l_extendedprice" * 100).cast("long").as("y")))
+  }
+
+  /** Spearman over `rows` (columns l_returnflag group, x, y longs). */
+  private[ops] def spearmanOf(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    def rank2(col0: String): DataFrame = {
+      val cc = rows.groupBy($"l_returnflag", rows(col0).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cc.withColumn("hi", sum($"c").over(w))
+        .select($"l_returnflag", $"v".as(col0),
+          (lit(2) * ($"hi" - $"c") + $"c" + 1).as(s"r2$col0"))
+    }
+    val ranked = rows
+      .join(rank2("x"), Seq("l_returnflag", "x"))
+      .join(rank2("y"), Seq("l_returnflag", "y"))
+    val m = ranked.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum($"r2x").as("sx"), sum($"r2y").as("sy"),
+      sum($"r2x" * $"r2y").as("sxy"),
+      sum($"r2x" * $"r2x").as("sx2"),
+      sum($"r2y" * $"r2y").as("sy2"))
+    val nD = $"n".cast("double")
+    val num = nD * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")
+    val denx = nD * $"sx2".cast("double") - $"sx".cast("double") * $"sx".cast("double")
+    val deny = nD * $"sy2".cast("double") - $"sy".cast("double") * $"sy".cast("double")
+    m.select($"l_returnflag", $"n", $"sx", $"sy", $"sxy",
+        when(denx * deny <= 0.0, lit(0.0))
+          .otherwise(num / sqrt(denx * deny)).as("spearman_rho"))
+      .orderBy($"l_returnflag")
+  }
+
   /** B5 (r7 cont.): CONTINUOUS (interpolated) percentiles served
     * EXACTLY — the percentile_cont companion of the family's
     * percentile_disc rank picks: at quartile k/4 the interpolation
@@ -1427,6 +1476,7 @@ object Relational {
     "b05_ams_f2" -> (amsF2Query _),
     "b07_keyset_page" -> (keysetPage _),
     "b05_percentile_cont" -> (percentileCont _),
+    "b04_spearman" -> (spearman _),
     "b04_chisq" -> (chiSquare _),
     "b04_benford" -> (benfordQuery _),
     "b09_bitmap_ops" -> (bitmapOpsQuery _),
@@ -1836,6 +1886,46 @@ object Relational {
         (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
           / expected AS contrib
       FROM e ORDER BY o_orderpriority, o_orderstatus""",
+    // doubled average ranks from the distinct-value table (2·before +
+    // count + 1 — exact tie handling), BIGINT moments, the autocorr
+    // fixed-IEEE finish
+    "b04_spearman" -> """
+      WITH rows_ AS (SELECT l_returnflag,
+          CAST(l_quantity AS BIGINT) AS x,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem),
+      rx AS (SELECT l_returnflag, v AS x, 2 * (hi - c) + c + 1 AS r2x FROM (
+               SELECT l_returnflag, x AS v, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+               FROM rows_ GROUP BY l_returnflag, x)),
+      ry AS (SELECT l_returnflag, v AS y, 2 * (hi - c) + c + 1 AS r2y FROM (
+               SELECT l_returnflag, y AS v, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+               FROM rows_ GROUP BY l_returnflag, y)),
+      rk AS (SELECT r.l_returnflag, rx.r2x, ry.r2y
+             FROM rows_ r
+             JOIN rx ON rx.l_returnflag = r.l_returnflag AND rx.x = r.x
+             JOIN ry ON ry.l_returnflag = r.l_returnflag AND ry.y = r.y),
+      m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(r2x) AS BIGINT) AS sx, CAST(SUM(r2y) AS BIGINT) AS sy,
+              CAST(SUM(r2x * r2y) AS BIGINT) AS sxy,
+              CAST(SUM(r2x * r2x) AS BIGINT) AS sx2,
+              CAST(SUM(r2y * r2y) AS BIGINT) AS sy2
+            FROM rk GROUP BY 1)
+      SELECT l_returnflag, n, sx, sy, sxy,
+        CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0 THEN 0.0
+             ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS spearman_rho
+      FROM m ORDER BY l_returnflag""",
     // distinct-value ranks + the exact ×4 interpolation integers; the
     // display value is the one final /4 division
     "b05_percentile_cont" -> """
