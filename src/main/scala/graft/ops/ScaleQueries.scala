@@ -252,7 +252,66 @@ object ScaleQueries {
     }
   }
 
+  /** The hazard column both round-trip gates carry: embedded comma,
+    * double quote, and NEWLINE derived deterministically from each row
+    * (the schema-evolution derivation device) — the corpus text itself
+    * is hazard-free, so without injection the codec gates would
+    * vacuously pass on any broken quoting. */
+  private def hazardCol = concat(lit("v,\""), col("lang"), lit("\"\n"),
+    substring(col("text"), 1, 20))
+
+  /** B1 (r7 cont.): CSV round-trip gate — write documents with an
+    * injected comma/quote/newline hazard column, read it back
+    * (multiLine + RFC-style quoting), and hash-compare against the
+    * oracle's replay of the derivation from the SOURCE table: one
+    * mangled quote, swallowed newline, or splintered record fails the
+    * gate. Certifies the codec end to end, not just happy-path
+    * fields. */
+  def csvRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_csv_rt_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    // the writer TRIMS leading/trailing whitespace by default (reader
+    // does not) — caught by this very gate: a hazard value ending in a
+    // space came back shortened. Both toggles pinned off explicitly.
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", hazardCol.as("hazard"))
+      .write.option("header", "true").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(store)
+    s.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .schema("doc_id LONG, lang STRING, hazard STRING")
+      .csv(store)
+      .orderBy($"doc_id")
+  }
+
+  /** B1 (r7 cont.): JSON-lines round-trip gate — same injected-hazard
+    * device through the JSON codec (escapes live in-band: \n, \").
+    * The two gates complete the B1 format story beyond parquet. */
+  def jsonRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_json_rt_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", hazardCol.as("hazard"))
+      .write.json(store)
+    s.read.schema("doc_id LONG, lang STRING, hazard STRING").json(store)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b01_csv_roundtrip" -> (csvRoundtripQuery _),
+    "b01_json_roundtrip" -> (jsonRoundtripQuery _),
     "b03_runtime_filter" -> (runtimeFilterQuery _),
     "b01_compact" -> (compactQuery _),
     "b01_schema_evolution" -> (schemaEvolutionQuery _),
@@ -274,7 +333,20 @@ object ScaleQueries {
     terms.mkString(" | ")
   }
 
+  private val HazardSql =
+    """'v,"' || lang || '"' || chr(10) || substr(text, 1, 20)"""
+
   val oracles: Map[String, String] = Map(
+    // the derivation replayed from the SOURCE table — any quoting or
+    // record-splitting loss in the written files hash-mismatches
+    "b01_csv_roundtrip" -> s"""
+      SELECT doc_id, lang, $HazardSql AS hazard
+      FROM documents ORDER BY doc_id
+    """,
+    "b01_json_roundtrip" -> s"""
+      SELECT doc_id, lang, $HazardSql AS hazard
+      FROM documents ORDER BY doc_id
+    """,
     // the plain join — bloom pruning must be invisible in the result
     "b03_runtime_filter" -> """
       SELECT l_orderkey, l_linenumber, s_suppkey, s_name
