@@ -83,6 +83,12 @@ object GraftExtensions {
               "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
               "docroot" -> ""))
         } }),
+    // gcd of two longs (Euclid) — the reduced-fraction canonicalizer
+    // behind exact-rational ordering (Theil-Sen median slope)
+    (FunctionIdentifier("long_gcd"),
+      new ExpressionInfo(classOf[graft.functions.LongGcd].getName, "long_gcd"),
+      exprs => { arity("long_gcd", exprs, 2)
+        graft.functions.LongGcd(exprs(0), exprs(1)) }),
   )
 
   /** Wrong-arity SQL calls must surface as analysis errors, not

@@ -1009,24 +1009,37 @@ object EventAnalytics {
   def changepointQuery(s: SparkSession, dir: String): DataFrame =
     changepoint(Tables.events(s, dir))
 
-  /** B06 (r7 cont.): Theil-Sen robust trend — the median of all
-    * pairwise slopes (Sen 1968), the estimator that shrugs off the
+  /** B06 (r7; r8 exact): Theil-Sen robust trend — the EXACT median of
+    * all pairwise slopes (Sen 1968), the estimator that shrugs off the
     * outlier days that drag [[trend]]'s OLS line (29.3% breakdown
-    * point vs OLS's zero). Slopes are QUANTIZED to exact micro-units:
-    * floor(10⁶·Δy/Δx) — Δy, Δx are exact ints whose 10⁶-scaled
-    * product stays under 2⁵³, so the IEEE division and floor replay
-    * bit-identically cross-engine, and the floor (not a truncating
-    * integer div) keeps negative slopes consistent between Spark's
-    * `div` and DuckDB's `//` conventions by avoiding both. The median
-    * is the exact lower median under the (slope, x1, x2) total order.
+    * point vs OLS's zero). r8 removes r7's 10⁻⁶ slope quantization:
+    * each slope Δy/Δx is reduced to lowest terms via [[graft.functions.LongGcd]]
+    * (px > 0 since x2 > x1), so equal rationals collapse in one
+    * map-side-combinable groupBy, and the surviving DISTINCT rationals
+    * are ordered EXACTLY by a two-part integer key: kq = ⌊py/px⌋ (floor
+    * division via pmod, not truncation — negatives order correctly) and
+    * kf = ⌊(py mod px)·10¹²/px⌋, the first 12 decimal digits of the
+    * fractional part in exact integer arithmetic. Two distinct rationals
+    * with denominators ≤ 10⁶ (px is a day-span delta: 10⁶ days ≈ 2700
+    * years) differ by ≥ 10⁻¹², so the key is injective and
+    * order-preserving on the whole reachable domain — exactness with no
+    * tie-break join and no floating point anywhere. The lower median is
+    * the rational whose exact cumulative multiplicity first reaches
+    * ⌈n/2⌉ — an INTEGER `div`, not float division, so even pair counts
+    * pick a real row (r7 silently returned zero rows for them).
     * Scale: the pair stage is DAY-AXIS-bounded (O(span²) per type,
     * never row-bounded) — the reason Theil-Sen is tractable here at
-    * all; row-scale work stays the one daily aggregate. */
-  def theilSen(events: DataFrame): DataFrame = {
-    val daily = events
-      .select(col("event_type"),
-        expr("unix_date(to_date(cast(ts as timestamp)))").as("day"),
-        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    * all; the ordered window runs over the collapsed distinct-fraction
+    * table; row-scale work stays the one daily aggregate. */
+  def theilSen(events: DataFrame): DataFrame = theilSenOf(
+    events.select(col("event_type"),
+      expr("unix_date(to_date(cast(ts as timestamp)))").as("day"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents")))
+
+  /** Core of [[theilSen]] over pre-extracted (event_type, day, cents)
+    * rows — split out so specs can plant exact sub-ulp slope pairs. */
+  def theilSenOf(points: DataFrame): DataFrame = {
+    val daily = points
       .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("v"))
     val grid = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("b0"), max(col("day")).as("b1"))
@@ -1037,20 +1050,38 @@ object EventAnalytics {
         coalesce(col("v"), lit(0L)).as("y"))
     val a = grid.toDF("event_type", "x1", "y1")
     val b = grid.toDF("event_type", "x2", "y2")
-    val pairs = a.join(b, Seq("event_type")).filter(col("x2") > col("x1"))
-      .select(col("event_type"), col("x1"), col("x2"),
-        floor((col("y2") - col("y1")).cast("double") * 1e6 /
-          (col("x2") - col("x1")).cast("double")).cast("long")
-          .as("slope_micro"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("slope_micro"), col("x1"), col("x2"))
-    val counted = pairs
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_pairs",
-        count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    counted.filter(col("rn") === (col("n_pairs") + 1) / 2) // exact lower median
-      .select(col("event_type"), col("n_pairs"), col("slope_micro"),
-        (col("slope_micro").cast("double") / 1e6).as("slope_cents_per_day"))
+    // distinct reduced fractions with exact multiplicity: slope = py/px,
+    // gcd-reduced, px > 0 — rational equality is now column equality
+    val frac = a.join(b, Seq("event_type")).filter(col("x2") > col("x1"))
+      .select(col("event_type"), (col("y2") - col("y1")).as("dy"),
+        (col("x2") - col("x1")).as("dx"))
+      .withColumn("g", greatest(graft.functions.LongGcd(col("dy"), col("dx")), lit(1L)))
+      // g divides both exactly, so integer div IS the exact quotient
+      // (no float division anywhere near the canonical form)
+      .select(col("event_type"), expr("dy div g").as("py"), expr("dx div g").as("px"))
+      .groupBy(col("event_type"), col("py"), col("px"))
+      .agg(count(lit(1)).as("cnt"))
+    // exact two-part order key: floor quotient + first 12 fractional
+    // decimal digits, all in overflow-safe integer arithmetic
+    // (py mod px < px ≤ 10⁶ ⇒ the 10¹²-scaled product stays < 10¹⁸)
+    val ordered = frac
+      .withColumn("kq", expr("(py - pmod(py, px)) div px"))
+      .withColumn("kf", expr("(pmod(py, px) * 1000000000000L) div px"))
+    val wCum = Window.partitionBy(col("event_type"))
+      .orderBy(col("kq"), col("kf"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("event_type"))
+    ordered
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_pairs", sum(col("cnt")).over(wTot))
+      // exact lower median: first rational whose cumulative count reaches
+      // rank (n+1) div 2 — INTEGER division (even n_pairs must still hit)
+      .filter(col("cum") - col("cnt") < expr("(n_pairs + 1) div 2") &&
+              expr("(n_pairs + 1) div 2") <= col("cum"))
+      .select(col("event_type"), col("n_pairs"),
+        col("py").as("slope_py"), col("px").as("slope_px"),
+        (col("py").cast("double") / col("px").cast("double"))
+          .as("slope_cents_per_day"))
       .orderBy(col("event_type"))
   }
 
@@ -1151,8 +1182,11 @@ object EventAnalytics {
                   * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS autocorr
       FROM m ORDER BY lag_days""",
-    // day-axis-bounded pair stage; micro-quantized slopes via IEEE
-    // floor (avoids div-vs-// on negatives); exact lower median
+    // day-axis-bounded pair stage; slopes as gcd-reduced EXACT rationals;
+    // exact rank via HUGEINT cross-multiplied comparison over the distinct
+    // fraction table (small at oracle scale — quadratic only there); the
+    // lower median is the fraction whose cumulative multiplicity first
+    // reaches (n+1) // 2 — integer floor division, even pair counts included
     "b06_theilsen" -> """
       WITH d AS (SELECT event_type,
           date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
@@ -1167,17 +1201,25 @@ object EventAnalytics {
       g AS (SELECT gr.event_type, gr.day - gr.b0 AS x, COALESCE(o.v, 0) AS y
             FROM grid gr LEFT JOIN obs o
               ON o.event_type = gr.event_type AND o.day = gr.day),
-      p AS (SELECT a.event_type, a.x AS x1, b.x AS x2,
-              CAST(floor(CAST(b.y - a.y AS DOUBLE) * 1e6
-                         / CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS slope_micro
+      p AS (SELECT a.event_type, b.y - a.y AS dy, b.x - a.x AS dx
             FROM g a JOIN g b ON b.event_type = a.event_type AND b.x > a.x),
-      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-              ORDER BY slope_micro, x1, x2) AS rn,
-              CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
-            FROM p)
-      SELECT event_type, n_pairs, slope_micro,
-        CAST(slope_micro AS DOUBLE) / 1e6 AS slope_cents_per_day
-      FROM r WHERE rn = (n_pairs + 1) // 2
+      f AS (SELECT event_type,
+              CAST(dy // GREATEST(gcd(abs(dy), dx), 1) AS BIGINT) AS py,
+              CAST(dx // GREATEST(gcd(abs(dy), dx), 1) AS BIGINT) AS px,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM p GROUP BY 1, 2, 3),
+      w AS (SELECT l.event_type, l.py, l.px, l.cnt,
+              COALESCE(SUM(CASE WHEN CAST(r.py AS HUGEINT) * l.px
+                                   < CAST(l.py AS HUGEINT) * r.px
+                                THEN r.cnt END), 0) AS lt
+            FROM f l LEFT JOIN f r ON r.event_type = l.event_type
+            GROUP BY 1, 2, 3, 4),
+      t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_pairs
+            FROM f GROUP BY 1)
+      SELECT w.event_type, t.n_pairs, w.py AS slope_py, w.px AS slope_px,
+        CAST(w.py AS DOUBLE) / CAST(w.px AS DOUBLE) AS slope_cents_per_day
+      FROM w JOIN t USING (event_type)
+      WHERE w.lt < (t.n_pairs + 1) // 2 AND (t.n_pairs + 1) // 2 <= w.lt + w.cnt
       ORDER BY event_type""",
     // same per-user conversion aggregate as b10_ab_test; the planning
     // card replays the identical fixed IEEE tree + one ceil

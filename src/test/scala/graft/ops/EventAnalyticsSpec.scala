@@ -533,7 +533,8 @@ class EventAnalyticsSpec extends SparkSpec {
     val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
     val ts9 = EventAnalytics.theilSen(df).collect().head
     assert(ts9.getAs[Long]("n_pairs") === 45L) // C(10,2)
-    assert(ts9.getAs[Long]("slope_micro") === 50000000L) // exactly 50 c/day
+    assert(ts9.getAs[Long]("slope_py") === 50L) // exactly 50 c/day
+    assert(ts9.getAs[Long]("slope_px") === 1L)
     assert(ts9.getAs[Double]("slope_cents_per_day") === 50.0)
     val ols = EventAnalytics.trend(df).collect().head
     assert(ols.getAs[Double]("slope_cents_per_day") > 1000.0) // dragged
@@ -543,6 +544,71 @@ class EventAnalyticsSpec extends SparkSpec {
     }.toDF("event_id", "ts", "user_id", "event_type", "value")
     assert(EventAnalytics.theilSen(clean).collect().head
       .getAs[Double]("slope_cents_per_day") === 25.0)
+  }
+
+  test("theil-sen: EVEN pair count still yields a median row (r7 float-div bug)") {
+    // span 4 → C(4,2) = 6 pairs: the r7 rank filter compared row_number
+    // against float (6+1)/2 = 3.5 and matched NOTHING; the integer-div
+    // rank (6+1) div 2 = 3 must pick the 3rd-smallest slope.
+    // y (cents) over days 0..3: 0, 100, 300, 300 → reduced slopes
+    // 100/1, 150/1, 100/1, 200/1, 100/1, 0/1 → sorted 0, 100, 100, 100,
+    // 150, 200 → lower median (rank 3) = 100/1.
+    def day(d: Int) = Timestamp.valueOf(f"2024-03-${d + 1}%02d 09:00:00")
+    val rows = Seq(0, 100, 300, 300).zipWithIndex.map { case (c, d) =>
+      (d.toLong, day(d), 1L, "buy", c / 100.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.theilSen(rows).collect()
+    assert(out.length === 1) // the r7 code returned ZERO rows here
+    assert(out.head.getAs[Long]("n_pairs") === 6L)
+    assert(out.head.getAs[Long]("slope_py") === 100L)
+    assert(out.head.getAs[Long]("slope_px") === 1L)
+  }
+
+  test("theil-sen: sub-micro slope pairs ordered exactly (r8 exact rationals)") {
+    // Dense 1500-day grid: y = 1000x + floor(829x/10⁶) + hash-noise. The
+    // micro-drift (829 µcents/day, denominator 10⁶ > span so it forms no
+    // small-fraction atom) steers the median slope-offset into the crowded
+    // 1/q Farey band (q ≈ 1200), where adjacent DISTINCT rationals differ
+    // by 1/q² ≈ 6.7·10⁻⁷ — BELOW r7's 10⁻⁶ quantization grain; the ±50
+    // hash noise makes those fractions actually occur as pair slopes.
+    // Ground truth is an in-test EXACT oracle: all C(1500,2) slopes
+    // ordered by BigInt cross-multiplication, lower median at rank
+    // (n+1) div 2. Also asserts the discrimination MATTERED: the
+    // median's micro-bucket must contain ≥ 2 distinct rationals
+    // (verified offline: 1223999/1224 and 1224999/1225 share it).
+    val span = 1500
+    def pert(x: Int): Long =
+      ((x.toLong * x * 3266489917L + x * 40503L) % 1000003L) % 50L
+    val ys = (0 until span).map(x => 1000L * x + (x * 829L) / 1000000L + pert(x))
+    val points = (0 until span).map(x => ("buy", 20000L + x, ys(x)))
+      .toDF("event_type", "day", "cents")
+    val out = EventAnalytics.theilSenOf(points).collect().head
+
+    // exact in-test oracle (BigInt comparator — no floating point)
+    val slopes = for {
+      x1 <- 0 until span; x2 <- (x1 + 1) until span
+    } yield {
+      val dy = ys(x2) - ys(x1); val dx = (x2 - x1).toLong
+      val g = BigInt(dy).gcd(BigInt(dx)).toLong max 1L
+      (dy / g, dx / g)
+    }
+    val sorted = slopes.sortWith { case ((py1, px1), (py2, px2)) =>
+      BigInt(py1) * px2 < BigInt(py2) * px1
+    }
+    val n = sorted.length
+    assert(n === span * (span - 1) / 2)
+    assert(n % 2 === 0) // even: the rank filter must use integer div
+    val median = sorted((n + 1) / 2 - 1) // (n+1) div 2, 1-indexed
+
+    assert(out.getAs[Long]("n_pairs") === n.toLong)
+    assert((out.getAs[Long]("slope_py"), out.getAs[Long]("slope_px")) === median)
+    // the old 1e-6 grain could not have told these apart: distinct
+    // rationals sharing the median's floor(1e6·slope) bucket
+    val microOf = (f: (Long, Long)) =>
+      math.floor(f._1.toDouble * 1e6 / f._2.toDouble).toLong
+    val bucket = slopes.filter(f => microOf(f) === microOf(median)).distinct
+    assert(bucket.size >= 2,
+      s"fixture too coarse: median micro-bucket had only $bucket")
   }
 
   test("power analysis: hand p=0.2 baseline, monotone in lift, zero-conv guard (B10)") {
