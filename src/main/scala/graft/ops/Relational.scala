@@ -779,16 +779,19 @@ object Relational {
     * string length (BIGINT→VARCHAR is identical cross-engine; a
     * float's leading digit via log10 would land on libm and never
     * gate); ×100 to cents shifts the decimal point and cannot change
-    * the leading significant digit. One combinable digit count + a
-    * 9-row broadcast constant table; a digit with zero observations
-    * still reports (dense axis). */
+    * the leading significant digit. Zero-cent rows (leading digit 0)
+    * are excluded BEFORE totaling — Benford's law is defined on
+    * nonzero magnitudes, and keeping them would inflate the obs_ppb
+    * denominator against an axis that can never emit them. One
+    * combinable digit count + a 9-row broadcast constant table; a
+    * digit with zero observations still reports (dense axis). */
   def benfordQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cents = round($"o_totalprice" * 100).cast("long")
     val obs = Tables.orders(s, dir)
       .select(expr(
         "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
         .as("digit"))
+      .filter($"digit" > 0) // drop sign/zero rows the 1-9 axis can't carry
       .groupBy($"digit").agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // ≤9 rows; the total must not re-scan orders
     val exp = BenfordPpb.toDF("digit", "exp_ppb")
@@ -1331,9 +1334,7 @@ object Relational {
       .select($"c_custkey", $"c_name", $"c_acctbal")
       .orderBy($"c_acctbal".desc, $"c_custkey")
       .limit(20)
-    val phys = page.queryExecution.executedPlan.toString
-    require(phys.contains("PushedFilters") &&
-        phys.contains("LessThan(c_acctbal"),
+    require(graft.plans.PlanAudit.hasPushedLessThan(page, "c_acctbal"),
       "b07_keyset_page: cursor predicate did not reach the parquet scan — " +
         "the gate would certify an unpushed filter")
     page
@@ -1816,9 +1817,10 @@ object Relational {
     // cross-engine); expectation = author-time log10 literals
     "b04_benford" -> s"""
       WITH obs AS (
-        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
-               COUNT(*) AS n
-        FROM orders GROUP BY 1),
+        SELECT digit, COUNT(*) AS n FROM (
+          SELECT TRY_CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM orders)
+        WHERE digit > 0 GROUP BY 1),
       exp AS (SELECT * FROM (VALUES ${BenfordPpb.map { case (d, p) => s"($d, ${p}::BIGINT)" }.mkString(", ")}) AS t(digit, exp_ppb)),
       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
       SELECT e.digit, COALESCE(o.n, 0) AS n,

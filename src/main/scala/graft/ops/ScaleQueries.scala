@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleQueries {
 
+  /** Per-run scratch-store path for the filesystem gates below. Keyed by
+    * (tag, dataset dir) AND the Spark applicationId: two concurrent
+    * harness runs over the same sf dir must not share a store — one run's
+    * delete-and-rewrite would race the other's lazy read. The appId is
+    * stable within a run, so a gate remains idempotent across retries in
+    * the same session. */
+  private def runStore(s: SparkSession, tag: String, dir: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${s.sparkContext.applicationId}").toString
+
   /** B3: skew-salted supplier join — same rows as the plain equi-join,
     * produced via the salt-replicated plan that spreads one hot key over
     * `salts` reducer partitions at 100 TB. */
@@ -65,9 +76,7 @@ object ScaleQueries {
     * temp store is rebuilt fresh per run (the a22_sqlite_artifact
     * build-then-read-back discipline). */
   def timeTravelQuery(s: SparkSession, dir: String): DataFrame = {
-    val store = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_versioned_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val store = runStore(s, "versioned_gate", dir)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(store), true)
@@ -92,9 +101,7 @@ object ScaleQueries {
     * overflow exactly. */
   def statsSkippingQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val store = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_stats_skip_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val store = runStore(s, "stats_skip_gate", dir)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(store), true)
@@ -124,9 +131,7 @@ object ScaleQueries {
     * filter, so the green hash proves pruning lost no rows. */
   def dppJoinQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val store = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_dpp_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val store = runStore(s, "dpp_gate", dir)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(store), true)
@@ -143,8 +148,7 @@ object ScaleQueries {
         sum($"o_totalprice".cast("decimal(12,2)").cast("decimal(28,2)"))
           .cast("double").as("revenue"))
       .orderBy($"o_year")
-    val phys = out.queryExecution.executedPlan.toString
-    require(phys.contains("dynamicpruning"),
+    require(graft.plans.PlanAudit.hasDynamicPruning(out),
       "b03_dpp_join: no dynamicpruning expression in the fact scan — the gate " +
         "would certify a full-scan plan instead of runtime partition pruning")
     out
@@ -159,9 +163,7 @@ object ScaleQueries {
     * row-for-row lossless through the stage-and-swap rename dance. */
   def compactQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val store = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_compact_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val store = runStore(s, "compact_gate", dir)
     val p = new org.apache.hadoop.fs.Path(store)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -189,9 +191,7 @@ object ScaleQueries {
     * the new column entirely hash-mismatches. */
   def schemaEvolutionQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val store = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_schema_evo_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val store = runStore(s, "schema_evo_gate", dir)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(store), true)
@@ -240,9 +240,7 @@ object ScaleQueries {
         .orderBy($"l_orderkey", $"l_linenumber")
       // forces physical planning NOW, while the confs are in effect;
       // the plan is cached on this DataFrame for the later write
-      val phys = out.queryExecution.executedPlan.toString
-      require(phys.toLowerCase.contains("bloomfilter")
-          || phys.toLowerCase.contains("might_contain"),
+      require(graft.plans.PlanAudit.hasBloomProbe(out),
         "b03_runtime_filter: no bloom runtime filter in the physical plan — " +
           "the gate would certify the plain join instead of the rewrite")
       out
@@ -269,9 +267,7 @@ object ScaleQueries {
     * fields. */
   def csvRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val store = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_csv_rt_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val store = runStore(s, "csv_rt_gate", dir)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(store), true)
@@ -296,9 +292,7 @@ object ScaleQueries {
     * The two gates complete the B1 format story beyond parquet. */
   def jsonRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val store = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_json_rt_gate_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    val store = runStore(s, "json_rt_gate", dir)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(store), true)
