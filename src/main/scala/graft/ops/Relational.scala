@@ -1070,6 +1070,64 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** B4 (r8): Kendall's τ-b rank correlation — the concordant/discordant
+    * pair statistic beside [[spearman]]'s rank moments, with the full
+    * tie correction. The O(n²) pair form is never materialized: rows
+    * collapse to contingency CELLS (group, x, y, count), each cell joins
+    * the broadcast distinct-x domain (l_quantity: ≤50 values per group),
+    * and one windowed prefix per (group, probe-x) — RANGE-framed to
+    * STRICTLY smaller y — counts in exact integers how many rows of that
+    * x-slice precede the cell. Concordant pairs come from probe slices
+    * left of the cell's x, discordant from slices right of it; pairs
+    * tied in either coordinate fall out of the frame/filter by
+    * construction, so nc + nd = C(n,2) − tx − ty + txy exactly (the
+    * spec asserts this identity). Work is |cells|·|x-domain| — linear
+    * for a bounded discrete axis — and the |x-domain| probe windows per
+    * group spread the sort ~50-way where a rank window would be one
+    * reducer per group. All counts are longs (exact to n ≈ 3·10⁹ per
+    * group); only the final τ-b ratio is IEEE, as one fixed tree both
+    * engines replay. */
+  def kendall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kendallOf(Tables.lineitem(s, dir).select($"l_returnflag",
+      $"l_quantity".cast("long").as("x"),
+      round($"l_extendedprice" * 100).cast("long").as("y")))
+  }
+
+  private[ops] def kendallOf(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    val cells = rows.groupBy($"l_returnflag", $"x", $"y")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds 4 branches; the scan must run once
+    val xdom = cells.select($"l_returnflag", $"x".as("xp")).distinct()
+    val w = Window.partitionBy($"l_returnflag", $"xp").orderBy($"y")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val probed = cells.join(broadcast(xdom), Seq("l_returnflag"))
+      .withColumn("cum",
+        coalesce(sum(when($"x" === $"xp", $"c")).over(w), lit(0L)))
+    val cd = probed.groupBy($"l_returnflag").agg(
+      sum(when($"xp" < $"x", $"c" * $"cum").otherwise(0L)).as("nc"),
+      sum(when($"xp" > $"x", $"c" * $"cum").otherwise(0L)).as("nd"))
+    val base = cells.groupBy($"l_returnflag").agg(
+      sum($"c").as("n"),
+      expr("sum(c * (c - 1)) div 2").as("ties_xy"))
+    def tieSide(colName: String, out: String) =
+      cells.groupBy($"l_returnflag", col(colName)).agg(sum($"c").as("t"))
+        .groupBy($"l_returnflag").agg(expr("sum(t * (t - 1)) div 2").as(out))
+    base.join(cd, Seq("l_returnflag"))
+      .join(tieSide("x", "ties_x"), Seq("l_returnflag"))
+      .join(tieSide("y", "ties_y"), Seq("l_returnflag"))
+      .withColumn("n0", expr("(n * (n - 1)) div 2"))
+      .select($"l_returnflag", $"n", $"nc", $"nd",
+        $"ties_x", $"ties_y", $"ties_xy",
+        when(($"n0" - $"ties_x").cast("double")
+               * ($"n0" - $"ties_y").cast("double") <= 0.0, lit(0.0))
+          .otherwise(($"nc" - $"nd").cast("double")
+            / sqrt(($"n0" - $"ties_x").cast("double")
+                 * ($"n0" - $"ties_y").cast("double"))).as("tau_b"))
+      .orderBy($"l_returnflag")
+  }
+
   /** B5 (r7 cont.): CONTINUOUS (interpolated) percentiles served
     * EXACTLY — the percentile_cont companion of the family's
     * percentile_disc rank picks: at quartile k/4 the interpolation
@@ -1478,6 +1536,7 @@ object Relational {
     "b07_keyset_page" -> (keysetPage _),
     "b05_percentile_cont" -> (percentileCont _),
     "b04_spearman" -> (spearman _),
+    "b04_kendall" -> (kendall _),
     "b04_chisq" -> (chiSquare _),
     "b04_benford" -> (benfordQuery _),
     "b09_bitmap_ops" -> (bitmapOpsQuery _),
@@ -1928,6 +1987,48 @@ object Relational {
                   * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS spearman_rho
       FROM m ORDER BY l_returnflag""",
+    // contingency cells probed per distinct-x slice: a strictly-below-y
+    // running sum per (flag, probe-x) replays Spark's RANGE -1 window;
+    // all pair counts are exact BIGINTs, only tau_b's final tree is IEEE
+    "b04_kendall" -> """
+      WITH rows_ AS (SELECT l_returnflag,
+          CAST(l_quantity AS BIGINT) AS x,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem),
+      cells AS (SELECT l_returnflag, x, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM rows_ GROUP BY 1, 2, 3),
+      xd AS (SELECT DISTINCT l_returnflag, x AS xp FROM cells),
+      probed AS (SELECT cells.l_returnflag, cells.x, cells.y, cells.c, xd.xp,
+          COALESCE(SUM(CASE WHEN cells.x = xd.xp THEN cells.c END) OVER (
+            PARTITION BY cells.l_returnflag, xd.xp ORDER BY cells.y
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            CAST(0 AS BIGINT)) AS cum
+        FROM cells JOIN xd ON cells.l_returnflag = xd.l_returnflag),
+      cd AS (SELECT l_returnflag,
+          CAST(SUM(CASE WHEN xp < x THEN c * cum ELSE 0 END) AS BIGINT) AS nc,
+          CAST(SUM(CASE WHEN xp > x THEN c * cum ELSE 0 END) AS BIGINT) AS nd
+        FROM probed GROUP BY 1),
+      base AS (SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS n,
+          CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS ties_xy
+        FROM cells GROUP BY 1),
+      tx AS (SELECT l_returnflag, CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS ties_x
+        FROM (SELECT l_returnflag, x, CAST(SUM(c) AS BIGINT) AS t
+              FROM cells GROUP BY 1, 2) GROUP BY 1),
+      ty AS (SELECT l_returnflag, CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS ties_y
+        FROM (SELECT l_returnflag, y, CAST(SUM(c) AS BIGINT) AS t
+              FROM cells GROUP BY 1, 2) GROUP BY 1),
+      j AS (SELECT base.l_returnflag, n, nc, nd, ties_x, ties_y, ties_xy,
+          (n * (n - 1)) // 2 AS n0
+        FROM base JOIN cd USING (l_returnflag)
+                  JOIN tx USING (l_returnflag)
+                  JOIN ty USING (l_returnflag))
+      SELECT l_returnflag, n, nc, nd, ties_x, ties_y, ties_xy,
+        CASE WHEN CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)
+                  <= 0.0 THEN 0.0
+             ELSE CAST(nc - nd AS DOUBLE)
+                  / sqrt(CAST(n0 - ties_x AS DOUBLE)
+                       * CAST(n0 - ties_y AS DOUBLE)) END AS tau_b
+      FROM j ORDER BY l_returnflag""",
     // distinct-value ranks + the exact ×4 interpolation integers; the
     // display value is the one final /4 division
     "b05_percentile_cont" -> """
