@@ -679,31 +679,67 @@ object Relational {
     * summary every data-quality harness (Deequ, Great Expectations)
     * computes before trusting a feed: row count, null count and exact
     * distinct count per column, emitted long-form (one row per column)
-    * so downstream checks are data, not schema. One scan produces every
-    * aggregate; the exact COUNT(DISTINCT) expand is the honest cost at
-    * gate scale — at 100 TB each distinct count swaps for the KMV
-    * sketch ([[distinctSketch]]'s aggregator) with the same output
-    * contract, and null counts stay map-side combinable. */
+    * so downstream checks are data, not schema. One PASS PER COLUMN
+    * (r8): the single-aggregate form planned all 11 exact
+    * COUNT(DISTINCT)s through one Expand that replicated every scanned
+    * row ~17×; here each column gets its own branch whose parquet scan
+    * prunes to THAT column (total bytes across branches ≈ one full-row
+    * scan, columnar), aggregates two-phase with no cross-column Expand,
+    * and the branches union long-form. At 100 TB the per-column
+    * branches also fail/retry independently; the sketch alternative
+    * with bounded shuffle partials is [[profileKmvQuery]]. */
   def profileQuery(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val aggs = ProfileCols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c"),
-      countDistinct(col(c)).as(s"d_$c"))) :+ count(lit(1)).as("n_rows")
-    val one = li.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = s"stack(${ProfileCols.size}, " +
-      ProfileCols.map(c => s"'$c', n_$c, d_$c").mkString(", ") +
-      ") as (column_name, n_nulls, n_distinct)"
-    one.select(expr(stackExpr), col("n_rows"))
-      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
-      .orderBy(col("column_name"))
+    ProfileCols.map { c =>
+      li.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"),
+          col("n_rows"), col("n_nulls"), col("n_distinct"))
+    }.reduce(_ unionAll _).orderBy(col("column_name"))
   }
 
-  private[ops] def profileOracle: String =
-    ProfileCols.map(c =>
+  private[ops] def profileOracle: String = profileOracleFor(ProfileCols)
+
+  private def profileOracleFor(cols: Seq[String]): String =
+    cols.map(c =>
       s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
          CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem""")
       .mkString(" UNION ALL ") + " ORDER BY column_name"
+
+  /** Columns whose cardinality stays below the k = 4096 sketch budget at
+    * gate scale, so [[profileKmvQuery]] runs in the KMV exact regime and
+    * hash-gates against plain COUNT(DISTINCT). The two unbounded-key
+    * columns (l_orderkey, l_extendedprice) profile exactly via
+    * [[profileQuery]]; their lossy-regime error bound is spec-pinned in
+    * KmvSketchSpec, never hash-gated. */
+  private val ProfileKmvCols =
+    ProfileCols.filterNot(Set("l_orderkey", "l_extendedprice"))
+
+  /** B1/B5 (r8): the sketch-side table profile — the plan the 100 TB
+    * profiling job actually runs: per-column null counts stay exact
+    * combinable sums, but each COUNT(DISTINCT) swaps for the mergeable
+    * [[graft.functions.KmvDistinctAgg]] whose shuffle partials are ≤k
+    * longs REGARDLESS of column cardinality (the exact profile's
+    * distinct shuffle moves every distinct value). Same long-form
+    * output contract as [[profileQuery]]; gated in the sketch's exact
+    * regime (all nine columns < k distinct at gate scale), and fully
+    * partition-invariant even lossy — the k smallest distinct hashes
+    * are a set property. */
+  def profileKmvQuery(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val kmv = udaf(new graft.functions.KmvDistinctAgg(4096))
+    ProfileKmvCols.map { c =>
+      li.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        kmv(col(c).cast("string")).as("n_distinct"))
+        .select(lit(c).as("column_name"),
+          col("n_rows"), col("n_nulls"), col("n_distinct"))
+    }.reduce(_ unionAll _).orderBy(col("column_name"))
+  }
 
   /** B4 (r7): period-over-period delta decomposition — the "what drove
     * the change" drill every BI review runs: 1998-vs-1997 revenue per
@@ -1530,6 +1566,7 @@ object Relational {
     "b05_approx_stats_exact" -> (approxStatsExact _),
     "b05_countmin" -> (countMin _),
     "b01_profile" -> (profileQuery _),
+    "b01_profile_kmv" -> (profileKmvQuery _),
     "b05_hll_portable" -> (hllPortableQuery _),
     "b05_kmv_setops" -> (kmvSetOpsQuery _),
     "b05_ams_f2" -> (amsF2Query _),
@@ -1838,6 +1875,8 @@ object Relational {
       FROM base b JOIN pct p USING (l_returnflag)
       ORDER BY b.l_returnflag""",
     "b01_profile" -> profileOracle,
+    // KMV exact regime: the sketch output IS the exact distinct count
+    "b01_profile_kmv" -> profileOracleFor(ProfileKmvCols),
     // exact decimal cents, signed deltas, magnitude rank; no division
     // (Spark div truncates, DuckDB // floors — diverge on negatives)
     "b04_delta_drivers" -> """
