@@ -1208,6 +1208,50 @@ object Relational {
       .orderBy($"l_returnflag", $"quarter")
   }
 
+  /** B5 (r8): [[percentileCont]] generalized to ARBITRARY rational
+    * p = num/den — the tail percentiles (p10/p90/p99) a latency or
+    * token-budget review actually asks for, served with the same
+    * exact-integer interpolation: lo_rank = (n−1)·num div den + 1,
+    * rem = (n−1)·num mod den, and the interpolated value ×den is the
+    * pure integer v_lo·(den−rem) + v_hi·rem — no float interpolation
+    * to diverge cross-engine; the display value is ONE final IEEE
+    * division by den. The percentile axis is a broadcast 3-row
+    * constant; all row-scale work is the same combinable
+    * distinct-value cumulative device as the quartile query. */
+  def percentileAny(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cc = Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"l_returnflag", $"cents").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cc.withColumn("hi", sum($"c").over(w))
+      .withColumn("lo_excl", $"hi" - $"c")
+    val n = cc.groupBy($"l_returnflag").agg(sum($"c").as("n"))
+    val ps = Seq((10, 1L, 10L), (90, 9L, 10L), (99, 99L, 100L))
+      .toDF("pct", "num", "den")
+    val targets = n.crossJoin(broadcast(ps))
+      .select($"l_returnflag", $"n", $"pct", $"den",
+        expr("((n - 1) * num) div den + 1").as("lo_rank"),
+        expr("((n - 1) * num) % den").as("rem"))
+    val vLo = targets.join(cum.select($"l_returnflag", $"cents", $"hi", $"lo_excl"),
+        Seq("l_returnflag"))
+      .filter($"lo_excl" < $"lo_rank" && $"lo_rank" <= $"hi")
+      .select($"l_returnflag", $"pct", $"n", $"den", $"rem", $"cents".as("v_lo"))
+    val vHi = targets.join(cum.select($"l_returnflag", $"cents", $"hi", $"lo_excl"),
+        Seq("l_returnflag"))
+      .filter($"lo_excl" < $"lo_rank" + 1 && $"lo_rank" + 1 <= $"hi")
+      .select($"l_returnflag", $"pct", $"cents".as("v_hi"))
+    vLo.join(vHi, Seq("l_returnflag", "pct"), "left")
+      .withColumn("v_hi", coalesce($"v_hi", $"v_lo"))
+      .select($"l_returnflag", $"pct", $"n", $"v_lo", $"v_hi",
+        ($"v_lo" * ($"den" - $"rem") + $"v_hi" * $"rem").as("cents_xden"),
+        (($"v_lo" * ($"den" - $"rem") + $"v_hi" * $"rem").cast("double")
+          / $"den".cast("double")).as("value_cents"))
+      .orderBy($"l_returnflag", $"pct")
+  }
+
   /** AMS geometry: 64 ±1 estimators in 8 groups of 8 — each group sum
     * is an 8-scaled F2 estimate, the lower median of the 8 group sums
     * is the reported sketch value (Alon-Matias-Szegedy, STOC'96). */
@@ -1572,6 +1616,7 @@ object Relational {
     "b05_ams_f2" -> (amsF2Query _),
     "b07_keyset_page" -> (keysetPage _),
     "b05_percentile_cont" -> (percentileCont _),
+    "b05_percentile_any" -> (percentileAny _),
     "b04_spearman" -> (spearman _),
     "b04_kendall" -> (kendall _),
     "b04_chisq" -> (chiSquare _),
@@ -2068,6 +2113,41 @@ object Relational {
                   / sqrt(CAST(n0 - ties_x AS DOUBLE)
                        * CAST(n0 - ties_y AS DOUBLE)) END AS tau_b
       FROM j ORDER BY l_returnflag""",
+    // arbitrary p = num/den via the same exact ×den interpolation
+    // integers; the display value is the one final /den division
+    "b05_percentile_any" -> """
+      WITH cc AS (SELECT l_returnflag,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (SELECT l_returnflag, cents, c,
+          CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+        FROM cc),
+      cm AS (SELECT *, hi - c AS lo_excl FROM cum),
+      n AS (SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY 1),
+      q AS (SELECT * FROM (VALUES (10, CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+              (90, CAST(9 AS BIGINT), CAST(10 AS BIGINT)),
+              (99, CAST(99 AS BIGINT), CAST(100 AS BIGINT))) AS v(pct, num, den)),
+      t AS (SELECT n.l_returnflag, n.n, q.pct, q.den,
+          ((n.n - 1) * q.num) // q.den + 1 AS lo_rank,
+          ((n.n - 1) * q.num) % q.den AS rem
+        FROM n CROSS JOIN q),
+      vlo AS (SELECT t.l_returnflag, t.pct, t.n, t.den, t.rem, cm.cents AS v_lo
+              FROM t JOIN cm ON cm.l_returnflag = t.l_returnflag
+                AND cm.lo_excl < t.lo_rank AND t.lo_rank <= cm.hi),
+      vhi AS (SELECT t.l_returnflag, t.pct, cm.cents AS v_hi
+              FROM t JOIN cm ON cm.l_returnflag = t.l_returnflag
+                AND cm.lo_excl < t.lo_rank + 1 AND t.lo_rank + 1 <= cm.hi)
+      SELECT vlo.l_returnflag, CAST(vlo.pct AS INT) AS pct, vlo.n,
+        vlo.v_lo, COALESCE(vhi.v_hi, vlo.v_lo) AS v_hi,
+        vlo.v_lo * (vlo.den - vlo.rem)
+          + COALESCE(vhi.v_hi, vlo.v_lo) * vlo.rem AS cents_xden,
+        CAST(vlo.v_lo * (vlo.den - vlo.rem)
+          + COALESCE(vhi.v_hi, vlo.v_lo) * vlo.rem AS DOUBLE)
+          / CAST(vlo.den AS DOUBLE) AS value_cents
+      FROM vlo LEFT JOIN vhi USING (l_returnflag, pct)
+      ORDER BY l_returnflag, pct""",
     // distinct-value ranks + the exact ×4 interpolation integers; the
     // display value is the one final /4 division
     "b05_percentile_cont" -> """
