@@ -288,22 +288,33 @@ object ScaleOps {
       .groupBy(input_file_name().as("file"))
       .agg(min(col(key)).as("mn"), max(col(key)).as("mx"))
 
-  /** Read only the files whose [min, max] range overlaps [lo, hi],
-    * returning the pruned frame plus (kept, total) file counts so
-    * callers can assert the pruning actually engaged. The residual
-    * predicate still applies — file grain is coarser than row grain. */
+  /** Serve the range query through the manifest AS A TABLE (r8): the
+    * kept-file set stays a DataFrame joined scan-side (broadcast
+    * left-semi on `input_file_name`), never a driver-side file list —
+    * the shape Delta/Iceberg plan with, where at 100 TB the manifest is
+    * itself a distributed metadata table and a million-file list must
+    * not round-trip through the driver. The only driver values are the
+    * two COUNTS backing the caller's non-vacuity assert. Physical file
+    * skipping rides the pushed key predicate (parquet footer min/max
+    * kill non-overlapping files' row groups at open time — the table is
+    * range-clustered, so footer and manifest ranges coincide); the semi
+    * join is the file-grain membership decision derived from manifest
+    * DATA, and returns (frame, kept, total) so callers assert pruning
+    * engaged. The residual predicate still applies — file grain is
+    * coarser than row grain. */
   def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
       key: String, lo: Column, hi: Column): (DataFrame, Int, Int) = {
-    val mf = statsManifest(spark, path, key).cache()
-    val total = mf.count().toInt
-    val keep = mf.where(!(col("mx") < lo || col("mn") > hi))
-      .collect().map(_.getString(0))
-    mf.unpersist()
-    val out =
-      if (keep.isEmpty) spark.read.parquet(path).where(lit(false))
-      else spark.read.parquet(keep.toIndexedSeq: _*)
-        .where(col(key) >= lo && col(key) <= hi)
-    (out, keep.length, total)
+    val overlaps = !(col("mx") < lo || col("mn") > hi)
+    val mf = statsManifest(spark, path, key)
+    val cnt = mf.agg(count(lit(1)).as("total"),
+      sum(when(overlaps, 1L).otherwise(0L)).as("kept")).head()
+    val keepMf = mf.where(overlaps).select(col("file").as("__keep_file"))
+    val out = spark.read.parquet(path)
+      .where(col(key) >= lo && col(key) <= hi)
+      .withColumn("__file", input_file_name())
+      .join(broadcast(keepMf), col("__file") === col("__keep_file"), "left_semi")
+      .drop("__file")
+    (out, cnt.getLong(1).toInt, cnt.getLong(0).toInt)
   }
 
   /** Run `f` with Catalyst's runtime bloom-filter join pruning forced on:

@@ -250,6 +250,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept0 === 0 && none.count() === 0L)
   }
 
+  test("stats skipping: manifest-join formulation on a many-file fixture (r8)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_many").toString + "/t"
+    // 6400 rows over key 0..6399, range-clustered into 64 files (~100 keys each)
+    spark.range(6400).select($"id".as("k"), ($"id" * 13 % 97).as("payload"))
+      .repartitionByRange(64, $"k").sortWithinPartitions($"k")
+      .write.parquet(dir)
+    val (pruned, kept, total) = ScaleOps.prunedRead(spark, dir, "k", lit(1000L), lit(1399L))
+    assert(total === 64)
+    assert(kept >= 4 && kept <= 6, s"kept $kept of $total") // ~4 files + boundary overlap
+    // the kept-file decision is derived from manifest DATA scan-side:
+    // the physical plan must carry a broadcast semi join, not a
+    // driver-enumerated path list
+    val phys = pruned.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftSemi"), s"expected semi-join manifest probe in:\n$phys")
+    val got = pruned.select($"k", $"payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === (1000L to 1399L).map(k => (k, k * 13 % 97)))
+  }
+
   test("runtime bloom filter: gate plan carries the filter, confs restored (B3, r7)") {
     val before = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     val out = ScaleQueries.runtimeFilterQuery(spark, sfDir)
