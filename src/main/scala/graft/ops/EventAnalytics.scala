@@ -879,11 +879,14 @@ object EventAnalytics {
     * day axis is bounded), but at extreme scale daily cents square
     * past int64 — pre-aggregate the series to whole currency units or
     * widen the moment sums to DECIMAL(38,0) there. */
-  def autocorr(events: DataFrame, maxLag: Int = 7): DataFrame = {
-    val obs = events.filter(col("event_type") === "purchase")
-      .select(expr("unix_date(to_date(cast(ts as timestamp)))").as("day"),
-        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
-      .groupBy(col("day")).agg(sum(col("cents")).as("v"))
+  def autocorr(events: DataFrame, maxLag: Int = 7): DataFrame =
+    autocorrOfDaily(dailyCents(events), maxLag)
+
+  /** [[autocorr]]'s kernel over the shared pre-aggregated daily table
+    * (the purchase-series projection happens here). */
+  private[graft] def autocorrOfDaily(daily: DataFrame, maxLag: Int = 7): DataFrame = {
+    val obs = daily.filter(col("event_type") === "purchase")
+      .select(col("day"), col("v"))
     val grid = obs.agg(min(col("day")).as("b0"), max(col("day")).as("b1"))
       .select(explode(expr("sequence(b0, b1)")).as("day"))
       .join(obs, Seq("day"), "left")
@@ -928,12 +931,20 @@ object EventAnalytics {
     * cast to double before combining (n·Σxy overflows int64), so both
     * engines replay bit-identically. A single-day series (zero x
     * variance) pins slope 0 and intercept to the day's value. */
-  def trend(events: DataFrame): DataFrame = {
-    val daily = events
-      .select(col("event_type"),
-        expr("unix_date(to_date(cast(ts as timestamp)))").as("day"),
-        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
-      .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("v"))
+  def trend(events: DataFrame): DataFrame = trendOfDaily(dailyCents(events))
+
+  /** The shared series state of the b06 triad: per-(type, day) cents
+    * totals — combinable BIGINT sums, so prefixes fold associatively
+    * (the streaming twins' whole-state contract) and the table is
+    * types×days-bounded regardless of event volume. */
+  private[graft] def dailyCents(events: DataFrame): DataFrame = events
+    .select(col("event_type"),
+      expr("unix_date(to_date(cast(ts as timestamp)))").as("day"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("v"))
+
+  /** [[trend]]'s kernel over a pre-aggregated daily table. */
+  private[graft] def trendOfDaily(daily: DataFrame): DataFrame = {
     val grid = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("b0"), max(col("day")).as("b1"))
       .select(col("event_type"), col("b0"),
@@ -974,12 +985,11 @@ object EventAnalytics {
     * per-type day grid as [[trend]]; the argmax is total via the
     * (|cusum| DESC, day) min_by struct — the lpa argmax device. Window
     * runs over the bounded DAY axis, never event rows. */
-  def changepoint(events: DataFrame): DataFrame = {
-    val daily = events
-      .select(col("event_type"),
-        expr("unix_date(to_date(cast(ts as timestamp)))").as("day"),
-        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
-      .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("v"))
+  def changepoint(events: DataFrame): DataFrame =
+    changepointOfDaily(dailyCents(events))
+
+  /** [[changepoint]]'s kernel over a pre-aggregated daily table. */
+  private[graft] def changepointOfDaily(daily: DataFrame): DataFrame = {
     val grid = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("b0"), max(col("day")).as("b1"))
       .select(col("event_type"), col("b0"),

@@ -748,6 +748,44 @@ object Streaming {
     def counts: Option[DataFrame] = last
   }
 
+  /** B06 streaming twin (r8): the calendar-grid series triad — OLS
+    * trend, CUSUM changepoint, lag-k autocorrelation — as ONE
+    * foreachBatch refresh over their shared state: the per-(type, day)
+    * daily cents table ([[graft.ops.EventAnalytics.dailyCents]]).
+    * Every moment downstream is an exact combinable BIGINT, so folding
+    * each micro-batch's daily partials into the accumulator with one
+    * co-keyed sum makes every trigger's snapshot bit-identical to the
+    * batch kernel on the event prefix — no day-grid watermark redesign,
+    * because the grid, the pair joins, and the IEEE finishing trees all
+    * derive from the (types×days)-bounded state, never from event rows.
+    * State is the daily table only (far smaller than the event log;
+    * per-batch lineage cut via eager checkpoint). At 100 TB the daily
+    * table is a bucketed keyed table and the per-trigger fold is one
+    * co-partitioned merge — the [[ActiveUsersRefresh]] contract. */
+  final class SeriesTrendRefresh {
+    @volatile private var acc: Option[DataFrame] = None
+    /** foreachBatch body: fold the micro-batch's daily partials into
+      * the accumulated (event_type, day, v) table. */
+    def update(batch: DataFrame, batchId: Long): Unit = {
+      val d = graft.ops.EventAnalytics.dailyCents(batch)
+      val merged = acc match {
+        case Some(a) => a.unionByName(d)
+          .groupBy(col("event_type"), col("day")).agg(sum(col("v")).as("v"))
+        case None => d
+      }
+      acc = Some(merged.localCheckpoint(true))
+    }
+    /** Latest OLS-trend snapshot (None before the first batch). */
+    def trend: Option[DataFrame] =
+      acc.map(graft.ops.EventAnalytics.trendOfDaily)
+    /** Latest CUSUM-changepoint snapshot. */
+    def changepoint: Option[DataFrame] =
+      acc.map(graft.ops.EventAnalytics.changepointOfDaily)
+    /** Latest lag-k autocorrelation snapshot. */
+    def autocorr: Option[DataFrame] =
+      acc.map(d => graft.ops.EventAnalytics.autocorrOfDaily(d))
+  }
+
   /** B12 cross-corpus streaming twin (r7): incremental near-dedup of an
     * arriving document stream against a FIXED reference corpus — the
     * production shape of continuous ingestion ("is this new crawl doc a

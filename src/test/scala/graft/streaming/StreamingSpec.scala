@@ -302,6 +302,42 @@ class StreamingSpec extends SparkSpec {
     assert(snap1 !== snap2) // batch 2 really moved the counts
   }
 
+  test("series-triad streaming refresh: per-trigger trend/changepoint/autocorr " +
+    "snapshots == batch kernels on the event prefix (B06, r8)") {
+    // purchase rows feed all three kernels (autocorr is purchase-only);
+    // batch 2 extends the day span and shifts the level, so slope,
+    // changepoint day, and lag moments ALL move — non-vacuous pins.
+    // A duplicate (type, day) split across batches must fold by sum.
+    def e(id: Long, d: Int, v: Double, ty: String = "purchase") =
+      Evt(id, Timestamp.valueOf(f"2024-03-$d%02d 09:00:00"), 1L, ty, v)
+    val batch1 = Seq(e(1, 1, 10.0), e(2, 2, 12.0), e(3, 2, 3.0),
+      e(4, 4, 14.0), e(5, 1, 5.0, "view"))
+    val batch2 = Seq(e(6, 4, 2.0), e(7, 5, 40.0), e(8, 6, 44.0),
+      e(9, 7, 48.0), e(10, 3, 7.0, "view"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val refresh = new Streaming.SeriesTrendRefresh
+    val input = MemoryStream[Evt](spark)
+    val q = input.toDF().writeStream
+      .foreachBatch(refresh.update _).outputMode("update").start()
+    input.addData(batch1); q.processAllAvailable()
+    val trend1 = rows(refresh.trend.get)
+    assert(trend1 === rows(graft.ops.EventAnalytics.trend(batch1.toDF())))
+    assert(rows(refresh.changepoint.get) ===
+      rows(graft.ops.EventAnalytics.changepoint(batch1.toDF())))
+    assert(rows(refresh.autocorr.get) ===
+      rows(graft.ops.EventAnalytics.autocorr(batch1.toDF())))
+    input.addData(batch2); q.processAllAvailable(); q.stop()
+    val all = (batch1 ++ batch2).toDF()
+    val trend2 = rows(refresh.trend.get)
+    assert(trend2 === rows(graft.ops.EventAnalytics.trend(all)))
+    assert(rows(refresh.changepoint.get) ===
+      rows(graft.ops.EventAnalytics.changepoint(all)))
+    assert(rows(refresh.autocorr.get) ===
+      rows(graft.ops.EventAnalytics.autocorr(all)))
+    assert(trend1 !== trend2) // batch 2 really moved the line
+  }
+
   test("cross-corpus streaming sink: union of per-batch hits == batch kernel " +
     "on the union, incl. hot-bucket witness path (B10xB12, r7)") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
