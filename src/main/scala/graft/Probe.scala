@@ -89,6 +89,65 @@ object Probe {
       time(s"stress_tri_${reps}x") { trianglesOn(big) }
       big.unpersist()
     }
+    if (sys.env.contains("PROBE_STRESS_TRUSS")) {
+      // Iterative-peel family scaling (r7-verdict #8): k-truss, k-core,
+      // LPA, BFS on 1× vs k× DISJOINT-vertex lineitem replicas (the
+      // PROBE_STRESS_GRAPH pattern — both keys shifted, so each replica
+      // reproduces the gate graph exactly and edge/triangle counts
+      // multiply exactly k×). Identical per-replica structure means the
+      // peel cascades run the SAME number of rounds at both scales, so
+      // the k× wall isolates per-round work growth: near-linear = every
+      // round stays its claimed linear shape (induced-degree semi joins,
+      // support counts, neighbor-label counts, frontier semi joins);
+      // super-linear = a round escaped. Offsets derive from the actual
+      // max keys (the r6-ADVICE discipline).
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val reps = sys.env.getOrElse("PROBE_STRESS_TRUSS", "8").toInt
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      def copurch(frame: DataFrame): DataFrame = {
+        val ok = frame.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val a = ok.select(col("ok"), col("pk").as("u"))
+        val b = ok.select(col("ok"), col("pk").as("v"))
+        a.join(b, Seq("ok")).where(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
+      }
+      def runAll(tag: String, frame: DataFrame): Unit = {
+        val pairs = copurch(frame).localCheckpoint(true)
+        val edges = pairs.select(col("u"), col("v")).localCheckpoint(true)
+        val strong = pairs.filter(col("n") >= 2)
+          .select(col("u"), col("v")).localCheckpoint(true)
+        time(s"stress_ktruss_$tag") {
+          ops.GraphOps.kTruss(spark, edges, 12, 7)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"stress_kcore_$tag") {
+          ops.GraphOps.kCore(spark, edges, 80, 8)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"stress_lpa_$tag") {
+          ops.GraphOps.lpaOf(strong, 4)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"stress_bfs_$tag") {
+          ops.GraphOps.bfsOf(strong, 4)
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+      }
+      runAll("warmup", li) // untimed label: codegen/JIT warmup pass
+      runAll("1x", li)
+      val mx = li.agg(greatest(max(col("l_orderkey")), max(col("l_partkey"))))
+        .head().getLong(0) + 1L
+      val big = li.crossJoin(spark.range(reps).toDF("rep"))
+        .select((col("l_orderkey") + col("rep") * mx).as("l_orderkey"),
+          (col("l_partkey") + col("rep") * mx).as("l_partkey")).cache()
+      println(s"  stress truss lineitem rows=${big.count()} (${reps}x disjoint)")
+      runAll(s"${reps}x", big)
+      big.unpersist()
+    }
     if (sys.env.contains("PROBE_STRESS_E06")) {
       // e06 composition scaling (the PROBE_STRESS_GRAPH pattern):
       // disjoint-key lineitem replicas multiply the strong edge set, the
