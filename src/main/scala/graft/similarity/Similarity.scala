@@ -475,6 +475,144 @@ object Similarity {
         .select($"query_id", $"vec_id"))
   }
 
+  // ------------------------------------------------- layered graph ANN
+
+  /** Layered-graph ANN geometry (the b12_hnsw family). Derandomized
+    * HNSW (Malkov & Yashunin, TPAMI 2018): the level draw is the
+    * md5(vec_id) leading-hex-zero count (geometric, p = 1/16 — HNSW's
+    * exponential layer thinning with the repo's portable hash replacing
+    * the RNG), construction is BATCH per layer instead of sequential
+    * insertion (per-layer R-nearest edges within OVERLAPPING quantizer
+    * cells — each vertex joins its `HnswOverlap` closest of the layer's
+    * md5-seeded cells, the DiskANN overlapping-clusters device that
+    * keeps the cell-bounded kNN graph connected across cell borders
+    * with no all-pairs stage anywhere), and search is the synchronous
+    * fixed-round analogue of HNSW's greedy descent: a (cos DESC, id)
+    * beam carried down the layers, width ef1 above / ef0 at the bottom,
+    * expanding through the bounded adjacency each round. Sequential
+    * insert-order dependence — the reason textbook HNSW cannot be
+    * hash-gated — is gone by construction; every stage is a join /
+    * window over md5-ordered or cosine-ordered totals, so DuckDB
+    * replays the whole index AND the whole search (the b16
+    * unrolled-CTE device). At 100 TB: layer ℓ holds n/16^ℓ vectors;
+    * cells scale with layer size (numCells ≈ |layer|/target cell) so
+    * construction stays cell-bounded at every layer; per-query search
+    * work is rounds·beam·R scored candidates — independent of corpus
+    * size, the entire point of the navigable-graph family. */
+  private[similarity] val HnswCells0 = 16
+  private[similarity] val HnswCells1 = 4
+  private[similarity] val HnswR0 = 8
+  private[similarity] val HnswR1 = 4
+  private[similarity] val HnswBeam0 = 12
+  private[similarity] val HnswBeam1 = 4
+  private[similarity] val HnswRounds0 = 3
+  private[similarity] val HnswRounds1 = 2
+  private[similarity] val HnswEntryN = 4
+  private[similarity] val HnswOverlap = 2
+
+  /** One layer's bounded-out-degree neighbor lists: members assign to
+    * their [[HnswOverlap]] closest md5-seeded cells (broadcast k-row
+    * seed set), R-nearest edges form inside each cell's member set —
+    * candidate fan-out is cell-bounded, and the overlap stitches
+    * adjacent cells into one navigable component. */
+  private[similarity] def hnswLayerEdges(members: DataFrame, numCells: Int, r: Int): DataFrame = {
+    // cell count scales with the layer (floor numCells, target ~64
+    // members/cell across the 2-cell overlap) so per-cell pair fan-out
+    // stays bounded as the corpus grows — the IVF numCells ≈ √n rule
+    // applied per layer; both engines derive it from the same COUNT
+    val cells = math.max(numCells, (members.count() / 64L).toInt)
+    val seeds = members
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cell_id"), col("q").as("cq"), col("norm").as("cnorm"))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
+    val assigned = members.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("q"), col("norm"), col("cell_id"),
+        cosinePre(col("q"), col("cq"), col("norm"), col("cnorm")).as("sim"))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") <= HnswOverlap)
+      .select(col("cell_id"), col("vec_id"), col("q"), col("norm"))
+    val a = assigned.toDF("cell_id", "src", "sq", "sn")
+    val b = assigned.toDF("cell_id", "dst", "dq", "dn")
+    val pairs = a.join(b, Seq("cell_id")).where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosinePre(col("sq"), col("dq"), col("sn"), col("dn")).as("sim"))
+      .distinct() // a pair sharing both overlap cells appears twice, identically
+    val nw = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    pairs.withColumn("rn", row_number().over(nw)).filter(col("rn") <= r)
+      .select(col("src"), col("dst"))
+  }
+
+  /** B12 scale path #6 (r8) — the layered-graph (HNSW-ish) ANN search:
+    * entry set = the [[HnswEntryN]] vertices first under (level DESC,
+    * md5, id); [[HnswRounds1]] narrow-beam rounds through the thin
+    * upper layer's adjacency; then [[HnswRounds0]] wide-beam rounds
+    * through the base layer with the visited POOL accumulating (the
+    * ef-search candidate set), top-k of the pool minus self at the
+    * end. Per-round state is |queries|·beam ids; every expansion is an
+    * equi-join on the bounded adjacency — per-query cost independent of
+    * corpus size. Fully deterministic, replayed end to end by the
+    * DuckDB oracle. */
+  def hnswTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val e = quantizedWithNorm(embeddings).cache()
+    val lv = e.withColumn("__h", md5(col("vec_id").cast("string")))
+      .withColumn("lvl", when(col("__h").startsWith("0"), 1).otherwise(0))
+    val n0 = hnswLayerEdges(e, HnswCells0, HnswR0).localCheckpoint(true)
+    val n1 = hnswLayerEdges(
+      lv.filter(col("lvl") === 1).select(col("vec_id"), col("q"), col("norm")),
+      HnswCells1, HnswR1).localCheckpoint(true)
+    val entry = lv.orderBy(col("lvl").desc, col("__h"), col("vec_id"))
+      .limit(HnswEntryN).select(col("vec_id"))
+    val qs = e.filter(queryPred).toDF("query_id", "qq", "qnorm").cache()
+    def scoreOf(pool: DataFrame): DataFrame =
+      pool.join(e, Seq("vec_id")).join(qs, Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosinePre(col("qq"), col("q"), col("qnorm"), col("norm")).as("cosine"))
+    def topb(pool: DataFrame, b: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      scoreOf(pool).withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
+        .select(col("query_id"), col("vec_id"))
+    }
+    def expand(beam: DataFrame, nbrs: DataFrame): DataFrame =
+      beam.unionByName(
+        beam.join(nbrs, col("vec_id") === col("src"))
+          .select(col("query_id"), col("dst").as("vec_id")))
+        .distinct()
+    // one eager cut per descent round on the POOL only (the sole frame
+    // referenced twice downstream); the beams are cheap windows over it
+    var beam = qs.select(col("query_id")).crossJoin(broadcast(entry))
+      .localCheckpoint(true)
+    for (_ <- 1 to HnswRounds1)
+      beam = topb(expand(beam, n1), HnswBeam1).localCheckpoint(true)
+    var pool = beam
+    for (_ <- 1 to HnswRounds0) {
+      pool = pool.unionByName(expand(beam, n0)).distinct().localCheckpoint(true)
+      beam = topb(pool, HnswBeam0)
+    }
+    val fw = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val out = scoreOf(pool)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(fw)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rn").cast("int").as("rn"))
+      .localCheckpoint(true)
+    e.unpersist(); qs.unpersist()
+    out.orderBy(col("query_id"), col("rn"))
+  }
+
+  def hnswQuery(s: SparkSession, dir: String): DataFrame =
+    hnswTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+
+  /** B12 (r8): the layered-graph acceptance gate — recall@10 of the
+    * beam search vs exact brute force, completing the index-acceptance
+    * family (IVF/PQ/SQ each have one). */
+  def hnswRecallQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
+      .select($"query_id", $"vec_id")
+    recallReport(brute,
+      hnswTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
+        .select($"query_id", $"vec_id"))
+  }
+
   /** B12 (r7): k-NN classification over the labeled embedding corpus —
     * the evaluation harness every embedding model ships with (and the
     * label-propagation shape weak supervision uses to extend a small
@@ -1104,6 +1242,8 @@ object Similarity {
     "b12_sq_topk" -> (sqTopKQuery _),
     "b12_sq_recall" -> (sqRecallQuery _),
     "b12_inertia" -> (inertiaQuery _),
+    "b12_hnsw_topk" -> (hnswQuery _),
+    "b12_hnsw_recall" -> (hnswRecallQuery _),
   )
 
   private val Q = "list_transform(CAST(%s AS DOUBLE[]), x -> CAST(round(x*1000) AS BIGINT))"
@@ -1206,6 +1346,85 @@ object Similarity {
                  CAST(${dotSql("p.qq", "a.q")} AS DOUBLE) / (p.qnorm * a.norm) AS cosine
                FROM qp p JOIN asgn a USING (cell_id)
                WHERE a.vec_id <> p.query_id)"""
+
+  /** One layer's edge chain in SQL — md5-ranked cell seeds, overlap-2
+    * assignment, DISTINCT in-cell pair sims, per-src R-nearest — the
+    * literal replay of [[hnswLayerEdges]] (same window orders). */
+  private def hnswLayerSql(memberCte: String, cells: Int, r: Int, tag: String) = s"""
+      hc$tag AS (SELECT vec_id AS cell_id, q AS cq, norm AS cnorm FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn FROM $memberCte)
+        WHERE srn <= GREATEST($cells,
+          (SELECT COUNT(*) FROM $memberCte) // 64)),
+      hd$tag AS (SELECT v.vec_id, v.q, v.norm, c.cell_id,
+          CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) AS sim
+        FROM $memberCte v, hc$tag c),
+      ha$tag AS (SELECT cell_id, vec_id, q, norm FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, cell_id) AS rn FROM hd$tag) WHERE rn <= $HnswOverlap),
+      hp$tag AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+          CAST(${dotSql("a.q", "b.q")} AS DOUBLE) / (a.norm * b.norm) AS sim
+        FROM ha$tag a JOIN ha$tag b USING (cell_id) WHERE a.vec_id <> b.vec_id),
+      hn$tag AS (SELECT src, dst FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+          FROM hp$tag) WHERE rn <= $r)"""
+
+  /** The full layered-ANN replay (assumes `e`, `en`): level draw, both
+    * layers' adjacency, entry set, and the unrolled beam descent —
+    * [[HnswRounds1]] narrow rounds then [[HnswRounds0]] pool-
+    * accumulating wide rounds (UNION = Spark's union+distinct), ending
+    * in `htop` (query_id, vec_id, cosine, rn ≤ 10). */
+  private lazy val hnswChainSql: String = {
+    def scoreSql(fromCte: String, outCte: String) = s"""
+      $outCte AS (SELECT x.query_id, x.vec_id,
+          CAST(${dotSql("qv.qq", "en.q")} AS DOUBLE) / (qv.qnorm * en.norm) AS cos
+        FROM $fromCte x JOIN en ON en.vec_id = x.vec_id
+        JOIN hqs qv ON qv.query_id = x.query_id)"""
+    val l1 = (1 to HnswRounds1).map { i =>
+      val prev = s"hb${i - 1}"
+      s"""
+      hx$i AS (SELECT query_id, vec_id FROM $prev
+          UNION
+          SELECT b.query_id, n.dst AS vec_id FROM $prev b
+          JOIN hn1 n ON n.src = b.vec_id),
+      ${scoreSql(s"hx$i", s"hs$i")},
+      hb$i AS (SELECT query_id, vec_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id) AS rn FROM hs$i) WHERE rn <= $HnswBeam1)"""
+    }.mkString(",")
+    val l0 = (1 to HnswRounds0).map { j =>
+      val prevPool = if (j == 1) s"hb$HnswRounds1" else s"hpx${j - 1}"
+      val prevBeam = if (j == 1) s"hb$HnswRounds1" else s"hbb${j - 1}"
+      s"""
+      hpx$j AS (SELECT query_id, vec_id FROM $prevPool
+          UNION
+          SELECT b.query_id, n.dst AS vec_id FROM $prevBeam b
+          JOIN hn0 n ON n.src = b.vec_id),
+      ${scoreSql(s"hpx$j", s"hps$j")},
+      hbb$j AS (SELECT query_id, vec_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id) AS rn FROM hps$j) WHERE rn <= $HnswBeam0)"""
+    }.mkString(",")
+    s"""hlv AS (SELECT vec_id, q, norm, md5(CAST(vec_id AS VARCHAR)) AS h,
+          CASE WHEN md5(CAST(vec_id AS VARCHAR)) LIKE '0%' THEN 1 ELSE 0 END AS lvl
+        FROM en),
+      hm1 AS (SELECT vec_id, q, norm FROM hlv WHERE lvl = 1),
+      ${hnswLayerSql("en", HnswCells0, HnswR0, "0")},
+      ${hnswLayerSql("hm1", HnswCells1, HnswR1, "1")},
+      hent AS (SELECT vec_id FROM (
+          SELECT vec_id, ROW_NUMBER() OVER (ORDER BY lvl DESC, h, vec_id) AS rn
+          FROM hlv) WHERE rn <= $HnswEntryN),
+      hqs AS (SELECT vec_id AS query_id, q AS qq, norm AS qnorm FROM en
+        WHERE vec_id % 100 = 0),
+      hb0 AS (SELECT q.query_id, e2.vec_id FROM hqs q CROSS JOIN hent e2),
+      $l1,
+      $l0,
+      ${scoreSql(s"hpx$HnswRounds0", "hfs")},
+      htop AS (SELECT query_id, vec_id, cos AS cosine, CAST(rn AS INT) AS rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id) AS rn
+          FROM hfs WHERE vec_id <> query_id) WHERE rn <= 10)"""
+  }
 
   /** Unrolled greedy-MMR replay ([[MmrK]] rounds — the lpa/kCore
     * unrolled-round device): s1 is the per-probe relevance argmax; each
@@ -1662,5 +1881,31 @@ object Similarity {
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, vec_id) AS INT) AS rn FROM cand)
       WHERE rn <= 10 ORDER BY query_id, rn""",
+    // the FULL layered-graph pipeline — derandomized level draw,
+    // per-layer overlap-cell R-NN adjacency, entry set, unrolled beam
+    // descent — replayed in SQL (the b16 unrolled-CTE device)
+    "b12_hnsw_topk" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      en AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
+      $hnswChainSql
+      SELECT query_id, vec_id, cosine, rn FROM htop ORDER BY query_id, rn""",
+    "b12_hnsw_recall" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      en AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
+      $hnswChainSql,
+      $BruteSimsSql,
+      btop AS (SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS rn FROM sims) WHERE rn <= 10),
+      hits AS (SELECT i.query_id, COUNT(*) AS n_hits
+               FROM htop i JOIN btop b
+                 ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+               GROUP BY i.query_id),
+      bc AS (SELECT query_id, COUNT(*) AS n_brute FROM btop GROUP BY query_id)
+      SELECT bc.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+             CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / LEAST(10, bc.n_brute) AS recall_at_10
+      FROM bc
+      LEFT JOIN hits h USING (query_id)
+      ORDER BY query_id""",
   )
 }

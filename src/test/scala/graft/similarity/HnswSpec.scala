@@ -1,0 +1,61 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** b12_hnsw_topk / b12_hnsw_recall: structural invariants of the
+  * derandomized layered-graph ANN — bounded out-degree, overlap-cell
+  * connectivity beyond the entry neighborhood, exact-k well-formed
+  * output, and a recall floor against brute force. */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = graft.Tables.embeddings(spark, sfDir)
+
+  test("layer adjacency: out-degree bounded by R, no self-loops, edges distinct") {
+    val members = Similarity.quantizedWithNorm(emb)
+    val edges = Similarity.hnswLayerEdges(members, 16, 8).cache()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+      .agg(max($"d")).head().getLong(0)
+    assert(deg <= 8, s"max out-degree $deg exceeds R=8")
+    assert(edges.filter($"src" === $"dst").count() === 0L)
+    assert(edges.distinct().count() === edges.count())
+    edges.unpersist()
+  }
+
+  test("search output is well-formed: <= k rows per query, rn dense, cosine ordered") {
+    val out = Similarity.hnswTopK(emb, col("vec_id") % 100 === 0).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    for ((q, rows) <- byQ) {
+      assert(rows.length <= 10, s"query $q has ${rows.length} rows")
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length), s"query $q rn gaps")
+      val cs = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"query $q not ordered")
+      assert(rows.forall(_.getLong(1) != q), s"query $q returned itself")
+    }
+  }
+
+  test("beam escapes the entry neighborhood: results differ across queries") {
+    // if navigation were stuck at the fixed entry set, every query
+    // would return (nearly) the same ids; real descent personalizes
+    val out = Similarity.hnswTopK(emb, col("vec_id") % 100 === 0).collect()
+    val sets = out.groupBy(_.getLong(0)).values.map(_.map(_.getLong(1)).toSet).toSeq
+    val pairwiseSame = for (a <- sets; b <- sets if a ne b) yield (a intersect b).size
+    assert(pairwiseSame.forall(_ < 10), "all queries returned identical top-10")
+  }
+
+  test("recall@10 vs brute force clears the acceptance floor") {
+    val rec = Similarity.hnswRecallQuery(spark, sfDir).collect()
+      .map(_.getAs[Double]("recall_at_10"))
+    assert(rec.nonEmpty)
+    val mean = rec.sum / rec.length
+    assert(mean >= 0.5, f"mean recall@10 $mean%.2f below the 0.5 floor")
+  }
+
+  test("construction + search are deterministic: two runs bit-identical") {
+    def run() = Similarity.hnswTopK(emb, col("vec_id") % 100 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(run() === run())
+  }
+}
