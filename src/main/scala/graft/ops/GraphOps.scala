@@ -622,6 +622,65 @@ object GraphOps {
   def bfsQuery(s: SparkSession, dir: String): DataFrame =
     bfsOf(strongEdges(s, dir), BfsRounds)
 
+  /** The strong co-purchase graph WITH its affinity weight, as integer
+    * edge lengths len = 10⁶ div w (more shared orders ⇒ shorter edge) —
+    * path lengths then sum in exact BIGINTs. Same materialize-once
+    * snapshot discipline as [[strongEdges]]. */
+  private def weightedStrongLengths(s: SparkSession, dir: String): DataFrame =
+    snapshot(s, dir, s"strong_lengths_m$ComponentsMinOrders") {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      li.select($"ok", $"pk".as("u"))
+        .join(li.select($"ok", $"pk".as("v")), Seq("ok"))
+        .where($"u" < $"v")
+        .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+        .where($"w" >= ComponentsMinOrders)
+        .select($"u", $"v", expr("1000000 div w").as("len"))
+        .repartition($"u")
+    }
+
+  /** Gate constant: distances after round i are EXACT shortest over
+    * paths of ≤ i edges — semantics well-defined at any horizon, so the
+    * bounded-round result is a contract, not an approximation. 4 rounds
+    * matches the BFS reachability horizon. */
+  private val SsspRounds = 4
+
+  /** B16 (r8): weighted single-source shortest paths from the hub —
+    * BFS's metric upgrade: hop counts ignore affinity strength, so the
+    * "closest" products to the hub under hops and under edge LENGTH
+    * (10⁶/co-order-count — strong ties are short) genuinely differ, and
+    * a recommender walks the weighted metric. Synchronous bounded-round
+    * Bellman-Ford relaxation: per round, every known distance flows
+    * across the symmetric edge table once and a combinable MIN folds
+    * arrivals — dist_i(v) = exact shortest ≤i-edge path, all-integer.
+    * No priority queue (Dijkstra's sequential frontier is the
+    * order-dependence this engine's gates exclude); the round-synchronous
+    * form is the distributed classic (Pregel's SSSP example), O(rounds)
+    * shuffles with per-round lineage cuts, each round ONE equi-join of
+    * the edge table against the vertex-sized dist table. Oracle: the
+    * relaxation chain unrolled (the bfs/lpa device). */
+  def ssspOf(wEdges: DataFrame, rounds: Int): DataFrame = {
+    val sym = wEdges.select(col("u").as("x"), col("v").as("nbr"), col("len"))
+      .unionAll(wEdges.select(col("v").as("x"), col("u").as("nbr"), col("len")))
+      .localCheckpoint(true)
+    val seed = sym.groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .agg(min_by(col("x"), struct((-col("d")).as("nd"), col("x"))).as("x"))
+    var dist = seed.select(col("x"), lit(0L).as("dist")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = sym.join(dist, Seq("x"))
+        .select(col("nbr").as("x"), (col("dist") + col("len")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("x")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("x").as("part_key"), col("dist").as("dist_micro"))
+      .orderBy(col("part_key"))
+  }
+
+  def ssspQuery(s: SparkSession, dir: String): DataFrame =
+    ssspOf(weightedStrongLengths(s, dir), SsspRounds)
+
   /** B16 (r7): common-neighbor link prediction over the strong
     * co-purchase graph — the classic candidate generator for "customers
     * who bought X also ended up buying Y": rank NON-adjacent vertex
@@ -933,6 +992,7 @@ object GraphOps {
     "b16_clustering" -> (clusteringQuery _),
     "b16_components" -> (componentsQuery _),
     "b16_bfs" -> (bfsQuery _),
+    "b16_sssp" -> (ssspQuery _),
     "b16_lpa" -> (lpaQuery _),
     "b16_link_predict" -> (linkPredictQuery _),
     "b16_resource_alloc" -> (resourceAllocQuery _),
@@ -1051,8 +1111,37 @@ object GraphOps {
       ORDER BY dist"""
   }
 
+  /** The Bellman-Ford relaxation chain unrolled ([[SsspRounds]] rounds):
+    * per round, known distances flow across `symw` once and MIN folds —
+    * the literal replay of [[ssspOf]]. */
+  private def ssspOracleSql: String = {
+    val rounds = (1 to SsspRounds).map { i =>
+      s"""d$i AS (SELECT x, MIN(dist) AS dist FROM (
+              SELECT x, dist FROM d${i - 1}
+              UNION ALL
+              SELECT s.nbr AS x, d.dist + s.len AS dist
+              FROM symw s JOIN d${i - 1} d ON d.x = s.x) GROUP BY x)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      wl AS (SELECT a.pk AS u, b.pk AS v,
+               CAST(1000000 // COUNT(*) AS BIGINT) AS len
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY a.pk, b.pk HAVING COUNT(*) >= $ComponentsMinOrders),
+      symw AS (SELECT u AS x, v AS nbr, len FROM wl
+               UNION ALL SELECT v AS x, u AS nbr, len FROM wl),
+      degs AS (SELECT x, COUNT(*) AS d FROM symw GROUP BY x),
+      seed AS (SELECT x FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY d DESC, x) AS rn
+                              FROM degs) WHERE rn = 1),
+      d0 AS (SELECT x, CAST(0 AS BIGINT) AS dist FROM seed),
+      $rounds
+      SELECT x AS part_key, dist AS dist_micro FROM d$SsspRounds
+      ORDER BY part_key"""
+  }
+
   val oracles: Map[String, String] = Map(
     "b16_bfs" -> bfsOracleSql,
+    "b16_sssp" -> ssspOracleSql,
     "b16_degree_hist" -> s"""
       WITH $OracleEdges, $OracleDegs
       SELECT degree, COUNT(*) AS n_parts FROM degs GROUP BY degree ORDER BY degree

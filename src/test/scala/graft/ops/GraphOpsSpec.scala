@@ -482,6 +482,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(all === Map(-1 -> 0L, 0 -> 1L, 1 -> 2L))
   }
 
+  test("sssp: weighted metric diverges from hops; horizon semantics exact (B16, r8)") {
+    import spark.implicits._
+    // hub 1 (degree ties 4, min-id seeds): reaching 4 costs 10 on the
+    // direct edge but 3+3=6 via the 1-2-4 detour — weighted SSSP must
+    // take the detour a hop-count BFS would never prefer
+    val w = Seq((1L, 2L, 3L), (2L, 4L, 3L), (1L, 4L, 10L), (1L, 5L, 1L),
+      (4L, 6L, 2L)).toDF("u", "v", "len")
+    def distsAt(rounds: Int) = GraphOps.ssspOf(w, rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = distsAt(4)
+    assert(d(1L) === 0L)
+    assert(d(4L) === 6L) // detour beats the direct edge
+    assert(d(5L) === 1L)
+    assert(d(6L) === 8L) // through the detour: 3+3+2
+    // horizon contract: at rounds=1 only <=1-edge paths exist, so 4
+    // costs the direct 10 and 6 is unreached; rounds=2 finds the detour
+    val d1 = distsAt(1)
+    assert(d1(4L) === 10L)
+    assert(!d1.contains(6L))
+    assert(distsAt(2)(4L) === 6L)
+  }
+
   test("community mart: membership, line and share identities hold (E6)") {
     val mart = GraphOps.communityMartQuery(spark, sfDir).collect()
     assert(mart.nonEmpty)
