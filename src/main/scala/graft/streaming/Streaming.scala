@@ -71,6 +71,50 @@ object Streaming {
     sessionsBatch(Tables.events(s, dir))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** B10 (r8): the concurrency curve — "how many sessions are open at
+    * once", the capacity question every ops dashboard answers — as the
+    * classic sweep line over [[sessionsBatch]] boundaries WITHOUT a
+    * global sort: +1/−1 deltas net per instant (simultaneous starts and
+    * ends cancel — the curve is measured BETWEEN instants, a total
+    * convention needing no within-instant tie order), then the
+    * distributed two-level prefix sum: a day-partitioned running sum
+    * over instants plus a carry-in from the DAY axis (Σ of prior days'
+    * nets = sessions still open at day start, so midnight-straddling
+    * sessions are correct by construction). The only unpartitioned
+    * window runs over the bounded day axis, never over instants — the
+    * shape that survives 100 TB where the naive global-order running
+    * sum is one reducer. Per day: open-at-start, the peak, the earliest
+    * instant attaining it, and the boundary count — peak argmax total
+    * via the (curve DESC, ts) min_by struct. */
+  def concurrency(events: DataFrame): DataFrame = {
+    val s = sessionsBatch(events)
+    val deltas = s.select(col("session_start").as("ts"), lit(1L).as("d"))
+      .unionAll(s.select(col("session_end").as("ts"), lit(-1L).as("d")))
+    val net = deltas
+      .withColumn("day", expr("unix_date(to_date(cast(ts as timestamp)))"))
+      .groupBy(col("day"), col("ts")).agg(sum(col("d")).as("net"))
+      .localCheckpoint(true) // feeds the in-day prefix AND the day totals
+    val wIn = Window.partitionBy(col("day")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inDay = net.withColumn("run_in_day", sum(col("net")).over(wIn))
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = net.groupBy(col("day")).agg(sum(col("net")).as("day_net"))
+      .withColumn("open_at_start", coalesce(sum(col("day_net")).over(wDays), lit(0L)))
+      .select(col("day"), col("open_at_start"))
+    inDay.join(carry, Seq("day"))
+      .withColumn("curve", col("open_at_start") + col("run_in_day"))
+      .groupBy(col("day"))
+      .agg(min(col("open_at_start")).as("open_at_start"),
+        max(col("curve")).as("peak_concurrent"),
+        min_by(col("ts"), struct((-col("curve")).as("nc"), col("ts"))).as("peak_ts"),
+        count(lit(1)).as("n_boundaries"))
+      .orderBy(col("day"))
+  }
+
+  def concurrencyQuery(s: SparkSession, dir: String): DataFrame =
+    concurrency(Tables.events(s, dir))
+
   /** B10: trailing-window spike detection — flag events whose value
     * exceeds twice the mean of the user's previous ≤10 events (needing at
     * least 5 of history). The anomaly test is DIVISION-FREE exact decimal
@@ -883,6 +927,7 @@ object Streaming {
     "b10_tumbling" -> (tumblingQuery _),
     "b10_sliding" -> (slidingQuery _),
     "b10_sessions" -> (sessionsQuery _),
+    "b10_concurrency" -> (concurrencyQuery _),
     "b10_interval_join" -> (clickAttributionQuery _),
     "b10_rolling_anomaly" -> (rollingAnomalyQuery _),
   )
@@ -918,6 +963,48 @@ object Streaming {
              COUNT(*) AS n_events
       FROM numbered GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq""",
+    // sweep line over session boundaries: per-instant nets, the in-day
+    // prefix + bounded day-axis carry-in, peak argmax by (c DESC, ts)
+    "b10_concurrency" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          CASE WHEN lag(ts) OVER w IS NULL THEN 1
+               WHEN CAST(ts AS TIMESTAMP) >= CAST(lag(ts) OVER w AS TIMESTAMP) + INTERVAL 30 MINUTES THEN 1
+               ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM flagged),
+      s AS (SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM numbered GROUP BY user_id, session_seq),
+      bd AS (SELECT session_start AS ts, CAST(1 AS BIGINT) AS d FROM s
+             UNION ALL SELECT session_end AS ts, CAST(-1 AS BIGINT) AS d FROM s),
+      net AS (SELECT date_diff('day', DATE '1970-01-01',
+                CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day, ts,
+                CAST(SUM(d) AS BIGINT) AS net
+              FROM bd GROUP BY 1, 2),
+      ind AS (SELECT *, CAST(SUM(net) OVER (PARTITION BY day ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_in_day
+              FROM net),
+      carry AS (SELECT day, COALESCE(CAST(SUM(day_net) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS open_at_start
+                FROM (SELECT day, SUM(net) AS day_net FROM net GROUP BY day)),
+      curve AS (SELECT ind.day, ind.ts, carry.open_at_start,
+                  carry.open_at_start + ind.run_in_day AS c
+                FROM ind JOIN carry USING (day)),
+      peak AS (SELECT day, c AS peak_concurrent, ts AS peak_ts FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                   ORDER BY c DESC, ts) AS rn FROM curve) WHERE rn = 1),
+      base AS (SELECT day, MIN(open_at_start) AS open_at_start,
+                 COUNT(*) AS n_boundaries
+               FROM curve GROUP BY day)
+      SELECT CAST(b.day AS INT) AS day, b.open_at_start, p.peak_concurrent,
+             p.peak_ts, b.n_boundaries
+      FROM base b JOIN peak p USING (day)
+      ORDER BY day""",
     "b10_rolling_anomaly" -> """
       WITH t AS (
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -302,6 +302,29 @@ class StreamingSpec extends SparkSpec {
     assert(snap1 !== snap2) // batch 2 really moved the counts
   }
 
+  test("concurrency sweep line: carry-in across midnight, earliest-peak tie, " +
+    "point sessions invisible (B10, r8)") {
+    def e(id: Long, u: Long, t: String) =
+      Evt(id, Timestamp.valueOf(t), u, "view", 0)
+    val events = Seq(
+      e(1, 1, "2024-03-01 23:00:00"), e(2, 1, "2024-03-01 23:20:00"), // s1 [23:00,23:20]
+      e(3, 2, "2024-03-01 23:10:00"),                                 // point session: +1/-1 cancel
+      e(4, 3, "2024-03-01 23:50:00"), e(5, 3, "2024-03-02 00:10:00"), // straddles midnight
+      e(6, 4, "2024-03-02 00:05:00"), e(7, 4, "2024-03-02 00:15:00"),
+      e(8, 5, "2024-03-02 00:20:00"), e(9, 5, "2024-03-02 00:30:00"),
+      e(10, 6, "2024-03-02 00:25:00"), e(11, 6, "2024-03-02 00:28:00"))
+    val out = Streaming.concurrency(events.toDF()).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).toString, r.getLong(4))).toMap
+    val d1 = java.time.LocalDate.parse("2024-03-01").toEpochDay.toInt
+    // day 1: curve 1,1,0,1 over 4 instants (the point session nets to
+    // zero and never lifts the curve); peak 1 first attained at 23:00
+    assert(out(d1) === ((0L, 1L, "2024-03-01 23:00:00.0", 4L)))
+    // day 2: carry-in 1 (user 3 still open); curve 2,1,0,1,2,1,0 over
+    // 7 instants — peak 2 attained at 00:05 AND 00:25, earliest wins
+    assert(out(d1 + 1) === ((1L, 2L, "2024-03-02 00:05:00.0", 7L)))
+  }
+
   test("series-triad streaming refresh: per-trigger trend/changepoint/autocorr " +
     "snapshots == batch kernels on the event prefix (B06, r8)") {
     // purchase rows feed all three kernels (autocorr is purchase-only);
