@@ -750,6 +750,89 @@ object Relational {
     * a signed-share floor division would diverge cross-engine (the
     * negative-operand trap; callers derive shares from the gated
     * deltas). One scan, one combinable conditional-sum aggregate. */
+  /** B4 (r8): two-sample Kolmogorov–Smirnov drift test — "did this
+    * feature's distribution move between snapshots", the exact
+    * counterpart of the PSI screen ([[psiDriftQuery]]): per order
+    * priority, D = sup |F97 − F98| over 1997-vs-1998 price cents. The
+    * supremum is computed in EXACT integers — at each distinct value,
+    * |hi97·n98 − hi98·n97| (cross-multiplied CDF difference, no float
+    * until one final division) — and the CDFs come from the
+    * distributed two-level prefix: per-(priority, coarse-bin) running
+    * sums over distinct values plus a carry-in over the bounded bin
+    * axis (the b10_concurrency device), so no window ever covers a
+    * priority's whole value axis in one reducer. Argmax total via the
+    * (d_num DESC, cents) min_by struct. */
+  def ksTestQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val yr = year($"o_orderdate")
+    val cc = Tables.orders(s, dir)
+      .filter(yr === 1997 || yr === 1998)
+      .select($"o_orderpriority".as("prio"),
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        when(yr === 1997, 1L).otherwise(0L).as("a"),
+        when(yr === 1998, 1L).otherwise(0L).as("b"))
+      .groupBy($"prio", $"cents")
+      .agg(sum($"a").as("ca"), sum($"b").as("cb"))
+      .withColumn("bin", expr("cents div 2500000"))
+      .localCheckpoint(true) // feeds totals, in-bin prefixes, bin totals
+    val n = cc.groupBy($"prio").agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+    val wIn = Window.partitionBy($"prio", $"bin").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inBin = cc
+      .withColumn("ra", sum($"ca").over(wIn))
+      .withColumn("rb", sum($"cb").over(wIn))
+    val wBins = Window.partitionBy($"prio").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = cc.groupBy($"prio", $"bin")
+      .agg(sum($"ca").as("ta"), sum($"cb").as("tb"))
+      .withColumn("ca0", coalesce(sum($"ta").over(wBins), lit(0L)))
+      .withColumn("cb0", coalesce(sum($"tb").over(wBins), lit(0L)))
+      .select($"prio", $"bin", $"ca0", $"cb0")
+    inBin.join(carry, Seq("prio", "bin"))
+      .join(n, Seq("prio"))
+      .select($"prio", $"cents", $"na", $"nb",
+        abs(($"ca0" + $"ra") * $"nb" - ($"cb0" + $"rb") * $"na").as("d_num"))
+      .groupBy($"prio")
+      .agg(first($"na").as("n_1997"), first($"nb").as("n_1998"),
+        max($"d_num").as("d_num"),
+        min_by($"cents", struct((-$"d_num").as("nd"), $"cents")).as("at_cents"))
+      .withColumn("ks_d", $"d_num".cast("double")
+        / ($"n_1997".cast("double") * $"n_1998".cast("double")))
+      .orderBy($"prio")
+  }
+
+  /** B4 (r8): Population Stability Index — the industry-standard drift
+    * screen scored per equi-width price bucket between the 1997 and
+    * 1998 snapshots. Shares are exact ppb integers (c·10⁹ div n); the
+    * per-bucket contribution (p−q)·ln(p/q) is emitted PER CELL in one
+    * fixed IEEE tree (cross-engine double SUMS are order-dependent —
+    * the chi-square discipline; the spec pins the driver-side total),
+    * NULL when either side is empty (the ε-free convention, explicit
+    * in the output rather than hidden in a smoothing constant). Row
+    * scale work is one combinable bucket count; the bucket axis is
+    * bounded. */
+  def psiDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val yr = year($"o_orderdate")
+    val buckets = Tables.orders(s, dir)
+      .filter(yr === 1997 || yr === 1998)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 2500000").as("bucket"),
+        when(yr === 1997, 1L).otherwise(0L).as("a"),
+        when(yr === 1998, 1L).otherwise(0L).as("b"))
+      .groupBy($"bucket").agg(sum($"a").as("c_1997"), sum($"b").as("c_1998"))
+      .localCheckpoint(true) // feeds the totals row and the share join
+    val tot = buckets.agg(sum($"c_1997").as("na"), sum($"c_1998").as("nb"))
+    val p = $"c_1997".cast("double") / $"na".cast("double")
+    val q = $"c_1998".cast("double") / $"nb".cast("double")
+    buckets.crossJoin(broadcast(tot)) // 1-row totals side
+      .select($"bucket", $"c_1997", $"c_1998",
+        expr("c_1997 * 1000000000 div na").as("share_1997_ppb"),
+        expr("c_1998 * 1000000000 div nb").as("share_1998_ppb"),
+        when($"c_1997" > 0 && $"c_1998" > 0, (p - q) * log(p / q))
+          .as("psi_contrib"))
+      .orderBy($"bucket")
+  }
+
   def deltaDriversQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val yr = year($"o_orderdate")
@@ -1109,20 +1192,22 @@ object Relational {
   /** B4 (r8): Kendall's τ-b rank correlation — the concordant/discordant
     * pair statistic beside [[spearman]]'s rank moments, with the full
     * tie correction. The O(n²) pair form is never materialized: rows
-    * collapse to contingency CELLS (group, x, y, count), each cell joins
-    * the broadcast distinct-x domain (l_quantity: ≤50 values per group),
-    * and one windowed prefix per (group, probe-x) — RANGE-framed to
-    * STRICTLY smaller y — counts in exact integers how many rows of that
-    * x-slice precede the cell. Concordant pairs come from probe slices
-    * left of the cell's x, discordant from slices right of it; pairs
-    * tied in either coordinate fall out of the frame/filter by
-    * construction, so nc + nd = C(n,2) − tx − ty + txy exactly (the
-    * spec asserts this identity). Work is |cells|·|x-domain| — linear
-    * for a bounded discrete axis — and the |x-domain| probe windows per
-    * group spread the sort ~50-way where a rank window would be one
-    * reducer per group. All counts are longs (exact to n ≈ 3·10⁹ per
-    * group); only the final τ-b ratio is IEEE, as one fixed tree both
-    * engines replay. */
+    * collapse to contingency CELLS (group, x, y, count), and ONE
+    * multi-column window pass computes, for every cell, the
+    * strictly-below-y running count of EACH x-slice (the bounded
+    * discrete x-domain — l_quantity, ≤50 values — collected once to
+    * become |domain| same-spec window sums sharing a single sort; the
+    * r8 probe-join form replicated every cell |domain|× instead and was
+    * the bench's worst query at 11.9 s). The running sums are
+    * decomposed two-level (in-bin RANGE −1 window per (group, ybin) +
+    * a carry over the bounded bin axis — the b04_ks_test device), so no
+    * partition covers a group's whole y axis in one reducer. Concordant
+    * pairs come from slices left of the cell's x, discordant from
+    * slices right of it; pairs tied in either coordinate fall out of
+    * the frame/filter by construction, so nc + nd = C(n,2) − tx − ty
+    * + txy exactly (the spec asserts this identity). All counts are
+    * longs (exact to n ≈ 3·10⁹ per group); only the final τ-b ratio is
+    * IEEE, as one fixed tree both engines replay. */
   def kendall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     kendallOf(Tables.lineitem(s, dir).select($"l_returnflag",
@@ -1134,16 +1219,43 @@ object Relational {
     import rows.sparkSession.implicits._
     val cells = rows.groupBy($"l_returnflag", $"x", $"y")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds 4 branches; the scan must run once
-    val xdom = cells.select($"l_returnflag", $"x".as("xp")).distinct()
-    val w = Window.partitionBy($"l_returnflag", $"xp").orderBy($"y")
+      .withColumn("ybin", expr("y div 100000"))
+      .localCheckpoint(true) // feeds 5 branches; the scan must run once
+    // the bounded discrete x-domain (≤~50 quantities) — the same
+    // boundedness the r8 probe-join formulation leaned on, collected
+    // ONCE (domain-scale, never row-scale) to become window-expression
+    // literals: one multi-column window pass replaces the |domain|-way
+    // cell replication that made the probe join the bench's worst query
+    // (11.9 s → the cells table is walked once, not 50×)
+    val xs = cells.select($"x").distinct().collect().map(_.getLong(0)).sorted
+    // strictly-below-y running count per x-slice, decomposed two-level
+    // (the b04_ks_test device): an in-bin RANGE -1 window partitioned by
+    // (flag, ybin) + a carry over the bounded bin axis, so no partition
+    // ever covers a flag's whole y axis in one reducer; all |domain|
+    // sums share ONE window spec → one sort, one WindowExec
+    val wIn = Window.partitionBy($"l_returnflag", $"ybin").orderBy($"y")
       .rangeBetween(Window.unboundedPreceding, -1)
-    val probed = cells.join(broadcast(xdom), Seq("l_returnflag"))
-      .withColumn("cum",
-        coalesce(sum(when($"x" === $"xp", $"c")).over(w), lit(0L)))
-    val cd = probed.groupBy($"l_returnflag").agg(
-      sum(when($"xp" < $"x", $"c" * $"cum").otherwise(0L)).as("nc"),
-      sum(when($"xp" > $"x", $"c" * $"cum").otherwise(0L)).as("nd"))
+    val inBin = cells.select(
+      ($"l_returnflag" +: $"x" +: $"y" +: $"ybin" +: $"c" +:
+        xs.map(j => coalesce(sum(when($"x" === j, $"c")).over(wIn), lit(0L))
+          .as(s"cum_$j"))): _*)
+    val wBins = Window.partitionBy($"l_returnflag").orderBy($"ybin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tAggs = xs.map(j => sum(when($"x" === j, $"c")).as(s"t_$j"))
+    val binTotals = cells.groupBy($"l_returnflag", $"ybin")
+      .agg(tAggs.head, tAggs.tail: _*)
+    val carry = binTotals.select(
+      ($"l_returnflag" +: $"ybin" +:
+        xs.map(j => coalesce(sum(col(s"t_$j")).over(wBins), lit(0L))
+          .as(s"p_$j"))): _*)
+    def cumTotal(j: Long) = col(s"p_$j") + col(s"cum_$j")
+    val ncE = xs.map(j => when($"x" > j, cumTotal(j)).otherwise(lit(0L)))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    val ndE = xs.map(j => when($"x" < j, cumTotal(j)).otherwise(lit(0L)))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    val cd = inBin.join(carry, Seq("l_returnflag", "ybin"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"c" * ncE).as("nc"), sum($"c" * ndE).as("nd"))
     val base = cells.groupBy($"l_returnflag").agg(
       sum($"c").as("n"),
       expr("sum(c * (c - 1)) div 2").as("ties_xy"))
@@ -1619,6 +1731,8 @@ object Relational {
     "b05_percentile_any" -> (percentileAny _),
     "b04_spearman" -> (spearman _),
     "b04_kendall" -> (kendall _),
+    "b04_ks_test" -> (ksTestQuery _),
+    "b04_psi_drift" -> (psiDriftQuery _),
     "b04_chisq" -> (chiSquare _),
     "b04_benford" -> (benfordQuery _),
     "b09_bitmap_ops" -> (bitmapOpsQuery _),
@@ -2071,6 +2185,63 @@ object Relational {
                   * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS spearman_rho
       FROM m ORDER BY l_returnflag""",
+    // exact cross-multiplied CDF difference per distinct value; the
+    // simple per-priority cumulative here equals the engine's two-level
+    // bin+carry decomposition by construction
+    "b04_ks_test" -> """
+      WITH r AS (SELECT o_orderpriority AS prio,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1997 THEN 1 ELSE 0 END AS a,
+          CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1998 THEN 1 ELSE 0 END AS b
+        FROM orders
+        WHERE year(CAST(o_orderdate AS TIMESTAMP)) IN (1997, 1998)),
+      cc AS (SELECT prio, cents, CAST(SUM(a) AS BIGINT) AS ca,
+               CAST(SUM(b) AS BIGINT) AS cb
+             FROM r GROUP BY 1, 2),
+      n AS (SELECT prio, CAST(SUM(ca) AS BIGINT) AS na,
+              CAST(SUM(cb) AS BIGINT) AS nb FROM cc GROUP BY 1),
+      cum AS (SELECT prio, cents,
+          CAST(SUM(ca) OVER (PARTITION BY prio ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+          CAST(SUM(cb) OVER (PARTITION BY prio ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb
+        FROM cc),
+      dn AS (SELECT c.prio, c.cents, n.na, n.nb,
+               ABS(c.fa * n.nb - c.fb * n.na) AS d_num
+             FROM cum c JOIN n USING (prio)),
+      pick AS (SELECT prio, cents AS at_cents, d_num FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY prio
+            ORDER BY d_num DESC, cents) AS rn FROM dn) WHERE rn = 1)
+      SELECT p.prio, n.na AS n_1997, n.nb AS n_1998, p.d_num, p.at_cents,
+        CAST(p.d_num AS DOUBLE)
+          / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS ks_d
+      FROM pick p JOIN n USING (prio)
+      ORDER BY prio""",
+    // exact ppb shares; per-bucket contribution in one fixed IEEE tree,
+    // NULL where either snapshot is empty (no hidden smoothing epsilon)
+    "b04_psi_drift" -> """
+      WITH r AS (SELECT
+          CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS bucket,
+          CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1997 THEN 1 ELSE 0 END AS a,
+          CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1998 THEN 1 ELSE 0 END AS b
+        FROM orders
+        WHERE year(CAST(o_orderdate AS TIMESTAMP)) IN (1997, 1998)),
+      bk AS (SELECT bucket, CAST(SUM(a) AS BIGINT) AS c_1997,
+               CAST(SUM(b) AS BIGINT) AS c_1998
+             FROM r GROUP BY 1),
+      t AS (SELECT CAST(SUM(c_1997) AS BIGINT) AS na,
+              CAST(SUM(c_1998) AS BIGINT) AS nb FROM bk)
+      SELECT bucket, c_1997, c_1998,
+        c_1997 * 1000000000 // na AS share_1997_ppb,
+        c_1998 * 1000000000 // nb AS share_1998_ppb,
+        CASE WHEN c_1997 > 0 AND c_1998 > 0 THEN
+          (CAST(c_1997 AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(c_1998 AS DOUBLE) / CAST(nb AS DOUBLE))
+          * ln((CAST(c_1997 AS DOUBLE) / CAST(na AS DOUBLE))
+             / (CAST(c_1998 AS DOUBLE) / CAST(nb AS DOUBLE)))
+        END AS psi_contrib
+      FROM bk CROSS JOIN t
+      ORDER BY bucket""",
     // contingency cells probed per distinct-x slice: a strictly-below-y
     // running sum per (flag, probe-x) replays Spark's RANGE -1 window;
     // all pair counts are exact BIGINTs, only tau_b's final tree is IEEE

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** b04_ks_test / b04_psi_drift: both drift screens recomputed from a
+  * literal driver-side definition on real data. */
+class DriftSpec extends SparkSpec {
+
+  private def ordersRows() = graft.Tables.orders(spark, sfDir)
+    .selectExpr("o_orderpriority", "year(o_orderdate) AS y",
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+    .collect()
+    .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    .filter(t => t._2 == 1997 || t._2 == 1998)
+
+  test("KS: exact sup of the cross-multiplied CDF difference matches brute (B4, r8)") {
+    val rows = ordersRows()
+    val out = Relational.ksTestQuery(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(out.nonEmpty)
+    for ((prio, grp) <- rows.groupBy(_._1)) {
+      val a = grp.filter(_._2 == 1997).map(_._3).sorted
+      val b = grp.filter(_._2 == 1998).map(_._3).sorted
+      val na = a.length.toLong; val nb = b.length.toLong
+      val merged = (a ++ b).distinct.sorted
+      // exact integer sup: |F_a(v)·nb − F_b(v)·na| at every distinct v
+      val curve = merged.map(v =>
+        (v, math.abs(a.count(_ <= v) * nb - b.count(_ <= v) * na)))
+      val dNum = curve.map(_._2).max
+      val atCents = curve.filter(_._2 == dNum).map(_._1).min
+      val (gotNa, gotNb, gotD, gotAt, gotKs) = out(prio)
+      assert(gotNa === na, s"$prio na")
+      assert(gotNb === nb, s"$prio nb")
+      assert(gotD === dNum, s"$prio d_num")
+      assert(gotAt === atCents, s"$prio at_cents")
+      assert(gotKs === dNum.toDouble / (na.toDouble * nb.toDouble), s"$prio ks_d")
+    }
+  }
+
+  test("PSI: ppb shares and per-bucket contributions match brute; empty side is NULL (B4, r8)") {
+    val rows = ordersRows()
+    val out = Relational.psiDriftQuery(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byBucket = rows.groupBy(t => t._3 / 2500000L)
+    val na = rows.count(_._2 == 1997).toLong
+    val nb = rows.count(_._2 == 1998).toLong
+    assert(out.length === byBucket.size)
+    for (r <- out) {
+      val bucket = r.getLong(0)
+      val c97 = byBucket(bucket).count(_._2 == 1997).toLong
+      val c98 = byBucket(bucket).count(_._2 == 1998).toLong
+      assert(r.getLong(1) === c97)
+      assert(r.getLong(2) === c98)
+      assert(r.getLong(3) === c97 * 1000000000L / na)
+      assert(r.getLong(4) === c98 * 1000000000L / nb)
+      if (c97 > 0 && c98 > 0) {
+        val p = c97.toDouble / na.toDouble; val q = c98.toDouble / nb.toDouble
+        assert(r.getDouble(5) === (p - q) * math.log(p / q), s"bucket $bucket")
+      } else assert(r.isNullAt(5), s"bucket $bucket should be NULL")
+    }
+  }
+}
