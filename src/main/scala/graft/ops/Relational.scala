@@ -801,16 +801,22 @@ object Relational {
       .orderBy($"prio")
   }
 
-  /** B4 (r8): Population Stability Index — the industry-standard drift
-    * screen scored per equi-width price bucket between the 1997 and
-    * 1998 snapshots. Shares are exact ppb integers (c·10⁹ div n); the
-    * per-bucket contribution (p−q)·ln(p/q) is emitted PER CELL in one
-    * fixed IEEE tree (cross-engine double SUMS are order-dependent —
-    * the chi-square discipline; the spec pins the driver-side total),
-    * NULL when either side is empty (the ε-free convention, explicit
-    * in the output rather than hidden in a smoothing constant). Row
-    * scale work is one combinable bucket count; the bucket axis is
-    * bounded. */
+  /** B4 (r8): Population Stability Index inputs — the industry-standard
+    * drift screen scored per equi-width price bucket between the 1997
+    * and 1998 snapshots, served LOG-FREE: `ln` is NOT cross-engine
+    * bit-stable (JVM `Math.log` and DuckDB's libm disagree at ulp grain
+    * — the reason [[giniImpurity]] exists where Shannon entropy does
+    * not, re-confirmed empirically this round), so the gated output is
+    * the EXACT integer decomposition of every PSI term: ppb shares
+    * (c·10⁹ div n), their signed delta, and the exact share ratio in
+    * ppb ((c97·n98·10⁹) div (c98·n97)) — each bucket's contribution
+    * (p−q)·ln(p/q) derives from (delta_ppb, ratio_ppb) with ONE log at
+    * the consumer (spec pins the driver-side statistic). NULL ratio
+    * when either side is empty (the ε-free convention, explicit in the
+    * output rather than hidden in a smoothing constant). Row-scale work
+    * is one combinable bucket count; the bucket axis is bounded.
+    * (ppb products reach c·n·10⁹ ≈ 10¹⁷ at gate scale — widen to
+    * DECIMAL(38) at 100 TB row counts.) */
   def psiDriftQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val yr = year($"o_orderdate")
@@ -822,14 +828,14 @@ object Relational {
       .groupBy($"bucket").agg(sum($"a").as("c_1997"), sum($"b").as("c_1998"))
       .localCheckpoint(true) // feeds the totals row and the share join
     val tot = buckets.agg(sum($"c_1997").as("na"), sum($"c_1998").as("nb"))
-    val p = $"c_1997".cast("double") / $"na".cast("double")
-    val q = $"c_1998".cast("double") / $"nb".cast("double")
     buckets.crossJoin(broadcast(tot)) // 1-row totals side
       .select($"bucket", $"c_1997", $"c_1998",
         expr("c_1997 * 1000000000 div na").as("share_1997_ppb"),
         expr("c_1998 * 1000000000 div nb").as("share_1998_ppb"),
-        when($"c_1997" > 0 && $"c_1998" > 0, (p - q) * log(p / q))
-          .as("psi_contrib"))
+        (expr("c_1997 * 1000000000 div na") - expr("c_1998 * 1000000000 div nb"))
+          .as("delta_ppb"),
+        when($"c_1997" > 0 && $"c_1998" > 0,
+          expr("c_1997 * nb * 1000000000 div (c_1998 * na)")).as("ratio_ppb"))
       .orderBy($"bucket")
   }
 
@@ -2217,8 +2223,10 @@ object Relational {
           / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS ks_d
       FROM pick p JOIN n USING (prio)
       ORDER BY prio""",
-    // exact ppb shares; per-bucket contribution in one fixed IEEE tree,
-    // NULL where either snapshot is empty (no hidden smoothing epsilon)
+    // log-free exact PSI inputs: ppb shares, signed delta, exact share
+    // ratio in ppb; NULL ratio where either snapshot is empty (no
+    // hidden smoothing epsilon). ln is NOT cross-engine bit-stable, so
+    // the one log per term happens at the consumer, never in the gate.
     "b04_psi_drift" -> """
       WITH r AS (SELECT
           CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS bucket,
@@ -2234,12 +2242,10 @@ object Relational {
       SELECT bucket, c_1997, c_1998,
         c_1997 * 1000000000 // na AS share_1997_ppb,
         c_1998 * 1000000000 // nb AS share_1998_ppb,
+        c_1997 * 1000000000 // na - c_1998 * 1000000000 // nb AS delta_ppb,
         CASE WHEN c_1997 > 0 AND c_1998 > 0 THEN
-          (CAST(c_1997 AS DOUBLE) / CAST(na AS DOUBLE)
-             - CAST(c_1998 AS DOUBLE) / CAST(nb AS DOUBLE))
-          * ln((CAST(c_1997 AS DOUBLE) / CAST(na AS DOUBLE))
-             / (CAST(c_1998 AS DOUBLE) / CAST(nb AS DOUBLE)))
-        END AS psi_contrib
+          c_1997 * nb * 1000000000 // (c_1998 * na)
+        END AS ratio_ppb
       FROM bk CROSS JOIN t
       ORDER BY bucket""",
     // contingency cells probed per distinct-x slice: a strictly-below-y

@@ -261,6 +261,56 @@ object Relational2 {
     * rest), on the same engine-portable hash-mod mechanism as
     * [[hashSample]]: the SAME rows are kept on every engine, every run,
     * any partitioning. One scan-side filter — no shuffle, no RNG state. */
+  /** B15 (r8): deterministic weighted (probability-proportional-to-size)
+    * sampling — SYSTEMATIC PPS, the survey-sampling classic and the
+    * production way to sample training documents proportional to a
+    * quality/length score: order items by the portable md5 hash
+    * (= a deterministic random permutation both engines replay), lay
+    * their weights end to end on the cumulative axis [0, W), and select
+    * the items whose interval contains one of the m evenly spaced
+    * points pᵢ = (2i+1)·W / (2m). Inclusion probability is EXACTLY
+    * min(1, m·w/W) per item, heavy items (w > W/m) surface their
+    * multiplicity in `n_picks` — and unlike the exponential-key
+    * (Efraimidis–Spirakis) formulation, which needs `ln` and died on
+    * cross-engine ulp drift, every quantity here is an exact integer:
+    * the point-in-interval count has the closed form "odd o with
+    * 2m·lo ≤ o·W < 2m·hi", two floor divisions per item, no joins.
+    * The cumulative axis is the distributed two-level prefix (in-bin
+    * window over md5-bins + bounded carry — the b04_ks_test device);
+    * products reach 2m·W ≈ 10¹⁰ at gate scale (widen to DECIMAL(38)
+    * at 100 TB). */
+  def ppsSampleQuery(s: SparkSession, dir: String, m: Int = 200): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val items = Tables.documents(s, dir)
+      .select($"doc_id", $"source", greatest($"n_chars", lit(1L)).as("w"),
+        graft.functions.Md5Prefix($"doc_id".cast("string"), 14).as("h"))
+      .withColumn("bin", expr("h div 281474976710656")) // 2^48: 256 md5 bins
+      .localCheckpoint(true) // feeds the prefix, the carry, and the total
+    val wIn = W.partitionBy($"bin").orderBy($"h", $"doc_id")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wBins = W.orderBy($"bin").rowsBetween(W.unboundedPreceding, -1)
+    val carry = items.groupBy($"bin").agg(sum($"w").as("t"))
+      .withColumn("c0", coalesce(sum($"t").over(wBins), lit(0L)))
+      .select($"bin", $"c0")
+    val tot = items.agg(sum($"w").as("tw"))
+    items
+      .withColumn("r0", coalesce(sum($"w").over(wIn), lit(0L)))
+      .join(carry, Seq("bin"))
+      .crossJoin(broadcast(tot)) // 1-row total
+      .withColumn("lo", $"c0" + $"r0")
+      // odd o in [oLo, oHi] with o·W in [2m·lo, 2m·(lo+w)): exact count
+      .withColumn("o_lo", expr(s"(2 * $m * lo + tw - 1) div tw"))
+      .withColumn("o_hi", expr(s"(2 * $m * (lo + w) + tw - 1) div tw - 1"))
+      .withColumn("a", greatest($"o_lo", lit(1L)))
+      .withColumn("b", least($"o_hi", lit(2L * m - 1)))
+      .withColumn("n_picks",
+        when($"b" >= $"a", expr("(b + 1) div 2 - a div 2")).otherwise(lit(0L)))
+      .filter($"n_picks" >= 1)
+      .select($"doc_id", $"source", $"w", $"lo", $"n_picks")
+      .orderBy($"doc_id")
+  }
+
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val keepPct = when($"lang" === "en", 10)
@@ -492,6 +542,7 @@ object Relational2 {
     "b15_length_buckets" -> (lengthBucketsQuery _),
     "b15_domain_cap" -> ((s: SparkSession, dir: String) => domainCap(s, dir)),
     "b15_stratified_sample" -> (stratifiedSample _),
+    "b15_pps_sample" -> ((s: SparkSession, dir: String) => ppsSampleQuery(s, dir)),
     "b15_sequence_pack" -> (sequencePackQuery _),
     "b15_global_shuffle" -> (globalShuffleQuery _),
     "b15_weighted_mix" -> (weightedMixQuery _),
@@ -560,6 +611,28 @@ object Relational2 {
         CAST(ceil(CAST(SUM(ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id
           ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 256) AS INT) AS pack_id
       FROM t ORDER BY shard, doc_id""",
+    // systematic PPS on the md5-permuted cumulative weight axis: the
+    // simple global prefix here equals the engine's two-level bin+carry
+    // decomposition; point-in-interval counts via the exact odd-o form
+    "b15_pps_sample" -> """
+      WITH d AS (SELECT doc_id, source, GREATEST(n_chars, 1) AS w,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+        FROM documents),
+      cum AS (SELECT doc_id, source, w,
+          COALESCE(CAST(SUM(w) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            CAST(0 AS BIGINT)) AS lo
+        FROM d),
+      t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM d),
+      pick AS (SELECT doc_id, source, w, lo,
+          GREATEST((400 * lo + tw - 1) // tw, CAST(1 AS BIGINT)) AS a,
+          LEAST((400 * (lo + w) + tw - 1) // tw - 1, CAST(399 AS BIGINT)) AS b
+        FROM cum CROSS JOIN t)
+      SELECT doc_id, source, w, lo,
+        (b + 1) // 2 - a // 2 AS n_picks
+      FROM pick
+      WHERE b >= a AND (b + 1) // 2 - a // 2 >= 1
+      ORDER BY doc_id""",
     "b15_stratified_sample" -> """
       SELECT doc_id, lang, doc_id * 2654435761 % 100 AS bucket
       FROM documents

@@ -38,7 +38,8 @@ class DriftSpec extends SparkSpec {
     }
   }
 
-  test("PSI: ppb shares and per-bucket contributions match brute; empty side is NULL (B4, r8)") {
+  test("PSI: exact ppb shares/delta/ratio match brute; the driver-side " +
+    "statistic derives from the gated integers alone (B4, r8)") {
     val rows = ordersRows()
     val out = Relational.psiDriftQuery(spark, sfDir).collect()
     assert(out.nonEmpty)
@@ -46,6 +47,7 @@ class DriftSpec extends SparkSpec {
     val na = rows.count(_._2 == 1997).toLong
     val nb = rows.count(_._2 == 1998).toLong
     assert(out.length === byBucket.size)
+    var psi = 0.0 // the one log per term happens HERE, never in the gate
     for (r <- out) {
       val bucket = r.getLong(0)
       val c97 = byBucket(bucket).count(_._2 == 1997).toLong
@@ -54,10 +56,15 @@ class DriftSpec extends SparkSpec {
       assert(r.getLong(2) === c98)
       assert(r.getLong(3) === c97 * 1000000000L / na)
       assert(r.getLong(4) === c98 * 1000000000L / nb)
+      assert(r.getLong(5) === c97 * 1000000000L / na - c98 * 1000000000L / nb)
       if (c97 > 0 && c98 > 0) {
+        assert(r.getLong(6) === c97 * nb * 1000000000L / (c98 * na), s"bucket $bucket")
         val p = c97.toDouble / na.toDouble; val q = c98.toDouble / nb.toDouble
-        assert(r.getDouble(5) === (p - q) * math.log(p / q), s"bucket $bucket")
-      } else assert(r.isNullAt(5), s"bucket $bucket should be NULL")
+        psi += (p - q) * math.log(p / q)
+      } else assert(r.isNullAt(6), s"bucket $bucket should be NULL")
     }
+    // the derived statistic is finite and non-negative (PSI >= 0 by
+    // Gibbs' inequality on every term pair)
+    assert(psi >= 0.0 && !psi.isNaN && !psi.isInfinite)
   }
 }

@@ -314,4 +314,36 @@ class Relational2Spec extends SparkSpec {
     val expRisk = atRisk.map(_.getAs[Long]("class_size")).sum
     assert(out.forall(_.getAs[Long]("n_rows_at_risk") === expRisk))
   }
+
+  test("systematic PPS sample: brute replay, m-point conservation, " +
+    "heavy items always picked (B15, r8)") {
+    val m = 200
+    val out = Relational2.ppsSampleQuery(spark, sfDir, m).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    // brute: md5-permute, lay weights end to end, count odd points/interval
+    val items = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", greatest($"n_chars", lit(1L)).as("w"),
+        graft.functions.Md5Prefix($"doc_id".cast("string"), 14).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    val tw = items.map(_._2).sum
+    var lo = 0L
+    var total = 0L
+    for ((id, w, _) <- items) {
+      val a = math.max((2L * m * lo + tw - 1) / tw, 1L)
+      val b = math.min((2L * m * (lo + w) + tw - 1) / tw - 1, 2L * m - 1)
+      val picks = if (b >= a) (b + 1) / 2 - a / 2 else 0L
+      if (picks >= 1) {
+        assert(out.contains(id), s"doc $id missing")
+        assert(out(id) === ((w, lo, picks)), s"doc $id")
+        total += picks
+      } else assert(!out.contains(id), s"doc $id should not be picked")
+      // an interval at least one spacing wide always contains a point
+      if (w * m >= tw) assert(picks >= 1, s"heavy doc $id skipped")
+      lo += w
+    }
+    assert(total === m.toLong) // the m selection points are conserved
+    assert(out.size < items.length) // non-vacuous: it IS a sample
+  }
 }
