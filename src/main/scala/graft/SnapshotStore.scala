@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialize-once keyed parquet snapshots under the JVM tmpdir — the
+  * local stand-in for the bucketed derived tables you'd write ONCE at
+  * 100 TB ([[graft.ops.ScaleOps.writeBucketed]]) and point every
+  * consumer at: the b16 co-purchase edge/triangle tables, and (r8) the
+  * near-dedup reference shingle/band tables the
+  * [[graft.streaming.Streaming.CrossNearDupSink]] scaladoc promises.
+  * Moved out of GraphOps (r8) and generalized over the signature table
+  * so document-derived snapshots key on documents.parquet, not
+  * lineitem.parquet.
+  *
+  * Keyed by the source dir, the signature table's (bytes, mtime), and
+  * [[SnapshotStore.Version]] — a regenerated testdata dir OR an edited
+  * builder invalidates the snapshot instead of serving stale derived
+  * data (bump Version when ANY builder's OUTPUT changes: the cache key
+  * must invalidate on derivation-logic changes, not only data changes —
+  * review finding, late r7).
+  *
+  * Publication is claim-then-rename: a bare `rename(staged, cacheDir)`
+  * is NOT a safe race arbiter on the local filesystem (Hadoop's
+  * RawLocalFileSystem falls back to copying the staged dir INSIDE an
+  * existing destination and returns true — the loser would silently
+  * nest a duplicate copy in the winner's snapshot), so the loser is
+  * decided by a create-exclusive claim file and then waits for the
+  * winner's `_SUCCESS`; a stale claim (crashed builder) is broken once
+  * after the wait times out. */
+private[graft] object SnapshotStore {
+  private val Version = 3 // r8: shared store; dedup ref tables join the family
+
+  def apply(s: SparkSession, dir: String, sigTable: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = s.sparkContext.hadoopConfiguration
+    val sigPath = new HPath(s"$dir/$sigTable")
+    val fs = sigPath.getFileSystem(conf)
+    val st = fs.getFileStatus(sigPath)
+    val sig = s"${fs.getContentSummary(sigPath).getLength}-${st.getModificationTime}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$sigTable|$sig|v$Version".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val cacheDir = new HPath(
+      s"${sys.props("java.io.tmpdir")}/graft_scratch/${name}_$key")
+    val success = new HPath(cacheDir, "_SUCCESS")
+    def publish(retryOnStaleClaim: Boolean): Unit = {
+      val staged = new HPath(
+        s"$cacheDir-staged-${java.util.UUID.randomUUID().toString.take(8)}")
+      build.write.mode("overwrite").parquet(staged.toString)
+      fs.mkdirs(cacheDir.getParent)
+      val claim = new HPath(s"$cacheDir.claim")
+      val claimed =
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        if (fs.exists(success)) fs.delete(staged, true) // published by a past JVM
+        else {
+          fs.delete(cacheDir, true) // corrupt leftover from a crash, if any
+          if (!fs.rename(staged, cacheDir)) {
+            fs.delete(staged, true)
+            sys.error(s"snapshot: cannot move staged build into $cacheDir")
+          }
+        }
+      } else {
+        // lost the claim — the winner is publishing; wait for its _SUCCESS
+        fs.delete(staged, true)
+        var tries = 0
+        while (!fs.exists(success) && tries < 300) { Thread.sleep(100); tries += 1 }
+        if (!fs.exists(success)) {
+          if (retryOnStaleClaim) { // crashed claimant: break the claim once
+            fs.delete(claim, false)
+            publish(retryOnStaleClaim = false)
+          } else sys.error(s"snapshot: cannot materialize $cacheDir " +
+            s"(stale claim at $claim survived a retry)")
+        }
+      }
+    }
+    if (!fs.exists(success)) publish(retryOnStaleClaim = true)
+    s.read.parquet(cacheDir.toString)
+  }
+}

@@ -704,10 +704,27 @@ object Dedup {
     * Jaccard ≥ 0.5. */
   def minHashPortableAcross(newDocs: DataFrame, refDocs: DataFrame, k: Int = 3,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val shNew = portableShingleHashes(newDocs, k).cache()
     val shRef = portableShingleHashes(refDocs, k).cache()
+    val out = minHashPortableAcrossWith(newDocs, shRef,
+      portableBands(shRef).localCheckpoint(true), k, maxBucket)
+    shRef.unpersist()
+    out
+  }
+
+  /** [[minHashPortableAcross]] with PREBUILT reference-side tables —
+    * the seam the materialize-once snapshot queries (b12_cross_portable,
+    * e03) inject through: at 100 TB the reference's shingle and
+    * band-bucket tables are written once as bucketed tables (the
+    * [[graft.SnapshotStore]] device, promised by the CrossNearDupSink
+    * scaladoc) and every ingest batch probes them, so per-ingest work
+    * scales with the batch while the corpus-side derivation is paid
+    * once, not per run. Content and hashes are identical to deriving
+    * them inline. */
+  private[graft] def minHashPortableAcrossWith(newDocs: DataFrame,
+      shRef: DataFrame, bRef: DataFrame, k: Int = 3,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val shNew = portableShingleHashes(newDocs, k).cache()
     val bNew = portableBands(shNew)
-    val bRef = portableBands(shRef).localCheckpoint(true) // stats + probe join
     val stats = bRef.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
       .localCheckpoint(true)
@@ -728,14 +745,31 @@ object Dedup {
       .select(col("a").as("new_id"), col("b").as("ref_id"),
         col("inter"), col("na"), col("nb"), col("jaccard"))
       .localCheckpoint(true)
-    shNew.unpersist(); shRef.unpersist()
+    shNew.unpersist()
     verified.orderBy(col("new_id"), col("ref_id"))
+  }
+
+  /** Materialize-once reference shingle + band tables for a named
+    * reference slice (keyed on documents.parquet — the
+    * [[graft.SnapshotStore]] contract): shingles repartitioned by
+    * doc_id (the verify-join key), bands by band_hash (the probe key). */
+  private[graft] def refPortableTables(s: SparkSession, dir: String,
+      name: String, refPred: Column, k: Int = 3): (DataFrame, DataFrame) = {
+    val sh = graft.SnapshotStore(s, dir, "documents.parquet", s"${name}_sh") {
+      portableShingleHashes(Tables.documents(s, dir).filter(refPred), k)
+        .repartition(col("doc_id"))
+    }
+    val bands = graft.SnapshotStore(s, dir, "documents.parquet", s"${name}_bands") {
+      portableBands(sh).repartition(col("band_hash"))
+    }
+    (sh, bands)
   }
 
   def crossPortableQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    minHashPortableAcross(
-      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0))
+    val (shRef, bRef) = refPortableTables(s, dir, "cross_ref",
+      col("doc_id") % 2 =!= 0)
+    minHashPortableAcrossWith(docs.filter(col("doc_id") % 2 === 0), shRef, bRef)
   }
 
   // ------------------------------------------- cluster assignment (B12)

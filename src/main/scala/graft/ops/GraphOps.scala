@@ -47,75 +47,13 @@ object GraphOps {
       .select($"u", $"v").distinct()
   }
 
-  /** Bump when ANY snapshot builder's OUTPUT changes: the cache key must
-    * invalidate on derivation-logic changes, not only on data changes —
-    * otherwise an edited builder silently serves stale pre-change
-    * results from the tmpdir (review finding, late r7). */
-  private val SnapshotVersion = 2
-
-  /** Materialize-once parquet snapshot under the JVM tmpdir, keyed by
-    * the source dir, the lineitem table's (bytes, mtime) signature, and
-    * [[SnapshotVersion]] — a regenerated testdata dir OR an edited
-    * builder invalidates the snapshot instead of serving stale derived
-    * data. Publication is claim-then-rename: a bare `rename(staged,
-    * cacheDir)` is NOT a safe race arbiter on the local filesystem
-    * (Hadoop's RawLocalFileSystem falls back to copying the staged dir
-    * INSIDE an existing destination and returns true — the loser would
-    * silently nest a duplicate copy in the winner's snapshot), so the
-    * loser is decided by a create-exclusive claim file and then waits
-    * for the winner's `_SUCCESS`; a stale claim (crashed builder) is
-    * broken once after the wait times out. The local stand-in for the
-    * bucketed derived tables you'd write once at 100 TB
-    * ([[ScaleOps.writeBucketed]]) and point every graph job at. */
+  /** Materialize-once parquet snapshot keyed on the lineitem table —
+    * delegation to the shared [[graft.SnapshotStore]] (r8: the claim-
+    * then-rename machinery moved there so the dedup reference tables
+    * share one implementation; semantics unchanged). */
   private def snapshot(s: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val conf = s.sparkContext.hadoopConfiguration
-    val li = new HPath(s"$dir/lineitem.parquet")
-    val fs = li.getFileSystem(conf)
-    val st = fs.getFileStatus(li)
-    val sig = s"${fs.getContentSummary(li).getLength}-${st.getModificationTime}"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$sig|v$SnapshotVersion".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val cacheDir = new HPath(
-      s"${sys.props("java.io.tmpdir")}/graft_scratch/${name}_$key")
-    val success = new HPath(cacheDir, "_SUCCESS")
-    def publish(retryOnStaleClaim: Boolean): Unit = {
-      val staged = new HPath(
-        s"$cacheDir-staged-${java.util.UUID.randomUUID().toString.take(8)}")
-      build.write.mode("overwrite").parquet(staged.toString)
-      fs.mkdirs(cacheDir.getParent)
-      val claim = new HPath(s"$cacheDir.claim")
-      val claimed =
-        try { fs.create(claim, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      if (claimed) {
-        if (fs.exists(success)) fs.delete(staged, true) // published by a past JVM
-        else {
-          fs.delete(cacheDir, true) // corrupt leftover from a crash, if any
-          if (!fs.rename(staged, cacheDir)) {
-            fs.delete(staged, true)
-            sys.error(s"snapshot: cannot move staged build into $cacheDir")
-          }
-        }
-      } else {
-        // lost the claim — the winner is publishing; wait for its _SUCCESS
-        fs.delete(staged, true)
-        var tries = 0
-        while (!fs.exists(success) && tries < 300) { Thread.sleep(100); tries += 1 }
-        if (!fs.exists(success)) {
-          if (retryOnStaleClaim) { // crashed claimant: break the claim once
-            fs.delete(claim, false)
-            publish(retryOnStaleClaim = false)
-          } else sys.error(s"snapshot: cannot materialize $cacheDir " +
-            s"(stale claim at $claim survived a retry)")
-        }
-      }
-    }
-    if (!fs.exists(success)) publish(retryOnStaleClaim = true)
-    s.read.parquet(cacheDir.toString)
-  }
+      build: => DataFrame): DataFrame =
+    graft.SnapshotStore(s, dir, "lineitem.parquet", name)(build)
 
   /** Materialize-once co-purchase edge table shared by every B16 query
     * (r6-verdict #3): the lineitem self-join + distinct dominated both

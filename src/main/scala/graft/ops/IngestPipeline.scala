@@ -51,8 +51,15 @@ object IngestPipeline {
   private val ArrivalMod = 7L
   private val ArrivalRem = 3L
 
-  /** The pipeline over any `(doc_id, text, source)` + reference frame. */
-  def ingestReport(arrivalsIn: DataFrame, referenceIn: DataFrame): DataFrame = {
+  /** The pipeline over any `(doc_id, text, source)` + reference frame.
+    * `refTables` optionally injects PREBUILT reference shingle/band
+    * tables (the materialize-once [[graft.SnapshotStore]] seam the
+    * gated query uses — at 100 TB the standing corpus' near-dedup index
+    * is a bucketed table written once, not re-derived per ingest); when
+    * absent (the stress probe's replicated corpora) they derive inline.
+    * Content is identical either way. */
+  def ingestReport(arrivalsIn: DataFrame, referenceIn: DataFrame,
+      refTables: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val spark = arrivalsIn.sparkSession
     import spark.implicits._
     val arrivals = arrivalsIn.select($"doc_id", $"text", $"source").cache()
@@ -78,8 +85,11 @@ object IngestPipeline {
       .select($"doc_id", $"text")
       .localCheckpoint(true) // lineage cut before the LSH stage
     // 3. near-dedup vs the reference only
-    val hits = Dedup.minHashPortableAcross(exactNew, reference)
-      .select($"new_id".as("doc_id")).distinct()
+    val hits = (refTables match {
+      case Some((shRef, bRef)) =>
+        Dedup.minHashPortableAcrossWith(exactNew, shRef, bRef)
+      case None => Dedup.minHashPortableAcross(exactNew, reference)
+    }).select($"new_id".as("doc_id")).distinct()
     // 4. per-source audit funnel — each arrival in exactly one bucket
     val flags = arrivals.select($"doc_id", $"source")
       .join(qual.select($"doc_id", lit(1L).as("q")), Seq("doc_id"), "left_outer")
@@ -101,7 +111,9 @@ object IngestPipeline {
     val docs = Tables.documents(s, dir)
     ingestReport(
       docs.filter(col("doc_id") % ArrivalMod === ArrivalRem),
-      docs.filter(col("doc_id") % ArrivalMod =!= ArrivalRem))
+      docs.filter(col("doc_id") % ArrivalMod =!= ArrivalRem),
+      refTables = Some(Dedup.refPortableTables(s, dir, "ingest_ref",
+        col("doc_id") % ArrivalMod =!= ArrivalRem)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
