@@ -556,10 +556,23 @@ object Similarity {
     val e = quantizedWithNorm(embeddings).cache()
     val lv = e.withColumn("__h", md5(col("vec_id").cast("string")))
       .withColumn("lvl", when(col("__h").startsWith("0"), 1).otherwise(0))
-    val n0 = hnswLayerEdges(e, HnswCells0, HnswR0).localCheckpoint(true)
-    val n1 = hnswLayerEdges(
-      lv.filter(col("lvl") === 1).select(col("vec_id"), col("q"), col("norm")),
-      HnswCells1, HnswR1).localCheckpoint(true)
+    val out = hnswTopKWith(e, lv, queryPred,
+      hnswLayerEdges(e, HnswCells0, HnswR0).localCheckpoint(true),
+      hnswLayerEdges(
+        lv.filter(col("lvl") === 1).select(col("vec_id"), col("q"), col("norm")),
+        HnswCells1, HnswR1).localCheckpoint(true), k)
+    e.unpersist()
+    out
+  }
+
+  /** [[hnswTopK]] with PREBUILT layer adjacencies — the seam the gated
+    * queries inject the materialize-once index through: HNSW is THE
+    * build-once/query-many structure, so at 100 TB the layer edge
+    * tables are bucketed tables written at index-build time
+    * ([[graft.SnapshotStore]]) and search pays only the beam descent.
+    * Content identical to deriving inline. */
+  private def hnswTopKWith(e: DataFrame, lv: DataFrame, queryPred: Column,
+      n0: DataFrame, n1: DataFrame, k: Int): DataFrame = {
     val entry = lv.orderBy(col("lvl").desc, col("__h"), col("vec_id"))
       .limit(HnswEntryN).select(col("vec_id"))
     val qs = e.filter(queryPred).toDF("query_id", "qq", "qnorm").cache()
@@ -594,12 +607,34 @@ object Similarity {
       .withColumn("rn", row_number().over(fw)).filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rn").cast("int").as("rn"))
       .localCheckpoint(true)
-    e.unpersist(); qs.unpersist()
+    qs.unpersist() // e is caller-owned
     out.orderBy(col("query_id"), col("rn"))
   }
 
+  /** Snapshot-backed entry point: the layer adjacencies come from
+    * materialize-once keyed parquet (built on first touch, then served
+    * from disk — the index lifecycle), search runs per call. */
+  private[similarity] def hnswTopKSnapshotted(s: SparkSession, dir: String,
+      queryPred: Column, k: Int = 10): DataFrame = {
+    val e = quantizedWithNorm(Tables.embeddings(s, dir)).cache()
+    val lv = e.withColumn("__h", md5(col("vec_id").cast("string")))
+      .withColumn("lvl", when(col("__h").startsWith("0"), 1).otherwise(0))
+    val n0 = graft.SnapshotStore(s, dir, "embeddings.parquet", "hnsw_l0") {
+      hnswLayerEdges(quantizedWithNorm(Tables.embeddings(s, dir)),
+        HnswCells0, HnswR0).repartition(col("src"))
+    }
+    val n1 = graft.SnapshotStore(s, dir, "embeddings.parquet", "hnsw_l1") {
+      val ee = quantizedWithNorm(Tables.embeddings(s, dir))
+      hnswLayerEdges(ee.filter(md5(col("vec_id").cast("string")).startsWith("0")),
+        HnswCells1, HnswR1).repartition(col("src"))
+    }
+    val out = hnswTopKWith(e, lv, queryPred, n0, n1, k)
+    e.unpersist()
+    out
+  }
+
   def hnswQuery(s: SparkSession, dir: String): DataFrame =
-    hnswTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+    hnswTopKSnapshotted(s, dir, col("vec_id") % 100 === 0)
 
   /** B12 (r8): the layered-graph acceptance gate — recall@10 of the
     * beam search vs exact brute force, completing the index-acceptance
@@ -609,7 +644,7 @@ object Similarity {
     val brute = bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
       .select($"query_id", $"vec_id")
     recallReport(brute,
-      hnswTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
+      hnswTopKSnapshotted(s, dir, col("vec_id") % 100 === 0, k = RecallK)
         .select($"query_id", $"vec_id"))
   }
 
