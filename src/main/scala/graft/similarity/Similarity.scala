@@ -471,8 +471,7 @@ object Similarity {
     val brute = bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
       .select($"query_id", $"vec_id")
     recallReport(brute,
-      pqTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = RecallK)
-        .select($"query_id", $"vec_id"))
+      pqTopKSnapshotted(s, dir, k = RecallK).select($"query_id", $"vec_id"))
   }
 
   // ------------------------------------------------- layered graph ANN
@@ -1087,7 +1086,19 @@ object Similarity {
     val codebook = pqTrain(corpusSubs, ksub, iters)
     val codes = pqAssign(codebook, corpusSubs)
       .select(col("vec_id"), col("sub"), col("cid"))
-    val lut = subs(e.filter(col("is_q"))).join(broadcast(codebook), Seq("sub"))
+    pqAdcSearch(e, codebook, codes, m, dsub, k)
+  }
+
+  /** The ADC serving tail over a PREBUILT (codebook, codes) index — the
+    * train-once/serve-many seam: the gated queries read both tables
+    * from [[graft.SnapshotStore]] (the production lifecycle, where the
+    * PQ index is built at ingest time and queries pay only LUT + ADC),
+    * while [[pqTopK]] keeps building inline for specs and custom
+    * corpora. Content identical either way. */
+  private def pqAdcSearch(e: DataFrame, codebook: DataFrame, codes: DataFrame,
+      m: Int, dsub: Int, k: Int): DataFrame = {
+    val lut = subSplit(e.filter(col("is_q")), m, dsub, Seq("vec_id"))
+      .join(broadcast(codebook), Seq("sub"))
       .select(col("vec_id").as("query_id"), col("sub"), col("cid"),
         l2q(col("subq"), col("cq")).as("d"))
     val rankW = org.apache.spark.sql.expressions.Window
@@ -1101,8 +1112,25 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Snapshot-backed PQ entry point for the gate's fixed query slice. */
+  private def pqTopKSnapshotted(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val queryPred = col("vec_id") % 100 === 0
+    def eOf = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"), queryPred.as("is_q"))
+    val codebook = graft.SnapshotStore(s, dir, "embeddings.parquet", "pq_codebook") {
+      pqTrain(subSplit(eOf.filter(!col("is_q")), 8, 8, Seq("vec_id")), 16, 2)
+    }
+    val codes = graft.SnapshotStore(s, dir, "embeddings.parquet", "pq_codes") {
+      pqAssign(codebook,
+        subSplit(eOf.filter(!col("is_q")), 8, 8, Seq("vec_id")))
+        .select(col("vec_id"), col("sub"), col("cid"))
+        .repartition(col("sub"))
+    }
+    pqAdcSearch(eOf.localCheckpoint(true), codebook, codes, 8, 8, k)
+  }
+
   def pqQuery(s: SparkSession, dir: String): DataFrame =
-    pqTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+    pqTopKSnapshotted(s, dir, k = 10)
 
   /** B12: IVF-PQ — the FAISS IVFADC composition (Jégou et al., TPAMI
     * 2011 §V): a coarse quantizer partitions the corpus into `numCells`
@@ -1167,6 +1195,18 @@ object Similarity {
     // vec_id) — no n·m-row re-join against the assignment at scale
     val codes = pqAssign(codebook, corpusSubs, carry = Seq("cell_id"))
       .select(col("vec_id"), col("sub"), col("cid"), col("cell_id"))
+    ivfPqAdcSearch(e, cells, codebook, codes, nprobe, m, dsub, k)
+  }
+
+  /** The IVFADC serving tail over a PREBUILT (cells, codebook, codes)
+    * index — the [[pqAdcSearch]] seam for the composed structure: the
+    * gated queries read all three index tables from
+    * [[graft.SnapshotStore]] and pay only cell probing + LUT + ADC per
+    * call. Content identical to building inline. */
+  private def ivfPqAdcSearch(e: DataFrame, cellsIn: DataFrame,
+      codebook: DataFrame, codes: DataFrame, nprobe: Int, m: Int, dsub: Int,
+      k: Int): DataFrame = {
+    val cells = broadcast(cellsIn)
     // queries probe their nprobe nearest cells; the residual is
     // PER (query, cell) — each probed cell gets its own LUT
     val qw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cell_id"))
@@ -1195,8 +1235,38 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  def ivfPqQuery(s: SparkSession, dir: String): DataFrame =
-    ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") % 100 === 0)
+  def ivfPqQuery(s: SparkSession, dir: String): DataFrame = {
+    val queryPred = col("vec_id") % 100 === 0
+    def eOf = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"), queryPred.as("is_q"))
+    val cells = graft.SnapshotStore(s, dir, "embeddings.parquet", "ivfpq_cells") {
+      eOf.filter(!col("is_q"))
+        .withColumn("__h", md5(col("vec_id").cast("string")))
+        .orderBy(col("__h"), col("vec_id")).limit(16)
+        .select(col("vec_id").as("cell_id"), col("q").as("cq"))
+    }
+    def residualSubs = {
+      val assigned = eOf.filter(!col("is_q")).crossJoin(broadcast(cells))
+        .select(col("vec_id"), col("q"),
+          struct(l2q(col("q"), col("cq")).as("d"), col("cell_id")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("best"), first(col("q")).as("q"))
+        .select(col("vec_id"), col("q"), col("best.cell_id").as("cell_id"))
+        .join(broadcast(cells), Seq("cell_id"))
+        .select(col("vec_id"), col("cell_id"),
+          zip_with(col("q"), col("cq"), (x, y) => x - y).as("q"))
+      subSplit(assigned, 8, 8, Seq("vec_id", "cell_id"))
+    }
+    val codebook = graft.SnapshotStore(s, dir, "embeddings.parquet", "ivfpq_codebook") {
+      pqTrain(residualSubs.drop("cell_id"), 16, 2)
+    }
+    val codes = graft.SnapshotStore(s, dir, "embeddings.parquet", "ivfpq_codes") {
+      pqAssign(codebook, residualSubs, carry = Seq("cell_id"))
+        .select(col("vec_id"), col("sub"), col("cid"), col("cell_id"))
+        .repartition(col("cell_id"))
+    }
+    ivfPqAdcSearch(eOf.localCheckpoint(true), cells, codebook, codes, 4, 8, 8, 10)
+  }
 
   /** B12/B13: hybrid retrieval — the RAG-stack composite: a LEXICAL
     * recall stage (inverse-df-weighted distinct-token overlap, the BM25
