@@ -561,8 +561,12 @@ object Dedup {
     * final
     * threshold is division-free exact integer (2·inter ≥ na+nb−inter ⇔
     * Jaccard ≥ 0.5). */
-  def minHashPortableQuery(s: SparkSession, dir: String): DataFrame =
-    minHashPortable(Tables.documents(s, dir))
+  def minHashPortableQuery(s: SparkSession, dir: String): DataFrame = {
+    // self-dedup over the standing corpus: the shingle/band index is
+    // the same materialize-once table the cross-corpus path probes
+    val (sh, bands) = refPortableTables(s, dir, "self_ref", lit(true))
+    minHashPortableWith(sh, bands)
+  }
 
   /** Distinct engine-portable 48-bit gram hashes per doc — the shingle
     * stage of the portable pipelines ([[minHashPortable]],
@@ -594,8 +598,15 @@ object Dedup {
   /** Core of [[minHashPortableQuery]] over any `(doc_id, text)` frame. */
   def minHashPortable(docs: DataFrame, k: Int = 3): DataFrame = {
     val sh = portableShingleHashes(docs, k).cache()
-    val bandsDf = portableBands(sh)
-      .localCheckpoint(true) // consumed 3×: regime guard + candidate join's two sides
+    val out = minHashPortableWith(sh,
+      portableBands(sh).localCheckpoint(true))
+    sh.unpersist()
+    out
+  }
+
+  /** [[minHashPortable]] with PREBUILT shingle/band tables — the
+    * [[minHashPortableAcrossWith]] seam for the self-dedup direction. */
+  private def minHashPortableWith(sh: DataFrame, bandsDf: DataFrame): DataFrame = {
     // Regime guard (r4 ADVICE): the generated oracle replays the candidate
     // join WITHOUT the MaxBucket cap, so its equality to this plan rests on
     // no band bucket exceeding the cap at oracle scale. Assert that here —
@@ -614,8 +625,7 @@ object Dedup {
       .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
       .localCheckpoint(true)
-    sh.unpersist()
-    out.orderBy(col("a"), col("b"))
+    out.orderBy(col("a"), col("b")) // sh is caller-owned
   }
 
   /** B12 (r7): EXACT set-similarity self-join via prefix filtering — the

@@ -345,19 +345,40 @@ object TextAnalysis {
     * boundary), making the whole-doc encode ONE scalar string
     * expression: token count falls out as #(`||`) − #words without ever
     * materializing per-token rows. */
-  def bpeEncode(s: SparkSession, dir: String): DataFrame =
-    bpeEncodeOf(Tables.documents(s, dir))
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    // tokenizer lifecycle: the merge table is TRAINED ONCE and served
+    // from the materialize-once store (a tokenizer retrained per encode
+    // job would be absurd at any scale); ordered by merge_idx on read —
+    // parquet does not preserve row order and the encode fold is
+    // order-sensitive
+    val merges = graft.SnapshotStore(s, dir, "documents.parquet", "bpe_merges") {
+      bpeTrain(bpeRegime(Tables.documents(s, dir)), BpePortableRounds)
+    }
+    bpeEncodeWith(bpeRegime(Tables.documents(s, dir)),
+      merges.orderBy(col("merge_idx")).select(col("left"), col("right"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+  }
+
+  /** The encode regime: ASCII-printable, pipe-free documents (the
+    * separator-safety precondition of the guarded encode expression). */
+  private def bpeRegime(docs: DataFrame): DataFrame = docs
+    .filter(col("text").rlike(FingerprintAsciiRe) && !col("text").contains("|"))
 
   /** [[bpeEncode]] over any (doc_id, text) frame — factored so specs can
     * drive planted corpora through the exact production plan. */
   def bpeEncodeOf(docs: DataFrame): DataFrame = {
-    val regime = docs
-      .filter(col("text").rlike(FingerprintAsciiRe) && !col("text").contains("|"))
+    val regime = bpeRegime(docs)
     // vocab-bounded driver fetch (10 rows) — the documented merge-table
     // broadcast, NOT a data-scale collect
-    val merges = bpeTrain(regime, BpePortableRounds)
+    bpeEncodeWith(regime, bpeTrain(regime, BpePortableRounds)
       .select(col("left"), col("right")).collect()
-      .map(r => (r.getString(0), r.getString(1)))
+      .map(r => (r.getString(0), r.getString(1))).toSeq)
+  }
+
+  /** The guarded-separator whole-doc encode over an already-trained,
+    * ORDERED merge list. */
+  private def bpeEncodeWith(regime: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val rep0 =
       "concat('||', array_join(transform(words, w -> array_join(split(w, ''), '||')), '|| ||'), '||')"
     val repN = merges.foldLeft(rep0) { case (acc, (l, r)) =>
