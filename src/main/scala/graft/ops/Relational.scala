@@ -1167,24 +1167,46 @@ object Relational {
   /** Spearman over `rows` (columns l_returnflag group, x, y longs). */
   private[ops] def spearmanOf(rows: DataFrame): DataFrame = {
     import rows.sparkSession.implicits._
-    def rank2(col0: String): DataFrame = {
-      val cc = rows.groupBy($"l_returnflag", rows(col0).as("v"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy($"l_returnflag").orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      cc.withColumn("hi", sum($"c").over(w))
-        .select($"l_returnflag", $"v".as(col0),
-          (lit(2) * ($"hi" - $"c") + $"c" + 1).as(s"r2$col0"))
-    }
-    val ranked = rows
-      .join(rank2("x"), Seq("l_returnflag", "x"))
-      .join(rank2("y"), Seq("l_returnflag", "y"))
-    val m = ranked.groupBy($"l_returnflag").agg(
-      count(lit(1)).as("n"),
-      sum($"r2x").as("sx"), sum($"r2y").as("sy"),
-      sum($"r2x" * $"r2y").as("sxy"),
-      sum($"r2x" * $"r2x").as("sx2"),
-      sum($"r2y" * $"r2y").as("sy2"))
+    // r8 re-plan: the r7 form joined the ROW table against both rank
+    // tables (two row-scale shuffles). All five moments actually factor
+    // through the joint (x, y) CELL distribution: with gx(y) = Σ_x c·r2x
+    // and gx2(y) = Σ_x c·r2x² per y-slice, sxy = Σ_y gx·r2y etc. — so
+    // the plan is one cells aggregate, one BROADCAST join against the
+    // bounded x-domain rank table, one combinable per-y aggregate, and
+    // y ranks from the same table via the two-level bin+carry prefix
+    // (the b04_ks_test device; no per-flag single-reducer value sort).
+    // Every intermediate is the same exact integer as before.
+    val cells = rows.groupBy($"l_returnflag", $"x", $"y")
+      .agg(count(lit(1)).as("c"))
+    val cx = cells.groupBy($"l_returnflag", $"x").agg(sum($"c").as("cx"))
+    val wx = Window.partitionBy($"l_returnflag").orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, 0) // bounded discrete axis
+    val rankx = cx.withColumn("hi", sum($"cx").over(wx))
+      .select($"l_returnflag", $"x",
+        (lit(2) * ($"hi" - $"cx") + $"cx" + 1).as("r2x"))
+    val byY = cells.join(broadcast(rankx), Seq("l_returnflag", "x"))
+      .groupBy($"l_returnflag", $"y")
+      .agg(sum($"c").as("cy"),
+        sum($"c" * $"r2x").as("gx"),
+        sum($"c" * $"r2x" * $"r2x").as("gx2"))
+      .withColumn("bin", expr("y div 100000"))
+      .localCheckpoint(true) // feeds the prefix and the carry
+    val wIn = Window.partitionBy($"l_returnflag", $"bin").orderBy($"y")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wBins = Window.partitionBy($"l_returnflag").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = byY.groupBy($"l_returnflag", $"bin").agg(sum($"cy").as("t"))
+      .withColumn("c0", coalesce(sum($"t").over(wBins), lit(0L)))
+      .select($"l_returnflag", $"bin", $"c0")
+    val withRy = byY.withColumn("r", sum($"cy").over(wIn))
+      .join(carry, Seq("l_returnflag", "bin"))
+      .withColumn("r2y", lit(2) * ($"c0" + $"r" - $"cy") + $"cy" + 1)
+    val m = withRy.groupBy($"l_returnflag").agg(
+      sum($"cy").as("n"),
+      sum($"gx").as("sx"), sum($"cy" * $"r2y").as("sy"),
+      sum($"gx" * $"r2y").as("sxy"),
+      sum($"gx2").as("sx2"),
+      sum($"cy" * $"r2y" * $"r2y").as("sy2"))
     val nD = $"n".cast("double")
     val num = nD * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")
     val denx = nD * $"sx2".cast("double") - $"sx".cast("double") * $"sx".cast("double")
