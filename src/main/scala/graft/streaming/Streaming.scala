@@ -86,8 +86,13 @@ object Streaming {
     * sum is one reducer. Per day: open-at-start, the peak, the earliest
     * instant attaining it, and the boundary count — peak argmax total
     * via the (curve DESC, ts) min_by struct. */
-  def concurrency(events: DataFrame): DataFrame = {
-    val s = sessionsBatch(events)
+  def concurrency(events: DataFrame): DataFrame =
+    concurrencyOfSessions(sessionsBatch(events))
+
+  /** [[concurrency]]'s sweep line over any (session_start, session_end)
+    * interval table — the seam the streaming refresh twin feeds its
+    * accumulated session state through. */
+  private[graft] def concurrencyOfSessions(s: DataFrame): DataFrame = {
     val deltas = s.select(col("session_start").as("ts"), lit(1L).as("d"))
       .unionAll(s.select(col("session_end").as("ts"), lit(-1L).as("d")))
     val net = deltas
@@ -114,6 +119,65 @@ object Streaming {
 
   def concurrencyQuery(s: SparkSession, dir: String): DataFrame =
     concurrency(Tables.events(s, dir))
+
+  /** Re-merge a SET of per-user session intervals under the 30-minute
+    * gap rule — gaps-and-islands with a RUNNING MAX end (intervals may
+    * nest, so a lag(end) flag would split islands a longer earlier
+    * interval still covers). The island closure of interval sets is
+    * order-insensitive: merging per-batch session intervals of any
+    * partition of the event set reproduces EXACTLY the sessions of the
+    * full set — every two gap-adjacent events of a full session sit in
+    * intervals whose boundaries are within the gap (boundaries ARE
+    * event times), and intervals of different full sessions stay ≥ gap
+    * apart — which is what makes the streaming fold below correct,
+    * including RETROACTIVE merges when a late batch bridges two
+    * previously separate sessions. */
+  private def mergeSessionIntervals(iv: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("session_start"), col("session_end"))
+    val runMax = max(col("session_end"))
+      .over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("new_grp",
+        when(runMax.isNull, 1)
+          .when(col("session_start") >= runMax + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("new_grp"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("session_start")).as("session_start"),
+        max(col("session_end")).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"))
+  }
+
+  /** B10 streaming twin (r8): the concurrency dashboard as a
+    * foreachBatch refresh with SESSIONS-SCALE state — never the event
+    * log: each micro-batch sessionizes locally, its intervals fold into
+    * the accumulated per-user interval set, and one gaps-and-islands
+    * re-merge restores the exact full-history sessions (see
+    * [[mergeSessionIntervals]] for why the fold is exact, including
+    * retroactive cross-batch session bridging — the case watermark
+    * session windows handle by delaying emission, handled here by
+    * keeping sessions revisable state). Every trigger's curve is
+    * bit-identical to [[concurrency]] on the event prefix
+    * (StreamingSpec pins a bridging batch). At 100 TB the interval
+    * state is a user-bucketed table and the fold is one co-partitioned
+    * merge — the ActiveUsersRefresh contract. */
+  final class SessionConcurrencyRefresh {
+    @volatile private var acc: Option[DataFrame] = None
+    /** foreachBatch body: fold the micro-batch's session intervals into
+      * the accumulated per-user interval set. */
+    def update(batch: DataFrame, batchId: Long): Unit = {
+      val b = sessionsBatch(batch)
+        .select(col("user_id"), col("session_start"), col("session_end"))
+      val merged = acc match {
+        case Some(a) => mergeSessionIntervals(a.unionByName(b))
+        case None => b
+      }
+      acc = Some(merged.localCheckpoint(true))
+    }
+    /** Latest concurrency curve (None before the first batch). */
+    def curve: Option[DataFrame] = acc.map(concurrencyOfSessions)
+  }
 
   /** B10: trailing-window spike detection — flag events whose value
     * exceeds twice the mean of the user's previous ≤10 events (needing at

@@ -325,6 +325,38 @@ class StreamingSpec extends SparkSpec {
     assert(out(d1 + 1) === ((1L, 2L, "2024-03-02 00:05:00.0", 7L)))
   }
 
+  test("concurrency streaming refresh: snapshot == batch on the prefix, " +
+    "including a retroactive cross-batch session bridge (B10, r8)") {
+    def e(id: Long, u: Long, t: String) =
+      Evt(id, Timestamp.valueOf(t), u, "view", 0)
+    // batch 1 leaves user 1 with TWO separate sessions around user 2's
+    // [10:30, 10:45] session (peak 1 — nothing overlaps); batch 2's
+    // events at 10:40 and 11:05 bridge user 1's sessions (every gap
+    // < 30 min) into ONE [10:00, 11:30] span that now COVERS user 2 —
+    // the retroactive merge lifts the peak to 2.
+    val batch1 = Seq(e(1, 1, "2024-03-01 10:00:00"), e(2, 1, "2024-03-01 10:20:00"),
+      e(3, 1, "2024-03-01 11:30:00"),
+      e(4, 2, "2024-03-01 10:30:00"), e(5, 2, "2024-03-01 10:45:00"))
+    val batch2 = Seq(e(6, 1, "2024-03-01 10:40:00"), e(7, 1, "2024-03-01 11:05:00"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val refresh = new Streaming.SessionConcurrencyRefresh
+    val input = MemoryStream[Evt](spark)
+    val q = input.toDF().writeStream
+      .foreachBatch(refresh.update _).outputMode("update").start()
+    input.addData(batch1); q.processAllAvailable()
+    val snap1 = rows(refresh.curve.get)
+    assert(snap1 === rows(Streaming.concurrency(batch1.toDF())))
+    input.addData(batch2); q.processAllAvailable(); q.stop()
+    val snap2 = rows(refresh.curve.get)
+    assert(snap2 === rows(Streaming.concurrency((batch1 ++ batch2).toDF())))
+    assert(snap1 !== snap2) // the bridge really changed the curve
+    // the bridged state really holds ONE user-1 session: peak over the
+    // whole span is 2 only while user 2 overlaps
+    val all = (batch1 ++ batch2).toDF()
+    val d = Streaming.concurrency(all).collect()
+    assert(d.map(_.getLong(2)).max === 2L)
+  }
+
   test("series-triad streaming refresh: per-trigger trend/changepoint/autocorr " +
     "snapshots == batch kernels on the event prefix (B06, r8)") {
     // purchase rows feed all three kernels (autocorr is purchase-only);
