@@ -222,23 +222,40 @@ object Dedup {
     // (measurement baselines). bands feed a self-join → materialize once
     val sigs = sigFn.map(f => f(sh)).getOrElse(minHashSignaturesRow(docs, k))
     val bands = lshBands(sigs).cache()
-    val pairs = candidatePairs(bands)
     // materialize the (small, post-threshold) verified pair set, then
     // RELEASE the two caches this function registered: a per-batch caller
     // (dedupClustersAtScale, a foreachBatch sink) must not accumulate one
     // cached frame per call — the same storage-churn failure mode the
     // round-2 bench exposed. The deterministic output sort stays in the
     // returned plan, after the checkpoint.
-    val verified = verifyJaccard(pairs, sh)
-      .filter(col("jaccard") >= threshold)
-      .localCheckpoint(true)
+    val verified = minHashNearDupWith(sh, bands, threshold)
     sh.unpersist()
     bands.unpersist()
-    verified.orderBy(col("a"), col("b"))
+    verified
   }
 
-  def minHashQuery(s: SparkSession, dir: String): DataFrame =
-    minHashNearDup(Tables.documents(s, dir))
+  /** [[minHashNearDup]] over PREBUILT shingle/band tables — the
+    * materialize-once seam of the xxhash self-dedup direction (the
+    * [[minHashPortableWith]] treatment). */
+  private def minHashNearDupWith(sh: DataFrame, bands: DataFrame,
+      threshold: Double): DataFrame = {
+    val pairs = candidatePairs(bands)
+    verifyJaccard(pairs, sh)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+      .orderBy(col("a"), col("b"))
+  }
+
+  def minHashQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = graft.SnapshotStore(s, dir, "documents.parquet", "xx_self_sh") {
+      shingleHashes(docs, 3).repartition(col("doc_id"))
+    }
+    val bands = graft.SnapshotStore(s, dir, "documents.parquet", "xx_self_bands") {
+      lshBands(minHashSignaturesRow(docs, 3)).repartition(col("band_hash"))
+    }
+    minHashNearDupWith(sh, bands, threshold = 0.5)
+  }
 
   /** B12: INCREMENTAL cross-corpus near-dedup — which docs of an incoming
     * batch near-duplicate something already in a reference corpus. The
@@ -259,10 +276,21 @@ object Dedup {
     * arithmetic as the hash-gated b12_ngram_jaccard). */
   def minHashNearDupAcross(newDocs: DataFrame, refDocs: DataFrame, k: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = MaxBucket): DataFrame = {
-    val shNew = shingleHashes(newDocs, k).cache()
     val shRef = shingleHashes(refDocs, k).cache()
-    val bNew = lshBands(minHashSignaturesRow(newDocs, k))
     val bRef = lshBands(minHashSignaturesRow(refDocs, k)).cache()
+    val out = minHashNearDupAcrossWith(newDocs, shRef, bRef, k, threshold, maxBucket)
+    shRef.unpersist(); bRef.unpersist()
+    out
+  }
+
+  /** [[minHashNearDupAcross]] with PREBUILT reference tables — the
+    * xxhash twin of [[minHashPortableAcrossWith]]; the gated query
+    * injects the materialize-once reference index, the streaming sink
+    * keeps deriving inline per its own lifecycle. */
+  private def minHashNearDupAcrossWith(newDocs: DataFrame, shRef: DataFrame,
+      bRef: DataFrame, k: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    val shNew = shingleHashes(newDocs, k).cache()
+    val bNew = lshBands(minHashSignaturesRow(newDocs, k))
     val stats = bRef.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
       .localCheckpoint(true)
@@ -281,14 +309,21 @@ object Dedup {
       .select(col("a").as("new_id"), col("b").as("ref_id"),
         col("inter"), col("na"), col("nb"), col("jaccard"))
       .localCheckpoint(true)
-    shNew.unpersist(); shRef.unpersist(); bRef.unpersist()
+    shNew.unpersist() // the ref tables are caller-owned
     verified.orderBy(col("new_id"), col("ref_id"))
   }
 
   def crossNearDupQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    minHashNearDupAcross(
-      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0))
+    val shRef = graft.SnapshotStore(s, dir, "documents.parquet", "xx_cross_ref_sh") {
+      shingleHashes(docs.filter(col("doc_id") % 2 =!= 0), 3).repartition(col("doc_id"))
+    }
+    val bRef = graft.SnapshotStore(s, dir, "documents.parquet", "xx_cross_ref_bands") {
+      lshBands(minHashSignaturesRow(docs.filter(col("doc_id") % 2 =!= 0), 3))
+        .repartition(col("band_hash"))
+    }
+    minHashNearDupAcrossWith(docs.filter(col("doc_id") % 2 === 0), shRef, bRef,
+      k = 3, threshold = 0.5, maxBucket = MaxBucket)
   }
 
   // ---------------------------------------------------------- simhash (B12)

@@ -55,6 +55,20 @@ class SnapshotParitySpec extends SparkSpec {
     assert(rows(snap) === rows(inline))
   }
 
+  test("xxhash self-dedup: snapshot-served shingle/band index == inline") {
+    val snap = SparkEntry.queries("b12_minhash_lsh")(spark, sfDir)
+    val inline = graft.dedup.Dedup.minHashNearDup(Tables.documents(spark, sfDir))
+    assert(rows(snap) === rows(inline))
+  }
+
+  test("xxhash cross-corpus: snapshot-served reference index == inline") {
+    val snap = SparkEntry.queries("b12_cross_neardup")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val inline = graft.dedup.Dedup.minHashNearDupAcross(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0))
+    assert(rows(snap) === rows(inline))
+  }
+
   test("bpe encode: snapshot-served merge table == inline training") {
     val snap = SparkEntry.queries("b13_bpe_encode")(spark, sfDir)
     val inline = graft.text.TextAnalysis.bpeEncodeOf(Tables.documents(spark, sfDir))
