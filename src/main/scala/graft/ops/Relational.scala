@@ -473,6 +473,91 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Columns of [[corrMatrixQuery]] as (name, exact-integer scaling SQL
+    * fragment) — ONE list generates the Spark plan AND the oracle (the
+    * ProfileCols no-drift device). Price scales to whole dollars, not
+    * cents: Σ(price²) in cents squares past int64 at bench row counts
+    * already (at 100 TB row counts the moment sums widen to
+    * DECIMAL(38), the established note). */
+  private val CorrMatrixCols: Seq[(String, String)] = Seq(
+    "quantity" -> "CAST(l_quantity AS BIGINT)",
+    "price_usd" -> "CAST(round(l_extendedprice) AS BIGINT)",
+    "discount_pct" -> "CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)",
+    "tax_pct" -> "CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)")
+
+  private val CorrMatrixPairs: Seq[(String, String)] =
+    for {
+      (a, i) <- CorrMatrixCols.map(_._1).zipWithIndex
+      b <- CorrMatrixCols.map(_._1).drop(i + 1)
+    } yield (a, b)
+
+  /** B4 (r8): the pairwise CORRELATION MATRIX over the table's numeric
+    * columns, long-form — the multi-column completion of
+    * [[corrMoments]] and the profiling staple beside [[profileQuery]]
+    * ("which measures move together" before any feature selection).
+    * ONE combinable scan pass accumulates every per-column (Σc, Σc²)
+    * and per-pair Σab as exact BIGINTs; each pair's Pearson r then
+    * derives in a FIXED IEEE tree with every moment cast to double
+    * FIRST (n·Σx² overflows int64 for dollar-scaled price — the
+    * b06_zscore device), zero-variance pairs pinned to 0. Output is
+    * one row per (group, col_a, col_b) so downstream checks are data,
+    * not schema. */
+  def corrMatrixQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, dir).select(
+      $"l_returnflag" +: CorrMatrixCols.map { case (n, sql) => expr(sql).as(n) }: _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      CorrMatrixCols.flatMap { case (nm, _) =>
+        Seq(sum(col(nm)).as(s"s_$nm"), sum(col(nm) * col(nm)).as(s"ss_$nm")) } ++
+      CorrMatrixPairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val m = base.groupBy($"l_returnflag").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // 3 rows; feeds one branch per pair
+    CorrMatrixPairs.map { case (a, b) =>
+      val nD = $"n".cast("double")
+      val num = nD * col(s"sp_${a}_$b").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+      val dena = nD * col(s"ss_$a").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+      val denb = nD * col(s"ss_$b").cast("double") -
+        col(s"s_$b").cast("double") * col(s"s_$b").cast("double")
+      m.select($"l_returnflag", lit(a).as("col_a"), lit(b).as("col_b"), $"n",
+        when(dena <= 0.0 || denb <= 0.0, lit(0.0))
+          .otherwise(num / (sqrt(dena) * sqrt(denb))).as("corr"))
+    }.reduce(_ unionAll _).orderBy($"l_returnflag", $"col_a", $"col_b")
+  }
+
+  private[ops] def corrMatrixOracle: String = {
+    val colDefs = CorrMatrixCols.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n          ")
+    val momentDefs = (CorrMatrixCols.flatMap { case (nm, _) => Seq(
+        s"CAST(SUM($nm) AS BIGINT) AS s_$nm",
+        s"CAST(SUM($nm*$nm) AS BIGINT) AS ss_$nm") } ++
+      CorrMatrixPairs.map { case (a, b) =>
+        s"CAST(SUM($a*$b) AS BIGINT) AS sp_${a}_$b" }).mkString(",\n          ")
+    val branches = CorrMatrixPairs.map { case (a, b) =>
+      s"""SELECT l_returnflag, '$a' AS col_a, '$b' AS col_b, n,
+        CASE WHEN CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+                    - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE) <= 0
+               OR CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+                    - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE) <= 0 THEN 0.0
+             ELSE (CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+                    - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+                      - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+                      - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))) END AS corr
+      FROM m"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH b AS (SELECT l_returnflag,
+          $colDefs
+        FROM lineitem),
+      m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          $momentDefs
+        FROM b GROUP BY 1)
+      $branches
+      ORDER BY l_returnflag, col_a, col_b"""
+  }
+
   /** ROLLUP hierarchy totals (B4). */
   def rollupSales(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1738,6 +1823,7 @@ object Relational {
     "b03_join_asof_nearest" -> (joinAsOfNearest _),
     "b04_rollup" -> (rollupSales _),
     "b04_corr_moments" -> (corrMoments _),
+    "b04_corr_matrix" -> (corrMatrixQuery _),
     "b04_cube" -> (cubeFlags _),
     "b04_grouping_sets" -> (groupingSets _),
     "b05_median" -> (medianQuantity _),
@@ -1910,6 +1996,7 @@ object Relational {
              make_timestamp(near_us) AS nearest_click_ts,
              CAST(near_us - us AS BIGINT) AS delta_us
       FROM p ORDER BY event_id""",
+    "b04_corr_matrix" -> corrMatrixOracle,
     "b04_corr_moments" -> """
       WITH m AS (
         SELECT l_returnflag, COUNT(*) AS n,
