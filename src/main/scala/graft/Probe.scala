@@ -148,6 +148,38 @@ object Probe {
       runAll(s"${reps}x", big)
       big.unpersist()
     }
+    if (sys.env.contains("PROBE_STRESS_ANN")) {
+      // Layered-ANN scaling (r8): hnsw build+search (INLINE path — the
+      // snapshot store would amortize the build away and hide the
+      // scaling term) on the embeddings corpus vs a k× replica with
+      // disjoint vec_ids. Same query count both times (original probe
+      // ids only — replicas offset ids off the %100 residue), so the
+      // wall isolates corpus-side growth: construction is cell-bounded
+      // (cells scale with the layer), per-query search cost is
+      // rounds·beam·R regardless of corpus size. Near-linear build +
+      // flat-ish search = the claims hold.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.Column
+      val reps = sys.env.getOrElse("PROBE_STRESS_ANN", "8").toInt
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val mx = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      def hnswOn(frame: org.apache.spark.sql.DataFrame, pred: Column): Unit = {
+        similarity.Similarity.hnswTopK(frame, pred)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      // the probe set stays the ORIGINAL 1× queries at both scales
+      // (replica ids keep their residues but sit above mx)
+      val qp = col("vec_id") % 100 === 0 && col("vec_id") < mx
+      hnswOn(emb, qp) // untimed: codegen/JIT warmup
+      time("stress_hnsw_1x") { hnswOn(emb, qp) }
+      val big = emb.crossJoin(spark.range(reps).toDF("rep"))
+        .select((col("vec_id") + col("rep") * mx).as("vec_id"), col("embedding"))
+        .cache()
+      println(s"  stress ann vectors=${big.count()} (${reps}x disjoint ids)")
+      time(s"stress_hnsw_${reps}x") { hnswOn(big, qp) }
+      big.unpersist()
+    }
     if (sys.env.contains("PROBE_STRESS_E06")) {
       // e06 composition scaling (the PROBE_STRESS_GRAPH pattern):
       // disjoint-key lineitem replicas multiply the strong edge set, the

@@ -57,6 +57,20 @@ class KendallSpec extends SparkSpec {
     assert(out.getAs[Double]("tau_b") === 0.0)
   }
 
+  test("plan shape: the |x-domain| window sums collapse into two Window " +
+    "operators (in-bin pass + bin carry), not one per sum") {
+    val plan = Relational.kendall(spark, sfDir).queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the whole point of the r8 re-plan: ~50 same-spec running sums
+    // share ONE sort/WindowExec; a per-sum Window chain would mean
+    // CollapseWindow regressed and the plan sorts the cells ~50×
+    assert(windows.size <= 2, s"expected <= 2 Window ops, got ${windows.size}")
+    assert(windows.exists(_.windowExpressions.size >= 10),
+      "the multi-column window pass is missing — sums did not share a spec")
+  }
+
   test("real-data groups match the brute classifier and the pair identity") {
     val rows = graft.Tables.lineitem(spark, sfDir)
       .selectExpr("l_returnflag", "CAST(l_quantity AS BIGINT) AS x",
