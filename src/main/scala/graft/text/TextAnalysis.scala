@@ -359,6 +359,29 @@ object TextAnalysis {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
   }
 
+  /** B13 (r8): per-source tokenizer-fit report over the trained BPE —
+    * the readout every tokenizer evaluation starts with: fertility
+    * (tokens per word) and compression (chars per token) per corpus
+    * source, as exact ppm integer ratios of the summed per-doc counts.
+    * A source whose fertility runs hot is one the tokenizer segments
+    * poorly (the under-represented-language smell at corpus scale).
+    * Rides [[bpeEncode]]'s snapshot-served merge table; one combinable
+    * aggregate on top, one pair of exact divisions per source. */
+  def tokenizerStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    bpeEncode(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_words"),
+        col("n_tokens"),
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** The encode regime: ASCII-printable, pipe-free documents (the
     * separator-safety precondition of the guarded encode expression). */
   private def bpeRegime(docs: DataFrame): DataFrame = docs
@@ -1227,6 +1250,7 @@ object TextAnalysis {
     "b13_containment" -> (containment _),
     "b13_bpe_portable" -> (bpePortable _),
     "b13_bpe_encode" -> (bpeEncode _),
+    "b13_tokenizer_stats" -> (tokenizerStatsQuery _),
   )
 
   /** Unrolled replay of [[bpePortable]]'s training loop — validated
@@ -1273,13 +1297,17 @@ object TextAnalysis {
     * expression; Σ over words is identical because word boundaries admit
     * no merge) with the merge chain applied through scalar subqueries on
     * m1 … m_N. */
-  private def bpeEncodeOracle: String = {
+  /** The per-doc BPE encode chain through `agg` (doc_id, n_chars,
+    * n_words, n_tokens) — ONE definition shared by the b13_bpe_encode
+    * and b13_tokenizer_stats oracles (the CdcChunksCtes no-drift
+    * device). */
+  private def bpeEncodePerDocCtes: String = {
     val rep0 = "'||' || array_to_string(string_split(word, ''), '||') || '||'"
     val repN = (1 to BpePortableRounds).foldLeft(rep0) { (acc, t) =>
       s"""replace($acc, (SELECT '|' || l || '||' || r || '|' FROM m$t),
                   (SELECT '|' || l || r || '|' FROM m$t))"""
     }
-    s"""WITH $bpeTrainCtes,
+    s"""$bpeTrainCtes,
       dw AS (SELECT doc_id, word FROM (
                SELECT doc_id, unnest(string_split(text, ' ')) AS word
                FROM documents
@@ -1291,11 +1319,14 @@ object TextAnalysis {
                 CAST(COUNT(*) AS BIGINT) AS n_words,
                 CAST(SUM((len(rep) - len(replace(rep, '||', ''))) // 2 - 1) AS BIGINT)
                   AS n_tokens
-              FROM enc GROUP BY doc_id)
+              FROM enc GROUP BY doc_id)"""
+  }
+
+  private def bpeEncodeOracle: String =
+    s"""WITH $bpeEncodePerDocCtes
       SELECT doc_id, n_chars, n_words, n_tokens,
              (1000000000 * n_tokens) // n_chars AS tokens_per_char_ppb
       FROM agg ORDER BY doc_id"""
-  }
 
   /** Unrolled Horner chain for the CDC window hash at position `p`
     * (base 31 over the [[CdcW]] code points ending at p) — the same
@@ -1437,6 +1468,21 @@ object TextAnalysis {
       FROM chunks ORDER BY doc_id, chunk_idx""",
     "b13_bpe_portable" -> bpePortableOracle,
     "b13_bpe_encode" -> bpeEncodeOracle,
+    // fertility/compression as exact ppm ratios over the shared
+    // per-doc encode chain
+    "b13_tokenizer_stats" -> s"""
+      WITH $bpeEncodePerDocCtes,
+      st AS (SELECT a.doc_id, a.n_chars, a.n_words, a.n_tokens, d2.source
+             FROM agg a JOIN documents d2 ON d2.doc_id = a.doc_id)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        CAST(SUM(n_words) AS BIGINT) AS n_words,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_tokens) AS BIGINT) * 1000000 // CAST(SUM(n_words) AS BIGINT)
+          AS fertility_ppm,
+        CAST(SUM(n_chars) AS BIGINT) * 1000000 // CAST(SUM(n_tokens) AS BIGINT)
+          AS chars_per_token_ppm
+      FROM st GROUP BY source ORDER BY source""",
     "b13_containment" -> s"""
       WITH $CdcChunksCtes,
       dc AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
