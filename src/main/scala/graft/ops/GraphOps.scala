@@ -529,12 +529,23 @@ object GraphOps {
     * rounds keep the oracle an unrolled CTE chain; an unbounded BFS at
     * 100 TB runs the same loop to frontier-exhaustion with the
     * frontier count as the convergence probe. */
-  def bfsOf(edgeSet: DataFrame, rounds: Int): DataFrame = {
-    val sym = edgeSet.select(col("u").as("x"), col("v").as("nbr"))
+  /** Symmetric neighbor table of an undirected edge set. */
+  private def symOf(edgeSet: DataFrame): DataFrame =
+    edgeSet.select(col("u").as("x"), col("v").as("nbr"))
       .unionAll(edgeSet.select(col("v").as("x"), col("u").as("nbr")))
-      .localCheckpoint(true)
-    val seed = sym.groupBy(col("x")).agg(count(lit(1)).as("d"))
+
+  /** The deterministic BFS seed: max-degree vertex, (degree DESC, id)
+    * tie-break — total and replayable, no collect. */
+  private def hubSeed(sym: DataFrame): DataFrame =
+    sym.groupBy(col("x")).agg(count(lit(1)).as("d"))
       .agg(min_by(col("x"), struct((-col("d")).as("nd"), col("x"))).as("x"))
+
+  /** Bounded-round frontier BFS from a 1-row seed frame — the shared
+    * kernel of [[bfsOf]] and [[diameterBoundOf]]: per round one
+    * frontier semi-join + distinct + one anti-join against the visited
+    * set, lineage cut per round. */
+  private def distancesFrom(sym: DataFrame, seed: DataFrame,
+      rounds: Int): DataFrame = {
     var dist = seed.select(col("x"), lit(0).as("dist")).localCheckpoint(true)
     for (i <- 1 to rounds) {
       val frontier = dist.filter(col("dist") === i - 1).select(col("x"))
@@ -544,6 +555,12 @@ object GraphOps {
         .select(col("x"), lit(i).as("dist"))
       dist = dist.unionAll(next).localCheckpoint(true)
     }
+    dist
+  }
+
+  def bfsOf(edgeSet: DataFrame, rounds: Int): DataFrame = {
+    val sym = symOf(edgeSet).localCheckpoint(true)
+    val dist = distancesFrom(sym, hubSeed(sym), rounds)
     val hist = dist.groupBy(col("dist")).agg(count(lit(1)).as("n_vertices"))
     val unreached = sym.select(col("x")).distinct()
       .join(dist.select(col("x")), Seq("x"), "left_anti")
@@ -559,6 +576,34 @@ object GraphOps {
 
   def bfsQuery(s: SparkSession, dir: String): DataFrame =
     bfsOf(strongEdges(s, dir), BfsRounds)
+
+  /** B16 (r8): diameter LOWER BOUND via the double-sweep heuristic
+    * (Magnien/Latapy/Habib, JEA 2009 — the standard cheap diameter
+    * estimator): BFS from the hub, then BFS again from the FARTHEST
+    * vertex found ((dist DESC, id) argmax — total); the second sweep's
+    * eccentricity is a certified lower bound on the graph's diameter,
+    * usually tight in practice. Bounded rounds give the same horizon
+    * CONTRACT as [[ssspOf]]: each sweep's max_dist is exact over
+    * ≤`rounds`-hop paths, so the bound is valid at any horizon (it can
+    * only grow with more rounds). Cost is exactly two runs of the
+    * [[distancesFrom]] kernel; the summary is two 1-row aggregates. */
+  def diameterBoundOf(edgeSet: DataFrame, rounds: Int): DataFrame = {
+    val sym = symOf(edgeSet).localCheckpoint(true)
+    val seed1 = hubSeed(sym)
+    val d1 = distancesFrom(sym, seed1, rounds)
+    val seed2 = d1.agg(
+      min_by(col("x"), struct((-col("dist")).as("nd"), col("x"))).as("x"))
+    val d2 = distancesFrom(sym, seed2, rounds)
+    def sweep(n: Int, d: DataFrame, seed: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_reached"), max(col("dist")).as("max_dist"))
+        .crossJoin(seed.toDF("seed")) // 1-row seed side
+        .select(lit(n).as("sweep"), col("seed"), lit(rounds).as("horizon"),
+          col("n_reached"), col("max_dist"))
+    sweep(1, d1, seed1).unionAll(sweep(2, d2, seed2)).orderBy(col("sweep"))
+  }
+
+  def diameterBoundQuery(s: SparkSession, dir: String): DataFrame =
+    diameterBoundOf(strongEdges(s, dir), BfsRounds)
 
   /** The strong co-purchase graph WITH its affinity weight, as integer
     * edge lengths len = 10⁶ div w (more shared orders ⇒ shorter edge) —
@@ -931,6 +976,7 @@ object GraphOps {
     "b16_components" -> (componentsQuery _),
     "b16_bfs" -> (bfsQuery _),
     "b16_sssp" -> (ssspQuery _),
+    "b16_diameter_bound" -> (diameterBoundQuery _),
     "b16_lpa" -> (lpaQuery _),
     "b16_link_predict" -> (linkPredictQuery _),
     "b16_resource_alloc" -> (resourceAllocQuery _),
@@ -1023,22 +1069,53 @@ object GraphOps {
   /** The BFS frontier chain unrolled ([[BfsRounds]] rounds) — per round
     * the frontier's neighbor set minus the visited set, replaying
     * [[bfsOf]] exactly (the kCore/lpa unrolled-replay device). */
-  private def bfsOracleSql: String = {
+  /** One unrolled BFS frontier chain `${pre}d0..${pre}dR` from a 1-row
+    * seed CTE — shared by the b16_bfs and b16_diameter_bound oracles
+    * (pre = "" keeps the original b16_bfs CTE names). */
+  private def bfsChainSql(pre: String, seedCte: String): String = {
+    // each d_i references d_{i-1} TWICE (carry + NOT IN); without
+    // MATERIALIZED DuckDB inlines the chain into 2^rounds scans of the
+    // base table — one chain survived it, the diameter oracle's two
+    // chains blew the fd limit. Purely a planning hint; values unchanged.
     val rounds = (1 to BfsRounds).map { i =>
-      s"""f$i AS (SELECT DISTINCT s.nbr AS x
-              FROM sym s JOIN d${i - 1} d ON d.x = s.x AND d.dist = ${i - 1}),
-      d$i AS (SELECT x, dist FROM d${i - 1} UNION ALL
-              SELECT f$i.x, $i AS dist FROM f$i
-              WHERE f$i.x NOT IN (SELECT x FROM d${i - 1}))"""
+      s"""${pre}f$i AS MATERIALIZED (SELECT DISTINCT s.nbr AS x
+              FROM sym s JOIN ${pre}d${i - 1} d ON d.x = s.x AND d.dist = ${i - 1}),
+      ${pre}d$i AS MATERIALIZED (SELECT x, dist FROM ${pre}d${i - 1} UNION ALL
+              SELECT ${pre}f$i.x, $i AS dist FROM ${pre}f$i
+              WHERE ${pre}f$i.x NOT IN (SELECT x FROM ${pre}d${i - 1}))"""
     }.mkString(",\n      ")
-    s"""
-      WITH $OracleStrongEdges,
+    s"""${pre}d0 AS MATERIALIZED (SELECT x, 0 AS dist FROM $seedCte),
+      $rounds"""
+  }
+
+  /** Shared sym/degs/seed preamble of the BFS-family oracles. */
+  private def bfsPreambleSql: String = s"""
+      $OracleStrongEdges,
       sym AS (SELECT u AS x, v AS nbr FROM we UNION ALL SELECT v AS x, u AS nbr FROM we),
       degs AS (SELECT x, COUNT(*) AS d FROM sym GROUP BY x),
       seed AS (SELECT x FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY d DESC, x) AS rn
-                              FROM degs) WHERE rn = 1),
-      d0 AS (SELECT x, 0 AS dist FROM seed),
-      $rounds,
+                              FROM degs) WHERE rn = 1)"""
+
+  private def diameterBoundOracleSql: String = s"""
+      WITH $bfsPreambleSql,
+      ${bfsChainSql("", "seed")},
+      s2 AS (SELECT x FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY dist DESC, x) AS rn
+                            FROM d$BfsRounds) WHERE rn = 1),
+      ${bfsChainSql("e", "s2")},
+      a1 AS (SELECT 1 AS sweep, (SELECT x FROM seed) AS seed,
+               $BfsRounds AS horizon, CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(MAX(dist) AS INT) AS max_dist FROM d$BfsRounds),
+      a2 AS (SELECT 2 AS sweep, (SELECT x FROM s2) AS seed,
+               $BfsRounds AS horizon, CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(MAX(dist) AS INT) AS max_dist FROM ed$BfsRounds)
+      SELECT sweep, seed, horizon, n_reached, max_dist
+      FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+      ORDER BY sweep"""
+
+  private def bfsOracleSql: String = {
+    s"""
+      WITH $bfsPreambleSql,
+      ${bfsChainSql("", "seed")},
       hist AS (SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_vertices
                FROM d$BfsRounds GROUP BY dist),
       unre AS (SELECT -1 AS dist, CAST(COUNT(*) AS BIGINT) AS n_vertices
@@ -1080,6 +1157,7 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "b16_bfs" -> bfsOracleSql,
     "b16_sssp" -> ssspOracleSql,
+    "b16_diameter_bound" -> diameterBoundOracleSql,
     "b16_degree_hist" -> s"""
       WITH $OracleEdges, $OracleDegs
       SELECT degree, COUNT(*) AS n_parts FROM degs GROUP BY degree ORDER BY degree

@@ -504,6 +504,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(distsAt(2)(4L) === 6L)
   }
 
+  test("diameter bound: second sweep from the eccentric vertex improves " +
+    "the bound to the true diameter (B16, r8)") {
+    import spark.implicits._
+    // 3—1—2—4: hub tie (1, 2 both degree 2) → min id 1 seeds sweep 1
+    // (ecc 2); its farthest vertex 4 seeds sweep 2, whose eccentricity
+    // 3 IS the diameter — the classic double-sweep improvement
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("u", "v")
+    val out = GraphOps.diameterBoundOf(edges, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(out.toSeq === Seq((1, 1L, 4, 4L, 2), (2, 4L, 4, 4L, 3)))
+  }
+
   test("community mart: membership, line and share identities hold (E6)") {
     val mart = GraphOps.communityMartQuery(spark, sfDir).collect()
     assert(mart.nonEmpty)
