@@ -886,6 +886,46 @@ object Relational {
       .orderBy($"prio")
   }
 
+  /** B4 (r8): Welch's two-sample t — the parametric drift companion of
+    * [[ksTestQuery]] (KS asks "did the distribution move anywhere",
+    * Welch asks "did the MEAN move, variances unequal"): per order
+    * priority, 1997-vs-1998 price in whole dollars (dollar scaling —
+    * cents-squared sums overflow int64 at bench row counts, the
+    * b04_corr_matrix note). All six moments (n, Σy, Σy²) per side are
+    * exact combinable BIGINTs from ONE conditional-sum pass; the
+    * statistic t = (m₁−m₂)/√(s₁²/n₁ + s₂²/n₂) is one fixed IEEE tree
+    * over them — means, Bessel-corrected variances, sqrt, divide — no
+    * transcendentals (the gini-vs-entropy rule), so both engines
+    * replay it bit-identically. Degenerate sides (n ≤ 1 or zero
+    * pooled SE) pin t to 0. */
+  def welchTQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val yr = year($"o_orderdate")
+    val m = Tables.orders(s, dir)
+      .filter(yr === 1997 || yr === 1998)
+      .select($"o_orderpriority".as("prio"),
+        round($"o_totalprice").cast("long").as("usd"),
+        when(yr === 1997, 1L).otherwise(0L).as("a"),
+        when(yr === 1998, 1L).otherwise(0L).as("b"))
+      .groupBy($"prio")
+      .agg(sum($"a").as("n_1997"), sum($"b").as("n_1998"),
+        sum($"a" * $"usd").as("s_1997"), sum($"b" * $"usd").as("s_1998"),
+        sum($"a" * $"usd" * $"usd").as("ss_1997"),
+        sum($"b" * $"usd" * $"usd").as("ss_1998"))
+    def nD(c: String) = col(c).cast("double")
+    val m1 = nD("s_1997") / nD("n_1997"); val m2 = nD("s_1998") / nD("n_1998")
+    val v1 = (nD("n_1997") * nD("ss_1997") - nD("s_1997") * nD("s_1997")) /
+      (nD("n_1997") * (nD("n_1997") - 1.0))
+    val v2 = (nD("n_1998") * nD("ss_1998") - nD("s_1998") * nD("s_1998")) /
+      (nD("n_1998") * (nD("n_1998") - 1.0))
+    val se2 = v1 / nD("n_1997") + v2 / nD("n_1998")
+    m.select($"prio", $"n_1997", $"n_1998", $"s_1997", $"s_1998",
+        $"ss_1997", $"ss_1998",
+        when($"n_1997" <= 1 || $"n_1998" <= 1 || se2 <= 0.0, lit(0.0))
+          .otherwise((m1 - m2) / sqrt(se2)).as("t_stat"))
+      .orderBy($"prio")
+  }
+
   /** B4 (r8): Population Stability Index inputs — the industry-standard
     * drift screen scored per equi-width price bucket between the 1997
     * and 1998 snapshots, served LOG-FREE: `ln` is NOT cross-engine
@@ -1847,6 +1887,7 @@ object Relational {
     "b04_kendall" -> (kendall _),
     "b04_ks_test" -> (ksTestQuery _),
     "b04_psi_drift" -> (psiDriftQuery _),
+    "b04_welch_t" -> (welchTQuery _),
     "b04_chisq" -> (chiSquare _),
     "b04_benford" -> (benfordQuery _),
     "b09_bitmap_ops" -> (bitmapOpsQuery _),
@@ -2332,6 +2373,43 @@ object Relational {
           / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS ks_d
       FROM pick p JOIN n USING (prio)
       ORDER BY prio""",
+    // six exact BIGINT moments per priority; t is one fixed IEEE tree
+    // (means, Bessel variances, sqrt, divide — no transcendentals)
+    "b04_welch_t" -> """
+      WITH r AS (SELECT o_orderpriority AS prio,
+          CAST(round(o_totalprice) AS BIGINT) AS usd,
+          CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1997 THEN 1 ELSE 0 END AS a,
+          CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1998 THEN 1 ELSE 0 END AS b
+        FROM orders
+        WHERE year(CAST(o_orderdate AS TIMESTAMP)) IN (1997, 1998)),
+      m AS (SELECT prio,
+          CAST(SUM(a) AS BIGINT) AS n_1997, CAST(SUM(b) AS BIGINT) AS n_1998,
+          CAST(SUM(a * usd) AS BIGINT) AS s_1997,
+          CAST(SUM(b * usd) AS BIGINT) AS s_1998,
+          CAST(SUM(a * usd * usd) AS BIGINT) AS ss_1997,
+          CAST(SUM(b * usd * usd) AS BIGINT) AS ss_1998
+        FROM r GROUP BY 1)
+      SELECT prio, n_1997, n_1998, s_1997, s_1998, ss_1997, ss_1998,
+        CASE WHEN n_1997 <= 1 OR n_1998 <= 1
+               OR (CAST(n_1997 AS DOUBLE) * CAST(ss_1997 AS DOUBLE)
+                     - CAST(s_1997 AS DOUBLE) * CAST(s_1997 AS DOUBLE))
+                  / (CAST(n_1997 AS DOUBLE) * (CAST(n_1997 AS DOUBLE) - 1.0))
+                  / CAST(n_1997 AS DOUBLE)
+                  + (CAST(n_1998 AS DOUBLE) * CAST(ss_1998 AS DOUBLE)
+                     - CAST(s_1998 AS DOUBLE) * CAST(s_1998 AS DOUBLE))
+                  / (CAST(n_1998 AS DOUBLE) * (CAST(n_1998 AS DOUBLE) - 1.0))
+                  / CAST(n_1998 AS DOUBLE) <= 0.0 THEN 0.0
+             ELSE (CAST(s_1997 AS DOUBLE) / CAST(n_1997 AS DOUBLE)
+                     - CAST(s_1998 AS DOUBLE) / CAST(n_1998 AS DOUBLE))
+                  / sqrt((CAST(n_1997 AS DOUBLE) * CAST(ss_1997 AS DOUBLE)
+                           - CAST(s_1997 AS DOUBLE) * CAST(s_1997 AS DOUBLE))
+                        / (CAST(n_1997 AS DOUBLE) * (CAST(n_1997 AS DOUBLE) - 1.0))
+                        / CAST(n_1997 AS DOUBLE)
+                      + (CAST(n_1998 AS DOUBLE) * CAST(ss_1998 AS DOUBLE)
+                           - CAST(s_1998 AS DOUBLE) * CAST(s_1998 AS DOUBLE))
+                        / (CAST(n_1998 AS DOUBLE) * (CAST(n_1998 AS DOUBLE) - 1.0))
+                        / CAST(n_1998 AS DOUBLE)) END AS t_stat
+      FROM m ORDER BY prio""",
     // log-free exact PSI inputs: ppb shares, signed delta, exact share
     // ratio in ppb; NULL ratio where either snapshot is empty (no
     // hidden smoothing epsilon). ln is NOT cross-engine bit-stable, so

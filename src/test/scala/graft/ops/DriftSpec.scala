@@ -38,6 +38,35 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("Welch t: moments and the statistic match the literal definition (B4, r8)") {
+    val rows = graft.Tables.orders(spark, sfDir)
+      .selectExpr("o_orderpriority", "year(o_orderdate) AS y",
+        "CAST(round(o_totalprice) AS BIGINT) AS usd")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .filter(t => t._2 == 1997 || t._2 == 1998)
+    val out = Relational.welchTQuery(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.nonEmpty)
+    for ((prio, grp) <- rows.groupBy(_._1)) {
+      val a = grp.filter(_._2 == 1997).map(_._3)
+      val b = grp.filter(_._2 == 1998).map(_._3)
+      val r = out(prio)
+      assert(r.getAs[Long]("n_1997") === a.length.toLong)
+      assert(r.getAs[Long]("s_1997") === a.sum)
+      assert(r.getAs[Long]("ss_1998") === b.map(x => x * x).sum)
+      def nD(n: Int) = n.toDouble
+      val (n1, n2) = (a.length, b.length)
+      val v1 = (nD(n1) * a.map(x => x * x).sum.toDouble - a.sum.toDouble * a.sum.toDouble) /
+        (nD(n1) * (nD(n1) - 1.0))
+      val v2 = (nD(n2) * b.map(x => x * x).sum.toDouble - b.sum.toDouble * b.sum.toDouble) /
+        (nD(n2) * (nD(n2) - 1.0))
+      val se2 = v1 / nD(n1) + v2 / nD(n2)
+      val exp = if (n1 <= 1 || n2 <= 1 || se2 <= 0.0) 0.0
+        else (a.sum.toDouble / nD(n1) - b.sum.toDouble / nD(n2)) / math.sqrt(se2)
+      assert(r.getAs[Double]("t_stat") === exp, s"prio $prio")
+    }
+  }
+
   test("PSI: exact ppb shares/delta/ratio match brute; the driver-side " +
     "statistic derives from the gated integers alone (B4, r8)") {
     val rows = ordersRows()
