@@ -59,6 +59,17 @@ object Bench {
       val ok = passes.map(_(name)).filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }.toMap
+    // self-check (r8 VERDICT #3): a declared query must never silently
+    // miss the bench again (r7 codec gates, r8 welch_t both landed
+    // post-bench). The benched keyset is asserted == the registry
+    // keyset whenever the dev-only filter is off, and the counts are
+    // emitted so the round report shows coverage at a glance.
+    if (only.isEmpty) {
+      val missing = SparkEntry.queries.keySet -- results.keySet
+      val extra = results.keySet -- SparkEntry.queries.keySet
+      require(missing.isEmpty && extra.isEmpty,
+        s"bench/registry drift: missing=$missing extra=$extra")
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
@@ -86,7 +97,8 @@ object Bench {
     val env = s"""{"jvm_flags":$jvmFlags,"java":"${sys.props.getOrElse("java.version", "?")}",""" +
       s""""clear_cache":"between-queries-untimed","warmup":"sf0.001","timed_passes":2,""" +
       s""""agg":"min-over-passes","master":"local[$cpus]","shuffle_partitions":$cpus}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","env":$env}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
+      s""""n_benched":${results.size},"n_declared":${SparkEntry.queries.size},"sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }

@@ -164,7 +164,10 @@ object Probe {
       val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       val mx = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
       def hnswOn(frame: org.apache.spark.sql.DataFrame, pred: Column): Unit = {
-        similarity.Similarity.hnswTopK(frame, pred)
+        // logStats prints per-layer member/pair/assignment-candidate row
+        // counts — the r8-verdict ask: assert ~linear growth of the
+        // ASSIGNMENT stage (cand_pairs) at k×, not just wall time
+        similarity.Similarity.hnswTopK(frame, pred, logStats = true)
           .write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
       }

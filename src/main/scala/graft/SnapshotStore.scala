@@ -28,9 +28,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * winner's `_SUCCESS`; a stale claim (crashed builder) is broken once
   * after the wait times out. */
 private[graft] object SnapshotStore {
-  private val Version = 3 // r8: shared store; dedup ref tables join the family
+  private val Version = 4 // r9: builder params join the cache key
 
-  def apply(s: SparkSession, dir: String, sigTable: String, name: String)(
+  /** `params`: the builder's tuning constants, stringified — folded
+    * into the cache key so retuning ONE builder invalidates ONLY its
+    * snapshot, with no reliance on remembering to bump the shared
+    * Version (r8 ADVICE: a params-free key silently serves stale
+    * derived data after a constant edit). */
+  def apply(s: SparkSession, dir: String, sigTable: String, name: String,
+      params: String = "")(
       build: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = s.sparkContext.hadoopConfiguration
@@ -39,7 +45,7 @@ private[graft] object SnapshotStore {
     val st = fs.getFileStatus(sigPath)
     val sig = s"${fs.getContentSummary(sigPath).getLength}-${st.getModificationTime}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$sigTable|$sig|v$Version".getBytes("UTF-8"))
+      .digest(s"$dir|$sigTable|$sig|v$Version|$params".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val cacheDir = new HPath(
       s"${sys.props("java.io.tmpdir")}/graft_scratch/${name}_$key")

@@ -261,7 +261,10 @@ object EventAnalytics {
         when(pmod(col("user_id") * 2654435761L, lit(100)) < 50, "A").otherwise("B"))
     users.groupBy(col("variant"))
       .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
-      .withColumn("conv_ppb", expr("(1000000000L * n_converted) div n_users"))
+      // DECIMAL(38) product (r9, Relational.psiDriftQuery note):
+      // n_converted·10⁹ wraps int64 beyond ~9.2·10⁹ users per variant
+      .withColumn("conv_ppb",
+        expr("(CAST(n_converted AS DECIMAL(38,0)) * 1000000000) div n_users"))
       .groupBy()
       .agg(
         sum(when(col("variant") === "A", col("n_users"))).as("n_a"),
@@ -667,7 +670,9 @@ object EventAnalytics {
         col("total") - coalesce(
           sum(col("n_churned") + col("n_censored")).over(cum), lit(0L)))
       .select(col("week"), col("n_risk"), col("n_churned"), col("n_censored"),
-        expr("(n_churned * 1000000000) div n_risk").as("hazard_ppb"))
+        // DECIMAL(38) product (r9, Relational.psiDriftQuery note)
+        expr("(CAST(n_churned AS DECIMAL(38,0)) * 1000000000) div n_risk")
+          .as("hazard_ppb"))
       .orderBy(col("week"))
   }
 
@@ -1051,10 +1056,28 @@ object EventAnalytics {
   def theilSenOf(points: DataFrame): DataFrame = {
     val daily = points
       .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("v"))
+    // Domain guard (r8 ADVICE): the (kq, kf) order key below is
+    // injective only for reduced denominators px ≤ 10⁶ (kf carries 12
+    // fractional digits; fractions with denominators ≤ P differ by
+    // ≥ 1/P²), and every reduced px divides some day delta ≤ the span —
+    // so bounding the SPAN bounds px. theilSenOf is public and accepts
+    // arbitrary planted points; an out-of-domain span must FAIL LOUDLY
+    // here, not silently collide keys into a wrong median. The guard
+    // sits on the TYPES-SIZED grid aggregate BEFORE the day-axis
+    // explode — the same bound also stops the O(span²) pair stage from
+    // ever materializing on a runaway span (a px-level guard inside the
+    // pair table would fire only after that quadratic work). assert_true
+    // rides the b1 dataflow (ifnull keeps the value) so it cannot be
+    // pruned, and evaluates task-side over one row per event type.
     val grid = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("b0"), max(col("day")).as("b1"))
       .select(col("event_type"), col("b0"),
-        explode(expr("sequence(b0, b1)")).as("day"))
+        explode(expr("""sequence(b0, b1 + ifnull(CAST(assert_true(
+          b1 - b0 <= 1000000,
+          'theilSenOf: day span exceeds 1e6 - outside the (kq,kf) order-key
+           injectivity domain (and the O(span^2) pair budget); widen kf and
+           re-plan the pair stage before lifting the cap') AS BIGINT), 0))"""))
+          .as("day"))
       .join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), (col("day") - col("b0")).cast("long").as("x"),
         coalesce(col("v"), lit(0L)).as("y"))
@@ -1120,8 +1143,12 @@ object EventAnalytics {
     top.crossJoin(broadcast(total))
       .withColumn("cum_c", sum(col("spend_c")).over(w))
       .select(col("user_id"), col("spend_c"), col("n_purchases"),
-        expr("(spend_c * 1000000000) div total_c").as("share_ppb"),
-        expr("(cum_c * 1000000000) div total_c").as("cum_share_ppb"))
+        // DECIMAL(38) products (r9, Relational.psiDriftQuery note):
+        // cents totals reach corpus-scale·10² before the ·10⁹
+        expr("(CAST(spend_c AS DECIMAL(38,0)) * 1000000000) div total_c")
+          .as("share_ppb"),
+        expr("(CAST(cum_c AS DECIMAL(38,0)) * 1000000000) div total_c")
+          .as("cum_share_ppb"))
       .orderBy(col("spend_c").desc, col("user_id"))
   }
 

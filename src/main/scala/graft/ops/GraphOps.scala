@@ -251,7 +251,9 @@ object GraphOps {
         .join(deg.select(col("p").as("v"), col("degree").as("dv")), "v")
         .select(col("u").as("part_u"), col("v").as("part_v"), col("n_common"),
           (col("du") + col("dv") - lit(2) - col("n_common")).as("n_union"))
-        .withColumn("jaccard_ppb", expr("(1000000000L * n_common) div n_union"))
+        // DECIMAL(38) product (r9, Relational.psiDriftQuery note)
+        .withColumn("jaccard_ppb",
+          expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000000) div n_union"))
         .orderBy(col("jaccard_ppb").desc, col("part_u"), col("part_v"))
         .limit(k)
     }
@@ -917,10 +919,14 @@ object GraphOps {
         .as("n_triangles"))
     ds.crossJoin(broadcast(em)).crossJoin(broadcast(tr))
       .select(col("n_vertices"), col("n_edges"), col("max_degree"),
-        expr("(2 * n_edges * 1000000000) div (n_vertices * (n_vertices - 1))")
+        // DECIMAL(38) products (r9, Relational.psiDriftQuery note):
+        // n_edges·10⁹ AND the n_vertices² denominator both wrap int64
+        // at graph scale; n_wedges already sums degree² terms
+        expr("(CAST(2 AS DECIMAL(38,0)) * n_edges * 1000000000)" +
+          " div (CAST(n_vertices AS DECIMAL(38,0)) * (n_vertices - 1))")
           .as("density_ppb"),
         col("n_triangles"),
-        expr("(3 * n_triangles * 1000000000) div n_wedges")
+        expr("(CAST(3 AS DECIMAL(38,0)) * n_triangles * 1000000000) div n_wedges")
           .as("global_clustering_ppb"))
   }
 

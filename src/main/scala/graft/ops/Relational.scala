@@ -861,22 +861,13 @@ object Relational {
       .withColumn("bin", expr("cents div 2500000"))
       .localCheckpoint(true) // feeds totals, in-bin prefixes, bin totals
     val n = cc.groupBy($"prio").agg(sum($"ca").as("na"), sum($"cb").as("nb"))
-    val wIn = Window.partitionBy($"prio", $"bin").orderBy($"cents")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val inBin = cc
-      .withColumn("ra", sum($"ca").over(wIn))
-      .withColumn("rb", sum($"cb").over(wIn))
-    val wBins = Window.partitionBy($"prio").orderBy($"bin")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = cc.groupBy($"prio", $"bin")
-      .agg(sum($"ca").as("ta"), sum($"cb").as("tb"))
-      .withColumn("ca0", coalesce(sum($"ta").over(wBins), lit(0L)))
-      .withColumn("cb0", coalesce(sum($"tb").over(wBins), lit(0L)))
-      .select($"prio", $"bin", $"ca0", $"cb0")
-    inBin.join(carry, Seq("prio", "bin"))
+    // r9: the shared two-level device (Prefix.prefixSum2L) replaces the
+    // hand-rolled in-bin window + carry — identical values by the
+    // device's equivalence contract, hash re-gated
+    Prefix.prefixSum2L(cc, Seq("prio"), "bin", Seq($"cents"), Seq("ca", "cb"))
       .join(n, Seq("prio"))
       .select($"prio", $"cents", $"na", $"nb",
-        abs(($"ca0" + $"ra") * $"nb" - ($"cb0" + $"rb") * $"na").as("d_num"))
+        abs($"run_ca" * $"nb" - $"run_cb" * $"na").as("d_num"))
       .groupBy($"prio")
       .agg(first($"na").as("n_1997"), first($"nb").as("n_1998"),
         max($"d_num").as("d_num"),
@@ -940,8 +931,15 @@ object Relational {
     * when either side is empty (the ε-free convention, explicit in the
     * output rather than hidden in a smoothing constant). Row-scale work
     * is one combinable bucket count; the bucket axis is bounded.
-    * (ppb products reach c·n·10⁹ ≈ 10¹⁷ at gate scale — widen to
-    * DECIMAL(38) at 100 TB row counts.) */
+    * The ppb products run in DECIMAL(38,0) (r9): c·n·10⁹ reaches 10¹⁷
+    * at gate scale and crosses int64's 9.2·10¹⁸ at 100 TB row counts —
+    * int64 would wrap SILENTLY there while staying green at small SF.
+    * `div` floors the decimal quotient back to an exact BIGINT (the
+    * quotient is ≤ ~10⁹ by construction, so the output schema and
+    * every gate hash are unchanged); the DuckDB oracle keeps BIGINT
+    * arithmetic, which is overflow-CHECKED there (errors, never
+    * corrupts), so both engines are honest at any scale. OverflowSpec
+    * pins the widest product per emitter under 10¹²-row cardinality. */
   def psiDriftQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val yr = year($"o_orderdate")
@@ -955,12 +953,13 @@ object Relational {
     val tot = buckets.agg(sum($"c_1997").as("na"), sum($"c_1998").as("nb"))
     buckets.crossJoin(broadcast(tot)) // 1-row totals side
       .select($"bucket", $"c_1997", $"c_1998",
-        expr("c_1997 * 1000000000 div na").as("share_1997_ppb"),
-        expr("c_1998 * 1000000000 div nb").as("share_1998_ppb"),
-        (expr("c_1997 * 1000000000 div na") - expr("c_1998 * 1000000000 div nb"))
-          .as("delta_ppb"),
+        expr("CAST(c_1997 AS DECIMAL(38,0)) * 1000000000 div na").as("share_1997_ppb"),
+        expr("CAST(c_1998 AS DECIMAL(38,0)) * 1000000000 div nb").as("share_1998_ppb"),
+        (expr("CAST(c_1997 AS DECIMAL(38,0)) * 1000000000 div na") -
+          expr("CAST(c_1998 AS DECIMAL(38,0)) * 1000000000 div nb")).as("delta_ppb"),
         when($"c_1997" > 0 && $"c_1998" > 0,
-          expr("c_1997 * nb * 1000000000 div (c_1998 * na)")).as("ratio_ppb"))
+          expr("CAST(c_1997 AS DECIMAL(38,0)) * nb * 1000000000" +
+            " div (CAST(c_1998 AS DECIMAL(38,0)) * na)")).as("ratio_ppb"))
       .orderBy($"bucket")
   }
 
@@ -1008,7 +1007,10 @@ object Relational {
     px.join(sz.toDF("flag_a", "n_a"), "flag_a")
       .join(sz.toDF("flag_b", "n_b"), "flag_b")
       .select($"flag_a", $"flag_b", $"n_shared", $"n_a", $"n_b",
-        expr("(n_shared * 1000000000) div (n_a + n_b - n_shared)").as("jaccard_ppb"))
+        // DECIMAL(38) product (r9, psiDriftQuery note): n_shared·10⁹
+        // wraps int64 beyond ~9.2·10⁹ distinct members per side
+        expr("(CAST(n_shared AS DECIMAL(38,0)) * 1000000000)" +
+          " div (n_a + n_b - n_shared)").as("jaccard_ppb"))
       .orderBy($"flag_a", $"flag_b")
   }
 
@@ -1049,7 +1051,10 @@ object Relational {
     broadcast(exp).join(obs, Seq("digit"), "left")
       .crossJoin(broadcast(tot))
       .select($"digit", coalesce($"n", lit(0L)).as("n"),
-        expr("(coalesce(n, 0) * 1000000000) div total").as("obs_ppb"), $"exp_ppb")
+        // DECIMAL(38) product (r9, psiDriftQuery note): n·10⁹ wraps
+        // int64 beyond ~9.2·10⁹ orders per digit
+        expr("(CAST(coalesce(n, 0) AS DECIMAL(38,0)) * 1000000000) div total")
+          .as("obs_ppb"), $"exp_ppb")
       .withColumn("dev_ppb", $"obs_ppb" - $"exp_ppb")
       .orderBy($"digit")
   }
@@ -1071,7 +1076,8 @@ object Relational {
     val tot = cells.agg(sum($"n").as("total"))
     cells.crossJoin(broadcast(tot))
       .select($"dow", $"hour", $"n",
-        expr("(n * 1000000000) div total").as("share_ppb"))
+        // DECIMAL(38) product (r9, psiDriftQuery note)
+        expr("(CAST(n AS DECIMAL(38,0)) * 1000000000) div total").as("share_ppb"))
       .orderBy($"dow", $"hour")
   }
 
@@ -1316,16 +1322,12 @@ object Relational {
         sum($"c" * $"r2x" * $"r2x").as("gx2"))
       .withColumn("bin", expr("y div 100000"))
       .localCheckpoint(true) // feeds the prefix and the carry
-    val wIn = Window.partitionBy($"l_returnflag", $"bin").orderBy($"y")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wBins = Window.partitionBy($"l_returnflag").orderBy($"bin")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = byY.groupBy($"l_returnflag", $"bin").agg(sum($"cy").as("t"))
-      .withColumn("c0", coalesce(sum($"t").over(wBins), lit(0L)))
-      .select($"l_returnflag", $"bin", $"c0")
-    val withRy = byY.withColumn("r", sum($"cy").over(wIn))
-      .join(carry, Seq("l_returnflag", "bin"))
-      .withColumn("r2y", lit(2) * ($"c0" + $"r" - $"cy") + $"cy" + 1)
+    // r9: the shared two-level device (Prefix.prefixSum2L) replaces the
+    // hand-rolled in-bin window + carry; run_cy = c0 + r, so
+    // r2y = 2·(run_cy − cy) + cy + 1 is the identical integer
+    val withRy = Prefix
+      .prefixSum2L(byY, Seq("l_returnflag"), "bin", Seq($"y"), Seq("cy"))
+      .withColumn("r2y", lit(2) * ($"run_cy" - $"cy") + $"cy" + 1)
     val m = withRy.groupBy($"l_returnflag").agg(
       sum($"cy").as("n"),
       sum($"gx").as("sx"), sum($"cy" * $"r2y").as("sy"),
@@ -1639,8 +1641,12 @@ object Relational {
         when($"m" < k, $"m")
           .otherwise(expr(s"(${k - 1}L * ${1L << 48}L) div greatest(kth, 1L)"))
           .as("est_union"),
-        expr("(n_both * 1000000000) div m").as("jaccard_ppb"))
-      .withColumn("est_intersection", expr("(n_both * est_union) div m"))
+        // DECIMAL(38) products (r9, psiDriftQuery note): n_both ≤ k is
+        // sketch-bounded but est_union is corpus-scale, so the
+        // intersection product n_both·est_union is the one that wraps
+        expr("(CAST(n_both AS DECIMAL(38,0)) * 1000000000) div m").as("jaccard_ppb"))
+      .withColumn("est_intersection",
+        expr("(CAST(n_both AS DECIMAL(38,0)) * est_union) div m"))
       .orderBy($"ga", $"gb")
   }
 

@@ -102,7 +102,9 @@ object Relational2 {
     classes.crossJoin(broadcast(risk))
       .select($"c_nationkey", $"c_mktsegment", $"class_size",
         $"is_k_anonymous", $"n_rows_at_risk",
-        expr("(n_rows_at_risk * 1000000000) div n_rows").as("risk_share_ppb"))
+        // DECIMAL(38) product (r9, Relational.psiDriftQuery note)
+        expr("(CAST(n_rows_at_risk AS DECIMAL(38,0)) * 1000000000) div n_rows")
+          .as("risk_share_ppb"))
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
 
@@ -275,10 +277,10 @@ object Relational2 {
     * cross-engine ulp drift, every quantity here is an exact integer:
     * the point-in-interval count has the closed form "odd o with
     * 2m·lo ≤ o·W < 2m·hi", two floor divisions per item, no joins.
-    * The cumulative axis is the distributed two-level prefix (in-bin
-    * window over md5-bins + bounded carry — the b04_ks_test device);
-    * products reach 2m·W ≈ 10¹⁰ at gate scale (widen to DECIMAL(38)
-    * at 100 TB). */
+    * The cumulative axis is the distributed two-level prefix
+    * ([[Prefix.prefixSum2L]], the shared device since r9); the 2m·lo
+    * products run in DECIMAL(38,0) (r9 — they reach 2m·corpus-chars at
+    * 100 TB, past int64). */
   def ppsSampleQuery(s: SparkSession, dir: String, m: Int = 200): DataFrame = {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
@@ -287,21 +289,21 @@ object Relational2 {
         graft.functions.Md5Prefix($"doc_id".cast("string"), 14).as("h"))
       .withColumn("bin", expr("h div 281474976710656")) // 2^48: 256 md5 bins
       .localCheckpoint(true) // feeds the prefix, the carry, and the total
-    val wIn = W.partitionBy($"bin").orderBy($"h", $"doc_id")
-      .rowsBetween(W.unboundedPreceding, -1)
-    val wBins = W.orderBy($"bin").rowsBetween(W.unboundedPreceding, -1)
-    val carry = items.groupBy($"bin").agg(sum($"w").as("t"))
-      .withColumn("c0", coalesce(sum($"t").over(wBins), lit(0L)))
-      .select($"bin", $"c0")
     val tot = items.agg(sum($"w").as("tw"))
-    items
-      .withColumn("r0", coalesce(sum($"w").over(wIn), lit(0L)))
-      .join(carry, Seq("bin"))
+    // r9: the shared two-level device (Prefix.prefixSum2L); lo is the
+    // EXCLUSIVE prefix = run_w − w (identical to the old c0 + r0 where
+    // r0 was the unboundedPreceding..−1 window)
+    Prefix.prefixSum2L(items, Seq.empty, "bin", Seq($"h", $"doc_id"), Seq("w"))
       .crossJoin(broadcast(tot)) // 1-row total
-      .withColumn("lo", $"c0" + $"r0")
+      .withColumn("lo", $"run_w" - $"w")
       // odd o in [oLo, oHi] with o·W in [2m·lo, 2m·(lo+w)): exact count
-      .withColumn("o_lo", expr(s"(2 * $m * lo + tw - 1) div tw"))
-      .withColumn("o_hi", expr(s"(2 * $m * (lo + w) + tw - 1) div tw - 1"))
+      // DECIMAL(38) products (r9, Relational.psiDriftQuery note): lo is
+      // the corpus-scale cumulative weight, so 2m·lo crosses int64 at
+      // 100 TB char counts
+      .withColumn("o_lo",
+        expr(s"(CAST(2 AS DECIMAL(38,0)) * $m * lo + tw - 1) div tw"))
+      .withColumn("o_hi",
+        expr(s"(CAST(2 AS DECIMAL(38,0)) * $m * (lo + w) + tw - 1) div tw - 1"))
       .withColumn("a", greatest($"o_lo", lit(1L)))
       .withColumn("b", least($"o_hi", lit(2L * m - 1)))
       .withColumn("n_picks",
@@ -454,9 +456,14 @@ object Relational2 {
     import docs.sparkSession.implicits._
     temperatureShares(docs)
       .select($"source", $"n_docs",
-        expr("(1000000000L * n_docs) div n_total").as("nat_share_ppb"),
-        expr("(1000000000L * sk) div s_total").as("temp_share_ppb"),
-        expr(s"(${budget}L * sk) div s_total").as("planned_docs"))
+        // DECIMAL(38) products (r9, Relational.psiDriftQuery note); sk
+        // is already a scaled (√-temperature) count, one power bigger
+        expr("(CAST(n_docs AS DECIMAL(38,0)) * 1000000000) div n_total")
+          .as("nat_share_ppb"),
+        expr("(CAST(sk AS DECIMAL(38,0)) * 1000000000) div s_total")
+          .as("temp_share_ppb"),
+        expr(s"(CAST(sk AS DECIMAL(38,0)) * ${budget}L) div s_total")
+          .as("planned_docs"))
       .orderBy($"source")
   }
 

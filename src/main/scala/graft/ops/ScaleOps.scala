@@ -305,7 +305,10 @@ object ScaleOps {
   def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
       key: String, lo: Column, hi: Column): (DataFrame, Int, Int) = {
     val overlaps = !(col("mx") < lo || col("mn") > hi)
-    val mf = statsManifest(spark, path, key)
+    // materialize the manifest ONCE (r8 ADVICE: the counts action and
+    // the semi-join side each re-scanned the key column across all
+    // files); it is file-count-sized, so the eager cut is metadata-cheap
+    val mf = statsManifest(spark, path, key).localCheckpoint(true)
     val cnt = mf.agg(count(lit(1)).as("total"),
       sum(when(overlaps, 1L).otherwise(0L)).as("kept")).head()
     val keepMf = mf.where(overlaps).select(col("file").as("__keep_file"))

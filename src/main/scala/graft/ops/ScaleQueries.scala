@@ -19,11 +19,33 @@ object ScaleQueries {
     * harness runs over the same sf dir must not share a store — one run's
     * delete-and-rewrite would race the other's lazy read. The appId is
     * stable within a run, so a gate remains idempotent across retries in
-    * the same session. */
-  private def runStore(s: SparkSession, tag: String, dir: String): String =
+    * the same session. Stale sweep (r8 ADVICE): each run's dir was only
+    * deleted at the start of that same run, so tmpdir accumulated one
+    * abandoned store per (tag × run) forever — now the FIRST runStore
+    * call of a session sweeps every graft_* store left by OTHER
+    * applicationIds. Concurrent-run safety holds because a live peer's
+    * appId differs per run but shares the session-start millis prefix
+    * only if launched the same ms — sweep only dirs idle > 1 h by
+    * mtime, which no live gate store is (gates write then read within
+    * one query). */
+  private val sweptStale = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def sweepStale(appId: String): Unit =
+    if (sweptStale.compareAndSet(false, true)) {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
+        f.isDirectory && f.getName.startsWith("graft_") &&
+          !f.getName.endsWith(appId) && f.lastModified() < cutoff &&
+          f.getName != "graft_scratch" // the SnapshotStore cache is shared on purpose
+      }
+      stale.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(d))
+    }
+  private def runStore(s: SparkSession, tag: String, dir: String): String = {
+    sweepStale(s.sparkContext.applicationId)
     new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${s.sparkContext.applicationId}").toString
+  }
 
   /** B3: skew-salted supplier join — same rows as the plain equi-join,
     * produced via the salt-replicated plan that spreads one hot key over
@@ -303,7 +325,79 @@ object ScaleQueries {
       .orderBy($"doc_id")
   }
 
+  /** B3 (r9, VERDICT r8 #7): AQE runtime skew-join split — the
+    * OPTIMIZER-side answer to the same problem [[saltedJoinQuery]]
+    * solves by hand: a planted hot key (a third of lineitem rows
+    * collapse onto skew key 1) makes one reducer partition dominate the
+    * shuffle join; with `skewJoin.enabled` AQE reads that partition's
+    * runtime size, splits it into partial-range reads, and replicates
+    * the matching dim rows — no salt column, no plan rewrite by the
+    * user. The gate pins the skew thresholds DOWN to local fixture
+    * scale (they are sized for clusters — the withBloomPruning
+    * conf-pinning pattern), disables broadcast so the shuffled join
+    * shape exists at all, EXECUTES the frame (AQE decides from runtime
+    * shuffle statistics, so unlike the bloom gate there is nothing to
+    * assert at plan time), and structurally asserts the split engaged
+    * via [[graft.plans.PlanAudit.hasSkewJoin]] — the no-vacuous-gate
+    * discipline. The hash-compared OUTPUT is identical to the plain
+    * join (identity-under-rewrite, the salted-join contract); the
+    * assert costs one extra execution of the join, accepted for the
+    * same reason runtimeFilterQuery re-plans: the certified artifact is
+    * the PLAN SHAPE, the oracle certifies the rows. */
+  def skewJoinAqeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val touched = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = touched.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set(touched(0), "true")
+      s.conf.set(touched(1), "2.0")
+      // thresholds sized to the smallest gated fixture (sf0.01's hot
+      // partition measures ~200KB vs a ~20KB median); production keeps
+      // the 256MB default — the conf-pinning pattern
+      s.conf.set(touched(2), "2KB")
+      s.conf.set(touched(3), "8KB")
+      // un-coalesced reducers keep the median honest at fixture scale
+      s.conf.set(touched(4), "false")
+      s.conf.set(touched(5), "-1")
+      s.conf.set(touched(6), "-1")
+      // repartition(8): AQE splits a skewed reducer partition by MAPPER
+      // ranges (PartialReducerPartitionSpec carries a map-index span),
+      // so a single-mapper child — which is what one small parquet file
+      // scans as at fixture scale — is structurally unsplittable however
+      // skewed the reducer side is (measured: the rule logged "0 skewed
+      // partitions" over a 10×-median hot partition). At 100 TB the
+      // fact side always has thousands of mappers; this exchange exists
+      // only to give the fixture-scale gate a splittable map side.
+      val fact = Tables.lineitem(s, dir).repartition(8)
+        .select(when($"l_orderkey" % 3 === 0, 1L).otherwise($"l_suppkey")
+          .as("skew_key"), $"l_orderkey", $"l_linenumber")
+      val dim = Tables.supplier(s, dir)
+        .select($"s_suppkey".as("skew_key"), $"s_name")
+      val out = fact.join(dim, Seq("skew_key"))
+        .select($"l_orderkey", $"l_linenumber", $"skew_key", $"s_name")
+        .orderBy($"l_orderkey", $"l_linenumber")
+      // run THIS frame's query execution to let AQE materialize stages
+      // and re-plan from measured sizes; count() would build a new QE
+      out.queryExecution.toRdd.count()
+      require(graft.plans.PlanAudit.hasSkewJoin(out),
+        "b03_join_skew_aqe: AQE did not split the planted skew — the gate " +
+          "would certify a plain shuffle join instead of the runtime rewrite")
+      out
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b03_join_skew_aqe" -> (skewJoinAqeQuery _),
     "b01_csv_roundtrip" -> (csvRoundtripQuery _),
     "b01_json_roundtrip" -> (jsonRoundtripQuery _),
     "b03_runtime_filter" -> (runtimeFilterQuery _),
@@ -331,6 +425,15 @@ object ScaleQueries {
     """'v,"' || lang || '"' || chr(10) || substr(text, 1, 20)"""
 
   val oracles: Map[String, String] = Map(
+    // identity-under-rewrite: the AQE skew split must return EXACTLY the
+    // plain join's rows — the same contract as b03_join_salted
+    "b03_join_skew_aqe" -> """
+      SELECT l.l_orderkey, l.l_linenumber, l.skew_key, s.s_name
+      FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS skew_key,
+                   l_orderkey, l_linenumber
+            FROM lineitem) l
+      JOIN supplier s ON s.s_suppkey = l.skew_key
+      ORDER BY l.l_orderkey, l.l_linenumber""",
     // the derivation replayed from the SOURCE table — any quoting or
     // record-splitting loss in the written files hash-mismatches
     "b01_csv_roundtrip" -> s"""

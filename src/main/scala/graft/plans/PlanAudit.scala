@@ -62,4 +62,22 @@ object PlanAudit {
     * InjectRuntimeFilter rewrite's physical footprint. */
   def hasBloomProbe(df: DataFrame): Boolean = nodes(df).exists(
     _.expressions.exists(_.exists(_.isInstanceOf[BloomFilterMightContain])))
+
+  /** True iff AQE's OptimizeSkewedJoin engaged on an EXECUTED plan: a
+    * sort-merge/shuffled-hash join flagged isSkewJoin, or a shuffle
+    * read whose partition specs split one reducer partition into
+    * partial ranges (the skew split's physical footprint). Only
+    * meaningful AFTER an action has run the DataFrame — AQE decides
+    * from runtime shuffle statistics, so there is nothing to assert at
+    * plan time (unlike [[hasBloomProbe]]). */
+  def hasSkewJoin(df: DataFrame): Boolean = nodes(df).exists {
+    case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+      smj.isSkewJoin
+    case shj: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+      shj.isSkewJoin
+    case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+      r.partitionSpecs.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])
+    case _ => false
+  }
 }

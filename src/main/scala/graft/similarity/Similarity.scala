@@ -478,100 +478,158 @@ object Similarity {
 
   /** Layered-graph ANN geometry (the b12_hnsw family). Derandomized
     * HNSW (Malkov & Yashunin, TPAMI 2018): the level draw is the
-    * md5(vec_id) leading-hex-zero count (geometric, p = 1/16 — HNSW's
+    * md5(vec_id) leading-hex-zero COUNT (geometric, p = 1/16 — HNSW's
     * exponential layer thinning with the repo's portable hash replacing
-    * the RNG), construction is BATCH per layer instead of sequential
-    * insertion (per-layer R-nearest edges within OVERLAPPING quantizer
-    * cells — each vertex joins its `HnswOverlap` closest of the layer's
-    * md5-seeded cells, the DiskANN overlapping-clusters device that
-    * keeps the cell-bounded kNN graph connected across cell borders
-    * with no all-pairs stage anywhere), and search is the synchronous
-    * fixed-round analogue of HNSW's greedy descent: a (cos DESC, id)
-    * beam carried down the layers, width ef1 above / ef0 at the bottom,
-    * expanding through the bounded adjacency each round. Sequential
-    * insert-order dependence — the reason textbook HNSW cannot be
-    * hash-gated — is gone by construction; every stage is a join /
-    * window over md5-ordered or cosine-ordered totals, so DuckDB
+    * the RNG), capped at [[HnswMaxLayers]]-1; layer m holds every
+    * vector with lvl ≥ m (nested, n/16^m expected members). Search is
+    * the synchronous fixed-round analogue of HNSW's greedy descent: a
+    * (cos DESC, id) beam carried down the layers, narrow above / wide
+    * at the base, expanding through the bounded adjacency each round.
+    * Sequential insert-order dependence — the reason textbook HNSW
+    * cannot be hash-gated — is gone by construction; every stage is a
+    * join / window over md5-ordered or cosine-ordered totals, so DuckDB
     * replays the whole index AND the whole search (the b16
-    * unrolled-CTE device). At 100 TB: layer ℓ holds n/16^ℓ vectors;
-    * cells scale with layer size (numCells ≈ |layer|/target cell) so
-    * construction stays cell-bounded at every layer; per-query search
-    * work is rounds·beam·R scored candidates — independent of corpus
-    * size, the entire point of the navigable-graph family. */
-  private[similarity] val HnswCells0 = 16
-  private[similarity] val HnswCells1 = 4
-  private[similarity] val HnswR0 = 8
-  private[similarity] val HnswR1 = 4
-  private[similarity] val HnswBeam0 = 12
-  private[similarity] val HnswBeam1 = 4
-  private[similarity] val HnswRounds0 = 3
-  private[similarity] val HnswRounds1 = 2
-  private[similarity] val HnswEntryN = 4
-  private[similarity] val HnswOverlap = 2
+    * unrolled-CTE device).
+    *
+    * r9 build re-plan (the r8 weak mark): the old per-layer quantizer
+    * assigned members to md5-seeded cells via a members × seeds
+    * crossJoin with cells ∝ n/64 — a Θ(n²/64) assignment stage under an
+    * n/64-row broadcast. The new build routes assignment through the
+    * layer hierarchy itself (the HNSW/DiskANN insert shape, batched
+    * top-down): every member finds its [[HnswOverlap]] nearest LAYER-m
+    * vertices by scoring only the layer-m vertices REACHABLE from its
+    * layer-(m+1) parents — layer-m vertices are keyed by their OWN
+    * parent id, so the candidate step is an equi-join on parent id,
+    * never a cross product; a member of layer m then builds its
+    * [[HnswR]]-nearest edges inside its parent-keyed cell (expected
+    * size 16·overlap, corpus-independent). Assignment work per layer is
+    * Θ(n · overlap² · 16) scorings, edge work Θ(n · (16·overlap)²) —
+    * linear in n at every layer, and no broadcast anywhere that grows
+    * with the corpus. The top of the hierarchy needs no special case: a
+    * layer with nothing above keys everything to the root cell (-1),
+    * and because the first non-empty layer from the top has O(16)
+    * expected members, the one bipartite stage this produces is
+    * bounded. [[HnswMaxLayers]] plays HNSW's mL role — pick
+    * ⌈log₁₆(expected corpus / 16)⌉ at deploy time (4 covers ~10⁶, 8
+    * covers ~10¹⁰ vectors); layers that come out empty cost nothing on
+    * either engine (their joins are vacuous), so over-provisioning is
+    * cheap and the gate runs the same chain the cluster would. */
+  private[similarity] val HnswMaxLayers = 4
+  private[similarity] val HnswR = 12
+  private[similarity] val HnswOverlap = 3
+  private[similarity] val HnswBeamU = 12
+  private[similarity] val HnswRoundsU = 2
+  private[similarity] val HnswBeam0 = 64
+  private[similarity] val HnswRounds0 = 4
+  private[similarity] val HnswEntryN = 12
+  /** Builder-constant fingerprint folded into the snapshot cache key so
+    * a retuned build can never serve a stale index (r8 ADVICE). */
+  private[similarity] def hnswParams =
+    s"L${HnswMaxLayers}r${HnswR}o${HnswOverlap}"
 
-  /** One layer's bounded-out-degree neighbor lists: members assign to
-    * their [[HnswOverlap]] closest md5-seeded cells (broadcast k-row
-    * seed set), R-nearest edges form inside each cell's member set —
-    * candidate fan-out is cell-bounded, and the overlap stitches
-    * adjacent cells into one navigable component. */
-  private[similarity] def hnswLayerEdges(members: DataFrame, numCells: Int, r: Int): DataFrame = {
-    // cell count scales with the layer (floor numCells, target ~64
-    // members/cell across the 2-cell overlap) so per-cell pair fan-out
-    // stays bounded as the corpus grows — the IVF numCells ≈ √n rule
-    // applied per layer; both engines derive it from the same COUNT
-    val cells = math.max(numCells, (members.count() / 64L).toInt)
-    val seeds = members
-      .withColumn("__h", md5(col("vec_id").cast("string")))
-      .orderBy(col("__h"), col("vec_id")).limit(cells)
-      .select(col("vec_id").as("cell_id"), col("q").as("cq"), col("norm").as("cnorm"))
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
-    val assigned = members.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("q"), col("norm"), col("cell_id"),
-        cosinePre(col("q"), col("cq"), col("norm"), col("cnorm")).as("sim"))
-      .withColumn("rn", row_number().over(aw)).filter(col("rn") <= HnswOverlap)
-      .select(col("cell_id"), col("vec_id"), col("q"), col("norm"))
-    val a = assigned.toDF("cell_id", "src", "sq", "sn")
-    val b = assigned.toDF("cell_id", "dst", "dq", "dn")
-    val pairs = a.join(b, Seq("cell_id")).where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        cosinePre(col("sq"), col("dq"), col("sn"), col("dn")).as("sim"))
-      .distinct() // a pair sharing both overlap cells appears twice, identically
-    val nw = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
-    pairs.withColumn("rn", row_number().over(nw)).filter(col("rn") <= r)
-      .select(col("src"), col("dst"))
+  /** (vec_id, q, norm, __h, lvl): the portable level draw — md5
+    * leading-'0' count capped at the layer budget. */
+  private[similarity] def hnswLeveled(e: DataFrame): DataFrame =
+    e.withColumn("__h", md5(col("vec_id").cast("string")))
+      .withColumn("lvl", least(lit(HnswMaxLayers - 1),
+        length(regexp_extract(col("__h"), "^0*", 0))))
+
+  /** The full hierarchy build: every layer's bounded-out-degree
+    * adjacency as ONE frame (layer, src, dst) — built top-down in
+    * [[HnswMaxLayers]] stages of (residency equi-join, in-cell R-NN
+    * window, parent-descent assignment), per the scaladoc above.
+    * `logStats` (the PROBE_STRESS_ANN path) prints per-stage member /
+    * pair / assignment-candidate row counts so the probe can assert
+    * ~linear growth of the assignment AND pair stages, not just wall. */
+  private[similarity] def hnswBuild(e: DataFrame, logStats: Boolean = false): DataFrame = {
+    val lv = hnswLeveled(e).select(col("vec_id"), col("q"), col("norm"), col("lvl"))
+      .localCheckpoint(true)
+    // A_{m+1}: each member's ≤ Overlap nearest layer-(m+1) vertices
+    var parents: Option[DataFrame] = None
+    var adj: DataFrame = null
+    for (m <- (HnswMaxLayers - 1) to 0 by -1) {
+      val layerM = lv.filter(col("lvl") >= m).select(col("vec_id"), col("q"), col("norm"))
+      // overlap-cell residency for layer-m members: parent id at layer
+      // m+1, or the root cell when nothing sits above (uniform fallback
+      // — a missing/empty upper layer coalesces to -1 on both engines)
+      val cellAssign = parents match {
+        case None => layerM.withColumn("cell_id", lit(-1L))
+        case Some(p) => layerM
+          .join(p.select(col("vec_id"), col("parent").as("cell_id")), Seq("vec_id"), "left")
+          .na.fill(-1L, Seq("cell_id"))
+      }
+      val a = cellAssign.select(col("cell_id"), col("vec_id").as("src"),
+        col("q").as("sq"), col("norm").as("sn"))
+      val b = cellAssign.select(col("cell_id"), col("vec_id").as("dst"),
+        col("q").as("dq"), col("norm").as("dn"))
+      val pairs = a.join(b, Seq("cell_id")).where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          cosinePre(col("sq"), col("dq"), col("sn"), col("dn")).as("sim"))
+        .distinct() // a pair sharing both overlap cells appears twice, identically
+      val nw = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+      val layerAdj = pairs.withColumn("rn", row_number().over(nw)).filter(col("rn") <= HnswR)
+        .select(lit(m).as("layer"), col("src"), col("dst"))
+      adj = if (adj == null) layerAdj else adj.unionByName(layerAdj)
+      if (logStats)
+        println(s"  hnsw build layer=$m members=${layerM.count()} pairs=${pairs.count()}")
+      if (m > 0) {
+        // descend: every member's Overlap nearest layer-m vertices;
+        // candidates = layer-m vertices sharing one of the member's
+        // layer-(m+1) parents (the root key matches only when layer m+1
+        // is empty) — an equi-join on parent id with bounded fan-out
+        val memberKeys = parents match {
+          case None => lv.select(col("vec_id"), lit(-1L).as("cell_id"))
+          case Some(p) => p.select(col("vec_id"), col("parent").as("cell_id"))
+            .unionByName(lv.select(col("vec_id"), lit(-1L).as("cell_id")))
+        }
+        val candIds = memberKeys
+          .join(cellAssign.select(col("cell_id"), col("vec_id").as("cand_id")), Seq("cell_id"))
+          .select(col("vec_id"), col("cand_id")).distinct()
+        if (logStats)
+          println(s"  hnsw assign layer=$m cand_pairs=${candIds.count()}")
+        val scored = candIds
+          .join(lv.select(col("vec_id"), col("q"), col("norm")), Seq("vec_id"))
+          .join(layerM.select(col("vec_id").as("cand_id"), col("q").as("cq"),
+            col("norm").as("cnorm")), Seq("cand_id"))
+          .select(col("vec_id"), col("cand_id"),
+            cosinePre(col("q"), col("cq"), col("norm"), col("cnorm")).as("sim"))
+        val aw = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cand_id"))
+        parents = Some(scored.withColumn("rn", row_number().over(aw))
+          .filter(col("rn") <= HnswOverlap)
+          .select(col("vec_id"), col("cand_id").as("parent"))
+          .localCheckpoint(true)) // one eager cut per descent stage
+      }
+    }
+    adj
   }
 
-  /** B12 scale path #6 (r8) — the layered-graph (HNSW-ish) ANN search:
-    * entry set = the [[HnswEntryN]] vertices first under (level DESC,
-    * md5, id); [[HnswRounds1]] narrow-beam rounds through the thin
-    * upper layer's adjacency; then [[HnswRounds0]] wide-beam rounds
-    * through the base layer with the visited POOL accumulating (the
-    * ef-search candidate set), top-k of the pool minus self at the
-    * end. Per-round state is |queries|·beam ids; every expansion is an
-    * equi-join on the bounded adjacency — per-query cost independent of
-    * corpus size. Fully deterministic, replayed end to end by the
-    * DuckDB oracle. */
-  def hnswTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+  /** B12 scale path #6 (r8, build re-planned r9) — the layered-graph
+    * (HNSW-ish) ANN search: entry set = the [[HnswEntryN]] vertices
+    * first under (level DESC, md5, id); [[HnswRoundsU]] narrow-beam
+    * rounds through each non-empty upper layer's adjacency, top down;
+    * then [[HnswRounds0]] wide-beam rounds through the base layer with
+    * the visited POOL accumulating (the ef-search candidate set), top-k
+    * of the pool minus self at the end. Per-round state is
+    * |queries|·beam ids; every expansion is an equi-join on the bounded
+    * adjacency — per-query cost independent of corpus size. Fully
+    * deterministic, replayed end to end by the DuckDB oracle. */
+  def hnswTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      logStats: Boolean = false): DataFrame = {
     val e = quantizedWithNorm(embeddings).cache()
-    val lv = e.withColumn("__h", md5(col("vec_id").cast("string")))
-      .withColumn("lvl", when(col("__h").startsWith("0"), 1).otherwise(0))
-    val out = hnswTopKWith(e, lv, queryPred,
-      hnswLayerEdges(e, HnswCells0, HnswR0).localCheckpoint(true),
-      hnswLayerEdges(
-        lv.filter(col("lvl") === 1).select(col("vec_id"), col("q"), col("norm")),
-        HnswCells1, HnswR1).localCheckpoint(true), k)
+    val out = hnswTopKWith(e, queryPred, hnswBuild(e, logStats).localCheckpoint(true), k)
     e.unpersist()
     out
   }
 
-  /** [[hnswTopK]] with PREBUILT layer adjacencies — the seam the gated
+  /** [[hnswTopK]] with the PREBUILT hierarchy — the seam the gated
     * queries inject the materialize-once index through: HNSW is THE
-    * build-once/query-many structure, so at 100 TB the layer edge
-    * tables are bucketed tables written at index-build time
+    * build-once/query-many structure, so at 100 TB the (layer, src,
+    * dst) adjacency is a bucketed table written at index-build time
     * ([[graft.SnapshotStore]]) and search pays only the beam descent.
     * Content identical to deriving inline. */
-  private def hnswTopKWith(e: DataFrame, lv: DataFrame, queryPred: Column,
-      n0: DataFrame, n1: DataFrame, k: Int): DataFrame = {
+  private def hnswTopKWith(e: DataFrame, queryPred: Column,
+      adj: DataFrame, k: Int): DataFrame = {
+    val lv = hnswLeveled(e)
     val entry = lv.orderBy(col("lvl").desc, col("__h"), col("vec_id"))
       .limit(HnswEntryN).select(col("vec_id"))
     val qs = e.filter(queryPred).toDF("query_id", "qq", "qnorm").cache()
@@ -589,15 +647,24 @@ object Similarity {
         beam.join(nbrs, col("vec_id") === col("src"))
           .select(col("query_id"), col("dst").as("vec_id")))
         .distinct()
-    // one eager cut per descent round on the POOL only (the sole frame
-    // referenced twice downstream); the beams are cheap windows over it
+    val layers = (0 until HnswMaxLayers).map(m =>
+      adj.filter(col("layer") === m).select(col("src"), col("dst")))
+    // rounds through an EMPTY upper layer are skipped: with |beam| ≤
+    // BeamU (EntryN ≤ BeamU, and every round's output is ≤ BeamU) the
+    // empty-expansion re-rank is the identity on the beam SET, so the
+    // skip is result-identical to the oracle's uniformly-unrolled chain
+    require(HnswEntryN <= HnswBeamU, "empty-layer skip needs EntryN <= BeamU")
+    val live = (1 until HnswMaxLayers).map(m => !layers(m).isEmpty)
     var beam = qs.select(col("query_id")).crossJoin(broadcast(entry))
       .localCheckpoint(true)
-    for (_ <- 1 to HnswRounds1)
-      beam = topb(expand(beam, n1), HnswBeam1).localCheckpoint(true)
+    for (m <- (HnswMaxLayers - 1) to 1 by -1; if live(m - 1); _ <- 1 to HnswRoundsU)
+      beam = topb(expand(beam, layers(m)), HnswBeamU).localCheckpoint(true)
+    // base layer: the visited POOL accumulates (the ef-search candidate
+    // set); one eager cut per round on the pool only — the sole frame
+    // referenced twice downstream; the beams are cheap windows over it
     var pool = beam
     for (_ <- 1 to HnswRounds0) {
-      pool = pool.unionByName(expand(beam, n0)).distinct().localCheckpoint(true)
+      pool = pool.unionByName(expand(beam, layers(0))).distinct().localCheckpoint(true)
       beam = topb(pool, HnswBeam0)
     }
     val fw = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
@@ -610,24 +677,18 @@ object Similarity {
     out.orderBy(col("query_id"), col("rn"))
   }
 
-  /** Snapshot-backed entry point: the layer adjacencies come from
+  /** Snapshot-backed entry point: the layer hierarchy comes from ONE
     * materialize-once keyed parquet (built on first touch, then served
     * from disk — the index lifecycle), search runs per call. */
   private[similarity] def hnswTopKSnapshotted(s: SparkSession, dir: String,
       queryPred: Column, k: Int = 10): DataFrame = {
     val e = quantizedWithNorm(Tables.embeddings(s, dir)).cache()
-    val lv = e.withColumn("__h", md5(col("vec_id").cast("string")))
-      .withColumn("lvl", when(col("__h").startsWith("0"), 1).otherwise(0))
-    val n0 = graft.SnapshotStore(s, dir, "embeddings.parquet", "hnsw_l0") {
-      hnswLayerEdges(quantizedWithNorm(Tables.embeddings(s, dir)),
-        HnswCells0, HnswR0).repartition(col("src"))
+    val adj = graft.SnapshotStore(s, dir, "embeddings.parquet",
+        s"hnsw_adj_$hnswParams", params = hnswParams) {
+      hnswBuild(quantizedWithNorm(Tables.embeddings(s, dir)))
+        .repartition(col("layer"), col("src"))
     }
-    val n1 = graft.SnapshotStore(s, dir, "embeddings.parquet", "hnsw_l1") {
-      val ee = quantizedWithNorm(Tables.embeddings(s, dir))
-      hnswLayerEdges(ee.filter(md5(col("vec_id").cast("string")).startsWith("0")),
-        HnswCells1, HnswR1).repartition(col("src"))
-    }
-    val out = hnswTopKWith(e, lv, queryPred, n0, n1, k)
+    val out = hnswTopKWith(e, queryPred, adj, k)
     e.unpersist()
     out
   }
@@ -1452,77 +1513,112 @@ object Similarity {
                FROM qp p JOIN asgn a USING (cell_id)
                WHERE a.vec_id <> p.query_id)"""
 
-  /** One layer's edge chain in SQL — md5-ranked cell seeds, overlap-2
-    * assignment, DISTINCT in-cell pair sims, per-src R-nearest — the
-    * literal replay of [[hnswLayerEdges]] (same window orders). */
-  private def hnswLayerSql(memberCte: String, cells: Int, r: Int, tag: String) = s"""
-      hc$tag AS (SELECT vec_id AS cell_id, q AS cq, norm AS cnorm FROM (
-          SELECT *, ROW_NUMBER() OVER (
-            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn FROM $memberCte)
-        WHERE srn <= GREATEST($cells,
-          (SELECT COUNT(*) FROM $memberCte) // 64)),
-      hd$tag AS (SELECT v.vec_id, v.q, v.norm, c.cell_id,
-          CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / (v.norm * c.cnorm) AS sim
-        FROM $memberCte v, hc$tag c),
-      ha$tag AS (SELECT cell_id, vec_id, q, norm FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-            ORDER BY sim DESC, cell_id) AS rn FROM hd$tag) WHERE rn <= $HnswOverlap),
-      hp$tag AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+  /** One hierarchy stage in SQL (stage m, top-down): layer-m overlap
+    * cells via the parent equi-join with the root (-1) fallback
+    * (hcell), DISTINCT in-cell pair sims + per-src R-nearest (hn), and
+    * — for m > 0 — every member's [[HnswOverlap]] nearest layer-m
+    * vertices found through the parent-keyed candidate join (ha) — the
+    * literal replay of [[hnswBuild]] (same window orders, same
+    * fallback), one stage of the r9 linear-assignment build. Every CTE
+    * is AS MATERIALIZED (the b16 device, GraphOps:1077): the stages
+    * chain 4 deep and reference each other 2-3×, so DuckDB's default
+    * inlining re-executes subtrees exponentially in depth — measured
+    * as ~20 min/query at sf0.01 vs seconds materialized. */
+  private def hnswStageSql(m: Int): String = {
+    val cell =
+      if (m == HnswMaxLayers - 1) s"""
+      hcell$m AS MATERIALIZED (SELECT vec_id, q, norm, CAST(-1 AS BIGINT) AS cell_id
+        FROM hlv WHERE lvl >= $m)"""
+      else s"""
+      hcell$m AS MATERIALIZED (SELECT l.vec_id, l.q, l.norm,
+          COALESCE(p.parent, CAST(-1 AS BIGINT)) AS cell_id
+        FROM (SELECT vec_id, q, norm FROM hlv WHERE lvl >= $m) l
+        LEFT JOIN ha${m + 1} p ON p.vec_id = l.vec_id)"""
+    val edges = s"""
+      hp$m AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
           CAST(${dotSql("a.q", "b.q")} AS DOUBLE) / (a.norm * b.norm) AS sim
-        FROM ha$tag a JOIN ha$tag b USING (cell_id) WHERE a.vec_id <> b.vec_id),
-      hn$tag AS (SELECT src, dst FROM (
+        FROM hcell$m a JOIN hcell$m b USING (cell_id) WHERE a.vec_id <> b.vec_id),
+      hn$m AS MATERIALIZED (SELECT src, dst FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
-          FROM hp$tag) WHERE rn <= $r)"""
+          FROM hp$m) WHERE rn <= $HnswR)"""
+    val assign = if (m == 0) "" else {
+      val keys =
+        if (m == HnswMaxLayers - 1)
+          s"SELECT vec_id, CAST(-1 AS BIGINT) AS cell_id FROM hlv"
+        else s"""SELECT vec_id, parent AS cell_id FROM ha${m + 1}
+          UNION ALL SELECT vec_id, CAST(-1 AS BIGINT) AS cell_id FROM hlv"""
+      s""",
+      hmk$m AS MATERIALIZED ($keys),
+      hcd$m AS MATERIALIZED (SELECT DISTINCT k.vec_id, c.vec_id AS cand_id
+        FROM hmk$m k JOIN hcell$m c USING (cell_id)),
+      ha$m AS MATERIALIZED (SELECT vec_id, cand_id AS parent FROM (
+          SELECT d.vec_id, d.cand_id,
+            ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+              CAST(${dotSql("v.q", "c.q")} AS DOUBLE) / (v.norm * c.norm) DESC,
+              d.cand_id) AS rn
+          FROM hcd$m d JOIN hlv v ON v.vec_id = d.vec_id
+          JOIN hlv c ON c.vec_id = d.cand_id)
+        WHERE rn <= $HnswOverlap)"""
+    }
+    s"$cell,$edges$assign"
+  }
 
-  /** The full layered-ANN replay (assumes `e`, `en`): level draw, both
-    * layers' adjacency, entry set, and the unrolled beam descent —
-    * [[HnswRounds1]] narrow rounds then [[HnswRounds0]] pool-
-    * accumulating wide rounds (UNION = Spark's union+distinct), ending
-    * in `htop` (query_id, vec_id, cosine, rn ≤ 10). */
+  /** The full layered-ANN replay (assumes `e`, `en`): capped level
+    * draw, all [[HnswMaxLayers]] stages of the parent-descent build,
+    * entry set, and the unrolled beam descent — [[HnswRoundsU]] narrow
+    * rounds per upper layer (empty layers are vacuous no-ops: the beam
+    * set is its own fixpoint, matching the Spark side's skip), then
+    * [[HnswRounds0]] pool-accumulating wide rounds (UNION = Spark's
+    * union+distinct), ending in `htop` (query_id, vec_id, cosine,
+    * rn ≤ 10). */
   private lazy val hnswChainSql: String = {
     def scoreSql(fromCte: String, outCte: String) = s"""
       $outCte AS (SELECT x.query_id, x.vec_id,
           CAST(${dotSql("qv.qq", "en.q")} AS DOUBLE) / (qv.qnorm * en.norm) AS cos
         FROM $fromCte x JOIN en ON en.vec_id = x.vec_id
         JOIN hqs qv ON qv.query_id = x.query_id)"""
-    val l1 = (1 to HnswRounds1).map { i =>
-      val prev = s"hb${i - 1}"
-      s"""
+    var i = 0
+    val upper = ((HnswMaxLayers - 1) to 1 by -1).flatMap { m =>
+      (1 to HnswRoundsU).map { _ =>
+        i += 1
+        val prev = s"hb${i - 1}"
+        s"""
       hx$i AS (SELECT query_id, vec_id FROM $prev
           UNION
           SELECT b.query_id, n.dst AS vec_id FROM $prev b
-          JOIN hn1 n ON n.src = b.vec_id),
+          JOIN hn$m n ON n.src = b.vec_id),
       ${scoreSql(s"hx$i", s"hs$i")},
-      hb$i AS (SELECT query_id, vec_id FROM (
+      hb$i AS MATERIALIZED (SELECT query_id, vec_id FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY cos DESC, vec_id) AS rn FROM hs$i) WHERE rn <= $HnswBeam1)"""
+            ORDER BY cos DESC, vec_id) AS rn FROM hs$i) WHERE rn <= $HnswBeamU)"""
+      }
     }.mkString(",")
+    val lastUpper = i
     val l0 = (1 to HnswRounds0).map { j =>
-      val prevPool = if (j == 1) s"hb$HnswRounds1" else s"hpx${j - 1}"
-      val prevBeam = if (j == 1) s"hb$HnswRounds1" else s"hbb${j - 1}"
+      val prevPool = if (j == 1) s"hb$lastUpper" else s"hpx${j - 1}"
+      val prevBeam = if (j == 1) s"hb$lastUpper" else s"hbb${j - 1}"
       s"""
-      hpx$j AS (SELECT query_id, vec_id FROM $prevPool
+      hpx$j AS MATERIALIZED (SELECT query_id, vec_id FROM $prevPool
           UNION
           SELECT b.query_id, n.dst AS vec_id FROM $prevBeam b
           JOIN hn0 n ON n.src = b.vec_id),
       ${scoreSql(s"hpx$j", s"hps$j")},
-      hbb$j AS (SELECT query_id, vec_id FROM (
+      hbb$j AS MATERIALIZED (SELECT query_id, vec_id FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cos DESC, vec_id) AS rn FROM hps$j) WHERE rn <= $HnswBeam0)"""
     }.mkString(",")
-    s"""hlv AS (SELECT vec_id, q, norm, md5(CAST(vec_id AS VARCHAR)) AS h,
-          CASE WHEN md5(CAST(vec_id AS VARCHAR)) LIKE '0%' THEN 1 ELSE 0 END AS lvl
+    s"""hlv AS MATERIALIZED (SELECT vec_id, q, norm, md5(CAST(vec_id AS VARCHAR)) AS h,
+          LEAST(${HnswMaxLayers - 1},
+            length(regexp_extract(md5(CAST(vec_id AS VARCHAR)), '^0*'))) AS lvl
         FROM en),
-      hm1 AS (SELECT vec_id, q, norm FROM hlv WHERE lvl = 1),
-      ${hnswLayerSql("en", HnswCells0, HnswR0, "0")},
-      ${hnswLayerSql("hm1", HnswCells1, HnswR1, "1")},
-      hent AS (SELECT vec_id FROM (
+      ${((HnswMaxLayers - 1) to 0 by -1).map(hnswStageSql).mkString(",")},
+      hent AS MATERIALIZED (SELECT vec_id FROM (
           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY lvl DESC, h, vec_id) AS rn
           FROM hlv) WHERE rn <= $HnswEntryN),
-      hqs AS (SELECT vec_id AS query_id, q AS qq, norm AS qnorm FROM en
+      hqs AS MATERIALIZED (SELECT vec_id AS query_id, q AS qq, norm AS qnorm FROM en
         WHERE vec_id % 100 = 0),
-      hb0 AS (SELECT q.query_id, e2.vec_id FROM hqs q CROSS JOIN hent e2),
-      $l1,
+      hb0 AS MATERIALIZED (SELECT q.query_id, e2.vec_id FROM hqs q CROSS JOIN hent e2),
+      $upper,
       $l0,
       ${scoreSql(s"hpx$HnswRounds0", "hfs")},
       htop AS (SELECT query_id, vec_id, cos AS cosine, CAST(rn AS INT) AS rn FROM (
@@ -1991,12 +2087,12 @@ object Similarity {
     // descent — replayed in SQL (the b16 unrolled-CTE device)
     "b12_hnsw_topk" -> s"""
       WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
-      en AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
+      en AS MATERIALIZED (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
       $hnswChainSql
       SELECT query_id, vec_id, cosine, rn FROM htop ORDER BY query_id, rn""",
     "b12_hnsw_recall" -> s"""
       WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
-      en AS (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
+      en AS MATERIALIZED (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
       $hnswChainSql,
       $BruteSimsSql,
       btop AS (SELECT query_id, vec_id FROM (

@@ -89,28 +89,35 @@ object Streaming {
   def concurrency(events: DataFrame): DataFrame =
     concurrencyOfSessions(sessionsBatch(events))
 
+  /** Interval table → per-instant net boundary deltas (day, ts, net) —
+    * the additive representation the sweep line runs on, and the form
+    * frozen history is stored in by the streaming refresh (net rows
+    * from disjoint interval sets just re-group by sum). Zero-net
+    * instants (point sessions) are KEPT — the curve's boundary count
+    * includes them. */
+  private[graft] def sessionDeltas(s: DataFrame): DataFrame =
+    s.select(col("session_start").as("ts"), lit(1L).as("d"))
+      .unionAll(s.select(col("session_end").as("ts"), lit(-1L).as("d")))
+      .withColumn("day", expr("unix_date(to_date(cast(ts as timestamp)))"))
+      .groupBy(col("day"), col("ts")).agg(sum(col("d")).as("net"))
+
   /** [[concurrency]]'s sweep line over any (session_start, session_end)
     * interval table — the seam the streaming refresh twin feeds its
     * accumulated session state through. */
-  private[graft] def concurrencyOfSessions(s: DataFrame): DataFrame = {
-    val deltas = s.select(col("session_start").as("ts"), lit(1L).as("d"))
-      .unionAll(s.select(col("session_end").as("ts"), lit(-1L).as("d")))
+  private[graft] def concurrencyOfSessions(s: DataFrame): DataFrame =
+    concurrencyOfDeltas(sessionDeltas(s))
+
+  /** The sweep line over a pre-grouped (day, ts, net) delta table. */
+  private[graft] def concurrencyOfDeltas(deltas: DataFrame): DataFrame = {
     val net = deltas
-      .withColumn("day", expr("unix_date(to_date(cast(ts as timestamp)))"))
-      .groupBy(col("day"), col("ts")).agg(sum(col("d")).as("net"))
       .localCheckpoint(true) // feeds the in-day prefix AND the day totals
-    val wIn = Window.partitionBy(col("day")).orderBy(col("ts"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val inDay = net.withColumn("run_in_day", sum(col("net")).over(wIn))
-    val wDays = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = net.groupBy(col("day")).agg(sum(col("net")).as("day_net"))
-      .withColumn("open_at_start", coalesce(sum(col("day_net")).over(wDays), lit(0L)))
-      .select(col("day"), col("open_at_start"))
-    inDay.join(carry, Seq("day"))
-      .withColumn("curve", col("open_at_start") + col("run_in_day"))
+    // r9: the shared two-level device (graft.ops.Prefix.prefixSum2L)
+    // replaces the hand-rolled in-day window + day carry; the global
+    // (empty-part) bin axis is day-bounded by construction
+    graft.ops.Prefix.prefixSum2L(net, Seq.empty, "day", Seq(col("ts")), Seq("net"))
+      .withColumn("curve", col("run_net"))
       .groupBy(col("day"))
-      .agg(min(col("open_at_start")).as("open_at_start"),
+      .agg(min(col("carry_net")).as("open_at_start"),
         max(col("curve")).as("peak_concurrent"),
         min_by(col("ts"), struct((-col("curve")).as("nc"), col("ts"))).as("peak_ts"),
         count(lit(1)).as("n_boundaries"))
@@ -149,34 +156,87 @@ object Streaming {
       .select(col("user_id"), col("session_start"), col("session_end"))
   }
 
-  /** B10 streaming twin (r8): the concurrency dashboard as a
-    * foreachBatch refresh with SESSIONS-SCALE state — never the event
-    * log: each micro-batch sessionizes locally, its intervals fold into
-    * the accumulated per-user interval set, and one gaps-and-islands
-    * re-merge restores the exact full-history sessions (see
-    * [[mergeSessionIntervals]] for why the fold is exact, including
-    * retroactive cross-batch session bridging — the case watermark
-    * session windows handle by delaying emission, handled here by
-    * keeping sessions revisable state). Every trigger's curve is
-    * bit-identical to [[concurrency]] on the event prefix
-    * (StreamingSpec pins a bridging batch). At 100 TB the interval
-    * state is a user-bucketed table and the fold is one co-partitioned
-    * merge — the ActiveUsersRefresh contract. */
-  final class SessionConcurrencyRefresh {
-    @volatile private var acc: Option[DataFrame] = None
+  /** B10 streaming twin (r8, state bounded r9): the concurrency
+    * dashboard as a foreachBatch refresh — each micro-batch sessionizes
+    * locally, its intervals fold into the per-user OPEN interval set,
+    * and one gaps-and-islands re-merge restores the exact full-history
+    * sessions (see [[mergeSessionIntervals]] for why the fold is exact,
+    * including retroactive cross-batch session bridging — the case
+    * watermark session windows handle by delaying emission, handled
+    * here by keeping sessions revisable state).
+    *
+    * State bound (r8 VERDICT #5): the r8 version folded every batch
+    * into the ALL-HISTORY interval set — state grew with the stream's
+    * life. An interval can only ever change by absorbing an event
+    * within 30 min of its span; under the stream's lateness contract
+    * (events arrive no more than `allowedLateness` behind the max seen
+    * event time) an interval whose end sits more than
+    * lateness + 30 min behind the frontier is IMMUTABLE — so it is
+    * evicted from the revisable set into a frozen (day, ts, net) DELTA
+    * aggregate, the additive form the sweep line consumes directly
+    * (freezing moves rows between the two inputs of one re-grouped sum,
+    * so every trigger's curve stays bit-identical to [[concurrency]] on
+    * the event prefix — StreamingSpec pins the bridge AND the
+    * frozen-path equality). State = open intervals (frontier-window-
+    * bounded) + the frozen curve (instant-grain, itself day-compactable
+    * downstream) — never all sessions ever. */
+  final class SessionConcurrencyRefresh(allowedLateness: String = "1 hour") {
+    @volatile private var open: Option[DataFrame] = None
+    @volatile private var frozen: Option[DataFrame] = None
+    @volatile private var frontier: Option[java.sql.Timestamp] = None
+    /** Open-interval state size — the boundedness hook the spec pins. */
+    private[graft] def openCount: Long = open.map(_.count()).getOrElse(0L)
+    private[graft] def frozenRows: Long = frozen.map(_.count()).getOrElse(0L)
     /** foreachBatch body: fold the micro-batch's session intervals into
-      * the accumulated per-user interval set. */
+      * the open set, then evict immutable intervals into the frozen
+      * delta aggregate. */
     def update(batch: DataFrame, batchId: Long): Unit = {
       val b = sessionsBatch(batch)
         .select(col("user_id"), col("session_start"), col("session_end"))
-      val merged = acc match {
+        .localCheckpoint(true) // consumed by the merge and the frontier max
+      val merged = open match {
         case Some(a) => mergeSessionIntervals(a.unionByName(b))
         case None => b
       }
-      acc = Some(merged.localCheckpoint(true))
+      val bMax = b.agg(max(col("session_end"))).head().getTimestamp(0)
+      frontier = (frontier.toSeq ++ Option(bMax)).reduceOption((x, y) =>
+        if (x.after(y)) x else y)
+      val cutoff = frontier.map(f => new java.sql.Timestamp(
+        f.getTime - intervalMs(allowedLateness) - 30L * 60 * 1000))
+      val all = merged.localCheckpoint(true)
+      val immutable = cutoff.map(c => all.where(col("session_end") < lit(c)))
+        .getOrElse(all.limit(0))
+      val newFrozen = frozen match {
+        case Some(fz) => fz.unionByName(sessionDeltas(immutable))
+          .groupBy(col("day"), col("ts")).agg(sum(col("net")).as("net"))
+        case None => sessionDeltas(immutable)
+      }
+      frozen = Some(newFrozen.localCheckpoint(true))
+      open = Some(cutoff.map(c => all.where(!(col("session_end") < lit(c))))
+        .getOrElse(all).localCheckpoint(true))
     }
-    /** Latest concurrency curve (None before the first batch). */
-    def curve: Option[DataFrame] = acc.map(concurrencyOfSessions)
+    /** Latest concurrency curve (None before the first batch): the
+      * sweep line over frozen ∪ open deltas, re-grouped (an instant can
+      * straddle the two when an open interval starts before the
+      * cutoff). */
+    def curve: Option[DataFrame] = open.map { o =>
+      val deltas = frozen match {
+        case Some(fz) => fz.unionByName(sessionDeltas(o))
+          .groupBy(col("day"), col("ts")).agg(sum(col("net")).as("net"))
+        case None => sessionDeltas(o)
+      }
+      concurrencyOfDeltas(deltas)
+    }
+  }
+
+  /** "1 hour" / "30 minutes" → millis (the tiny subset the refreshers
+    * use; CalendarInterval would drag timezone semantics in for two
+    * fixed-length units). */
+  private def intervalMs(spec: String): Long = spec.trim.split("\\s+") match {
+    case Array(n, u) if u.toLowerCase.startsWith("hour") => n.toLong * 3600 * 1000
+    case Array(n, u) if u.toLowerCase.startsWith("min") => n.toLong * 60 * 1000
+    case Array(n, u) if u.toLowerCase.startsWith("sec") => n.toLong * 1000
+    case _ => throw new IllegalArgumentException(s"unsupported interval: $spec")
   }
 
   /** B10: trailing-window spike detection — flag events whose value

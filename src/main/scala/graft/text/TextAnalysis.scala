@@ -93,7 +93,9 @@ object TextAnalysis {
     docs.join(ranks, Seq("source", "score_mi"))
       .join(broadcast(n), Seq("source"))
       .select($"doc_id", $"source", $"score_mi", $"src_rank",
-        when($"n" > 1, expr("((src_rank - 1) * 1000000000) div (n - 1)"))
+        // DECIMAL(38) product (r9, Relational.psiDriftQuery note)
+        when($"n" > 1,
+          expr("(CAST(src_rank - 1 AS DECIMAL(38,0)) * 1000000000) div (n - 1)"))
           .otherwise(0L).as("pct_ppb"))
       .orderBy($"doc_id")
   }
@@ -287,8 +289,9 @@ object TextAnalysis {
       .where(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      // DECIMAL(38) product (r9, Relational.psiDriftQuery note)
       .withColumn("containment_ppb",
-        expr("(1000000000L * n_common) div n_chunks_a"))
+        expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000000) div n_chunks_a"))
       .filter(col("containment_ppb") >= minPpb)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("n_chunks_a"), col("containment_ppb"))
@@ -418,7 +421,9 @@ object TextAnalysis {
       .withColumn("n_tokens", expr(
         "CAST((length(rep) - length(replace(rep, '||', ''))) div 2 AS BIGINT) - n_words"))
       .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_tokens"),
-        expr("(1000000000L * n_tokens) div n_chars").as("tokens_per_char_ppb"))
+        // DECIMAL(38) product (r9, Relational.psiDriftQuery note)
+        expr("(CAST(n_tokens AS DECIMAL(38,0)) * 1000000000) div n_chars")
+          .as("tokens_per_char_ppb"))
       .orderBy(col("doc_id"))
   }
 
@@ -697,7 +702,9 @@ object TextAnalysis {
     bi.join(uni.select($"w".as("w1"), $"c".as("c_x")), Seq("w1"))
       .join(uni.select($"w".as("w2"), $"c".as("c_y")), Seq("w2"))
       .select($"w1", $"w2", $"c_xy", $"c_x", $"c_y",
-        expr("(2 * c_xy * 1000000000) div (c_x + c_y)").as("dice_ppb"))
+        // DECIMAL(38) product (r9, Relational.psiDriftQuery note)
+        expr("(CAST(2 AS DECIMAL(38,0)) * c_xy * 1000000000) div (c_x + c_y)")
+          .as("dice_ppb"))
       .orderBy($"dice_ppb".desc, $"w1", $"w2").limit(k)
   }
 
@@ -1152,8 +1159,11 @@ object TextAnalysis {
         count(lit(1)).as("n_types"),
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
       .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
-        expr("(n_types * 1000000000) div n_tokens").as("ttr_ppb"),
-        expr("(n_hapax * 1000000000) div n_types").as("hapax_ppb"))
+        // DECIMAL(38) products (r9, Relational.psiDriftQuery note)
+        expr("(CAST(n_types AS DECIMAL(38,0)) * 1000000000) div n_tokens")
+          .as("ttr_ppb"),
+        expr("(CAST(n_hapax AS DECIMAL(38,0)) * 1000000000) div n_types")
+          .as("hapax_ppb"))
       .orderBy(col("source"))
   }
 

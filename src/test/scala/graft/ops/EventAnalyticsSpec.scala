@@ -611,6 +611,25 @@ class EventAnalyticsSpec extends SparkSpec {
       s"fixture too coarse: median micro-bucket had only $bucket")
   }
 
+  test("theil-sen: out-of-domain day span fails loudly at the grid stage (r9 guard)") {
+    // the (kq, kf) order key is injective only for reduced denominators
+    // px ≤ 10⁶, and px ≤ span by construction — so theilSenOf guards
+    // the SPAN on the types-sized grid aggregate (r8 ADVICE): a planted
+    // span past 10⁶ must THROW there, BEFORE the day-axis explode and
+    // the O(span²) pair stage ever run (this test finishes in seconds
+    // precisely because the guard fires pre-explode — an in-pair-table
+    // guard would grind through ~5·10¹¹ pairs first).
+    def two(dx: Long): org.apache.spark.sql.DataFrame =
+      Seq(("buy", 0L, 0L), ("buy", dx, 1L)).toDF("event_type", "day", "cents")
+    val ex = intercept[Exception] {
+      EventAnalytics.theilSenOf(two(1000001L)).collect()
+    }
+    assert(ex.getMessage != null)
+    // in-domain spans keep working (tiny span; exact slope over the
+    // zero-filled grid is pinned by the neighboring exact-oracle test)
+    assert(EventAnalytics.theilSenOf(two(10L)).collect().length === 1)
+  }
+
   test("power analysis: hand p=0.2 baseline, monotone in lift, zero-conv guard (B10)") {
     // 10 users, 2 converters (value>=200 purchases) → p1 = 0.2
     val rows = (1 to 10).flatMap { u =>

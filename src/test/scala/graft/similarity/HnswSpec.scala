@@ -12,15 +12,20 @@ class HnswSpec extends SparkSpec {
 
   private def emb = graft.Tables.embeddings(spark, sfDir)
 
-  test("layer adjacency: out-degree bounded by R, no self-loops, edges distinct") {
+  test("hierarchy adjacency: per-layer out-degree <= R, no self-loops, distinct, nested") {
     val members = Similarity.quantizedWithNorm(emb)
-    val edges = Similarity.hnswLayerEdges(members, 16, 8).cache()
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val adj = Similarity.hnswBuild(members).cache()
+    val deg = adj.groupBy($"layer", $"src").agg(count(lit(1)).as("d"))
       .agg(max($"d")).head().getLong(0)
-    assert(deg <= 8, s"max out-degree $deg exceeds R=8")
-    assert(edges.filter($"src" === $"dst").count() === 0L)
-    assert(edges.distinct().count() === edges.count())
-    edges.unpersist()
+    assert(deg <= Similarity.HnswR, s"max out-degree $deg exceeds R=${Similarity.HnswR}")
+    assert(adj.filter($"src" === $"dst").count() === 0L)
+    assert(adj.distinct().count() === adj.count())
+    // nesting: a vertex with an edge at layer m must draw level >= m
+    val lv = Similarity.hnswLeveled(members).select($"vec_id", $"lvl")
+    val offLayer = adj.select($"layer", $"src".as("vec_id")).distinct()
+      .join(lv, Seq("vec_id")).filter($"lvl" < $"layer").count()
+    assert(offLayer === 0L, s"$offLayer adjacency rows sit above their vertex's level")
+    adj.unpersist()
   }
 
   test("search output is well-formed: <= k rows per query, rn dense, cosine ordered") {
@@ -46,11 +51,14 @@ class HnswSpec extends SparkSpec {
   }
 
   test("recall@10 vs brute force clears the acceptance floor") {
+    // r9 floor raised 0.5 -> 0.85 with the family norm (VERDICT r8 #4):
+    // the re-planned build + widened beam (R=12, Beam0=64, Rounds0=4,
+    // EntryN=12) measures mean 0.96 / min 0.90 at the 500-vector corpus
     val rec = Similarity.hnswRecallQuery(spark, sfDir).collect()
       .map(_.getAs[Double]("recall_at_10"))
     assert(rec.nonEmpty)
     val mean = rec.sum / rec.length
-    assert(mean >= 0.5, f"mean recall@10 $mean%.2f below the 0.5 floor")
+    assert(mean >= 0.85, f"mean recall@10 $mean%.2f below the 0.85 floor")
   }
 
   test("construction + search are deterministic: two runs bit-identical") {

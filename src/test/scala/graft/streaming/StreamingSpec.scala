@@ -357,6 +357,37 @@ class StreamingSpec extends SparkSpec {
     assert(d.map(_.getLong(2)).max === 2L)
   }
 
+  test("concurrency refresh state is bounded: immutable sessions freeze into " +
+    "the delta aggregate, curve stays == batch (B10, r9)") {
+    def e(id: Long, u: Long, t: String) =
+      Evt(id, Timestamp.valueOf(t), u, "view", 0)
+    // 40 users with closed morning sessions, then the frontier jumps to
+    // the evening: every morning interval ends > lateness + gap behind
+    // the frontier and must leave the open set — yet the full-history
+    // curve must still equal the batch sweep line on ALL events.
+    val morning = (1 to 40).flatMap { u =>
+      Seq(e(u * 2L, u, f"2024-03-01 08:${u % 50}%02d:00"),
+        e(u * 2L + 1, u, f"2024-03-01 08:${(u % 50) + 5}%02d:00"))
+    }
+    val evening = Seq(e(1001, 500, "2024-03-01 20:00:00"),
+      e(1002, 500, "2024-03-01 20:10:00"),
+      e(1003, 501, "2024-03-01 20:05:00"), e(1004, 501, "2024-03-01 20:20:00"))
+    val refresh = new Streaming.SessionConcurrencyRefresh("1 hour")
+    refresh.update(morning.toDF(), 0L)
+    val openAfterMorning = refresh.openCount
+    refresh.update(evening.toDF(), 1L)
+    // eviction: the 40 morning sessions are > 1h30m behind the 20:20
+    // frontier — only the 2 evening sessions may stay revisable
+    assert(refresh.openCount === 2L,
+      s"open set held ${refresh.openCount} intervals, expected the 2 evening ones")
+    assert(refresh.openCount < openAfterMorning)
+    assert(refresh.frozenRows > 0L, "nothing froze")
+    // exactness across the freeze seam: curve == batch on all events
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(refresh.curve.get) ===
+      rows(Streaming.concurrency((morning ++ evening).toDF())))
+  }
+
   test("series-triad streaming refresh: per-trigger trend/changepoint/autocorr " +
     "snapshots == batch kernels on the event prefix (B06, r8)") {
     // purchase rows feed all three kernels (autocorr is purchase-only);
