@@ -74,4 +74,28 @@ class SnapshotParitySpec extends SparkSpec {
     val inline = graft.text.TextAnalysis.bpeEncodeOf(Tables.documents(spark, sfDir))
     assert(rows(snap) === rows(inline))
   }
+
+  test("incremental index maintenance: extend-by-batch == full rebuild, " +
+    "bit-for-bit (shingle + band tables, r9)") {
+    // the add-batch seam (VERDICT r8 #8): per-doc index rows mean the
+    // O(batch) append must equal the O(corpus) rebuild EXACTLY — any
+    // drift (a batch-dependent constant, a re-hash) breaks ingest
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val sortedSh = (df: DataFrame) => rows(df.orderBy(df.columns.map(col): _*))
+    assert(sortedSh(Dedup.extendShingleIndex(Dedup.shingleHashes(corpus, 3), batch, 3))
+      === sortedSh(Dedup.shingleHashes(docs, 3)))
+    assert(sortedSh(Dedup.extendBandIndex(
+        Dedup.lshBands(Dedup.minHashSignaturesRow(corpus, 3)), batch, 3))
+      === sortedSh(Dedup.lshBands(Dedup.minHashSignaturesRow(docs, 3))))
+    // and the extended index SERVES: near-dup candidates over the
+    // extended band table equal the rebuilt table's candidates
+    val extended = Dedup.extendBandIndex(
+      Dedup.lshBands(Dedup.minHashSignaturesRow(corpus, 3)), batch, 3)
+    val rebuilt = Dedup.lshBands(Dedup.minHashSignaturesRow(docs, 3))
+    val pairsOf = (b: DataFrame) => rows(Dedup.candidatePairs(b).orderBy(col("a"), col("b")))
+    assert(pairsOf(extended) === pairsOf(rebuilt))
+  }
 }

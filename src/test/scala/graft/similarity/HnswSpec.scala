@@ -66,4 +66,45 @@ class HnswSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
     assert(run() === run())
   }
+
+  test("incremental insert: invariants hold, unaffected edges preserved, " +
+    "inserted vectors reachable with recall (r9)") {
+    val old = emb.filter($"vec_id" % 10 =!= 3)
+    val batch = emb.filter($"vec_id" % 10 === 3)
+    val eOld = Similarity.quantizedWithNorm(old)
+    val adj = Similarity.hnswBuild(eOld).localCheckpoint(true)
+    val ext = Similarity.hnswInsert(old, adj, batch).cache()
+    // structural invariants survive the insert (incl. re-pruned anchors)
+    val deg = ext.groupBy($"layer", $"src").agg(count(lit(1)).as("d"))
+      .agg(max($"d")).head().getLong(0)
+    assert(deg <= Similarity.HnswR, s"max out-degree $deg exceeds R after insert")
+    assert(ext.filter($"src" === $"dst").count() === 0L)
+    assert(ext.distinct().count() === ext.count())
+    // O(batch) locality: every non-anchor old edge is bit-identical
+    val newIds = batch.select($"vec_id").distinct()
+    val anchors = ext.join(newIds.toDF("src"), Seq("src"), "left_semi")
+      .select($"dst".as("src")).distinct() // targets of new out-edges
+    val oldUntouched = adj.join(anchors, Seq("src"), "left_anti")
+    val extUntouched = ext
+      .join(newIds.toDF("src"), Seq("src"), "left_anti")
+      .join(anchors, Seq("src"), "left_anti")
+    assert(extUntouched.exceptAll(oldUntouched).count() === 0L)
+    assert(oldUntouched.exceptAll(extUntouched).count() === 0L)
+    // reachability: inserted vectors appear as in-edge targets
+    val reachable = ext.join(newIds.toDF("dst"), Seq("dst"), "left_semi")
+      .select($"dst").distinct().count()
+    assert(reachable > 0L, "no inserted vector is an in-edge target")
+    // search quality over the EXTENDED corpus clears a floor: queries
+    // drawn from the old residue, brute force over old ∪ batch as truth
+    val eAll = Similarity.quantizedWithNorm(emb)
+    val got = Similarity.hnswDescend(eAll, ext,
+      eAll.filter($"vec_id" % 100 === 0).toDF("query_id", "qq", "qnorm"), 10)
+      .select($"query_id", $"vec_id")
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") % 100 === 0, k = 10)
+      .select($"query_id", $"vec_id")
+    val hits = got.join(truth, Seq("query_id", "vec_id")).count().toDouble
+    val recall = hits / truth.count()
+    assert(recall >= 0.7, f"post-insert recall@10 $recall%.2f below 0.7")
+    ext.unpersist()
+  }
 }
