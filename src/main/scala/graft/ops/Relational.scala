@@ -877,6 +877,54 @@ object Relational {
       .orderBy($"prio")
   }
 
+  /** B4 (r9): Mann-Whitney U with midrank tie correction — the RANK
+    * companion of [[ksTestQuery]]/[[welchTQuery]] (KS: "moved
+    * anywhere"; Welch: "mean moved"; U: "does one year stochastically
+    * dominate"), the standard nonparametric two-sample location test.
+    * Everything is exact integers up to one final IEEE z expression:
+    * midranks arrive DOUBLED (r2 = 2·midrank, the b04_kendall integer
+    * device, via the shared [[Prefix.prefixSum2L]] two-level prefix —
+    * no per-priority value sort in one reducer), so 2·R₁ = Σ ca·r2 and
+    * 2·U₁ = 2·R₁ − n₁(n₁+1) stay integral under ties; the tie term
+    * Σ(c³−c) feeds the tie-corrected normal variance. Products run in
+    * DECIMAL(38,0) (ca·r2 and c³ cross int64 at 100 TB counts — the
+    * psiDriftQuery discipline; output pieces cast back to BIGINT, which
+    * ANSI mode makes loud-on-overflow). z is one fixed double tree
+    * (casts, divide, sqrt — no transcendentals), replayed identically
+    * by the oracle. */
+  def mannWhitneyQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val yr = year($"o_orderdate")
+    val cc = Tables.orders(s, dir)
+      .filter(yr === 1997 || yr === 1998)
+      .select($"o_orderpriority".as("prio"),
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        when(yr === 1997, 1L).otherwise(0L).as("a"),
+        when(yr === 1998, 1L).otherwise(0L).as("b"))
+      .groupBy($"prio", $"cents")
+      .agg(sum($"a").as("ca"), sum($"b").as("cb"))
+      .withColumn("bin", expr("cents div 2500000"))
+      .localCheckpoint(true) // feeds the two-level prefix twice
+    val terms = Prefix.prefixSum2L(cc, Seq("prio"), "bin", Seq($"cents"), Seq("ca", "cb"))
+      .withColumn("c", $"ca" + $"cb")
+      .withColumn("r2", lit(2) * (($"run_ca" + $"run_cb") - $"c") + $"c" + 1)
+    terms.groupBy($"prio").agg(
+        sum($"ca").as("n1"), sum($"cb").as("n2"),
+        sum(expr("CAST(ca AS DECIMAL(38,0)) * r2")).as("s2r1"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("tie"))
+      .select($"prio", $"n1", $"n2",
+        expr("CAST(s2r1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)").as("u1_x2"),
+        expr("CAST(tie AS BIGINT)").as("tie_term"))
+      .withColumn("u2_x2", expr("CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2 - u1_x2 AS BIGINT)"))
+      .withColumn("z", expr(
+        """CAST(u1_x2 - CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE) /
+           (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
+             (CAST(n1 + n2 + 1 AS DOUBLE) -
+              CAST(tie_term AS DOUBLE) /
+                (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))"""))
+      .orderBy($"prio")
+  }
+
   /** B4 (r8): Welch's two-sample t — the parametric drift companion of
     * [[ksTestQuery]] (KS asks "did the distribution move anywhere",
     * Welch asks "did the MEAN move, variances unequal"): per order
@@ -1275,6 +1323,48 @@ object Relational {
       .select($"o_orderpriority", $"o_orderstatus", $"obs", $"row_tot",
         $"col_tot", $"n", $"expected", $"contrib")
       .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
+  /** B4 (r9): Cramér's V — the [0,1]-normalized association strength
+    * over the same priority × status contingency table [[chiSquareOf]]
+    * scores cell-by-cell (χ² says "dependent?"; V says "how much",
+    * comparable across table shapes). The per-cell term is the
+    * scale-safe IEEE form ((o·n − r·c) as one exact DECIMAL(38)
+    * difference cast to double BEFORE squaring — the square of the
+    * products would cross 10³⁸ at 100 TB counts); the cross-cell total
+    * uses the b13_lm_score ppb-quantization device: each term rounds to
+    * an integer ppb BEFORE the sum, so the aggregate is an
+    * order-insensitive BIGINT sum, never an order-dependent double fold
+    * (the axis is bounded, but gate determinism must not depend on
+    * that). χ²/V derive from the quantized total in one fixed IEEE
+    * tree; the quantization (≤ 0.5 ppb per cell) is part of the
+    * metric's definition, stated here rather than hidden. */
+  def cramersVQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint(true) // feeds row/col/total margins and the terms
+    val rowTot = cells.groupBy($"o_orderpriority").agg(sum($"obs").as("row_tot"))
+    val colTot = cells.groupBy($"o_orderstatus").agg(sum($"obs").as("col_tot"))
+    val total = cells.agg(sum($"obs").as("n"),
+      countDistinct($"o_orderpriority").as("nr"),
+      countDistinct($"o_orderstatus").as("nc"))
+    val terms = rowTot.crossJoin(colTot) // bounded margin axes
+      .join(cells, Seq("o_orderpriority", "o_orderstatus"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("obs", coalesce($"obs", lit(0L)))
+      .withColumn("d", expr(
+        "CAST(CAST(obs AS DECIMAL(38,0)) * n - CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DOUBLE)"))
+      .withColumn("contrib", $"d" * $"d" /
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * row_tot * col_tot AS DOUBLE)"))
+      .withColumn("contrib_ppb", expr("CAST(round(contrib * 1000000000) AS BIGINT)"))
+    terms.groupBy($"n", $"nr", $"nc")
+      .agg(sum($"contrib_ppb").as("chi2_ppb"), count(lit(1)).as("n_cells"))
+      .withColumn("cramers_v", expr(
+        """sqrt((CAST(chi2_ppb AS DOUBLE) / 1000000000.0) /
+           (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE)))"""))
+      .select($"n", $"nr", $"nc", $"n_cells", $"chi2_ppb", $"cramers_v")
   }
 
   /** B4 (r7 cont.): Spearman rank correlation per return flag — the
@@ -1892,6 +1982,8 @@ object Relational {
     "b04_spearman" -> (spearman _),
     "b04_kendall" -> (kendall _),
     "b04_ks_test" -> (ksTestQuery _),
+    "b04_mann_whitney" -> (mannWhitneyQuery _),
+    "b04_cramers_v" -> (cramersVQuery _),
     "b04_psi_drift" -> (psiDriftQuery _),
     "b04_welch_t" -> (welchTQuery _),
     "b04_chisq" -> (chiSquare _),
@@ -2379,6 +2471,67 @@ object Relational {
           / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS ks_d
       FROM pick p JOIN n USING (prio)
       ORDER BY prio""",
+    // per-cell IEEE terms from exact HUGEINT margins, ppb-quantized
+    // BEFORE the order-insensitive integer sum (the b13_lm_score device)
+    "b04_cramers_v" -> """
+      WITH cells AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+          FROM orders GROUP BY 1, 2),
+      rt AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS row_tot
+             FROM cells GROUP BY 1),
+      ct AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS col_tot
+             FROM cells GROUP BY 1),
+      t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+              COUNT(DISTINCT o_orderpriority) AS nr,
+              COUNT(DISTINCT o_orderstatus) AS nc FROM cells),
+      terms AS (SELECT
+          CAST(CAST(COALESCE(c.obs, 0) AS HUGEINT) * t.n
+               - CAST(r.row_tot AS HUGEINT) * ct.col_tot AS DOUBLE) AS d,
+          CAST(CAST(t.n AS HUGEINT) * r.row_tot * ct.col_tot AS DOUBLE) AS den,
+          t.n, t.nr, t.nc
+        FROM rt r CROSS JOIN ct
+        LEFT JOIN cells c USING (o_orderpriority, o_orderstatus)
+        CROSS JOIN t)
+      SELECT n, nr, nc, COUNT(*) AS n_cells,
+        CAST(SUM(CAST(round(d * d / den * 1000000000) AS BIGINT)) AS BIGINT) AS chi2_ppb,
+        sqrt((CAST(SUM(CAST(round(d * d / den * 1000000000) AS BIGINT)) AS DOUBLE)
+              / 1000000000.0)
+             / (CAST(n AS DOUBLE) * CAST(LEAST(nr, nc) - 1 AS DOUBLE))) AS cramers_v
+      FROM terms GROUP BY n, nr, nc""",
+    // doubled midranks via a plain cumulative window (== the engine's
+    // two-level prefix by the device's equivalence contract); HUGEINT
+    // carries the DECIMAL(38) products; z is the same fixed IEEE tree
+    "b04_mann_whitney" -> """
+      WITH r AS (SELECT o_orderpriority AS prio,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1997 THEN 1 ELSE 0 END AS a,
+          CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 1998 THEN 1 ELSE 0 END AS b
+        FROM orders
+        WHERE year(CAST(o_orderdate AS TIMESTAMP)) IN (1997, 1998)),
+      cc AS (SELECT prio, cents, CAST(SUM(a) AS BIGINT) AS ca,
+               CAST(SUM(b) AS BIGINT) AS cb
+             FROM r GROUP BY 1, 2),
+      rk AS (SELECT prio, cents, ca, cb, ca + cb AS c,
+          2 * (CAST(SUM(ca + cb) OVER (PARTITION BY prio ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - (ca + cb)) + (ca + cb) + 1 AS r2
+        FROM cc),
+      m AS (SELECT prio,
+          CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cb) AS BIGINT) AS n2,
+          SUM(CAST(ca AS HUGEINT) * r2) AS s2r1,
+          SUM(CAST(c AS HUGEINT) * c * c - c) AS tie
+        FROM rk GROUP BY 1)
+      SELECT prio, n1, n2,
+        CAST(s2r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+        CAST(tie AS BIGINT) AS tie_term,
+        CAST(2 * CAST(n1 AS HUGEINT) * n2
+             - (s2r1 - CAST(n1 AS HUGEINT) * (n1 + 1)) AS BIGINT) AS u2_x2,
+        CAST(s2r1 - CAST(n1 AS HUGEINT) * (n1 + 1)
+             - CAST(n1 AS HUGEINT) * n2 AS DOUBLE) /
+          (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
+            (CAST(n1 + n2 + 1 AS DOUBLE) -
+             CAST(tie AS DOUBLE) /
+               (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))) AS z
+      FROM m ORDER BY prio""",
     // six exact BIGINT moments per priority; t is one fixed IEEE tree
     // (means, Bessel variances, sqrt, divide — no transcendentals)
     "b04_welch_t" -> """

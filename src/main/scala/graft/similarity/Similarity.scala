@@ -760,6 +760,23 @@ object Similarity {
   def hnswQuery(s: SparkSession, dir: String): DataFrame =
     hnswTopKSnapshotted(s, dir, col("vec_id") % 100 === 0)
 
+  /** B12 (r9): the layered-graph INDEX ITSELF as a gated artifact — the
+    * full (layer, src, dst) hierarchy adjacency the r9 parent-descent
+    * build produces, hash-compared against DuckDB's replay of every
+    * stage (level draw, overlap-cell residency, in-cell R-NN, descent
+    * assignment). b12_hnsw_topk gates the search RESULT; this gates the
+    * structure the search navigates, so a build drift that happens not
+    * to move the gate queries' top-10 still fails. Served from the same
+    * materialize-once snapshot the search queries ride. */
+  def hnswAdjQuery(s: SparkSession, dir: String): DataFrame = {
+    val adj = graft.SnapshotStore(s, dir, "embeddings.parquet",
+        s"hnsw_adj_$hnswParams", params = hnswParams) {
+      hnswBuild(quantizedWithNorm(Tables.embeddings(s, dir)))
+        .repartition(col("layer"), col("src"))
+    }
+    adj.orderBy(col("layer"), col("src"), col("dst"))
+  }
+
   /** B12 (r8): the layered-graph acceptance gate — recall@10 of the
     * beam search vs exact brute force, completing the index-acceptance
     * family (IVF/PQ/SQ each have one). */
@@ -1473,6 +1490,7 @@ object Similarity {
     "b12_sq_recall" -> (sqRecallQuery _),
     "b12_inertia" -> (inertiaQuery _),
     "b12_hnsw_topk" -> (hnswQuery _),
+    "b12_hnsw_adj" -> (hnswAdjQuery _),
     "b12_hnsw_recall" -> (hnswRecallQuery _),
   )
 
@@ -2154,6 +2172,20 @@ object Similarity {
       en AS MATERIALIZED (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
       $hnswChainSql
       SELECT query_id, vec_id, cosine, rn FROM htop ORDER BY query_id, rn""",
+    // the index structure itself: every build stage replayed, the
+    // per-layer adjacency unioned under its layer tag
+    "b12_hnsw_adj" -> s"""
+      WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      en AS MATERIALIZED (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
+      hlv AS MATERIALIZED (SELECT vec_id, q, norm, md5(CAST(vec_id AS VARCHAR)) AS h,
+          LEAST(${HnswMaxLayers - 1},
+            length(regexp_extract(md5(CAST(vec_id AS VARCHAR)), '^0*'))) AS lvl
+        FROM en),
+      ${((HnswMaxLayers - 1) to 0 by -1).map(hnswStageSql).mkString(",")}
+      SELECT layer, src, dst FROM (
+        ${(0 until HnswMaxLayers).map(m =>
+          s"SELECT CAST($m AS INT) AS layer, src, dst FROM hn$m").mkString("\n        UNION ALL ")})
+      ORDER BY layer, src, dst""",
     "b12_hnsw_recall" -> s"""
       WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
       en AS MATERIALIZED (SELECT vec_id, q, sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
