@@ -183,6 +183,48 @@ object Probe {
       time(s"stress_hnsw_${reps}x") { hnswOn(big, qp) }
       big.unpersist()
     }
+    if (sys.env.contains("PROBE_STRESS_INSERT")) {
+      // Incremental ANN insert scaling (r9, the hnswInsert seam): the
+      // claim is per-batch maintenance cost is O(batch) — one descent
+      // per new vector + a touched-anchors-only re-prune — never
+      // O(corpus). Two axes, both against the INLINE-built hierarchy:
+      // (a) fixed batch into a kx corpus — wall should stay near-flat
+      // (descent cost is rounds·beam·R per vector, corpus-independent);
+      // (b) kx batch into the fixed corpus — wall should grow ~k.
+      import org.apache.spark.sql.functions._
+      val reps = sys.env.getOrElse("PROBE_STRESS_INSERT", "8").toInt
+      val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val mx = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val batch = emb.filter(col("vec_id") % 10 === 3).cache()
+      val corpus1 = emb.filter(col("vec_id") % 10 =!= 3).cache()
+      println(s"  stress insert corpus=${corpus1.count()} batch=${batch.count()}")
+      val adj1 = similarity.Similarity
+        .hnswBuild(similarity.Similarity.quantizedWithNorm(corpus1))
+        .localCheckpoint(true)
+      def insertOn(corpus: org.apache.spark.sql.DataFrame,
+          adj: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame): Unit = {
+        similarity.Similarity.hnswInsert(corpus, adj, b)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      insertOn(corpus1, adj1, batch) // untimed warmup
+      time("stress_insert_1x_corpus") { insertOn(corpus1, adj1, batch) }
+      val bigCorpus = corpus1.crossJoin(spark.range(reps).toDF("rep"))
+        .select((col("vec_id") + col("rep") * mx).as("vec_id"), col("embedding"))
+        .cache()
+      println(s"  stress insert corpus=${bigCorpus.count()} (${reps}x disjoint ids)")
+      val adjK = similarity.Similarity
+        .hnswBuild(similarity.Similarity.quantizedWithNorm(bigCorpus))
+        .localCheckpoint(true)
+      time(s"stress_insert_${reps}x_corpus") { insertOn(bigCorpus, adjK, batch) }
+      val bigBatch = batch.crossJoin(spark.range(reps).toDF("rep"))
+        .select((col("vec_id") + col("rep") * mx * 100L).as("vec_id"), col("embedding"))
+        .cache()
+      println(s"  stress insert batch=${bigBatch.count()} (${reps}x disjoint ids)")
+      time(s"stress_insert_${reps}x_batch") { insertOn(corpus1, adj1, bigBatch) }
+      Seq(batch, corpus1, bigCorpus, bigBatch).foreach(_.unpersist())
+    }
     if (sys.env.contains("PROBE_STRESS_E06")) {
       // e06 composition scaling (the PROBE_STRESS_GRAPH pattern):
       // disjoint-key lineitem replicas multiply the strong edge set, the

@@ -541,7 +541,7 @@ object Similarity {
     * `logStats` (the PROBE_STRESS_ANN path) prints per-stage member /
     * pair / assignment-candidate row counts so the probe can assert
     * ~linear growth of the assignment AND pair stages, not just wall. */
-  private[similarity] def hnswBuild(e: DataFrame, logStats: Boolean = false): DataFrame = {
+  private[graft] def hnswBuild(e: DataFrame, logStats: Boolean = false): DataFrame = {
     val lv = hnswLeveled(e).select(col("vec_id"), col("q"), col("norm"), col("lvl"))
       .localCheckpoint(true)
     // A_{m+1}: each member's ≤ Overlap nearest layer-(m+1) vertices
