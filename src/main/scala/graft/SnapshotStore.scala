@@ -30,6 +30,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object SnapshotStore {
   private val Version = 4 // r9: builder params join the cache key
 
+  /** Snapshots live under a VERSIONED root (graft_scratch/v4/...) so
+    * obsolete generations are identifiable by NAME: a version bump or a
+    * key change orphans old snapshot dirs forever otherwise — the same
+    * unbounded-tmpdir disease the r8 ADVICE flagged for the gate
+    * stores. The first store touch of a JVM sweeps sibling roots of
+    * OTHER versions (idle > 1 h by mtime — a live older-build JVM's
+    * snapshots stay). */
+  private val sweptOld = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def sweepOldVersions(): Unit =
+    if (sweptOld.compareAndSet(false, true)) {
+      val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scratch")
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      val stale = Option(root.listFiles()).getOrElse(Array.empty).filter(f =>
+        f.getName != s"v$Version" && f.lastModified() < cutoff)
+      stale.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(d))
+    }
+
   /** `params`: the builder's tuning constants, stringified — folded
     * into the cache key so retuning ONE builder invalidates ONLY its
     * snapshot, with no reliance on remembering to bump the shared
@@ -39,6 +56,7 @@ private[graft] object SnapshotStore {
       params: String = "")(
       build: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
+    sweepOldVersions()
     val conf = s.sparkContext.hadoopConfiguration
     val sigPath = new HPath(s"$dir/$sigTable")
     val fs = sigPath.getFileSystem(conf)
@@ -48,7 +66,7 @@ private[graft] object SnapshotStore {
       .digest(s"$dir|$sigTable|$sig|v$Version|$params".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val cacheDir = new HPath(
-      s"${sys.props("java.io.tmpdir")}/graft_scratch/${name}_$key")
+      s"${sys.props("java.io.tmpdir")}/graft_scratch/v$Version/${name}_$key")
     val success = new HPath(cacheDir, "_SUCCESS")
     def publish(retryOnStaleClaim: Boolean): Unit = {
       val staged = new HPath(

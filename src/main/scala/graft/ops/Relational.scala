@@ -877,6 +877,40 @@ object Relational {
       .orderBy($"prio")
   }
 
+  /** B3 (r9): LATERAL correlated subquery — the SQL join surface's
+    * "per-row subplan" form (top-2 nations per region by customer
+    * count), exercising Catalyst's DECORRELATION of a correlated
+    * aggregate + ORDER BY + LIMIT lateral: Spark rewrites it to a
+    * ranked join (DecorrelateInnerQuery → window over the co-grouped
+    * child), NOT a per-outer-row re-execution — which is why the shape
+    * survives 100 TB where a naive nested-loop lateral would be
+    * outer-cardinality × inner-plan. DuckDB replays the same LATERAL
+    * text natively. */
+  def lateralTopNQuery(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("region_lat")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_lat")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
+    val out = s.sql("""
+      SELECT r.r_name, l.n_name, l.n_customers
+      FROM region_lat r,
+      LATERAL (
+        SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+        FROM nation_lat n JOIN customer_lat c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name
+        LIMIT 2
+      ) l
+      ORDER BY r.r_name, l.n_customers DESC, l.n_name""")
+    // the no-vacuous-gate discipline: the promise is the DECORRELATED
+    // ranked-join shape (observed: hash join + WindowGroupLimit
+    // partial/final), never a per-outer-row nested loop
+    require(!graft.plans.PlanAudit.hasNestedLoop(out),
+      "b03_lateral_topn: lateral fell back to a nested-loop join — the " +
+        "gate would certify the O(outer × inner) shape")
+    out
+  }
+
   /** B4 (r9): Mann-Whitney U with midrank tie correction — the RANK
     * companion of [[ksTestQuery]]/[[welchTQuery]] (KS: "moved
     * anywhere"; Welch: "mean moved"; U: "does one year stochastically
@@ -1984,6 +2018,7 @@ object Relational {
     "b04_ks_test" -> (ksTestQuery _),
     "b04_mann_whitney" -> (mannWhitneyQuery _),
     "b04_cramers_v" -> (cramersVQuery _),
+    "b03_lateral_topn" -> (lateralTopNQuery _),
     "b04_psi_drift" -> (psiDriftQuery _),
     "b04_welch_t" -> (welchTQuery _),
     "b04_chisq" -> (chiSquare _),
@@ -2471,6 +2506,20 @@ object Relational {
           / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) AS ks_d
       FROM pick p JOIN n USING (prio)
       ORDER BY prio""",
+    // the identical LATERAL text (DuckDB evaluates it natively; Spark
+    // decorrelates to a ranked join — same rows by construction)
+    "b03_lateral_topn" -> """
+      SELECT r.r_name, l.n_name, l.n_customers
+      FROM region r,
+      LATERAL (
+        SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name
+        LIMIT 2
+      ) l
+      ORDER BY r.r_name, l.n_customers DESC, l.n_name""",
     // per-cell IEEE terms from exact HUGEINT margins, ppb-quantized
     // BEFORE the order-insensitive integer sum (the b13_lm_score device)
     "b04_cramers_v" -> """

@@ -383,13 +383,15 @@ object ScaleQueries {
       val out = fact.join(dim, Seq("skew_key"))
         .select($"l_orderkey", $"l_linenumber", $"skew_key", $"s_name")
         .orderBy($"l_orderkey", $"l_linenumber")
-      // run THIS frame's query execution to let AQE materialize stages
-      // and re-plan from measured sizes; count() would build a new QE
-      out.queryExecution.toRdd.count()
+      // localCheckpoint executes THIS frame's query execution (AQE
+      // materializes stages and re-plans from measured sizes) AND
+      // pins the rows, so the caller's write reads the materialized
+      // result instead of re-running the join a second time
+      val ck = out.localCheckpoint(true)
       require(graft.plans.PlanAudit.hasSkewJoin(out),
         "b03_join_skew_aqe: AQE did not split the planted skew — the gate " +
           "would certify a plain shuffle join instead of the runtime rewrite")
-      out
+      ck
     } finally saved.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)

@@ -63,6 +63,16 @@ object PlanAudit {
   def hasBloomProbe(df: DataFrame): Boolean = nodes(df).exists(
     _.expressions.exists(_.exists(_.isInstanceOf[BloomFilterMightContain])))
 
+  /** True iff the plan contains a per-row nested-loop join shape
+    * (BroadcastNestedLoopJoin / CartesianProduct) — what a CORRELATED
+    * lateral degrades to when decorrelation fails. Gate queries that
+    * promise the decorrelated ranked-join shape assert the negation. */
+  def hasNestedLoop(df: DataFrame): Boolean = nodes(df).exists {
+    case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+    case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+    case _ => false
+  }
+
   /** True iff AQE's OptimizeSkewedJoin engaged on an EXECUTED plan: a
     * sort-merge/shuffled-hash join flagged isSkewJoin, or a shuffle
     * read whose partition specs split one reducer partition into
