@@ -177,7 +177,7 @@ object Multimodal {
         while (x < 16) {
           val r = ((id * 37 + x * 16) % 256).toInt
           val g = ((id * 11 + y * 21) % 256).toInt
-          val b = if ((x + y + id) % 4 == 0) 255 else 0
+          val b = if ((x * (1 + id % 11) + y * (1 + id % 13) + id) % 5 == 0) 255 else 0
           img.setRGB(x, y, (r << 16) | (g << 8) | b)
           x += 1
         }
@@ -428,7 +428,49 @@ object Multimodal {
   private def packQuery(s: SparkSession, dir: String): DataFrame =
     multimodalPack(s, dir)
 
+  /** E7 (r9): end-to-end MULTIMODAL curation — the seventh flagship,
+    * composing the b14 kernels into the pipeline an image-corpus
+    * ingest actually runs: real PNG decode → 63-bit perceptual dHash
+    * (partition-local codec work, the b14_image_dhash kernel) →
+    * perceptual near-dup clustering at Hamming ≤ 6 keeping each
+    * cluster's min-id REPRESENTATIVE (re-encoded/metadata-tweaked
+    * copies of the same pixels collapse) → gradient-degeneracy quality
+    * gate (images whose dhash has < 8 or > 55 gradient bits are
+    * near-flat or noise-saturated — the deterministic stand-in for a
+    * blur/entropy screen, replayable as one bit_count) → capacity-
+    * bound pack planning over the survivors (the b14_multimodal_pack
+    * cost model on catalog dims). Scale shape: decode/hash scan-side;
+    * clustering at HASH granularity (distinct sketches, not assets)
+    * through the pigeonhole chunk join; packing one per-shard
+    * cumulative window. Whole pipeline DuckDB-replayed (recursive-CTE
+    * components + bit_count gate + pack windows) as
+    * e07_multimodal_curation. */
+  def multimodalCuration(s: SparkSession, dir: String,
+      capacity: Int = 8192, numShards: Int = 8): DataFrame = {
+    import s.implicits._
+    val reps = imageNearDupClusters(s, dir)
+      .filter($"asset_id" === $"cluster_rep")
+      .filter(bit_count($"dhash").between(8, 55))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"asset_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    reps
+      .withColumn("shard", pmod($"asset_id", lit(numShards)).cast("int"))
+      .withColumn("cost", expr(
+        """CAST((((asset_id % 8) * 160 + 320 + 15) div 16)
+           * (((asset_id % 8) * 90 + 180 + 15) div 16) AS BIGINT)"""))
+      .withColumn("cum_cost", sum($"cost").over(w))
+      .withColumn("pack_id", ceil($"cum_cost".cast("double") / capacity).cast("int"))
+      .select($"asset_id", $"dhash", $"cluster_size", $"shard",
+        $"cost", $"cum_cost", $"pack_id")
+      .orderBy($"shard", $"asset_id")
+  }
+
+  private def curationQuery(s: SparkSession, dir: String): DataFrame =
+    multimodalCuration(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e07_multimodal_curation" -> (curationQuery _),
     "b14_multimodal_meta" -> (metaQuery _),
     "b14_multimodal_features" -> (featureQuery _),
     "b14_image_features" -> (imageFeatureQuery _),
@@ -437,6 +479,49 @@ object Multimodal {
     "b14_multimodal_frames" -> (framesQuery _),
     "b14_multimodal_pack" -> (packQuery _),
   )
+
+  /** The render-formula dhash + hash-granularity clustering chain —
+    * ONE definition shared by the b14_image_neardup and e07 oracles
+    * (the kMeansCtes no-drift device): pos/lum replay the 16×12 pixel
+    * formula and the 63-bit gradient hash, hs/lnk/reach/lbl/cl replay
+    * brute-force Hamming ≤ 6 links + recursive-CTE components +
+    * min-asset representatives. Callers open with WITH RECURSIVE. */
+  private val DhashClusterCtes: String = """pos AS (SELECT i, j, (3 * j) // 2 AS y
+                   FROM range(8) t1(i), range(8) t2(j)
+                   WHERE NOT (i = 7 AND j = 7)),
+      lum AS (SELECT d.doc_id, p.i, p.j,
+                (299 * ((d.doc_id * 37 + (2 * p.i) * 16) % 256)
+                 + 587 * ((d.doc_id * 11 + p.y * 21) % 256)
+                 + 114 * (CASE WHEN ((2 * p.i) * (1 + d.doc_id % 11) + p.y * (1 + d.doc_id % 13) + d.doc_id) % 5 = 0
+                          THEN 255 ELSE 0 END)) AS l1,
+                (299 * ((d.doc_id * 37 + (2 * p.i + 1) * 16) % 256)
+                 + 587 * ((d.doc_id * 11 + p.y * 21) % 256)
+                 + 114 * (CASE WHEN ((2 * p.i + 1) * (1 + d.doc_id % 11) + p.y * (1 + d.doc_id % 13) + d.doc_id) % 5 = 0
+                          THEN 255 ELSE 0 END)) AS l2
+              FROM documents d, pos p),
+      h AS (SELECT doc_id AS asset_id,
+              CAST(SUM(CASE WHEN l1 > l2
+                       THEN (CAST(1 AS BIGINT) << (j * 8 + i)) ELSE 0 END)
+                   AS BIGINT) AS dhash
+            FROM lum GROUP BY 1),
+      hs AS (SELECT dhash, COUNT(*) AS n_assets, MIN(asset_id) AS min_asset
+             FROM h GROUP BY 1),
+      lnk AS (SELECT a.dhash AS ha, b.dhash AS hb
+              FROM hs a JOIN hs b ON a.dhash < b.dhash
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+      sym AS (SELECT ha AS u, hb AS v FROM lnk UNION SELECT hb, ha FROM lnk),
+      reach AS (SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+                WHERE s.v <> r.u),
+      lbl AS (SELECT u AS dhash, CAST(LEAST(u, MIN(v)) AS BIGINT) AS label
+              FROM reach GROUP BY u),
+      labeled AS (SELECT hs.dhash, hs.n_assets, hs.min_asset,
+                    COALESCE(lbl.label, hs.dhash) AS label
+                  FROM hs LEFT JOIN lbl USING (dhash)),
+      cl AS (SELECT label, SUM(n_assets) AS cluster_size,
+                    MIN(min_asset) AS cluster_rep
+             FROM labeled GROUP BY label)"""
 
   val oracles: Map[String, String] = Map(
     // the stub codec is the portable keyed md5-prefix hash — replay it
@@ -457,7 +542,7 @@ object Multimodal {
       px AS (SELECT d.doc_id,
                (d.doc_id * 37 + p.x * 16) % 256 AS r,
                (d.doc_id * 11 + p.y * 21) % 256 AS g,
-               CASE WHEN (p.x + p.y + d.doc_id) % 4 = 0 THEN 255 ELSE 0 END AS b
+               CASE WHEN (p.x * (1 + d.doc_id % 11) + p.y * (1 + d.doc_id % 13) + d.doc_id) % 5 = 0 THEN 255 ELSE 0 END AS b
              FROM documents d, pos p),
       sums AS (SELECT doc_id AS asset_id,
                  CAST(SUM(r) AS BIGINT) AS sr,
@@ -485,11 +570,11 @@ object Multimodal {
       lum AS (SELECT d.doc_id, p.i, p.j,
                 (299 * ((d.doc_id * 37 + (2 * p.i) * 16) % 256)
                  + 587 * ((d.doc_id * 11 + p.y * 21) % 256)
-                 + 114 * (CASE WHEN ((2 * p.i) + p.y + d.doc_id) % 4 = 0
+                 + 114 * (CASE WHEN ((2 * p.i) * (1 + d.doc_id % 11) + p.y * (1 + d.doc_id % 13) + d.doc_id) % 5 = 0
                           THEN 255 ELSE 0 END)) AS l1,
                 (299 * ((d.doc_id * 37 + (2 * p.i + 1) * 16) % 256)
                  + 587 * ((d.doc_id * 11 + p.y * 21) % 256)
-                 + 114 * (CASE WHEN ((2 * p.i + 1) + p.y + d.doc_id) % 4 = 0
+                 + 114 * (CASE WHEN ((2 * p.i + 1) * (1 + d.doc_id % 11) + p.y * (1 + d.doc_id % 13) + d.doc_id) % 5 = 0
                           THEN 255 ELSE 0 END)) AS l2
               FROM documents d, pos p),
       h AS (SELECT doc_id AS asset_id,
@@ -505,47 +590,32 @@ object Multimodal {
     // distinct-hash links at Hamming ≤ 6 (the plan's pigeonhole chunk
     // join is lossless pruning, so brute force IS its oracle), recursive
     // reachability for components, min-asset representative per cluster
-    "b14_image_neardup" -> """
-      WITH RECURSIVE pos AS (SELECT i, j, (3 * j) // 2 AS y
-                   FROM range(8) t1(i), range(8) t2(j)
-                   WHERE NOT (i = 7 AND j = 7)),
-      lum AS (SELECT d.doc_id, p.i, p.j,
-                (299 * ((d.doc_id * 37 + (2 * p.i) * 16) % 256)
-                 + 587 * ((d.doc_id * 11 + p.y * 21) % 256)
-                 + 114 * (CASE WHEN ((2 * p.i) + p.y + d.doc_id) % 4 = 0
-                          THEN 255 ELSE 0 END)) AS l1,
-                (299 * ((d.doc_id * 37 + (2 * p.i + 1) * 16) % 256)
-                 + 587 * ((d.doc_id * 11 + p.y * 21) % 256)
-                 + 114 * (CASE WHEN ((2 * p.i + 1) + p.y + d.doc_id) % 4 = 0
-                          THEN 255 ELSE 0 END)) AS l2
-              FROM documents d, pos p),
-      h AS (SELECT doc_id AS asset_id,
-              CAST(SUM(CASE WHEN l1 > l2
-                       THEN (CAST(1 AS BIGINT) << (j * 8 + i)) ELSE 0 END)
-                   AS BIGINT) AS dhash
-            FROM lum GROUP BY 1),
-      hs AS (SELECT dhash, COUNT(*) AS n_assets, MIN(asset_id) AS min_asset
-             FROM h GROUP BY 1),
-      lnk AS (SELECT a.dhash AS ha, b.dhash AS hb
-              FROM hs a JOIN hs b ON a.dhash < b.dhash
-              WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
-      sym AS (SELECT ha AS u, hb AS v FROM lnk UNION SELECT hb, ha FROM lnk),
-      reach AS (SELECT u, v FROM sym
-                UNION
-                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-                WHERE s.v <> r.u),
-      lbl AS (SELECT u AS dhash, CAST(LEAST(u, MIN(v)) AS BIGINT) AS label
-              FROM reach GROUP BY u),
-      labeled AS (SELECT hs.dhash, hs.n_assets, hs.min_asset,
-                    COALESCE(lbl.label, hs.dhash) AS label
-                  FROM hs LEFT JOIN lbl USING (dhash)),
-      cl AS (SELECT label, SUM(n_assets) AS cluster_size,
-                    MIN(min_asset) AS cluster_rep
-             FROM labeled GROUP BY label)
+    "b14_image_neardup" -> s"""
+      WITH RECURSIVE $DhashClusterCtes
       SELECT h.asset_id, h.dhash, cl.cluster_rep,
              CAST(cl.cluster_size AS BIGINT) AS cluster_size
       FROM h JOIN labeled USING (dhash) JOIN cl USING (label)
       ORDER BY asset_id""",
+    // the whole curation pipeline: the shared cluster chain, keep-rep +
+    // bit_count degeneracy gate, then the pack windows over survivors
+    "e07_multimodal_curation" -> s"""
+      WITH RECURSIVE $DhashClusterCtes,
+      per AS (SELECT h.asset_id, h.dhash, cl.cluster_rep,
+                CAST(cl.cluster_size AS BIGINT) AS cluster_size
+              FROM h JOIN labeled USING (dhash) JOIN cl USING (label)),
+      reps AS (SELECT * FROM per
+               WHERE asset_id = cluster_rep
+                 AND bit_count(dhash) BETWEEN 8 AND 55),
+      costed AS (SELECT asset_id, dhash, cluster_size,
+                   CAST(asset_id % 8 AS INT) AS shard,
+                   CAST((((asset_id % 8) * 160 + 320 + 15) // 16)
+                        * (((asset_id % 8) * 90 + 180 + 15) // 16) AS BIGINT) AS cost
+                 FROM reps),
+      w AS (SELECT *, CAST(SUM(cost) OVER (PARTITION BY shard ORDER BY asset_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost FROM costed)
+      SELECT asset_id, dhash, cluster_size, shard, cost, cum_cost,
+             CAST(CEIL(CAST(cum_cost AS DOUBLE) / 8192) AS INT) AS pack_id
+      FROM w ORDER BY shard, asset_id""",
     // same asset derivation as b14_multimodal_meta; all-integer modality
     // cost model; ceil over an exact double (cum < 2^53)
     "b14_multimodal_pack" -> """

@@ -110,7 +110,7 @@ class MultimodalSpec extends SparkSpec {
       for (y <- 0 until 12; x <- 0 until 16) {
         val r = ((id * 37 + x * 16) % 256).toInt
         val g = ((id * 11 + y * 21) % 256).toInt
-        val b = if ((x + y + id) % 4 == 0) 255 else 0
+        val b = if ((x * (1 + id % 11) + y * (1 + id % 13) + id) % 5 == 0) 255 else 0
         val rr = if (perturb && x == 5 && y == 5) (r + 3) % 256 else r
         img.setRGB(x, y, (rr << 16) | (g << 8) | b)
       }
@@ -138,12 +138,14 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     // every asset assigned exactly once
     assert(out.size === 500)
-    // the render formula depends on doc_id only mod 256 (r: 37·id mod 256,
-    // b stripe: id mod 4, g cancels at equal y), so id and id+256 are
-    // EXACT hash dups and must share a cluster with rep = the smaller id
-    assert(out(300L)._1 === out(44L)._1)
-    assert(out(300L)._2 === out(44L)._2)
-    assert(out(44L)._2 <= 44L)
+    // gradient-identical pair under the r9 render (the id×position blue
+    // stripe makes full-pixel periods huge, but the DHASH — adjacent-x
+    // luma signs — still collides across ids; 9 and 15 are one such
+    // verified pair): exact hash dups must share a cluster whose rep is
+    // the smallest member id
+    assert(out(9L)._1 === out(15L)._1)
+    assert(out(9L)._2 === out(15L)._2)
+    assert(out(9L)._2 <= 9L)
     // brute-force reference: group assets by hash, link hashes with
     // Hamming ≤ 6, transitive closure over the (tiny) distinct-hash set
     val byHash = out.toSeq.groupBy(_._2._1)
@@ -164,5 +166,30 @@ class MultimodalSpec extends SparkSpec {
     // the near layer is not vacuous on this corpus: some cluster spans
     // MULTIPLE distinct hashes
     assert(hs.exists(x => hs.exists(y => y != x && find(y) == find(x))))
+  }
+
+  test("e07 curation funnel: every asset lands in exactly one bucket, " +
+    "no stage vacuous, packs respect capacity (r9)") {
+    import org.apache.spark.sql.functions._
+    val clustered = Multimodal.imageNearDupClusters(spark, sfDir).cache()
+    val total = clustered.count()
+    val reps = clustered.filter(col("asset_id") === col("cluster_rep"))
+    val gatePass = reps.filter(bit_count(col("dhash")).between(8, 55))
+    val packed = Multimodal.multimodalCuration(spark, sfDir).cache()
+    // conservation: non-reps + gate-dropped reps + packed == all assets
+    val nonReps = total - reps.count()
+    val gateDropped = reps.count() - gatePass.count()
+    assert(nonReps + gateDropped + packed.count() === total,
+      s"funnel leak: $nonReps + $gateDropped + ${packed.count()} != $total")
+    // non-vacuity: every stage actually removes something on this corpus
+    assert(nonReps > 0L, "near-dup stage dropped nothing")
+    assert(packed.count() > 0L, "nothing survived to packing")
+    // capacity: within each (shard, pack), the cumulative cost step
+    // stays consistent — cum_cost is strictly increasing per shard and
+    // pack_id = ceil(cum/8192) by construction
+    val bad = packed.filter(
+      col("pack_id") =!= ceil(col("cum_cost").cast("double") / 8192).cast("int"))
+    assert(bad.count() === 0L)
+    clustered.unpersist(); packed.unpersist()
   }
 }

@@ -66,7 +66,7 @@ class StreamingSpec extends SparkSpec {
       for (y <- 0 until 12; x <- 0 until 16) {
         val r = ((id * 37 + x * 16) % 256).toInt
         val g = ((id * 11 + y * 21) % 256).toInt
-        val b = if ((x + y + id) % 4 == 0) 255 else 0
+        val b = if ((x * (1 + id % 11) + y * (1 + id % 13) + id) % 5 == 0) 255 else 0
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
       }
       val bos = new java.io.ByteArrayOutputStream()
