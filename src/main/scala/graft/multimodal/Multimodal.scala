@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — schema, batched partition processing
   * (the JVM analogue of `mapInPandas` batch shape), partitioning. The
-  * IMAGE codec is real too: [[decodeImage]]/[[imageFeatures]] decode
+  * IMAGE codec is real: [[decodeImage]]/[[imageFeatures]] decode
   * PNG/JPEG through `javax.imageio` (pure JVM, no native deps) and
-  * compute exact pixel statistics. Audio/video decode remains a
-  * clearly-marked DETERMINISTIC STUB ([[stubDecodeBatch]]) — those
-  * codecs genuinely aren't in the container — and non-image payloads
-  * fall back to it inside [[decodeBatch]].
+  * compute exact pixel statistics. The AUDIO codec is real too (r9):
+  * [[decodeWav]]/[[audioFeatures]] parse RIFF/WAVE PCM through
+  * `javax.sound.sampled` — also pure JVM. VIDEO decode remains the one
+  * clearly-marked DETERMINISTIC STUB ([[stubDecodeBatch]]) — the JDK
+  * ships no video codec and the container has no native ones — and
+  * non-image payloads fall back to it inside [[decodeBatch]].
   */
 object Multimodal {
 
@@ -428,6 +430,106 @@ object Multimodal {
   private def packQuery(s: SparkSession, dir: String): DataFrame =
     multimodalPack(s, dir)
 
+  // =================== REAL codec: javax.sound (WAV/PCM) ===========
+  // The audio half of the codec story stops being a stub (r9): PCM WAV
+  // needs no native dependencies either — javax.sound.sampled ships
+  // with the JVM. Video remains the one genuinely container-blocked
+  // modality (no JDK codec), documented as such.
+
+  /** Synthetic WAV asset table: per document, 0.1 s of 8 kHz 16-bit
+    * mono PCM — a square wave whose amplitude and period derive from
+    * doc_id by exact integer formulas (amp = (id%8+1)·3000, period =
+    * id%37+8 samples), serialized as a real RIFF/WAVE byte stream. The
+    * payload is a REAL audio file (AudioSystem parses it); the sample
+    * values have a closed form both engines can replay. */
+  def audioAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val render = udf { (id: Long) =>
+      val n = 800
+      val amp = ((id % 8) + 1).toInt * 3000
+      val p = ((id % 37) + 8).toInt
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(8000).putInt(16000) // rate, byte rate
+        .putShort(2).putShort(16) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(2 * n)
+      var t = 0
+      while (t < n) {
+        bb.putShort((if ((t / p) % 2 == 0) amp else -amp).toShort)
+        t += 1
+      }
+      bb.array()
+    }
+    Tables.documents(s, dir).select(
+      $"doc_id".as("asset_id"),
+      render($"doc_id").as("payload"),
+      lit("audio").as("media_type"),
+      lit(8000).as("sample_rate"))
+  }
+
+  /** Decode a WAV payload to 16-bit PCM samples through the REAL
+    * javax.sound codec; None for non-audio bytes. */
+  def decodeWav(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = in.readAllBytes(); in.close()
+      val bb = java.nio.ByteBuffer.wrap(raw)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Some(Array.fill(raw.length / 2)(bb.getShort().toInt))
+    } catch { case _: Exception => None }
+
+  /** Exact integer features over decoded samples: count, peak |s|,
+    * Σ|s|, Σs² (the energy — BIGINT-exact), sign-change count, plus
+    * RMS as ONE IEEE sqrt over the exact sums. The audio analogue of
+    * [[imageFeatures]]: every aggregate integer-derived, bit-stable. */
+  def audioFeatures(samples: Array[Int]): (Long, Long, Long, Long, Long) = {
+    var (peak, sabs, ssq, zc) = (0L, 0L, 0L, 0L)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toLong
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sabs += a; ssq += v * v
+      if (i > 0 && ((samples(i - 1) < 0 && v >= 0) || (samples(i - 1) >= 0 && v < 0)))
+        zc += 1
+      i += 1
+    }
+    (samples.length.toLong, peak, sabs, ssq, zc)
+  }
+
+  /** B14 (r9): REAL audio decode + feature extraction — batched
+    * partition-local like [[extractFeaturesReal]] (the vectorized-
+    * decoder call shape), one row per asset, hash-gated against the
+    * closed-form waveform oracle. */
+  def audioFeatureQuery(s: SparkSession, dir: String): DataFrame = {
+    val src = audioAssets(s, dir)
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("n_zero_cross", LongType, nullable = false)))
+    val out = src.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.iterator.map { r =>
+          val samples = decodeWav(r.getAs[Array[Byte]](1))
+            .getOrElse(sys.error(s"b14_audio_features: undecodable WAV for asset ${r.getLong(0)}"))
+          val (n, peak, sabs, ssq, zc) = audioFeatures(samples)
+          Row(r.getLong(0), n, peak, sabs, ssq, zc)
+        }
+      }
+    }
+    val df = s.createDataFrame(out, schema)
+    df.withColumn("rms", sqrt(col("energy").cast("double") / col("n_samples")))
+      .orderBy(col("asset_id"))
+  }
+
   /** E7 (r9): end-to-end MULTIMODAL curation — the seventh flagship,
     * composing the b14 kernels into the pipeline an image-corpus
     * ingest actually runs: real PNG decode → 63-bit perceptual dHash
@@ -471,6 +573,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e07_multimodal_curation" -> (curationQuery _),
+    "b14_audio_features" -> (audioFeatureQuery _),
     "b14_multimodal_meta" -> (metaQuery _),
     "b14_multimodal_features" -> (featureQuery _),
     "b14_image_features" -> (imageFeatureQuery _),
@@ -524,6 +627,31 @@ object Multimodal {
              FROM labeled GROUP BY label)"""
 
   val oracles: Map[String, String] = Map(
+    // closed-form waveform replay: the WAV payload's PCM samples have
+    // the exact integer formula the synthesizer used; the engine reads
+    // them back through the REAL javax.sound codec (PCM16 round-trips
+    // losslessly), so formula == decode and the aggregates hash-match
+    "b14_audio_features" -> """
+      WITH ts AS (SELECT unnest(range(800)) AS t),
+      a AS (SELECT doc_id AS asset_id,
+              (doc_id % 8 + 1) * 3000 AS amp, doc_id % 37 + 8 AS p
+            FROM documents),
+      s AS (SELECT a.asset_id, ts.t,
+              CASE WHEN (ts.t // a.p) % 2 = 0 THEN a.amp ELSE -a.amp END AS v
+            FROM a, ts),
+      lagged AS (SELECT *, LAG(v) OVER (PARTITION BY asset_id ORDER BY t) AS pv
+                 FROM s),
+      f AS (SELECT asset_id, COUNT(*) AS n_samples,
+              CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+              CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+              CAST(SUM(v * v) AS BIGINT) AS energy,
+              CAST(SUM(CASE WHEN pv IS NOT NULL
+                            AND ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+            FROM lagged GROUP BY asset_id)
+      SELECT asset_id, n_samples, peak, sum_abs, energy, n_zero_cross,
+             sqrt(CAST(energy AS DOUBLE) / n_samples) AS rms
+      FROM f ORDER BY asset_id""",
     // the stub codec is the portable keyed md5-prefix hash — replay it
     // and divide once; payload = UTF-8 text bytes, so md5(text || key)
     // hashes the identical byte stream in both engines

@@ -168,6 +168,29 @@ class MultimodalSpec extends SparkSpec {
     assert(hs.exists(x => hs.exists(y => y != x && find(y) == find(x))))
   }
 
+  test("audio: REAL javax.sound WAV decode returns exactly the synthesized " +
+    "PCM samples; features match hand computation (B14, r9)") {
+    // one asset rendered the audioAssets way, decoded through the real
+    // codec, compared sample-by-sample with the closed-form waveform
+    val payload = Multimodal.audioAssets(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("asset_id") === 7L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val decoded = Multimodal.decodeWav(payload).get
+    val amp = ((7L % 8) + 1).toInt * 3000
+    val p = ((7L % 37) + 8).toInt
+    val want = Array.tabulate(800)(t => if ((t / p) % 2 == 0) amp else -amp)
+    assert(decoded.toSeq === want.toSeq, "decode != formula")
+    val (n, peak, sabs, ssq, zc) = Multimodal.audioFeatures(decoded)
+    assert(n === 800L)
+    assert(peak === amp.toLong)
+    assert(sabs === 800L * amp)
+    assert(ssq === 800L * amp.toLong * amp)
+    // square wave: one sign change at every multiple of p in [1, 799]
+    assert(zc === (799 / p).toLong)
+    // a corrupted payload fails loudly, not silently
+    assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
+  }
+
   test("e07 curation funnel: every asset lands in exactly one bucket, " +
     "no stage vacuous, packs respect capacity (r9)") {
     import org.apache.spark.sql.functions._
