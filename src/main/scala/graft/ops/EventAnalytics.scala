@@ -414,13 +414,16 @@ object EventAnalytics {
     * replayable; rfm_code = 100·R + 10·F + M is the segment label
     * marketers read ("555" = champions).
     *
-    * Scale shape: the event-scale work is ONE map-side-combinable
-    * aggregate to the user dimension; the three ntile windows then run
-    * over USERS — the small output of that aggregate, orders of
-    * magnitude below event cardinality (at 100 TB of events the user
-    * table is the thing you'd ntile in one partition-ranged sort; the
-    * un-partitioned window here is over that reduced table, not the
-    * corpus). */
+    * Scale shape (re-planned r9): the event-scale work is ONE
+    * map-side-combinable aggregate to the user dimension; each metric's
+    * ntile then derives from an exact ROW RANK computed by the shared
+    * two-level bin+carry prefix ([[graft.ops.Prefix.prefixSum2L]] over
+    * (metric, user_id) with a value-range bin axis) plus NTILE's closed
+    * form (n div 5 base buckets, the first n mod 5 one larger — Spark's
+    * own remainder-first rule, so the output is bit-identical to the
+    * old ntile windows). The r7 version ran three UN-PARTITIONED ntile
+    * windows over the whole user table — three row-scale single-reducer
+    * sorts at 10⁹ users; now no window covers more than one bin. */
   def rfm(events: DataFrame): DataFrame = {
     val base = events
       .filter(col("event_type") === "purchase")
@@ -430,13 +433,30 @@ object EventAnalytics {
       .agg(max(col("us")).as("recency_us"),
         count(lit(1)).as("frequency"),
         sum(col("cents")).as("monetary_cents"))
-    val rW = Window.orderBy(col("recency_us"), col("user_id"))
-    val fW = Window.orderBy(col("frequency"), col("user_id"))
-    val mW = Window.orderBy(col("monetary_cents"), col("user_id"))
-    base
-      .withColumn("r_q", ntile(5).over(rW).cast("long"))
-      .withColumn("f_q", ntile(5).over(fW).cast("long"))
-      .withColumn("m_q", ntile(5).over(mW).cast("long"))
+      .localCheckpoint(true) // feeds three rank passes + the total
+    val tot = base.agg(count(lit(1)).as("n_users"))
+    // exact ntile(5) from the distributed row rank: rank rn under
+    // (metric, user_id) via the two-level device, then the closed form
+    def ntile5(df: DataFrame, metric: String, bin: org.apache.spark.sql.Column, out: String): DataFrame = {
+      val ranked = Prefix.prefixSum2L(
+        df.withColumn("__one", lit(1L)).withColumn("__bin", bin),
+        Seq.empty, "__bin", Seq(col(metric), col("user_id")), Seq("__one"))
+        .withColumnRenamed("run___one", "__rn")
+        .drop("__one", "__bin", "carry___one")
+      ranked.withColumn(out, expr(
+        s"""CASE WHEN __rn <= (n_users % 5) * (n_users div 5 + 1)
+            THEN (__rn - 1) div (n_users div 5 + 1) + 1
+            ELSE n_users % 5 + (__rn - (n_users % 5) * (n_users div 5 + 1) - 1)
+                 div (n_users div 5) + 1 END""")).drop("__rn")
+    }
+    val withQ = Seq(
+      ("recency_us", expr("recency_us div 2592000000000"), "r_q"),
+      ("frequency", expr("frequency div 8"), "f_q"),
+      ("monetary_cents", expr("monetary_cents div 1000000"), "m_q"))
+      .foldLeft(base.crossJoin(broadcast(tot))) { case (df, (m, b, o)) =>
+        ntile5(df, m, b, o)
+      }
+    withQ
       .select(col("user_id"), col("recency_us"), col("frequency"),
         col("monetary_cents"), col("r_q"), col("f_q"), col("m_q"),
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_code"))
