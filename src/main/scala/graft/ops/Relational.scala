@@ -22,7 +22,11 @@ import org.apache.spark.sql.expressions.Window
   *   trailing zeros ("138014.00") while a float64 renders shortest
   *   ("138014.0") — downstream consumers comparing textual output would
   *   see a spurious mismatch. The cast is value-exact while the unscaled
-  *   decimal stays below 2^53, which holds for all aggregates here.
+  *   decimal stays below 2^53 — and that bound is now ENFORCED, not
+  *   assumed: every row-scale money sum is emitted through [[castExact]],
+  *   which throws loudly once the unscaled value would make the render
+  *   cast lossy (reachable at 100 TB row counts), instead of rounding
+  *   silently. RenderExactnessSpec pins the throw-vs-exact contract.
   */
 object Relational {
   private val Dec = "decimal(38,2)"
@@ -37,17 +41,40 @@ object Relational {
   private[ops] def money(c: Column): Column = c.cast("decimal(12,2)")
   private[ops] def rate(c: Column): Column = c.cast("decimal(4,2)")
   private[ops] val one = lit(1.0).cast("decimal(3,2)")
-  /** Exact sum of a 2dp column → DECIMAL(38,2). */
-  private[ops] def sum2(c: Column): Column = sum(money(c).cast("decimal(28,2)"))
-  /** Exact sum of price*(1-disc) → DECIMAL(38,4). */
+  /** r10 (VERDICT r9 #1): the final decimal→double render cast is
+    * value-exact only while |unscaled| < 2^53. q1-class revenue sums reach
+    * ~2·10¹⁷ unscaled at 100 TB row counts — past 2^53 ≈ 9·10¹⁵ the cast
+    * would silently round the exact decimal answer. Every row-scale money
+    * sum is therefore bound-checked AT THE AGGREGATE: below the bound the
+    * value passes through unchanged (gate hashes unaffected, one abs+compare
+    * per post-agg output row), at or above it the job fails loudly naming
+    * the value — the same throw-vs-silently-wrong contract OverflowSpec
+    * pins for the ppb products. Guarding the aggregate (not each render
+    * site) means every downstream consumer — direct casts, avg ratios,
+    * later-stage named columns — inherits the exactness guarantee.
+    */
+  private[ops] def castExact(c: Column, scale: Int): Column = {
+    // 2^53 unscaled at this scale, exactly representable as a decimal literal
+    val bound = new java.math.BigDecimal(
+      java.math.BigInteger.ONE.shiftLeft(53), scale)
+    when(c.isNull || abs(c) < lit(bound), c)
+      .otherwise(raise_error(concat(
+        lit(s"render-exactness violated: |unscaled| >= 2^53 at scale $scale, " +
+          "the final decimal->double cast would silently round: "),
+        c.cast("string"))))
+  }
+  /** Exact sum of a 2dp column → DECIMAL(38,2), 2^53-render-guarded. */
+  private[ops] def sum2(c: Column): Column =
+    castExact(sum(money(c).cast("decimal(28,2)")), 2)
+  /** Exact sum of price*(1-disc) → DECIMAL(38,4), 2^53-render-guarded. */
   private[ops] def sumRev(p: Column, d: Column): Column =
-    sum((money(p) * (one - rate(d))).cast("decimal(28,4)"))
-  /** Exact sum of price*(1-disc)*(1+tax) → DECIMAL(38,6). */
+    castExact(sum((money(p) * (one - rate(d))).cast("decimal(28,4)")), 4)
+  /** Exact sum of price*(1-disc)*(1+tax) → DECIMAL(38,6), 2^53-render-guarded. */
   private[ops] def sumCharge(p: Column, d: Column, t: Column): Column =
-    sum((money(p) * (one - rate(d)) * (one + rate(t))).cast("decimal(28,6)"))
-  /** Exact sum of price*rate → DECIMAL(38,4). */
+    castExact(sum((money(p) * (one - rate(d)) * (one + rate(t))).cast("decimal(28,6)")), 6)
+  /** Exact sum of price*rate → DECIMAL(38,4), 2^53-render-guarded. */
   private[ops] def sumProd(p: Column, d: Column): Column =
-    sum((money(p) * rate(d)).cast("decimal(28,4)"))
+    castExact(sum((money(p) * rate(d)).cast("decimal(28,4)")), 4)
   private[ops] def tsLit(s: String): Column = lit(s).cast("timestamp_ntz")
 
   // ---------------------------------------------------------------- queries

@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   *    all before the final display cast.
   */
 object TpchQueries {
-  import Relational.{money, one, rate, sum2, sumRev, tsLit}
+  import Relational.{castExact, money, one, rate, sum2, sumRev, tsLit}
 
   /** Q4 shape — order-priority checking: orders with at least one lineitem
     * shipped >300 days after the order date, counted per priority. The
@@ -112,9 +112,9 @@ object TpchQueries {
       .join(sup, $"l_suppkey" === $"s_suppkey")
       .groupBy(year($"o_orderdate").cast("long").as("o_year"))
       .agg(
-        sum(when($"supp_nation" === "NATION_5", vol)
-          .otherwise(lit(0).cast("decimal(28,4)"))).cast("double").as("nation_vol"),
-        sum(vol).cast("double").as("total_vol"))
+        castExact(sum(when($"supp_nation" === "NATION_5", vol)
+          .otherwise(lit(0).cast("decimal(28,4)"))), 4).cast("double").as("nation_vol"),
+        castExact(sum(vol), 4).cast("double").as("total_vol"))
       .withColumn("mkt_share", $"nation_vol" / $"total_vol")
       .orderBy($"o_year")
   }
@@ -156,7 +156,7 @@ object TpchQueries {
       .groupBy($"l_partkey")
       .agg(sum2($"l_extendedprice").as("value"))
       .localCheckpoint(true)
-    val tot = pv.agg(sum($"value").as("total"), count(lit(1)).as("n_parts"))
+    val tot = pv.agg(castExact(sum($"value"), 2).as("total"), count(lit(1)).as("n_parts"))
     pv.crossJoin(broadcast(tot))
       .filter($"value" * $"n_parts" * 2 > $"total" * 3)
       .select($"l_partkey", $"value".cast("double").as("value"))
@@ -188,9 +188,10 @@ object TpchQueries {
       .filter($"l_shipdate" >= tsLit("1997-03-01") && $"l_shipdate" < tsLit("1997-04-01"))
       .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
       .agg(
-        (sum(when($"p_type" === "PROMO", vol).otherwise(lit(0).cast("decimal(28,4)"))) * 100)
+        castExact(sum(when($"p_type" === "PROMO", vol)
+            .otherwise(lit(0).cast("decimal(28,4)"))) * 100, 4)
           .cast("double").as("promo_num"),
-        sum(vol).cast("double").as("total_rev"),
+        castExact(sum(vol), 4).cast("double").as("total_rev"),
         count(lit(1)).as("n_rows"))
       .withColumn("promo_pct", $"promo_num" / $"total_rev")
   }
@@ -364,7 +365,7 @@ object TpchQueries {
       .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name", year($"o_orderdate").cast("long").as("o_year"))
-      .agg(sum(profit).cast("double").as("sum_profit"), count(lit(1)).as("n_rows"))
+      .agg(castExact(sum(profit), 6).cast("double").as("sum_profit"), count(lit(1)).as("n_rows"))
       .orderBy($"n_name", $"o_year".desc)
   }
 
