@@ -59,14 +59,21 @@ object Bench {
       val ok = passes.map(_(name)).filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }.toMap
-    // self-check (r8 VERDICT #3): a declared query must never silently
-    // miss the bench again (r7 codec gates, r8 welch_t both landed
-    // post-bench). The benched keyset is asserted == the registry
-    // keyset whenever the dev-only filter is off, and the counts are
-    // emitted so the round report shows coverage at a glance.
+    // self-check (r8 VERDICT #3, de-tautologized r10 per ADVICE): the
+    // old check compared `results` against the same map it was derived
+    // from, so it could never fire. The benched keyset is now asserted
+    // against the INDEPENDENTLY-authored oracle registry plus the
+    // explicit no-oracle allowlist (SparkEntry.registryInvariant ties
+    // the three registries together first), and the full per-query map
+    // is persisted to bench_full.json (VERDICT r9 #7) so the round
+    // artifact itself can be diffed against CORRECTNESS_rNN — the
+    // temporal "query landed post-bench" drift shows up as a file diff,
+    // not a truncated stdout tail.
     if (only.isEmpty) {
-      val missing = SparkEntry.queries.keySet -- results.keySet
-      val extra = results.keySet -- SparkEntry.queries.keySet
+      SparkEntry.registryInvariant()
+      val declared = SparkEntry.oracleSql.keySet ++ SparkEntry.noOracleByDesign
+      val missing = declared -- results.keySet
+      val extra = results.keySet -- declared
       require(missing.isEmpty && extra.isEmpty,
         s"bench/registry drift: missing=$missing extra=$extra")
     }
@@ -97,8 +104,18 @@ object Bench {
     val env = s"""{"jvm_flags":$jvmFlags,"java":"${sys.props.getOrElse("java.version", "?")}",""" +
       s""""clear_cache":"between-queries-untimed","warmup":"sf0.001","timed_passes":2,""" +
       s""""agg":"min-over-passes","master":"local[$cpus]","shuffle_partitions":$cpus}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
-      s""""n_benched":${results.size},"n_declared":${SparkEntry.queries.size},"sf":"$sfDir","env":$env}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
+      s""""n_benched":${results.size},"n_declared":${SparkEntry.queries.size},"sf":"$sfDir","env":$env}"""
+    println(line)
+    // full-artifact persistence (VERDICT r9 #7): the driver's BENCH_rNN
+    // captures a truncated stdout tail (57 of 285 per-query times in r9),
+    // leaving round-over-round comparison blind on 80% of the surface.
+    // The complete JSON goes to a stable committed path as well; override
+    // with SPARK_GRAFT_BENCH_OUT for local runs that must not touch it.
+    if (only.isEmpty) {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -48,4 +48,36 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.iterator.map(_._2).reduce(_ ++ _)
+
+  /** The queries DELIBERATELY shipped without a DuckDB oracle (engine
+    * hash families DuckDB cannot replay) — each has a hash-gated portable
+    * twin. This is the EXPLICIT allowlist the registry invariant below
+    * checks against: a query can only be oracle-less by appearing here,
+    * never by accident (r10, ADVICE: the bench's drift self-check was
+    * tautological — `queries` checked against itself; the invariant now
+    * crosses two independently-authored registries, the per-module query
+    * maps and the per-module oracle maps, plus this list). */
+  val noOracleByDesign: Set[String] = Set(
+    "b05_approx_stats",   // portable twin: b05_approx_stats_exact
+    "b12_minhash_lsh",    // engine minhash; twin: b12_minhash_portable
+    "b12_simhash",        // engine xxhash sim; twin: b12_simhash_portable
+    "b12_cross_neardup",  // engine minhash; twin: b12_cross_portable
+    "b13_bpe_merges",     // iterative train loop; twin: b13_bpe_portable
+    "b13_fingerprint")    // engine hash winnowing; twin: b13_fingerprint_portable
+
+  /** Registry invariant, asserted by Bench and the contract spec: every
+    * declared query either has an oracle or is on the explicit no-oracle
+    * list, and vice versa (no orphan oracles, no stale allowlist rows). */
+  def registryInvariant(): Unit = {
+    val q = queries.keySet
+    val o = oracleSql.keySet
+    val unaccounted = q -- o -- noOracleByDesign
+    val orphanOracles = o -- q
+    val staleAllowlist = noOracleByDesign -- q
+    val doubleBooked = noOracleByDesign.intersect(o)
+    require(unaccounted.isEmpty && orphanOracles.isEmpty &&
+      staleAllowlist.isEmpty && doubleBooked.isEmpty,
+      s"registry drift: unaccounted=$unaccounted orphanOracles=$orphanOracles " +
+        s"staleAllowlist=$staleAllowlist doubleBooked=$doubleBooked")
+  }
 }

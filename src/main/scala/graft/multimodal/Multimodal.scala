@@ -472,15 +472,28 @@ object Multimodal {
   }
 
   /** Decode a WAV payload to 16-bit PCM samples through the REAL
-    * javax.sound codec; None for non-audio bytes. */
+    * javax.sound codec; None for non-audio bytes. r10 (ADVICE): the
+    * decoded [[javax.sound.sampled.AudioFormat]] is validated before the
+    * byte-wise PCM16LE reinterpretation — a WAV javax.sound accepts that
+    * is NOT 16-bit mono little-endian signed PCM (8-bit, big-endian,
+    * μ-law, stereo) used to come back as Some(garbage samples), defeating
+    * the loud-fail contract [[audioFeatureQuery]] relies on; an odd
+    * trailing byte was silently dropped. All of those now return None. */
   def decodeWav(bytes: Array[Byte]): Option[Array[Int]] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val pcm16leMono =
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian && fmt.getChannels == 1
       val raw = in.readAllBytes(); in.close()
-      val bb = java.nio.ByteBuffer.wrap(raw)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      Some(Array.fill(raw.length / 2)(bb.getShort().toInt))
+      if (!pcm16leMono || raw.length % 2 != 0) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(raw)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Some(Array.fill(raw.length / 2)(bb.getShort().toInt))
+      }
     } catch { case _: Exception => None }
 
   /** Exact integer features over decoded samples: count, peak |s|,

@@ -22,28 +22,36 @@ object ScaleQueries {
     * the same session. Stale sweep (r8 ADVICE): each run's dir was only
     * deleted at the start of that same run, so tmpdir accumulated one
     * abandoned store per (tag × run) forever — now the FIRST runStore
-    * call of a session sweeps every graft_* store left by OTHER
-    * applicationIds. Concurrent-run safety holds because a live peer's
-    * appId differs per run but shares the session-start millis prefix
-    * only if launched the same ms — sweep only dirs idle > 1 h by
-    * mtime, which no live gate store is (gates write then read within
-    * one query). */
+    * call of a session sweeps stores left by OTHER applicationIds.
+    * r10 (ADVICE): the sweep used to match ANY `graft_*`-prefixed dir in
+    * the SHARED system tmpdir — reaping directories it never owned
+    * (test fixtures from `Files.createTempDirectory("graft_…")`, the
+    * harvest work dir, an unrelated user's `graft_*`). Ownership is now
+    * structural, not name-pattern: every run store lives under a
+    * dedicated `graft_runstores/` subtree that ONLY this method writes,
+    * and the sweep never leaves it. Concurrent-run safety holds because
+    * a live peer's store dir ends with its own appId and the sweep only
+    * touches dirs idle > 1 h by mtime, which no live gate store is
+    * (gates write then read within one query). */
   private val sweptStale = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Dedicated subtree: sole writer is [[runStore]], so everything inside
+    * is ours to reap — nothing else may create files here. */
+  private def storeRoot: java.io.File = {
+    val r = new java.io.File(sys.props("java.io.tmpdir"), "graft_runstores")
+    r.mkdirs()
+    r
+  }
   private def sweepStale(appId: String): Unit =
     if (sweptStale.compareAndSet(false, true)) {
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
       val cutoff = System.currentTimeMillis() - 3600L * 1000
-      val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
-        f.isDirectory && f.getName.startsWith("graft_") &&
-          !f.getName.endsWith(appId) && f.lastModified() < cutoff &&
-          f.getName != "graft_scratch" // the SnapshotStore cache is shared on purpose
+      val stale = Option(storeRoot.listFiles()).getOrElse(Array.empty).filter { f =>
+        f.isDirectory && !f.getName.endsWith(appId) && f.lastModified() < cutoff
       }
       stale.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(d))
     }
   private def runStore(s: SparkSession, tag: String, dir: String): String = {
     sweepStale(s.sparkContext.applicationId)
-    new java.io.File(
-      sys.props("java.io.tmpdir"),
+    new java.io.File(storeRoot,
       s"graft_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${s.sparkContext.applicationId}").toString
   }
 

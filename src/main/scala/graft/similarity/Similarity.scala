@@ -558,6 +558,25 @@ object Similarity {
           .join(p.select(col("vec_id"), col("parent").as("cell_id")), Seq("vec_id"), "left")
           .na.fill(-1L, Seq("cell_id"))
       }
+      // r10 (ADVICE): the linearity of this build rests on the root cell
+      // (-1) — the one cell with no parent above it — staying
+      // O(16·Overlap)-sized; that is what bounds its all-pairs stage.
+      // With a fixed [[HnswMaxLayers]] and a corpus past ~16^MaxLayers,
+      // the first non-empty layer from the top grows ∝ n, everything in
+      // it keys to the root cell, and the quadratic blowup the r9
+      // re-plan removed comes back SILENTLY. Guard it loudly at every
+      // layer (the root cell is tiny by design, so the count is cheap;
+      // one small job per layer on a build that is snapshot-served
+      // once): warn past a small multiple of the design cell size,
+      // pointing at re-provisioning.
+      val rootN = cellAssign.filter(col("cell_id") === -1L).count()
+      val designCell = 16L * HnswOverlap
+      if (rootN > 8 * designCell)
+        System.err.println(
+          s"WARN hnswBuild: layer $m has $rootN members in the root cell " +
+            s"(design cell $designCell, guard ${8 * designCell}) — its pair stage " +
+            s"is going quadratic; re-provision HnswMaxLayers " +
+            s"(currently $HnswMaxLayers) to ~ceil(log16(corpus/16))")
       val a = cellAssign.select(col("cell_id"), col("vec_id").as("src"),
         col("q").as("sq"), col("norm").as("sn"))
       val b = cellAssign.select(col("cell_id"), col("vec_id").as("dst"),
@@ -678,6 +697,18 @@ object Similarity {
   def hnswInsert(oldVecs: DataFrame, adj: DataFrame, newVecs: DataFrame): DataFrame = {
     val e = quantizedWithNorm(oldVecs).cache()
     val eNew = quantizedWithNorm(newVecs).cache()
+    // r10 (ADVICE): a new vec_id colliding with an existing one would make
+    // the unioned vector set ambiguous and stack the new out-edges on top
+    // of the vertex's surviving old edges — duplicate (layer,src,dst)
+    // rows and out-degree > HnswR, breaking exactly the invariants
+    // HnswSpec pins. One O(batch) semi-join count, failing loudly like
+    // the other no-vacuous-gate guards.
+    val collisions = eNew.select(col("vec_id"))
+      .join(e.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    require(collisions == 0,
+      s"hnswInsert: $collisions new vec_ids already exist in the served " +
+        "index — inserts must carry fresh ids (re-ingest of an existing " +
+        "id is an update, which goes through rebuild/compaction, not insert)")
     val anchors = hnswDescend(e, adj, eNew.toDF("query_id", "qq", "qnorm"), HnswR)
       .localCheckpoint(true)
     val newOut = anchors

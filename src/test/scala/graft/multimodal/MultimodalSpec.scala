@@ -191,6 +191,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
   }
 
+  test("audio: non-PCM16LE-mono WAVs return None, never Some(garbage) " +
+    "(r10 ADVICE: format validated before byte reinterpretation)") {
+    // a valid RIFF/WAVE container whose format javax.sound accepts but
+    // whose frames are NOT 16-bit mono LE PCM: 8-bit unsigned mono
+    def wav(bits: Short, channels: Short, data: Array[Byte]): Array[Byte] = {
+      val blockAlign = (bits / 8 * channels).toShort
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels)
+        .putInt(8000).putInt(8000 * blockAlign)
+        .putShort(blockAlign).putShort(bits)
+        .put("data".getBytes("US-ASCII")).putInt(data.length)
+        .put(data)
+      bb.array()
+    }
+    // 8-bit mono: previously reinterpreted pairwise as PCM16 garbage
+    assert(Multimodal.decodeWav(wav(8, 1, Array.fill[Byte](16)(100))).isEmpty)
+    // 16-bit STEREO: interleaved channels are not a mono sample stream
+    assert(Multimodal.decodeWav(wav(16, 2, Array.fill[Byte](32)(7))).isEmpty)
+    // and the valid shape still decodes
+    assert(Multimodal.decodeWav(wav(16, 1, Array.fill[Byte](16)(0))).nonEmpty)
+  }
+
   test("e07 curation funnel: every asset lands in exactly one bucket, " +
     "no stage vacuous, packs respect capacity (r9)") {
     import org.apache.spark.sql.functions._
