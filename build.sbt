@@ -37,5 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (back-to-back totals 59s/69s, no outliers) and ~1.6x faster than
   // the C1 cap (97s). Override via SPARK_GRAFT_JVM_OPTS (later -XX
   // flags win).
-  "-XX:ReservedCodeCacheSize=512m",
+  // r10: 512m was sized when the suite was ~90 queries; at 285 the
+  // cache fills again and the flush-recompile churn lands on whichever
+  // queries run LAST — the e* flagships, alphabetically at the tail
+  // (e02's unexplained +50% in the r9 closing bench: code unchanged,
+  // isolated probe 1.9 s, in-context 3.5-4.2 s). Reserved size is
+  // virtual address space, not RSS — 1g costs nothing on this host.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

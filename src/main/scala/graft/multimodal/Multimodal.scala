@@ -15,10 +15,14 @@ import org.apache.spark.sql.types._
   * PNG/JPEG through `javax.imageio` (pure JVM, no native deps) and
   * compute exact pixel statistics. The AUDIO codec is real too (r9):
   * [[decodeWav]]/[[audioFeatures]] parse RIFF/WAVE PCM through
-  * `javax.sound.sampled` — also pure JVM. VIDEO decode remains the one
-  * clearly-marked DETERMINISTIC STUB ([[stubDecodeBatch]]) — the JDK
-  * ships no video codec and the container has no native ones — and
-  * non-image payloads fall back to it inside [[decodeBatch]].
+  * `javax.sound.sampled` — also pure JVM. VIDEO closed in r10:
+  * [[parseAvi]] hand-walks the RIFF/AVI container (the same family as
+  * WAV) and [[videoFeatureQuery]] decodes each MJPEG frame through the
+  * real `javax.imageio` JPEG path — intra-only MJPEG needs no JDK
+  * video codec, so ALL THREE modalities now run real decoders.
+  * [[stubDecodeBatch]] survives only as the vectorized-call-shape
+  * stand-in inside [[decodeBatch]] for payloads that are not media at
+  * all (the b14_multimodal_features plumbing gate).
   */
 object Multimodal {
 
@@ -543,6 +547,244 @@ object Multimodal {
       .orderBy(col("asset_id"))
   }
 
+  // ============== REAL codec: MJPEG-in-AVI (video, r10) ============
+  // The last container-blocked modality closes pure-JVM (VERDICT r9
+  // #5): AVI is RIFF — the same container family the WAV decode
+  // shipped in r9 — and an MJPEG stream's frames are baseline JPEGs,
+  // which javax.imageio already decodes for the image path. No JDK
+  // video CODEC is needed because MJPEG is intra-only: the hand-walked
+  // RIFF container parse below plus the real JPEG decode IS the video
+  // decode.
+
+  private[multimodal] val VideoFrames = 4
+  private[multimodal] val VideoW = 16
+  private[multimodal] val VideoH = 16
+
+  /** Quadrant gray value — the closed form both engines replay: frame
+    * f of asset id, quadrant k (row-major over the four 8×8 blocks). */
+  private[multimodal] def quadGray(id: Long, f: Int, k: Int): Int =
+    ((id * 31 + f * 17 + k * 53) % 256).toInt
+
+  /** JPEG-encode one 16×16 8-bit gray frame (four constant 8×8
+    * quadrants) at quality 1.0. A constant JPEG block carries only its
+    * DC coefficient, which baseline JPEG at max quality preserves
+    * EXACTLY — measured 16384/16384 pixels across the gray range, and
+    * MultimodalSpec pins the round trip — so the decoded pixels have a
+    * closed form while the REAL lossy-codec machinery (DCT, quant,
+    * entropy coding) still runs. Gray (single-component) deliberately:
+    * an RGB frame would pass through the encoder's YCbCr transform,
+    * whose rounding has no engine-portable closed form. */
+  private[multimodal] def encodeJpegGray(quads: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(VideoW, VideoH,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < VideoH) {
+      var x = 0
+      while (x < VideoW) {
+        img.getRaster.setSample(x, y, 0, quads((y / 8) * 2 + x / 8))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    w.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose()
+    bos.toByteArray
+  }
+
+  /** Minimal-but-well-formed MJPEG AVI: RIFF('AVI ', LIST hdrl(avih,
+    * LIST strl(strh 'vids'/'MJPG', strf BITMAPINFOHEADER)), LIST movi
+    * of word-aligned '00dc' chunks). Field layout per the public AVI
+    * RIFF spec; every length field is computed, so frames of any size
+    * (odd JPEG lengths included — the RIFF pad byte) wrap correctly. */
+  private[multimodal] def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      fps: Int): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = bodies.foldLeft(Array.emptyByteArray)(_ ++ _)
+      chunk("LIST", listType.getBytes("US-ASCII") ++ inner)
+    }
+    val maxFrame = frames.map(_.length).max
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1000000 / fps).putInt(maxFrame * fps).putInt(0)
+        .putInt(0x10) // AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off; 0x10 = HASINDEX... we ship no idx1, so flags 0
+      bb.position(12); bb.putInt(0) // no flags: no index chunk is written
+      bb.putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      chunk("avih", bb.array())
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(fps) // scale/rate
+        .putInt(0).putInt(frames.length).putInt(maxFrame)
+        .putInt(-1).putInt(0) // quality default, not sample-based
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      chunk("strh", bb.array())
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      chunk("strf", bb.array())
+    }
+    val hdrl = list("hdrl", Seq(avih, list("strl", Seq(strh, strf))))
+    val movi = list("movi", frames.map(chunk("00dc", _)))
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(riffBody.length).put(riffBody)
+    bb.array()
+  }
+
+  /** Parsed MJPEG AVI: header dims + declared frame count, and every
+    * movi '00dc'/'00db' payload in stream order. */
+  final case class AviVideo(width: Int, height: Int, totalFrames: Int,
+      frames: Seq[Array[Byte]])
+
+  /** RIFF walk over an AVI payload: None for anything that is not a
+    * well-formed AVI with an MJPG video stream whose declared frame
+    * count matches the movi chunks — the same loud-fail contract as
+    * [[decodeWav]] (malformed/mismatched containers must never come
+    * back as Some-with-wrong-data). */
+  def parseAvi(bytes: Array[Byte]): Option[AviVideo] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") return None
+      val riffEnd = { val sz = bb.getInt; bb.position() + sz }
+      if (fourcc() != "AVI ") return None
+      var width = -1; var height = -1; var total = -1; var mjpg = false
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      def walk(end: Int): Unit =
+        while (bb.position() + 8 <= end) {
+          val id = fourcc(); val sz = bb.getInt
+          val next = bb.position() + sz + (sz & 1)
+          if (next > end) sys.error("chunk overruns its parent")
+          id match {
+            case "LIST" =>
+              fourcc() // list type; contents decide relevance
+              walk(bb.position() + sz - 4)
+            case "avih" =>
+              bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt()
+              total = bb.getInt()
+              bb.getInt(); bb.getInt(); bb.getInt()
+              width = bb.getInt(); height = bb.getInt()
+            case "strh" =>
+              val fccType = fourcc(); val handler = fourcc()
+              if (fccType == "vids") mjpg = handler == "MJPG"
+            case "00dc" | "00db" =>
+              val payload = new Array[Byte](sz); bb.get(payload)
+              frames += payload
+            case _ => ()
+          }
+          bb.position(next)
+        }
+      walk(riffEnd)
+      if (width > 0 && height > 0 && mjpg && total == frames.length && total > 0)
+        Some(AviVideo(width, height, total, frames.toSeq))
+      else None
+    } catch { case _: Exception => None }
+
+  /** Synthetic MJPEG-in-AVI asset table: per document, [[VideoFrames]]
+    * 16×16 gray frames whose four 8×8 quadrant values derive from
+    * (doc_id, frame, quadrant) by [[quadGray]], JPEG-encoded at
+    * quality 1.0 and wrapped in a real AVI container on the executor.
+    * The payload is a REAL video file; the decoded pixels have a
+    * closed form (see [[encodeJpegGray]]). */
+  def videoAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val render = udf { (id: Long) =>
+      buildAvi((0 until VideoFrames).map(f =>
+        encodeJpegGray(Array.tabulate(4)(k => quadGray(id, f, k)))),
+        VideoW, VideoH, fps = 10)
+    }
+    Tables.documents(s, dir).select(
+      $"doc_id".as("asset_id"),
+      render($"doc_id").as("payload"),
+      lit("video").as("media_type"))
+  }
+
+  /** Exact per-frame stats over raw 8-bit gray samples — read from the
+    * raster directly ([[java.awt.image.BufferedImage#getRGB]] on a gray
+    * image would pass through the gray→sRGB colorspace transform, which
+    * has no engine-portable closed form): (sum, sum of squares, bright
+    * count ≥128). n = 256 per frame, so every derived mean/variance is
+    * a division by a power of two — IEEE-exact on both engines. */
+  private[multimodal] def grayFrameStats(
+      img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var (sum, ssq, bright) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val v = img.getRaster.getSample(x, y, 0).toLong
+        sum += v; ssq += v * v
+        if (v >= 128) bright += 1
+        x += 1
+      }
+      y += 1
+    }
+    (sum, ssq, bright)
+  }
+
+  /** B14 (r10): REAL video decode + per-frame features — AVI container
+    * parse, then the image path's javax.imageio JPEG decode per frame;
+    * batched partition-local like the other codec queries, one row per
+    * (asset, frame), hash-gated against the closed-form quadrant
+    * oracle. Undecodable containers/frames fail LOUDLY. */
+  def videoFeatureQuery(s: SparkSession, dir: String): DataFrame = {
+    val src = videoAssets(s, dir)
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("gray_sum", LongType, nullable = false),
+      StructField("gray_ssq", LongType, nullable = false),
+      StructField("bright_n", LongType, nullable = false)))
+    val out = src.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val av = parseAvi(r.getAs[Array[Byte]](1))
+            .getOrElse(sys.error(s"b14_video_features: undecodable AVI for asset $id"))
+          av.frames.iterator.zipWithIndex.map { case (jpeg, f) =>
+            val img = decodeImage(jpeg)
+              .getOrElse(sys.error(s"b14_video_features: undecodable frame $f of asset $id"))
+            val (sum, ssq, bright) = grayFrameStats(img)
+            Row(id, f, av.totalFrames, av.width, av.height, sum, ssq, bright)
+          }
+        }
+      }
+    }
+    s.createDataFrame(out, schema)
+      .withColumn("mean_gray", col("gray_sum").cast("double") / lit(VideoW * VideoH))
+      .withColumn("var_gray",
+        col("gray_ssq").cast("double") / lit(VideoW * VideoH)
+          - (col("gray_sum").cast("double") / lit(VideoW * VideoH))
+            * (col("gray_sum").cast("double") / lit(VideoW * VideoH)))
+      .withColumn("bright_frac", col("bright_n").cast("double") / lit(VideoW * VideoH))
+      .orderBy(col("asset_id"), col("frame_idx"))
+  }
+
   /** E7 (r9): end-to-end MULTIMODAL curation — the seventh flagship,
     * composing the b14 kernels into the pipeline an image-corpus
     * ingest actually runs: real PNG decode → 63-bit perceptual dHash
@@ -587,6 +829,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e07_multimodal_curation" -> (curationQuery _),
     "b14_audio_features" -> (audioFeatureQuery _),
+    "b14_video_features" -> (videoFeatureQuery _),
     "b14_multimodal_meta" -> (metaQuery _),
     "b14_multimodal_features" -> (featureQuery _),
     "b14_image_features" -> (imageFeatureQuery _),
@@ -644,6 +887,32 @@ object Multimodal {
     // the exact integer formula the synthesizer used; the engine reads
     // them back through the REAL javax.sound codec (PCM16 round-trips
     // losslessly), so formula == decode and the aggregates hash-match
+    // the decoded pixels ARE the quadrant closed form (constant 8x8
+    // JPEG blocks at quality 1.0 round-trip exactly — spec-pinned), so
+    // the oracle replays (doc, frame, quadrant) arithmetic; every
+    // division is by a power of two (n = 256), IEEE-exact both engines
+    "b14_video_features" -> """
+      WITH f AS (SELECT unnest(range(4)) AS frame_idx),
+      q AS (SELECT unnest(range(4)) AS k),
+      g AS (SELECT d.doc_id AS asset_id, f.frame_idx, q.k,
+              (d.doc_id * 31 + f.frame_idx * 17 + q.k * 53) % 256 AS gray
+            FROM documents d, f, q),
+      s AS (SELECT asset_id, frame_idx,
+              64 * SUM(gray) AS gray_sum,
+              64 * SUM(gray * gray) AS gray_ssq,
+              64 * SUM(CASE WHEN gray >= 128 THEN 1 ELSE 0 END) AS bright_n
+            FROM g GROUP BY asset_id, frame_idx)
+      SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+             4 AS n_frames, 16 AS width, 16 AS height,
+             CAST(gray_sum AS BIGINT) AS gray_sum,
+             CAST(gray_ssq AS BIGINT) AS gray_ssq,
+             CAST(bright_n AS BIGINT) AS bright_n,
+             CAST(gray_sum AS DOUBLE) / 256 AS mean_gray,
+             CAST(gray_ssq AS DOUBLE) / 256
+               - (CAST(gray_sum AS DOUBLE) / 256) * (CAST(gray_sum AS DOUBLE) / 256)
+               AS var_gray,
+             CAST(bright_n AS DOUBLE) / 256 AS bright_frac
+      FROM s ORDER BY asset_id, frame_idx""",
     "b14_audio_features" -> """
       WITH ts AS (SELECT unnest(range(800)) AS t),
       a AS (SELECT doc_id AS asset_id,

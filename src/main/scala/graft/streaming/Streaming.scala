@@ -107,17 +107,22 @@ object Streaming {
   private[graft] def concurrencyOfSessions(s: DataFrame): DataFrame =
     concurrencyOfDeltas(sessionDeltas(s))
 
-  /** The sweep line over a pre-grouped (day, ts, net) delta table. */
-  private[graft] def concurrencyOfDeltas(deltas: DataFrame): DataFrame = {
+  /** The sweep line over a pre-grouped (day, ts, net) delta table.
+    * `base` (r10): the cumulative net of deltas COMPACTED AWAY below
+    * this table's day range — a constant offset on the running curve
+    * (and so on open_at_start/peak_concurrent; the in-day argmax that
+    * picks peak_ts is shift-invariant), letting the streaming refresh
+    * sweep only its un-compacted suffix. */
+  private[graft] def concurrencyOfDeltas(deltas: DataFrame, base: Long = 0L): DataFrame = {
     val net = deltas
       .localCheckpoint(true) // feeds the in-day prefix AND the day totals
     // r9: the shared two-level device (graft.ops.Prefix.prefixSum2L)
     // replaces the hand-rolled in-day window + day carry; the global
     // (empty-part) bin axis is day-bounded by construction
     graft.ops.Prefix.prefixSum2L(net, Seq.empty, "day", Seq(col("ts")), Seq("net"))
-      .withColumn("curve", col("run_net"))
+      .withColumn("curve", col("run_net") + lit(base))
       .groupBy(col("day"))
-      .agg(min(col("carry_net")).as("open_at_start"),
+      .agg((min(col("carry_net")) + lit(base)).as("open_at_start"),
         max(col("curve")).as("peak_concurrent"),
         min_by(col("ts"), struct((-col("curve")).as("nc"), col("ts"))).as("peak_ts"),
         count(lit(1)).as("n_boundaries"))
@@ -177,19 +182,38 @@ object Streaming {
     * (freezing moves rows between the two inputs of one re-grouped sum,
     * so every trigger's curve stays bit-identical to [[concurrency]] on
     * the event prefix — StreamingSpec pins the bridge AND the
-    * frozen-path equality). State = open intervals (frontier-window-
-    * bounded) + the frozen curve (instant-grain, itself day-compactable
-    * downstream) — never all sessions ever. */
+    * frozen-path equality).
+    *
+    * Day compaction (r10, VERDICT r9 #3): the frozen delta set used to
+    * keep one row per distinct boundary instant FOREVER — bounded per
+    * day, unbounded over stream life. The curve's output is day-grain,
+    * so once a day can no longer receive ANY boundary its curve row is
+    * final: a whole day compacts from its instants into (its finished
+    * output row, its net total folded into a scalar carry). A day d is
+    * compactable when d < the cutoff's day (no future event, which
+    * arrives ≥ frontier − lateness > cutoff, can open a boundary there)
+    * AND d < the day of the earliest still-open interval (a multi-day
+    * session's start instant belongs to d until that interval freezes).
+    * State = open intervals (frontier-window-bounded) + frozen instants
+    * of the few un-finalized trailing days + ONE row per finished day —
+    * never all distinct instants ever. Compacted rows and the carry are
+    * frame-identical to the full sweep (the carry is a constant shift,
+    * see [[concurrencyOfDeltas]]), so curve bit-identity is preserved —
+    * StreamingSpec pins a multi-day replay. */
   final class SessionConcurrencyRefresh(allowedLateness: String = "1 hour") {
     @volatile private var open: Option[DataFrame] = None
     @volatile private var frozen: Option[DataFrame] = None
+    @volatile private var compacted: Option[DataFrame] = None
+    @volatile private var carryNet: Long = 0L
     @volatile private var frontier: Option[java.sql.Timestamp] = None
     /** Open-interval state size — the boundedness hook the spec pins. */
     private[graft] def openCount: Long = open.map(_.count()).getOrElse(0L)
     private[graft] def frozenRows: Long = frozen.map(_.count()).getOrElse(0L)
+    /** Finished-day rows — one per compacted day, the bounded tail. */
+    private[graft] def compactedDays: Long = compacted.map(_.count()).getOrElse(0L)
     /** foreachBatch body: fold the micro-batch's session intervals into
-      * the open set, then evict immutable intervals into the frozen
-      * delta aggregate. */
+      * the open set, evict immutable intervals into the frozen delta
+      * aggregate, then compact finished days into final curve rows. */
     def update(batch: DataFrame, batchId: Long): Unit = {
       val b = sessionsBatch(batch)
         .select(col("user_id"), col("session_start"), col("session_end"))
@@ -211,21 +235,50 @@ object Streaming {
           .groupBy(col("day"), col("ts")).agg(sum(col("net")).as("net"))
         case None => sessionDeltas(immutable)
       }
-      frozen = Some(newFrozen.localCheckpoint(true))
-      open = Some(cutoff.map(c => all.where(!(col("session_end") < lit(c))))
-        .getOrElse(all).localCheckpoint(true))
+      val newOpen = cutoff.map(c => all.where(!(col("session_end") < lit(c))))
+        .getOrElse(all).localCheckpoint(true)
+      // ---- day compaction: finalize every day no future boundary can
+      // reach. Day grain is computed with the SAME expression the delta
+      // rows use (unix_date over the session-timezone date), via one-row
+      // Spark evaluations, so the threshold and the data can never
+      // disagree on a timezone edge.
+      val s = batch.sparkSession
+      def dayOf(t: java.sql.Timestamp): Long =
+        s.range(1).select(unix_date(to_date(lit(t)))).head().getInt(0).toLong
+      val openMinDay = newOpen.agg(min(unix_date(to_date(col("session_start")))))
+        .head() match { case r if r.isNullAt(0) => None; case r => Some(r.getInt(0).toLong) }
+      val finalizeBefore = (cutoff.map(dayOf).toSeq ++ openMinDay).reduceOption(_ min _)
+      val (keep, doneRows, doneNet) = finalizeBefore match {
+        case Some(d) =>
+          val fz = newFrozen.localCheckpoint(true)
+          val toCompact = fz.where(col("day") < lit(d))
+          if (toCompact.isEmpty) (fz, None, 0L)
+          else (
+            fz.where(col("day") >= lit(d)).localCheckpoint(true),
+            Some(concurrencyOfDeltas(toCompact, carryNet).localCheckpoint(true)),
+            toCompact.agg(sum(col("net"))).head().getLong(0))
+        case None => (newFrozen.localCheckpoint(true), None, 0L)
+      }
+      doneRows.foreach { dr =>
+        compacted = Some(compacted.map(_.unionByName(dr)).getOrElse(dr))
+        carryNet += doneNet
+      }
+      frozen = Some(keep)
+      open = Some(newOpen)
     }
-    /** Latest concurrency curve (None before the first batch): the
-      * sweep line over frozen ∪ open deltas, re-grouped (an instant can
-      * straddle the two when an open interval starts before the
-      * cutoff). */
+    /** Latest concurrency curve (None before the first batch): finished
+      * days' final rows ∪ the sweep line over the carry-offset frozen ∪
+      * open deltas, re-grouped (an instant can straddle frozen and open
+      * when an open interval starts before the cutoff). */
     def curve: Option[DataFrame] = open.map { o =>
       val deltas = frozen match {
         case Some(fz) => fz.unionByName(sessionDeltas(o))
           .groupBy(col("day"), col("ts")).agg(sum(col("net")).as("net"))
         case None => sessionDeltas(o)
       }
-      concurrencyOfDeltas(deltas)
+      val recent = concurrencyOfDeltas(deltas, carryNet)
+      compacted.map(_.unionByName(recent)).getOrElse(recent)
+        .orderBy(col("day"))
     }
   }
 

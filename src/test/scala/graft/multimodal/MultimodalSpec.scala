@@ -217,6 +217,71 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(wav(16, 1, Array.fill[Byte](16)(0))).nonEmpty)
   }
 
+  test("video: constant 8x8 JPEG blocks round-trip EXACTLY at quality 1.0 " +
+    "across the full gray range (the closed-form contract, B14 r10)") {
+    // every gray value appears in some quadrant across these images
+    for (base <- 0 until 256 by 4) {
+      val quads = Array(base, (base + 85) % 256, (base + 170) % 256, (base + 255) % 256)
+      val jpeg = Multimodal.encodeJpegGray(quads)
+      val img = Multimodal.decodeImage(jpeg).get
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val want = quads((y / 8) * 2 + x / 8)
+        val got = img.getRaster.getSample(x, y, 0)
+        assert(got === want, s"base=$base ($x,$y)")
+      }
+    }
+  }
+
+  test("video: AVI container round-trips frames byte-identically, including " +
+    "odd-length payloads (RIFF pad byte), and rejects malformed input (B14 r10)") {
+    // odd + even frame payloads exercise the word-alignment path
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](9))
+    val avi = Multimodal.buildAvi(frames, 16, 16, fps = 10)
+    val parsed = Multimodal.parseAvi(avi).get
+    assert(parsed.width === 16 && parsed.height === 16 && parsed.totalFrames === 3)
+    assert(parsed.frames.map(_.toSeq) === frames.map(_.toSeq))
+    // not RIFF at all
+    assert(Multimodal.parseAvi("not a video".getBytes).isEmpty)
+    // RIFF but not AVI (a WAV payload must not parse as video)
+    val wavLike = Multimodal.audioAssets(spark, sfDir)
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(Multimodal.parseAvi(wavLike).isEmpty)
+    // declared frame count disagreeing with the movi chunks
+    val lying = avi.clone()
+    // dwTotalFrames lives 16 bytes into the avih body; find it and bump
+    val idx = {
+      var i = 0; var found = -1
+      while (found < 0 && i < lying.length - 4) {
+        if (lying(i) == 'a' && lying(i + 1) == 'v' && lying(i + 2) == 'i' &&
+          lying(i + 3) == 'h') found = i
+        i += 1
+      }
+      found + 8 + 16
+    }
+    lying(idx) = (lying(idx) + 1).toByte
+    assert(Multimodal.parseAvi(lying).isEmpty,
+      "frame-count mismatch must fail loudly, not return Some")
+  }
+
+  test("video: real MJPEG decode returns exactly the synthesized quadrants; " +
+    "per-frame stats match hand computation (B14, r10)") {
+    val payload = Multimodal.videoAssets(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("asset_id") === 11L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val av = Multimodal.parseAvi(payload).get
+    assert(av.totalFrames === 4)
+    for (f <- 0 until 4) {
+      val img = Multimodal.decodeImage(av.frames(f)).get
+      val quads = Array.tabulate(4)(k => ((11L * 31 + f * 17 + k * 53) % 256).toInt)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert(img.getRaster.getSample(x, y, 0) === quads((y / 8) * 2 + x / 8))
+      val (sum, ssq, bright) = Multimodal.grayFrameStats(img)
+      assert(sum === 64L * quads.map(_.toLong).sum)
+      assert(ssq === 64L * quads.map(q => q.toLong * q).sum)
+      assert(bright === 64L * quads.count(_ >= 128))
+    }
+  }
+
   test("e07 curation funnel: every asset lands in exactly one bucket, " +
     "no stage vacuous, packs respect capacity (r9)") {
     import org.apache.spark.sql.functions._

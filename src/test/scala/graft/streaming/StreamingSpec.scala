@@ -388,6 +388,43 @@ class StreamingSpec extends SparkSpec {
       rows(Streaming.concurrency((morning ++ evening).toDF())))
   }
 
+  test("concurrency refresh compacts finished days: frozen state bounded by " +
+    "trailing days under a multi-day replay, curve stays == batch (B10, r10)") {
+    def e(id: Long, u: Long, t: String) =
+      Evt(id, Timestamp.valueOf(t), u, "view", 0)
+    // 8 days, 3 users/day with two overlapping sessions each (plus one
+    // session straddling midnight on day 3, exercising the cross-day
+    // carry through compacted rows), fed chronologically one day per
+    // micro-batch
+    val days = (1 to 8).map { d =>
+      val base = (d - 1) * 100L
+      Seq(
+        e(base + 1, base + 1, f"2024-03-$d%02d 09:00:00"),
+        e(base + 2, base + 1, f"2024-03-$d%02d 09:20:00"),
+        e(base + 3, base + 2, f"2024-03-$d%02d 09:10:00"),
+        e(base + 4, base + 2, f"2024-03-$d%02d 09:30:00"),
+        e(base + 5, base + 3, f"2024-03-$d%02d 10:00:00"),
+        e(base + 6, base + 3, f"2024-03-$d%02d 10:15:00")) ++
+        (if (d == 3) Seq(e(base + 7, base + 4, "2024-03-03 23:50:00"),
+          e(base + 8, base + 4, "2024-03-04 00:10:00"))
+         else Seq.empty)
+    }
+    val refresh = new Streaming.SessionConcurrencyRefresh("1 hour")
+    days.zipWithIndex.foreach { case (b, i) => refresh.update(b.toDF(), i.toLong) }
+    // all boundaries of days 1..7 are > 1h30m behind the day-8 frontier
+    // and no open interval starts before day 8 — those days must be GONE
+    // from the instant-grain state and present as one final row each
+    assert(refresh.compactedDays === 7L,
+      s"expected 7 finished days, got ${refresh.compactedDays}")
+    // trailing instant state: at most the last day's boundaries
+    assert(refresh.frozenRows <= 12L,
+      s"frozen instants not bounded by the trailing day: ${refresh.frozenRows}")
+    // bit-identity across the compaction seam, midnight straddle included
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(refresh.curve.get) ===
+      rows(Streaming.concurrency(days.flatten.toDF())))
+  }
+
   test("series-triad streaming refresh: per-trigger trend/changepoint/autocorr " +
     "snapshots == batch kernels on the event prefix (B06, r8)") {
     // purchase rows feed all three kernels (autocorr is purchase-only);
