@@ -735,6 +735,35 @@ object Similarity {
     out
   }
 
+  /** r10 (VERDICT r9 #3): periodic RE-LEVEL COMPACTION — the fourth verb
+    * of the index lifecycle (build → serve → extend per batch → compact).
+    * [[hnswInsert]] attaches batches at the BASE layer only and defers
+    * hierarchy membership; compaction merges the accumulated segments
+    * back into the canonical hierarchy. Because level draws are pure
+    * id-keyed md5 functions (never insert-order state), the canonical
+    * hierarchy of a vector set is WELL-DEFINED independent of arrival
+    * history — so compaction is the deterministic parent-descent build
+    * over the union, the Lucene-HNSW segment-merge discipline (merges
+    * rebuild the graph from the merged segments' vectors). Inserts
+    * between compactions stay O(batch); the compaction amortizes its
+    * linear rebuild over the batches it absorbs. Invariant/recall pins:
+    * HnswSpec (same bars as [[hnswInsert]]); the streaming lifecycle —
+    * inserted ids climb to their drawn upper layers, which the insert
+    * path deferred, and the compacted state is bit-identical to the
+    * never-inserted fresh build — is pinned by StreamingSpec through
+    * [[graft.streaming.Streaming.AnnIndexRefresh]]. */
+  def hnswCompact(vecs: DataFrame): DataFrame =
+    hnswBuild(quantizedWithNorm(vecs))
+
+  /** [[hnswDescend]] over raw vectors — the serve-side search the
+    * streaming refresher exposes against its maintained state. */
+  def hnswSearch(vecs: DataFrame, adj: DataFrame, queryPred: Column,
+      k: Int = 10): DataFrame = {
+    val e = quantizedWithNorm(vecs)
+    hnswDescend(e, adj, e.filter(queryPred).toDF("query_id", "qq", "qnorm"), k)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** The beam descent of [[hnswTopKWith]] over an arbitrary query set —
     * shared by search and [[hnswInsert]]'s anchor finding. Returns
     * (query_id, vec_id, cosine, rn ≤ k), self-matches excluded. */

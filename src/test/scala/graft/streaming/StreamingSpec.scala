@@ -493,6 +493,86 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(p => p._1 == 4L && p._2 == 1001L))
   }
 
+  test("band-index refresh: N micro-batches through the extend seams == " +
+    "the fresh one-shot index, bit-identical (B12 lifecycle, r10)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").filter($"doc_id" < 120)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(docs.size > 60, "fixture too small to form 3 micro-batches")
+    val refresh = new Streaming.BandIndexRefresh(3)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(refresh.update _).outputMode("update").start()
+    docs.grouped(docs.size / 3 + 1).foreach { g =>
+      input.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val all = docs.toDF("doc_id", "text")
+    assert(sortedRows(refresh.shingleIndex.get) ===
+      sortedRows(graft.dedup.Dedup.shingleHashes(all, 3)))
+    assert(sortedRows(refresh.bandIndex.get) ===
+      sortedRows(graft.dedup.Dedup.lshBands(
+        graft.dedup.Dedup.minHashSignaturesRow(all, 3))))
+  }
+
+  test("ANN index refresh lifecycle: O(batch) inserts defer the hierarchy, " +
+    "scheduled compaction restores the canonical build, invariants hold at " +
+    "every trigger, served search keeps recall (B12 lifecycle, r10)") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val batches = (0 until 4).map(r =>
+      emb.filter($"vec_id" % 4 === r).collect()
+        .map(x => (x.getLong(0), x.getSeq[Float](1))).toSeq)
+    // compactEvery=3: trigger 0 builds, 1-2 insert, 3 inserts THEN compacts
+    val refresh = new Streaming.AnnIndexRefresh(compactEvery = 3)
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(refresh.update _).outputMode("update").start()
+    val insertedIds = (batches(1) ++ batches(2) ++ batches(3)).map(_._1).toSet
+    var preCompactionUpper = -1L
+    batches.zipWithIndex.foreach { case (b, i) =>
+      input.addData(b); q.processAllAvailable()
+      val adj = refresh.adjacency.get
+      // degree invariant (R = 12) at EVERY trigger, insert or compact
+      val deg = adj.groupBy($"layer", $"src").agg(count(lit(1)).as("d"))
+        .agg(max($"d")).head().getLong(0)
+      assert(deg <= 12L, s"trigger $i: out-degree $deg exceeds R")
+      if (i == 2) {
+        // pre-compaction: inserted ids sit at the BASE layer only —
+        // the insert path genuinely defers hierarchy membership
+        preCompactionUpper = adj.filter($"layer" > 0)
+          .filter($"src".isin(insertedIds.toSeq: _*) ||
+            $"dst".isin(insertedIds.toSeq: _*)).count()
+        assert(preCompactionUpper === 0L,
+          s"inserts leaked $preCompactionUpper rows into upper layers")
+      }
+    }
+    q.stop()
+    // post-compaction: bit-identical to the canonical build over ALL
+    // vectors — the re-level merge restored every level invariant
+    val canonical = graft.similarity.Similarity.hnswCompact(emb)
+    val got = refresh.adjacency.get
+    assert(got.exceptAll(canonical).count() === 0L &&
+      canonical.exceptAll(got).count() === 0L,
+      "compacted state differs from the canonical from-scratch build")
+    // and the climb is non-vacuous: some inserted ids DO live on upper
+    // layers canonically (their md5 draw), which inserts had deferred
+    val upperNow = got.filter($"layer" > 0)
+      .filter($"src".isin(insertedIds.toSeq: _*) ||
+        $"dst".isin(insertedIds.toSeq: _*)).count()
+    assert(upperNow > 0L, "no inserted id climbed at compaction — vacuous pin")
+    // served search against the maintained state clears the floor
+    val gotTopk = refresh.topK(col("vec_id") % 100 === 0).get
+      .select($"query_id", $"vec_id")
+    val truth = graft.similarity.Similarity.bruteForceTopK(
+      emb, col("vec_id") % 100 === 0, k = 10).select($"query_id", $"vec_id")
+    val hits = gotTopk.join(truth, Seq("query_id", "vec_id")).count().toDouble
+    assert(hits / truth.count() >= 0.7,
+      f"post-lifecycle recall ${hits / truth.count()}%.2f below 0.7")
+  }
+
   test("foreachBatch harvest sink merges micro-batches with stable ids (B10/A21)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val input = MemoryStream[String](spark)
