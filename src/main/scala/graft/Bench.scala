@@ -21,7 +21,21 @@ object Bench {
     // measured as multi-second drift on unrelated queries in round 2. Drop
     // them between queries so every measurement starts from the same
     // storage state; the release is outside the query's own timed window.
-    def releaseCaches(): Unit = spark.catalog.clearCache()
+    // r10: clearCache() releases CATALOG-cached frames but NOT
+    // localCheckpoint blocks — those free only when the ContextCleaner
+    // processes the checkpoint RDDs' weak refs, which needs a driver GC,
+    // and with -Xmx89g a GC may not happen for hundreds of queries: dead
+    // checkpoint blocks pile up in the storage region and the LAST
+    // queries of each pass (the e* flagships, alphabetically) run
+    // against a polluted store (e02: 1.9 s isolated vs 4.2-4.3 s at
+    // position ~280 — reproduced at BOTH 512m and 1g code cache, which
+    // exonerated the r2 code-cache theory). One explicit GC between
+    // queries lets the cleaner drop them; it runs OUTSIDE every timed
+    // window.
+    def releaseCaches(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
     // optional comma-separated name filter for local iteration on a query
     // subset (driver runs with it unset → full bench); mirrors Verify's
     // SPARK_GRAFT_ONLY. Blank values count as unset.

@@ -12,6 +12,17 @@ import org.apache.spark.sql.SparkSession
   *   scan vectorized.
   * - AQE on: at cluster scale this gives runtime shuffle-partition
   *   coalescing and skew-join splitting for free.
+  * - codegen cache sized to the library (r10): Spark's compiled-class
+  *   cache holds 100 entries by default — a ~300-query workload churns
+  *   it completely, so every re-run of a plan pays full janino
+  *   recompilation of all its stages. This was the r9 "e02 regressed
+  *   +50%" mystery: queries run LATE in a long session had their
+  *   classes evicted between passes (e02: 1.9 s isolated vs 4.2-4.3 s
+  *   at position ~280; reproduced at both 512m and 1g code cache,
+  *   which exonerated code-cache pressure). 8192 entries keeps every
+  *   stage of the full suite resident — mini-bench total dropped 21%
+  *   and e02 returned to family norm. Class memory lands in metaspace/
+  *   code cache, both sized for it here.
   */
 object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
@@ -19,6 +30,7 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    .config("spark.sql.codegen.cache.maxEntries", "8192")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests/dev. */

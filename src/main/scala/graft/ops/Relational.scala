@@ -986,6 +986,57 @@ object Relational {
       .orderBy($"prio")
   }
 
+  /** B4 (r10): Kruskal–Wallis H — the k-group extension of
+    * [[mannWhitneyQuery]] ("is ANY of the five order priorities' price
+    * distributions shifted?"), riding the same integer midrank device:
+    * per distinct cents value, 2·midrank = 2·(run_c − c) + c + 1 from
+    * ONE two-level prefix over value bins ([[Prefix.prefixSum2L]], so
+    * no reducer ever sorts the full value axis), making each group's
+    * DOUBLED rank sum 2R_g = Σ c_g·r2 an exact DECIMAL(38). The H
+    * statistic is ONE fixed IEEE tree over the exact moments —
+    * (2R_g) is cast to double BEFORE squaring (the cramers_v rule:
+    * the square crosses DECIMAL(38) at 100 TB row counts) and the tie
+    * correction's N³−N runs in DECIMAL(38) (int64 wraps at N ≈ 2·10⁶ —
+    * the ppb discipline) — replayed term-for-term by the oracle.
+    * With midranks, H = 3/(N(N+1)) · Σ(2R_g)²/n_g − 3(N+1), tie-
+    * corrected by 1 − Σ(c³−c)/(N³−N); an all-tied degenerate corpus
+    * (correction ≤ 0) pins H to 0. */
+  def kruskalWallisQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+      "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "notspec", "5-LOW" -> "low")
+    val cc = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("prio"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"cents")
+      .agg(sum(when($"prio" === keys.head._1, 1L).otherwise(0L)).as("c_urgent"),
+        keys.tail.map { case (k, n) =>
+          sum(when($"prio" === k, 1L).otherwise(0L)).as(s"c_$n") }: _*)
+      .withColumn("c", keys.map(k => col(s"c_${k._2}")).reduce(_ + _))
+      .withColumn("bin", expr("cents div 2500000"))
+      .localCheckpoint(true) // feeds the two-level prefix twice
+    val ranked = Prefix.prefixSum2L(cc, Seq.empty, "bin", Seq($"cents"), Seq("c"))
+      .withColumn("r2", lit(2) * ($"run_c" - $"c") + $"c" + 1)
+    val aggs = keys.flatMap { case (_, n) =>
+      Seq(sum(col(s"c_$n")).as(s"n_$n"),
+        sum(expr(s"CAST(c_$n AS DECIMAL(38,0)) * r2")).as(s"r2_$n"))
+    } :+ sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("tie")
+    val m = ranked.agg(aggs.head, aggs.tail: _*)
+      .withColumn("n_total", keys.map(k => col(s"n_${k._2}")).reduce(_ + _))
+    val nD = col("n_total").cast("double")
+    val sumTerm = keys.map { case (_, n) =>
+      val r2d = col(s"r2_$n").cast("double")
+      when(col(s"n_$n") === 0, lit(0.0))
+        .otherwise(r2d * r2d / col(s"n_$n").cast("double"))
+    }.reduce(_ + _)
+    val hRaw = lit(3.0) / (nD * (nD + lit(1.0))) * sumTerm -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("tie").cast("double") /
+      expr("CAST(CAST(n_total AS DECIMAL(38,0)) * n_total * n_total - n_total AS DOUBLE)")
+    m.select((keys.map(k => col(s"n_${k._2}")) :+ col("n_total") :+
+      when(corr <= 0.0, lit(0.0)).otherwise(hRaw / corr).as("h_stat")): _*)
+  }
+
   /** B4 (r8): Welch's two-sample t — the parametric drift companion of
     * [[ksTestQuery]] (KS asks "did the distribution move anywhere",
     * Welch asks "did the MEAN move, variances unequal"): per order
@@ -2044,6 +2095,7 @@ object Relational {
     "b04_kendall" -> (kendall _),
     "b04_ks_test" -> (ksTestQuery _),
     "b04_mann_whitney" -> (mannWhitneyQuery _),
+    "b04_kruskal_wallis" -> (kruskalWallisQuery _),
     "b04_cramers_v" -> (cramersVQuery _),
     "b03_lateral_topn" -> (lateralTopNQuery _),
     "b04_psi_drift" -> (psiDriftQuery _),
@@ -2608,6 +2660,56 @@ object Relational {
              CAST(tie AS DOUBLE) /
                (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))) AS z
       FROM m ORDER BY prio""",
+    // the k-group midrank extension: exact HUGEINT/DECIMAL rank sums,
+    // H as the identical fixed IEEE tree (squares taken in double —
+    // the cramers_v rule; N^3−N in wide integer — the ppb discipline)
+    "b04_kruskal_wallis" -> """
+      WITH cc AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c_urgent,
+          CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c_high,
+          CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c_medium,
+          CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c_notspec,
+          CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c_low
+        FROM orders GROUP BY 1),
+      cc2 AS (SELECT *, c_urgent + c_high + c_medium + c_notspec + c_low AS c FROM cc),
+      rk AS (SELECT *,
+          2 * (CAST(SUM(c) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c)
+            + c + 1 AS r2
+        FROM cc2),
+      m AS (SELECT
+          CAST(SUM(c_urgent) AS BIGINT) AS n_urgent,
+          CAST(SUM(c_high) AS BIGINT) AS n_high,
+          CAST(SUM(c_medium) AS BIGINT) AS n_medium,
+          CAST(SUM(c_notspec) AS BIGINT) AS n_notspec,
+          CAST(SUM(c_low) AS BIGINT) AS n_low,
+          SUM(CAST(c_urgent AS HUGEINT) * r2) AS r2_urgent,
+          SUM(CAST(c_high AS HUGEINT) * r2) AS r2_high,
+          SUM(CAST(c_medium AS HUGEINT) * r2) AS r2_medium,
+          SUM(CAST(c_notspec AS HUGEINT) * r2) AS r2_notspec,
+          SUM(CAST(c_low AS HUGEINT) * r2) AS r2_low,
+          SUM(CAST(c AS HUGEINT) * c * c - c) AS tie
+        FROM rk),
+      h AS (SELECT *,
+          n_urgent + n_high + n_medium + n_notspec + n_low AS n_total,
+          CAST(n_urgent + n_high + n_medium + n_notspec + n_low AS DOUBLE) AS nd,
+          (CASE WHEN n_urgent = 0 THEN 0.0 ELSE CAST(r2_urgent AS DOUBLE) * CAST(r2_urgent AS DOUBLE) / CAST(n_urgent AS DOUBLE) END
+           + CASE WHEN n_high = 0 THEN 0.0 ELSE CAST(r2_high AS DOUBLE) * CAST(r2_high AS DOUBLE) / CAST(n_high AS DOUBLE) END
+           + CASE WHEN n_medium = 0 THEN 0.0 ELSE CAST(r2_medium AS DOUBLE) * CAST(r2_medium AS DOUBLE) / CAST(n_medium AS DOUBLE) END
+           + CASE WHEN n_notspec = 0 THEN 0.0 ELSE CAST(r2_notspec AS DOUBLE) * CAST(r2_notspec AS DOUBLE) / CAST(n_notspec AS DOUBLE) END
+           + CASE WHEN n_low = 0 THEN 0.0 ELSE CAST(r2_low AS DOUBLE) * CAST(r2_low AS DOUBLE) / CAST(n_low AS DOUBLE) END) AS sum_term,
+          1.0 - CAST(tie AS DOUBLE) /
+            CAST(CAST(n_urgent + n_high + n_medium + n_notspec + n_low AS HUGEINT)
+                 * (n_urgent + n_high + n_medium + n_notspec + n_low)
+                 * (n_urgent + n_high + n_medium + n_notspec + n_low)
+                 - (n_urgent + n_high + n_medium + n_notspec + n_low) AS DOUBLE) AS corr
+        FROM m)
+      SELECT n_urgent, n_high, n_medium, n_notspec, n_low,
+        CAST(n_total AS BIGINT) AS n_total,
+        CASE WHEN corr <= 0.0 THEN 0.0
+             ELSE (3.0 / (nd * (nd + 1.0)) * sum_term - 3.0 * (nd + 1.0)) / corr
+        END AS h_stat
+      FROM h""",
     // six exact BIGINT moments per priority; t is one fixed IEEE tree
     // (means, Bessel variances, sqrt, divide — no transcendentals)
     "b04_welch_t" -> """

@@ -348,10 +348,12 @@ object ScaleQueries {
     * assert at plan time), and structurally asserts the split engaged
     * via [[graft.plans.PlanAudit.hasSkewJoin]] — the no-vacuous-gate
     * discipline. The hash-compared OUTPUT is identical to the plain
-    * join (identity-under-rewrite, the salted-join contract); the
-    * assert costs one extra execution of the join, accepted for the
-    * same reason runtimeFilterQuery re-plans: the certified artifact is
-    * the PLAN SHAPE, the oracle certifies the rows. */
+    * join (identity-under-rewrite, the salted-join contract). SINGLE
+    * execution (r9 final, stale doc fixed r10): the eager
+    * localCheckpoint runs THIS frame's queryExecution — AQE finalizes
+    * its stages there — the assert reads that same executed plan, and
+    * the returned checkpoint serves the materialized rows, so the join
+    * runs exactly once. */
   def skewJoinAqeQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val touched = Seq(
