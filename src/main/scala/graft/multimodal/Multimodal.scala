@@ -574,7 +574,19 @@ object Multimodal {
     * entropy coding) still runs. Gray (single-component) deliberately:
     * an RGB frame would pass through the encoder's YCbCr transform,
     * whose rounding has no engine-portable closed form. */
-  private[multimodal] def encodeJpegGray(quads: Array[Int]): Array[Byte] = {
+  private[multimodal] def encodeJpegGray(quads: Array[Int]): Array[Byte] =
+    encodeJpegGrayWith(newJpegWriter(), quads)
+
+  /** One writer per PARTITION, not per frame: the service-provider
+    * lookup + writer construction dominate a 16×16 encode, so the
+    * render path amortizes them across the partition (same batch-shape
+    * reasoning as [[extractFeatures]]); an ImageWriter is reusable by
+    * re-setting its output between writes. */
+  private[multimodal] def newJpegWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+
+  private[multimodal] def encodeJpegGrayWith(
+      w: javax.imageio.ImageWriter, quads: Array[Int]): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(VideoW, VideoH,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     var y = 0
@@ -587,13 +599,13 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(1.0f)
-    w.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    w.setOutput(out)
     w.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    w.dispose()
+    out.close()
     bos.toByteArray
   }
 
@@ -709,16 +721,36 @@ object Multimodal {
     * The payload is a REAL video file; the decoded pixels have a
     * closed form (see [[encodeJpegGray]]). */
   def videoAssets(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val render = udf { (id: Long) =>
-      buildAvi((0 until VideoFrames).map(f =>
-        encodeJpegGray(Array.tabulate(4)(k => quadGray(id, f, k)))),
-        VideoW, VideoH, fps = 10)
+    val src = Tables.documents(s, dir).select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("media_type", StringType, nullable = false)))
+    // partition-local writer reuse (see newJpegWriter) + frame memo:
+    // quadGray(id,f,k) = (base + 53k) % 256 with base = (31·id+17·f) %
+    // 256, so only 256 DISTINCT frames exist corpus-wide — each
+    // partition encodes a base at most once and assembles containers
+    // from the memo (fixture machinery; the DECODE side stays one real
+    // codec pass per frame, it is the operator being certified).
+    // Renders stay a narrow scan-side pass, no shuffle.
+    val out = src.rdd.mapPartitions { rows =>
+      val w = newJpegWriter()
+      val memo = new Array[Array[Byte]](256)
+      def frameFor(base: Int): Array[Byte] = {
+        if (memo(base) == null)
+          memo(base) = encodeJpegGrayWith(w,
+            Array.tabulate(4)(k => (base + 53 * k) % 256))
+        memo(base)
+      }
+      rows.map { r =>
+        val id = r.getLong(0)
+        val avi = buildAvi((0 until VideoFrames).map(f =>
+          frameFor(((id * 31 + f * 17) % 256).toInt)),
+          VideoW, VideoH, fps = 10)
+        Row(id, avi, "video")
+      }
     }
-    Tables.documents(s, dir).select(
-      $"doc_id".as("asset_id"),
-      render($"doc_id").as("payload"),
-      lit("video").as("media_type"))
+    s.createDataFrame(out, schema)
   }
 
   /** Exact per-frame stats over raw 8-bit gray samples — read from the
@@ -761,13 +793,25 @@ object Multimodal {
       StructField("gray_ssq", LongType, nullable = false),
       StructField("bright_n", LongType, nullable = false)))
     val out = src.select("asset_id", "payload").rdd.mapPartitions { rows =>
+      // partition-local reader reuse — the reader lookup/construction
+      // dominates a 16×16 JPEG decode, same reasoning as newJpegWriter
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      def decodeWith(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          rd.setInput(iis, true, true)
+          val img = rd.read(0)
+          iis.close()
+          Option(img)
+        } catch { case _: Exception => None }
       rows.grouped(64).flatMap { batch =>
         batch.iterator.flatMap { r =>
           val id = r.getLong(0)
           val av = parseAvi(r.getAs[Array[Byte]](1))
             .getOrElse(sys.error(s"b14_video_features: undecodable AVI for asset $id"))
           av.frames.iterator.zipWithIndex.map { case (jpeg, f) =>
-            val img = decodeImage(jpeg)
+            val img = decodeWith(jpeg)
               .getOrElse(sys.error(s"b14_video_features: undecodable frame $f of asset $id"))
             val (sum, ssq, bright) = grayFrameStats(img)
             Row(id, f, av.totalFrames, av.width, av.height, sum, ssq, bright)
