@@ -26,6 +26,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to FILE-backed stream caches — a temp file per
+  // decode/encode. Every payload in this module is an in-memory byte
+  // array, so the disk round-trip is pure overhead (measured: the b14
+  // codec queries spend more time in temp-file churn than in the
+  // codec). JVM-wide, set once at object init (driver and executors
+  // both touch this object before any codec call).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = false),
