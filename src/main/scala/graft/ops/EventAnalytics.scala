@@ -1000,6 +1000,47 @@ object EventAnalytics {
   def trendQuery(s: SparkSession, dir: String): DataFrame =
     trend(Tables.events(s, dir))
 
+  /** B6 (r10): weekly-profile SEASONAL DECOMPOSITION over the per-type
+    * daily series — the classical seasonal-means split
+    * (v = seasonal(phase) + residual) the series triad leaves
+    * uncovered ([[trend]] drift, [[changepoint]] breaks, [[autocorr]]
+    * cycle STRENGTH — this extracts the cycle's SHAPE): the seasonal
+    * component is the per-(type, day-of-week) MEAN of daily totals
+    * over the min..max day grid (missing days count 0, the trend-grid
+    * contract), the residual each day's deviation from its phase mean.
+    * Exactness: daily totals are exact cents BIGINTs; the phase mean
+    * is the rational phase_sum/phase_n, so the residual is computed
+    * SCALED — v·phase_n − phase_sum in DECIMAL(38) (v·n crosses int64
+    * at 100 TB daily volumes — the ppb discipline) — and each output
+    * double is the scaled integer through one cast and one division,
+    * the identical IEEE tree on both engines. dow = day mod 7: an
+    * engine-portable PHASE INDEX off the unix-date axis (day 0 was a
+    * Thursday; the label is a phase, not a weekday name). Scale: grid
+    * is (types × days)-bounded, the phase table (types × 7) — nothing
+    * row-scale past the first aggregate. */
+  private[graft] def seasonalOfDaily(daily: DataFrame): DataFrame = {
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("b0"), max(col("day")).as("b1"))
+      .select(col("event_type"), explode(expr("sequence(b0, b1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day").cast("long").as("day"),
+        coalesce(col("v"), lit(0L)).as("v_cents"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .localCheckpoint(true) // feeds the phase table AND the join
+    val phase = grid.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("v_cents")).as("phase_sum"), count(lit(1)).as("phase_n"))
+    grid.join(phase, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("v_cents"),
+        (col("phase_sum").cast("double") / col("phase_n").cast("double"))
+          .as("seasonal_mean"),
+        (expr("CAST(CAST(v_cents AS DECIMAL(38,0)) * phase_n - phase_sum AS DOUBLE)")
+          / col("phase_n").cast("double")).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def seasonalQuery(s: SparkSession, dir: String): DataFrame =
+    seasonalOfDaily(dailyCents(Tables.events(s, dir)))
+
   /** B06 (r7 cont.): CUSUM changepoint detection — "when did this
     * metric's level shift" per event type, the third leg of the series
     * triad ([[autocorr]] cycles, [[trend]] drift, this: breaks). The
@@ -1187,6 +1228,7 @@ object EventAnalytics {
     "b06_zscore" -> (zScoresQuery _),
     "b06_autocorr" -> ((s: SparkSession, dir: String) => autocorrQuery(s, dir)),
     "b06_trend" -> (trendQuery _),
+    "b06_seasonal" -> (seasonalQuery _),
     "b06_changepoint" -> (changepointQuery _),
     "b10_power" -> (powerQuery _),
     "b06_theilsen" -> (theilSenQuery _),
@@ -1360,6 +1402,34 @@ object EventAnalytics {
         (CAST(sy AS DOUBLE) - slope_cents_per_day * CAST(sx AS DOUBLE))
           / CAST(n_days AS DOUBLE) AS intercept_cents
       FROM sl ORDER BY event_type""",
+    // weekly-profile decomposition: exact cents grid (missing days 0),
+    // phase means as one division, residual scaled through DECIMAL(38)
+    // then ONE cast + ONE division — the identical IEEE tree
+    "b06_seasonal" -> """
+      WITH d AS (SELECT event_type,
+          date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      obs AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS v
+              FROM d GROUP BY 1, 2),
+      span AS (SELECT event_type, MIN(day) AS b0, MAX(day) AS b1
+               FROM obs GROUP BY 1),
+      grid0 AS (SELECT event_type, CAST(u.day AS BIGINT) AS day
+                FROM span, UNNEST(range(b0, b1 + 1)) AS u(day)),
+      grid AS (SELECT g0.event_type, g0.day,
+                 COALESCE(o.v, 0) AS v_cents,
+                 CAST(g0.day % 7 AS BIGINT) AS dow
+               FROM grid0 g0 LEFT JOIN obs o
+                 ON o.event_type = g0.event_type AND o.day = g0.day),
+      ph AS (SELECT event_type, dow, CAST(SUM(v_cents) AS BIGINT) AS phase_sum,
+               CAST(COUNT(*) AS BIGINT) AS phase_n
+             FROM grid GROUP BY 1, 2)
+      SELECT g.event_type, g.day, g.dow, g.v_cents,
+        CAST(phase_sum AS DOUBLE) / CAST(phase_n AS DOUBLE) AS seasonal_mean,
+        CAST(CAST(g.v_cents AS HUGEINT) * phase_n - phase_sum AS DOUBLE)
+          / CAST(phase_n AS DOUBLE) AS residual
+      FROM grid g JOIN ph USING (event_type, dow)
+      ORDER BY g.event_type, g.day""",
     // exact integer cents; cumulative over the bounded week-offset axis;
     // SUMs cast to BIGINT (HUGEINT → pandas float64 otherwise)
     "b10_ltv" -> """

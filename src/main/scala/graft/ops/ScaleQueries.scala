@@ -317,6 +317,31 @@ object ScaleQueries {
       .orderBy($"doc_id")
   }
 
+  /** B1 (r10): ORC round-trip gate — the same injected-hazard device
+    * through Spark's built-in columnar alternative to parquet (ORC is
+    * the other lakehouse-native format a 100 TB estate realistically
+    * holds). ORC is typed, so the hazard here certifies string-value
+    * fidelity (embedded comma/quote/newline survive the writer's
+    * dictionary/RLE paths) plus a timestamp column — the type parquet
+    * and ORC encode differently enough to have distinct failure
+    * modes. */
+  def orcRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = runStore(s, "orc_rt_gate", dir)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", hazardCol.as("hazard"),
+        // a deterministic per-row timestamp exercises ORC's epoch encoding
+        expr("timestamp_ntz '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)")
+          .as("ts"))
+      .write.orc(store)
+    s.read.schema("doc_id LONG, lang STRING, hazard STRING, ts TIMESTAMP_NTZ")
+      .orc(store)
+      .orderBy($"doc_id")
+  }
+
   /** B1 (r7 cont.): JSON-lines round-trip gate — same injected-hazard
     * device through the JSON codec (escapes live in-band: \n, \").
     * The two gates complete the B1 format story beyond parquet. */
@@ -412,6 +437,7 @@ object ScaleQueries {
     "b03_join_skew_aqe" -> (skewJoinAqeQuery _),
     "b01_csv_roundtrip" -> (csvRoundtripQuery _),
     "b01_json_roundtrip" -> (jsonRoundtripQuery _),
+    "b01_orc_roundtrip" -> (orcRoundtripQuery _),
     "b03_runtime_filter" -> (runtimeFilterQuery _),
     "b01_compact" -> (compactQuery _),
     "b01_schema_evolution" -> (schemaEvolutionQuery _),
@@ -454,6 +480,12 @@ object ScaleQueries {
     """,
     "b01_json_roundtrip" -> s"""
       SELECT doc_id, lang, $HazardSql AS hazard
+      FROM documents ORDER BY doc_id
+    """,
+    // string fidelity + epoch-encoded timestamp through the ORC codec
+    "b01_orc_roundtrip" -> s"""
+      SELECT doc_id, lang, $HazardSql AS hazard,
+             TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS ts
       FROM documents ORDER BY doc_id
     """,
     // the plain join — bloom pruning must be invisible in the result
