@@ -54,13 +54,22 @@ object Relational {
     * later-stage named columns — inherits the exactness guarantee.
     */
   private[ops] def castExact(c: Column, scale: Int): Column = {
-    // 2^53 unscaled at this scale, exactly representable as a decimal literal
-    val bound = new java.math.BigDecimal(
-      java.math.BigInteger.ONE.shiftLeft(53), scale)
+    // The TRUE round-trip bound, tighter than the naive "unscaled <
+    // 2^53" (which only keeps the INTEGER exact): the double must also
+    // space finer than the decimal grid, i.e. ulp(v) < 10^-scale, else
+    // two ADJACENT decimals collide onto one double — for scale 2 that
+    // bites from |v| = 2^46 (~7.04e13, unscaled 7.04e15), a band the
+    // 2^53 bound silently admits (RenderExactnessSpec pins a concrete
+    // colliding cent pair there). Largest safe magnitude: 2^(53 −
+    // ceil(scale·log2 10)) — a power of two, exactly representable as
+    // the decimal literal compared against.
+    val safeExp = 53 - math.ceil(scale * math.log(10.0) / math.log(2.0)).toInt
+    val bound = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(safeExp))
     when(c.isNull || abs(c) < lit(bound), c)
       .otherwise(raise_error(concat(
-        lit(s"render-exactness violated: |unscaled| >= 2^53 at scale $scale, " +
-          "the final decimal->double cast would silently round: "),
+        lit(s"render-exactness violated: |value| >= 2^$safeExp at scale $scale " +
+          "(ulp wider than the decimal grid), the final decimal->double cast " +
+          "would silently round: "),
         c.cast("string"))))
   }
   /** Exact sum of a 2dp column → DECIMAL(38,2), 2^53-render-guarded. */

@@ -1005,6 +1005,10 @@ object Streaming {
     /** Latest lag-k autocorrelation snapshot. */
     def autocorr: Option[DataFrame] =
       acc.map(d => graft.ops.EventAnalytics.autocorrOfDaily(d))
+    /** Latest weekly-profile seasonal decomposition (r10) — the fourth
+      * kernel over the same bounded daily state. */
+    def seasonal: Option[DataFrame] =
+      acc.map(graft.ops.EventAnalytics.seasonalOfDaily)
   }
 
   /** r10 (VERDICT r9 #6) — INDEX-MAINTENANCE sink #1: the near-dup

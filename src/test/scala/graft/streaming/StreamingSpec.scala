@@ -458,6 +458,11 @@ class StreamingSpec extends SparkSpec {
       rows(graft.ops.EventAnalytics.changepoint(all)))
     assert(rows(refresh.autocorr.get) ===
       rows(graft.ops.EventAnalytics.autocorr(all)))
+    // the fourth kernel over the same state (r10): seasonal snapshot ==
+    // batch decomposition on the prefix
+    assert(rows(refresh.seasonal.get) ===
+      rows(graft.ops.EventAnalytics.seasonalOfDaily(
+        graft.ops.EventAnalytics.dailyCents(all))))
     assert(trend1 !== trend2) // batch 2 really moved the line
   }
 
