@@ -1024,24 +1024,29 @@ object Streaming {
     * At 100 TB each fold is an append to the bucketed index tables;
     * nothing rescans the accumulated corpus. */
   final class BandIndexRefresh(k: Int = 3) {
-    @volatile private var sh: Option[DataFrame] = None
-    @volatile private var bands: Option[DataFrame] = None
-    /** foreachBatch body: extend both index tables by the batch. */
+    // SEGMENT LISTS, not a re-checkpointed union: each trigger
+    // materializes ONLY its own O(batch) increment (the extend seams
+    // are pure appends — extendShingleIndex == existing ∪
+    // shingleHashes(batch)); the served index is the lazy union of the
+    // immutable segments, so no trigger ever rewrites or rescans the
+    // accumulated corpus — the exact shape of appending partitions to
+    // a bucketed index table at 100 TB.
+    @volatile private var shSegs: List[DataFrame] = Nil
+    @volatile private var bandSegs: List[DataFrame] = Nil
+    /** foreachBatch body: append both O(batch) index increments. */
     def update(batch: DataFrame, batchId: Long): Unit = {
       val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
-      sh = Some((sh match {
-        case Some(x) => graft.dedup.Dedup.extendShingleIndex(x, b, k)
-        case None => graft.dedup.Dedup.shingleHashes(b, k)
-      }).localCheckpoint(true))
-      bands = Some((bands match {
-        case Some(x) => graft.dedup.Dedup.extendBandIndex(x, b, k)
-        case None => graft.dedup.Dedup.lshBands(
-          graft.dedup.Dedup.minHashSignaturesRow(b, k))
-      }).localCheckpoint(true))
+      shSegs = graft.dedup.Dedup.shingleHashes(b, k)
+        .localCheckpoint(true) :: shSegs
+      bandSegs = graft.dedup.Dedup.lshBands(
+        graft.dedup.Dedup.minHashSignaturesRow(b, k))
+        .localCheckpoint(true) :: bandSegs
     }
     /** The maintained reference tables (None before the first batch). */
-    def shingleIndex: Option[DataFrame] = sh
-    def bandIndex: Option[DataFrame] = bands
+    def shingleIndex: Option[DataFrame] =
+      shSegs.reduceOption(_ unionByName _)
+    def bandIndex: Option[DataFrame] =
+      bandSegs.reduceOption(_ unionByName _)
   }
 
   /** r10 (VERDICT r9 #6) — INDEX-MAINTENANCE sink #2: the ANN index
@@ -1060,26 +1065,35 @@ object Streaming {
     * invariants hold at EVERY trigger, and search against the
     * maintained state clears the recall floor. */
   final class AnnIndexRefresh(compactEvery: Int = 4) {
-    @volatile private var vecs: Option[DataFrame] = None
+    // vector state is a SEGMENT LIST (each trigger checkpoints only its
+    // own batch; the corpus view is the lazy union of immutable
+    // segments — no trigger rewrites the accumulated vectors). The
+    // adjacency IS re-materialized on insert/compact: hnswInsert
+    // rewrites only touched-anchor rows but the checkpoint carries the
+    // whole graph — at 100 TB this state is the bucketed index table
+    // and the insert is a partition-level merge; here the eager cut
+    // keeps each trigger's lineage flat, the same trade every refresher
+    // makes.
+    @volatile private var vecSegs: List[DataFrame] = Nil
     @volatile private var adjState: Option[DataFrame] = None
     @volatile private var sinceCompact = 0
+    private def allVecs: Option[DataFrame] = vecSegs.reduceOption(_ unionByName _)
     /** foreachBatch body: insert the batch; compact on schedule. */
     def update(batch: DataFrame, batchId: Long): Unit = {
       val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint(true)
-      (vecs, adjState) match {
+      (allVecs, adjState) match {
         case (Some(v), Some(a)) =>
           val inserted = graft.similarity.Similarity.hnswInsert(v, a, b)
-          val allVecs = v.unionByName(b).localCheckpoint(true)
-          vecs = Some(allVecs)
+          vecSegs = b :: vecSegs
           sinceCompact += 1
           adjState =
             if (sinceCompact >= compactEvery) {
               sinceCompact = 0
-              Some(graft.similarity.Similarity.hnswCompact(allVecs)
+              Some(graft.similarity.Similarity.hnswCompact(allVecs.get)
                 .localCheckpoint(true))
             } else Some(inserted)
         case _ =>
-          vecs = Some(b)
+          vecSegs = List(b)
           adjState = Some(graft.similarity.Similarity.hnswCompact(b)
             .localCheckpoint(true))
       }
@@ -1088,7 +1102,7 @@ object Streaming {
     def adjacency: Option[DataFrame] = adjState
     /** Serve a top-k search against the CURRENT maintained state. */
     def topK(queryPred: Column, k: Int = 10): Option[DataFrame] =
-      for (v <- vecs; a <- adjState)
+      for (v <- allVecs; a <- adjState)
         yield graft.similarity.Similarity.hnswSearch(v, a, queryPred, k)
   }
 
