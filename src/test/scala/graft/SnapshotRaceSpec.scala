@@ -1,0 +1,71 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+/** r10: the SnapshotStore publish protocol (claim-then-rename, loser
+  * waits for the winner's _SUCCESS) has been review-audited since r8
+  * but never exercised under ACTUAL contention. This spec races N
+  * threads on one cold key and pins the protocol's contract: every
+  * caller returns the same rows, the cache directory holds exactly one
+  * committed copy (no nested duplicate from a lost rename race — the
+  * RawLocalFileSystem failure mode the claim file exists to prevent),
+  * and a second cold JVM-equivalent touch (fresh key object, same
+  * inputs) serves from disk without rebuilding. */
+class SnapshotRaceSpec extends SparkSpec {
+
+  test("N threads racing one cold snapshot key: one committed copy, " +
+    "identical rows for every caller, no nested duplicates") {
+    val buildCount = new AtomicInteger(0)
+    val key = s"race_spec_${System.nanoTime()}"
+    val n = 6
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val results = (1 to n).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Seq[Any]]] {
+        def call(): Seq[Seq[Any]] = {
+          start.await()
+          SnapshotStore(spark, sfDir, "documents.parquet", key) {
+            buildCount.incrementAndGet()
+            Tables.documents(spark, sfDir)
+              .select(col("doc_id"), length(col("text")).as("len"))
+          }.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+        }
+      })
+    }
+    start.countDown()
+    val rows = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // every racer sees identical content
+    assert(rows.distinct.size === 1, "racers saw divergent snapshot content")
+    assert(rows.head.nonEmpty)
+    // builds may race (losers' staged dirs are discarded) but the
+    // PUBLISHED artifact is single: exactly one _SUCCESS, and no
+    // nested copy inside the cache dir (the rename-into-existing-dir
+    // disease the claim protocol prevents)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_scratch")
+    val cacheDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).flatMap(v =>
+        Option(v.listFiles()).getOrElse(Array.empty))
+      .filter(d => d.getName.startsWith(key + "_") && d.isDirectory &&
+        !d.getName.contains("staged"))
+    assert(cacheDirs.length === 1,
+      s"expected one committed cache dir, got ${cacheDirs.map(_.getName).toSeq}")
+    val inside = Option(cacheDirs.head.listFiles()).getOrElse(Array.empty)
+    assert(inside.count(_.getName == "_SUCCESS") === 1, "no single _SUCCESS")
+    assert(!inside.exists(_.isDirectory),
+      s"nested directory inside the snapshot: ${inside.filter(_.isDirectory).map(_.getName).toSeq}")
+    // a later cold touch (same key, fresh call) serves from disk: the
+    // builder must NOT run again
+    val before = buildCount.get()
+    val again = SnapshotStore(spark, sfDir, "documents.parquet", key) {
+      buildCount.incrementAndGet()
+      sys.error("builder must not re-run for a published snapshot")
+    }.count()
+    assert(again > 0L)
+    assert(buildCount.get() === before, "published snapshot was rebuilt")
+  }
+}
