@@ -667,6 +667,29 @@ object Similarity {
     out
   }
 
+  /** B12 (r10): the INCREMENTAL INSERT, gated end-to-end — split the
+    * corpus 9:1 by residue, build over the 90% (materialize-once
+    * snapshot: the served-index shape), attach the 10% batch via
+    * [[hnswInsert]], emit the EXTENDED adjacency. The DuckDB oracle
+    * replays the WHOLE lifecycle — old-corpus parent-descent build,
+    * batch beam descent to its R anchors, new out-edges,
+    * touched-anchor re-prune over (old edges ∪ arrivals),
+    * untouched-edge passthrough — upgrading the insert seam from
+    * spec-pinned to hash-gated. */
+  def hnswInsertQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val old = emb.filter(col("vec_id") % 10 =!= 3)
+    val batch = emb.filter(col("vec_id") % 10 === 3)
+    val adj = graft.SnapshotStore(s, dir, "embeddings.parquet",
+      s"hnsw_adj_old_$hnswParams", params = hnswParams) {
+      hnswBuild(quantizedWithNorm(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3)))
+        .repartition(col("layer"), col("src"))
+    }
+    hnswInsert(old, adj, batch)
+      .orderBy(col("layer"), col("src"), col("dst"))
+  }
+
   /** r9 (VERDICT r8 #8): INCREMENTAL ANN insert — attach a batch of new
     * vectors to an already-served hierarchy WITHOUT a rebuild, the
     * ingest-time maintenance seam of the index lifecycle (build once →
@@ -1551,6 +1574,7 @@ object Similarity {
     "b12_inertia" -> (inertiaQuery _),
     "b12_hnsw_topk" -> (hnswQuery _),
     "b12_hnsw_adj" -> (hnswAdjQuery _),
+    "b12_hnsw_insert" -> (hnswInsertQuery _),
     "b12_hnsw_recall" -> (hnswRecallQuery _),
   )
 
@@ -1713,7 +1737,15 @@ object Similarity {
     * [[HnswRounds0]] pool-accumulating wide rounds (UNION = Spark's
     * union+distinct), ending in `htop` (query_id, vec_id, cosine,
     * rn ≤ 10). */
-  private lazy val hnswChainSql: String = {
+  private lazy val hnswChainSql: String = hnswChainSqlWith(
+    s"SELECT vec_id AS query_id, q AS qq, norm AS qnorm FROM en WHERE vec_id % 100 = 0",
+    k = 10)
+
+  /** The layered-ANN replay parameterized over the QUERY SET (r10: the
+    * insert gate descends the BATCH vectors, which live outside `en`)
+    * and the per-query result size `k` (search uses 10, the insert's
+    * anchor-finding uses [[HnswR]]). Assumes `e`, `en` CTEs. */
+  private def hnswChainSqlWith(hqsSql: String, k: Int): String = {
     def scoreSql(fromCte: String, outCte: String) = s"""
       $outCte AS (SELECT x.query_id, x.vec_id,
           CAST(${dotSql("qv.qq", "en.q")} AS DOUBLE) / (qv.qnorm * en.norm) AS cos
@@ -1757,8 +1789,7 @@ object Similarity {
       hent AS MATERIALIZED (SELECT vec_id FROM (
           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY lvl DESC, h, vec_id) AS rn
           FROM hlv) WHERE rn <= $HnswEntryN),
-      hqs AS MATERIALIZED (SELECT vec_id AS query_id, q AS qq, norm AS qnorm FROM en
-        WHERE vec_id % 100 = 0),
+      hqs AS MATERIALIZED ($hqsSql),
       hb0 AS MATERIALIZED (SELECT q.query_id, e2.vec_id FROM hqs q CROSS JOIN hent e2),
       $upper,
       $l0,
@@ -1766,7 +1797,7 @@ object Similarity {
       htop AS (SELECT query_id, vec_id, cos AS cosine, CAST(rn AS INT) AS rn FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cos DESC, vec_id) AS rn
-          FROM hfs WHERE vec_id <> query_id) WHERE rn <= 10)"""
+          FROM hfs WHERE vec_id <> query_id) WHERE rn <= $k)"""
   }
 
   /** Unrolled greedy-MMR replay ([[MmrK]] rounds — the lpa/kCore
@@ -2245,6 +2276,47 @@ object Similarity {
       SELECT layer, src, dst FROM (
         ${(0 until HnswMaxLayers).map(m =>
           s"SELECT CAST($m AS INT) AS layer, src, dst FROM hn$m").mkString("\n        UNION ALL ")})
+      ORDER BY layer, src, dst""",
+    // the full insert lifecycle replayed: old-corpus build (the chain
+    // CTEs over e = the 90% split), batch descent to R anchors (hqs =
+    // the batch, k = R), new out-edges, touched-anchor re-prune over
+    // (old edges ∪ arrivals) scored on the UNION vector set, untouched
+    // passthrough — hnswInsert's five stages verbatim
+    "b12_hnsw_insert" -> s"""
+      WITH eall AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
+      e AS (SELECT * FROM eall WHERE vec_id % 10 <> 3),
+      en AS MATERIALIZED (SELECT vec_id, q,
+          sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm FROM e),
+      bat AS MATERIALIZED (SELECT vec_id, q,
+          sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS norm
+        FROM eall WHERE vec_id % 10 = 3),
+      ${hnswChainSqlWith(
+        "SELECT vec_id AS query_id, q AS qq, norm AS qnorm FROM bat", k = HnswR)},
+      anch AS MATERIALIZED (SELECT query_id, vec_id FROM htop),
+      newout AS (SELECT CAST(0 AS INT) AS layer, query_id AS src, vec_id AS dst
+                 FROM anch),
+      aff AS (SELECT DISTINCT vec_id AS src FROM anch),
+      lvall AS (SELECT vec_id, q, norm FROM en
+                UNION ALL SELECT vec_id, q, norm FROM bat),
+      cand AS (SELECT n.src, n.dst FROM hn0 n JOIN aff USING (src)
+               UNION ALL
+               SELECT vec_id AS src, query_id AS dst FROM anch),
+      scored AS (SELECT c.src, c.dst,
+          CAST(${dotSql("a.q", "b.q")} AS DOUBLE) / (a.norm * b.norm) AS sim
+        FROM cand c JOIN lvall a ON a.vec_id = c.src
+        JOIN lvall b ON b.vec_id = c.dst),
+      repr AS (SELECT CAST(0 AS INT) AS layer, src, dst FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+          FROM scored) WHERE rn <= $HnswR),
+      unt AS (${(1 until HnswMaxLayers).map(m =>
+        s"SELECT CAST($m AS INT) AS layer, src, dst FROM hn$m")
+        .mkString("\n              UNION ALL ")}
+              UNION ALL
+              SELECT CAST(0 AS INT) AS layer, n.src, n.dst FROM hn0 n
+              WHERE NOT EXISTS (SELECT 1 FROM aff a WHERE a.src = n.src))
+      SELECT layer, src, dst FROM (
+        SELECT * FROM unt UNION ALL SELECT * FROM repr
+        UNION ALL SELECT * FROM newout)
       ORDER BY layer, src, dst""",
     "b12_hnsw_recall" -> s"""
       WITH e AS (SELECT vec_id, ${Q.format("embedding")} AS q FROM embeddings),
