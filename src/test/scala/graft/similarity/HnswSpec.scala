@@ -67,6 +67,44 @@ class HnswSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("e08 maintenance tick: no stage vacuous — some arrivals gate out as " +
+    "near-dups, survivors insert and are reachable, serve answers the " +
+    "standing probes over the extended graph (r10)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val arriving = docs.filter($"doc_id" % 10 === 3)
+    val standing = docs.filter($"doc_id" % 10 =!= 3)
+    val dups = graft.dedup.Dedup.minHashPortableAcross(arriving, standing)
+      .select($"new_id").distinct()
+    val nArr = arriving.count(); val nDup = dups.count()
+    assert(nDup > 0L, "near-dup gate vacuous: no arrival matched the corpus")
+    assert(nDup < nArr, "near-dup gate degenerate: every arrival matched")
+    val out = Similarity.indexMaintenanceQuery(spark, sfDir).cache()
+    val probes = emb.filter($"vec_id" % 100 === 0).count()
+    assert(out.select($"query_id").distinct().count() === probes)
+    // well-formed per-query top-5
+    val byQ = out.collect().groupBy(_.getLong(0))
+    for ((q, rows) <- byQ) {
+      assert(rows.length <= 5)
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length))
+    }
+    // the inserted survivors are genuinely reachable in the extended
+    // graph: at least one serve round must be ABLE to surface them —
+    // verified structurally on the adjacency (in-edges exist), since
+    // top-5 membership depends on geometry
+    val emb2 = graft.Tables.embeddings(spark, sfDir)
+    val standingVecs = emb2.filter($"vec_id" % 10 =!= 3)
+    val survivors = emb2.filter($"vec_id" % 10 === 3)
+      .join(dups.withColumnRenamed("new_id", "vec_id"), Seq("vec_id"), "left_anti")
+    val adj = Similarity.hnswBuild(Similarity.quantizedWithNorm(standingVecs))
+      .localCheckpoint(true)
+    val ext = Similarity.hnswInsert(standingVecs, adj, survivors)
+    val reachable = ext.join(
+      survivors.select($"vec_id".as("dst")), Seq("dst"), "left_semi")
+      .select($"dst").distinct().count()
+    assert(reachable > 0L, "no inserted vector is an in-edge target")
+    out.unpersist()
+  }
+
   test("incremental insert: invariants hold, unaffected edges preserved, " +
     "inserted vectors reachable with recall (r9)") {
     val old = emb.filter($"vec_id" % 10 =!= 3)
