@@ -100,7 +100,21 @@ private[graft] object SnapshotStore {
         }
       }
     }
-    if (!fs.exists(success)) publish(retryOnStaleClaim = true)
+    // r10 (found by SnapshotRaceSpec under a loaded full-suite JVM):
+    // the claim file arbitrates across JVMs, but RawLocalFileSystem's
+    // create(claim, overwrite = false) is CHECK-THEN-ACT — two threads
+    // of the SAME JVM can both "win" the claim and interleave
+    // delete/rename on the cache dir. In-process contention is
+    // serialized by a per-key monitor (one lock object per cache key,
+    // never released — keys are few); the file protocol still guards
+    // cross-process races.
+    if (!fs.exists(success))
+      keyLocks.computeIfAbsent(cacheDir.toString, _ => new Object).synchronized {
+        if (!fs.exists(success)) publish(retryOnStaleClaim = true)
+      }
     s.read.parquet(cacheDir.toString)
   }
+
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }
