@@ -717,8 +717,13 @@ object Similarity {
   def indexMaintenanceQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val arriving = docs.filter(col("doc_id") % 10 === 3)
-    val standing = docs.filter(col("doc_id") % 10 =!= 3)
-    val dupIds = graft.dedup.Dedup.minHashPortableAcross(arriving, standing)
+    // the standing corpus's shingle/band tables are materialize-once
+    // snapshots (the e03/b12_cross_portable discipline) — a maintenance
+    // tick pays batch-sized probe work, never the corpus derivation
+    val (shRef, bRef) = graft.dedup.Dedup.refPortableTables(
+      s, dir, "e08_ref", col("doc_id") % 10 =!= 3)
+    val dupIds = graft.dedup.Dedup
+      .minHashPortableAcrossWith(arriving, shRef, bRef)
       .select(col("new_id").as("vec_id")).distinct()
     val emb = Tables.embeddings(s, dir)
     val standingVecs = emb.filter(col("vec_id") % 10 =!= 3)
