@@ -1047,6 +1047,14 @@ object Streaming {
       shSegs.reduceOption(_ unionByName _)
     def bandIndex: Option[DataFrame] =
       bandSegs.reduceOption(_ unionByName _)
+    /** Periodic segment merge (the small-file-compaction analogue):
+      * collapses the per-batch segment lists into one checkpointed
+      * segment each — content identical (pure unions), plan width reset
+      * to 1. Call on the same cadence a lakehouse table compacts. */
+    def compactSegments(): Unit = {
+      shingleIndex.foreach(df => shSegs = List(df.localCheckpoint(true)))
+      bandIndex.foreach(df => bandSegs = List(df.localCheckpoint(true)))
+    }
   }
 
   /** r10 (VERDICT r9 #6) — INDEX-MAINTENANCE sink #2: the ANN index
@@ -1089,7 +1097,14 @@ object Streaming {
           adjState =
             if (sinceCompact >= compactEvery) {
               sinceCompact = 0
-              Some(graft.similarity.Similarity.hnswCompact(allVecs.get)
+              // compaction coalesces the VECTOR segments too: the lazy
+              // union's plan width grows with trigger count, so the
+              // periodic O(corpus) pass that rebuilds the hierarchy
+              // also collapses the segment list to one (the full
+              // segment-merge semantics)
+              val merged = allVecs.get.localCheckpoint(true)
+              vecSegs = List(merged)
+              Some(graft.similarity.Similarity.hnswCompact(merged)
                 .localCheckpoint(true))
             } else Some(inserted)
         case _ =>

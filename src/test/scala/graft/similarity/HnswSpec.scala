@@ -75,6 +75,15 @@ class HnswSpec extends SparkSpec {
     val standing = docs.filter($"doc_id" % 10 =!= 3)
     val dups = graft.dedup.Dedup.minHashPortableAcross(arriving, standing)
       .select($"new_id").distinct()
+    // the query's snapshot-served band gate must equal this inline one
+    val (shRef, bRef) = graft.dedup.Dedup.refPortableTables(
+      spark, sfDir, "e08_ref", $"doc_id" % 10 =!= 3)
+    val snapDups = graft.dedup.Dedup
+      .minHashPortableAcrossWith(arriving, shRef, bRef)
+      .select($"new_id").distinct()
+    assert(dups.exceptAll(snapDups).count() === 0L &&
+      snapDups.exceptAll(dups).count() === 0L,
+      "snapshot-served near-dup gate diverged from the inline derivation")
     val nArr = arriving.count(); val nDup = dups.count()
     assert(nDup > 0L, "near-dup gate vacuous: no arrival matched the corpus")
     assert(nDup < nArr, "near-dup gate degenerate: every arrival matched")

@@ -508,8 +508,11 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, String)](spark)
     val q = input.toDF().toDF("doc_id", "text").writeStream
       .foreachBatch(refresh.update _).outputMode("update").start()
-    docs.grouped(docs.size / 3 + 1).foreach { g =>
+    val groups = docs.grouped(docs.size / 3 + 1).toSeq
+    groups.zipWithIndex.foreach { case (g, i) =>
       input.addData(g); q.processAllAvailable()
+      // mid-stream segment merge (r10): content-identical, plan width 1
+      if (i == 1) refresh.compactSegments()
     }
     q.stop()
     def sortedRows(df: org.apache.spark.sql.DataFrame) =
