@@ -626,7 +626,7 @@ object Dedup {
   /** Distinct engine-portable 48-bit gram hashes per doc — the shingle
     * stage of the portable pipelines ([[minHashPortable]],
     * [[minHashPortableAcross]]). */
-  private[dedup] def portableShingleHashes(docs: DataFrame, k: Int): DataFrame = docs
+  private[graft] def portableShingleHashes(docs: DataFrame, k: Int): DataFrame = docs
     .select(col("doc_id"), split(col("text"), " ").as("toks"))
     .filter(size(col("toks")) >= k)
     .select(col("doc_id"), explode(expr(
@@ -639,6 +639,8 @@ object Dedup {
     * 16 affine-permutation mins ([[PortablePerms]]) grouped into 4 bands
     * of 4, band key = the ':'-joined signature values (string concat, no
     * second hash — both engines replay it verbatim). */
+  private[graft] def portableBandsOf(sh: DataFrame): DataFrame = portableBands(sh)
+
   private def portableBands(sh: DataFrame): DataFrame = {
     val sigCols = PortablePerms.zipWithIndex.map { case ((a, b), i) =>
       min((col("hbase") * lit(a) + lit(b)) % lit(PortableP)).as(s"s$i")
@@ -1427,7 +1429,12 @@ object Dedup {
     * b12_cross_portable oracle and the e03 ingest-pipeline oracle (the
     * Bm25RankedCtes no-drift device). Callers apply the verification
     * threshold (`inter * 2 >= na + nb - inter`) themselves. */
-  private[graft] def portableCrossCtes(newFilter: String, refFilter: String): String = {
+  /** The shared per-doc portable shingle/signature/band CTE prefix
+    * (`d`, `g`, `sig`, `bnd`) — one definition consumed by
+    * [[portableCrossCtes]] AND the b10_stream_band_index oracle (the
+    * streaming refresher's served band table IS `bnd`, so the oracle's
+    * one-shot replay and the cross-dedup replay can never drift). */
+  private[graft] def portableBndCtes: String = {
     val sigSelects = PortablePerms.zipWithIndex.map { case ((a, b), i) =>
       s"MIN((h * $a + $b) % $PortableP) AS s$i"
     }.mkString(",\n               ")
@@ -1446,7 +1453,11 @@ object Dedup {
               FROM g GROUP BY doc_id),
       bnd AS (SELECT doc_id, b AS band_idx,
                CASE b $bandCases END AS band_hash
-              FROM sig, UNNEST([0, 1, 2, 3]) AS u(b)),
+              FROM sig, UNNEST([0, 1, 2, 3]) AS u(b))"""
+  }
+
+  private[graft] def portableCrossCtes(newFilter: String, refFilter: String): String = {
+    s"""$portableBndCtes,
       bn AS (SELECT * FROM bnd WHERE $newFilter),
       br AS (SELECT * FROM bnd WHERE $refFilter),
       st AS (SELECT band_idx, band_hash, COUNT(*) AS bsz, MIN(doc_id) AS bmin

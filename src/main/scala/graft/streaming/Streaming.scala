@@ -200,37 +200,66 @@ object Streaming {
     * frame-identical to the full sweep (the carry is a constant shift,
     * see [[concurrencyOfDeltas]]), so curve bit-identity is preserved —
     * StreamingSpec pins a multi-day replay. */
-  final class SessionConcurrencyRefresh(allowedLateness: String = "1 hour") {
-    @volatile private var open: Option[DataFrame] = None
-    @volatile private var frozen: Option[DataFrame] = None
-    @volatile private var compacted: Option[DataFrame] = None
-    @volatile private var carryNet: Long = 0L
-    @volatile private var frontier: Option[java.sql.Timestamp] = None
+  final class SessionConcurrencyRefresh(allowedLateness: String = "1 hour",
+      stateDir: Option[String] = None) {
+    /** The WHOLE refresher state as one immutable snapshot swapped
+      * atomically (r11, ADVICE r10: the old five volatile fields let a
+      * `curve` call racing a compacting update observe the new
+      * compacted+carry with the STALE frozen still holding the compacted
+      * days' deltas — double-counting those days). Readers take one
+      * reference; writers build the whole successor then swap. */
+    private case class St(open: Option[DataFrame], frozen: Option[DataFrame],
+        compacted: Option[DataFrame], carryNet: Long,
+        frontier: Option[java.sql.Timestamp])
+    @volatile private var st: St = St(None, None, None, 0L, None)
+    private val ledger = new BatchLedger(stateDir)
     /** Open-interval state size — the boundedness hook the spec pins. */
-    private[graft] def openCount: Long = open.map(_.count()).getOrElse(0L)
-    private[graft] def frozenRows: Long = frozen.map(_.count()).getOrElse(0L)
+    private[graft] def openCount: Long = st.open.map(_.count()).getOrElse(0L)
+    private[graft] def frozenRows: Long = st.frozen.map(_.count()).getOrElse(0L)
     /** Finished-day rows — one per compacted day, the bounded tail. */
-    private[graft] def compactedDays: Long = compacted.map(_.count()).getOrElse(0L)
+    private[graft] def compactedDays: Long = st.compacted.map(_.count()).getOrElse(0L)
+    /** Restart recovery (r11, VERDICT r10 #2): load the latest committed
+      * state snapshot — the state is BOUNDED by design (open window +
+      * trailing-day instants + one row per finished day), so each trigger
+      * persists it whole and recovery is one read. The re-delivered
+      * in-flight batch then no-ops on the ledger's high-water mark. */
+    def recover(s: SparkSession): this.type = synchronized {
+      ledger.recovered.filterNot(_.compact).lastOption.foreach { c =>
+        def tbl(n: String): Option[DataFrame] =
+          if (c.meta.get(s"has_$n").contains("1")) Some(ledger.read(s, n, c.id)) else None
+        val frontier = c.meta.get("frontier_ms").map { ms =>
+          val t = new java.sql.Timestamp(ms.toLong)
+          c.meta.get("frontier_ns").foreach(ns => t.setNanos(ns.toInt))
+          t
+        }
+        st = St(tbl("open"), tbl("frozen"), tbl("compacted"),
+          c.meta.getOrElse("carry", "0").toLong, frontier)
+      }
+      this
+    }
     /** foreachBatch body: fold the micro-batch's session intervals into
       * the open set, evict immutable intervals into the frozen delta
-      * aggregate, then compact finished days into final curve rows. */
-    def update(batch: DataFrame, batchId: Long): Unit = {
+      * aggregate, then compact finished days into final curve rows.
+      * At-least-once safe: a re-delivered batchId is a no-op (r11). */
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (ledger.alreadyApplied(batchId)) return
+      val prev = st
       val b = sessionsBatch(batch)
         .select(col("user_id"), col("session_start"), col("session_end"))
         .localCheckpoint(true) // consumed by the merge and the frontier max
-      val merged = open match {
+      val merged = prev.open match {
         case Some(a) => mergeSessionIntervals(a.unionByName(b))
         case None => b
       }
       val bMax = b.agg(max(col("session_end"))).head().getTimestamp(0)
-      frontier = (frontier.toSeq ++ Option(bMax)).reduceOption((x, y) =>
+      val frontier = (prev.frontier.toSeq ++ Option(bMax)).reduceOption((x, y) =>
         if (x.after(y)) x else y)
       val cutoff = frontier.map(f => new java.sql.Timestamp(
         f.getTime - intervalMs(allowedLateness) - 30L * 60 * 1000))
       val all = merged.localCheckpoint(true)
       val immutable = cutoff.map(c => all.where(col("session_end") < lit(c)))
         .getOrElse(all.limit(0))
-      val newFrozen = frozen match {
+      val newFrozen = prev.frozen match {
         case Some(fz) => fz.unionByName(sessionDeltas(immutable))
           .groupBy(col("day"), col("ts")).agg(sum(col("net")).as("net"))
         case None => sessionDeltas(immutable)
@@ -255,30 +284,47 @@ object Streaming {
           if (toCompact.isEmpty) (fz, None, 0L)
           else (
             fz.where(col("day") >= lit(d)).localCheckpoint(true),
-            Some(concurrencyOfDeltas(toCompact, carryNet).localCheckpoint(true)),
+            Some(concurrencyOfDeltas(toCompact, prev.carryNet).localCheckpoint(true)),
             toCompact.agg(sum(col("net"))).head().getLong(0))
         case None => (newFrozen.localCheckpoint(true), None, 0L)
       }
-      doneRows.foreach { dr =>
-        compacted = Some(compacted.map(_.unionByName(dr)).getOrElse(dr))
-        carryNet += doneNet
+      val next = doneRows match {
+        case Some(dr) => St(Some(newOpen), Some(keep),
+          Some(prev.compacted.map(_.unionByName(dr).localCheckpoint(true)).getOrElse(dr)),
+          prev.carryNet + doneNet, frontier)
+        case None => St(Some(newOpen), Some(keep), prev.compacted,
+          prev.carryNet, frontier)
       }
-      frozen = Some(keep)
-      open = Some(newOpen)
+      // durable publish BEFORE the in-JVM swap: a crash mid-persist leaves
+      // no marker, so the re-delivered batch re-applies onto the PREVIOUS
+      // committed state — exactly-once net effect either way
+      val writes = Seq("open" -> next.open, "frozen" -> next.frozen,
+        "compacted" -> next.compacted).collect { case (n, Some(df)) => n -> df }
+      val meta = Map("carry" -> next.carryNet.toString) ++
+        writes.map { case (n, _) => s"has_$n" -> "1" } ++
+        next.frontier.toSeq.flatMap(f => Seq(
+          "frontier_ms" -> f.getTime.toString, "frontier_ns" -> f.getNanos.toString))
+      ledger.commit(batchId, if (ledger.durable) writes else Seq.empty, meta)
+      ledger.pruneSnapshotsBelow(batchId)
+      st = next
     }
     /** Latest concurrency curve (None before the first batch): finished
       * days' final rows ∪ the sweep line over the carry-offset frozen ∪
       * open deltas, re-grouped (an instant can straddle frozen and open
-      * when an open interval starts before the cutoff). */
-    def curve: Option[DataFrame] = open.map { o =>
-      val deltas = frozen match {
-        case Some(fz) => fz.unionByName(sessionDeltas(o))
-          .groupBy(col("day"), col("ts")).agg(sum(col("net")).as("net"))
-        case None => sessionDeltas(o)
+      * when an open interval starts before the cutoff). Reads ONE atomic
+      * state snapshot — never a torn mix of generations. */
+    def curve: Option[DataFrame] = {
+      val cur = st
+      cur.open.map { o =>
+        val deltas = cur.frozen match {
+          case Some(fz) => fz.unionByName(sessionDeltas(o))
+            .groupBy(col("day"), col("ts")).agg(sum(col("net")).as("net"))
+          case None => sessionDeltas(o)
+        }
+        val recent = concurrencyOfDeltas(deltas, cur.carryNet)
+        cur.compacted.map(_.unionByName(recent)).getOrElse(recent)
+          .orderBy(col("day"))
       }
-      val recent = concurrencyOfDeltas(deltas, carryNet)
-      compacted.map(_.unionByName(recent)).getOrElse(recent)
-        .orderBy(col("day"))
     }
   }
 
@@ -888,6 +934,18 @@ object Streaming {
     * (the reference's per-page transactional commit, harvest.py:374). */
   def harvestSink(storeDir: String, asOf: java.sql.Timestamp)(
       batch: DataFrame, batchId: Long): Unit = {
+    // at-least-once guard (r11, VERDICT r10 #1), durable in the store dir
+    // itself: the marker commits AFTER the transactional table swap, so a
+    // crash between swap and marker re-applies the batch — harmless, the
+    // upsert of an already-merged batch is a content no-op — while a
+    // re-delivery after a clean commit skips without re-reading the store
+    val marker = new java.io.File(storeDir, "_last_batch")
+    val last =
+      if (marker.exists())
+        scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8").trim.toLong).getOrElse(-1L)
+      else -1L
+    if (batchId <= last) return
     val spark = batch.sparkSession
     val valid = graft.harvest.Transform.filterValidBindings(batch.distinct())
     val existing = graft.harvest.Store.readTableOr(
@@ -895,6 +953,11 @@ object Streaming {
     val terms = graft.harvest.Merge.upsertTerms(
       existing, valid.select(col("concept").as("uri")), lit(asOf))
     graft.harvest.Store.writeTable(terms, storeDir, "terms")
+    val tmp = new java.io.File(storeDir, "._last_batch.tmp")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** w08 streaming twin (r7, r6-verdict #8): iterative graph algorithms
@@ -915,18 +978,37 @@ object Streaming {
     * cadence; incremental PPR maintenance (residual push à la
     * Andersen-Chung-Lang) would trade the exactness gate for per-edge
     * work and is deliberately not the declared semantics. */
-  final class PprRefresh {
+  final class PprRefresh(stateDir: Option[String] = None) {
+    private val ledger = new BatchLedger(stateDir)
     @volatile private var acc: Option[DataFrame] = None
     @volatile private var last: Option[DataFrame] = None
+    /** Restart recovery (r11): the durable form is one O(batch) DISTINCT
+      * edge delta per committed trigger; the accumulated graph is their
+      * re-distincted union (distinct is idempotent/associative, so the
+      * recovered set equals the continuous fold's bit for bit) and the
+      * ranks snapshot recomputes once from it. */
+    def recover(s: SparkSession): this.type = synchronized {
+      ledger.recovered.filterNot(_.compact)
+        .map(c => ledger.read(s, "edges", c.id))
+        .reduceOption(_ unionByName _).foreach { u =>
+          val snap = u.distinct().localCheckpoint(true)
+          acc = Some(snap)
+          last = Some(graft.ops.WorkflowQueries.personalizedPageRankEdges(snap))
+        }
+      this
+    }
     /** foreachBatch body: merge the micro-batch of `(u, v)` edges into
-      * the accumulated graph and recompute the ranks snapshot. */
-    def update(batch: DataFrame, batchId: Long): Unit = {
-      val edges = batch.select(col("u"), col("v"))
+      * the accumulated graph and recompute the ranks snapshot.
+      * At-least-once safe: a re-delivered batchId is a no-op (r11). */
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (ledger.alreadyApplied(batchId)) return
+      val delta = batch.select(col("u"), col("v")).distinct().localCheckpoint(true)
       val merged = acc match {
-        case Some(a) => a.unionByName(edges).distinct()
-        case None    => edges.distinct()
+        case Some(a) => a.unionByName(delta).distinct()
+        case None    => delta
       }
       val snap = merged.localCheckpoint(true)
+      ledger.commit(batchId, if (ledger.durable) Seq("edges" -> delta) else Seq.empty)
       acc = Some(snap)
       last = Some(graft.ops.WorkflowQueries.personalizedPageRankEdges(snap))
     }
@@ -950,18 +1032,36 @@ object Streaming {
     * streamed == batch exactly — both pinned in StreamingSpec. At
     * 100 TB the accumulated user-day set is a bucketed table and the
     * per-trigger fold is one co-partitioned distinct. */
-  final class ActiveUsersRefresh {
+  final class ActiveUsersRefresh(stateDir: Option[String] = None) {
+    private val ledger = new BatchLedger(stateDir)
     @volatile private var acc: Option[DataFrame] = None
     @volatile private var last: Option[DataFrame] = None
+    /** Restart recovery (r11): per-trigger O(batch) distinct (user, day)
+      * deltas re-distinct to the continuous fold's exact set (the
+      * [[PprRefresh]] recovery argument), then one snapshot recompute. */
+    def recover(s: SparkSession): this.type = synchronized {
+      ledger.recovered.filterNot(_.compact)
+        .map(c => ledger.read(s, "userdays", c.id))
+        .reduceOption(_ unionByName _).foreach { u =>
+          val snap = u.distinct().localCheckpoint(true)
+          acc = Some(snap)
+          last = Some(graft.ops.EventAnalytics.activeUsersOfUserDays(snap))
+        }
+      this
+    }
     /** foreachBatch body: fold the micro-batch into the distinct
-      * (user_id, day) set and refresh the DAU/WAU snapshot. */
-    def update(batch: DataFrame, batchId: Long): Unit = {
-      val ud = batch.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      * (user_id, day) set and refresh the DAU/WAU snapshot.
+      * At-least-once safe: a re-delivered batchId is a no-op (r11). */
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (ledger.alreadyApplied(batchId)) return
+      val ud = batch.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct().localCheckpoint(true)
       val merged = acc match {
         case Some(a) => a.unionByName(ud).distinct()
         case None    => ud
       }
       val snap = merged.localCheckpoint(true)
+      ledger.commit(batchId, if (ledger.durable) Seq("userdays" -> ud) else Seq.empty)
       acc = Some(snap)
       last = Some(graft.ops.EventAnalytics.activeUsersOfUserDays(snap))
     }
@@ -983,17 +1083,33 @@ object Streaming {
     * per-batch lineage cut via eager checkpoint). At 100 TB the daily
     * table is a bucketed keyed table and the per-trigger fold is one
     * co-partitioned merge — the [[ActiveUsersRefresh]] contract. */
-  final class SeriesTrendRefresh {
+  final class SeriesTrendRefresh(stateDir: Option[String] = None) {
+    private val ledger = new BatchLedger(stateDir)
     @volatile private var acc: Option[DataFrame] = None
+    /** Restart recovery (r11): per-trigger O(batch) daily partials
+      * re-sum to the continuous fold's exact table (combinable BIGINT
+      * cents — associative, order-free). */
+    def recover(s: SparkSession): this.type = synchronized {
+      ledger.recovered.filterNot(_.compact)
+        .map(c => ledger.read(s, "daily", c.id))
+        .reduceOption(_ unionByName _).foreach { u =>
+          acc = Some(u.groupBy(col("event_type"), col("day"))
+            .agg(sum(col("v")).as("v")).localCheckpoint(true))
+        }
+      this
+    }
     /** foreachBatch body: fold the micro-batch's daily partials into
-      * the accumulated (event_type, day, v) table. */
-    def update(batch: DataFrame, batchId: Long): Unit = {
-      val d = graft.ops.EventAnalytics.dailyCents(batch)
+      * the accumulated (event_type, day, v) table.
+      * At-least-once safe: a re-delivered batchId is a no-op (r11). */
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (ledger.alreadyApplied(batchId)) return
+      val d = graft.ops.EventAnalytics.dailyCents(batch).localCheckpoint(true)
       val merged = acc match {
         case Some(a) => a.unionByName(d)
           .groupBy(col("event_type"), col("day")).agg(sum(col("v")).as("v"))
         case None => d
       }
+      ledger.commit(batchId, if (ledger.durable) Seq("daily" -> d) else Seq.empty)
       acc = Some(merged.localCheckpoint(true))
     }
     /** Latest OLS-trend snapshot (None before the first batch). */
@@ -1023,24 +1139,60 @@ object Streaming {
     * == the fresh index, which StreamingSpec pins THROUGH this class.
     * At 100 TB each fold is an append to the bucketed index tables;
     * nothing rescans the accumulated corpus. */
-  final class BandIndexRefresh(k: Int = 3) {
+  final class BandIndexRefresh(k: Int = 3, stateDir: Option[String] = None,
+      portable: Boolean = false) {
     // SEGMENT LISTS, not a re-checkpointed union: each trigger
     // materializes ONLY its own O(batch) increment (the extend seams
     // are pure appends — extendShingleIndex == existing ∪
     // shingleHashes(batch)); the served index is the lazy union of the
     // immutable segments, so no trigger ever rewrites or rescans the
     // accumulated corpus — the exact shape of appending partitions to
-    // a bucketed index table at 100 TB.
+    // a bucketed index table at 100 TB. With a `stateDir` the segments
+    // ALSO persist as parquet keyed by batchId (r11, VERDICT r10 #2):
+    // the per-trigger write stays O(batch), and a restarted instance
+    // rebuilds the identical lazy union from the committed segments.
+    // `portable = true` derives the engine-portable md5-prefix tables
+    // instead of the xxhash production ones — the variant whose served
+    // index the b10_stream_band_index gate hash-compares against
+    // DuckDB's one-shot replay (pure appends, so N micro-batches == the
+    // fresh derivation bit for bit in EITHER hash family).
+    private val ledger = new BatchLedger(stateDir)
     @volatile private var shSegs: List[DataFrame] = Nil
     @volatile private var bandSegs: List[DataFrame] = Nil
-    /** foreachBatch body: append both O(batch) index increments. */
-    def update(batch: DataFrame, batchId: Long): Unit = {
+    private def derive(b: DataFrame): (DataFrame, DataFrame) =
+      if (portable) {
+        val sh = graft.dedup.Dedup.portableShingleHashes(b, k).localCheckpoint(true)
+        (sh, graft.dedup.Dedup.portableBandsOf(sh).localCheckpoint(true))
+      } else
+        (graft.dedup.Dedup.shingleHashes(b, k).localCheckpoint(true),
+          graft.dedup.Dedup.lshBands(
+            graft.dedup.Dedup.minHashSignaturesRow(b, k)).localCheckpoint(true))
+    /** Restart recovery (r11): latest compaction payload (if any) + the
+      * plain segments committed after it — the identical lazy union. */
+    def recover(s: SparkSession): this.type = synchronized {
+      val cs = ledger.recovered
+      val lastCompact = cs.filter(_.compact).map(_.id).reduceOption(_ max _)
+      val base = lastCompact.map(c =>
+        (ledger.read(s, "sh", c, compact = true), ledger.read(s, "band", c, compact = true)))
+      val segs = cs.filterNot(_.compact).filter(c => lastCompact.forall(c.id > _))
+        .map(c => (ledger.read(s, "sh", c.id), ledger.read(s, "band", c.id)))
+      val all = base.toList ++ segs
+      shSegs = all.map(_._1).reverse
+      bandSegs = all.map(_._2).reverse
+      this
+    }
+    /** foreachBatch body: append both O(batch) index increments.
+      * At-least-once safe (r11, VERDICT r10 #1): a re-delivered batchId
+      * is a no-op — the old id-blind append silently double-counted
+      * every band bucket and broke the N-batches == one-extend parity. */
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (ledger.alreadyApplied(batchId)) return
       val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
-      shSegs = graft.dedup.Dedup.shingleHashes(b, k)
-        .localCheckpoint(true) :: shSegs
-      bandSegs = graft.dedup.Dedup.lshBands(
-        graft.dedup.Dedup.minHashSignaturesRow(b, k))
-        .localCheckpoint(true) :: bandSegs
+      val (sh, band) = derive(b)
+      ledger.commit(batchId,
+        if (ledger.durable) Seq("sh" -> sh, "band" -> band) else Seq.empty)
+      shSegs = sh :: shSegs
+      bandSegs = band :: bandSegs
     }
     /** The maintained reference tables (None before the first batch). */
     def shingleIndex: Option[DataFrame] =
@@ -1050,10 +1202,25 @@ object Streaming {
     /** Periodic segment merge (the small-file-compaction analogue):
       * collapses the per-batch segment lists into one checkpointed
       * segment each — content identical (pure unions), plan width reset
-      * to 1. Call on the same cadence a lakehouse table compacts. */
-    def compactSegments(): Unit = {
-      shingleIndex.foreach(df => shSegs = List(df.localCheckpoint(true)))
-      bandIndex.foreach(df => bandSegs = List(df.localCheckpoint(true)))
+      * to 1. Call on the same cadence a lakehouse table compacts. In
+      * durable mode the merged segment publishes under a COMPACT marker
+      * at the current high-water mark, superseding (and pruning) the
+      * per-batch payloads it folded — restart recovery then loads one
+      * segment instead of N. */
+    def compactSegments(): Unit = synchronized {
+      (shingleIndex, bandIndex) match {
+        case (Some(s0), Some(b0)) =>
+          val sc = s0.localCheckpoint(true)
+          val bc = b0.localCheckpoint(true)
+          if (ledger.durable) {
+            val c = ledger.highWater
+            ledger.commit(c, Seq("sh" -> sc, "band" -> bc), compact = true)
+            ledger.pruneSegmentsThrough(c)
+          }
+          shSegs = List(sc)
+          bandSegs = List(bc)
+        case _ => ()
+      }
     }
   }
 
@@ -1072,7 +1239,8 @@ object Streaming {
     * defer), post-compaction state is bit-identical to it, degree
     * invariants hold at EVERY trigger, and search against the
     * maintained state clears the recall floor. */
-  final class AnnIndexRefresh(compactEvery: Int = 4) {
+  final class AnnIndexRefresh(compactEvery: Int = 4,
+      stateDir: Option[String] = None) {
     // vector state is a SEGMENT LIST (each trigger checkpoints only its
     // own batch; the corpus view is the lazy union of immutable
     // segments — no trigger rewrites the accumulated vectors). The
@@ -1082,35 +1250,92 @@ object Streaming {
     // and the insert is a partition-level merge; here the eager cut
     // keeps each trigger's lineage flat, the same trade every refresher
     // makes.
+    private val ledger = new BatchLedger(stateDir)
     @volatile private var vecSegs: List[DataFrame] = Nil
     @volatile private var adjState: Option[DataFrame] = None
     @volatile private var sinceCompact = 0
     private def allVecs: Option[DataFrame] = vecSegs.reduceOption(_ unionByName _)
-    /** foreachBatch body: insert the batch; compact on schedule. */
-    def update(batch: DataFrame, batchId: Long): Unit = {
+    /** Restart recovery (r11, VERDICT r10 #2): the durable form is ONE
+      * O(batch) vector segment per committed trigger plus a `kind`
+      * marker (build / insert / compact). Recovery REPLAYS the deferred
+      * tail: the state at the last build/compact trigger is the
+      * deterministic canonical hierarchy over the vectors committed so
+      * far ([[graft.similarity.Similarity.hnswCompact]] — levels are
+      * id-keyed md5 draws, arrival-independent), and each later segment
+      * re-applies through [[graft.similarity.Similarity.hnswInsert]] in
+      * batch order — both kernels are pure functions of their inputs,
+      * so the recovered adjacency is bit-identical to the continuous
+      * run's (pinned in StreamingDurabilitySpec). Per-trigger I/O stays
+      * O(batch); the one-time recovery pays the same insert chain the
+      * lost triggers paid. */
+    def recover(s: SparkSession): this.type = synchronized {
+      val cs = ledger.recovered.filterNot(_.compact)
+      if (cs.nonEmpty) {
+        val segs = cs.map(c =>
+          (c, ledger.read(s, "vecs", c.id).localCheckpoint(true)))
+        val lastCanonical = segs.lastIndexWhere(
+          _._1.meta.get("kind").exists(k => k == "build" || k == "compact"))
+        require(lastCanonical >= 0,
+          s"AnnIndexRefresh ledger at $stateDir has no build/compact commit")
+        var vecs = segs.take(lastCanonical + 1).map(_._2)
+          .reduce(_ unionByName _).localCheckpoint(true)
+        var adj = graft.similarity.Similarity.hnswCompact(vecs).localCheckpoint(true)
+        segs.drop(lastCanonical + 1).foreach { case (_, b) =>
+          adj = graft.similarity.Similarity.hnswInsert(vecs, adj, b)
+          vecs = vecs.unionByName(b).localCheckpoint(true)
+        }
+        vecSegs = List(vecs)
+        adjState = Some(adj)
+        sinceCompact = segs.length - 1 - lastCanonical
+      }
+      this
+    }
+    /** foreachBatch body: insert the batch; compact on schedule.
+      * At-least-once safe (r11, VERDICT r10 #1): a re-delivered batchId
+      * is a no-op — the old id-blind body fed the SAME vec_ids back into
+      * [[graft.similarity.Similarity.hnswInsert]], whose collision guard
+      * then killed the streaming query instead of recovering. */
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (ledger.alreadyApplied(batchId)) return
       val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint(true)
       (allVecs, adjState) match {
         case (Some(v), Some(a)) =>
-          val inserted = graft.similarity.Similarity.hnswInsert(v, a, b)
-          vecSegs = b :: vecSegs
-          sinceCompact += 1
-          adjState =
-            if (sinceCompact >= compactEvery) {
-              sinceCompact = 0
-              // compaction coalesces the VECTOR segments too: the lazy
-              // union's plan width grows with trigger count, so the
-              // periodic O(corpus) pass that rebuilds the hierarchy
-              // also collapses the segment list to one (the full
-              // segment-merge semantics)
-              val merged = allVecs.get.localCheckpoint(true)
-              vecSegs = List(merged)
-              Some(graft.similarity.Similarity.hnswCompact(merged)
-                .localCheckpoint(true))
-            } else Some(inserted)
+          // ADVICE r10: decide compaction FIRST — the old body ran the
+          // O(batch) insert descent eagerly and then discarded it on
+          // every compactEvery-th trigger
+          if (sinceCompact + 1 >= compactEvery) {
+            vecSegs = b :: vecSegs
+            sinceCompact = 0
+            // compaction coalesces the VECTOR segments too: the lazy
+            // union's plan width grows with trigger count, so the
+            // periodic O(corpus) pass that rebuilds the hierarchy
+            // also collapses the segment list to one (the full
+            // segment-merge semantics)
+            val merged = allVecs.get.localCheckpoint(true)
+            val adj = graft.similarity.Similarity.hnswCompact(merged)
+              .localCheckpoint(true)
+            ledger.commit(batchId,
+              if (ledger.durable) Seq("vecs" -> b) else Seq.empty,
+              Map("kind" -> "compact"))
+            vecSegs = List(merged)
+            adjState = Some(adj)
+          } else {
+            val inserted = graft.similarity.Similarity.hnswInsert(v, a, b)
+            ledger.commit(batchId,
+              if (ledger.durable) Seq("vecs" -> b) else Seq.empty,
+              Map("kind" -> "insert"))
+            vecSegs = b :: vecSegs
+            sinceCompact += 1
+            adjState = Some(inserted)
+          }
         case _ =>
+          val adj = graft.similarity.Similarity.hnswCompact(b).localCheckpoint(true)
+          ledger.commit(batchId,
+            if (ledger.durable) Seq("vecs" -> b) else Seq.empty,
+            Map("kind" -> "build"))
           vecSegs = List(b)
-          adjState = Some(graft.similarity.Similarity.hnswCompact(b)
-            .localCheckpoint(true))
+          adjState = Some(adj)
+          sinceCompact = 0
       }
     }
     /** The maintained hierarchy (None before the first batch). */
@@ -1139,13 +1364,29 @@ object Streaming {
     * per trigger; the per-trigger work is then one bucket equi-join
     * sized by the micro-batch. */
   final class CrossNearDupSink(refDocs: DataFrame, k: Int = 3,
-      threshold: Double = 0.5) {
+      threshold: Double = 0.5, stateDir: Option[String] = None) {
     private val ref = refDocs.localCheckpoint(true)
+    private val ledger = new BatchLedger(stateDir)
     @volatile private var acc: Option[DataFrame] = None
+    /** Restart recovery (r11): per-trigger pair segments re-union to the
+      * continuous accumulation (the operator is stateless across
+      * triggers, so segments are independent emissions). */
+    def recover(s: SparkSession): this.type = synchronized {
+      ledger.recovered.filterNot(_.compact)
+        .map(c => ledger.read(s, "pairs", c.id))
+        .reduceOption(_ unionByName _)
+        .foreach(u => acc = Some(u.localCheckpoint(true)))
+      this
+    }
     /** foreachBatch body: near-dedup the micro-batch against the
-      * reference and append the verified pairs. */
-    def update(batch: DataFrame, batchId: Long): Unit = {
+      * reference and append the verified pairs. At-least-once safe: a
+      * re-delivered batchId is a no-op — the old id-blind append
+      * emitted every hit of the retried batch twice (r11). */
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (ledger.alreadyApplied(batchId)) return
       val pairs = graft.dedup.Dedup.minHashNearDupAcross(batch, ref, k, threshold)
+        .localCheckpoint(true)
+      ledger.commit(batchId, if (ledger.durable) Seq("pairs" -> pairs) else Seq.empty)
       acc = Some(acc.map(_.unionByName(pairs).localCheckpoint(true)).getOrElse(pairs))
     }
     /** All (new_id, ref_id, inter, na, nb, jaccard) hits so far. */
@@ -1162,17 +1403,34 @@ object Streaming {
     * counter rows REGARDLESS of stream length — the reason CMS is the
     * canonical streaming frequency summary, and the contrast with the
     * unbounded distinct-key state an exact streaming GROUP BY needs. */
-  final class CountMinSink(d: Int = 4, w: Long = 512L) {
+  final class CountMinSink(d: Int = 4, w: Long = 512L,
+      stateDir: Option[String] = None) {
+    private val ledger = new BatchLedger(stateDir)
     @volatile private var acc: Option[DataFrame] = None
+    /** Restart recovery (r11): per-trigger counter matrices re-sum
+      * cell-wise to the continuous fold (the sketch's linearity). */
+    def recover(s: SparkSession): this.type = synchronized {
+      ledger.recovered.filterNot(_.compact)
+        .map(c => ledger.read(s, "cms", c.id))
+        .reduceOption(_ unionByName _).foreach { u =>
+          acc = Some(u.groupBy(col("j"), col("col"))
+            .agg(sum(col("c")).as("c")).localCheckpoint(true))
+        }
+      this
+    }
     /** foreachBatch body: fold the micro-batch (single string column
-      * `k`) into the accumulated counter matrix. */
-    def update(batch: DataFrame, batchId: Long): Unit = {
-      val m = graft.ops.Relational.countMinMatrix(batch, d, w)
+      * `k`) into the accumulated counter matrix. At-least-once safe: a
+      * re-delivered batchId is a no-op — the old id-blind fold
+      * double-counted the retried batch in every cell (r11). */
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (ledger.alreadyApplied(batchId)) return
+      val m = graft.ops.Relational.countMinMatrix(batch, d, w).localCheckpoint(true)
       val merged = acc match {
         case Some(a) => a.unionByName(m).groupBy(col("j"), col("col"))
           .agg(sum(col("c")).as("c"))
         case None => m
       }
+      ledger.commit(batchId, if (ledger.durable) Seq("cms" -> m) else Seq.empty)
       acc = Some(merged.localCheckpoint(true))
     }
     /** Latest accumulated d×w counter matrix (None before batch 1). */
@@ -1192,17 +1450,33 @@ object Streaming {
     * |groups|·J counter rows regardless of stream length; the estimate
     * is re-derived from the accumulated counters on demand; snapshot ==
     * batch-on-prefix pinned in StreamingSpec. */
-  final class AmsSink {
+  final class AmsSink(stateDir: Option[String] = None) {
+    private val ledger = new BatchLedger(stateDir)
     @volatile private var acc: Option[DataFrame] = None
+    /** Restart recovery (r11): per-trigger z-tables re-sum cell-wise to
+      * the continuous fold (AMS is a linear sketch). */
+    def recover(s: SparkSession): this.type = synchronized {
+      ledger.recovered.filterNot(_.compact)
+        .map(c => ledger.read(s, "ams", c.id))
+        .reduceOption(_ unionByName _).foreach { u =>
+          acc = Some(u.groupBy(col("g"), col("j"))
+            .agg(sum(col("z")).as("z")).localCheckpoint(true))
+        }
+      this
+    }
     /** foreachBatch body: fold the micro-batch (columns `g`, `k`) into
-      * the accumulated z-counter table. */
-    def update(batch: DataFrame, batchId: Long): Unit = {
-      val z = graft.ops.Relational.amsZTable(batch)
+      * the accumulated z-counter table. At-least-once safe: a
+      * re-delivered batchId is a no-op — the old id-blind fold
+      * double-counted the retried batch's sign contributions (r11). */
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (ledger.alreadyApplied(batchId)) return
+      val z = graft.ops.Relational.amsZTable(batch).localCheckpoint(true)
       val merged = acc match {
         case Some(a) => a.unionByName(z).groupBy(col("g"), col("j"))
           .agg(sum(col("z")).as("z"))
         case None => z
       }
+      ledger.commit(batchId, if (ledger.durable) Seq("ams" -> z) else Seq.empty)
       acc = Some(merged.localCheckpoint(true))
     }
     /** Latest accumulated (g, j, z) counter table (None before batch 1). */
@@ -1210,6 +1484,67 @@ object Streaming {
     /** F2 estimates from the accumulated counters. */
     def estimates: Option[DataFrame] =
       acc.map(graft.ops.Relational.amsEstimate)
+  }
+
+  /** B10 × B12 (r11, VERDICT r10 #7): the STREAMING index lifecycle
+    * itself as a hash-gated query — until now the refreshers were
+    * spec-pinned while only their one-shot batch twins hash-gated. This
+    * gate drives a REAL Structured Streaming query (MemoryStream →
+    * foreachBatch → the durable [[BandIndexRefresh]] in portable-hash
+    * mode) through the full production lifecycle inside one gated run:
+    *
+    *   1. three micro-batches of document KEYS arrive (doc_id % 3
+    *      residues); each trigger stream-static-joins its keys to the
+    *      documents table and appends O(batch) index segments, persisted
+    *      to the batch ledger keyed by (sink, batchId);
+    *   2. a mid-stream segment COMPACTION publishes under a compact
+    *      marker and prunes the folded payloads;
+    *   3. after the stream stops, the LAST batch is re-delivered
+    *      (Spark's at-least-once contract) — the ledger high-water mark
+    *      makes it a no-op;
+    *   4. a SECOND sink instance recovers from the ledger (the driver
+    *      restart) and SERVES the band table.
+    *
+    * The DuckDB oracle replays the one-shot derivation over all
+    * documents (the shared `bnd` CTE), so the emitted hash certifies
+    * stream == batch through idempotence, compaction, and restart — the
+    * streaming lifecycle end-to-end, not just its batch twin. The
+    * ledger dir is per-invocation and self-cleaning (the served table
+    * is eagerly cut before deletion). */
+  def streamBandIndexQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .localCheckpoint(true) // static join side, reused by all triggers
+    val ledgerDir = java.nio.file.Files.createTempDirectory("graft_b10sbi_").toString
+    try {
+      val refresh = new BandIndexRefresh(3, Some(ledgerDir), portable = true)
+      val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)) // keys only, bounded
+      val input = MemoryStream[Long](s)
+      val lastId = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val q = input.toDF().toDF("doc_id").writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          refresh.update(b.join(docs, Seq("doc_id")), id)
+          lastId.getAndUpdate(x => math.max(x, id))
+          ()
+        }
+        .outputMode("update").start()
+      (0 until 3).foreach { r =>
+        input.addData(ids.filter(_ % 3 == r).toSeq)
+        q.processAllAvailable()
+        if (r == 1) refresh.compactSegments() // durable compact marker mid-stream
+      }
+      q.stop()
+      // at-least-once re-delivery of the last committed batch: no-op
+      if (lastId.get() >= 0)
+        refresh.update(docs.filter(col("doc_id") % 3 === 2), lastId.get())
+      // driver restart: a fresh instance recovers the ledger and serves
+      val served = new BandIndexRefresh(3, Some(ledgerDir), portable = true)
+        .recover(s).bandIndex.get.localCheckpoint(true)
+      served.orderBy(col("doc_id"), col("band_idx"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ledgerDir))
+    }
   }
 
   // ---------------------------------------------------------------- wiring
@@ -1221,11 +1556,20 @@ object Streaming {
     "b10_concurrency" -> (concurrencyQuery _),
     "b10_interval_join" -> (clickAttributionQuery _),
     "b10_rolling_anomaly" -> (rollingAnomalyQuery _),
+    "b10_stream_band_index" -> (streamBandIndexQuery _),
   )
 
   private val BUCKET5 = "make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT)*1000000)"
 
   val oracles: Map[String, String] = Map(
+    // the one-shot replay of the streamed/compacted/restarted band
+    // index: the shared per-doc `bnd` CTE over ALL documents — pure
+    // per-doc derivation, so N micro-batches ∪ compaction ∪ recovery
+    // must reproduce it bit for bit
+    "b10_stream_band_index" -> s"""
+      WITH ${graft.dedup.Dedup.portableBndCtes}
+      SELECT doc_id, band_idx, band_hash FROM bnd
+      ORDER BY doc_id, band_idx""",
     "b10_tumbling" -> s"""
       SELECT $BUCKET5 AS window_start, event_type, COUNT(*) AS n_events,
         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS DOUBLE) AS sum_value

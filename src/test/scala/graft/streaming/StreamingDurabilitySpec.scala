@@ -1,0 +1,355 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** r11 (VERDICT r10 #1/#2): the failure-semantics half of the streaming
+  * refresher lifecycle.
+  *
+  * RE-DELIVERY pins — Spark's foreachBatch is at-least-once: after a
+  * trigger failure the SAME batchId is re-delivered. Every sink must
+  * no-op on a re-delivered id; each pin applies the same (batch,
+  * batchId) twice and asserts the state equals a clean run's, including
+  * the two failure modes the r10 verdict named (band-index double-append
+  * breaking extend==rebuild parity; AnnIndexRefresh killed by its own
+  * collision guard).
+  *
+  * RESTART pins — with a `stateDir` ledger, a NEW sink instance on the
+  * same directory recovers the committed state, the re-delivered
+  * in-flight batch no-ops against it, and the continued run's final
+  * state is bit-identical to the never-restarted run. The restart is
+  * simulated at the foreachBatch contract boundary (direct update calls
+  * with the exact id sequence a checkpointed source re-delivers:
+  * ... n−1, CRASH, recover, n−1 again, n ...) — MemoryStream itself is
+  * not replayable across JVMs, but the sink only ever sees (batch, id)
+  * pairs, so the contract surface is fully exercised.
+  */
+class StreamingDurabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(m: Int, s: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d")
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case b: Array[_] => b.toSeq
+      case x => x
+    }).toSeq
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    rows(df).sortBy(_.mkString("|"))
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_dur_$tag").toString
+
+  // ---- shared fixtures --------------------------------------------------
+
+  private def evt(id: Long, m: Int, u: Long, ty: String = "view", v: Double = 1.0) =
+    Evt(id, t(m), u, ty, v)
+  private lazy val evB0 = Seq(evt(1, 0, 1, "purchase", 10.0), evt(2, 1, 2, "view", 3.0),
+    evt(3, 2, 1, "purchase", 4.0))
+  private lazy val evB1 = Seq(evt(4, 3, 3, "purchase", 7.0), evt(5, 4, 1, "click", 2.0))
+  private lazy val evB2 = Seq(evt(6, 5, 2, "purchase", 9.0), evt(7, 6, 4, "view", 1.0))
+
+  private lazy val docFix: Seq[(Long, String)] = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").filter($"doc_id" < 90)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(docs.size > 30, "fixture too small")
+    docs
+  }
+  private lazy val docBatches: Seq[Seq[(Long, String)]] =
+    (0 until 3).map(r => docFix.filter(_._1 % 3 == r))
+
+  // ---- re-delivery: same (batch, batchId) twice == once ------------------
+
+  test("re-delivery: BandIndexRefresh no-ops a retried batch — extend==rebuild " +
+    "parity survives the retry (VERDICT r10 #1)") {
+    val clean = new Streaming.BandIndexRefresh(3)
+    val retried = new Streaming.BandIndexRefresh(3)
+    docBatches.zipWithIndex.foreach { case (g, i) =>
+      clean.update(g.toDF("doc_id", "text"), i.toLong)
+      retried.update(g.toDF("doc_id", "text"), i.toLong)
+      if (i == 1) retried.update(g.toDF("doc_id", "text"), i.toLong) // retry
+    }
+    assert(sortedRows(retried.shingleIndex.get) === sortedRows(clean.shingleIndex.get))
+    assert(sortedRows(retried.bandIndex.get) === sortedRows(clean.bandIndex.get))
+    // and the lifecycle pin still holds THROUGH the retry: == fresh one-shot
+    assert(sortedRows(retried.shingleIndex.get) ===
+      sortedRows(graft.dedup.Dedup.shingleHashes(docFix.toDF("doc_id", "text"), 3)))
+  }
+
+  test("re-delivery: AnnIndexRefresh no-ops a retried batch instead of dying " +
+    "on its own collision guard (VERDICT r10 #1)") {
+    val emb = graft.Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val batches = (0 until 3).map(r => emb.filter($"vec_id" % 3 === r))
+    val clean = new Streaming.AnnIndexRefresh(compactEvery = 4)
+    val retried = new Streaming.AnnIndexRefresh(compactEvery = 4)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      clean.update(b.toDF(), i.toLong)
+      retried.update(b.toDF(), i.toLong)
+      // the r10 code path: re-delivering an applied batch fed duplicate
+      // vec_ids into hnswInsert → require() kills the query. Now: no-op.
+      retried.update(b.toDF(), i.toLong)
+    }
+    val a = retried.adjacency.get
+    val c = clean.adjacency.get
+    assert(a.exceptAll(c).count() === 0L && c.exceptAll(a).count() === 0L)
+  }
+
+  test("re-delivery: the aggregate refreshers (series/CMS/AMS/active-users/PPR/" +
+    "concurrency/cross-dedup) all no-op a retried batch") {
+    // SeriesTrendRefresh — additive: a retry used to double-count cents
+    val st1 = new Streaming.SeriesTrendRefresh
+    val st2 = new Streaming.SeriesTrendRefresh
+    st1.update(evB0.toDF(), 0L); st1.update(evB1.toDF(), 1L)
+    st2.update(evB0.toDF(), 0L); st2.update(evB1.toDF(), 1L)
+    st2.update(evB1.toDF(), 1L)
+    assert(rows(st1.trend.get) === rows(st2.trend.get))
+    // CountMinSink — counter matrix cells
+    val cm1 = new Streaming.CountMinSink(d = 4, w = 64L)
+    val cm2 = new Streaming.CountMinSink(d = 4, w = 64L)
+    val keys1 = Seq.fill(40)("7") ++ (1 to 30).map(_.toString)
+    val keys2 = (20 to 60).map(_.toString)
+    cm1.update(keys1.toDF("k"), 0L); cm1.update(keys2.toDF("k"), 1L)
+    cm2.update(keys1.toDF("k"), 0L); cm2.update(keys2.toDF("k"), 1L)
+    cm2.update(keys2.toDF("k"), 1L)
+    assert(sortedRows(cm1.matrix.get) === sortedRows(cm2.matrix.get))
+    // AmsSink — z counters
+    val am1 = new Streaming.AmsSink
+    val am2 = new Streaming.AmsSink
+    val g1 = (1 to 100).map(i => ("g1", s"k${i % 13}"))
+    val g2 = (1 to 80).map(i => ("g2", s"k${i % 7}"))
+    am1.update(g1.toDF("g", "k"), 0L); am1.update(g2.toDF("g", "k"), 1L)
+    am2.update(g1.toDF("g", "k"), 0L); am2.update(g2.toDF("g", "k"), 1L)
+    am2.update(g2.toDF("g", "k"), 1L)
+    assert(sortedRows(am1.zTable.get) === sortedRows(am2.zTable.get))
+    // ActiveUsersRefresh + PprRefresh — distinct folds (content-idempotent,
+    // but the retry must not even recompute: state object unchanged)
+    val au = new Streaming.ActiveUsersRefresh
+    au.update(evB0.toDF(), 0L)
+    val auSnap = au.counts.get
+    au.update(evB0.toDF(), 0L)
+    assert(au.counts.get eq auSnap) // no-op: the very same snapshot instance
+    val pp = new Streaming.PprRefresh
+    pp.update(Seq((1L, 10L), (2L, 10L)).toDF("u", "v"), 0L)
+    val ppSnap = pp.ranks.get
+    pp.update(Seq((1L, 10L), (2L, 10L)).toDF("u", "v"), 0L)
+    assert(pp.ranks.get eq ppSnap)
+    // SessionConcurrencyRefresh — frozen deltas must not double
+    val sc1 = new Streaming.SessionConcurrencyRefresh("1 hour")
+    val sc2 = new Streaming.SessionConcurrencyRefresh("1 hour")
+    sc1.update(evB0.toDF(), 0L); sc1.update(evB1.toDF(), 1L)
+    sc2.update(evB0.toDF(), 0L); sc2.update(evB1.toDF(), 1L)
+    sc2.update(evB1.toDF(), 1L)
+    assert(rows(sc1.curve.get) === rows(sc2.curve.get))
+    // CrossNearDupSink — pair emissions must not duplicate
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 29).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val ref = Seq((101L, base)).toDF("doc_id", "text")
+    val cn1 = new Streaming.CrossNearDupSink(ref)
+    val cn2 = new Streaming.CrossNearDupSink(ref)
+    cn1.update(Seq((1L, nearDup)).toDF("doc_id", "text"), 0L)
+    cn2.update(Seq((1L, nearDup)).toDF("doc_id", "text"), 0L)
+    cn2.update(Seq((1L, nearDup)).toDF("doc_id", "text"), 0L)
+    assert(sortedRows(cn1.pairs.get) === sortedRows(cn2.pairs.get))
+    assert(cn2.pairs.get.count() === 1L) // exactly once, not twice
+  }
+
+  test("re-delivery: harvestSink skips a committed batch via the store marker") {
+    val dir = tmpDir("harvest")
+    val mk = (uris: Seq[String]) => uris.toDF("concept")
+      .select(col("concept"), lit(null).cast("string").as("prefLabel"),
+        lit(null).cast("string").as("altLabel"), lit(null).cast("string").as("definition"))
+    val asOf = Timestamp.valueOf("2026-01-01 00:00:00")
+    Streaming.harvestSink(dir, asOf)(mk(Seq("https://v.example/t/b")), 0L)
+    Streaming.harvestSink(dir, asOf)(
+      mk(Seq("https://v.example/t/a", "https://v.example/t/b")), 1L)
+    // re-delivery of batch 1: marker says applied → no re-merge, ids stable
+    Streaming.harvestSink(dir, asOf)(
+      mk(Seq("https://v.example/t/a", "https://v.example/t/b")), 1L)
+    val terms = spark.read.parquet(s"$dir/terms").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(terms === Seq((1L, "https://v.example/t/b"), (2L, "https://v.example/t/a")))
+  }
+
+  // ---- restart: recover-from-ledger == never-restarted --------------------
+
+  test("restart: BandIndexRefresh recovers segments + compact marker from the " +
+    "ledger; final index bit-identical to the continuous run (VERDICT r10 #2)") {
+    val dir = tmpDir("band")
+    val continuous = new Streaming.BandIndexRefresh(3)
+    docBatches.zipWithIndex.foreach { case (g, i) =>
+      continuous.update(g.toDF("doc_id", "text"), i.toLong)
+      if (i == 0) continuous.compactSegments()
+    }
+    // durable run: crash after batch 1 (compaction after batch 0 persisted)
+    val s1 = new Streaming.BandIndexRefresh(3, Some(dir))
+    s1.update(docBatches(0).toDF("doc_id", "text"), 0L)
+    s1.compactSegments()
+    s1.update(docBatches(1).toDF("doc_id", "text"), 1L)
+    // CRASH → new instance, recover; source re-delivers batch 1, then 2
+    val s2 = new Streaming.BandIndexRefresh(3, Some(dir)).recover(spark)
+    s2.update(docBatches(1).toDF("doc_id", "text"), 1L) // re-delivery: no-op
+    s2.update(docBatches(2).toDF("doc_id", "text"), 2L)
+    assert(sortedRows(s2.shingleIndex.get) === sortedRows(continuous.shingleIndex.get))
+    assert(sortedRows(s2.bandIndex.get) === sortedRows(continuous.bandIndex.get))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("restart: AnnIndexRefresh replays build→insert→compact from the ledger; " +
+    "adjacency bit-identical to the continuous run (VERDICT r10 #2)") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").filter($"vec_id" < 400)
+    val batches = (0 until 4).map(r => emb.filter($"vec_id" % 4 === r).toDF())
+    // compactEvery=3: trigger 0 build, 1-2 insert, 3 compacts
+    val continuous = new Streaming.AnnIndexRefresh(compactEvery = 3)
+    batches.zipWithIndex.foreach { case (b, i) => continuous.update(b, i.toLong) }
+    val dir = tmpDir("ann")
+    val s1 = new Streaming.AnnIndexRefresh(compactEvery = 3, Some(dir))
+    s1.update(batches(0), 0L); s1.update(batches(1), 1L)
+    // CRASH mid-stream (after an INSERT trigger — the deferred-hierarchy
+    // state, the hard case: recovery must replay the insert, not rebuild)
+    val s2 = new Streaming.AnnIndexRefresh(compactEvery = 3, Some(dir)).recover(spark)
+    // recovered state == continuous state after trigger 1 (insert deferral
+    // preserved: inserted ids still base-layer-only)
+    val ins1 = batches(1).select("vec_id").collect().map(_.getLong(0)).toSet
+    val leaked = s2.adjacency.get.filter($"layer" > 0)
+      .filter($"src".isin(ins1.toSeq: _*) || $"dst".isin(ins1.toSeq: _*)).count()
+    assert(leaked === 0L, s"recovery re-leveled deferred inserts ($leaked rows)")
+    s2.update(batches(1), 1L) // re-delivery: no-op (collision guard NOT hit)
+    s2.update(batches(2), 2L)
+    s2.update(batches(3), 3L) // the scheduled compaction trigger
+    val a = s2.adjacency.get
+    val c = continuous.adjacency.get
+    assert(a.exceptAll(c).count() === 0L && c.exceptAll(a).count() === 0L,
+      "restarted lifecycle diverged from the continuous run")
+    // and both equal the canonical never-streamed build (compaction landed)
+    val canonical = graft.similarity.Similarity.hnswCompact(emb)
+    assert(a.exceptAll(canonical).count() === 0L && canonical.exceptAll(a).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("restart: SessionConcurrencyRefresh recovers the bounded snapshot " +
+    "(open/frozen/finished-days/carry/frontier); curve bit-identical") {
+    def e(id: Long, u: Long, ts: String) = Evt(id, Timestamp.valueOf(ts), u, "view", 0)
+    val days = (1 to 4).map { d =>
+      val base = (d - 1) * 100L
+      Seq(e(base + 1, base + 1, f"2024-03-$d%02d 09:00:00"),
+        e(base + 2, base + 1, f"2024-03-$d%02d 09:20:00"),
+        e(base + 3, base + 2, f"2024-03-$d%02d 09:10:00"),
+        e(base + 4, base + 2, f"2024-03-$d%02d 09:30:00"))
+    }
+    val continuous = new Streaming.SessionConcurrencyRefresh("1 hour")
+    days.zipWithIndex.foreach { case (b, i) => continuous.update(b.toDF(), i.toLong) }
+    val dir = tmpDir("conc")
+    val s1 = new Streaming.SessionConcurrencyRefresh("1 hour", Some(dir))
+    s1.update(days(0).toDF(), 0L); s1.update(days(1).toDF(), 1L)
+    val s2 = new Streaming.SessionConcurrencyRefresh("1 hour", Some(dir)).recover(spark)
+    // served-immediately-after-restart: curve available BEFORE any batch
+    assert(rows(s2.curve.get).nonEmpty)
+    s2.update(days(1).toDF(), 1L) // re-delivery: no-op
+    s2.update(days(2).toDF(), 2L); s2.update(days(3).toDF(), 3L)
+    assert(rows(s2.curve.get) === rows(continuous.curve.get))
+    // and both == the batch sweep line on all events (the standing pin)
+    assert(rows(s2.curve.get) === rows(Streaming.concurrency(days.flatten.toDF())))
+    assert(s2.compactedDays === continuous.compactedDays)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("restart: the delta-ledger refreshers (series/CMS/AMS/active-users/PPR/" +
+    "cross-dedup) recover to the continuous state") {
+    // SeriesTrendRefresh
+    val dirS = tmpDir("series")
+    val stc = new Streaming.SeriesTrendRefresh
+    Seq(evB0, evB1, evB2).zipWithIndex.foreach { case (b, i) => stc.update(b.toDF(), i.toLong) }
+    val st1 = new Streaming.SeriesTrendRefresh(Some(dirS))
+    st1.update(evB0.toDF(), 0L); st1.update(evB1.toDF(), 1L)
+    val st2 = new Streaming.SeriesTrendRefresh(Some(dirS)).recover(spark)
+    st2.update(evB1.toDF(), 1L); st2.update(evB2.toDF(), 2L)
+    assert(rows(st2.trend.get) === rows(stc.trend.get))
+    assert(rows(st2.seasonal.get) === rows(stc.seasonal.get))
+    // CountMinSink
+    val dirC = tmpDir("cms")
+    val keys1 = Seq.fill(40)("7") ++ (1 to 30).map(_.toString)
+    val keys2 = (20 to 60).map(_.toString)
+    val cmc = new Streaming.CountMinSink(4, 64L)
+    cmc.update(keys1.toDF("k"), 0L); cmc.update(keys2.toDF("k"), 1L)
+    val cm1 = new Streaming.CountMinSink(4, 64L, Some(dirC))
+    cm1.update(keys1.toDF("k"), 0L)
+    val cm2 = new Streaming.CountMinSink(4, 64L, Some(dirC)).recover(spark)
+    cm2.update(keys1.toDF("k"), 0L) // re-delivery: no-op
+    cm2.update(keys2.toDF("k"), 1L)
+    assert(sortedRows(cm2.matrix.get) === sortedRows(cmc.matrix.get))
+    // AmsSink
+    val dirA = tmpDir("ams")
+    val g1 = (1 to 100).map(i => ("g1", s"k${i % 13}"))
+    val g2 = (1 to 80).map(i => ("g2", s"k${i % 7}"))
+    val amc = new Streaming.AmsSink
+    amc.update(g1.toDF("g", "k"), 0L); amc.update(g2.toDF("g", "k"), 1L)
+    val am1 = new Streaming.AmsSink(Some(dirA))
+    am1.update(g1.toDF("g", "k"), 0L)
+    val am2 = new Streaming.AmsSink(Some(dirA)).recover(spark)
+    am2.update(g2.toDF("g", "k"), 1L)
+    assert(sortedRows(am2.zTable.get) === sortedRows(amc.zTable.get))
+    // ActiveUsersRefresh
+    val dirU = tmpDir("au")
+    val auc = new Streaming.ActiveUsersRefresh
+    auc.update(evB0.toDF(), 0L); auc.update(evB2.toDF(), 1L)
+    val au1 = new Streaming.ActiveUsersRefresh(Some(dirU))
+    au1.update(evB0.toDF(), 0L)
+    val au2 = new Streaming.ActiveUsersRefresh(Some(dirU)).recover(spark)
+    val auPrefix = new Streaming.ActiveUsersRefresh()
+    auPrefix.update(evB0.toDF(), 0L)
+    // served right after recover, before any new batch
+    assert(rows(au2.counts.get) === rows(auPrefix.counts.get))
+    au2.update(evB2.toDF(), 1L)
+    assert(rows(au2.counts.get) === rows(auc.counts.get))
+    // PprRefresh
+    val dirP = tmpDir("ppr")
+    val e1 = Seq((1L, 10L), (2L, 10L), (10L, 20L))
+    val e2 = Seq((20L, 0L), (4L, 10L))
+    val ppc = new Streaming.PprRefresh
+    ppc.update(e1.toDF("u", "v"), 0L); ppc.update(e2.toDF("u", "v"), 1L)
+    val pp1 = new Streaming.PprRefresh(Some(dirP))
+    pp1.update(e1.toDF("u", "v"), 0L)
+    val pp2 = new Streaming.PprRefresh(Some(dirP)).recover(spark)
+    pp2.update(e2.toDF("u", "v"), 1L)
+    assert(rows(pp2.ranks.get) === rows(ppc.ranks.get))
+    // CrossNearDupSink
+    val dirX = tmpDir("cross")
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 29).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val ref = Seq((101L, base)).toDF("doc_id", "text")
+    val cnc = new Streaming.CrossNearDupSink(ref)
+    cnc.update(Seq((1L, nearDup)).toDF("doc_id", "text"), 0L)
+    cnc.update(Seq((3L, base)).toDF("doc_id", "text"), 1L)
+    val cn1 = new Streaming.CrossNearDupSink(ref, stateDir = Some(dirX))
+    cn1.update(Seq((1L, nearDup)).toDF("doc_id", "text"), 0L)
+    val cn2 = new Streaming.CrossNearDupSink(ref, stateDir = Some(dirX)).recover(spark)
+    cn2.update(Seq((3L, base)).toDF("doc_id", "text"), 1L)
+    assert(sortedRows(cn2.pairs.get) === sortedRows(cnc.pairs.get))
+    Seq(dirS, dirC, dirA, dirU, dirP, dirX).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  test("ledger mechanics: marker-last publish means an UNCOMMITTED payload is " +
+    "re-applied, a committed one is skipped (crash-window semantics)") {
+    val dir = tmpDir("ledger")
+    val st1 = new Streaming.SeriesTrendRefresh(Some(dir))
+    st1.update(evB0.toDF(), 0L)
+    // simulate a crash BETWEEN payload write and marker publish for batch 1:
+    // write the payload dir by hand (as a torn copy) with NO marker
+    val torn = new java.io.File(s"$dir/data/daily-b1")
+    graft.ops.EventAnalytics.dailyCents(evB1.toDF()).limit(1)
+      .write.mode("overwrite").parquet(torn.toString)
+    val st2 = new Streaming.SeriesTrendRefresh(Some(dir)).recover(spark)
+    st2.update(evB1.toDF(), 1L) // NOT committed → must re-apply (and overwrite)
+    val clean = new Streaming.SeriesTrendRefresh
+    clean.update(evB0.toDF(), 0L); clean.update(evB1.toDF(), 1L)
+    assert(rows(st2.trend.get) === rows(clean.trend.get))
+    // and a third instance recovers the full two-batch state
+    val st3 = new Streaming.SeriesTrendRefresh(Some(dir)).recover(spark)
+    assert(rows(st3.trend.get) === rows(clean.trend.get))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+}
