@@ -789,12 +789,18 @@ object Dedup {
     * them inline. */
   private[graft] def minHashPortableAcrossWith(newDocs: DataFrame,
       shRef: DataFrame, bRef: DataFrame, k: Int = 3,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket, statsRef: Option[DataFrame] = None): DataFrame = {
     val shNew = portableShingleHashes(newDocs, k).cache()
     val bNew = portableBands(shNew)
-    val stats = bRef.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
-      .localCheckpoint(true)
+    // r11: the bucket stats (size + min-id witness) are a pure function
+    // of the REFERENCE — a per-tick probe must not re-aggregate the
+    // corpus band table, so snapshot-fed callers (refPortableTables)
+    // pass the materialized stats and this derivation is the inline
+    // fallback only
+    val stats = statsRef.getOrElse(
+      bRef.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+        .localCheckpoint(true))
     val keyedRef = bRef.join(stats, Seq("band_idx", "band_hash"))
     val direct = bNew.select(col("doc_id").as("a"), col("band_idx"), col("band_hash"))
       .join(keyedRef.filter(col("bsz") <= maxBucket)
@@ -832,11 +838,27 @@ object Dedup {
     (sh, bands)
   }
 
+  /** [[refPortableTables]] plus the materialize-once BUCKET-STATS table
+    * (size + min-id witness per band bucket) — the third derived table a
+    * probing tick needs; at 100 TB all three are written at index-build
+    * time, so per-tick work is the batch-sided bucket join only (r11). */
+  private[graft] def refPortableTables3(s: SparkSession, dir: String,
+      name: String, refPred: Column, k: Int = 3): (DataFrame, DataFrame, DataFrame) = {
+    val (sh, bands) = refPortableTables(s, dir, name, refPred, k)
+    val stats = graft.SnapshotStore(s, dir, "documents.parquet", s"${name}_bstats") {
+      bands.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+        .repartition(col("band_hash"))
+    }
+    (sh, bands, stats)
+  }
+
   def crossPortableQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (shRef, bRef) = refPortableTables(s, dir, "cross_ref",
+    val (shRef, bRef, statsRef) = refPortableTables3(s, dir, "cross_ref",
       col("doc_id") % 2 =!= 0)
-    minHashPortableAcrossWith(docs.filter(col("doc_id") % 2 === 0), shRef, bRef)
+    minHashPortableAcrossWith(docs.filter(col("doc_id") % 2 === 0), shRef, bRef,
+      statsRef = Some(statsRef))
   }
 
   // ------------------------------------------- cluster assignment (B12)

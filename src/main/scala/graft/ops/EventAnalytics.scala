@@ -1418,7 +1418,10 @@ object EventAnalytics {
                 FROM span, UNNEST(range(b0, b1 + 1)) AS u(day)),
       grid AS (SELECT g0.event_type, g0.day,
                  COALESCE(o.v, 0) AS v_cents,
-                 CAST(g0.day % 7 AS BIGINT) AS dow
+                 -- non-negative dow phase: DuckDB's % is sign-following,
+                 -- Spark's pmod is not — pre-1970 days (negative unix
+                 -- day) must phase identically on both engines (r11)
+                 CAST(((g0.day % 7) + 7) % 7 AS BIGINT) AS dow
                FROM grid0 g0 LEFT JOIN obs o
                  ON o.event_type = g0.event_type AND o.day = g0.day),
       ph AS (SELECT event_type, dow, CAST(SUM(v_cents) AS BIGINT) AS phase_sum,

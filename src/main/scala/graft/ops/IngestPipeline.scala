@@ -59,7 +59,7 @@ object IngestPipeline {
     * absent (the stress probe's replicated corpora) they derive inline.
     * Content is identical either way. */
   def ingestReport(arrivalsIn: DataFrame, referenceIn: DataFrame,
-      refTables: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+      refTables: Option[(DataFrame, DataFrame, DataFrame)] = None): DataFrame = {
     val spark = arrivalsIn.sparkSession
     import spark.implicits._
     val arrivals = arrivalsIn.select($"doc_id", $"text", $"source").cache()
@@ -86,8 +86,9 @@ object IngestPipeline {
       .localCheckpoint(true) // lineage cut before the LSH stage
     // 3. near-dedup vs the reference only
     val hits = (refTables match {
-      case Some((shRef, bRef)) =>
-        Dedup.minHashPortableAcrossWith(exactNew, shRef, bRef)
+      case Some((shRef, bRef, statsRef)) =>
+        Dedup.minHashPortableAcrossWith(exactNew, shRef, bRef,
+          statsRef = Some(statsRef))
       case None => Dedup.minHashPortableAcross(exactNew, reference)
     }).select($"new_id".as("doc_id")).distinct()
     // 4. per-source audit funnel — each arrival in exactly one bucket
@@ -112,7 +113,7 @@ object IngestPipeline {
     ingestReport(
       docs.filter(col("doc_id") % ArrivalMod === ArrivalRem),
       docs.filter(col("doc_id") % ArrivalMod =!= ArrivalRem),
-      refTables = Some(Dedup.refPortableTables(s, dir, "ingest_ref",
+      refTables = Some(Dedup.refPortableTables3(s, dir, "ingest_ref",
         col("doc_id") % ArrivalMod =!= ArrivalRem)))
   }
 

@@ -48,6 +48,18 @@ object ScaleQueries {
         f.isDirectory && !f.getName.endsWith(appId) && f.lastModified() < cutoff
       }
       stale.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(d))
+      // r11 (ADVICE r10): one-shot migration sweep of the PRE-r10 layout —
+      // builds before the graft_runstores/ move left their stores directly
+      // in tmpdir and nothing swept them again. Those names end with a
+      // Spark local appId ("..._local-<millis>"), which no other graft
+      // tmp artifact shares, so the match is exact; same idle-1h guard.
+      val legacy = Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty).filter { f =>
+          f.isDirectory && f.getName.startsWith("graft_") &&
+            f.getName.matches(".*_local-\\d+$") && !f.getName.endsWith(appId) &&
+            f.lastModified() < cutoff
+        }
+      legacy.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(d))
     }
   private def runStore(s: SparkSession, tag: String, dir: String): String = {
     sweepStale(s.sparkContext.applicationId)

@@ -509,12 +509,48 @@ object Similarity {
     * layer with nothing above keys everything to the root cell (-1),
     * and because the first non-empty layer from the top has O(16)
     * expected members, the one bipartite stage this produces is
-    * bounded. [[HnswMaxLayers]] plays HNSW's mL role — pick
-    * ⌈log₁₆(expected corpus / 16)⌉ at deploy time (4 covers ~10⁶, 8
-    * covers ~10¹⁰ vectors); layers that come out empty cost nothing on
-    * either engine (their joins are vacuous), so over-provisioning is
-    * cheap and the gate runs the same chain the cluster would. */
+    * bounded. [[HnswMaxLayers]] plays HNSW's mL role — since r11 it is
+    * the provisioning FLOOR, not a deploy-time constant: the build
+    * counts its corpus and SELF-provisions
+    * layers = max(4, ⌈log₁₆(n/16)⌉) ([[provisionLayers]], VERDICT r10
+    * #4 — the r10 guard warned past the budget but still required a
+    * manual redeploy). Every gate corpus provisions to exactly the
+    * floor, so the static ≤4-layer oracle SQL and the existing snapshot
+    * keys stand; layers that come out empty cost nothing on either
+    * engine (their joins are vacuous). Search derives its layer count
+    * from the adjacency it descends ([[descentLayers]]), so a
+    * self-provisioned 5-layer index is searched as built. */
   private[similarity] val HnswMaxLayers = 4
+
+  /** layers = max(floor, ⌈log₁₆(n/16)⌉): keeps the expected top-layer
+    * population ≈ 16 — the root cell the build's linearity rests on —
+    * at any corpus size (4 covers ~10⁶, 6 covers ~10⁹ vectors). */
+  private[similarity] def provisionLayers(n: Long, floor: Int = HnswMaxLayers): Int = {
+    val needed = math.ceil(
+      math.log(math.max(n, 1L).toDouble / 16.0) / math.log(16.0)).toInt
+    math.max(floor, math.max(1, needed))
+  }
+
+  /** Observable for the root-cell overgrowth guard (spec hook: the
+    * under-provisioned control build must fire it, the self-provisioned
+    * build must not). */
+  private[similarity] val rootCellWarnings =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-layer row census of a PREBUILT adjacency — ONE tiny job that
+    * serves both descent decisions: the layer count the build
+    * provisioned (1 + top layer tag, floored — empty top layers leave
+    * no rows, and the floor keeps the entry-level cap aligned with the
+    * build's draw on gate corpora) and the per-layer liveness the
+    * round-skip needs (this replaced one eager isEmpty job PER upper
+    * layer per descent, r11). */
+  private[similarity] def layerCensus(adj: DataFrame): (Int, Map[Int, Long]) = {
+    val counts = adj.groupBy(col("layer")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val layerN = math.max(HnswMaxLayers,
+      if (counts.isEmpty) 1 else counts.keys.max + 1)
+    (layerN, counts)
+  }
   private[similarity] val HnswR = 12
   private[similarity] val HnswOverlap = 3
   private[similarity] val HnswBeamU = 12
@@ -527,11 +563,21 @@ object Similarity {
   private[similarity] def hnswParams =
     s"L${HnswMaxLayers}r${HnswR}o${HnswOverlap}"
 
+  /** The snapshot key for a build over an n-vector corpus: the
+    * PROVISIONED layer count is folded in (r11, VERDICT r10 #4), so an
+    * index that self-provisioned past the floor can never be served to
+    * a consumer expecting the floor geometry. Gate corpora provision to
+    * the floor — the key equals [[hnswParams]] there, keeping existing
+    * snapshots valid. */
+  private[similarity] def hnswParamsFor(n: Long): String =
+    s"L${provisionLayers(n)}r${HnswR}o${HnswOverlap}"
+
   /** (vec_id, q, norm, __h, lvl): the portable level draw — md5
     * leading-'0' count capped at the layer budget. */
-  private[similarity] def hnswLeveled(e: DataFrame): DataFrame =
+  private[similarity] def hnswLeveled(e: DataFrame,
+      layers: Int = HnswMaxLayers): DataFrame =
     e.withColumn("__h", md5(col("vec_id").cast("string")))
-      .withColumn("lvl", least(lit(HnswMaxLayers - 1),
+      .withColumn("lvl", least(lit(layers - 1),
         length(regexp_extract(col("__h"), "^0*", 0))))
 
   /** The full hierarchy build: every layer's bounded-out-degree
@@ -541,13 +587,23 @@ object Similarity {
     * `logStats` (the PROBE_STRESS_ANN path) prints per-stage member /
     * pair / assignment-candidate row counts so the probe can assert
     * ~linear growth of the assignment AND pair stages, not just wall. */
-  private[graft] def hnswBuild(e: DataFrame, logStats: Boolean = false): DataFrame = {
-    val lv = hnswLeveled(e).select(col("vec_id"), col("q"), col("norm"), col("lvl"))
-      .localCheckpoint(true)
+  private[graft] def hnswBuild(e: DataFrame, logStats: Boolean = false,
+      layersOverride: Option[Int] = None): DataFrame = {
+    val pre = e.select(col("vec_id"), col("q"), col("norm")).localCheckpoint(true)
+    // r11 (VERDICT r10 #4): self-provision the layer budget from the
+    // corpus census — the count is one metadata-cheap job on the frame
+    // the build was about to checkpoint anyway. Gate corpora land on
+    // the floor (4), so gate hashes, oracle SQL, and snapshot keys all
+    // stand; a corpus past ~16^4·16 gets the extra layers the r10 guard
+    // could only WARN about. `layersOverride` exists for the guard's
+    // own spec (force an under-provisioned control build).
+    val layers = layersOverride.getOrElse(provisionLayers(pre.count()))
+    val lv = hnswLeveled(pre, layers)
+      .select(col("vec_id"), col("q"), col("norm"), col("lvl"))
     // A_{m+1}: each member's ≤ Overlap nearest layer-(m+1) vertices
     var parents: Option[DataFrame] = None
     var adj: DataFrame = null
-    for (m <- (HnswMaxLayers - 1) to 0 by -1) {
+    for (m <- (layers - 1) to 0 by -1) {
       val layerM = lv.filter(col("lvl") >= m).select(col("vec_id"), col("q"), col("norm"))
       // overlap-cell residency for layer-m members: parent id at layer
       // m+1, or the root cell when nothing sits above (uniform fallback
@@ -561,22 +617,20 @@ object Similarity {
       // r10 (ADVICE): the linearity of this build rests on the root cell
       // (-1) — the one cell with no parent above it — staying
       // O(16·Overlap)-sized; that is what bounds its all-pairs stage.
-      // With a fixed [[HnswMaxLayers]] and a corpus past ~16^MaxLayers,
-      // the first non-empty layer from the top grows ∝ n, everything in
-      // it keys to the root cell, and the quadratic blowup the r9
-      // re-plan removed comes back SILENTLY. Guard it loudly at every
-      // layer (the root cell is tiny by design, so the count is cheap;
-      // one small job per layer on a build that is snapshot-served
-      // once): warn past a small multiple of the design cell size,
-      // pointing at re-provisioning.
+      // Since r11 the budget self-provisions from the corpus census, so
+      // this guard should never fire on the auto path — it stays as the
+      // backstop for an explicit under-provisioned override (and as the
+      // spec's observable via [[rootCellWarnings]]).
       val rootN = cellAssign.filter(col("cell_id") === -1L).count()
       val designCell = 16L * HnswOverlap
-      if (rootN > 8 * designCell)
+      if (rootN > 8 * designCell) {
+        rootCellWarnings.incrementAndGet()
         System.err.println(
           s"WARN hnswBuild: layer $m has $rootN members in the root cell " +
             s"(design cell $designCell, guard ${8 * designCell}) — its pair stage " +
-            s"is going quadratic; re-provision HnswMaxLayers " +
-            s"(currently $HnswMaxLayers) to ~ceil(log16(corpus/16))")
+            s"is going quadratic; the provisioned budget is $layers layers, " +
+            s"expected ~ceil(log16(corpus/16))")
+      }
       val a = cellAssign.select(col("cell_id"), col("vec_id").as("src"),
         col("q").as("sq"), col("norm").as("sn"))
       val b = cellAssign.select(col("cell_id"), col("vec_id").as("dst"),
@@ -657,8 +711,9 @@ object Similarity {
   private[similarity] def hnswTopKSnapshotted(s: SparkSession, dir: String,
       queryPred: Column, k: Int = 10): DataFrame = {
     val e = quantizedWithNorm(Tables.embeddings(s, dir)).cache()
+    val hp = hnswParamsFor(Tables.embeddings(s, dir).count())
     val adj = graft.SnapshotStore(s, dir, "embeddings.parquet",
-        s"hnsw_adj_$hnswParams", params = hnswParams) {
+        s"hnsw_adj_$hp", params = hp) {
       hnswBuild(quantizedWithNorm(Tables.embeddings(s, dir)))
         .repartition(col("layer"), col("src"))
     }
@@ -680,8 +735,9 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     val old = emb.filter(col("vec_id") % 10 =!= 3)
     val batch = emb.filter(col("vec_id") % 10 === 3)
+    val hp = hnswParamsFor(old.count())
     val adj = graft.SnapshotStore(s, dir, "embeddings.parquet",
-      s"hnsw_adj_old_$hnswParams", params = hnswParams) {
+      s"hnsw_adj_old_$hp", params = hp) {
       hnswBuild(quantizedWithNorm(
         Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3)))
         .repartition(col("layer"), col("src"))
@@ -720,24 +776,46 @@ object Similarity {
     // the standing corpus's shingle/band tables are materialize-once
     // snapshots (the e03/b12_cross_portable discipline) — a maintenance
     // tick pays batch-sized probe work, never the corpus derivation
-    val (shRef, bRef) = graft.dedup.Dedup.refPortableTables(
+    val (shRef, bRef, statsRef) = graft.dedup.Dedup.refPortableTables3(
       s, dir, "e08_ref", col("doc_id") % 10 =!= 3)
     val dupIds = graft.dedup.Dedup
-      .minHashPortableAcrossWith(arriving, shRef, bRef)
+      .minHashPortableAcrossWith(arriving, shRef, bRef, statsRef = Some(statsRef))
       .select(col("new_id").as("vec_id")).distinct()
     val emb = Tables.embeddings(s, dir)
     val standingVecs = emb.filter(col("vec_id") % 10 =!= 3)
     val survivors = emb.filter(col("vec_id") % 10 === 3)
       .join(dupIds, Seq("vec_id"), "left_anti")
+    val hp = hnswParamsFor(standingVecs.count())
     val adj = graft.SnapshotStore(s, dir, "embeddings.parquet",
-      s"hnsw_adj_old_$hnswParams", params = hnswParams) {
+      s"hnsw_adj_old_$hp", params = hp) {
       hnswBuild(quantizedWithNorm(
         Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3)))
         .repartition(col("layer"), col("src"))
     }
     val ext = hnswInsert(standingVecs, adj, survivors)
-    hnswSearch(standingVecs.unionByName(survivors), ext,
-        col("vec_id") % 100 === 0, k = 5)
+    // r11 (VERDICT r10 #3): the serve leg used to pay the full descent —
+    // re-routing the STANDING query set through the STANDING upper
+    // layers every tick, right after the insert leg descended those same
+    // layers. hnswInsert never touches layers ≥ 1 and the entry set is
+    // an index property, so the queries' post-upper-layer beam is a pure
+    // function of (standing index, params) — materialize it ONCE and pay
+    // only the base-layer rounds over the extended graph per tick. The
+    // DuckDB oracle replays the same definition (serve entry from the
+    // standing vector set).
+    val routes = graft.SnapshotStore(s, dir, "embeddings.parquet",
+      s"e08_routes_$hp", params = s"$hp|q100|b${HnswBeamU}x$HnswRoundsU") {
+      val eStand = quantizedWithNorm(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3))
+      hnswUpperBeam(eStand, adj,
+        eStand.filter(col("vec_id") % 100 === 0).toDF("query_id", "qq", "qnorm"))
+        .repartition(col("query_id"))
+    }
+    val eAll = quantizedWithNorm(standingVecs.unionByName(survivors))
+    // %100 ≡ 0 and %10 ≡ 3 are disjoint, so the extended set's query
+    // slice IS the standing one — one quantize pass serves both roles
+    val qs = eAll.filter(col("vec_id") % 100 === 0)
+      .toDF("query_id", "qq", "qnorm")
+    hnswBaseDescend(eAll, ext, qs, routes, k = 5)
       .withColumn("is_new", (col("vec_id") % 10 === 3).cast("int"))
       .orderBy(col("query_id"), col("rn"))
   }
@@ -843,8 +921,22 @@ object Similarity {
     * shared by search and [[hnswInsert]]'s anchor finding. Returns
     * (query_id, vec_id, cosine, rn ≤ k), self-matches excluded. */
   private[similarity] def hnswDescend(e: DataFrame, adj: DataFrame,
-      qs0: DataFrame, k: Int): DataFrame = {
-    val lv = hnswLeveled(e)
+      qs0: DataFrame, k: Int): DataFrame =
+    hnswBaseDescend(e, adj, qs0, hnswUpperBeam(e, adj, qs0), k)
+
+  /** The UPPER-LAYER routing stage of the descent alone: entry set +
+    * the narrow-beam rounds through each non-empty layer ≥ 1, emitting
+    * the per-query (query_id, vec_id) beam that seeds the base rounds.
+    * Split out in r11 (VERDICT r10 #3): [[hnswInsert]] never touches
+    * layers ≥ 1 and the entry set is a property of the INDEX's vector
+    * set, so for a standing query set this stage is a pure function of
+    * (standing vectors, standing adjacency, params) — e08 materializes
+    * it once ([[graft.SnapshotStore]]) and each maintenance tick pays
+    * only the base-layer descent over the extended graph. */
+  private[graft] def hnswUpperBeam(e: DataFrame, adj: DataFrame,
+      qs0: DataFrame): DataFrame = {
+    val (layerN, counts) = layerCensus(adj)
+    val lv = hnswLeveled(e, layerN)
     val entry = lv.orderBy(col("lvl").desc, col("__h"), col("vec_id"))
       .limit(HnswEntryN).select(col("vec_id"))
     val qs = qs0.cache()
@@ -862,24 +954,53 @@ object Similarity {
         beam.join(nbrs, col("vec_id") === col("src"))
           .select(col("query_id"), col("dst").as("vec_id")))
         .distinct()
-    val layers = (0 until HnswMaxLayers).map(m =>
+    val layers = (0 until layerN).map(m =>
       adj.filter(col("layer") === m).select(col("src"), col("dst")))
     // rounds through an EMPTY upper layer are skipped: with |beam| ≤
     // BeamU (EntryN ≤ BeamU, and every round's output is ≤ BeamU) the
     // empty-expansion re-rank is the identity on the beam SET, so the
     // skip is result-identical to the oracle's uniformly-unrolled chain
     require(HnswEntryN <= HnswBeamU, "empty-layer skip needs EntryN <= BeamU")
-    val live = (1 until HnswMaxLayers).map(m => !layers(m).isEmpty)
     var beam = qs.select(col("query_id")).crossJoin(broadcast(entry))
       .localCheckpoint(true)
-    for (m <- (HnswMaxLayers - 1) to 1 by -1; if live(m - 1); _ <- 1 to HnswRoundsU)
+    for (m <- (layerN - 1) to 1 by -1; if counts.getOrElse(m, 0L) > 0L;
+         _ <- 1 to HnswRoundsU)
       beam = topb(expand(beam, layers(m)), HnswBeamU).localCheckpoint(true)
+    qs.unpersist()
+    beam
+  }
+
+  /** The BASE-LAYER stage of the descent: wide-beam rounds with the
+    * visited pool accumulating (the ef-search candidate set), seeded by
+    * `beam0` — either [[hnswUpperBeam]]'s live routing or a
+    * materialized route snapshot. Scoring joins ride `e`, so an
+    * extended vector set (standing ∪ inserted) scores the new base
+    * vertices the extended layer-0 edges can reach. */
+  private[graft] def hnswBaseDescend(e: DataFrame, adj: DataFrame,
+      qs0: DataFrame, beam0: DataFrame, k: Int): DataFrame = {
+    val qs = qs0.cache()
+    def scoreOf(pool: DataFrame): DataFrame =
+      pool.join(e, Seq("vec_id")).join(qs, Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosinePre(col("qq"), col("q"), col("qnorm"), col("norm")).as("cosine"))
+    def topb(pool: DataFrame, b: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      scoreOf(pool).withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
+        .select(col("query_id"), col("vec_id"))
+    }
+    def expand(beam: DataFrame, nbrs: DataFrame): DataFrame =
+      beam.unionByName(
+        beam.join(nbrs, col("vec_id") === col("src"))
+          .select(col("query_id"), col("dst").as("vec_id")))
+        .distinct()
+    val layer0 = adj.filter(col("layer") === 0).select(col("src"), col("dst"))
     // base layer: the visited POOL accumulates (the ef-search candidate
     // set); one eager cut per round on the pool only — the sole frame
     // referenced twice downstream; the beams are cheap windows over it
+    var beam = beam0
     var pool = beam
     for (_ <- 1 to HnswRounds0) {
-      pool = pool.unionByName(expand(beam, layers(0))).distinct().localCheckpoint(true)
+      pool = pool.unionByName(expand(beam, layer0)).distinct().localCheckpoint(true)
       beam = topb(pool, HnswBeam0)
     }
     val fw = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
@@ -904,8 +1025,9 @@ object Similarity {
     * to move the gate queries' top-10 still fails. Served from the same
     * materialize-once snapshot the search queries ride. */
   def hnswAdjQuery(s: SparkSession, dir: String): DataFrame = {
+    val hp = hnswParamsFor(Tables.embeddings(s, dir).count())
     val adj = graft.SnapshotStore(s, dir, "embeddings.parquet",
-        s"hnsw_adj_$hnswParams", params = hnswParams) {
+        s"hnsw_adj_$hp", params = hp) {
       hnswBuild(quantizedWithNorm(Tables.embeddings(s, dir)))
         .repartition(col("layer"), col("src"))
     }
@@ -2388,10 +2510,15 @@ object Similarity {
           UNION ALL SELECT src, dst FROM repr
           UNION ALL SELECT src, dst FROM newout)"""
         else s"ext$m AS (SELECT src, dst FROM hn$m)").mkString(",")},
+      -- r11: serve entry comes from the STANDING vector set (en), not the
+      -- extended one — the entry set is an index property (hnswInsert
+      -- defers hierarchy membership), which is what makes the upper-layer
+      -- routes a materialize-once pure function of the standing index on
+      -- the Spark side
       glv AS MATERIALIZED (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h,
           LEAST(${HnswMaxLayers - 1},
             length(regexp_extract(md5(CAST(vec_id AS VARCHAR)), '^0*'))) AS lvl
-        FROM lvall),
+        FROM en),
       ${hnswDescentSql("g", "ext", "glv", "lvall",
         "SELECT vec_id AS query_id, q AS qq, norm AS qnorm FROM en WHERE vec_id % 100 = 0",
         k = 5)}
