@@ -731,18 +731,27 @@ object Similarity {
     * touched-anchor re-prune over (old edges ∪ arrivals),
     * untouched-edge passthrough — upgrading the insert seam from
     * spec-pinned to hash-gated. */
-  def hnswInsertQuery(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val old = emb.filter(col("vec_id") % 10 =!= 3)
-    val batch = emb.filter(col("vec_id") % 10 === 3)
-    val hp = hnswParamsFor(old.count())
-    val adj = graft.SnapshotStore(s, dir, "embeddings.parquet",
+  /** The served STANDING hierarchy (the %10 ≠ 3 corpus) — the
+    * materialize-once snapshot shared by b12_hnsw_insert, the e08
+    * flagship, and the streamed ANN lifecycle gate
+    * (b12_stream_ann_index), so all three certify against the same
+    * artifact. */
+  private[graft] def standingAdjSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val hp = hnswParamsFor(
+      Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3).count())
+    graft.SnapshotStore(s, dir, "embeddings.parquet",
       s"hnsw_adj_old_$hp", params = hp) {
       hnswBuild(quantizedWithNorm(
         Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3)))
         .repartition(col("layer"), col("src"))
     }
-    hnswInsert(old, adj, batch)
+  }
+
+  def hnswInsertQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val old = emb.filter(col("vec_id") % 10 =!= 3)
+    val batch = emb.filter(col("vec_id") % 10 === 3)
+    hnswInsert(old, standingAdjSnapshot(s, dir), batch)
       .orderBy(col("layer"), col("src"), col("dst"))
   }
 
@@ -786,12 +795,7 @@ object Similarity {
     val survivors = emb.filter(col("vec_id") % 10 === 3)
       .join(dupIds, Seq("vec_id"), "left_anti")
     val hp = hnswParamsFor(standingVecs.count())
-    val adj = graft.SnapshotStore(s, dir, "embeddings.parquet",
-      s"hnsw_adj_old_$hp", params = hp) {
-      hnswBuild(quantizedWithNorm(
-        Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3)))
-        .repartition(col("layer"), col("src"))
-    }
+    val adj = standingAdjSnapshot(s, dir)
     val ext = hnswInsert(standingVecs, adj, survivors)
     // r11 (VERDICT r10 #3): the serve leg used to pay the full descent —
     // re-routing the STANDING query set through the STANDING upper

@@ -244,7 +244,12 @@ object Streaming {
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (ledger.alreadyApplied(batchId)) return
       val prev = st
-      val b = sessionsBatch(batch)
+      // normalize the event-time column: parquet-backed events arrive as
+      // TIMESTAMP_NTZ, MemoryStream fixtures as TIMESTAMP — the state
+      // frontier/cutoff arithmetic below needs ONE type (a no-op cast on
+      // already-TIMESTAMP inputs; wall time preserved under the pinned
+      // UTC session) (r11, surfaced by the b10_stream_concurrency gate)
+      val b = sessionsBatch(batch.withColumn("ts", col("ts").cast("timestamp")))
         .select(col("user_id"), col("session_start"), col("session_end"))
         .localCheckpoint(true) // consumed by the merge and the frontier max
       val merged = prev.open match {
@@ -1290,6 +1295,24 @@ object Streaming {
       }
       this
     }
+    /** Seed the refresher from an ALREADY-SERVED index (r11): the
+      * production lifecycle is build-once (the materialize-once
+      * snapshot) → serve → extend per batch, so a refresher that joins
+      * a serving stack mid-life starts from the snapshot rather than
+      * replaying the corpus through trigger 0. In-JVM only: the
+      * bootstrap state's durability is the snapshot's own parquet —
+      * the ledger tracks the batches applied ON TOP of it. */
+    def bootstrap(vecs: DataFrame, adj: DataFrame): this.type = synchronized {
+      require(vecSegs.isEmpty && adjState.isEmpty,
+        "bootstrap must precede the first micro-batch")
+      // caller owns the frames' stability (they come from a parquet
+      // snapshot / checkpointed scan — re-materializing them here would
+      // pay an extra O(corpus) job per bootstrap for nothing)
+      vecSegs = List(vecs)
+      adjState = Some(adj)
+      sinceCompact = 0
+      this
+    }
     /** foreachBatch body: insert the batch; compact on schedule.
       * At-least-once safe (r11, VERDICT r10 #1): a re-delivered batchId
       * is a no-op — the old id-blind body fed the SAME vec_ids back into
@@ -1547,6 +1570,119 @@ object Streaming {
     }
   }
 
+  /** B10 × B12 (r11): the ANN twin of [[streamBandIndexQuery]] — the
+    * STREAMED index lifecycle certified against the one-shot oracle.
+    * The refresher BOOTSTRAPS from the served standing index (the same
+    * materialize-once snapshot b12_hnsw_insert rides — build-once is
+    * the snapshot's job, so the per-invocation cost is the tick, not a
+    * corpus rebuild), then one micro-batch of vector KEYS (%10 ≡ 3)
+    * arrives through a real MemoryStream → foreachBatch and attaches
+    * via the O(batch) insert path. The LAST batch is then RE-DELIVERED
+    * — under the r10 code this fed duplicate vec_ids into hnswInsert
+    * and the collision guard KILLED the query; now the ledger no-ops
+    * it, inside the hash-compared path. The served adjacency must
+    * equal the one-shot `hnswInsert(old, build(old), batch)` — the
+    * exact artifact b12_hnsw_insert gates — so the two queries share
+    * ONE oracle replay and the streamed and batch lifecycles can never
+    * drift apart silently. Restart recovery is certified by the band
+    * gate + StreamingDurabilitySpec's replay pin. */
+  def streamAnnIndexQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // static join side for the trigger
+    val standing = emb.filter(col("vec_id") % 10 =!= 3)
+    val refresh = new AnnIndexRefresh(compactEvery = Int.MaxValue)
+      .bootstrap(standing,
+        graft.similarity.Similarity.standingAdjSnapshot(s, dir))
+    val ids = emb.select(col("vec_id")).collect().map(_.getLong(0))
+    val input = MemoryStream[Long](s)
+    val lastId = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val q = input.toDF().toDF("vec_id").writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        refresh.update(b.join(emb, Seq("vec_id")), id)
+        lastId.getAndUpdate(x => math.max(x, id))
+        ()
+      }
+      .outputMode("update").start()
+    input.addData(ids.filter(_ % 10 == 3).toSeq); q.processAllAvailable()
+    q.stop()
+    // at-least-once re-delivery: the retried insert batch must no-op,
+    // not die on the collision guard
+    if (lastId.get() >= 0)
+      refresh.update(emb.filter(col("vec_id") % 10 === 3), lastId.get())
+    refresh.adjacency.get.orderBy(col("layer"), col("src"), col("dst"))
+  }
+
+  /** B10 (r11): the THIRD refresher family's lifecycle gate — the
+    * bounded-snapshot concurrency curve, completing the set (segment
+    * band index → b10_stream_band_index; ANN hierarchy →
+    * b12_stream_ann_index; bounded-state curve → this). Event KEYS
+    * arrive through a real MemoryStream in CHRONOLOGICAL micro-batches
+    * (halves of the distinct-day axis — chronological delivery keeps
+    * every batch inside the refresher's lateness contract, so freeze +
+    * finished-day compaction run for real on the early days while
+    * exactness holds); each trigger stream-static-joins
+    * its keys to the events table and folds into the DURABLE
+    * [[SessionConcurrencyRefresh]]. After the stream stops, the last
+    * batch is RE-DELIVERED (ledger no-op — an id-blind fold would
+    * double-freeze its session deltas), then a SECOND instance recovers
+    * the bounded state snapshot from the ledger (driver restart) and
+    * SERVES the curve — which must hash-match the b10_concurrency
+    * oracle's one-shot sweep line over ALL events: one shared oracle,
+    * so the streamed lifecycle (folds, eviction, day compaction,
+    * durability, recovery) can never drift from the batch operator. */
+  def streamConcurrencyQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // a deterministic 1-in-3 user slice: the lifecycle mechanics
+    // (per-trigger fold, eviction, finished-day compaction, durable
+    // snapshot, recovery) are what the gate certifies — they run
+    // identically at any slice, and the per-trigger job overhead, not
+    // row count, is the gate's cost driver (the oracle carries the
+    // same predicate, one shared string)
+    val events = Tables.events(s, dir).filter(col("user_id") % 3 === 0)
+      .localCheckpoint(true)
+    val dayOf = unix_date(to_date(col("ts")))
+    // deterministic chronological halves over the distinct-day axis
+    val days = events.select(dayOf.as("d")).distinct().orderBy(col("d"))
+      .collect().map(_.getInt(0)) // bounded: the day axis, not the events
+    val c1 = days((days.length - 1) / 2)
+    val cuts: Seq[Column] = Seq(dayOf <= c1, dayOf > c1)
+    val ledgerDir = java.nio.file.Files.createTempDirectory("graft_b10scc_").toString
+    try {
+      val refresh = new SessionConcurrencyRefresh("1 hour", Some(ledgerDir))
+      val input = MemoryStream[Long](s)
+      val lastId = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val q = input.toDF().toDF("event_id").writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          refresh.update(b.join(events, Seq("event_id")), id)
+          lastId.getAndUpdate(x => math.max(x, id))
+          ()
+        }
+        .outputMode("update").start()
+      cuts.foreach { pred =>
+        input.addData(events.filter(pred).select(col("event_id"))
+          .collect().map(_.getLong(0)).toSeq) // keys only, bounded
+        q.processAllAvailable()
+      }
+      q.stop()
+      // at-least-once re-delivery of the last batch: no-op
+      if (lastId.get() >= 0)
+        refresh.update(events.filter(cuts.last), lastId.get())
+      // driver restart: recover the bounded snapshot, serve the curve
+      val served = new SessionConcurrencyRefresh("1 hour", Some(ledgerDir))
+        .recover(s).curve.get.localCheckpoint(true)
+      // back to the events table's native NTZ rendering (wall time
+      // preserved under the pinned UTC session) — the type the
+      // b10_concurrency twin emits and the oracle compare expects
+      served.withColumn("peak_ts", col("peak_ts").cast("timestamp_ntz"))
+        .orderBy(col("day"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ledgerDir))
+    }
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1557,50 +1693,16 @@ object Streaming {
     "b10_interval_join" -> (clickAttributionQuery _),
     "b10_rolling_anomaly" -> (rollingAnomalyQuery _),
     "b10_stream_band_index" -> (streamBandIndexQuery _),
+    "b12_stream_ann_index" -> (streamAnnIndexQuery _),
+    "b10_stream_concurrency" -> (streamConcurrencyQuery _),
   )
 
   private val BUCKET5 = "make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT)*1000000)"
 
-  val oracles: Map[String, String] = Map(
-    // the one-shot replay of the streamed/compacted/restarted band
-    // index: the shared per-doc `bnd` CTE over ALL documents — pure
-    // per-doc derivation, so N micro-batches ∪ compaction ∪ recovery
-    // must reproduce it bit for bit
-    "b10_stream_band_index" -> s"""
-      WITH ${graft.dedup.Dedup.portableBndCtes}
-      SELECT doc_id, band_idx, band_hash FROM bnd
-      ORDER BY doc_id, band_idx""",
-    "b10_tumbling" -> s"""
-      SELECT $BUCKET5 AS window_start, event_type, COUNT(*) AS n_events,
-        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
-    "b10_sliding" -> """
-      WITH buckets AS (
-        SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/600)*600 AS BIGINT)*1000000) AS window_start, value FROM events
-        UNION ALL
-        SELECT make_timestamp((CAST(floor((epoch(CAST(ts AS TIMESTAMP))-300)/600)*600 AS BIGINT)+300)*1000000), value FROM events)
-      SELECT window_start, COUNT(*) AS n_events,
-        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
-      FROM buckets GROUP BY 1 ORDER BY window_start""",
-    "b10_sessions" -> """
-      WITH flagged AS (
-        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-          CASE WHEN lag(ts) OVER w IS NULL THEN 1
-               WHEN CAST(ts AS TIMESTAMP) >= CAST(lag(ts) OVER w AS TIMESTAMP) + INTERVAL 30 MINUTES THEN 1
-               ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      numbered AS (
-        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        FROM flagged)
-      SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
-             COUNT(*) AS n_events
-      FROM numbered GROUP BY user_id, session_seq
-      ORDER BY user_id, session_seq""",
-    // sweep line over session boundaries: per-instant nets, the in-day
-    // prefix + bounded day-axis carry-in, peak argmax by (c DESC, ts)
-    "b10_concurrency" -> """
+  /** The one-shot concurrency sweep-line replay — shared verbatim by
+    * b10_concurrency and the streamed-lifecycle gate
+    * b10_stream_concurrency (r11). */
+  private val ConcurrencyOracle: String = """
       WITH flagged AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
           CASE WHEN lag(ts) OVER w IS NULL THEN 1
@@ -1639,7 +1741,59 @@ object Streaming {
       SELECT CAST(b.day AS INT) AS day, b.open_at_start, p.peak_concurrent,
              p.peak_ts, b.n_boundaries
       FROM base b JOIN peak p USING (day)
-      ORDER BY day""",
+      ORDER BY day"""
+
+  val oracles: Map[String, String] = Map(
+    // the streamed ANN lifecycle serves EXACTLY the artifact
+    // b12_hnsw_insert gates (build over the %10≠3 corpus, batch descent,
+    // anchor re-prune, passthrough) — one shared oracle replay, so the
+    // streamed and batch lifecycles can never drift apart silently
+    "b12_stream_ann_index" ->
+      graft.similarity.Similarity.oracles("b12_hnsw_insert"),
+    // the one-shot replay of the streamed/compacted/restarted band
+    // index: the shared per-doc `bnd` CTE over ALL documents — pure
+    // per-doc derivation, so N micro-batches ∪ compaction ∪ recovery
+    // must reproduce it bit for bit
+    "b10_stream_band_index" -> s"""
+      WITH ${graft.dedup.Dedup.portableBndCtes}
+      SELECT doc_id, band_idx, band_hash FROM bnd
+      ORDER BY doc_id, band_idx""",
+    "b10_tumbling" -> s"""
+      SELECT $BUCKET5 AS window_start, event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "b10_sliding" -> """
+      WITH buckets AS (
+        SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP))/600)*600 AS BIGINT)*1000000) AS window_start, value FROM events
+        UNION ALL
+        SELECT make_timestamp((CAST(floor((epoch(CAST(ts AS TIMESTAMP))-300)/600)*600 AS BIGINT)+300)*1000000), value FROM events)
+      SELECT window_start, COUNT(*) AS n_events,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+      FROM buckets GROUP BY 1 ORDER BY window_start""",
+    "b10_sessions" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          CASE WHEN lag(ts) OVER w IS NULL THEN 1
+               WHEN CAST(ts AS TIMESTAMP) >= CAST(lag(ts) OVER w AS TIMESTAMP) + INTERVAL 30 MINUTES THEN 1
+               ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq""",
+    // sweep line over session boundaries: per-instant nets, the in-day
+    // prefix + bounded day-axis carry-in, peak argmax by (c DESC, ts)
+    "b10_concurrency" -> ConcurrencyOracle,
+    // the streamed/evicted/compacted/restarted refresher must serve the
+    // SAME curve — the shared oracle restricted to the gate's
+    // deterministic user slice (one string, one substitution)
+    "b10_stream_concurrency" -> ConcurrencyOracle.replace("FROM events",
+      "FROM (SELECT * FROM events WHERE user_id % 3 = 0) AS events"),
     "b10_rolling_anomaly" -> """
       WITH t AS (
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
