@@ -1552,12 +1552,13 @@ object Streaming {
           ()
         }
         .outputMode("update").start()
-      (0 until 3).foreach { r =>
-        input.addData(ids.filter(_ % 3 == r).toSeq)
-        q.processAllAvailable()
-        if (r == 1) refresh.compactSegments() // durable compact marker mid-stream
-      }
-      q.stop()
+      try {
+        (0 until 3).foreach { r =>
+          input.addData(ids.filter(_ % 3 == r).toSeq)
+          q.processAllAvailable()
+          if (r == 1) refresh.compactSegments() // durable compact marker mid-stream
+        }
+      } finally q.stop() // a mid-stream failure must not leak the query
       // at-least-once re-delivery of the last committed batch: no-op
       if (lastId.get() >= 0)
         refresh.update(docs.filter(col("doc_id") % 3 === 2), lastId.get())
@@ -1605,8 +1606,8 @@ object Streaming {
         ()
       }
       .outputMode("update").start()
-    input.addData(ids.filter(_ % 10 == 3).toSeq); q.processAllAvailable()
-    q.stop()
+    try { input.addData(ids.filter(_ % 10 == 3).toSeq); q.processAllAvailable() }
+    finally q.stop() // a mid-stream failure must not leak the query
     // at-least-once re-delivery: the retried insert batch must no-op,
     // not die on the collision guard
     if (lastId.get() >= 0)
@@ -1661,12 +1662,13 @@ object Streaming {
           ()
         }
         .outputMode("update").start()
-      cuts.foreach { pred =>
-        input.addData(events.filter(pred).select(col("event_id"))
-          .collect().map(_.getLong(0)).toSeq) // keys only, bounded
-        q.processAllAvailable()
-      }
-      q.stop()
+      try {
+        cuts.foreach { pred =>
+          input.addData(events.filter(pred).select(col("event_id"))
+            .collect().map(_.getLong(0)).toSeq) // keys only, bounded
+          q.processAllAvailable()
+        }
+      } finally q.stop() // a mid-stream failure must not leak the query
       // at-least-once re-delivery of the last batch: no-op
       if (lastId.get() >= 0)
         refresh.update(events.filter(cuts.last), lastId.get())
