@@ -332,6 +332,49 @@ class StreamingDurabilitySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
 
+  test("restart: AnnIndexRefresh crash AFTER a compaction trigger recovers " +
+    "straight from the canonical build (no insert replay)") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").filter($"vec_id" < 400)
+    val batches = (0 until 3).map(r => emb.filter($"vec_id" % 3 === r).toDF())
+    // compactEvery=2: trigger 0 build, 1 insert, 2 compacts — crash after 2
+    val continuous = new Streaming.AnnIndexRefresh(compactEvery = 2)
+    batches.zipWithIndex.foreach { case (b, i) => continuous.update(b, i.toLong) }
+    val dir = tmpDir("annc")
+    val s1 = new Streaming.AnnIndexRefresh(compactEvery = 2, Some(dir))
+    batches.zipWithIndex.foreach { case (b, i) => s1.update(b, i.toLong) }
+    val s2 = new Streaming.AnnIndexRefresh(compactEvery = 2, Some(dir)).recover(spark)
+    s2.update(batches(2), 2L) // re-delivery of the compact trigger: no-op
+    val a = s2.adjacency.get
+    val c = continuous.adjacency.get
+    assert(a.exceptAll(c).count() === 0L && c.exceptAll(a).count() === 0L)
+    // recovered state at a compact marker IS the canonical build
+    val canonical = graft.similarity.Similarity.hnswCompact(
+      batches.reduce(_ unionByName _))
+    assert(a.exceptAll(canonical).count() === 0L && canonical.exceptAll(a).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("bootstrap: seeds the lifecycle from a served index; refuses to seed " +
+    "a refresher that already applied a batch") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").filter($"vec_id" < 300)
+    val standing = emb.filter($"vec_id" % 3 =!= 0).localCheckpoint(true)
+    val batch = emb.filter($"vec_id" % 3 === 0).localCheckpoint(true)
+    val adj = graft.similarity.Similarity.hnswCompact(standing).localCheckpoint(true)
+    // bootstrap + one streamed insert == the direct one-shot insert
+    val r = new Streaming.AnnIndexRefresh(compactEvery = Int.MaxValue)
+      .bootstrap(standing, adj)
+    r.update(batch, 0L)
+    val got = r.adjacency.get
+    val want = graft.similarity.Similarity.hnswInsert(standing, adj, batch)
+    assert(got.exceptAll(want).count() === 0L && want.exceptAll(got).count() === 0L)
+    // contract: bootstrap must precede the first micro-batch
+    val late = new Streaming.AnnIndexRefresh(compactEvery = Int.MaxValue)
+    late.update(standing, 0L)
+    intercept[IllegalArgumentException] { late.bootstrap(standing, adj) }
+  }
+
   test("ledger mechanics: marker-last publish means an UNCOMMITTED payload is " +
     "re-applied, a committed one is skipped (crash-window semantics)") {
     val dir = tmpDir("ledger")
