@@ -44,7 +44,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     at 100 TB;
   *   - SNAPSHOT sinks (the concurrency curve's bounded open/frozen/
   *     finished-day state) write their whole bounded state and prune all
-  *     but the latest commit ([[pruneBelow]]);
+  *     but the latest commit ([[pruneSnapshotsBelow]]) — NOTE a sink
+  *     that prunes must eagerly materialize anything it recovered off
+  *     the ledger, or the prune deletes the files its lazy reads point
+  *     at;
   *   - compaction rewrites use `compact = true` markers
   *     (`dir/commits/<id>.compact`, payload `<name>-c<id>`): a compact
   *     marker with id C supersedes the plain segments with id ≤ C, the

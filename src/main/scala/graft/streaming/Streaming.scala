@@ -225,8 +225,17 @@ object Streaming {
       * in-flight batch then no-ops on the ledger's high-water mark. */
     def recover(s: SparkSession): this.type = synchronized {
       ledger.recovered.filterNot(_.compact).lastOption.foreach { c =>
+        // EAGERLY materialize off the ledger parquet: a later trigger
+        // that compacts no new day passes `compacted` through UNCHANGED
+        // into the next state, and the per-trigger snapshot prune then
+        // deletes the commit these frames would lazily re-read — the
+        // served curve must never dangle on pruned files (r11
+        // self-review; pinned by the intraday-triggers-after-restart
+        // spec)
         def tbl(n: String): Option[DataFrame] =
-          if (c.meta.get(s"has_$n").contains("1")) Some(ledger.read(s, n, c.id)) else None
+          if (c.meta.get(s"has_$n").contains("1"))
+            Some(ledger.read(s, n, c.id).localCheckpoint(true))
+          else None
         val frontier = c.meta.get("frontier_ms").map { ms =>
           val t = new java.sql.Timestamp(ms.toLong)
           c.meta.get("frontier_ns").foreach(ns => t.setNanos(ns.toInt))

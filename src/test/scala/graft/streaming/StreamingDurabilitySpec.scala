@@ -375,6 +375,33 @@ class StreamingDurabilitySpec extends SparkSpec {
     intercept[IllegalArgumentException] { late.bootstrap(standing, adj) }
   }
 
+  test("restart then INTRADAY triggers: recovered finished-day state survives " +
+    "the per-trigger snapshot prune (no dangling reads on pruned commits)") {
+    def e(id: Long, u: Long, ts: String) = Evt(id, Timestamp.valueOf(ts), u, "view", 0)
+    // batch 0 spans two days, so day 1 FINALIZES (compacted gets a row);
+    // batches 1 and 2 stay inside day 2 — no new day compacts, so the
+    // recovered `compacted` frame passes through update() unchanged
+    // while the prune deletes the commit it was read from. Pre-fix this
+    // dangled: curve() re-read pruned parquet.
+    val b0 = Seq(e(1, 1, "2024-03-01 09:00:00"), e(2, 1, "2024-03-01 09:20:00"),
+      e(3, 2, "2024-03-02 09:00:00"), e(4, 2, "2024-03-02 09:30:00"))
+    val b1 = Seq(e(5, 3, "2024-03-02 11:00:00"), e(6, 3, "2024-03-02 11:10:00"))
+    val b2 = Seq(e(7, 4, "2024-03-02 13:00:00"), e(8, 4, "2024-03-02 13:05:00"))
+    val continuous = new Streaming.SessionConcurrencyRefresh("1 hour")
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) => continuous.update(b.toDF(), i.toLong) }
+    val dir = tmpDir("intraday")
+    val s1 = new Streaming.SessionConcurrencyRefresh("1 hour", Some(dir))
+    s1.update(b0.toDF(), 0L)
+    assert(s1.compactedDays === 1L, "fixture must finalize day 1 in batch 0")
+    val s2 = new Streaming.SessionConcurrencyRefresh("1 hour", Some(dir)).recover(spark)
+    s2.update(b1.toDF(), 1L) // prunes commit 0's payloads
+    s2.update(b2.toDF(), 2L) // prunes commit 1's payloads
+    // the curve still serves (recovered state materialized, not lazy on
+    // the pruned files) and equals the continuous run
+    assert(rows(s2.curve.get) === rows(continuous.curve.get))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("ledger mechanics: marker-last publish means an UNCOMMITTED payload is " +
     "re-applied, a committed one is skipped (crash-window semantics)") {
     val dir = tmpDir("ledger")
