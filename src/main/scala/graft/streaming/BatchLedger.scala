@@ -52,7 +52,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     (`dir/commits/<id>.compact`, payload `<name>-c<id>`): a compact
   *     marker with id C supersedes the plain segments with id ≤ C, the
   *     lakehouse segment-merge discipline made restart-visible.
-  */
+  *
+  * Writer fencing is the PLATFORM's job, stated plainly: the ledger
+  * assumes one active driver per directory — the guarantee Structured
+  * Streaming's checkpoint lock / the cluster manager provides for the
+  * query that owns the sink. A ZOMBIE driver (old instance still
+  * flushing while its successor recovered) is not fenced here; the
+  * production hardening is an epoch token in the marker name checked
+  * against the checkpoint's runId, the Delta-style commit-owner
+  * pattern. In-process, [[commit]] callers serialize on the sink's own
+  * monitor (every refresher's update/recover is `synchronized`). */
 private[streaming] object BatchLedger {
   /** One committed application: `id` = batchId (or, for a compaction
     * rewrite, the high-water mark it folded), `compact` = supersedes
