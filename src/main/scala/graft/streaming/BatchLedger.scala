@@ -23,9 +23,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * driver-JVM `localCheckpoint` blocks — a restart resumed the
   * checkpointed source past the consumed offsets while the state they
   * had built was gone. With a ledger directory, each applied batch
-  * persists its parquet payload under `dir/data/<name>-b<id>/` and is
-  * then COMMITTED by an atomic rename of a marker file
-  * `dir/commits/<id>` (payload first, marker last — the
+  * persists its parquet payload under `dir/data/<name>-b<id>-e<epoch>/`
+  * and is then COMMITTED by an atomic rename of a marker file
+  * `dir/commits/<id>.e<epoch>` (payload first, marker last — the
   * [[graft.SnapshotStore]] publish discipline, so a crash mid-write can
   * never leave a half-applied batch looking committed; an uncommitted
   * payload dir is simply overwritten when the batch is re-applied). A
@@ -49,26 +49,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     the ledger, or the prune deletes the files its lazy reads point
   *     at;
   *   - compaction rewrites use `compact = true` markers
-  *     (`dir/commits/<id>.compact`, payload `<name>-c<id>`): a compact
-  *     marker with id C supersedes the plain segments with id ≤ C, the
-  *     lakehouse segment-merge discipline made restart-visible.
+  *     (`dir/commits/<id>.e<epoch>.compact`, payload `<name>-c<id>-e<epoch>`):
+  *     a compact marker with id C supersedes the plain segments with
+  *     id ≤ C, the lakehouse segment-merge discipline made
+  *     restart-visible.
   *
-  * Writer fencing is the PLATFORM's job, stated plainly: the ledger
-  * assumes one active driver per directory — the guarantee Structured
-  * Streaming's checkpoint lock / the cluster manager provides for the
-  * query that owns the sink. A ZOMBIE driver (old instance still
-  * flushing while its successor recovered) is not fenced here; the
-  * production hardening is an epoch token in the marker name checked
-  * against the checkpoint's runId, the Delta-style commit-owner
-  * pattern. In-process, [[commit]] callers serialize on the sink's own
-  * monitor (every refresher's update/recover is `synchronized`). */
+  * ZOMBIE-WRITER FENCING (r11, the Delta commit-owner pattern
+  * simplified): every durable ledger instance CLAIMS an epoch at
+  * construction — `dir/epochs/<n>`, n = 1 + the highest epoch seen,
+  * with the high-water mark it ADOPTED as the claim's content. Three
+  * layers keep a stale driver (an old instance still flushing while its
+  * successor recovered — the case Structured Streaming's checkpoint
+  * lock does not always fence) from corrupting the successor's state:
+  *   1. [[commit]] refuses (throws) when a newer epoch claim exists —
+  *      inside foreachBatch that kills the zombie query, the correct
+  *      outcome;
+  *   2. payload paths are EPOCH-SCOPED, so even a write that slips the
+  *      check (the claim scan is check-then-act across processes, the
+  *      SnapshotStore caveat) lands in the zombie's own namespace and
+  *      can never clobber the new owner's files;
+  *   3. recovery TRUNCATES superseded-epoch tails: a commit from epoch
+  *      e with id beyond what any later claim adopted was never part of
+  *      the live lineage and is dropped (per id, the highest epoch
+  *      wins). Both the refusal and the truncation are spec-pinned.
+  */
 private[streaming] object BatchLedger {
   /** One committed application: `id` = batchId (or, for a compaction
     * rewrite, the high-water mark it folded), `compact` = supersedes
-    * plain commits with id ≤ this one, `meta` = sink-chosen key=value
-    * facts needed to replay recovery (e.g. the ANN refresher's
-    * insert-vs-compact trigger kind). */
-  final case class Commit(id: Long, compact: Boolean, meta: Map[String, String])
+    * plain commits with id ≤ this one, `epoch` = the claiming instance
+    * that wrote it, `meta` = sink-chosen key=value facts needed to
+    * replay recovery (e.g. the ANN refresher's insert-vs-compact
+    * trigger kind). */
+  final case class Commit(id: Long, compact: Boolean, epoch: Long,
+      meta: Map[String, String])
 }
 
 private[streaming] final class BatchLedger(dirOpt: Option[String]) {
@@ -79,31 +92,66 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
     val f = new File(d)
     new File(f, "commits").mkdirs()
     new File(f, "data").mkdirs()
+    new File(f, "epochs").mkdirs()
     f
   }
 
   def durable: Boolean = root.isDefined
 
-  /** Committed history found at construction, ascending by id with
-    * compact markers AFTER the plain commit of the same id (a compaction
-    * happens after its high-water batch applied). */
+  /** (epoch, adopted high-water mark) pairs claimed on this directory. */
+  private def claims(r: File): Seq[(Long, Long)] =
+    Option(new File(r, "epochs").listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap { f =>
+        scala.util.Try(f.getName.toLong).toOption.map { e =>
+          val hwAt = scala.util.Try(new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
+            .getOrElse(-1L)
+          e -> hwAt
+        }
+      }.sortBy(_._1)
+
+  /** Marker name: `<id>.e<epoch>[.compact]` (pre-epoch names are not
+    * parsed — the format changed with fencing and no ledger predates
+    * it outside tests). */
+  private def parseMarker(n: String): Option[(Long, Long, Boolean)] = {
+    val (base, compact) =
+      if (n.endsWith(".compact")) (n.stripSuffix(".compact"), true) else (n, false)
+    base.split("\\.e") match {
+      case Array(id, ep) =>
+        for (i <- scala.util.Try(id.toLong).toOption;
+             e <- scala.util.Try(ep.toLong).toOption) yield (i, e, compact)
+      case _ => None
+    }
+  }
+
+  /** Committed history found at construction — RESOLVED: per (id,
+    * compact) the highest epoch wins, and commits from an epoch e are
+    * truncated past the high-water mark any LATER claim adopted (a
+    * zombie's post-succession tail was never in the live lineage).
+    * Ascending by id with compact markers after the plain commit of
+    * the same id. */
   val recovered: Seq[Commit] = root match {
     case None => Seq.empty
     case Some(r) =>
-      val files = Option(new File(r, "commits").listFiles()).getOrElse(Array.empty)
-      files.toSeq.flatMap { f =>
-        val (name, compact) =
-          if (f.getName.endsWith(".compact")) (f.getName.stripSuffix(".compact"), true)
-          else (f.getName, false)
-        scala.util.Try(name.toLong).toOption.map { id =>
-          val meta = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-            .split("\n").filter(_.contains("=")).map { line =>
-              val i = line.indexOf('=')
-              line.substring(0, i) -> line.substring(i + 1)
-            }.toMap
-          Commit(id, compact, meta)
+      val cl = claims(r)
+      val all = Option(new File(r, "commits").listFiles()).getOrElse(Array.empty)
+        .toSeq.flatMap { f =>
+          parseMarker(f.getName).map { case (id, ep, compact) =>
+            val meta = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+              .split("\n").filter(_.contains("=")).map { line =>
+                val i = line.indexOf('=')
+                line.substring(0, i) -> line.substring(i + 1)
+              }.toMap
+            Commit(id, compact, ep, meta)
+          }
         }
-      }.sortBy(c => (c.id, c.compact))
+      val live = all.filter { c =>
+        // drop c if some later epoch claimed a history that ends below it
+        cl.forall { case (e, hwAt) => e <= c.epoch || c.id <= hwAt }
+      }
+      live.groupBy(c => (c.id, c.compact)).values.toSeq
+        .map(_.maxBy(_.epoch))
+        .sortBy(c => (c.id, c.compact))
   }
 
   // a compact marker at id C implies the plain batch C applied (the
@@ -113,6 +161,32 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
   @volatile private var hw: Long =
     recovered.map(_.id).foldLeft(-1L)(_ max _)
 
+  /** This instance's claimed epoch (0 for non-durable ledgers — one JVM
+    * object, nothing to fence). Claimed AT CONSTRUCTION with the
+    * adopted high-water mark as content, so successors can truncate
+    * this epoch's zombie tail. */
+  val epoch: Long = root match {
+    case None => 0L
+    case Some(r) =>
+      // create-exclusive claim: two instances racing to the same number
+      // must not both believe they own it (plain write would silently
+      // truncate-overwrite) — the loser bumps and retries
+      var e = claims(r).map(_._1).foldLeft(0L)(_ max _) + 1L
+      var claimed = false
+      while (!claimed) {
+        try {
+          java.nio.file.Files.write(
+            new File(new File(r, "epochs"), e.toString).toPath,
+            hw.toString.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          claimed = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => e += 1L
+        }
+      }
+      e
+  }
+
   /** The highest applied batchId (−1 before any batch). */
   def highWater: Long = hw
 
@@ -120,25 +194,35 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
     * the state (ids are strictly increasing per streaming query). */
   def alreadyApplied(batchId: Long): Boolean = batchId <= hw
 
-  /** Parquet payload path for (`name`, id). */
-  def dataPath(name: String, id: Long, compact: Boolean = false): String =
+  /** Parquet payload path for (`name`, id) under a given epoch. */
+  def dataPath(name: String, id: Long, compact: Boolean = false,
+      ep: Long = epoch): String =
     new File(new File(root.getOrElse(sys.error("ledger is not durable")), "data"),
-      s"$name-${if (compact) "c" else "b"}$id").toString
+      s"$name-${if (compact) "c" else "b"}$id-e$ep").toString
 
   /** Persist `writes` then publish the marker (payload first, marker
     * last via atomic rename); always advances the in-JVM high-water mark
     * for plain commits, so non-durable sinks call this too (with empty
-    * writes). */
+    * writes). Throws when a NEWER epoch has claimed the directory — the
+    * zombie-writer fence (the payload namespace is epoch-scoped, so
+    * even a racing slip-through cannot clobber the successor's files;
+    * recovery truncation covers the residue). */
   def commit(id: Long, writes: Seq[(String, DataFrame)] = Seq.empty,
       meta: Map[String, String] = Map.empty, compact: Boolean = false): Unit = {
     root.foreach { r =>
+      val newest = claims(r).map(_._1).foldLeft(0L)(_ max _)
+      if (newest > epoch)
+        throw new IllegalStateException(
+          s"ledger fenced: epoch $epoch superseded by $newest at ${r.getPath} — " +
+            "a newer instance owns this sink (zombie driver)")
       writes.foreach { case (name, df) =>
         df.write.mode("overwrite").parquet(dataPath(name, id, compact))
       }
-      val tmp = new File(new File(r, "commits"), s".$id.tmp")
+      val tmp = new File(new File(r, "commits"), s".$id.e$epoch.tmp")
       val body = meta.map { case (k, v) => s"$k=$v" }.mkString("\n")
       java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
-      val dst = new File(new File(r, "commits"), if (compact) s"$id.compact" else s"$id")
+      val dst = new File(new File(r, "commits"),
+        s"$id.e$epoch${if (compact) ".compact" else ""}")
       java.nio.file.Files.move(tmp.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -146,19 +230,14 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
     if (!compact && id > hw) hw = id
   }
 
-  /** Read one committed payload back. */
-  def read(s: SparkSession, name: String, id: Long, compact: Boolean = false): DataFrame =
-    s.read.parquet(dataPath(name, id, compact))
+  /** Read one committed payload back (the commit's own epoch namespace). */
+  def read(s: SparkSession, name: String, c: Commit): DataFrame =
+    s.read.parquet(dataPath(name, c.id, c.compact, c.epoch))
 
-  /** (isCompact, id) of a payload dir name `<name>-b<id>` / `<name>-c<id>`. */
+  /** (isCompact, id) of a payload dir name `<name>-b<id>-e<ep>`. */
   private def parseData(n: String): Option[(Boolean, Long)] = {
-    val i = n.lastIndexOf('-')
-    if (i < 0 || i + 2 > n.length) None
-    else n.charAt(i + 1) match {
-      case 'b' => scala.util.Try(n.substring(i + 2).toLong).toOption.map((false, _))
-      case 'c' => scala.util.Try(n.substring(i + 2).toLong).toOption.map((true, _))
-      case _ => None
-    }
+    val m = "-([bc])(\\d+)-e\\d+$".r.findFirstMatchIn(n)
+    m.map(g => (g.group(1) == "c", g.group(2).toLong))
   }
 
   /** Retention sweeps. Both run AFTER the superseding commit's marker
@@ -178,9 +257,8 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
 
   private def prune(drop: (Boolean, Long) => Boolean): Unit = root.foreach { r =>
     Option(new File(r, "commits").listFiles()).getOrElse(Array.empty).foreach { f =>
-      val compact = f.getName.endsWith(".compact")
-      scala.util.Try(f.getName.stripSuffix(".compact").toLong).toOption
-        .filter(id => drop(compact, id)).foreach(_ => f.delete())
+      parseMarker(f.getName).filter { case (id, _, compact) => drop(compact, id) }
+        .foreach(_ => f.delete())
     }
     Option(new File(r, "data").listFiles()).getOrElse(Array.empty).foreach { d =>
       parseData(d.getName).filter(drop.tupled)

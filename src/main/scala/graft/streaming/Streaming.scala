@@ -234,7 +234,7 @@ object Streaming {
         // spec)
         def tbl(n: String): Option[DataFrame] =
           if (c.meta.get(s"has_$n").contains("1"))
-            Some(ledger.read(s, n, c.id).localCheckpoint(true))
+            Some(ledger.read(s, n, c).localCheckpoint(true))
           else None
         val frontier = c.meta.get("frontier_ms").map { ms =>
           val t = new java.sql.Timestamp(ms.toLong)
@@ -1003,7 +1003,7 @@ object Streaming {
       * ranks snapshot recomputes once from it. */
     def recover(s: SparkSession): this.type = synchronized {
       ledger.recovered.filterNot(_.compact)
-        .map(c => ledger.read(s, "edges", c.id))
+        .map(c => ledger.read(s, "edges", c))
         .reduceOption(_ unionByName _).foreach { u =>
           val snap = u.distinct().localCheckpoint(true)
           acc = Some(snap)
@@ -1055,7 +1055,7 @@ object Streaming {
       * [[PprRefresh]] recovery argument), then one snapshot recompute. */
     def recover(s: SparkSession): this.type = synchronized {
       ledger.recovered.filterNot(_.compact)
-        .map(c => ledger.read(s, "userdays", c.id))
+        .map(c => ledger.read(s, "userdays", c))
         .reduceOption(_ unionByName _).foreach { u =>
           val snap = u.distinct().localCheckpoint(true)
           acc = Some(snap)
@@ -1105,7 +1105,7 @@ object Streaming {
       * cents — associative, order-free). */
     def recover(s: SparkSession): this.type = synchronized {
       ledger.recovered.filterNot(_.compact)
-        .map(c => ledger.read(s, "daily", c.id))
+        .map(c => ledger.read(s, "daily", c))
         .reduceOption(_ unionByName _).foreach { u =>
           acc = Some(u.groupBy(col("event_type"), col("day"))
             .agg(sum(col("v")).as("v")).localCheckpoint(true))
@@ -1185,11 +1185,12 @@ object Streaming {
       * plain segments committed after it — the identical lazy union. */
     def recover(s: SparkSession): this.type = synchronized {
       val cs = ledger.recovered
-      val lastCompact = cs.filter(_.compact).map(_.id).reduceOption(_ max _)
+      val lastCompact = cs.filter(_.compact).sortBy(_.id).lastOption
       val base = lastCompact.map(c =>
-        (ledger.read(s, "sh", c, compact = true), ledger.read(s, "band", c, compact = true)))
-      val segs = cs.filterNot(_.compact).filter(c => lastCompact.forall(c.id > _))
-        .map(c => (ledger.read(s, "sh", c.id), ledger.read(s, "band", c.id)))
+        (ledger.read(s, "sh", c), ledger.read(s, "band", c)))
+      val segs = cs.filterNot(_.compact)
+        .filter(c => lastCompact.forall(lc => c.id > lc.id))
+        .map(c => (ledger.read(s, "sh", c), ledger.read(s, "band", c)))
       val all = base.toList ++ segs
       shSegs = all.map(_._1).reverse
       bandSegs = all.map(_._2).reverse
@@ -1286,7 +1287,7 @@ object Streaming {
       val cs = ledger.recovered.filterNot(_.compact)
       if (cs.nonEmpty) {
         val segs = cs.map(c =>
-          (c, ledger.read(s, "vecs", c.id).localCheckpoint(true)))
+          (c, ledger.read(s, "vecs", c).localCheckpoint(true)))
         val lastCanonical = segs.lastIndexWhere(
           _._1.meta.get("kind").exists(k => k == "build" || k == "compact"))
         require(lastCanonical >= 0,
@@ -1405,7 +1406,7 @@ object Streaming {
       * triggers, so segments are independent emissions). */
     def recover(s: SparkSession): this.type = synchronized {
       ledger.recovered.filterNot(_.compact)
-        .map(c => ledger.read(s, "pairs", c.id))
+        .map(c => ledger.read(s, "pairs", c))
         .reduceOption(_ unionByName _)
         .foreach(u => acc = Some(u.localCheckpoint(true)))
       this
@@ -1443,7 +1444,7 @@ object Streaming {
       * cell-wise to the continuous fold (the sketch's linearity). */
     def recover(s: SparkSession): this.type = synchronized {
       ledger.recovered.filterNot(_.compact)
-        .map(c => ledger.read(s, "cms", c.id))
+        .map(c => ledger.read(s, "cms", c))
         .reduceOption(_ unionByName _).foreach { u =>
           acc = Some(u.groupBy(col("j"), col("col"))
             .agg(sum(col("c")).as("c")).localCheckpoint(true))
@@ -1489,7 +1490,7 @@ object Streaming {
       * the continuous fold (AMS is a linear sketch). */
     def recover(s: SparkSession): this.type = synchronized {
       ledger.recovered.filterNot(_.compact)
-        .map(c => ledger.read(s, "ams", c.id))
+        .map(c => ledger.read(s, "ams", c))
         .reduceOption(_ unionByName _).foreach { u =>
           acc = Some(u.groupBy(col("g"), col("j"))
             .agg(sum(col("z")).as("z")).localCheckpoint(true))

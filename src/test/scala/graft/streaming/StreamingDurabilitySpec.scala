@@ -402,6 +402,43 @@ class StreamingDurabilitySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("zombie fencing: a superseded instance's commit throws; a slipped-through " +
+    "stale tail is truncated at recovery; the successor's files are untouchable") {
+    val dir = tmpDir("fence")
+    // A (epoch 1) owns the sink and applies batch 0
+    val a = new Streaming.SeriesTrendRefresh(Some(dir))
+    a.update(evB0.toDF(), 0L)
+    // driver "restart": B recovers — B's construction CLAIMS epoch 2
+    val b = new Streaming.SeriesTrendRefresh(Some(dir)).recover(spark)
+    b.update(evB1.toDF(), 1L)
+    // the zombie A is still alive and tries to flush batch 1 late:
+    // its commit must REFUSE (inside foreachBatch that kills the
+    // zombie query — the correct outcome), and B's state must not move
+    intercept[IllegalStateException] { a.update(evB1.toDF(), 1L) }
+    val clean = new Streaming.SeriesTrendRefresh
+    clean.update(evB0.toDF(), 0L); clean.update(evB1.toDF(), 1L)
+    assert(rows(b.trend.get) === rows(clean.trend.get))
+    // TOCTOU residue: simulate a zombie marker that slipped PAST the
+    // fence check — a hand-planted epoch-1 commit with an id beyond
+    // what epoch 2 adopted (hwAtClaim = 0). Recovery must DROP it: it
+    // was never part of the live lineage, and counting it would make
+    // the high-water mark skip a real future batch.
+    val bogusData = s"$dir/data/daily-b7-e1"
+    graft.ops.EventAnalytics.dailyCents(evB2.toDF())
+      .write.mode("overwrite").parquet(bogusData)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/commits/7.e1"), Array.empty[Byte])
+    val c = new Streaming.SeriesTrendRefresh(Some(dir)).recover(spark)
+    // the stale tail is invisible: state == A(0) + B(1), and batch 2
+    // still applies (hw did NOT jump to the zombie's 7)
+    assert(rows(c.trend.get) === rows(clean.trend.get))
+    c.update(evB2.toDF(), 2L)
+    val clean3 = new Streaming.SeriesTrendRefresh
+    Seq(evB0, evB1, evB2).zipWithIndex.foreach { case (bt, i) => clean3.update(bt.toDF(), i.toLong) }
+    assert(rows(c.trend.get) === rows(clean3.trend.get))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("ledger mechanics: marker-last publish means an UNCOMMITTED payload is " +
     "re-applied, a committed one is skipped (crash-window semantics)") {
     val dir = tmpDir("ledger")
