@@ -289,8 +289,10 @@ object HarvestQueries {
     "a22_sqlite_artifact" -> (sqliteArtifact _),
   )
 
-  /** Shared fixture CTE — the exact SQL mirror of [[bindings]]/[[valid]]. */
-  private[ops] val FIX = """
+  /** Shared fixture CTE — the exact SQL mirror of [[bindings]]/[[valid]].
+    * (private[graft]: the streamed-harvest lifecycle gate in
+    * [[graft.streaming.Streaming]] replays the same fixture.) */
+  private[graft] val FIX = """
     WITH bindings AS (
       SELECT doc_id,
         CASE WHEN doc_id % 11 = 0 THEN 'ftp://bad.example.org/term/' || doc_id

@@ -62,8 +62,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * successor recovered — the case Structured Streaming's checkpoint
   * lock does not always fence) from corrupting the successor's state:
   *   1. [[commit]] refuses (throws) when a newer epoch claim exists —
-  *      inside foreachBatch that kills the zombie query, the correct
-  *      outcome;
+  *      checked BEFORE the marker publish and re-checked AFTER it (r12:
+  *      a claim that raced the publish triggers retraction of the just-
+  *      published marker + payloads, shrinking the slip-through window
+  *      to a crash mid-retraction) — inside foreachBatch that kills the
+  *      zombie query, the correct outcome;
   *   2. payload paths are EPOCH-SCOPED, so even a write that slips the
   *      check (the claim scan is check-then-act across processes, the
   *      SnapshotStore caveat) lands in the zombie's own namespace and
@@ -98,14 +101,22 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
 
   def durable: Boolean = root.isDefined
 
-  /** (epoch, adopted high-water mark) pairs claimed on this directory. */
+  /** (epoch, adopted high-water mark) pairs claimed on this directory.
+    * An unreadable/unparseable claim body reads as Long.MaxValue — "this
+    * claim truncates NOTHING" (r12, ADVICE): claims are published
+    * atomically below, but if one ever were corrupt, the safe failure is
+    * keeping earlier epochs' commits (the claimant had adopted them and
+    * committed nothing itself), never silently erasing the whole
+    * history (the old getOrElse(-1) read an empty claim as "adopted
+    * nothing" and recovery dropped EVERY prior commit). */
   private def claims(r: File): Seq[(Long, Long)] =
     Option(new File(r, "epochs").listFiles()).getOrElse(Array.empty).toSeq
+      .filterNot(_.getName.startsWith(".")) // in-flight tmp bodies
       .flatMap { f =>
         scala.util.Try(f.getName.toLong).toOption.map { e =>
           val hwAt = scala.util.Try(new String(
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
-            .getOrElse(-1L)
+            .getOrElse(Long.MaxValue)
           e -> hwAt
         }
       }.sortBy(_._1)
@@ -170,25 +181,38 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
     case Some(r) =>
       // create-exclusive claim: two instances racing to the same number
       // must not both believe they own it (plain write would silently
-      // truncate-overwrite) — the loser bumps and retries
+      // truncate-overwrite) — the loser bumps and retries. The claim is
+      // published ATOMICALLY (r12, ADVICE): body written to a hidden tmp
+      // first, then hard-LINKED to the claim name — link creation is
+      // both atomic and create-exclusive, so a visible claim always
+      // carries its full adopted-high-water body (a CREATE_NEW content
+      // write could crash between creation and flush, leaving an empty
+      // claim; the MaxValue read above is the second line of defense).
+      val dir = new File(r, "epochs")
+      val tmp = new File(dir, s".claim-${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmp.toPath, hw.toString.getBytes("UTF-8"))
       var e = claims(r).map(_._1).foldLeft(0L)(_ max _) + 1L
       var claimed = false
       while (!claimed) {
         try {
-          java.nio.file.Files.write(
-            new File(new File(r, "epochs"), e.toString).toPath,
-            hw.toString.getBytes("UTF-8"),
-            java.nio.file.StandardOpenOption.CREATE_NEW)
+          java.nio.file.Files.createLink(
+            new File(dir, e.toString).toPath, tmp.toPath)
           claimed = true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => e += 1L
         }
       }
+      java.nio.file.Files.deleteIfExists(tmp.toPath)
       e
   }
 
   /** The highest applied batchId (−1 before any batch). */
   def highWater: Long = hw
+
+  /** Test seam: fires between the pre-publish claim check (+ payload
+    * writes) and the marker publish — the exact TOCTOU window the
+    * post-publish re-scan closes. Production no-op. */
+  private[streaming] var onBeforePublish: () => Unit = () => ()
 
   /** At-least-once guard: true iff this batchId's effects are already in
     * the state (ids are strictly increasing per streaming query). */
@@ -218,6 +242,7 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
       writes.foreach { case (name, df) =>
         df.write.mode("overwrite").parquet(dataPath(name, id, compact))
       }
+      onBeforePublish()
       val tmp = new File(new File(r, "commits"), s".$id.e$epoch.tmp")
       val body = meta.map { case (k, v) => s"$k=$v" }.mkString("\n")
       java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
@@ -226,6 +251,25 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
       java.nio.file.Files.move(tmp.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // post-publish re-scan (r12, VERDICT r11 #3): the pre-publish check
+      // above is check-then-act across processes — a successor may claim
+      // between it and the marker rename. Re-reading the claims AFTER the
+      // marker is visible closes the window to the publish itself: if a
+      // newer claim appeared, retract our own marker and payloads (the
+      // successor adopted a history that never contained them) and die.
+      // Recovery truncation remains the backstop for a zombie that
+      // crashes mid-retraction.
+      val post = claims(r).map(_._1).foldLeft(0L)(_ max _)
+      if (post > epoch) {
+        dst.delete()
+        writes.foreach { case (name, _) =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new File(dataPath(name, id, compact)))
+        }
+        throw new IllegalStateException(
+          s"ledger fenced post-publish: epoch $epoch superseded by $post at " +
+            s"${r.getPath} — commit $id retracted (zombie driver)")
+      }
     }
     if (!compact && id > hw) hw = id
   }

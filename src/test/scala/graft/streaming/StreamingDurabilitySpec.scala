@@ -375,6 +375,37 @@ class StreamingDurabilitySpec extends SparkSpec {
     intercept[IllegalArgumentException] { late.bootstrap(standing, adj) }
   }
 
+  test("bootstrap + DURABLE ledger is recoverable (r12, ADVICE): the seed " +
+    "persists as a bootstrap commit, restart replays inserts on top of the " +
+    "seeded adjacency — bit-identical to the never-restarted run") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").filter($"vec_id" < 300)
+    val standing = emb.filter($"vec_id" % 3 =!= 0).localCheckpoint(true)
+    val batch = emb.filter($"vec_id" % 3 === 0).localCheckpoint(true)
+    val adj = graft.similarity.Similarity.hnswCompact(standing).localCheckpoint(true)
+    val dir = tmpDir("boot_dur")
+    val r = new Streaming.AnnIndexRefresh(compactEvery = Int.MaxValue,
+      stateDir = Some(dir)).bootstrap(standing, adj)
+    r.update(batch, 0L)
+    // crash; a fresh instance recovers — the OLD code aborted here
+    // (insert segments with no canonical commit): the bootstrap was
+    // never in the ledger
+    val r2 = new Streaming.AnnIndexRefresh(compactEvery = Int.MaxValue,
+      stateDir = Some(dir)).recover(spark)
+    val got = r2.adjacency.get
+    val want = r.adjacency.get
+    assert(got.exceptAll(want).count() === 0L && want.exceptAll(got).count() === 0L)
+    // the re-delivered batch no-ops on the recovered instance too
+    r2.update(batch, 0L)
+    val after = r2.adjacency.get
+    assert(after.exceptAll(want).count() === 0L && want.exceptAll(after).count() === 0L)
+    // contract: bootstrap refuses a ledger that already holds commits
+    intercept[IllegalArgumentException] {
+      new Streaming.AnnIndexRefresh(stateDir = Some(dir)).bootstrap(standing, adj)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("restart then INTRADAY triggers: recovered finished-day state survives " +
     "the per-trigger snapshot prune (no dangling reads on pruned commits)") {
     def e(id: Long, u: Long, ts: String) = Evt(id, Timestamp.valueOf(ts), u, "view", 0)
@@ -436,6 +467,55 @@ class StreamingDurabilitySpec extends SparkSpec {
     val clean3 = new Streaming.SeriesTrendRefresh
     Seq(evB0, evB1, evB2).zipWithIndex.foreach { case (bt, i) => clean3.update(bt.toDF(), i.toLong) }
     assert(rows(c.trend.get) === rows(clean3.trend.get))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("zombie fencing r12: a successor claiming INSIDE the publish window " +
+    "triggers retraction — the zombie's marker and payload are gone " +
+    "immediately, not at the next recovery (VERDICT r11 #3)") {
+    val dir = tmpDir("fence_race")
+    val daily = (b: Seq[Evt]) => graft.ops.EventAnalytics.dailyCents(b.toDF())
+    val a = new BatchLedger(Some(dir)) // epoch 1
+    a.commit(0L, Seq("daily" -> daily(evB0)))
+    // the successor B claims epoch 2 in the exact TOCTOU window: after
+    // A's pre-publish check + payload write, before A's marker rename
+    a.onBeforePublish = () => { new BatchLedger(Some(dir)); () }
+    intercept[IllegalStateException] { a.commit(1L, Seq("daily" -> daily(evB1))) }
+    // the slipped-through commit is RETRACTED, not left for recovery:
+    // no epoch-1 marker for id 1, no epoch-1 payload dir
+    assert(!new java.io.File(s"$dir/commits/1.e1").exists(),
+      "zombie marker survived the post-publish re-scan")
+    assert(!new java.io.File(s"$dir/data/daily-b1-e1").exists(),
+      "zombie payload survived the post-publish re-scan")
+    // a fresh instance sees exactly the pre-race history
+    val c = new BatchLedger(Some(dir))
+    assert(c.recovered.map(_.id) === Seq(0L) && c.highWater === 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("claim atomicity r12: a visible epoch claim always carries its adopted " +
+    "high-water body; a corrupt/empty claim truncates NOTHING (ADVICE)") {
+    val dir = tmpDir("claim_atomic")
+    val daily = (b: Seq[Evt]) => graft.ops.EventAnalytics.dailyCents(b.toDF())
+    val a = new BatchLedger(Some(dir)) // epoch 1, adopted -1
+    a.commit(0L, Seq("daily" -> daily(evB0)))
+    a.commit(1L, Seq("daily" -> daily(evB1)))
+    // the claim body is complete at publish (hard-link publish) and no
+    // tmp residue leaks into the epoch namespace
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/epochs/1")), "UTF-8").trim === "-1")
+    assert(!new java.io.File(s"$dir/epochs").listFiles().exists(_.getName.endsWith(".tmp")))
+    // defense in depth: hand-plant the artifact the OLD code could leave
+    // (a claim created but never written — crash between CREATE_NEW and
+    // content flush). Recovery must read it as "truncates nothing": the
+    // old getOrElse(-1) read it as "adopted nothing" and dropped EVERY
+    // earlier-epoch commit — total silent state loss.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/epochs/2"), Array.empty[Byte])
+    val c = new BatchLedger(Some(dir)) // epoch 3
+    assert(c.recovered.map(_.id) === Seq(0L, 1L),
+      "an empty claim erased the committed history")
+    assert(c.highWater === 1L)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
