@@ -769,11 +769,19 @@ object EventAnalytics {
     * scan for the flag count. No event-scale shuffle beyond the one
     * combinable aggregate. */
   def seasonalOutliers(events: DataFrame, mult: Int = 4): DataFrame = {
+    // hour-of-week via exact FLOOR division (r12, VERDICT r11: the old
+    // `sec div 86400` TRUNCATED, mislabeling every pre-1970 cell — the
+    // b06_seasonal treatment finished for the whole family). With
+    // hodw = floor(us/3.6e9), cell = ((day+3)%7)*24 + hourOfDay
+    // collapses to pmod(hodw + 72, 168): identical for us ≥ 0 (hash
+    // unchanged), calendar-correct for us < 0, sub-second instants
+    // included. us − pmod(us, 3.6e9) is an exact multiple of the hour,
+    // so `div` there IS floor division.
     val e = events.select(
-        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
         (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
-      .select((pmod(expr("sec div 86400") + 3, lit(7)) * 24 +
-        pmod(expr("sec div 3600"), lit(24))).as("cell"), col("cents"))
+      .select(pmod(expr("(us - pmod(us, 3600000000)) div 3600000000") + 72,
+        lit(168)).as("cell"), col("cents"))
       .localCheckpoint(true) // the median device and the flag scan share it
     val med = lowerMedian(e, "cell", "cents")
     e.join(broadcast(med), Seq("cell"))
@@ -1469,11 +1477,17 @@ object EventAnalytics {
       SELECT streak_days, COUNT(*) AS n_users
       FROM longest GROUP BY streak_days ORDER BY streak_days""",
     // hour-of-week cells from exact epoch integers; per-cell lower
-    // median via the shared distinct-value device; division-free flag
+    // median via the shared distinct-value device; division-free flag.
+    // r12: cell = sign-safe (floor-hours + 72) mod 168 — DuckDB's // is
+    // already floor division (matching the Spark side's exact floor, see
+    // seasonalOutliers), and the outer ((x % 168) + 168) % 168 keeps
+    // pre-1970 instants (negative floor-hours below −72) phasing
+    // identically on both engines — the b06_seasonal sign-safe treatment,
+    // closing the documented post-1970 domain note
     "b10_seasonal_outliers" -> """
       WITH e AS (
-        SELECT (((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400) + 3) % 7) * 24
-                 + (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) % 24 AS cell,
+        SELECT ((((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) + 72) % 168)
+                 + 168) % 168 AS cell,
                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
         FROM events),
       n AS (SELECT cell, COUNT(*) AS n FROM e GROUP BY cell),

@@ -539,17 +539,41 @@ object Similarity {
 
   /** Per-layer row census of a PREBUILT adjacency — ONE tiny job that
     * serves both descent decisions: the layer count the build
-    * provisioned (1 + top layer tag, floored — empty top layers leave
-    * no rows, and the floor keeps the entry-level cap aligned with the
-    * build's draw on gate corpora) and the per-layer liveness the
-    * round-skip needs (this replaced one eager isEmpty job PER upper
-    * layer per descent, r11). */
-  private[similarity] def layerCensus(adj: DataFrame): (Int, Map[Int, Long]) = {
+    * provisioned and the per-layer liveness the round-skip needs (this
+    * replaced one eager isEmpty job PER upper layer per descent, r11).
+    *
+    * r12 (ADVICE): when the caller KNOWS the provisioned count — every
+    * snapshot-serving path derives it from the same corpus count that
+    * keys the snapshot ([[hnswParamsFor]]) — it is passed as the
+    * authority. The row-tag fallback (1 + max layer tag, floored)
+    * UNDERCOUNTS a provisioned top layer whose single member emitted no
+    * edges, capping the entry-level draw below the build's; it remains
+    * only for dynamic in-flight state (the streaming refresher's
+    * maintained adjacency, where inserts are base-layer-only and the
+    * next compaction re-provisions anyway). */
+  private[similarity] def layerCensus(adj: DataFrame,
+      provisioned: Option[Int] = None): (Int, Map[Int, Long]) = {
     val counts = adj.groupBy(col("layer")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val layerN = math.max(HnswMaxLayers,
-      if (counts.isEmpty) 1 else counts.keys.max + 1)
+    val layerN = provisioned.getOrElse(math.max(HnswMaxLayers,
+      if (counts.isEmpty) 1 else counts.keys.max + 1))
     (layerN, counts)
+  }
+
+  /** Corpus counts memoized per (dir, tag, table bytes+mtime) — the
+    * snapshot-key derivation ([[hnswParamsFor]]) used to re-run a
+    * filtered count() on EVERY invocation (r12, ADVICE: e08 paid it
+    * twice per maintenance tick). The signature in the key invalidates
+    * on regenerated testdata, exactly like [[graft.SnapshotStore]]. */
+  private val corpusCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[similarity] def memoizedCount(s: SparkSession, dir: String,
+      tag: String)(count: => Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sig = s"${fs.getContentSummary(p).getLength}-${fs.getFileStatus(p).getModificationTime}"
+    corpusCountMemo.computeIfAbsent(s"$dir|$tag|$sig",
+      _ => java.lang.Long.valueOf(count)).longValue()
   }
   private[similarity] val HnswR = 12
   private[similarity] val HnswOverlap = 3
@@ -689,7 +713,14 @@ object Similarity {
   def hnswTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
       logStats: Boolean = false): DataFrame = {
     val e = quantizedWithNorm(embeddings).cache()
-    val out = hnswTopKWith(e, queryPred, hnswBuild(e, logStats).localCheckpoint(true), k)
+    // count once: the layer budget provisions the build AND authorizes
+    // the search's entry-level cap (r12 — "searched as built" no longer
+    // relies on the row-tag census, which undercounts a singleton top
+    // layer); hnswBuild skips its own census when the override is given
+    val layers = provisionLayers(e.count())
+    val out = hnswTopKWith(e, queryPred,
+      hnswBuild(e, logStats, layersOverride = Some(layers)).localCheckpoint(true),
+      k, Some(layers))
     e.unpersist()
     out
   }
@@ -701,8 +732,9 @@ object Similarity {
     * ([[graft.SnapshotStore]]) and search pays only the beam descent.
     * Content identical to deriving inline. */
   private def hnswTopKWith(e: DataFrame, queryPred: Column,
-      adj: DataFrame, k: Int): DataFrame =
-    hnswDescend(e, adj, e.filter(queryPred).toDF("query_id", "qq", "qnorm"), k)
+      adj: DataFrame, k: Int, provisioned: Option[Int] = None): DataFrame =
+    hnswDescend(e, adj, e.filter(queryPred).toDF("query_id", "qq", "qnorm"), k,
+        provisioned)
       .orderBy(col("query_id"), col("rn"))
 
   /** Snapshot-backed entry point: the layer hierarchy comes from ONE
@@ -711,13 +743,14 @@ object Similarity {
   private[similarity] def hnswTopKSnapshotted(s: SparkSession, dir: String,
       queryPred: Column, k: Int = 10): DataFrame = {
     val e = quantizedWithNorm(Tables.embeddings(s, dir)).cache()
-    val hp = hnswParamsFor(Tables.embeddings(s, dir).count())
+    val n = memoizedCount(s, dir, "emb_full")(Tables.embeddings(s, dir).count())
+    val hp = hnswParamsFor(n)
     val adj = graft.SnapshotStore(s, dir, "embeddings.parquet",
         s"hnsw_adj_$hp", params = hp) {
       hnswBuild(quantizedWithNorm(Tables.embeddings(s, dir)))
         .repartition(col("layer"), col("src"))
     }
-    val out = hnswTopKWith(e, queryPred, adj, k)
+    val out = hnswTopKWith(e, queryPred, adj, k, Some(provisionLayers(n)))
     e.unpersist()
     out
   }
@@ -737,8 +770,8 @@ object Similarity {
     * (b12_stream_ann_index), so all three certify against the same
     * artifact. */
   private[graft] def standingAdjSnapshot(s: SparkSession, dir: String): DataFrame = {
-    val hp = hnswParamsFor(
-      Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3).count())
+    val hp = hnswParamsFor(memoizedCount(s, dir, "emb_standing")(
+      Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3).count()))
     graft.SnapshotStore(s, dir, "embeddings.parquet",
       s"hnsw_adj_old_$hp", params = hp) {
       hnswBuild(quantizedWithNorm(
@@ -751,7 +784,9 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     val old = emb.filter(col("vec_id") % 10 =!= 3)
     val batch = emb.filter(col("vec_id") % 10 === 3)
-    hnswInsert(old, standingAdjSnapshot(s, dir), batch)
+    val standingLayers = Some(provisionLayers(
+      memoizedCount(s, dir, "emb_standing")(old.count())))
+    hnswInsert(old, standingAdjSnapshot(s, dir), batch, standingLayers)
       .orderBy(col("layer"), col("src"), col("dst"))
   }
 
@@ -794,9 +829,11 @@ object Similarity {
     val standingVecs = emb.filter(col("vec_id") % 10 =!= 3)
     val survivors = emb.filter(col("vec_id") % 10 === 3)
       .join(dupIds, Seq("vec_id"), "left_anti")
-    val hp = hnswParamsFor(standingVecs.count())
+    val nStanding = memoizedCount(s, dir, "emb_standing")(standingVecs.count())
+    val hp = hnswParamsFor(nStanding)
+    val standingLayers = Some(provisionLayers(nStanding))
     val adj = standingAdjSnapshot(s, dir)
-    val ext = hnswInsert(standingVecs, adj, survivors)
+    val ext = hnswInsert(standingVecs, adj, survivors, standingLayers)
     // r11 (VERDICT r10 #3): the serve leg used to pay the full descent —
     // re-routing the STANDING query set through the STANDING upper
     // layers every tick, right after the insert leg descended those same
@@ -811,7 +848,8 @@ object Similarity {
       val eStand = quantizedWithNorm(
         Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3))
       hnswUpperBeam(eStand, adj,
-        eStand.filter(col("vec_id") % 100 === 0).toDF("query_id", "qq", "qnorm"))
+        eStand.filter(col("vec_id") % 100 === 0).toDF("query_id", "qq", "qnorm"),
+        standingLayers)
         .repartition(col("query_id"))
     }
     val eAll = quantizedWithNorm(standingVecs.unionByName(survivors))
@@ -851,7 +889,8 @@ object Similarity {
     * O(corpus). New vectors attach at the base layer only; upper-layer
     * membership refreshes at the next compaction (searches reach base
     * vertices through the accumulating pool regardless). */
-  def hnswInsert(oldVecs: DataFrame, adj: DataFrame, newVecs: DataFrame): DataFrame = {
+  def hnswInsert(oldVecs: DataFrame, adj: DataFrame, newVecs: DataFrame,
+      standingLayers: Option[Int] = None): DataFrame = {
     val e = quantizedWithNorm(oldVecs).cache()
     val eNew = quantizedWithNorm(newVecs).cache()
     // r10 (ADVICE): a new vec_id colliding with an existing one would make
@@ -866,7 +905,8 @@ object Similarity {
       s"hnswInsert: $collisions new vec_ids already exist in the served " +
         "index — inserts must carry fresh ids (re-ingest of an existing " +
         "id is an update, which goes through rebuild/compaction, not insert)")
-    val anchors = hnswDescend(e, adj, eNew.toDF("query_id", "qq", "qnorm"), HnswR)
+    val anchors = hnswDescend(e, adj, eNew.toDF("query_id", "qq", "qnorm"), HnswR,
+        standingLayers)
       .localCheckpoint(true)
     val newOut = anchors
       .select(lit(0).as("layer"), col("query_id").as("src"), col("vec_id").as("dst"))
@@ -925,8 +965,8 @@ object Similarity {
     * shared by search and [[hnswInsert]]'s anchor finding. Returns
     * (query_id, vec_id, cosine, rn ≤ k), self-matches excluded. */
   private[similarity] def hnswDescend(e: DataFrame, adj: DataFrame,
-      qs0: DataFrame, k: Int): DataFrame =
-    hnswBaseDescend(e, adj, qs0, hnswUpperBeam(e, adj, qs0), k)
+      qs0: DataFrame, k: Int, provisioned: Option[Int] = None): DataFrame =
+    hnswBaseDescend(e, adj, qs0, hnswUpperBeam(e, adj, qs0, provisioned), k)
 
   /** The UPPER-LAYER routing stage of the descent alone: entry set +
     * the narrow-beam rounds through each non-empty layer ≥ 1, emitting
@@ -938,8 +978,8 @@ object Similarity {
     * it once ([[graft.SnapshotStore]]) and each maintenance tick pays
     * only the base-layer descent over the extended graph. */
   private[graft] def hnswUpperBeam(e: DataFrame, adj: DataFrame,
-      qs0: DataFrame): DataFrame = {
-    val (layerN, counts) = layerCensus(adj)
+      qs0: DataFrame, provisioned: Option[Int] = None): DataFrame = {
+    val (layerN, counts) = layerCensus(adj, provisioned)
     val lv = hnswLeveled(e, layerN)
     val entry = lv.orderBy(col("lvl").desc, col("__h"), col("vec_id"))
       .limit(HnswEntryN).select(col("vec_id"))
@@ -1029,7 +1069,8 @@ object Similarity {
     * to move the gate queries' top-10 still fails. Served from the same
     * materialize-once snapshot the search queries ride. */
   def hnswAdjQuery(s: SparkSession, dir: String): DataFrame = {
-    val hp = hnswParamsFor(Tables.embeddings(s, dir).count())
+    val hp = hnswParamsFor(memoizedCount(s, dir, "emb_full")(
+      Tables.embeddings(s, dir).count()))
     val adj = graft.SnapshotStore(s, dir, "embeddings.parquet",
         s"hnsw_adj_$hp", params = hp) {
       hnswBuild(quantizedWithNorm(Tables.embeddings(s, dir)))

@@ -404,6 +404,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(cell10) === ((2L, 10000L, 0L)))
   }
 
+  test("seasonal outliers: pre-1970 instants land in calendar-true hour-of-week " +
+    "cells (r12 — floor division, not truncation; matches the sign-safe oracle)") {
+    // hand-derived calendar truth (Monday = 0):
+    //   1969-12-31 23:30 UTC — Wednesday 23h → cell 2·24+23 = 71
+    //     (the OLD trunc form gave 95: day trunc'd to 0 = "Thursday")
+    //   1969-12-28 00:30 UTC — Sunday 0h → cell 6·24+0 = 144
+    //     (OLD: sec div 86400 = −3 → "Monday", hour pmod drifted to 1 → 1)
+    //   2024-01-01 09:05 UTC — Monday 9h → cell 9 (post-1970 unchanged)
+    val rows = Seq(
+      (1L, Timestamp.valueOf("1969-12-31 23:30:00"), 1L, "purchase", 1.00),
+      (2L, Timestamp.valueOf("1969-12-28 00:30:00"), 1L, "purchase", 1.00),
+      (3L, Timestamp.valueOf("2024-01-01 09:05:00"), 1L, "purchase", 1.00),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val cells = EventAnalytics.seasonalOutliers(rows).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(cells === Seq(9L, 71L, 144L))
+  }
+
   test("streaks: gaps-and-islands longest runs on a hand fixture (B10)") {
     def e(id: Long, d: Int, u: Long) =
       (id, Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"), u, "view")

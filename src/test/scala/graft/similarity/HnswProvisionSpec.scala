@@ -67,4 +67,24 @@ class HnswProvisionSpec extends SparkSpec {
     val (layerN, counts) = Similarity.layerCensus(adj)
     assert(layerN === 4 && counts.keys.max <= 3)
   }
+
+  test("provisioned layer count is the census authority when known (r12, " +
+    "ADVICE): a singleton top layer's zero adjacency rows no longer cap " +
+    "the entry-level draw below the build's") {
+    // the ADVICE scenario in miniature: a build provisioned to 6 layers
+    // whose layer-5 drew exactly ONE member emits NO layer-5 rows (a
+    // singleton cell has no in-cell neighbors), so the row-tag fallback
+    // reads 5 layers — the serving paths now pass the provisioned count
+    // they already derive for the snapshot key, and the census honors it
+    val adj = Seq((0, 1L, 2L), (0, 2L, 1L), (4, 1L, 2L), (4, 2L, 1L))
+      .toDF("layer", "src", "dst")
+    val (fallbackN, _) = Similarity.layerCensus(adj)
+    assert(fallbackN === 5, "fixture must exhibit the undercount")
+    val (authorityN, counts) = Similarity.layerCensus(adj, Some(6))
+    assert(authorityN === 6)
+    assert(counts === Map(0 -> 2L, 4 -> 2L)) // liveness map unchanged
+    // provisionLayers really exceeds the floor past ~16^4·16 vectors —
+    // the regime where the authority matters
+    assert(Similarity.provisionLayers(2L * 1000 * 1000) === 5)
+  }
 }
