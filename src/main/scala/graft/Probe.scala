@@ -12,9 +12,23 @@ object Probe {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // job counter (r12, VERDICT r11 #2/#6: the e08 residual is small-job
+    // fixed overhead — make the count observable so before/after is a
+    // recorded fact, not an estimate). Listener delivery is async; the
+    // short drain sleep is fine for a dev-only probe.
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    })
+    def time(name: String)(f: => Unit): Double = {
+      val j0 = jobCount.get(); val t0 = System.nanoTime(); f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // drain the listener bus before reading the counter
+      println(f"TIME $name $secs%.2f s jobs=${jobCount.get() - j0}")
+      secs
     }
     val names = if (args.nonEmpty) args.toSeq else Seq("b04_cube")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
@@ -275,19 +289,33 @@ object Probe {
         val routes = similarity.Similarity.hnswUpperBeam(eStand, adj,
           eStand.filter(qPred).toDF("query_id", "qq", "qnorm")).localCheckpoint(true)
         println(s"  stress e08 standing docs=${standDocs.count()} vecs=${standVecs.count()} (${k}x)")
-        // ---- THE TICK (timed): gate → insert → serve
-        time(s"stress_e08_${k}x_tick") {
+        // ---- THE TICK, timed PER STAGE (r12, VERDICT r11 #6: the
+        // 8×→64× growth needs a named owner) — gate → insert → serve,
+        // stage boundaries materialized so each wall is attributable;
+        // the composite is their sum. The stage split mirrors the r12
+        // gate structure (one shared quantize pass per corpus side).
+        var survivors: DataFrame = null
+        val tGate = time(s"stress_e08_${k}x_gate") {
           val dupIds = dedup.Dedup.minHashPortableAcrossWith(
               arriving, sh, bands, statsRef = Some(stats))
             .select(col("new_id").as("vec_id")).distinct()
-          val survivors = batchVecs.join(dupIds, Seq("vec_id"), "left_anti")
-          val ext = similarity.Similarity.hnswInsert(standVecs, adj, survivors)
-          val eAll = similarity.Similarity.quantizedWithNorm(
-            standVecs.unionByName(survivors))
+          survivors = batchVecs.join(dupIds, Seq("vec_id"), "left_anti")
+            .localCheckpoint(true)
+        }
+        var ext: DataFrame = null
+        var eNewQ: DataFrame = null
+        val tInsert = time(s"stress_e08_${k}x_insert") {
+          eNewQ = similarity.Similarity.quantizedWithNorm(survivors)
+            .localCheckpoint(true)
+          ext = similarity.Similarity.hnswInsertPre(eStand, eNewQ, adj)
+        }
+        val tServe = time(s"stress_e08_${k}x_serve") {
+          val eAll = eStand.unionByName(eNewQ)
           similarity.Similarity.hnswBaseDescend(eAll, ext,
               eAll.filter(qPred).toDF("query_id", "qq", "qnorm"), routes, 5)
             .write.format("noop").mode("overwrite").save()
         }
+        println(f"TIME stress_e08_${k}x_tick ${tGate + tInsert + tServe}%.2f s (gate+insert+serve)")
         spark.catalog.clearCache()
       }
       tickAt(1) // untimed warmup pass happens inside via JIT of first run

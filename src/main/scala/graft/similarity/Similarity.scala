@@ -833,7 +833,13 @@ object Similarity {
     val hp = hnswParamsFor(nStanding)
     val standingLayers = Some(provisionLayers(nStanding))
     val adj = standingAdjSnapshot(s, dir)
-    val ext = hnswInsert(standingVecs, adj, survivors, standingLayers)
+    // ONE quantize pass per corpus side per tick (r12, VERDICT r11 #2):
+    // the insert leg and the serve leg share these materialized frames —
+    // the old tick quantized the standing corpus inside hnswInsert and
+    // then AGAIN for the serve leg's eAll
+    val eStand = quantizedWithNorm(standingVecs).localCheckpoint(true)
+    val eNewQ = quantizedWithNorm(survivors).localCheckpoint(true)
+    val ext = hnswInsertPre(eStand, eNewQ, adj, standingLayers)
     // r11 (VERDICT r10 #3): the serve leg used to pay the full descent —
     // re-routing the STANDING query set through the STANDING upper
     // layers every tick, right after the insert leg descended those same
@@ -852,7 +858,7 @@ object Similarity {
         standingLayers)
         .repartition(col("query_id"))
     }
-    val eAll = quantizedWithNorm(standingVecs.unionByName(survivors))
+    val eAll = eStand.unionByName(eNewQ)
     // %100 ≡ 0 and %10 ≡ 3 are disjoint, so the extended set's query
     // slice IS the standing one — one quantize pass serves both roles
     val qs = eAll.filter(col("vec_id") % 100 === 0)
@@ -893,6 +899,17 @@ object Similarity {
       standingLayers: Option[Int] = None): DataFrame = {
     val e = quantizedWithNorm(oldVecs).cache()
     val eNew = quantizedWithNorm(newVecs).cache()
+    try hnswInsertPre(e, eNew, adj, standingLayers)
+    finally { e.unpersist(); eNew.unpersist() }
+  }
+
+  /** [[hnswInsert]] over PRE-QUANTIZED (vec_id, q, norm) frames — the
+    * seam e08 rides so the tick quantizes the standing corpus ONCE and
+    * shares the pass between the insert leg and the serve leg (r12,
+    * VERDICT r11 #2: the two legs re-derived the same `eAll`). Callers
+    * own the frames' materialization. */
+  private[graft] def hnswInsertPre(e: DataFrame, eNew: DataFrame,
+      adj: DataFrame, standingLayers: Option[Int] = None): DataFrame = {
     // r10 (ADVICE): a new vec_id colliding with an existing one would make
     // the unioned vector set ambiguous and stack the new out-edges on top
     // of the vertex's surviving old edges — duplicate (layer,src,dst)
@@ -926,10 +943,8 @@ object Similarity {
       .select(lit(0).as("layer"), col("src"), col("dst"))
     val untouched = adj.filter(col("layer") =!= 0).unionByName(
       adj.filter(col("layer") === 0).join(affected, Seq("src"), "left_anti"))
-    val out = untouched.unionByName(repruned).unionByName(newOut)
+    untouched.unionByName(repruned).unionByName(newOut)
       .localCheckpoint(true)
-    e.unpersist(); eNew.unpersist()
-    out
   }
 
   /** r10 (VERDICT r9 #3): periodic RE-LEVEL COMPACTION — the fourth verb
@@ -1007,6 +1022,10 @@ object Similarity {
     require(HnswEntryN <= HnswBeamU, "empty-layer skip needs EntryN <= BeamU")
     var beam = qs.select(col("query_id")).crossJoin(broadcast(entry))
       .localCheckpoint(true)
+    // one eager cut per round: fusing rounds into one lazy expression was
+    // MEASURED SLOWER in r12 (AQE jobs track shuffle stages, not actions,
+    // and the duplicated beam subplan is not exchange-deduped — insert
+    // went 93 → 104 jobs), so the per-round cut stays
     for (m <- (layerN - 1) to 1 by -1; if counts.getOrElse(m, 0L) > 0L;
          _ <- 1 to HnswRoundsU)
       beam = topb(expand(beam, layers(m)), HnswBeamU).localCheckpoint(true)
@@ -1040,7 +1059,9 @@ object Similarity {
     val layer0 = adj.filter(col("layer") === 0).select(col("src"), col("dst"))
     // base layer: the visited POOL accumulates (the ef-search candidate
     // set); one eager cut per round on the pool only — the sole frame
-    // referenced twice downstream; the beams are cheap windows over it
+    // referenced twice downstream; the beams are cheap windows over it.
+    // (r12 measured the every-other-round fusion SLOWER — the repeated
+    // pool subplan re-runs its shuffle under AQE instead of deduping.)
     var beam = beam0
     var pool = beam
     for (_ <- 1 to HnswRounds0) {
