@@ -39,10 +39,17 @@ object Store {
     * the old table in place or recoverable at `_old_<name>` (see
     * [[readTableOr]]) — never a window where the table is simply gone.
     */
-  def writeTable(df: DataFrame, storeDir: String, name: String): Unit = {
+  /** `stagingTag`: per-writer staging suffix (r12 — two CONCURRENT
+    * writers on a fixed staging name tear each other's in-flight copy:
+    * each starts by deleting "the" staging dir. The streaming sink tags
+    * staging with its claimed store epoch so a zombie's staging can
+    * never collide with the successor's; the batch job keeps the bare
+    * name). */
+  def writeTable(df: DataFrame, storeDir: String, name: String,
+      stagingTag: String = ""): Unit = {
     val spark = df.sparkSession
     val target = new Path(tablePath(storeDir, name))
-    val staging = new Path(s"$storeDir/_staging_$name")
+    val staging = new Path(s"$storeDir/_staging_$name$stagingTag")
     val old = new Path(s"$storeDir/_old_$name")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(staging)) fs.delete(staging, true)

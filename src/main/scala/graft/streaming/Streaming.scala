@@ -970,6 +970,11 @@ object Streaming {
     * fields (no-op). The merged frames are eagerly cut from the store's
     * parquet lineage (localCheckpoint) BEFORE the swap deletes the old
     * files — the ledger prune discipline (BatchLedger scaladoc). */
+  /** Test seam (r12): fires after the merge computation, before the
+    * owner re-check that guards the table swaps — the window a
+    * successor's claim must be able to fence. Production no-op. */
+  private[streaming] var onBeforeHarvestSwap: () => Unit = () => ()
+
   def harvestSink(storeDir: String, asOf: java.sql.Timestamp,
       meltVars: Seq[String] = Seq("prefLabel", "altLabel", "definition"))(
       batch: DataFrame, batchId: Long): Unit = {
@@ -983,6 +988,45 @@ object Streaming {
           "UTF-8").trim.toLong).getOrElse(-1L)
       else -1L
     if (batchId <= last) return
+    // ZOMBIE-WRITER FENCING for the store itself (r12 — the BatchLedger
+    // discipline, brought to the fourth sink family: the other sinks
+    // fence through their ledger, but the harvest store IS this sink's
+    // ledger, so the claims live next to the data in `_epochs/`). Each
+    // trigger claims a store epoch create-exclusively; the owner is
+    // re-checked before EVERY table swap and before the marker, so a
+    // stale driver still flushing after a successor took over aborts
+    // (killing the zombie query) instead of clobbering newer tables.
+    // The claim NAME is the arbiter (content = batchId, diagnostic
+    // only — a crash mid-claim cannot corrupt the fence), staging dirs
+    // are epoch-scoped so a racing zombie can never tear the
+    // successor's in-flight copy, and the slip-through residue of the
+    // check-then-act window converges by content-idempotence (a
+    // re-applied upsert / anti-join is a no-op).
+    val epochs = new java.io.File(storeDir, "_epochs")
+    epochs.mkdirs()
+    def newestClaim(): Long =
+      Option(epochs.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
+        .foldLeft(0L)(_ max _)
+    var epoch = newestClaim() + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.write(
+          new java.io.File(epochs, epoch.toString).toPath,
+          batchId.toString.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => epoch += 1L
+      }
+    }
+    def requireOwner(): Unit = {
+      val n = newestClaim()
+      if (n > epoch) throw new IllegalStateException(
+        s"harvest store fenced: epoch $epoch superseded by $n at $storeDir — " +
+          "a newer writer owns this store (zombie driver)")
+    }
     val spark = batch.sparkSession
     val valid = graft.harvest.Transform.filterValidBindings(batch.distinct())
       .localCheckpoint(true) // reused by the upsert AND the melt leg
@@ -999,14 +1043,23 @@ object Streaming {
       spark, storeDir, "term_fields", graft.harvest.Schemas.termFields)
     val allFields = graft.harvest.Merge.insertIfAbsent(
       existingFields, resolved, lit(asOf)).localCheckpoint(true)
-    // A21 — staged atomic swaps, then the idempotence marker last
-    graft.harvest.Store.writeTable(terms, storeDir, "terms")
-    graft.harvest.Store.writeTable(allFields, storeDir, "term_fields")
+    // A21 — staged atomic swaps (owner re-checked before each), then the
+    // idempotence marker last
+    onBeforeHarvestSwap()
+    requireOwner()
+    graft.harvest.Store.writeTable(terms, storeDir, "terms", s".e$epoch")
+    requireOwner()
+    graft.harvest.Store.writeTable(allFields, storeDir, "term_fields", s".e$epoch")
+    requireOwner()
     val tmp = new java.io.File(storeDir, "._last_batch.tmp")
     java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, marker.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // retention: claims below the committed epoch are superseded forever
+    Option(epochs.listFiles()).getOrElse(Array.empty)
+      .filter(f => scala.util.Try(f.getName.toLong).toOption.exists(_ < epoch))
+      .foreach(_.delete())
   }
 
   /** w08 streaming twin (r7, r6-verdict #8): iterative graph algorithms

@@ -172,6 +172,41 @@ class StreamingDurabilitySpec extends SparkSpec {
     assert(terms === Seq((1L, "https://v.example/t/b"), (2L, "https://v.example/t/a")))
   }
 
+  test("harvest store fencing (r12): a zombie writer aborts before the swap " +
+    "when a successor claims the store — tables and marker unmoved, a fresh " +
+    "trigger converges") {
+    val dir = tmpDir("harvest_fence")
+    val mk = (uris: Seq[String]) => uris.toDF("concept")
+      .select(col("concept"), lit(null).cast("string").as("prefLabel"),
+        lit(null).cast("string").as("altLabel"), lit(null).cast("string").as("definition"))
+    val asOf = Timestamp.valueOf("2026-01-01 00:00:00")
+    Streaming.harvestSink(dir, asOf)(mk(Seq("https://v.example/t/a")), 0L)
+    val before = spark.read.parquet(s"$dir/terms").collect().map(_.toSeq).toSeq
+    // a successor claims the store INSIDE the zombie's compute-to-swap
+    // window (after the merge, before the owner re-check)
+    Streaming.onBeforeHarvestSwap = () => {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_epochs/99"), "9".getBytes("UTF-8"))
+      Streaming.onBeforeHarvestSwap = () => ()
+    }
+    try intercept[IllegalStateException] {
+      Streaming.harvestSink(dir, asOf)(mk(Seq("https://v.example/t/b")), 1L)
+    } finally Streaming.onBeforeHarvestSwap = () => ()
+    // the zombie touched NOTHING: tables and marker are the successor's view
+    assert(spark.read.parquet(s"$dir/terms").collect().map(_.toSeq).toSeq === before)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_last_batch")), "UTF-8").trim === "0")
+    // a fresh trigger (the successor's own delivery of batch 1) claims a
+    // higher epoch, converges, and prunes superseded claims
+    Streaming.harvestSink(dir, asOf)(mk(Seq("https://v.example/t/b")), 1L)
+    val uris = spark.read.parquet(s"$dir/terms").orderBy("id").collect()
+      .map(_.getString(1)).toSeq
+    assert(uris === Seq("https://v.example/t/a", "https://v.example/t/b"))
+    val claims = new java.io.File(s"$dir/_epochs").listFiles().map(_.getName).toSeq
+    assert(claims.forall(_.toLong >= 100L), s"superseded claims not pruned: $claims")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   // ---- restart: recover-from-ledger == never-restarted --------------------
 
   test("restart: BandIndexRefresh recovers segments + compact marker from the " +
