@@ -44,9 +44,25 @@ object Store {
     * each starts by deleting "the" staging dir. The streaming sink tags
     * staging with its claimed store epoch so a zombie's staging can
     * never collide with the successor's; the batch job keeps the bare
-    * name). */
+    * name).
+    *
+    * `fence`: re-checked ownership guard (r12 review) — the naive
+    * check-once-then-swap left a SECONDS-wide window (the staging Spark
+    * job) in which a stale writer that had passed its check could
+    * retire a successor's newer table and delete it. The fence now runs
+    * (1) after the staging write, immediately before any shared-path
+    * mutation, (2) after retiring the current table — superseded here
+    * ROLLS the retired table BACK instead of committing stale data —
+    * and (3) after the swap, where superseded deletes the writer's own
+    * just-committed copy and restores the retired one. Every guarded
+    * step between fences is a filesystem metadata op (ms), not a Spark
+    * job; the irreducible residue — a JVM stalled INSIDE one of those
+    * ms-wide gaps while a successor claims AND completes a full write —
+    * is documented in the streaming sink, whose content-idempotent
+    * re-apply is the backstop. At lakehouse scale this fence is the
+    * commit-owner service's job (the BatchLedger trust note). */
   def writeTable(df: DataFrame, storeDir: String, name: String,
-      stagingTag: String = ""): Unit = {
+      stagingTag: String = "", fence: () => Unit = () => ()): Unit = {
     val spark = df.sparkSession
     val target = new Path(tablePath(storeDir, name))
     val staging = new Path(s"$storeDir/_staging_$name$stagingTag")
@@ -54,11 +70,27 @@ object Store {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(staging)) fs.delete(staging, true)
     df.write.mode("overwrite").parquet(staging.toString)
+    try fence()
+    catch { case t: Throwable => fs.delete(staging, true); throw t }
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(s"retiring old $name failed")
+    try fence()
+    catch {
+      case t: Throwable =>
+        if (fs.exists(old)) fs.rename(old, target) // roll the table back
+        fs.delete(staging, true)
+        throw t
+    }
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"atomic swap failed for $name")
+    try fence()
+    catch {
+      case t: Throwable =>
+        fs.delete(target, true) // our own superseded copy only
+        if (fs.exists(old)) fs.rename(old, target)
+        throw t
+    }
     fs.delete(old, true)
   }
 

@@ -525,7 +525,7 @@ object Similarity {
   /** layers = max(floor, ⌈log₁₆(n/16)⌉): keeps the expected top-layer
     * population ≈ 16 — the root cell the build's linearity rests on —
     * at any corpus size (4 covers ~10⁶, 6 covers ~10⁹ vectors). */
-  private[similarity] def provisionLayers(n: Long, floor: Int = HnswMaxLayers): Int = {
+  private[graft] def provisionLayers(n: Long, floor: Int = HnswMaxLayers): Int = {
     val needed = math.ceil(
       math.log(math.max(n, 1L).toDouble / 16.0) / math.log(16.0)).toInt
     math.max(floor, math.max(1, needed))
@@ -964,15 +964,20 @@ object Similarity {
     * path deferred, and the compacted state is bit-identical to the
     * never-inserted fresh build — is pinned by StreamingSpec through
     * [[graft.streaming.Streaming.AnnIndexRefresh]]. */
-  def hnswCompact(vecs: DataFrame): DataFrame =
-    hnswBuild(quantizedWithNorm(vecs))
+  def hnswCompact(vecs: DataFrame,
+      layersOverride: Option[Int] = None): DataFrame =
+    hnswBuild(quantizedWithNorm(vecs), layersOverride = layersOverride)
 
   /** [[hnswDescend]] over raw vectors — the serve-side search the
-    * streaming refresher exposes against its maintained state. */
+    * streaming refresher exposes against its maintained state.
+    * `provisioned`: the build's layer count when the caller tracks it
+    * (r12 review — the refresher does, so its streamed searches use the
+    * same entry-level authority as the batch path). */
   def hnswSearch(vecs: DataFrame, adj: DataFrame, queryPred: Column,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, provisioned: Option[Int] = None): DataFrame = {
     val e = quantizedWithNorm(vecs)
-    hnswDescend(e, adj, e.filter(queryPred).toDF("query_id", "qq", "qnorm"), k)
+    hnswDescend(e, adj, e.filter(queryPred).toDF("query_id", "qq", "qnorm"), k,
+        provisioned)
       .orderBy(col("query_id"), col("rn"))
   }
 

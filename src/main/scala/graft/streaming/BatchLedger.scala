@@ -76,6 +76,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      the live lineage and is dropped (per id, the highest epoch
   *      wins). Both the refusal and the truncation are spec-pinned.
   */
+/** Create-exclusive, bump-and-retry epoch claims over a plain directory —
+  * the ONE fencing idiom (r12 review: the harvest store grew its own
+  * weaker inline copy of this loop; two independently-drifting fencing
+  * idioms is how disciplines rot). The claim NAME is the arbiter; the
+  * body is published atomically (tmp + hard link — create-exclusive AND
+  * complete-at-publish, so a crash can never leave a half-written claim)
+  * and carries caller-chosen content (BatchLedger: the adopted
+  * high-water mark; the harvest store: the batchId, diagnostic). */
+private[streaming] object EpochClaims {
+  /** Newest claimed epoch by NAME only (0 when none) — fence checks
+    * need no bodies. */
+  def newest(epochsDir: java.io.File): Long =
+    Option(epochsDir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
+      .foldLeft(0L)(_ max _)
+
+  /** Claim the next free epoch number ≥ newest+1; returns it. */
+  def claim(epochsDir: java.io.File, body: String): Long = {
+    epochsDir.mkdirs()
+    val tmp = new java.io.File(epochsDir,
+      s".claim-${java.util.UUID.randomUUID()}.tmp")
+    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    var e = newest(epochsDir) + 1L
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.createLink(
+          new java.io.File(epochsDir, e.toString).toPath, tmp.toPath)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => e += 1L
+      }
+    }
+    java.nio.file.Files.deleteIfExists(tmp.toPath)
+    e
+  }
+}
+
 private[streaming] object BatchLedger {
   /** One committed application: `id` = batchId (or, for a compaction
     * rewrite, the high-water mark it folded), `compact` = supersedes
@@ -179,31 +217,15 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
   val epoch: Long = root match {
     case None => 0L
     case Some(r) =>
-      // create-exclusive claim: two instances racing to the same number
-      // must not both believe they own it (plain write would silently
-      // truncate-overwrite) — the loser bumps and retries. The claim is
-      // published ATOMICALLY (r12, ADVICE): body written to a hidden tmp
-      // first, then hard-LINKED to the claim name — link creation is
-      // both atomic and create-exclusive, so a visible claim always
-      // carries its full adopted-high-water body (a CREATE_NEW content
-      // write could crash between creation and flush, leaving an empty
-      // claim; the MaxValue read above is the second line of defense).
-      val dir = new File(r, "epochs")
-      val tmp = new File(dir, s".claim-${java.util.UUID.randomUUID()}.tmp")
-      java.nio.file.Files.write(tmp.toPath, hw.toString.getBytes("UTF-8"))
-      var e = claims(r).map(_._1).foldLeft(0L)(_ max _) + 1L
-      var claimed = false
-      while (!claimed) {
-        try {
-          java.nio.file.Files.createLink(
-            new File(dir, e.toString).toPath, tmp.toPath)
-          claimed = true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => e += 1L
-        }
-      }
-      java.nio.file.Files.deleteIfExists(tmp.toPath)
-      e
+      // create-exclusive claim via [[EpochClaims]]: two instances racing
+      // to the same number must not both believe they own it — the loser
+      // bumps and retries. The body (the adopted high-water mark, which
+      // successors use for zombie-tail truncation) is published
+      // ATOMICALLY (r12, ADVICE): tmp + hard link, so a visible claim
+      // always carries its full body (a CREATE_NEW content write could
+      // crash between creation and flush, leaving an empty claim; the
+      // MaxValue read above is the second line of defense).
+      EpochClaims.claim(new File(r, "epochs"), hw.toString)
   }
 
   /** The highest applied batchId (−1 before any batch). */
@@ -231,10 +253,17 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
     * zombie-writer fence (the payload namespace is epoch-scoped, so
     * even a racing slip-through cannot clobber the successor's files;
     * recovery truncation covers the residue). */
+  /** Newest claimed epoch by NAME only — the fence checks need no claim
+    * bodies (r12 review: `claims` read every body per call and commit
+    * scans twice per trigger; a many-times-restarted store paid 2·N
+    * file reads per commit forever). */
+  private def newestEpoch(r: File): Long =
+    EpochClaims.newest(new File(r, "epochs"))
+
   def commit(id: Long, writes: Seq[(String, DataFrame)] = Seq.empty,
       meta: Map[String, String] = Map.empty, compact: Boolean = false): Unit = {
     root.foreach { r =>
-      val newest = claims(r).map(_._1).foldLeft(0L)(_ max _)
+      val newest = newestEpoch(r)
       if (newest > epoch)
         throw new IllegalStateException(
           s"ledger fenced: epoch $epoch superseded by $newest at ${r.getPath} — " +
@@ -255,20 +284,35 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
       // above is check-then-act across processes — a successor may claim
       // between it and the marker rename. Re-reading the claims AFTER the
       // marker is visible closes the window to the publish itself: if a
-      // newer claim appeared, retract our own marker and payloads (the
-      // successor adopted a history that never contained them) and die.
-      // Recovery truncation remains the backstop for a zombie that
-      // crashes mid-retraction.
-      val post = claims(r).map(_._1).foldLeft(0L)(_ max _)
-      if (post > epoch) {
-        dst.delete()
-        writes.foreach { case (name, _) =>
-          org.apache.commons.io.FileUtils.deleteQuietly(
-            new File(dataPath(name, id, compact)))
+      // newer claim appeared, retract our own marker and payloads and die.
+      // RETRACT ONLY WHAT NO SUCCESSOR ADOPTED (r12 review): a successor
+      // constructed after the marker landed has already READ this commit
+      // — its recovered state includes it and its claim body records an
+      // adopted high-water ≥ id. Deleting then would erase a commit the
+      // live lineage contains: the successor skips the re-delivered id
+      // (its effects gone forever) and its recovered frames dangle on
+      // the deleted payload. So: retract only when EVERY newer claim
+      // adopted strictly less than id (an unreadable body reads as
+      // MaxValue = adopted, the safe direction); an adopted commit stays
+      // — it is identical to what the successor replays (deterministic
+      // sinks over the same ledger prefix) — and the zombie still dies.
+      // Recovery truncation remains the backstop for a crash
+      // mid-retraction.
+      val postClaims = claims(r).filter(_._1 > epoch)
+      if (postClaims.nonEmpty) {
+        val adopted = postClaims.exists { case (_, hwAt) => hwAt >= id }
+        if (!adopted) {
+          dst.delete()
+          writes.foreach { case (name, _) =>
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new File(dataPath(name, id, compact)))
+          }
         }
         throw new IllegalStateException(
-          s"ledger fenced post-publish: epoch $epoch superseded by $post at " +
-            s"${r.getPath} — commit $id retracted (zombie driver)")
+          s"ledger fenced post-publish: epoch $epoch superseded by " +
+            s"${postClaims.map(_._1).max} at ${r.getPath} — commit $id " +
+            s"${if (adopted) "left in place (successor adopted it)" else "retracted"} " +
+            "(zombie driver)")
       }
     }
     if (!compact && id > hw) hw = id
@@ -278,9 +322,13 @@ private[streaming] final class BatchLedger(dirOpt: Option[String]) {
   def read(s: SparkSession, name: String, c: Commit): DataFrame =
     s.read.parquet(dataPath(name, c.id, c.compact, c.epoch))
 
-  /** (isCompact, id) of a payload dir name `<name>-b<id>-e<ep>`. */
+  /** (isCompact, id) of a payload dir name `<name>-b<id>-e<ep>`. The id
+    * may be NEGATIVE (r12: the bootstrap seed commits at −1) — the
+    * marker parser always handled that, and a prune that dropped the
+    * bootstrap MARKER while silently skipping its payload dirs would
+    * orphan them. */
   private def parseData(n: String): Option[(Boolean, Long)] = {
-    val m = "-([bc])(\\d+)-e\\d+$".r.findFirstMatchIn(n)
+    val m = "-([bc])(-?\\d+)-e\\d+$".r.findFirstMatchIn(n)
     m.map(g => (g.group(1) == "c", g.group(2).toLong))
   }
 

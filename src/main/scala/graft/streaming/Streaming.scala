@@ -991,38 +991,22 @@ object Streaming {
     // ZOMBIE-WRITER FENCING for the store itself (r12 — the BatchLedger
     // discipline, brought to the fourth sink family: the other sinks
     // fence through their ledger, but the harvest store IS this sink's
-    // ledger, so the claims live next to the data in `_epochs/`). Each
-    // trigger claims a store epoch create-exclusively; the owner is
-    // re-checked before EVERY table swap and before the marker, so a
-    // stale driver still flushing after a successor took over aborts
-    // (killing the zombie query) instead of clobbering newer tables.
-    // The claim NAME is the arbiter (content = batchId, diagnostic
-    // only — a crash mid-claim cannot corrupt the fence), staging dirs
-    // are epoch-scoped so a racing zombie can never tear the
-    // successor's in-flight copy, and the slip-through residue of the
-    // check-then-act window converges by content-idempotence (a
-    // re-applied upsert / anti-join is a no-op).
+    // ledger, so the claims live next to the data in `_epochs/`, managed
+    // by the SAME [[EpochClaims]] idiom the ledger uses — one fencing
+    // implementation, not two drifting copies). Each trigger claims a
+    // store epoch create-exclusively (claim NAME is the arbiter; body =
+    // batchId, diagnostic); the fence is re-checked by Store.writeTable
+    // at EVERY shared-path mutation boundary — with rollback, so a stale
+    // driver that had already retired a newer table puts it BACK — and
+    // once more before the marker. The irreducible residue (a JVM
+    // stalled inside one ms-wide metadata gap while a successor claims
+    // AND completes a whole write) re-converges on the successor's next
+    // trigger by content-idempotence; at lakehouse scale this fence is
+    // the commit-owner service's job.
     val epochs = new java.io.File(storeDir, "_epochs")
-    epochs.mkdirs()
-    def newestClaim(): Long =
-      Option(epochs.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
-        .foldLeft(0L)(_ max _)
-    var epoch = newestClaim() + 1
-    var claimed = false
-    while (!claimed) {
-      try {
-        java.nio.file.Files.write(
-          new java.io.File(epochs, epoch.toString).toPath,
-          batchId.toString.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        claimed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => epoch += 1L
-      }
-    }
+    val epoch = EpochClaims.claim(epochs, batchId.toString)
     def requireOwner(): Unit = {
-      val n = newestClaim()
+      val n = EpochClaims.newest(epochs)
       if (n > epoch) throw new IllegalStateException(
         s"harvest store fenced: epoch $epoch superseded by $n at $storeDir — " +
           "a newer writer owns this store (zombie driver)")
@@ -1043,13 +1027,15 @@ object Streaming {
       spark, storeDir, "term_fields", graft.harvest.Schemas.termFields)
     val allFields = graft.harvest.Merge.insertIfAbsent(
       existingFields, resolved, lit(asOf)).localCheckpoint(true)
-    // A21 — staged atomic swaps (owner re-checked before each), then the
-    // idempotence marker last
+    // A21 — staged atomic swaps, the fence re-checked (with rollback) at
+    // every shared-path mutation inside writeTable, then the idempotence
+    // marker last
     onBeforeHarvestSwap()
     requireOwner()
-    graft.harvest.Store.writeTable(terms, storeDir, "terms", s".e$epoch")
-    requireOwner()
-    graft.harvest.Store.writeTable(allFields, storeDir, "term_fields", s".e$epoch")
+    graft.harvest.Store.writeTable(terms, storeDir, "terms",
+      s".e$epoch", requireOwner _)
+    graft.harvest.Store.writeTable(allFields, storeDir, "term_fields",
+      s".e$epoch", requireOwner _)
     requireOwner()
     val tmp = new java.io.File(storeDir, "._last_batch.tmp")
     java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes("UTF-8"))
@@ -1357,6 +1343,14 @@ object Streaming {
     @volatile private var vecSegs: List[DataFrame] = Nil
     @volatile private var adjState: Option[DataFrame] = None
     @volatile private var sinceCompact = 0
+    /** The served hierarchy's PROVISIONED layer count (r12 review: the
+      * batch paths pass this authority into the descent while the
+      * refresher fell back to the row-tag census, so past the 4-layer
+      * regime the streamed and batch lifecycles could diverge exactly
+      * where the r12 authority fix matters). Set at build/compact/
+      * bootstrap, persisted in the commit meta, restored at recovery;
+      * inserts defer hierarchy so it is stable between compactions. */
+    @volatile private var layersState: Option[Int] = None
     private def allVecs: Option[DataFrame] = vecSegs.reduceOption(_ unionByName _)
     /** Restart recovery (r11, VERDICT r10 #2): the durable form is ONE
       * O(batch) vector segment per committed trigger plus a `kind`
@@ -1389,17 +1383,24 @@ object Streaming {
         val canonical = segs(lastCanonical)._1
         var vecs = segs.take(lastCanonical + 1).map(_._2)
           .reduce(_ unionByName _).localCheckpoint(true)
+        // the canonical point's provisioned layer count rides its meta
+        // (r12); legacy ledgers without it recompute from the canonical
+        // corpus — the same census the build itself ran
+        val layers = canonical.meta.get("layers").map(_.toInt)
+          .getOrElse(graft.similarity.Similarity.provisionLayers(vecs.count()))
         var adj =
           if (canonical.meta.get("kind").contains("bootstrap"))
             ledger.read(s, "adj", canonical).localCheckpoint(true)
           else
-            graft.similarity.Similarity.hnswCompact(vecs).localCheckpoint(true)
+            graft.similarity.Similarity.hnswCompact(vecs, Some(layers))
+              .localCheckpoint(true)
         segs.drop(lastCanonical + 1).foreach { case (_, b) =>
-          adj = graft.similarity.Similarity.hnswInsert(vecs, adj, b)
+          adj = graft.similarity.Similarity.hnswInsert(vecs, adj, b, Some(layers))
           vecs = vecs.unionByName(b).localCheckpoint(true)
         }
         vecSegs = List(vecs)
         adjState = Some(adj)
+        layersState = Some(layers)
         sinceCompact = segs.length - 1 - lastCanonical
       }
       this
@@ -1419,19 +1420,26 @@ object Streaming {
       * At 100 TB this commit is a POINTER to the immutable lakehouse
       * snapshot rather than a copy; here the ledger stays self-contained
       * (SnapshotStore may sweep its own files independently). */
-    def bootstrap(vecs: DataFrame, adj: DataFrame): this.type = synchronized {
+    def bootstrap(vecs: DataFrame, adj: DataFrame,
+        provisionedLayers: Option[Int] = None): this.type = synchronized {
       require(vecSegs.isEmpty && adjState.isEmpty,
         "bootstrap must precede the first micro-batch")
       require(ledger.recovered.isEmpty,
         "bootstrap on a non-empty ledger — recover() instead")
+      // the seed index's layer geometry: passed by callers that already
+      // track it (the gate's memoized standing count), else derived from
+      // the seed corpus exactly as its build did
+      val layers = provisionedLayers.getOrElse(
+        graft.similarity.Similarity.provisionLayers(vecs.count()))
       if (ledger.durable)
         ledger.commit(-1L, Seq("vecs" -> vecs, "adj" -> adj),
-          Map("kind" -> "bootstrap"))
+          Map("kind" -> "bootstrap", "layers" -> layers.toString))
       // caller owns the frames' stability (they come from a parquet
       // snapshot / checkpointed scan — re-materializing them here would
       // pay an extra O(corpus) job per bootstrap for nothing)
       vecSegs = List(vecs)
       adjState = Some(adj)
+      layersState = Some(layers)
       sinceCompact = 0
       this
     }
@@ -1462,16 +1470,18 @@ object Streaming {
             // guard — the commit-before-swap discipline of every other
             // branch, restored here)
             val merged = (b :: vecSegs).reduce(_ unionByName _).localCheckpoint(true)
-            val adj = graft.similarity.Similarity.hnswCompact(merged)
+            val layers = graft.similarity.Similarity.provisionLayers(merged.count())
+            val adj = graft.similarity.Similarity.hnswCompact(merged, Some(layers))
               .localCheckpoint(true)
             ledger.commit(batchId,
               if (ledger.durable) Seq("vecs" -> b) else Seq.empty,
-              Map("kind" -> "compact"))
+              Map("kind" -> "compact", "layers" -> layers.toString))
             vecSegs = List(merged)
             sinceCompact = 0
             adjState = Some(adj)
+            layersState = Some(layers)
           } else {
-            val inserted = graft.similarity.Similarity.hnswInsert(v, a, b)
+            val inserted = graft.similarity.Similarity.hnswInsert(v, a, b, layersState)
             ledger.commit(batchId,
               if (ledger.durable) Seq("vecs" -> b) else Seq.empty,
               Map("kind" -> "insert"))
@@ -1480,21 +1490,25 @@ object Streaming {
             adjState = Some(inserted)
           }
         case _ =>
-          val adj = graft.similarity.Similarity.hnswCompact(b).localCheckpoint(true)
+          val layers = graft.similarity.Similarity.provisionLayers(b.count())
+          val adj = graft.similarity.Similarity.hnswCompact(b, Some(layers))
+            .localCheckpoint(true)
           ledger.commit(batchId,
             if (ledger.durable) Seq("vecs" -> b) else Seq.empty,
-            Map("kind" -> "build"))
+            Map("kind" -> "build", "layers" -> layers.toString))
           vecSegs = List(b)
           adjState = Some(adj)
+          layersState = Some(layers)
           sinceCompact = 0
       }
     }
     /** The maintained hierarchy (None before the first batch). */
     def adjacency: Option[DataFrame] = adjState
-    /** Serve a top-k search against the CURRENT maintained state. */
+    /** Serve a top-k search against the CURRENT maintained state —
+      * entry-level authority = the build's provisioned count (r12). */
     def topK(queryPred: Column, k: Int = 10): Option[DataFrame] =
       for (v <- allVecs; a <- adjState)
-        yield graft.similarity.Similarity.hnswSearch(v, a, queryPred, k)
+        yield graft.similarity.Similarity.hnswSearch(v, a, queryPred, k, layersState)
   }
 
   /** B12 cross-corpus streaming twin (r7): incremental near-dedup of an

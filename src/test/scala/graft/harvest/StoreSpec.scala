@@ -22,6 +22,37 @@ class StoreSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"$dir/_old_t")))
   }
 
+  test("writeTable fence rollback (r12): a writer superseded after retiring " +
+    "the current table puts it BACK instead of committing stale data; " +
+    "superseded after the swap restores the retired copy") {
+    val dir = Files.createTempDirectory("graft_store_fence").toString
+    val current = Seq((1L, "current"), (2L, "current")).toDF("id", "uri")
+    val stale = Seq((9L, "stale")).toDF("id", "uri")
+    Store.writeTable(current, dir, "t")
+    def uris() = spark.read.parquet(s"$dir/t").collect().map(_.getString(1)).distinct.toSeq
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fence trips on its 2nd check: AFTER the current table was retired
+    // to _old_t, BEFORE the stale staging swapped in — the table must
+    // come back and the staging must be cleaned
+    var calls = 0
+    intercept[IllegalStateException] {
+      Store.writeTable(stale, dir, "t", ".e2",
+        () => { calls += 1; if (calls == 2) throw new IllegalStateException("fenced") })
+    }
+    assert(uris() === Seq("current"), "retired table was not rolled back")
+    assert(!fs.exists(new Path(s"$dir/_staging_t.e2")) && !fs.exists(new Path(s"$dir/_old_t")))
+    // fence trips on its 3rd check: AFTER the stale swap landed — the
+    // writer deletes its own superseded copy and restores the retired one
+    calls = 0
+    intercept[IllegalStateException] {
+      Store.writeTable(stale, dir, "t", ".e3",
+        () => { calls += 1; if (calls == 3) throw new IllegalStateException("fenced") })
+    }
+    assert(uris() === Seq("current"), "post-swap supersession did not restore the table")
+    assert(!fs.exists(new Path(s"$dir/_old_t")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("readTableOr recovers a table stranded mid-swap at _old_<name>") {
     val dir = Files.createTempDirectory("graft_store_crash").toString
     Store.writeTable(Seq((1L, "a")).toDF("id", "uri"), dir, "t")

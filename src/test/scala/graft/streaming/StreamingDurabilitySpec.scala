@@ -528,6 +528,51 @@ class StreamingDurabilitySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("zombie fencing r12: a commit the successor ADOPTED is NOT retracted — " +
+    "the fence still throws but the live lineage keeps the commit (review: " +
+    "unconditional retraction erased adopted commits and dangled the " +
+    "successor's recovered reads)") {
+    val dir = tmpDir("fence_adopt")
+    val daily = (b: Seq[Evt]) => graft.ops.EventAnalytics.dailyCents(b.toDF())
+    val a = new BatchLedger(Some(dir)) // epoch 1
+    a.commit(0L, Seq("daily" -> daily(evB0)))
+    // the successor claims epoch 2 inside A's publish window, having
+    // ALREADY READ commit 1 (constructed after the marker landed —
+    // its claim body records adopted high-water 1)
+    a.onBeforePublish = () => {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/epochs/2"), "1".getBytes("UTF-8"))
+      a.onBeforePublish = () => ()
+    }
+    intercept[IllegalStateException] { a.commit(1L, Seq("daily" -> daily(evB1))) }
+    // the adopted commit SURVIVES: marker, payload, and recovery all keep it
+    assert(new java.io.File(s"$dir/commits/1.e1").exists(),
+      "adopted commit's marker was retracted")
+    assert(new java.io.File(s"$dir/data/daily-b1-e1").exists(),
+      "adopted commit's payload was retracted")
+    val c = new BatchLedger(Some(dir))
+    assert(c.recovered.map(_.id) === Seq(0L, 1L) && c.highWater === 1L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("payload prune handles negative (bootstrap) ids like the marker parser " +
+    "does (r12 review: the old regex silently skipped vecs-b-1-e1 dirs)") {
+    val dir = tmpDir("neg_prune")
+    val daily = (b: Seq[Evt]) => graft.ops.EventAnalytics.dailyCents(b.toDF())
+    val l = new BatchLedger(Some(dir))
+    l.commit(-1L, Seq("vecs" -> daily(evB0)), Map("kind" -> "bootstrap"))
+    l.commit(0L, Seq("vecs" -> daily(evB1)))
+    assert(new java.io.File(s"$dir/data/vecs-b-1-e1").exists())
+    // a snapshot-retention sweep keeping from id 0 must drop the −1
+    // commit's marker AND its payload dir — not orphan the payload
+    l.pruneSnapshotsBelow(0L)
+    assert(!new java.io.File(s"$dir/commits/-1.e1").exists())
+    assert(!new java.io.File(s"$dir/data/vecs-b-1-e1").exists(),
+      "bootstrap payload orphaned by the prune")
+    assert(new java.io.File(s"$dir/data/vecs-b0-e1").exists())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("claim atomicity r12: a visible epoch claim always carries its adopted " +
     "high-water body; a corrupt/empty claim truncates NOTHING (ADVICE)") {
     val dir = tmpDir("claim_atomic")

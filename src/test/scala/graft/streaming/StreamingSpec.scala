@@ -624,6 +624,9 @@ class StreamingSpec extends SparkSpec {
       rs.toDF("concept", "prefLabel", "altLabel", "definition")
     // one-shot batch job over the concatenated bindings
     val batchDir = java.nio.file.Files.createTempDirectory("graft_hj").toString
+    val sortedDir = java.nio.file.Files.createTempDirectory("graft_shv1").toString
+    val oooDir = java.nio.file.Files.createTempDirectory("graft_shv2").toString
+    try {
     val bindingsPath = s"$batchDir/bindings.parquet"
     mk(rows).write.parquet(bindingsPath)
     graft.harvest.HarvestJob.run(spark, graft.harvest.HarvestJob.Config(
@@ -633,7 +636,6 @@ class StreamingSpec extends SparkSpec {
         .map(_.toSeq).sortBy(_.toString).toSeq
     // streamed, URI-sorted batches: a,b | c,d | e — every id, timestamp,
     // and field row must equal the batch job's
-    val sortedDir = java.nio.file.Files.createTempDirectory("graft_shv1").toString
     Streaming.harvestSink(sortedDir, asOf)(mk(rows.filter(_._1 <= "https://v.example/t/b")), 0L)
     Streaming.harvestSink(sortedDir, asOf)(mk(rows.filter(r =>
       r._1 > "https://v.example/t/b" && r._1 <= "https://v.example/t/d")), 1L)
@@ -646,7 +648,6 @@ class StreamingSpec extends SparkSpec {
     assert(eFields >= 3L, "melt leg missing — terms-only store (the r11 drift)")
     // out-of-order batches: e | a,b | c,d — ids shift to arrival order
     // (AUTOINCREMENT semantics) but natural-key content is identical
-    val oooDir = java.nio.file.Files.createTempDirectory("graft_shv2").toString
     Streaming.harvestSink(oooDir, asOf)(mk(rows.filter(_._1 > "https://v.example/t/d")), 0L)
     Streaming.harvestSink(oooDir, asOf)(mk(rows.filter(_._1 <= "https://v.example/t/b")), 1L)
     Streaming.harvestSink(oooDir, asOf)(mk(rows.filter(r =>
@@ -663,6 +664,8 @@ class StreamingSpec extends SparkSpec {
     val oooIds = spark.read.parquet(s"$oooDir/terms").select("id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(oooIds === (1L to oooIds.length).toSeq, "ids not dense under out-of-order arrival")
+    } finally Seq(batchDir, sortedDir, oooDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
 
   test("heavy-hitters aggregator runs under streaming update mode, exact regime == batch (B05xB10)") {
