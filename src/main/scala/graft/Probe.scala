@@ -323,6 +323,61 @@ object Probe {
       tickAt(8)
       if (reps > 8) tickAt(reps)
     }
+    if (sys.env.contains("PROBE_STRESS_HARVEST")) {
+      // Streaming-harvest tick scaling (r12): ONE harvestSink trigger
+      // with a FIXED arrival batch against a store pre-grown to 1×/k×.
+      // The sink's per-trigger shape is read-MERGE-rewrite: the merge
+      // joins are batch-driven (full-outer upsert on uri and the
+      // insert-if-absent anti-join both key on the O(batch) side), but
+      // the A21 swap REWRITES both tables — O(store) per trigger BY
+      // DESIGN here, because the reference-shaped store is one parquet
+      // dir per table (the analogue of the reference's single SQLite
+      // file, which its per-page transaction also rewrites in place).
+      // Expectation: tick wall grows with store size through the read +
+      // rewrite legs while the merge joins stay batch-driven. At 100 TB
+      // the store is a bucketed lakehouse table and this same pipeline
+      // lands as a partition-pruned MERGE whose rewrite touches only
+      // the buckets containing the batch's uris — the probe names the
+      // local stand-in's cost so the at-scale claim is a recorded fact,
+      // not an assumption.
+      import org.apache.spark.sql.functions._
+      val reps = sys.env.getOrElse("PROBE_STRESS_HARVEST", "8").toInt
+      val asOf = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+      val binds = ops.HarvestQueries.bindings(spark, dir).localCheckpoint(true)
+      // FIXED arrival batch (unsuffixed uris — disjoint from every grown
+      // store below, so the trigger does identical all-insert merge work
+      // at every scale and growth isolates the O(store) legs)
+      val batch = binds.filter(col("doc_id") % 10 === 3).drop("doc_id")
+        .localCheckpoint(true)
+      val standing = binds.filter(col("doc_id") % 10 =!= 3)
+      def tick(k: Int, timed: Boolean): Unit = {
+        val sDir = java.nio.file.Files
+          .createTempDirectory(s"graft_hvstress_${k}x_").toString
+        try {
+          // pre-grow: k disjoint uri-suffixed replicas of the standing
+          // slice, loaded in one untimed trigger (the snapshot stand-in)
+          val grown = standing.crossJoin(spark.range(k).toDF("rep")).select(
+            concat(col("concept"), lit("?rep="), col("rep")).as("concept"),
+            col("prefLabel"), col("altLabel"), col("definition"))
+          streaming.Streaming.harvestSink(sDir, asOf)(grown, 0L)
+          val termsN = spark.read.parquet(s"$sDir/terms").count()
+          val fieldsN = spark.read.parquet(s"$sDir/term_fields").count()
+          println(s"  stress harvest store terms=$termsN fields=$fieldsN (${k}x)")
+          if (timed)
+            time(s"stress_harvest_${k}x_tick") {
+              streaming.Streaming.harvestSink(sDir, asOf)(batch, 1L)
+            }
+          else streaming.Streaming.harvestSink(sDir, asOf)(batch, 1L)
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sDir))
+        }
+        spark.catalog.clearCache()
+      }
+      tick(1, timed = false) // untimed: codegen/JIT warmup of the pipeline
+      tick(1, timed = true)
+      tick(8, timed = true)
+      if (reps > 8) tick(reps, timed = true)
+    }
     if (sys.env.contains("PROBE_STRESS_E06")) {
       // e06 composition scaling (the PROBE_STRESS_GRAPH pattern):
       // disjoint-key lineitem replicas multiply the strong edge set, the

@@ -56,11 +56,22 @@ object Store {
     * and (3) after the swap, where superseded deletes the writer's own
     * just-committed copy and restores the retired one. Every guarded
     * step between fences is a filesystem metadata op (ms), not a Spark
-    * job; the irreducible residue — a JVM stalled INSIDE one of those
-    * ms-wide gaps while a successor claims AND completes a full write —
-    * is documented in the streaming sink, whose content-idempotent
-    * re-apply is the backstop. At lakehouse scale this fence is the
-    * commit-owner service's job (the BatchLedger trust note). */
+    * job. The post-swap retraction is OWNERSHIP-CHECKED (r12, second
+    * self-review pass): each write plants a UUID-named `_writer_*`
+    * marker inside its staged copy and retracts `target` only while
+    * that marker is present — without the check, a JVM stalled between
+    * the swap and fence (3) while a successor claimed AND completed a
+    * FULL write would delete the SUCCESSOR's table (whose final step
+    * already dropped `_old_`), leaving nothing to restore: the one
+    * interleaving where the old "delete target, restore old" rollback
+    * destroyed live data instead of stale. With the check the stale
+    * writer leaves the successor's table untouched and just dies. The
+    * remaining residue — a stall inside fence (2)'s rollback — can at
+    * worst restore a retired table the successor is about to retire
+    * again (its rename onto an existing target fails, and the
+    * successor's own sweep deletes the stale `_old_`), never destroy
+    * one. At lakehouse scale this fence is the commit-owner service's
+    * job (the BatchLedger trust note). */
   def writeTable(df: DataFrame, storeDir: String, name: String,
       stagingTag: String = "", fence: () => Unit = () => ()): Unit = {
     val spark = df.sparkSession
@@ -70,6 +81,11 @@ object Store {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(staging)) fs.delete(staging, true)
     df.write.mode("overwrite").parquet(staging.toString)
+    // ownership marker for the post-swap retraction: underscore-prefixed,
+    // so every parquet reader ignores it; removed after the final fence
+    val writerMark =
+      s"_writer_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    fs.create(new Path(staging, writerMark)).close()
     try fence()
     catch { case t: Throwable => fs.delete(staging, true); throw t }
     if (fs.exists(old)) fs.delete(old, true)
@@ -87,11 +103,16 @@ object Store {
     try fence()
     catch {
       case t: Throwable =>
-        fs.delete(target, true) // our own superseded copy only
-        if (fs.exists(old)) fs.rename(old, target)
+        // retract ONLY a copy this write still owns: the marker is gone
+        // exactly when a successor's completed write replaced the table
+        if (fs.exists(new Path(target, writerMark))) {
+          fs.delete(target, true)
+          if (fs.exists(old)) fs.rename(old, target)
+        }
         throw t
     }
     fs.delete(old, true)
+    fs.delete(new Path(target, writerMark), false)
   }
 
   /** Bootstrap any missing tables as empty Parquet with the fixed schema —

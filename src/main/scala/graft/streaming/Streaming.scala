@@ -969,7 +969,20 @@ object Streaming {
     * already-merged terms (no-op) and anti-joins away already-inserted
     * fields (no-op). The merged frames are eagerly cut from the store's
     * parquet lineage (localCheckpoint) BEFORE the swap deletes the old
-    * files — the ledger prune discipline (BatchLedger scaladoc). */
+    * files — the ledger prune discipline (BatchLedger scaladoc).
+    *
+    * Scale shape (r12, measured by PROBE_STRESS_HARVEST): the merge
+    * JOINS are batch-driven (the full-outer upsert keys on uri with an
+    * O(batch) new side; the insert-if-absent anti-join likewise), but
+    * the A21 swap REWRITES both tables — O(store) per trigger BY DESIGN
+    * here, because the reference-shaped store is one plain parquet dir
+    * per table, the analogue of the reference's single SQLite file
+    * (whose per-page transaction also rewrites shared b-tree pages in
+    * place). At 100 TB the store is a bucketed lakehouse table and this
+    * same per-trigger pipeline lands as a partition-pruned MERGE whose
+    * rewrite touches only buckets containing the batch's uris — the
+    * surrogate-id discipline already supports that (max-id is a footer-
+    * stats read; row_number orders only the new rows). */
   /** Test seam (r12): fires after the merge computation, before the
     * owner re-check that guards the table swaps — the window a
     * successor's claim must be able to fence. Production no-op. */
@@ -1733,9 +1746,12 @@ object Streaming {
     * insert tick as an O(batch) segment), and after the re-delivery a
     * SECOND instance recovers from the ledger (bootstrap adjacency
     * loaded, insert segment replayed through the same hnswInsert
-    * kernel) and SERVES the adjacency. The first instance's insert
-    * stays lazy and unserved, so the gate pays ONE real descent — the
-    * recovered one — plus the bootstrap's O(standing) seed write. */
+    * kernel) and SERVES the adjacency. Deliberate cost, recorded in
+    * SURVEY: the gate pays TWO real insert descents — the live
+    * trigger's (hnswInsertPre materializes its anchors eagerly inside
+    * update(), the fail-at-the-trigger collision-guard semantics; its
+    * result goes unserved here) and the recovery replay's (the compared
+    * artifact) — plus the bootstrap's O(standing) seed write. */
   def streamAnnIndexQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

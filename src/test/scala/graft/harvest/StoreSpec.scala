@@ -53,6 +53,43 @@ class StoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("writeTable post-swap retraction is ownership-checked (r12 review 2): " +
+    "a stale writer stalled between its swap and the fence while a successor " +
+    "completed a FULL write must leave the successor's table intact") {
+    val dir = Files.createTempDirectory("graft_store_stall").toString
+    val base = Seq((1L, "base")).toDF("id", "uri")
+    val staleDf = Seq((9L, "stale")).toDF("id", "uri")
+    val successor = Seq((5L, "successor"), (6L, "successor")).toDF("id", "uri")
+    Store.writeTable(base, dir, "t")
+    def uris() = spark.read.parquet(s"$dir/t").collect().map(_.getString(1)).distinct.toSeq
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the stale writer's fence passes its first two checks; on the 3rd
+    // (post-swap) the successor has ALREADY claimed and completed a whole
+    // write — retiring the stale copy, swapping in its own, and dropping
+    // _old_. The old unconditional rollback deleted the successor's table
+    // here and found nothing at _old_ to restore: total loss of the live
+    // table. The writer-marker check makes the stale writer leave it.
+    var calls = 0
+    intercept[IllegalStateException] {
+      Store.writeTable(staleDf, dir, "t", ".e2",
+        () => {
+          calls += 1
+          if (calls == 3) {
+            Store.writeTable(successor, dir, "t", ".e3")
+            throw new IllegalStateException("fenced")
+          }
+        })
+    }
+    assert(uris() === Seq("successor"),
+      "stale writer's post-swap retraction destroyed the successor's table")
+    assert(spark.read.parquet(s"$dir/t").count() === 2)
+    assert(!fs.exists(new Path(s"$dir/_old_t")))
+    // no writer markers leak into the committed table
+    assert(fs.listStatus(new Path(s"$dir/t"))
+      .forall(!_.getPath.getName.startsWith("_writer_")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("readTableOr recovers a table stranded mid-swap at _old_<name>") {
     val dir = Files.createTempDirectory("graft_store_crash").toString
     Store.writeTable(Seq((1L, "a")).toDF("id", "uri"), dir, "t")

@@ -599,6 +599,49 @@ class StreamingDurabilitySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("claim arbitration (late r12): concurrent racing claims each get a " +
+    "UNIQUE epoch with its body intact — create-exclusive hard-link publish " +
+    "under real thread contention, no tmp residue") {
+    val dir = tmpDir("claim_race")
+    val epochsDir = new java.io.File(dir, "epochs")
+    val n = 24
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    try {
+      (0 until n).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            val e = EpochClaims.claim(epochsDir, s"body-$i")
+            results.add(e -> s"body-$i"); ()
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    import scala.jdk.CollectionConverters._
+    val claimed = results.asScala.toSeq
+    assert(claimed.size === n)
+    // every thread got a DISTINCT epoch (the bump-and-retry loop never
+    // lets two instances believe they own the same number)
+    assert(claimed.map(_._1).distinct.size === n, "duplicate epoch claimed")
+    // each claim file carries exactly its claimant's body (hard-link
+    // publish: complete-at-visibility, never another thread's content)
+    claimed.foreach { case (e, body) =>
+      val onDisk = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(epochsDir, e.toString).toPath), "UTF-8")
+      assert(onDisk === body, s"epoch $e body mismatch")
+    }
+    // no in-flight tmp bodies leak into the namespace
+    assert(!epochsDir.listFiles().exists(_.getName.endsWith(".tmp")))
+    // newest() sees the max claimed epoch by NAME alone
+    assert(EpochClaims.newest(epochsDir) === claimed.map(_._1).max)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("ledger mechanics: marker-last publish means an UNCOMMITTED payload is " +
     "re-applied, a committed one is skipped (crash-window semantics)") {
     val dir = tmpDir("ledger")
