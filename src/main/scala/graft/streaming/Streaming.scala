@@ -1055,10 +1055,27 @@ object Streaming {
     java.nio.file.Files.move(tmp.toPath, marker.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // retention: claims below the committed epoch are superseded forever
+    // retention: claims below the committed epoch are superseded forever;
+    // so are CRASHED writers' epoch-tagged staging dirs (r12, second
+    // self-review pass: a trigger that dies between its staging write
+    // and the swap leaves `_staging_<table>.e<k>` behind, and no future
+    // writer reuses that name — unswept, every crash leaks a full table
+    // copy into the store). A lower-epoch staging can only belong to a
+    // fenced zombie: deleting it under a still-running zombie at worst
+    // fails that zombie's write, which is the fence outcome anyway. The
+    // batch job's bare `_staging_<table>` (no tag) is never touched.
     Option(epochs.listFiles()).getOrElse(Array.empty)
       .filter(f => scala.util.Try(f.getName.toLong).toOption.exists(_ < epoch))
       .foreach(_.delete())
+    val staleStaging = "^_staging_.+\\.e(\\d+)$".r
+    Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        f.getName match {
+          case staleStaging(e) if e.toLong < epoch =>
+            org.apache.commons.io.FileUtils.deleteQuietly(f); ()
+          case _ => ()
+        }
+      }
   }
 
   /** w08 streaming twin (r7, r6-verdict #8): iterative graph algorithms

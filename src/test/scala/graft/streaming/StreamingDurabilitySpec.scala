@@ -207,6 +207,33 @@ class StreamingDurabilitySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("harvest store retention (late r12): a crashed writer's epoch-tagged " +
+    "staging dir is swept by the next committed trigger; the batch job's " +
+    "bare staging name is never touched") {
+    val dir = tmpDir("harvest_sweep")
+    val mk = (uris: Seq[String]) => uris.toDF("concept")
+      .select(col("concept"), lit(null).cast("string").as("prefLabel"),
+        lit(null).cast("string").as("altLabel"), lit(null).cast("string").as("definition"))
+    val asOf = Timestamp.valueOf("2026-01-01 00:00:00")
+    Streaming.harvestSink(dir, asOf)(mk(Seq("https://v.example/t/a")), 0L)
+    // plant the residue a trigger crashed mid-write leaves: its tagged
+    // staging dirs (epoch 1, below any future claim) and an in-flight
+    // batch-job staging under the bare name
+    val staleT = new java.io.File(dir, "_staging_terms.e1")
+    val staleF = new java.io.File(dir, "_staging_term_fields.e1")
+    val bare = new java.io.File(dir, "_staging_terms")
+    Seq(staleT, staleF, bare).foreach { d =>
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "part-0.parquet").toPath, Array[Byte](1))
+    }
+    Streaming.harvestSink(dir, asOf)(mk(Seq("https://v.example/t/b")), 1L)
+    assert(!staleT.exists() && !staleF.exists(),
+      "crashed writer's staging dirs not swept — each crash leaks a table copy")
+    assert(bare.exists(), "the batch job's bare staging name must be untouched")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   // ---- restart: recover-from-ledger == never-restarted --------------------
 
   test("restart: BandIndexRefresh recovers segments + compact marker from the " +
