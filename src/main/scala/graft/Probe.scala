@@ -561,6 +561,51 @@ object Probe {
       run(s"stress_e05_${reps}x", ops.EvalPipeline.evalSuite(ek))
       docs.unpersist()
     }
+    if (sys.env.contains("PROBE_STRESS_TEXT")) {
+      // Text-family scaling (late r12 — the one §2 family without a
+      // dedicated probe): (a) bpeTrainLocal, the documented 100 TB
+      // training recipe — corpus-scale work is ONE distributed
+      // word-frequency aggregate; the merge loop runs over a
+      // vocab-CAPPED table in driver memory with zero per-merge jobs.
+      // With the cap FIXED (4096) the loop is scale-invariant by
+      // construction, so a k× corpus should grow the wall well under k×
+      // (only the aggregate's share moves). Token content is suffixed
+      // per replica so DISTINCT words multiply — the adversarial
+      // direction for both the aggregate and the cap. (b)
+      // winnowFingerprints: per-doc window scan, claimed linear — k×
+      // docs ≈ k× wall, a superlinear ratio means the window device
+      // escaped its per-doc bound.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      val reps = sys.env.getOrElse("PROBE_STRESS_TEXT", "8").toInt
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).cache()
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val off = maxId + 1
+      def suffixed(r: Int): DataFrame = docs
+        .crossJoin(spark.range(r).toDF("rep"))
+        .select((col("doc_id") + col("rep") * off).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_r"), col("rep").cast("string"))), " ").as("text"))
+        .cache()
+      def run(name: String, df: => DataFrame): Unit = {
+        time(name) { df.write.format("noop").mode("overwrite").save() }
+        spark.catalog.clearCache()
+      }
+      val t1 = suffixed(1); println(s"  text 1x docs=${t1.count()}")
+      run("stress_bpe_warm", text.TextAnalysis.bpeTrainLocal(t1, 50, 4096))
+      val t1b = suffixed(1); t1b.count() // materialized 1x baseline
+      run("stress_bpe_1x", text.TextAnalysis.bpeTrainLocal(t1b, 50, 4096))
+      val tk = suffixed(reps); println(s"  text ${reps}x docs=${tk.count()}")
+      run(s"stress_bpe_${reps}x", text.TextAnalysis.bpeTrainLocal(tk, 50, 4096))
+      val w1 = suffixed(1)
+      run("stress_winnow_warm", text.TextAnalysis.winnowFingerprints(w1))
+      val w1b = suffixed(1); w1b.count()
+      run("stress_winnow_1x", text.TextAnalysis.winnowFingerprints(w1b))
+      val wk = suffixed(reps)
+      run(s"stress_winnow_${reps}x", text.TextAnalysis.winnowFingerprints(wk))
+      docs.unpersist()
+    }
     if (sys.env.contains("PROBE_STRESS_PPJOIN")) {
       // b12_ppjoin scaling (the PROBE_STRESS_PIPE pattern): the prefix
       // join's candidate cost is Σ df(prefix gram)² over the RAREST
