@@ -326,18 +326,19 @@ object Probe {
     if (sys.env.contains("PROBE_STRESS_HARVEST")) {
       // Streaming-harvest tick scaling (r12): ONE harvestSink trigger
       // with a FIXED arrival batch against a store pre-grown to 1×/k×.
-      // The sink's per-trigger shape is read-MERGE-rewrite: the merge
-      // joins are batch-driven (full-outer upsert on uri and the
-      // insert-if-absent anti-join both key on the O(batch) side), but
-      // the A21 swap REWRITES both tables — O(store) per trigger BY
-      // DESIGN here, because the reference-shaped store is one parquet
-      // dir per table (the analogue of the reference's single SQLite
-      // file, which its per-page transaction also rewrites in place).
-      // Expectation: tick wall grows with store size through the read +
-      // rewrite legs while the merge joins stay batch-driven. At 100 TB
-      // the store is a bucketed lakehouse table and this same pipeline
-      // lands as a partition-pruned MERGE whose rewrite touches only
-      // the buckets containing the batch's uris — the probe names the
+      // The sink's per-trigger shape is read-MERGE-rewrite: the A15
+      // anti-join and A13 FK join broadcast the batch side (store
+      // scanned, not shuffled), the A11 upsert is ONE full-outer
+      // shuffle keyed on uri, and the A21 swap REWRITES both tables —
+      // O(store) read + shuffle + rewrite per trigger BY DESIGN here,
+      // because the reference-shaped store is one parquet dir per table
+      // (the analogue of the reference's single SQLite file, which its
+      // per-page transaction also rewrites in place). Expectation: tick
+      // wall grows with store size through those O(store) legs, well
+      // under k× (IO-bound, fixed job count). At 100 TB the store is a
+      // bucketed lakehouse table and this same pipeline lands as a
+      // partition-pruned MERGE (bucket-local upsert shuffle, rewrite
+      // touching only buckets with batch uris) — the probe names the
       // local stand-in's cost so the at-scale claim is a recorded fact,
       // not an assumption.
       import org.apache.spark.sql.functions._
