@@ -92,25 +92,29 @@ private[streaming] object EpochClaims {
       .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
       .foldLeft(0L)(_ max _)
 
-  /** Claim the next free epoch number ≥ newest+1; returns it. */
+  /** Claim the next free epoch number ≥ newest+1; returns it. The tmp
+    * body is removed on EVERY exit path (late r12: an unexpected
+    * createLink failure — permissions, disk full — used to leak it;
+    * harmless to readers, which skip dot-files, but garbage). */
   def claim(epochsDir: java.io.File, body: String): Long = {
     epochsDir.mkdirs()
     val tmp = new java.io.File(epochsDir,
       s".claim-${java.util.UUID.randomUUID()}.tmp")
     java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
-    var e = newest(epochsDir) + 1L
-    var claimed = false
-    while (!claimed) {
-      try {
-        java.nio.file.Files.createLink(
-          new java.io.File(epochsDir, e.toString).toPath, tmp.toPath)
-        claimed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => e += 1L
+    try {
+      var e = newest(epochsDir) + 1L
+      var claimed = false
+      while (!claimed) {
+        try {
+          java.nio.file.Files.createLink(
+            new java.io.File(epochsDir, e.toString).toPath, tmp.toPath)
+          claimed = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => e += 1L
+        }
       }
-    }
-    java.nio.file.Files.deleteIfExists(tmp.toPath)
-    e
+      e
+    } finally { java.nio.file.Files.deleteIfExists(tmp.toPath); () }
   }
 }
 
