@@ -70,9 +70,18 @@ object HarvestJob {
     val existingCount = etRow.getLong(0)
     val nextTermId = (if (etRow.isNullAt(1)) 0L else etRow.getLong(1)) + 1
 
+    // localCheckpoint, not cache (late r12 — the streaming sink's "ledger
+    // prune discipline", applied to the batch job too): cache() keeps the
+    // lineage back to the CURRENT store's parquet, and the first
+    // writeTable swap DELETES those files before the second table is
+    // written — on a cluster, recomputing a lost cached partition of
+    // `allFields` (whose lineage runs through `terms` → the old terms
+    // parquet) would read deleted paths. The eager checkpoint cuts the
+    // lineage before any swap runs; single-JVM local mode never hit it
+    // (MEMORY_AND_DISK evicts to disk, recompute needs executor loss).
     val terms = Merge.upsertTerms(
       existingTerms, valid.select(col("concept").as("uri")), asOf,
-      startId = Some(nextTermId)).cache()
+      startId = Some(nextTermId)).localCheckpoint(true)
     // (count, updated-count) in one pass
     val tRow = terms.agg(count(lit(1)),
       count(when(col("updated_at") === asOf && col("created_at") =!= asOf, 1))).head()
@@ -87,7 +96,7 @@ object HarvestJob {
     val existingFieldCount = efRow.getLong(0)
     val nextFieldId = (if (efRow.isNullAt(1)) 0L else efRow.getLong(1)) + 1
     val allFields = Merge.insertIfAbsent(existingFields, resolved, asOf,
-      startId = Some(nextFieldId)).cache()
+      startId = Some(nextFieldId)).localCheckpoint(true)
     val fieldsInserted = allFields.count() - existingFieldCount
 
     // A19/A20: fail the job (like the reference's sqlite3.Error path,
@@ -104,7 +113,9 @@ object HarvestJob {
     Store.bootstrap(spark, cfg.storeDir)
     cfg.sqliteArtifact.foreach(Store.writeSqliteArtifact(spark, cfg.storeDir, _))
 
-    valid.unpersist(); terms.unpersist(); allFields.unpersist()
+    // terms/allFields are checkpointed, not cached — their blocks free via
+    // the ContextCleaner; only the cache()d frames need explicit release
+    valid.unpersist()
     existingTerms.unpersist(); existingFields.unpersist()
 
     Result(bindingsRead, validRows, distinctTerms,

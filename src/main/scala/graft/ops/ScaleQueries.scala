@@ -427,9 +427,16 @@ object ScaleQueries {
           .as("skew_key"), $"l_orderkey", $"l_linenumber")
       val dim = Tables.supplier(s, dir)
         .select($"s_suppkey".as("skew_key"), $"s_name")
+      // skew_key tie-breaker (late r12, caught by the FULL-surface 16-vs-7
+      // partition-invariance audit): the fixture's lineitem carries
+      // duplicate (l_orderkey, l_linenumber) pairs with different
+      // suppkeys, so the two-key sort was not total and tie order was
+      // partition-count-dependent — the one non-invariant query out of
+      // 295. s_name is functionally dependent on skew_key, so three keys
+      // make the order deterministic up to fully-identical rows.
       val out = fact.join(dim, Seq("skew_key"))
         .select($"l_orderkey", $"l_linenumber", $"skew_key", $"s_name")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"skew_key")
       // localCheckpoint executes THIS frame's query execution (AQE
       // materializes stages and re-plans from measured sizes) AND
       // pins the rows, so the caller's write reads the materialized
@@ -483,7 +490,7 @@ object ScaleQueries {
                    l_orderkey, l_linenumber
             FROM lineitem) l
       JOIN supplier s ON s.s_suppkey = l.skew_key
-      ORDER BY l.l_orderkey, l.l_linenumber""",
+      ORDER BY l.l_orderkey, l.l_linenumber, l.skew_key""",
     // the derivation replayed from the SOURCE table — any quoting or
     // record-splitting loss in the written files hash-mismatches
     "b01_csv_roundtrip" -> s"""
