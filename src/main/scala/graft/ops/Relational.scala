@@ -156,10 +156,14 @@ object Relational {
   /** Projection + filter pushed into the parquet scan (A1/B1/B2). */
   def scanProject(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // all four columns in the sort (late r12 full-surface invariance
+    // audit): the fixture repeats (l_orderkey, l_linenumber) with
+    // different partkeys, so the two-key sort was not total — tie order
+    // held across engines/partitionings only by coincidence
     Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
       .filter($"l_quantity" > 45.0)
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
   }
 
   /** Left-semi join: customers that have at least one order (B3). */
@@ -2189,7 +2193,7 @@ object Relational {
     "b01_scan_project" -> """
       SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
       FROM lineitem WHERE l_quantity > 45.0
-      ORDER BY l_orderkey, l_linenumber""",
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""",
     "b03_join_semi" -> """
       SELECT c_custkey, c_name FROM customer
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

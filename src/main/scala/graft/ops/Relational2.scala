@@ -222,7 +222,7 @@ object Relational2 {
               (SELECT COUNT(*) FROM li_sq l2 WHERE l2.l_partkey = l1.l_partkey)
             < (SELECT SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
                FROM li_sq l2 WHERE l2.l_partkey = l1.l_partkey)
-      ORDER BY l_orderkey, l_linenumber
+      ORDER BY l_orderkey, l_linenumber, l_partkey
     """)
   }
 
@@ -692,7 +692,7 @@ object Relational2 {
               (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
             < (SELECT SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
                FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
-      ORDER BY l_orderkey, l_linenumber""",
+      ORDER BY l_orderkey, l_linenumber, l_partkey""",
     "b06_range_frame" -> """
       SELECT o_custkey, o_orderkey, o_orderdate,
         COUNT(*) OVER w AS n_last30d,

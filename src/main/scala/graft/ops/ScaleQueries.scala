@@ -76,9 +76,11 @@ object ScaleQueries {
       .select($"l_suppkey".as("suppkey"), $"l_orderkey", $"l_linenumber")
     val small = Tables.supplier(s, dir)
       .select($"s_suppkey".as("suppkey"), $"s_name")
+    // suppkey tie-breaker: the fixture repeats (l_orderkey, l_linenumber)
+    // with different suppkeys (late r12 invariance audit)
     ScaleOps.saltedJoin(big, small, "suppkey", salts = 8)
       .select($"l_orderkey", $"l_linenumber", $"suppkey", $"s_name")
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber", $"suppkey")
   }
 
   /** B4: two-phase salted aggregation — partial on (key, salt), final on
@@ -276,10 +278,12 @@ object ScaleQueries {
       s.conf.set(touched(1), "100MB")
       s.conf.set(touched(2), "-1")
       val sel = Tables.supplier(s, dir).filter($"s_nationkey" === 3)
+      // s_suppkey tie-breaker: the fixture repeats (l_orderkey,
+      // l_linenumber) with different suppkeys (late r12 invariance audit)
       val out = Tables.lineitem(s, dir)
         .join(sel, $"l_suppkey" === $"s_suppkey")
         .select($"l_orderkey", $"l_linenumber", $"s_suppkey", $"s_name")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"s_suppkey")
       // forces physical planning NOW, while the confs are in effect;
       // the plan is cached on this DataFrame for the later write
       require(graft.plans.PlanAudit.hasBloomProbe(out),
@@ -512,7 +516,7 @@ object ScaleQueries {
       SELECT l_orderkey, l_linenumber, s_suppkey, s_name
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       WHERE s_nationkey = 3
-      ORDER BY l_orderkey, l_linenumber
+      ORDER BY l_orderkey, l_linenumber, s_suppkey
     """,
     // the compacted table must be row-for-row the original orders
     "b01_compact" -> """
@@ -536,7 +540,7 @@ object ScaleQueries {
     "b03_join_salted" -> """
       SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      ORDER BY l_orderkey, l_linenumber
+      ORDER BY l_orderkey, l_linenumber, suppkey
     """,
     // the naive filter over the unpartitioned table — identical rows
     // whether or not the engine pruned partitions
