@@ -326,11 +326,12 @@ object Probe {
     if (sys.env.contains("PROBE_STRESS_HARVEST")) {
       // Streaming-harvest tick scaling (r12): ONE harvestSink trigger
       // with a FIXED arrival batch against a store pre-grown to 1×/k×.
-      // The sink's per-trigger shape is read-MERGE-rewrite: the A15
-      // anti-join and A13 FK join broadcast the batch side (store
-      // scanned, not shuffled), the A11 upsert is ONE full-outer
-      // shuffle keyed on uri, and the A21 swap REWRITES both tables —
-      // O(store) read + shuffle + rewrite per trigger BY DESIGN here,
+      // The sink's per-trigger shape is read-MERGE-rewrite: the A13 FK
+      // join (inner) broadcasts the batch side (store scanned, not
+      // shuffled), the A11 upsert (full outer) and A15 anti-join (left
+      // anti, store on the right) are each one store-keyed shuffle, and
+      // the A21 swap REWRITES both tables — O(store) per trigger BY
+      // DESIGN here,
       // because the reference-shaped store is one parquet dir per table
       // (the analogue of the reference's single SQLite file, which its
       // per-page transaction also rewrites in place). Expectation: tick

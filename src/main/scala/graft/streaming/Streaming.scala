@@ -971,22 +971,25 @@ object Streaming {
     * parquet lineage (localCheckpoint) BEFORE the swap deletes the old
     * files — the ledger prune discipline (BatchLedger scaladoc).
     *
-    * Scale shape (r12, measured by PROBE_STRESS_HARVEST): per trigger,
-    * the A15 anti-join and A13 FK join broadcast the O(batch) side (AQE-
-    * sized — the store is scanned, not shuffled, in those legs), the A11
-    * upsert is ONE full-outer shuffle keyed on uri (full outer needs
-    * both sides — the store-keyed single shuffle `Merge.upsertTerms`
-    * declares), and the A21 swap REWRITES both tables. The O(store)
-    * read + shuffle + rewrite per trigger is BY DESIGN here: the
-    * reference-shaped store is one plain parquet dir per table, the
-    * analogue of the reference's single SQLite file (whose per-page
-    * transaction also rewrites shared b-tree pages in place). At 100 TB
-    * the store is a bucketed lakehouse table and this same per-trigger
-    * pipeline lands as a partition-pruned MERGE: bucketing on uri makes
-    * the upsert's shuffle a bucket-local merge and the rewrite touches
-    * only buckets containing the batch's uris — the surrogate-id
-    * discipline already supports that (max-id is a footer-stats read;
-    * row_number orders only the new rows). */
+    * Scale shape (r12, measured by PROBE_STRESS_HARVEST; join forms
+    * verified empirically on Spark 4.1): per trigger, the A13 FK join
+    * (inner) broadcasts the O(batch) side — the store is scanned, not
+    * shuffled, in that leg; the A11 upsert (full outer — no broadcast
+    * form exists, both sides exchange even with a 10-row side) and the
+    * A15 anti-join (left anti with the STORE on the right — broadcast
+    * would have to ship the store, so past the AQE threshold it is
+    * SMJ) are each ONE store-keyed shuffle; and the A21 swap REWRITES
+    * both tables. The O(store) read + two key-shuffles + rewrite per
+    * trigger is BY DESIGN here: the reference-shaped store is one plain
+    * parquet dir per table, the analogue of the reference's single
+    * SQLite file (whose per-page transaction also rewrites shared
+    * b-tree pages in place). At 100 TB the store is a lakehouse table
+    * BUCKETED on the merge keys and this same per-trigger pipeline
+    * lands as a partition-pruned MERGE: the upsert's and anti-join's
+    * shuffles become bucket-local merges and the rewrite touches only
+    * buckets containing the batch's keys — the surrogate-id discipline
+    * already supports that (max-id is a footer-stats read; row_number
+    * orders only the new rows). */
   /** Test seam (r12): fires after the merge computation, before the
     * owner re-check that guards the table swaps — the window a
     * successor's claim must be able to fence. Production no-op. */
