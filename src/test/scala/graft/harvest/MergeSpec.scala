@@ -133,6 +133,43 @@ class MergeSpec extends SparkSpec {
       ("u5", "insert", null, "e")))
   }
 
+  test("A13 resolveFk plan shape: the O(batch) melted side is BROADCAST " +
+    "against a large terms table — store scanned, never shuffled (late r12 " +
+    "scale-shape pin; the anti-join and full-outer legs have no broadcast " +
+    "form, verified empirically, so this is the ONE batch-driven join)") {
+    import org.apache.spark.sql.functions._
+    // terms big enough that broadcasting IT would exceed the 10MB
+    // threshold — the planner must broadcast the batch side instead
+    val pad = "x" * 96
+    val terms = spark.range(300000).select(
+      col("id"),
+      concat(lit("https://v.example/t/"), col("id"), lit(pad)).as("uri"))
+    val melted = Seq(5L, 17L, 99L).toDF("n").select(
+      concat(lit("https://v.example/t/"), col("n"), lit(pad)).as("concept"),
+      lit("skos:prefLabel").as("field_term"),
+      lit("http://www.w3.org/2004/02/skos/core#prefLabel").as("field_uri"),
+      lit("v").as("original_value"))
+    val out = Merge.resolveFk(melted, terms)
+    assert(out.count() === 3L) // executes the plan so AQE finalizes it
+    val nodes = graft.plans.PlanAudit.allNodes(out.queryExecution.executedPlan)
+    val bhj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "resolveFk did not plan a broadcast-hash join")
+    // the BUILD side must be the batch (melted) side: its subtree carries
+    // `concept`, never the store's corpus
+    assert(bhj.exists { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      }
+      build.output.exists(_.name == "concept")
+    }, s"broadcast built the STORE side, not the batch: ${bhj.map(_.buildSide)}")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "resolveFk shuffled the store (SortMergeJoin) despite a broadcastable batch")
+  }
+
   test("scd2Merge rejects corrupt history with two current rows per key (SCD2)") {
     val hist = Seq(("u1", "a"), ("u1", "b")).toDF("uri", "label")
       .select($"uri", $"label",
