@@ -1291,13 +1291,20 @@ object Similarity {
     // PORTABLE md5(content-csv) ordering (csv tie-break) — distinct
     // first, or duplicate-heavy corpora could seed identical centroids
     // that immediately collapse into one cell. The seed rank is the
-    // cluster id.
+    // cluster id. SCALE FIX (late r12, global-window sweep): the old
+    // form ranked EVERY distinct vector through one unpartitioned
+    // row_number window — a corpus-wide single-partition sort — and
+    // only then kept k. orderBy+limit(k) is the distributed top-k
+    // (TakeOrderedAndProject: per-partition heads, driver merge of k),
+    // and the rank window then runs over k rows only (the whales-curve
+    // pattern). Same k rows, same ids — every kmeans-family hash
+    // re-verified unchanged.
     val seedW = Window.orderBy(col("skey"), col("sstr"))
     var centroids = e.select(col("q")).distinct()
       .withColumn("sstr", array_join(col("q"), ","))
       .withColumn("skey", md5(col("sstr")))
+      .orderBy(col("skey"), col("sstr")).limit(k)
       .withColumn("cid", (row_number().over(seedW) - 1).cast("long"))
-      .filter(col("cid") < k)
       .select(col("cid"), col("q").as("cq"),
         sqrt(dotQ(col("q"), col("q")).cast("double")).as("cnorm"))
     // zero-norm vectors (all components quantize to 0) have no cosine —
