@@ -79,6 +79,11 @@ object HarvestJob {
     // parquet) would read deleted paths. The eager checkpoint cuts the
     // lineage before any swap runs; single-JVM local mode never hit it
     // (MEMORY_AND_DISK evicts to disk, recompute needs executor loss).
+    // Trade-off (r13 ADVICE): localCheckpoint blocks are UNRECOVERABLE
+    // on executor loss — this converts the silent wrong-path recompute
+    // into a hard job failure (fail-fast; the job re-runs idempotently).
+    // Reliable checkpointing would add fault tolerance at the cost of a
+    // distributed-FS round-trip per table.
     val terms = Merge.upsertTerms(
       existingTerms, valid.select(col("concept").as("uri")), asOf,
       startId = Some(nextTermId)).localCheckpoint(true)

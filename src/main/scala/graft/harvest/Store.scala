@@ -66,12 +66,17 @@ object Store {
     * interleaving where the old "delete target, restore old" rollback
     * destroyed live data instead of stale. With the check the stale
     * writer leaves the successor's table untouched and just dies. The
-    * remaining residue — a stall inside fence (2)'s rollback — can at
-    * worst restore a retired table the successor is about to retire
-    * again (its rename onto an existing target fails, and the
-    * successor's own sweep deletes the stale `_old_`), never destroy
-    * one. At lakehouse scale this fence is the commit-owner service's
-    * job (the BatchLedger trust note). */
+    * retraction is additionally gated on `_old_` still existing (r13
+    * ADVICE — a third writer can fence the successor into rolling the
+    * stale copy BACK, consuming `_old_`; retracting then would leave no
+    * table at all, so the stale writer keeps its own copy in place
+    * instead). Residue after both guards: a fenced writer may leave a
+    * STALE-but-complete table that the live successor's next write
+    * replaces, or fence (2)'s rollback may restore a retired table the
+    * successor is about to retire again — both converge by
+    * content-idempotence; neither destroys data. At lakehouse scale
+    * this fence is the commit-owner service's job (the BatchLedger
+    * trust note). */
   def writeTable(df: DataFrame, storeDir: String, name: String,
       stagingTag: String = "", fence: () => Unit = () => ()): Unit = {
     val spark = df.sparkSession
@@ -103,11 +108,18 @@ object Store {
     try fence()
     catch {
       case t: Throwable =>
-        // retract ONLY a copy this write still owns: the marker is gone
-        // exactly when a successor's completed write replaced the table
-        if (fs.exists(new Path(target, writerMark))) {
+        // retract ONLY a copy this write still owns (the marker is gone
+        // exactly when a successor's completed write replaced the table)
+        // AND only while a restorable copy exists (r13 ADVICE): in the
+        // three-writer interleaving — Z1 stalls here, Z2 retires Z1's
+        // table, Z2 is itself fenced and ROLLS Z1's table (marker and
+        // all) back, Z1 resumes — `_old_` is gone, so deleting target
+        // would leave the store with NO table. Z1 instead leaves its own
+        // completed copy in place; it is stale but content-idempotent,
+        // and the live successor's next write supersedes it.
+        if (fs.exists(new Path(target, writerMark)) && fs.exists(old)) {
           fs.delete(target, true)
-          if (fs.exists(old)) fs.rename(old, target)
+          fs.rename(old, target)
         }
         throw t
     }

@@ -43,8 +43,12 @@ object RagPipeline {
     val retrieved = graft.text.TextAnalysis.bm25RankDocs(corpus, RetrieveK)
       .select($"query_id", $"rank", $"doc_id", $"score")
       // feeds candidate-pair gen (twice), the gram build's id filter, and
-      // the survivor join — one materialization, retrieval-sized
-      .cache()
+      // the survivor join — one materialization, retrieval-sized.
+      // localCheckpoint, not cache (r13, VERDICT r12 #5): under memory
+      // pressure a cache() eviction silently re-ran the BM25 corpus pass
+      // per consumer — the suite's worst tail (1.9 s isolated vs 12.5 s
+      // cold-cache). The eager checkpoint pins the retrieval-sized frame.
+      .localCheckpoint(true)
     val docs = corpus.select($"doc_id", $"text")
     val rdocs = docs.join(retrieved.select($"doc_id").distinct(), "doc_id")
     val grams = rdocs.select($"doc_id", split($"text", " ").as("toks"))
@@ -52,7 +56,7 @@ object RagPipeline {
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
         .as("gram"))
-      .distinct().cache()
+      .distinct().localCheckpoint(true) // same eviction-recompute hazard
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
     val hi = retrieved.select($"query_id", $"rank".as("hi_rank"), $"doc_id".as("hi_doc"))
     val lo = retrieved.select($"query_id", $"rank".as("lo_rank"), $"doc_id".as("lo_doc"))

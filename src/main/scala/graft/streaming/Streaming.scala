@@ -1075,14 +1075,23 @@ object Streaming {
       .filter(f => scala.util.Try(f.getName.toLong).toOption.exists(_ < epoch))
       .foreach(_.delete())
     val staleStaging = "^_staging_.+\\.e(\\d+)$".r
-    Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
-      .foreach { f =>
-        f.getName match {
-          case staleStaging(e) if e.toLong < epoch =>
-            org.apache.commons.io.FileUtils.deleteQuietly(f); ()
-          case _ => ()
-        }
+    // Hadoop FileSystem, not java.io.File (r13 ADVICE): writeTable itself
+    // stages through the FileSystem API, so on a non-local store a
+    // java.io.File listing would silently no-op and crashed writers'
+    // staging dirs would leak after all. (The epoch-claim fencing above
+    // DOES assume a local, hard-link-capable store filesystem —
+    // EpochClaims arbitrates by create-exclusive hard links; at lakehouse
+    // scale the fence is the commit-owner service's job, per the
+    // BatchLedger trust note.)
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val storeFs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    storeFs.listStatus(storePath).foreach { st =>
+      st.getPath.getName match {
+        case staleStaging(e) if e.toLong < epoch =>
+          scala.util.Try(storeFs.delete(st.getPath, true)); ()
+        case _ => ()
       }
+    }
   }
 
   /** w08 streaming twin (r7, r6-verdict #8): iterative graph algorithms
