@@ -48,6 +48,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // r13 (VERDICT r12 #6): enforce sort totality on the dump — a query
+    // whose final ORDER BY admits distinct tied rows ships a
+    // plan-dependent emitted order. Runs AFTER the dump and
+    // oracle_sql.json are complete (the driver's compare still sees the
+    // full artifact); any hit turns the exit code red.
+    val violations = SortTotality.check(spark, outDir,
+      SparkEntry.oracleSql.filter { case (k, _) => only.isEmpty || only(k) })
+    violations.foreach { case (name, groups) =>
+      System.err.println(s"[verify][sort-totality] FAIL $name: " +
+        s"$groups sort-key groups contain distinct rows (tie-ambiguous final sort)")
+    }
     spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
   }
 }

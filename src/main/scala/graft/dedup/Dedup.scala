@@ -869,6 +869,51 @@ object Dedup {
       statsRef = Some(statsRef))
   }
 
+  /** [[refPortableTables3]] written as BUCKETED catalog tables instead of
+    * plain parquet snapshots (r13, VERDICT r12 #1 — the executed form of
+    * the "at 100 TB the reference tables are bucketed" claim): shingles
+    * bucketed on `doc_id` (the verify-join key), bands AND bucket stats
+    * on (band_idx, band_hash) (the probe key), so when the probing batch
+    * outgrows the broadcast threshold the probe's joins read
+    * HashPartitioning straight from the layout and shuffle ONLY the
+    * batch side — BucketedLayoutSpec pins that executed plan, and
+    * b12_cross_bucketed hash-gates the content against the same DuckDB
+    * replay the path-based variant uses. */
+  private[graft] def refBucketedTables3(s: SparkSession, dir: String,
+      name: String, refPred: Column, k: Int = 3,
+      buckets: Int = 8): (DataFrame, DataFrame, DataFrame) = {
+    val sh = graft.SnapshotStore.bucketed(s, dir, "documents.parquet",
+      s"${name}_sh", buckets, Seq("doc_id")) {
+      portableShingleHashes(Tables.documents(s, dir).filter(refPred), k)
+    }
+    val bands = graft.SnapshotStore.bucketed(s, dir, "documents.parquet",
+      s"${name}_bands", buckets, Seq("band_idx", "band_hash")) {
+      portableBands(sh)
+    }
+    val stats = graft.SnapshotStore.bucketed(s, dir, "documents.parquet",
+      s"${name}_bstats", buckets, Seq("band_idx", "band_hash")) {
+      bands.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+    }
+    (sh, bands, stats)
+  }
+
+  /** B12 (r13): the cross-corpus probe over the BUCKETED reference
+    * layout — e08's arrival-gate stage (ids ≡ 3 mod 10 probing the
+    * standing corpus) reading [[refBucketedTables3]]. Content-identical
+    * to the path-snapshot plan by construction; the shared oracle family
+    * hash-gates it, and BucketedLayoutSpec pins the bucket-local plan
+    * shape under a non-broadcastable batch. */
+  def crossBucketedQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // "e08_ref": the SAME bucketed tables e08's gate stage reads — one
+    // shared artifact, so the gate and the flagship can never drift
+    val (shRef, bRef, statsRef) = refBucketedTables3(s, dir, "e08_ref",
+      col("doc_id") % 10 =!= 3)
+    minHashPortableAcrossWith(docs.filter(col("doc_id") % 10 === 3), shRef, bRef,
+      statsRef = Some(statsRef))
+  }
+
   // ------------------------------------------- cluster assignment (B12)
 
   /** Connected components by iterative min-label propagation: every vertex
@@ -1398,6 +1443,7 @@ object Dedup {
     "b12_dedup_clusters" -> (dedupClustersQuery _),
     "b11_entity_match" -> (entityMatchQuery _),
     "b12_cross_portable" -> (crossPortableQuery _),
+    "b12_cross_bucketed" -> (crossBucketedQuery _),
     "b12_simhash_portable" -> (simHashPortableQuery _),
     "b12_hamming_join_sql" -> (hammingJoinSqlQuery _),
     "b12_ppjoin" -> (ppJoinQuery _),
@@ -1510,8 +1556,11 @@ object Dedup {
               GROUP BY c.a, c.b)"""
   }
 
-  private def crossPortableOracle: String = s"""
-      WITH ${portableCrossCtes("doc_id % 2 = 0", "doc_id % 2 <> 0")}
+  /** One oracle body for every cross-corpus probe variant — only the
+    * corpus-split predicates differ (path snapshots: even/odd; bucketed
+    * layout: e08's arrival split). */
+  private def crossOracle(newFilter: String, refFilter: String): String = s"""
+      WITH ${portableCrossCtes(newFilter, refFilter)}
       SELECT i.a AS new_id, i.b AS ref_id, i.inter, na.n AS na, nb.n AS nb,
              CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) AS jaccard
       FROM ins i
@@ -1519,6 +1568,9 @@ object Dedup {
       JOIN szs nb ON nb.doc_id = i.b
       WHERE i.inter * 2 >= na.n + nb.n - i.inter
       ORDER BY new_id, ref_id"""
+
+  private def crossPortableOracle: String =
+    crossOracle("doc_id % 2 = 0", "doc_id % 2 <> 0")
 
   /** Brute force IS the oracle for [[ppJoin]]: prefix filtering is a
     * pure candidate pruning, so the exact answer is the unfiltered
@@ -1547,6 +1599,7 @@ object Dedup {
     "b12_ppjoin" -> ppJoinOracle,
     "b11_entity_match" -> entityMatchOracle,
     "b12_cross_portable" -> crossPortableOracle,
+    "b12_cross_bucketed" -> crossOracle("doc_id % 10 = 3", "doc_id % 10 <> 3"),
     "b12_simhash_portable" -> simHashPortableOracle,
     "b12_hamming_join_sql" -> hammingJoinSqlOracle,
     // the oracle compares gram STRINGS where the engine joins 64-bit gram

@@ -44,8 +44,16 @@ object ScaleOps {
     * `key` so future equi-joins/aggregations on `key` skip the shuffle
     * entirely (both sides must share bucket count + key). */
   def writeBucketed(df: DataFrame, path: String, table: String, key: String, buckets: Int): Unit =
+    writeBucketedKeys(df, path, table, Seq(key), buckets)
+
+  /** [[writeBucketed]] over a composite key (r13): the bucket columns
+    * must match a consumer join's keys EXACTLY (same set — Spark's
+    * co-partition check wants the full key list) for the scan-side
+    * HashPartitioning to replace the join's shuffle. */
+  def writeBucketedKeys(df: DataFrame, path: String, table: String,
+      keys: Seq[String], buckets: Int): Unit =
     df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)

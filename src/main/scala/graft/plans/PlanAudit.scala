@@ -73,6 +73,29 @@ object PlanAudit {
     case _ => false
   }
 
+  /** All shuffle exchanges of the executed (post-AQE) plan — the nodes a
+    * partitioning-strategy pin counts (DescentPlanSpec,
+    * BucketedLayoutSpec). Only meaningful AFTER an action has run. */
+  def shuffleExchanges(df: DataFrame): Seq[SparkPlan] = nodes(df).collect {
+    case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+  }
+
+  /** Parquet scans that read a BUCKETED layout (the catalog bucket spec
+    * recognized AND exploited — Spark clears `bucketedScan` when it
+    * decides not to use the layout). */
+  def bucketedScans(df: DataFrame): Seq[FileSourceScanExec] = nodes(df).collect {
+    case f: FileSourceScanExec if f.bucketedScan => f
+  }
+
+  /** True iff NO shuffle exchange sits above any bucketed scan — the
+    * bucket-local join form: the bucketed side's HashPartitioning comes
+    * straight from the layout, so only the probe side exchanges (r13,
+    * VERDICT r12 #1). */
+  def noExchangeAboveBucketedScan(df: DataFrame): Boolean =
+    shuffleExchanges(df).forall(ex => allNodes(ex).collect {
+      case f: FileSourceScanExec if f.bucketedScan => f
+    }.isEmpty)
+
   /** True iff AQE's OptimizeSkewedJoin engaged on an EXECUTED plan: a
     * sort-merge/shuffled-hash join flagged isSkewJoin, or a shuffle
     * read whose partition specs split one reducer partition into

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** r13 (VERDICT r12 #6): the sort-totality gate that Verify now enforces
+  * — parser unit pins (the depth-0 final-ORDER-BY extraction mirrors
+  * tools/sort_totality.py) and an end-to-end check over planted dumps. */
+class SortTotalitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("finalOrderCols: plain, qualified, positional, quoted, decorated") {
+    assert(SortTotality.finalOrderCols("SELECT a, b FROM t ORDER BY a, b DESC")
+      === Some(Seq("a", "b")))
+    assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER BY i.a, i.b")
+      === Some(Seq("a", "b")))
+    assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER BY 1, 2 LIMIT 5")
+      === Some(Seq("1", "2")))
+    assert(SortTotality.finalOrderCols("""SELECT * FROM t ORDER BY "rank" DESC NULLS LAST""")
+      === Some(Seq("rank")))
+    assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER BY a NULLS FIRST, b ASC")
+      === Some(Seq("a", "b")))
+  }
+
+  test("finalOrderCols: window/CTE sorts at depth > 0 are not the final sort") {
+    assert(SortTotality.finalOrderCols(
+      "SELECT ROW_NUMBER() OVER (ORDER BY x) AS rn FROM t") === None)
+    assert(SortTotality.finalOrderCols(
+      "WITH c AS (SELECT * FROM t ORDER BY x) SELECT * FROM c ORDER BY y")
+      === Some(Seq("y")))
+    // a literal containing 'ORDER BY' is blinded
+    assert(SortTotality.finalOrderCols(
+      "SELECT * FROM t WHERE s = 'ORDER BY z' ORDER BY w") === Some(Seq("w")))
+  }
+
+  test("finalOrderCols: expression sort keys fall back to the hand-check list") {
+    assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER BY a + b") === None)
+    assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER BY abs(a)") === None)
+    assert(SortTotality.finalOrderCols("SELECT a FROM t") === None)
+  }
+
+  test("check: flags a tie-ambiguous dump, passes a total one") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sorttot").toString
+    try {
+      // ambiguous: two DISTINCT rows share sort key k=1
+      Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$out/q_bad")
+      // total: (k, v) is a unique key
+      Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$out/q_good")
+      // duplicate FULL rows under one key are NOT ambiguity (same row
+      // emitted twice sorts identically)
+      Seq((1L, "x"), (1L, "x"), (2L, "z")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$out/q_dupe")
+      val got = SortTotality.check(spark, out, Map(
+        "q_bad" -> "SELECT k, v FROM t ORDER BY k",
+        "q_good" -> "SELECT k, v FROM t ORDER BY k, v",
+        "q_dupe" -> "SELECT k, v FROM t ORDER BY k",
+        "q_missing_dump" -> "SELECT 1 ORDER BY x"))
+      assert(got === Seq("q_bad" -> 1L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+}

@@ -291,6 +291,40 @@ class StreamingDurabilitySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("restart r13 (VERDICT r12 #2): insert recovery LOADS the committed " +
+    "adjacency delta — bit-identical to the hnswInsert kernel replay it replaces") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").filter($"vec_id" < 400)
+    val b0 = emb.filter($"vec_id" % 4 === 0).toDF()
+    val b1 = emb.filter($"vec_id" % 4 === 1).toDF()
+    val dir = tmpDir("anndelta")
+    val s1 = new Streaming.AnnIndexRefresh(compactEvery = 10, Some(dir))
+    s1.update(b0, 0L) // build — the canonical point
+    val adj0 = s1.adjacency.get.localCheckpoint(true)
+    s1.update(b1, 1L) // insert — commits the vector segment AND the delta
+    // the commit records the delta payload (the branch recover() takes)
+    val marker = new java.io.File(new java.io.File(dir, "commits"), "1.e1")
+    assert(marker.exists(), "insert commit marker missing")
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .contains("delta=1"), "insert commit does not declare its delta payload")
+    assert(new java.io.File(dir, "data").listFiles()
+      .exists(_.getName.startsWith("adjdelta-b1-")), "delta payload dir missing")
+    // the kernel replay — the pre-r13 recovery path, kept as cross-check
+    val layers = graft.similarity.Similarity.provisionLayers(b0.count())
+    val replay = graft.similarity.Similarity.hnswInsert(b0, adj0, b1, Some(layers))
+    // delta-load recovery (a fresh instance on the same ledger)
+    val s2 = new Streaming.AnnIndexRefresh(compactEvery = 10, Some(dir)).recover(spark)
+    val loaded = s2.adjacency.get
+    assert(loaded.exceptAll(replay).count() === 0L &&
+      replay.exceptAll(loaded).count() === 0L,
+      "delta-load recovery diverged from the kernel replay")
+    val cont = s1.adjacency.get
+    assert(loaded.exceptAll(cont).count() === 0L &&
+      cont.exceptAll(loaded).count() === 0L,
+      "delta-load recovery diverged from the continuous run")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("restart: SessionConcurrencyRefresh recovers the bounded snapshot " +
     "(open/frozen/finished-days/carry/frontier); curve bit-identical") {
     def e(id: Long, u: Long, ts: String) = Evt(id, Timestamp.valueOf(ts), u, "view", 0)
