@@ -645,6 +645,108 @@ object Probe {
       run(s"stress_ppjoin_${reps}x", dedup.Dedup.ppJoin(pk))
       docs.unpersist()
     }
+    if (sys.env.contains("PROBE_STRESS_BUCKETED")) {
+      // Bucketed-layout probe scaling (r13, VERDICT r12 #1
+      // follow-through): BucketedLayoutSpec pins the SHAPE (zero
+      // exchange above the bucketed reference scans, one batch-side
+      // exchange, broadcast disabled); this probe records the COST the
+      // layout removes, as shuffle-exchange bytes + wall, at 1× and k×
+      // reference scale with a FIXED probing batch. Expectation: the
+      // path layout's shuffled bytes grow ~k× (the reference band/stats
+      // tables cross the exchange), the bucketed layout's stay flat at
+      // batch size — the recorded-fact form of "per-tick work scales
+      // with the batch; the corpus side is scanned, never shuffled".
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val reps = sys.env.getOrElse("PROBE_STRESS_BUCKETED", "8").toInt
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val off = ((maxId / 10) + 1) * 10 // residue-preserving offset
+      val batch = dedup.Dedup.portableBandsOf(dedup.Dedup.portableShingleHashes(
+          docs.filter(col("doc_id") % 10 === 3), 3))
+        .select(col("doc_id").as("a"), col("band_idx"), col("band_hash"))
+        .localCheckpoint(true)
+      def refTables(k: Int): (DataFrame, DataFrame) = {
+        val standing = docs.filter(col("doc_id") % 10 =!= 3)
+        val grown =
+          if (k == 1) standing
+          else standing.crossJoin(spark.range(k).toDF("rep"))
+            .select((col("doc_id") + col("rep") * off).as("doc_id"),
+              // per-replica token suffix for rep > 0: disjoint shingle/
+              // band spaces, so bands multiply ~k× instead of piling k
+              // copies into the same buckets (which would cap at
+              // MaxBucket and hide growth). Rep 0 stays UNSUFFIXED so
+              // the fixed batch finds the same matches at every k — the
+              // probe's matched work is constant and growth isolates
+              // the corpus-side cost.
+              when(col("rep") === 0, col("text")).otherwise(
+                array_join(transform(split(col("text"), " "),
+                  t => concat(t, lit("_r"), col("rep").cast("string"))), " "))
+                .as("text"))
+        val sh = dedup.Dedup.portableShingleHashes(grown, 3).localCheckpoint(true)
+        val bands = dedup.Dedup.portableBandsOf(sh).localCheckpoint(true)
+        val stats = bands.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+          .localCheckpoint(true)
+        (bands, stats)
+      }
+      def shuffledBytes(df: DataFrame): Long =
+        plans.PlanAudit.allNodes(df.queryExecution.executedPlan).collect {
+          case s: ShuffleExchangeExec => s.metrics.get("dataSize").map(_.value).getOrElse(0L)
+        }.sum
+      def probe(bRef: DataFrame, stats: DataFrame): DataFrame = batch
+        .join(stats, Seq("band_idx", "band_hash"))
+        .filter(col("bsz") <= dedup.Dedup.MaxBucket)
+        .select(col("a"), col("band_idx"), col("band_hash"))
+        .join(bRef.select(col("doc_id").as("b"), col("band_idx"), col("band_hash")),
+          Seq("band_idx", "band_hash"))
+        .select(col("a"), col("b"))
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        for (k <- Seq(1, reps)) {
+          val (bands, stats) = refTables(k)
+          println(s"  stress bucketed ${k}x: ref bands=${bands.count()}")
+          // path layout: plain parquet, no catalog bucket spec
+          val pdir = java.nio.file.Files.createTempDirectory(s"graft_bkt_path_$k").toString
+          bands.write.parquet(s"$pdir/bands"); stats.write.parquet(s"$pdir/stats")
+          val bandsP = spark.read.parquet(s"$pdir/bands")
+          val statsP = spark.read.parquet(s"$pdir/stats")
+          // bucketed layout: same content, bucket spec on the probe key
+          ops.ScaleOps.writeBucketedKeys(bands, s"$pdir/bands_b",
+            s"probe_bkt_bands_$k", Seq("band_idx", "band_hash"), 8)
+          ops.ScaleOps.writeBucketedKeys(stats, s"$pdir/stats_b",
+            s"probe_bkt_stats_$k", Seq("band_idx", "band_hash"), 8)
+          val bandsB = spark.table(s"probe_bkt_bands_$k")
+          val statsB = spark.table(s"probe_bkt_stats_$k")
+          var dfP: DataFrame = null; var dfB: DataFrame = null
+          var nP = 0L; var nB = 0L
+          probe(bandsP, statsP).write.format("noop").mode("overwrite").save() // warm
+          // collect() (not a noop write) so the metrics land on the SAME
+          // QueryExecution the shuffledBytes walk reads — a write runs
+          // its own execution and leaves df.queryExecution's at zero
+          time(s"stress_bucketed_${k}x_path") {
+            dfP = probe(bandsP, statsP); nP = dfP.collect().length.toLong
+          }
+          time(s"stress_bucketed_${k}x_bucketed") {
+            dfB = probe(bandsB, statsB); nB = dfB.collect().length.toLong
+          }
+          require(nP == nB, s"layouts disagree: $nP vs $nB pairs")
+          println(s"  stress bucketed ${k}x pairs=$nP shuffled bytes: " +
+            s"path=${shuffledBytes(dfP)} bucketed=${shuffledBytes(dfB)}")
+          spark.sql(s"DROP TABLE IF EXISTS probe_bkt_bands_$k")
+          spark.sql(s"DROP TABLE IF EXISTS probe_bkt_stats_$k")
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pdir))
+          spark.catalog.clearCache()
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+      }
+    }
     if (sys.env.contains("PROBE_RULES")) {
       // Optimizer-rule scale evidence: the same queries with and without
       // the graft rewrite rules, against real testdata. The naive plans

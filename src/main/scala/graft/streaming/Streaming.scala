@@ -1113,8 +1113,12 @@ object Streaming {
     * A15 key — exactly the ids the batch job assigns — with all
     * timestamps preserved per natural key. Both tables swap through the
     * A21 staged writer; inputs are eagerly cut first (the swap deletes
-    * the files they read). Pinned in StreamingSpec: shuffled delivery +
-    * renumber == HarvestJob.run bit-for-bit, both tables. */
+    * the files they read). Like the batch job — and unlike the sink —
+    * this takes NO store-epoch claim, so quiesce the streaming query
+    * before running it (the compaction-window discipline); a renumber
+    * racing a live trigger would interleave two unfenced writers.
+    * Pinned in StreamingSpec: shuffled delivery + renumber ==
+    * HarvestJob.run bit-for-bit, both tables. */
   def renumberHarvestStore(spark: SparkSession, storeDir: String): Unit = {
     val terms = graft.harvest.Store.readTableOr(
       spark, storeDir, "terms", graft.harvest.Schemas.terms).localCheckpoint(true)
