@@ -112,6 +112,36 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(rows(bucketed) === rows(pathBased))
   }
 
+  test("bucketed snapshot re-registers existing files in a fresh catalog " +
+    "without rebuilding (the cross-JVM path, pinned deterministically)") {
+    val (_, bRef, _) = Dedup.refBucketedTables3(
+      spark, sfDir, "e08_ref", col("doc_id") % 10 =!= 3)
+    val scan = graft.plans.PlanAudit.allNodes(bRef.queryExecution.executedPlan)
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.nonEmpty, "bands did not come from a file scan")
+    val dataDir = new java.io.File(
+      new java.net.URI(scan.get.relation.location.rootPaths.head.toString))
+    val before = dataDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    // simulate the fresh-JVM catalog: drop the entry (files stay — the
+    // table is external), then re-derive through the same seam
+    spark.sql(s"DROP TABLE IF EXISTS ${dataDir.getName}")
+    val (_, bRef2, _) = Dedup.refBucketedTables3(
+      spark, sfDir, "e08_ref", col("doc_id") % 10 =!= 3)
+    val after = dataDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after === before, "re-registration rewrote the bucketed files")
+    // the re-registered table still carries the bucket spec: content
+    // equal AND a join on the bucket key still reads bucket-locally
+    assert(rows(bRef2) === rows(bRef))
+    noBroadcast {
+      val probeKeys = bRef2.select($"band_idx", $"band_hash").limit(5)
+        .localCheckpoint(true)
+      val j = probeKeys.join(bRef2, Seq("band_idx", "band_hash"))
+      j.collect()
+      assert(graft.plans.PlanAudit.bucketedScans(j).nonEmpty,
+        s"bucket spec lost across re-registration:\n${j.queryExecution.executedPlan}")
+    }
+  }
+
   test("harvest store bucketed on the merge keys: A11 upsert and A15 " +
     "anti-join plan NO exchange on the store side (the bucket-local MERGE)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store_bkt").toString
