@@ -68,4 +68,45 @@ class SnapshotRaceSpec extends SparkSpec {
     assert(again > 0L)
     assert(buildCount.get() === before, "published snapshot was rebuilt")
   }
+
+  test("N threads racing one cold BUCKETED snapshot key (r13): one build, " +
+    "identical rows, every caller gets the catalog table") {
+    val buildCount = new AtomicInteger(0)
+    val key = s"race_bkt_${System.nanoTime()}"
+    val n = 6
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val results = (1 to n).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Seq[Any]]] {
+        def call(): Seq[Seq[Any]] = {
+          start.await()
+          SnapshotStore.bucketed(spark, sfDir, "documents.parquet", key,
+            buckets = 4, bucketKeys = Seq("doc_id")) {
+            buildCount.incrementAndGet()
+            Tables.documents(spark, sfDir)
+              .select(col("doc_id"), length(col("text")).as("len"))
+          }.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+        }
+      })
+    }
+    start.countDown()
+    val rows = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(rows.distinct.size === 1, "racers saw divergent bucketed content")
+    assert(rows.head.nonEmpty)
+    // the in-JVM lock serializes the cold build: exactly one builder ran
+    // (unlike apply(), there is no per-thread staging — losers must never
+    // reach saveAsTable at all, or they would tear the shared path)
+    assert(buildCount.get() === 1,
+      s"expected exactly one bucketed build, got ${buildCount.get()}")
+    // a later cold touch serves the registered table without rebuilding
+    val before = buildCount.get()
+    val again = SnapshotStore.bucketed(spark, sfDir, "documents.parquet", key,
+      buckets = 4, bucketKeys = Seq("doc_id")) {
+      buildCount.incrementAndGet()
+      sys.error("builder must not re-run for a published bucketed snapshot")
+    }.count()
+    assert(again > 0L)
+    assert(buildCount.get() === before, "published bucketed snapshot was rebuilt")
+  }
 }

@@ -90,6 +90,41 @@ class StoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("writeTable retraction requires a restorable copy (r13 ADVICE): a " +
+    "stale writer whose _old_ was consumed by a fenced successor's rollback " +
+    "keeps its own complete table instead of leaving the store with none") {
+    val dir = Files.createTempDirectory("graft_store_threew").toString
+    Store.writeTable(Seq((1L, "base")).toDF("id", "uri"), dir, "t")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def uris() = spark.read.parquet(s"$dir/t").collect().map(_.getString(1)).distinct.toSeq
+    // Z1 swaps its table in (marker inside, _old_t holds the base), then
+    // stalls at fence(3). While stalled: successor Z2 deletes _old_t,
+    // retires Z1's table, is fenced by Z3 and ROLLS Z1's table back —
+    // net disk state at Z1's wake-up: t = Z1's copy (marker and all),
+    // _old_t GONE. The pre-r13 retraction deleted t and found nothing to
+    // restore: no table at all, and readTableOr bootstraps empty —
+    // silent data loss. Now Z1 keeps its own complete copy.
+    var calls = 0
+    intercept[IllegalStateException] {
+      Store.writeTable(Seq((9L, "z1")).toDF("id", "uri"), dir, "t", ".e2",
+        () => {
+          calls += 1
+          if (calls == 3) {
+            fs.delete(new Path(s"$dir/_old_t"), true) // Z2's net effect
+            throw new IllegalStateException("fenced")
+          }
+        })
+    }
+    assert(fs.exists(new Path(s"$dir/t")), "store left with NO table")
+    // stale-but-complete beats empty: content-idempotent, the live
+    // successor's next write supersedes it
+    assert(uris() === Seq("z1"))
+    // the writer died before clearing its marker; underscore-prefixed
+    // files are invisible to readers — the table must read normally
+    assert(spark.read.parquet(s"$dir/t").count() === 1)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("readTableOr recovers a table stranded mid-swap at _old_<name>") {
     val dir = Files.createTempDirectory("graft_store_crash").toString
     Store.writeTable(Seq((1L, "a")).toDF("id", "uri"), dir, "t")
