@@ -71,10 +71,13 @@ object SortTotality {
 
   /** (query, offending-group-count) for every dumped query whose parsed
     * final sort admits distinct tied rows. `oracles` filters which dumps
-    * are examined (Verify passes its SPARK_GRAFT_ONLY-filtered map). */
+    * are examined (Verify passes its SPARK_GRAFT_ONLY-filtered map).
+    * Per-query jobs run from a small thread pool — Spark schedules
+    * concurrent driver-side jobs fine, and the ~290 small group-counts
+    * were adding ~70 s of serialized wall to the driver's gate. */
   def check(spark: SparkSession, outDir: String,
-      oracles: Map[String, String]): Seq[(String, Long)] =
-    oracles.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      oracles: Map[String, String]): Seq[(String, Long)] = {
+    def one(name: String, sql: String): Option[(String, Long)] = {
       val dir = new java.io.File(outDir, name)
       if (!dir.exists()) None
       else finalOrderCols(sql).flatMap { raw =>
@@ -101,4 +104,14 @@ object SortTotality {
         }
       }
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = oracles.toSeq.sortBy(_._1).map { case (name, sql) =>
+        pool.submit(new java.util.concurrent.Callable[Option[(String, Long)]] {
+          def call(): Option[(String, Long)] = one(name, sql)
+        })
+      }
+      futures.flatMap(_.get())
+    } finally pool.shutdown()
+  }
 }
