@@ -671,6 +671,11 @@ class StreamingSpec extends SparkSpec {
     Streaming.renumberHarvestStore(spark, oooDir)
     assert(table(oooDir, "terms") === table(s"$batchDir/store", "terms"))
     assert(table(oooDir, "term_fields") === table(s"$batchDir/store", "term_fields"))
+    // and the renumber is IDEMPOTENT — on an already-canonical store
+    // (the sorted-delivery one, bit-equal to batch) it is the identity
+    Streaming.renumberHarvestStore(spark, sortedDir)
+    assert(table(sortedDir, "terms") === table(s"$batchDir/store", "terms"))
+    assert(table(sortedDir, "term_fields") === table(s"$batchDir/store", "term_fields"))
     } finally Seq(batchDir, sortedDir, oooDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
