@@ -133,7 +133,10 @@ object Bench {
     val env = s"""{"jvm_flags":$jvmFlags,"java":"${sys.props.getOrElse("java.version", "?")}",""" +
       s""""clear_cache":"between-queries-untimed","warmup":"sf0.001","timed_passes":2,""" +
       s""""agg":"min-over-passes","master":"local[$cpus]","shuffle_partitions":$cpus,""" +
-      f""""page_cache_gb_at_start":$cacheAtStart%.1f,"page_cache_gb_at_end":$cacheAtEnd%.1f,""" +
+      // Locale.ROOT formatting: the f-interpolator uses the JVM default
+      // locale, whose decimal COMMA would emit invalid JSON
+      s""""page_cache_gb_at_start":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(cacheAtStart))},""" +
+      s""""page_cache_gb_at_end":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(cacheAtEnd))},""" +
       s""""cache_note":"<~3GB at start = cold page cache; expect ~1.08x median per-query inflation (r12 driver run)"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
       s""""n_benched":${results.size},"n_declared":${SparkEntry.queries.size},"sf":"$sfDir","env":$env}"""

@@ -658,7 +658,6 @@ object Probe {
       // with the batch; the corpus side is scanned, never shuffled".
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.DataFrame
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       val reps = sys.env.getOrElse("PROBE_STRESS_BUCKETED", "8").toInt
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
@@ -692,9 +691,8 @@ object Probe {
         (bands, stats)
       }
       def shuffledBytes(df: DataFrame): Long =
-        plans.PlanAudit.allNodes(df.queryExecution.executedPlan).collect {
-          case s: ShuffleExchangeExec => s.metrics.get("dataSize").map(_.value).getOrElse(0L)
-        }.sum
+        plans.PlanAudit.shuffleExchanges(df)
+          .map(_.metrics.get("dataSize").map(_.value).getOrElse(0L)).sum
       def probe(bRef: DataFrame, stats: DataFrame): DataFrame = batch
         .join(stats, Seq("band_idx", "band_hash"))
         .filter(col("bsz") <= dedup.Dedup.MaxBucket)
@@ -702,8 +700,12 @@ object Probe {
         .join(bRef.select(col("doc_id").as("b"), col("band_idx"), col("band_hash")),
           Seq("band_idx", "band_hash"))
         .select(col("a"), col("b"))
-      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      // getOption + unset, not get + set: the adaptive threshold is an
+      // OPTIONAL conf — reading it via get can return a non-settable
+      // sentinel on some Spark versions (the BucketedLayoutSpec /
+      // withBloomPruning discipline)
+      val prevB = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       try {
@@ -724,7 +726,10 @@ object Probe {
           val statsB = spark.table(s"probe_bkt_stats_$k")
           var dfP: DataFrame = null; var dfB: DataFrame = null
           var nP = 0L; var nB = 0L
-          probe(bandsP, statsP).write.format("noop").mode("overwrite").save() // warm
+          // warm BOTH variants (r13 review: a path-only warmup biased the
+          // recorded bucketed wall with its cold first file touch)
+          probe(bandsP, statsP).write.format("noop").mode("overwrite").save()
+          probe(bandsB, statsB).write.format("noop").mode("overwrite").save()
           // collect() (not a noop write) so the metrics land on the SAME
           // QueryExecution the shuffledBytes walk reads — a write runs
           // its own execution and leaves df.queryExecution's at zero
@@ -743,8 +748,10 @@ object Probe {
           spark.catalog.clearCache()
         }
       } finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+        prevB.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+        prevA.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
       }
     }
     if (sys.env.contains("PROBE_RULES")) {

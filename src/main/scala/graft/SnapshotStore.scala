@@ -131,8 +131,12 @@ private[graft] object SnapshotStore {
     * in-memory catalog does not outlive the JVM, so a fresh session
     * re-registers the existing bucketed files via DDL (schema rides a
     * sidecar) instead of rewriting them. Cross-process races use the
-    * claim-then-wait protocol of [[apply]] (a `.ready` marker is the
-    * publish signal — `_SUCCESS` lands before the sidecar). */
+    * stage-then-claim-then-rename protocol of [[apply]] — the build
+    * lands in a UUID staging dir under a throwaway catalog name BEFORE
+    * the claim (the claim window is metadata-milliseconds, never a
+    * Spark job, so the loser's stale-claim break cannot tear a live
+    * build), and a `.ready` marker is the publish signal (`_SUCCESS`
+    * lands before the sidecar). */
   def bucketed(s: SparkSession, dir: String, sigTable: String, name: String,
       buckets: Int, bucketKeys: Seq[String], params: String = "")(
       build: => DataFrame): DataFrame = {
@@ -162,24 +166,43 @@ private[graft] object SnapshotStore {
         INTO $buckets BUCKETS LOCATION '$pathStr'""")
     }
     def publish(retryOnStaleClaim: Boolean): Unit = {
+      // STAGE FIRST, claim after — apply()'s discipline (r13 review): a
+      // claim held across the whole Spark build can outlive the loser's
+      // stale-claim timeout, and the break-then-rebuild would then tear
+      // a LIVE slow build writing the shared final path. Staging keeps
+      // the claim window at filesystem-metadata milliseconds. The build
+      // lands under a throwaway catalog name (saveAsTable is what writes
+      // the bucket-id file layout); the entry is dropped immediately —
+      // external table, files stay — and the real name registers via
+      // [[register]] like every other path into the table.
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val stagedTbl = s"${tbl}_staged_$uid"
+      val staged = new HPath(s"$pathStr-staged-$uid")
+      val df = build
+      df.write.mode("overwrite")
+        .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+        .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+        .option("path", staged.toString).format("parquet").saveAsTable(stagedTbl)
+      s.sql(s"DROP TABLE IF EXISTS $stagedTbl")
       val claim = new HPath(s"$pathStr.claim")
       fs.mkdirs(claim.getParent)
       val claimed =
         try { fs.create(claim, false).close(); true }
         catch { case _: java.io.IOException => false }
       if (claimed) {
-        if (!fs.exists(ready)) { // not published by a past JVM after all
+        if (fs.exists(ready)) fs.delete(staged, true) // published by a past JVM
+        else {
           fs.delete(new HPath(pathStr), true) // corrupt leftover, if any
-          val df = build
-          df.write.mode("overwrite")
-            .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
-            .sortBy(bucketKeys.head, bucketKeys.tail: _*)
-            .option("path", pathStr).format("parquet").saveAsTable(tbl)
+          if (!fs.rename(staged, new HPath(pathStr))) {
+            fs.delete(staged, true)
+            sys.error(s"bucketed snapshot: cannot move staged build into $pathStr")
+          }
           val out = fs.create(sidecar, true)
           out.write(df.schema.toDDL.getBytes("UTF-8")); out.close()
           fs.create(ready, true).close()
         }
       } else {
+        fs.delete(staged, true)
         var tries = 0
         while (!fs.exists(ready) && tries < 600) { Thread.sleep(100); tries += 1 }
         if (!fs.exists(ready)) {
@@ -193,8 +216,8 @@ private[graft] object SnapshotStore {
     }
     keyLocks.computeIfAbsent(tbl, _ => new Object).synchronized {
       if (!s.catalog.tableExists(tbl)) {
-        publish(retryOnStaleClaim = true)
-        if (!s.catalog.tableExists(tbl)) register()
+        if (!fs.exists(ready)) publish(retryOnStaleClaim = true)
+        register()
       }
     }
     s.table(tbl)

@@ -28,21 +28,33 @@ object SortTotality {
     * unquoted; a numeric item is a 1-based output position. */
   private[graft] def finalOrderCols(sql: String): Option[Seq[String]] = {
     val s = sql.replaceAll("'(?:[^']|'')*'", "''") // blind string literals
-    val up = s.toUpperCase
+    val up = s.toUpperCase(java.util.Locale.ROOT)
+    // whitespace-tolerant "ORDER <ws+> BY" at depth 0, word-boundary
+    // guarded (r13 review: the literal single-space match silently
+    // EXEMPTED an `ORDER  BY` / `ORDER\n BY` final sort from the gate)
+    def wordAt(i: Int, w: String): Boolean =
+      up.regionMatches(i, w, 0, w.length) &&
+        (i == 0 || (!up(i - 1).isLetterOrDigit && up(i - 1) != '_')) &&
+        (i + w.length == up.length ||
+          (!up(i + w.length).isLetterOrDigit && up(i + w.length) != '_'))
     var depth = 0; var pos = -1; var i = 0
     while (i < s.length) {
       s(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
-          if (depth == 0 && up.regionMatches(i, "ORDER BY", 0, 8)) pos = i + 8
+          if (depth == 0 && wordAt(i, "ORDER")) {
+            var j = i + 5
+            while (j < s.length && s(j).isWhitespace) j += 1
+            if (j > i + 5 && wordAt(j, "BY")) pos = j + 2
+          }
       }
       i += 1
     }
     if (pos < 0) None
     else {
       val clause = s.substring(pos)
-        .replaceAll("(?is)\\s+LIMIT\\s+\\d+(\\s+OFFSET\\s+\\d+)?\\s*$", "")
+        .replaceAll("(?is)(\\s+LIMIT\\s+\\d+)?(\\s+OFFSET\\s+\\d+)?\\s*;?\\s*$", "")
         .trim
       // split on top-level commas only
       val items = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -79,7 +91,12 @@ object SortTotality {
       oracles: Map[String, String]): Seq[(String, Long)] = {
     def one(name: String, sql: String): Option[(String, Long)] = {
       val dir = new java.io.File(outDir, name)
-      if (!dir.exists()) None
+      // an existing-but-unreadable dump (a query whose write job failed
+      // mid-dump — the dump loop tolerates and reports that per query)
+      // must not crash the gate (r13 review); the failure is already
+      // visible in the dump loop's stderr and the driver's compare
+      if (!dir.exists() ||
+          scala.util.Try(spark.read.parquet(dir.toString).schema).isFailure) None
       else finalOrderCols(sql).flatMap { raw =>
         val df = spark.read.parquet(dir.toString)
         val byLower = df.columns.map(c => c.toLowerCase -> c).toMap

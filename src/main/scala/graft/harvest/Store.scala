@@ -66,11 +66,14 @@ object Store {
     * interleaving where the old "delete target, restore old" rollback
     * destroyed live data instead of stale. With the check the stale
     * writer leaves the successor's table untouched and just dies. The
-    * retraction is additionally gated on `_old_` still existing (r13
-    * ADVICE — a third writer can fence the successor into rolling the
-    * stale copy BACK, consuming `_old_`; retracting then would leave no
+    * retraction is additionally gated on a correct post-retraction
+    * state (r13 ADVICE + review): `_old_` present → restore it; no
+    * `_old_` because this was the table's FIRST write → delete target
+    * (the pre-state was "no table"); no `_old_` but a prior table
+    * existed — a third writer fenced the successor into rolling the
+    * stale copy BACK, consuming `_old_` — retracting would leave no
     * table at all, so the stale writer keeps its own copy in place
-    * instead). Residue after both guards: a fenced writer may leave a
+    * instead. Residue after both guards: a fenced writer may leave a
     * STALE-but-complete table that the live successor's next write
     * replaces, or fence (2)'s rollback may restore a retired table the
     * successor is about to retire again — both converge by
@@ -94,7 +97,11 @@ object Store {
     try fence()
     catch { case t: Throwable => fs.delete(staging, true); throw t }
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target) && !fs.rename(target, old))
+    // distinguishes the TWO no-_old_ cases at fence (3): a first-ever
+    // write (no prior table — retraction restores "no table") vs a
+    // third writer's rollback consuming `_old_` (keep our complete copy)
+    val hadPrior = fs.exists(target)
+    if (hadPrior && !fs.rename(target, old))
       throw new java.io.IOException(s"retiring old $name failed")
     try fence()
     catch {
@@ -110,16 +117,24 @@ object Store {
       case t: Throwable =>
         // retract ONLY a copy this write still owns (the marker is gone
         // exactly when a successor's completed write replaced the table)
-        // AND only while a restorable copy exists (r13 ADVICE): in the
-        // three-writer interleaving — Z1 stalls here, Z2 retires Z1's
-        // table, Z2 is itself fenced and ROLLS Z1's table (marker and
-        // all) back, Z1 resumes — `_old_` is gone, so deleting target
-        // would leave the store with NO table. Z1 instead leaves its own
-        // completed copy in place; it is stale but content-idempotent,
-        // and the live successor's next write supersedes it.
-        if (fs.exists(new Path(target, writerMark)) && fs.exists(old)) {
-          fs.delete(target, true)
-          fs.rename(old, target)
+        // AND only while the retraction leaves a correct store (r13
+        // ADVICE + review): with `_old_` present, restore it; with no
+        // `_old_` because this was the table's FIRST write, deleting
+        // target restores the correct "no table" pre-state; with no
+        // `_old_` but a prior table existed — the three-writer
+        // interleaving where a fenced successor's rollback CONSUMED
+        // `_old_` (Z1 stalls here, Z2 retires Z1's table, Z2 is fenced
+        // and rolls it back, marker and all) — deleting target would
+        // leave the store with NO table, so the writer keeps its own
+        // completed copy: stale but content-idempotent, superseded by
+        // the live writer's next write.
+        if (fs.exists(new Path(target, writerMark))) {
+          if (fs.exists(old)) {
+            fs.delete(target, true)
+            fs.rename(old, target)
+          } else if (!hadPrior) {
+            fs.delete(target, true)
+          }
         }
         throw t
     }

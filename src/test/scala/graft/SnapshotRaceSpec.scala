@@ -94,9 +94,10 @@ class SnapshotRaceSpec extends SparkSpec {
     pool.shutdown()
     assert(rows.distinct.size === 1, "racers saw divergent bucketed content")
     assert(rows.head.nonEmpty)
-    // the in-JVM lock serializes the cold build: exactly one builder ran
-    // (unlike apply(), there is no per-thread staging — losers must never
-    // reach saveAsTable at all, or they would tear the shared path)
+    // the in-JVM lock serializes the cold touch and the tableExists
+    // re-check inside it skips the build for every later thread: exactly
+    // one builder ran (cross-process racers would each stage into their
+    // own UUID dir and the losers discard, like apply())
     assert(buildCount.get() === 1,
       s"expected exactly one bucketed build, got ${buildCount.get()}")
     // a later cold touch serves the registered table without rebuilding

@@ -32,6 +32,31 @@ class SortTotalitySpec extends SparkSpec {
       "SELECT * FROM t WHERE s = 'ORDER BY z' ORDER BY w") === Some(Seq("w")))
   }
 
+  test("finalOrderCols: whitespace variants, OFFSET-only and semicolon tails (r13 review)") {
+    assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER  BY a")
+      === Some(Seq("a")))
+    assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER\n  BY a, b")
+      === Some(Seq("a", "b")))
+    assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER BY a OFFSET 2")
+      === Some(Seq("a")))
+    assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER BY a LIMIT 3 OFFSET 2;")
+      === Some(Seq("a")))
+    // word-boundary guard: an identifier ending in ORDER is not a sort
+    assert(SortTotality.finalOrderCols("SELECT xorder BY_ FROM t") === None)
+  }
+
+  test("check: an existing-but-unreadable dump dir is skipped, not a crash (r13 review)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sorttot_empty").toString
+    try {
+      new java.io.File(out, "q_empty").mkdirs() // failed mid-dump: dir, no parquet
+      Seq((1L, "x"), (1L, "y")).toDF("k", "v").coalesce(1).write.parquet(s"$out/q_bad2")
+      val got = SortTotality.check(spark, out, Map(
+        "q_empty" -> "SELECT k FROM t ORDER BY k",
+        "q_bad2" -> "SELECT k, v FROM t ORDER BY k"))
+      assert(got === Seq("q_bad2" -> 1L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("finalOrderCols: expression sort keys fall back to the hand-check list") {
     assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER BY a + b") === None)
     assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER BY abs(a)") === None)
