@@ -125,6 +125,23 @@ class StoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("writeTable FIRST-ever write fenced post-swap retracts to 'no table' " +
+    "(r13 review: the restorable-copy guard must not keep an uncommitted " +
+    "first table)") {
+    val dir = Files.createTempDirectory("graft_store_first").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var calls = 0
+    intercept[IllegalStateException] {
+      Store.writeTable(Seq((1L, "z")).toDF("id", "uri"), dir, "t", ".e2",
+        () => { calls += 1; if (calls == 3) throw new IllegalStateException("fenced") })
+    }
+    // pre-state was "no table"; the fenced first write must restore it
+    assert(!fs.exists(new Path(s"$dir/t")),
+      "fenced first write left an uncommitted table published")
+    assert(!fs.exists(new Path(s"$dir/_old_t")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("readTableOr recovers a table stranded mid-swap at _old_<name>") {
     val dir = Files.createTempDirectory("graft_store_crash").toString
     Store.writeTable(Seq((1L, "a")).toDF("id", "uri"), dir, "t")
