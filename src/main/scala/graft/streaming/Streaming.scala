@@ -1462,19 +1462,49 @@ object Streaming {
       * StreamingDurabilitySpec keeps as the bit-parity cross-check).
       * The recovered adjacency is bit-identical to the continuous run's
       * either way (pinned). Per-trigger I/O stays O(batch). */
+    /** (length, mtime) signature of a parquet dir — the immutability
+      * check bootstrapByRef recovery enforces. None when missing. */
+    private def pathSig(s: SparkSession, p: String): Option[String] =
+      scala.util.Try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        s"${fs.getContentSummary(hp).getLength}-${fs.getFileStatus(hp).getModificationTime}"
+      }.toOption
+    /** Re-read a by-ref seed table, REFUSING loudly when the referenced
+      * snapshot changed or vanished — by-ref recovery must never
+      * silently serve a different seed than the one committed. */
+    private def refRead(s: SparkSession, c: BatchLedger.Commit,
+        which: String): DataFrame = {
+      val p = c.meta(s"${which}_ref")
+      val want = c.meta(s"${which}_sig")
+      val got = pathSig(s, p)
+      require(got.contains(want),
+        s"bootstrapByRef seed '$which' at $p changed or vanished " +
+          s"(signature ${got.getOrElse("<missing>")} != committed $want) — " +
+          "by-ref mode requires the immutable seed snapshot to outlive " +
+          "the ledger; re-bootstrap from the current snapshot instead")
+      s.read.parquet(p)
+    }
     def recover(s: SparkSession): this.type = synchronized {
       val cs = ledger.recovered.filterNot(_.compact)
       if (cs.nonEmpty) {
-        val segs = cs.map(c =>
-          (c, ledger.read(s, "vecs", c).localCheckpoint(true)))
+        val segs = cs.map { c =>
+          val v =
+            if (c.meta.get("kind").contains("bootstrap_ref")) refRead(s, c, "vecs")
+            else ledger.read(s, "vecs", c)
+          (c, v.localCheckpoint(true))
+        }
         // canonical points: build/compact (adjacency reproducible via
-        // hnswCompact over the vectors so far) and bootstrap (r12 — the
+        // hnswCompact over the vectors so far), bootstrap (r12 — the
         // seeded adjacency is NOT derivable from the ledger's vectors
         // alone at O(batch) cost, so the bootstrap commit carries it as
-        // its own payload and recovery loads it instead of rebuilding)
+        // its own payload and recovery loads it instead of rebuilding),
+        // and bootstrap_ref (r13 — the payloads live in the referenced
+        // immutable snapshot, signature-checked above)
         val lastCanonical = segs.lastIndexWhere(
           _._1.meta.get("kind").exists(k =>
-            k == "build" || k == "compact" || k == "bootstrap"))
+            k == "build" || k == "compact" || k == "bootstrap" ||
+              k == "bootstrap_ref"))
         require(lastCanonical >= 0,
           s"AnnIndexRefresh ledger at $stateDir has no build/compact/bootstrap commit")
         val canonical = segs(lastCanonical)._1
@@ -1488,6 +1518,8 @@ object Streaming {
         var adj =
           if (canonical.meta.get("kind").contains("bootstrap"))
             ledger.read(s, "adj", canonical).localCheckpoint(true)
+          else if (canonical.meta.get("kind").contains("bootstrap_ref"))
+            refRead(s, canonical, "adj").localCheckpoint(true)
           else
             graft.similarity.Similarity.hnswCompact(vecs, Some(layers))
               .localCheckpoint(true)
@@ -1524,8 +1556,10 @@ object Streaming {
       * recover() found insert segments with no canonical point and
       * aborted: bootstrap+durable was constructible but unrecoverable.
       * At 100 TB this commit is a POINTER to the immutable lakehouse
-      * snapshot rather than a copy; here the ledger stays self-contained
-      * (SnapshotStore may sweep its own files independently). */
+      * snapshot rather than a copy — [[bootstrapByRef]] (r13) IS that
+      * mode, signature-checked at recovery; this copying default keeps
+      * the ledger self-contained (SnapshotStore may sweep its own files
+      * independently). */
     def bootstrap(vecs: DataFrame, adj: DataFrame,
         provisionedLayers: Option[Int] = None): this.type = synchronized {
       require(vecSegs.isEmpty && adjState.isEmpty,
@@ -1543,6 +1577,48 @@ object Streaming {
       // caller owns the frames' stability (they come from a parquet
       // snapshot / checkpointed scan — re-materializing them here would
       // pay an extra O(corpus) job per bootstrap for nothing)
+      vecSegs = List(vecs)
+      adjState = Some(adj)
+      layersState = Some(layers)
+      sinceCompact = 0
+      this
+    }
+    /** [[bootstrap]] BY REFERENCE (r13) — the at-scale contract the
+      * bootstrap scaladoc names, executed: the seed commit stores
+      * POINTERS to the immutable seed parquet tables (paths plus their
+      * (length, mtime) signatures) instead of copying O(standing)
+      * payloads into the ledger, so seeding is an O(1) metadata commit.
+      * Recovery re-reads the referenced paths and FAILS LOUDLY when a
+      * signature changed or the path vanished — a swept/rewritten seed
+      * must never be silently served as the committed one. Opt-in: the
+      * default [[bootstrap]] stays self-contained (correct when the
+      * seed's lifetime is not guaranteed); by-ref is the right trade
+      * when the seed IS an immutable lakehouse snapshot. Pinned in
+      * StreamingDurabilitySpec: by-ref recovery == copy-mode recovery
+      * == the continuous run bit-for-bit, and a deleted seed turns
+      * recovery into a clear refusal, not wrong data. */
+    def bootstrapByRef(s: SparkSession, vecsPath: String, adjPath: String,
+        provisionedLayers: Option[Int] = None): this.type = synchronized {
+      require(ledger.durable,
+        "bootstrapByRef needs a durable ledger — the pointer commit exists " +
+          "only to keep that ledger O(1); use bootstrap() for in-JVM seeding")
+      require(vecSegs.isEmpty && adjState.isEmpty,
+        "bootstrap must precede the first micro-batch")
+      require(ledger.recovered.isEmpty,
+        "bootstrap on a non-empty ledger — recover() instead")
+      val vSig = pathSig(s, vecsPath).getOrElse(
+        sys.error(s"bootstrapByRef: no readable seed at $vecsPath"))
+      val aSig = pathSig(s, adjPath).getOrElse(
+        sys.error(s"bootstrapByRef: no readable seed at $adjPath"))
+      val vecs = s.read.parquet(vecsPath).localCheckpoint(true)
+      val adj = s.read.parquet(adjPath).localCheckpoint(true)
+      val layers = provisionedLayers.getOrElse(
+        graft.similarity.Similarity.provisionLayers(vecs.count()))
+      ledger.commit(-1L, Seq.empty, Map(
+        "kind" -> "bootstrap_ref",
+        "vecs_ref" -> vecsPath, "vecs_sig" -> vSig,
+        "adj_ref" -> adjPath, "adj_sig" -> aSig,
+        "layers" -> layers.toString))
       vecSegs = List(vecs)
       adjState = Some(adj)
       layersState = Some(layers)

@@ -325,6 +325,54 @@ class StreamingDurabilitySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("bootstrapByRef r13: the pointer seed commit recovers bit-identically " +
+    "to the copying bootstrap; a swept seed refuses loudly") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").filter($"vec_id" < 400)
+    val seed = emb.filter($"vec_id" % 4 === 0).toDF()
+    val b1 = emb.filter($"vec_id" % 4 === 1).toDF()
+    val layers = graft.similarity.Similarity.provisionLayers(seed.count())
+    val adj0 = graft.similarity.Similarity.hnswCompact(seed, Some(layers))
+      .localCheckpoint(true)
+    val seedDir = tmpDir("refseed")
+    seed.write.parquet(s"$seedDir/vecs")
+    adj0.write.parquet(s"$seedDir/adj")
+    // by-ref instance: pointer commit + one insert tick
+    val refDir = tmpDir("annref")
+    val byRef = new Streaming.AnnIndexRefresh(compactEvery = 10, Some(refDir))
+      .bootstrapByRef(spark, s"$seedDir/vecs", s"$seedDir/adj", Some(layers))
+    byRef.update(b1, 0L)
+    // the pointer commit carries NO payload dirs — O(1) metadata only
+    assert(!new java.io.File(refDir, "data").listFiles()
+      .exists(_.getName.contains("-b-1-")), "by-ref bootstrap copied payloads")
+    // copy-mode twin on the same seed + tick
+    val cpDir = tmpDir("anncp")
+    val byCopy = new Streaming.AnnIndexRefresh(compactEvery = 10, Some(cpDir))
+      .bootstrap(spark.read.parquet(s"$seedDir/vecs"),
+        spark.read.parquet(s"$seedDir/adj"), Some(layers))
+    byCopy.update(b1, 0L)
+    val recRef = new Streaming.AnnIndexRefresh(compactEvery = 10, Some(refDir))
+      .recover(spark).adjacency.get
+    val recCp = new Streaming.AnnIndexRefresh(compactEvery = 10, Some(cpDir))
+      .recover(spark).adjacency.get
+    assert(recRef.exceptAll(recCp).count() === 0L &&
+      recCp.exceptAll(recRef).count() === 0L,
+      "by-ref recovery diverged from copy-mode recovery")
+    val cont = byRef.adjacency.get
+    assert(recRef.exceptAll(cont).count() === 0L &&
+      cont.exceptAll(recRef).count() === 0L,
+      "by-ref recovery diverged from the continuous run")
+    // sweep the seed: recovery must refuse with the signature message,
+    // never serve different data
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$seedDir/adj"))
+    val e = intercept[IllegalArgumentException] {
+      new Streaming.AnnIndexRefresh(compactEvery = 10, Some(refDir)).recover(spark)
+    }
+    assert(e.getMessage.contains("changed or vanished"))
+    Seq(seedDir, refDir, cpDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
   test("restart: SessionConcurrencyRefresh recovers the bounded snapshot " +
     "(open/frozen/finished-days/carry/frontier); curve bit-identical") {
     def e(id: Long, u: Long, ts: String) = Evt(id, Timestamp.valueOf(ts), u, "view", 0)
