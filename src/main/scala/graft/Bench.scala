@@ -79,7 +79,15 @@ object Bench {
       finally src.close()
     }.getOrElse(-1.0)
     val cacheAtStart = meminfoGb("Cached")
-    val passes = Seq(timedPass(), timedPass())
+    // r14 (ADVICE): sample the cache BETWEEN the passes too — the old
+    // single post-run sample was emitted as "after the warmup pass",
+    // mislabeling the operating point for anyone analyzing warm/cold
+    // bands from the artifact. Now both points are real: _after_pass1
+    // is the warm-entry state of the second pass, _at_end is post-run.
+    val pass1 = timedPass()
+    val cacheAfterPass1 = meminfoGb("Cached")
+    val pass2 = timedPass()
+    val passes = Seq(pass1, pass2)
     val cacheAtEnd = meminfoGb("Cached")
     // min over SUCCESSFUL passes; the -1 failure sentinel only survives
     // when every pass failed (a one-pass hiccup must not discard the
@@ -136,6 +144,7 @@ object Bench {
       // Locale.ROOT formatting: the f-interpolator uses the JVM default
       // locale, whose decimal COMMA would emit invalid JSON
       s""""page_cache_gb_at_start":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(cacheAtStart))},""" +
+      s""""page_cache_gb_after_pass1":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(cacheAfterPass1))},""" +
       s""""page_cache_gb_at_end":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(cacheAtEnd))},""" +
       s""""cache_note":"<~3GB at start = cold page cache; expect ~1.08x median per-query inflation (r12 driver run)"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** r13 (VERDICT r12 #6): the non-total-ORDER-BY class, ENFORCED in the
@@ -11,24 +11,78 @@ import org.apache.spark.sql.functions._
   * emits a plan-dependent tie order — the driver's hash compare then
   * flickers with partition count, and under a LIMIT the row SELECTION
   * itself is nondeterministic. [[check]] runs over the Verify dump: for
-  * every query whose oracle's final (paren-depth-0) ORDER BY parses to
-  * plain output columns or positions, group the dumped rows by those
-  * keys and count groups containing distinct rows. Verify fails its exit
-  * code on any hit — a red build, after the dump and oracle_sql.json are
-  * already complete so the driver's compare still sees the full
-  * artifact. Expression sort keys fall back to the python tool's
-  * hand-check list (same contract); single-row outputs are exempt.
+  * every query with a final (paren-depth-0) ORDER BY, group the dumped
+  * rows by the sort keys and count groups containing distinct rows.
+  * Verify fails its exit code on any hit — a red build, after the dump
+  * and oracle_sql.json are already complete so the driver's compare
+  * still sees the full artifact.
+  *
+  * r14 (VERDICT r13 #4 + ADVICE): two fail-open holes closed. (a) SQL
+  * comments are blanked before the depth-0 scan — a `--` or slash-star
+  * comment containing 'ORDER BY' or an unbalanced paren used to corrupt
+  * the scan and silently exempt a genuinely tie-ambiguous query. (b)
+  * EXPRESSION sort keys (`ORDER BY a + b`, `abs(a)`) are now
+  * machine-checked too: the item text is parsed with `expr()` and
+  * evaluated against the dumped output, so the class the r12 incident
+  * was about no longer falls to a hand-check list. Only an expression
+  * that references non-output (pruned) columns or uses syntax Spark
+  * cannot parse remains exempt — and those are WARNED per query, not
+  * silently dropped.
   */
 object SortTotality {
 
-  /** Final depth-0 ORDER BY of `sql` as output-column names/positions —
-    * None when the query has no final sort or its keys are expressions
-    * (hand-check territory, mirroring tools/sort_totality.py). Qualified
-    * names (`i.a`) resolve to their last segment; quoted identifiers are
-    * unquoted; a numeric item is a 1-based output position. */
-  private[graft] def finalOrderCols(sql: String): Option[Seq[String]] = {
-    val s = sql.replaceAll("'(?:[^']|'')*'", "''") // blind string literals
-    val up = s.toUpperCase(java.util.Locale.ROOT)
+  /** Length-preserving noise removal, single left-to-right scan:
+    * `--` line comments and (nesting-tolerant) slash-star block comments
+    * become spaces; single-quoted literal BODIES ('' escape aware)
+    * become spaces too when `blindLiterals`, keeping the enclosing
+    * quotes. Length preservation means every depth-0 position found in
+    * the scan copy indexes the same character in the original, so item
+    * text can be sliced from a literals-intact copy. */
+  private[graft] def stripNoise(sql: String, blindLiterals: Boolean): String = {
+    val out = sql.toCharArray
+    var i = 0
+    while (i < out.length) {
+      val c = out(i)
+      if (c == '\'') {
+        // literal: scan to closing quote, '' is an escaped quote
+        var j = i + 1
+        var open = true
+        while (j < out.length && open) {
+          if (out(j) == '\'') {
+            if (j + 1 < out.length && out(j + 1) == '\'') j += 2
+            else open = false
+          } else j += 1
+        }
+        if (blindLiterals) { var k = i + 1; while (k < j) { out(k) = ' '; k += 1 } }
+        i = j + 1
+      } else if (c == '-' && i + 1 < out.length && out(i + 1) == '-') {
+        var j = i
+        while (j < out.length && out(j) != '\n') { out(j) = ' '; j += 1 }
+        i = j
+      } else if (c == '/' && i + 1 < out.length && out(i + 1) == '*') {
+        var j = i + 2
+        var depth = 1
+        out(i) = ' '; out(i + 1) = ' '
+        while (j < out.length && depth > 0) {
+          if (out(j) == '/' && j + 1 < out.length && out(j + 1) == '*') {
+            depth += 1; out(j) = ' '; out(j + 1) = ' '; j += 2
+          } else if (out(j) == '*' && j + 1 < out.length && out(j + 1) == '/') {
+            depth -= 1; out(j) = ' '; out(j + 1) = ' '; j += 2
+          } else { out(j) = ' '; j += 1 }
+        }
+        i = j
+      } else i += 1
+    }
+    new String(out)
+  }
+
+  /** One final-sort item: Left(name-or-position) for a plain output
+    * column / 1-based position, Right(expression SQL text, double-quoted
+    * identifiers rewritten to backticks for Spark's parser) otherwise. */
+  private[graft] def finalOrderItems(sql: String): Option[Seq[Either[String, String]]] = {
+    val scan = stripNoise(sql, blindLiterals = true)  // for structure
+    val clean = stripNoise(sql, blindLiterals = false) // for item text
+    val up = scan.toUpperCase(java.util.Locale.ROOT)
     // whitespace-tolerant "ORDER <ws+> BY" at depth 0, word-boundary
     // guarded (r13 review: the literal single-space match silently
     // EXEMPTED an `ORDER  BY` / `ORDER\n BY` final sort from the gate)
@@ -38,14 +92,14 @@ object SortTotality {
         (i + w.length == up.length ||
           (!up(i + w.length).isLetterOrDigit && up(i + w.length) != '_'))
     var depth = 0; var pos = -1; var i = 0
-    while (i < s.length) {
-      s(i) match {
+    while (i < scan.length) {
+      scan(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
           if (depth == 0 && wordAt(i, "ORDER")) {
             var j = i + 5
-            while (j < s.length && s(j).isWhitespace) j += 1
+            while (j < scan.length && scan(j).isWhitespace) j += 1
             if (j > i + 5 && wordAt(j, "BY")) pos = j + 2
           }
       }
@@ -53,33 +107,60 @@ object SortTotality {
     }
     if (pos < 0) None
     else {
-      val clause = s.substring(pos)
-        .replaceAll("(?is)(\\s+LIMIT\\s+\\d+)?(\\s+OFFSET\\s+\\d+)?\\s*;?\\s*$", "")
-        .trim
-      // split on top-level commas only
-      val items = scala.collection.mutable.ArrayBuffer.empty[String]
-      var d = 0; val cur = new StringBuilder
-      clause.foreach {
-        case '(' => d += 1; cur += '('
-        case ')' => d -= 1; cur += ')'
-        case ',' if d == 0 => items += cur.result(); cur.clear()
-        case c => cur += c
+      val tailRe = "(?is)(\\s+LIMIT\\s+\\d+)?(\\s+OFFSET\\s+\\d+)?\\s*;?\\s*$".r
+      // measure the LIMIT/OFFSET/; tail on the scan copy (literals
+      // blinded — a literal containing " LIMIT 3" can't fake a tail),
+      // then cut BOTH copies at the same offset
+      val scanClause = scan.substring(pos)
+      val tailStart = tailRe.findFirstMatchIn(scanClause).map(_.start)
+        .getOrElse(scanClause.length)
+      val cleanClause = clean.substring(pos, pos + tailStart)
+      val scanOnly = scanClause.substring(0, tailStart)
+      // split on top-level commas only, positions from the scan copy
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var d = 0; var ci = 0
+      while (ci < scanOnly.length) {
+        scanOnly(ci) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case ',' if d == 0 => cuts += ci
+          case _ => ()
+        }
+        ci += 1
       }
-      items += cur.result()
+      val bounds = (-1 +: cuts.toSeq) :+ scanOnly.length
+      val items = bounds.sliding(2).map { case Seq(a, b) =>
+        cleanClause.substring(a + 1, b)
+      }.toSeq
       val stripped = items.map(_.trim
         .replaceAll("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$", "")
         .replaceAll("(?is)\\s+(ASC|DESC)\\s*$", "")
         .replaceAll("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$", "")
         .trim)
-      val ident = "^(?:[A-Za-z_][A-Za-z0-9_]*\\.)?(?:[A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\"|\\d+)$".r
-      if (stripped.forall(it => ident.pattern.matcher(it).matches()))
+      if (stripped.exists(_.isEmpty)) None // malformed clause — don't guess
+      else {
+        val ident = "^(?:[A-Za-z_][A-Za-z0-9_]*\\.)?(?:[A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\"|\\d+)$".r
         Some(stripped.map { it =>
-          val last = it.substring(it.lastIndexOf('.') + 1)
-          last.stripPrefix("\"").stripSuffix("\"")
-        }.toSeq)
-      else None // expression sort key — the python tool's hand-check list
+          if (ident.pattern.matcher(it).matches()) {
+            val last = it.substring(it.lastIndexOf('.') + 1)
+            Left(last.stripPrefix("\"").stripSuffix("\""))
+          } else
+            // DuckDB double-quotes identifiers; Spark's expr() wants
+            // backticks (its double quote is a string literal — a
+            // MISPARSE, not an error, so rewrite rather than let it)
+            Right(it.replaceAll("\"([^\"]*)\"", "`$1`"))
+        })
+      }
     }
   }
+
+  /** Back-compat shape used by older specs/tools: the all-plain-columns
+    * view — None when any key is an expression. */
+  private[graft] def finalOrderCols(sql: String): Option[Seq[String]] =
+    finalOrderItems(sql).flatMap { items =>
+      if (items.forall(_.isLeft)) Some(items.collect { case Left(n) => n })
+      else None
+    }
 
   /** (query, offending-group-count) for every dumped query whose parsed
     * final sort admits distinct tied rows. `oracles` filters which dumps
@@ -97,21 +178,31 @@ object SortTotality {
       // visible in the dump loop's stderr and the driver's compare
       if (!dir.exists() ||
           scala.util.Try(spark.read.parquet(dir.toString).schema).isFailure) None
-      else finalOrderCols(sql).flatMap { raw =>
+      else finalOrderItems(sql).flatMap { raw =>
         val df = spark.read.parquet(dir.toString)
         val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
         // positions are 1-based into the output schema; names resolve
-        // case-insensitively — an alias not in the output (pruned or
-        // renamed) falls back to the hand-check list like an expression
-        val resolved = raw.map { k =>
-          if (k.forall(_.isDigit)) {
+        // case-insensitively; expression keys evaluate over the dump via
+        // expr() (r14 — previously hand-check-exempt). A key that can't
+        // resolve against the OUTPUT (pruned column, non-Spark syntax)
+        // is loudly warned, not silently exempted.
+        val resolved: Seq[Option[Column]] = raw.map {
+          case Left(k) if k.forall(_.isDigit) =>
             val idx = k.toInt - 1
-            if (idx >= 0 && idx < df.columns.length) Some(df.columns(idx)) else None
-          } else byLower.get(k.toLowerCase)
+            if (idx >= 0 && idx < df.columns.length) Some(col(df.columns(idx)))
+            else None
+          case Left(k) => byLower.get(k.toLowerCase).map(col)
+          case Right(e) =>
+            scala.util.Try { val c = expr(e); df.select(c).schema; c }.toOption
         }
-        if (resolved.exists(_.isEmpty)) None
-        else {
-          val keys = resolved.flatten.map(col)
+        if (resolved.exists(_.isEmpty)) {
+          System.err.println(s"[verify][sort-totality] WARN $name: sort key " +
+            s"not checkable against the dump (pruned column or unparseable " +
+            s"expression) — hand-check: ${raw.zip(resolved).collect {
+              case (k, None) => k.merge }.mkString(", ")}")
+          None
+        } else {
+          val keys = resolved.flatten
           val allAsJson = to_json(struct(df.columns.map(col): _*))
           val bad = df.groupBy(keys: _*)
             .agg(countDistinct(allAsJson).as("d"))

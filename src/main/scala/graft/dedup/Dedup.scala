@@ -834,13 +834,21 @@ object Dedup {
     * reference slice (keyed on documents.parquet — the
     * [[graft.SnapshotStore]] contract): shingles repartitioned by
     * doc_id (the verify-join key), bands by band_hash (the probe key). */
+  /** Snapshot keys fold (refPred, k) via `params` (r14 ADVICE): two call
+    * sites reusing one `name` with a different corpus predicate or
+    * shingle size must rebuild, not silently share a bucketed table —
+    * distinct caller names were the only protection before. */
+  private[graft] def refTableParams(refPred: Column, k: Int): String =
+    s"pred=${refPred.toString}|k=$k"
+
   private[graft] def refPortableTables(s: SparkSession, dir: String,
       name: String, refPred: Column, k: Int = 3): (DataFrame, DataFrame) = {
-    val sh = graft.SnapshotStore(s, dir, "documents.parquet", s"${name}_sh") {
+    val p = refTableParams(refPred, k)
+    val sh = graft.SnapshotStore(s, dir, "documents.parquet", s"${name}_sh", p) {
       portableShingleHashes(Tables.documents(s, dir).filter(refPred), k)
         .repartition(col("doc_id"))
     }
-    val bands = graft.SnapshotStore(s, dir, "documents.parquet", s"${name}_bands") {
+    val bands = graft.SnapshotStore(s, dir, "documents.parquet", s"${name}_bands", p) {
       portableBands(sh).repartition(col("band_hash"))
     }
     (sh, bands)
@@ -853,7 +861,8 @@ object Dedup {
   private[graft] def refPortableTables3(s: SparkSession, dir: String,
       name: String, refPred: Column, k: Int = 3): (DataFrame, DataFrame, DataFrame) = {
     val (sh, bands) = refPortableTables(s, dir, name, refPred, k)
-    val stats = graft.SnapshotStore(s, dir, "documents.parquet", s"${name}_bstats") {
+    val stats = graft.SnapshotStore(s, dir, "documents.parquet", s"${name}_bstats",
+        refTableParams(refPred, k)) {
       bands.groupBy(col("band_idx"), col("band_hash"))
         .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
         .repartition(col("band_hash"))
@@ -882,16 +891,17 @@ object Dedup {
   private[graft] def refBucketedTables3(s: SparkSession, dir: String,
       name: String, refPred: Column, k: Int = 3,
       buckets: Int = 8): (DataFrame, DataFrame, DataFrame) = {
+    val p = refTableParams(refPred, k)
     val sh = graft.SnapshotStore.bucketed(s, dir, "documents.parquet",
-      s"${name}_sh", buckets, Seq("doc_id")) {
+      s"${name}_sh", buckets, Seq("doc_id"), p) {
       portableShingleHashes(Tables.documents(s, dir).filter(refPred), k)
     }
     val bands = graft.SnapshotStore.bucketed(s, dir, "documents.parquet",
-      s"${name}_bands", buckets, Seq("band_idx", "band_hash")) {
+      s"${name}_bands", buckets, Seq("band_idx", "band_hash"), p) {
       portableBands(sh)
     }
     val stats = graft.SnapshotStore.bucketed(s, dir, "documents.parquet",
-      s"${name}_bstats", buckets, Seq("band_idx", "band_hash")) {
+      s"${name}_bstats", buckets, Seq("band_idx", "band_hash"), p) {
       bands.groupBy(col("band_idx"), col("band_hash"))
         .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
     }

@@ -64,6 +64,27 @@ object HarvestQueries {
       .offset(100).limit(50)
   }
 
+  /** A3: the SPARQL graph-pattern inner join — `?collection skos:member
+    * ?concept . ?concept skos:prefLabel ?label` (harvest.py:74-76): a
+    * membership edge relation inner-joined to the concept bindings.
+    * Previously subsumed by a13/b03; r14 (VERDICT r13 #8) gives the row
+    * its own driver-visible gate. The fixture's membership edges cover
+    * only doc_id % 4 == 1 concepts, so the inner join genuinely filters
+    * (SPARQL BGP conjunction semantics, not a lossless lookup). */
+  def memberJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val members = Tables.documents(s, dir)
+      .filter($"doc_id" % 4 === 1)
+      .select(
+        concat(lit("https://vocab.example.org/collection/"), $"doc_id" % 8).as("collection"),
+        concat(lit("https://vocab.example.org/term/"), $"doc_id").as("concept"))
+      .distinct()
+    val concepts = valid(s, dir).select($"concept", $"prefLabel").distinct()
+    members.join(concepts, Seq("concept"))
+      .select($"collection", $"concept", $"prefLabel")
+      .orderBy($"collection", $"concept", $"prefLabel".asc_nulls_first)
+  }
+
   /** A4: OPTIONAL = left outer join with fan-out (concepts ⟕ altLabels). */
   def optionalLeftJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -272,6 +293,7 @@ object HarvestQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_paginated_scan" -> (paginatedScan _),
+    "a03_member_join" -> (memberJoin _),
     "a04_optional_left_join" -> (optionalLeftJoin _),
     "a09_filter_valid" -> (filterValid _),
     "a10_dedup_first_wins" -> (dedupFirstWins _),
@@ -327,6 +349,14 @@ object HarvestQueries {
     "a01_paginated_scan" -> s"""$FIX
       SELECT concept, prefLabel, altLabel, definition FROM v
       ORDER BY concept, altLabel ASC NULLS FIRST LIMIT 50 OFFSET 100""",
+    "a03_member_join" -> s"""$FIX
+      SELECT m.collection, m.concept, c.prefLabel
+      FROM (SELECT DISTINCT 'https://vocab.example.org/collection/' || (doc_id % 8) AS collection,
+                   'https://vocab.example.org/term/' || doc_id AS concept
+            FROM documents WHERE doc_id % 4 = 1) m
+      JOIN (SELECT DISTINCT concept, prefLabel FROM v) c
+        ON m.concept = c.concept
+      ORDER BY m.collection, m.concept, c.prefLabel ASC NULLS FIRST""",
     "a04_optional_left_join" -> s"""$FIX
       SELECT c.concept, a.altLabel
       FROM (SELECT DISTINCT concept FROM v) c

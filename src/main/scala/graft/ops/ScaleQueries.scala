@@ -204,7 +204,9 @@ object ScaleQueries {
     * dropped (a no-op rewrite would certify nothing — the
     * b01_stats_skipping vacuity discipline), and hash-compare the
     * compacted table against the plain oracle: the rewrite must be
-    * row-for-row lossless through the stage-and-swap rename dance. */
+    * row-for-row lossless through the manifest-pointer commit (r14,
+    * VERDICT r13 #5 — versioned data dir + atomic marker, no live-dir
+    * rename; reads resolve via [[ScaleOps.readCompacted]]). */
   def compactQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val store = runStore(s, "compact_gate", dir)
@@ -212,14 +214,15 @@ object ScaleQueries {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     Tables.orders(s, dir).repartition(32).write.parquet(store)
-    def dataFiles() = fs.listStatus(p)
+    def dataFiles() = fs
+      .listStatus(new org.apache.hadoop.fs.Path(ScaleOps.compactDataDir(fs, p)))
       .count(f => f.getPath.getName.endsWith(".parquet"))
     val before = dataFiles()
     ScaleOps.compact(s, store, targetMB = 512)
     val after = dataFiles()
     require(after < before,
       s"b01_compact: $before files before, $after after — compaction gate vacuous")
-    s.read.parquet(store)
+    ScaleOps.readCompacted(s, store)
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
       .orderBy($"o_orderkey")
   }

@@ -1091,7 +1091,14 @@ object Streaming {
     // BatchLedger trust note.)
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val storeFs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    storeFs.listStatus(storePath).foreach { st =>
+    // exists-guard (r14 ADVICE): the java.io.File#listFiles path this
+    // replaced was null-tolerant when the store dir didn't exist yet
+    // (sweep racing ahead of writeTable's first create); listStatus
+    // throws FileNotFoundException there, so keep the deliberate no-op.
+    val storeEntries =
+      if (storeFs.exists(storePath)) storeFs.listStatus(storePath)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    storeEntries.foreach { st =>
       st.getPath.getName match {
         case staleStaging(e) if e.toLong < epoch =>
           scala.util.Try(storeFs.delete(st.getPath, true)); ()
@@ -1462,13 +1469,30 @@ object Streaming {
       * StreamingDurabilitySpec keeps as the bit-parity cross-check).
       * The recovered adjacency is bit-identical to the continuous run's
       * either way (pinned). Per-trigger I/O stays O(batch). */
-    /** (length, mtime) signature of a parquet dir — the immutability
-      * check bootstrapByRef recovery enforces. None when missing. */
+    /** Immutability signature of a parquet dir, enforced by
+      * bootstrapByRef recovery. None when missing. Folds the PER-FILE
+      * (relative path, length, mtime) triples into one md5 (r14 ADVICE):
+      * the old (contentSummary length, dir mtime) pair missed an
+      * in-place same-length rewrite of a seed file — a directory's mtime
+      * updates on child add/remove, not child content edits — so an
+      * altered seed could be served silently. File mtimes do move on
+      * content rewrite, and the per-file fold also catches rename and
+      * split/merge games that preserve the total byte count. */
     private def pathSig(s: SparkSession, p: String): Option[String] =
       scala.util.Try {
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        s"${fs.getContentSummary(hp).getLength}-${fs.getFileStatus(hp).getModificationTime}"
+        require(fs.exists(hp))
+        val it = fs.listFiles(hp, true)
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          parts += s"${st.getPath.toUri.getPath.stripPrefix(hp.toUri.getPath)}:" +
+            s"${st.getLen}:${st.getModificationTime}"
+        }
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
+        "v2-" + digest.map("%02x".format(_)).mkString
       }.toOption
     /** Re-read a by-ref seed table, REFUSING loudly when the referenced
       * snapshot changed or vanished — by-ref recovery must never

@@ -110,4 +110,47 @@ class SnapshotRaceSpec extends SparkSpec {
     assert(again > 0L)
     assert(buildCount.get() === before, "published bucketed snapshot was rebuilt")
   }
+
+  test("compact manifest-pointer commit (r14, VERDICT r13 #5): a reader at " +
+    "EVERY protocol step sees one complete dataset — no missing-path window, " +
+    "no recovery rename; a crash between stage and commit is invisible") {
+    import graft.ops.ScaleOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_race")
+      .toString + "/t"
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    src.repartition(16).write.parquet(dir)
+    val expect = src.count()
+    def readNow(): Long = ScaleOps.readCompacted(spark, dir).count()
+    // the old two-rename swap's failure point was BETWEEN renames (live
+    // dir absent). The pointer protocol has no rename at all: probe the
+    // reader at every step boundary and mid-"prune" equivalents.
+    var steps = List.empty[String]
+    ScaleOps.compact(spark, dir, targetMB = 128, onStep = { step =>
+      steps ::= step
+      assert(readNow() === expect,
+        s"reader at step '$step' lost rows — missing-path window regressed")
+    })
+    assert(steps.reverse === List("staged", "committed", "pruned"))
+    assert(readNow() === expect)
+    // simulated crash: a run that dies AFTER staging but BEFORE the
+    // marker leaves an orphan version — the reader never resolves it,
+    // and the next compact garbage-collects it without any recovery call
+    val boom = intercept[RuntimeException] {
+      ScaleOps.compact(spark, dir, targetMB = 128, onStep = {
+        case "staged" => sys.error("crash before commit")
+        case _ => ()
+      })
+    }
+    assert(boom.getMessage === "crash before commit")
+    assert(readNow() === expect, "orphaned stage changed what readers see")
+    ScaleOps.compact(spark, dir, targetMB = 128)
+    assert(readNow() === expect)
+    // exactly one committed version survives; the orphan is gone
+    val vdirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_compact_v"))
+    assert(vdirs.length === 1,
+      s"expected one surviving version dir, got ${vdirs.map(_.getName).mkString(",")}")
+    assert(new java.io.File(vdirs.head, "_GRAFT_COMMITTED").exists())
+  }
 }

@@ -57,10 +57,58 @@ class SortTotalitySpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
-  test("finalOrderCols: expression sort keys fall back to the hand-check list") {
+  test("finalOrderItems: expression sort keys are parsed, not exempted (r14)") {
     assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER BY a + b") === None)
-    assert(SortTotality.finalOrderCols("SELECT * FROM t ORDER BY abs(a)") === None)
+    assert(SortTotality.finalOrderItems("SELECT * FROM t ORDER BY a + b")
+      === Some(Seq(Right("a + b"))))
+    assert(SortTotality.finalOrderItems("SELECT * FROM t ORDER BY abs(a) DESC, b")
+      === Some(Seq(Right("abs(a)"), Left("b"))))
+    // DuckDB double-quoted identifiers inside expressions become backticks
+    // (Spark's expr() would otherwise MISPARSE them as string literals)
+    assert(SortTotality.finalOrderItems("""SELECT * FROM t ORDER BY abs("k")""")
+      === Some(Seq(Right("abs(`k`)"))))
+    // literals inside expression keys survive intact
+    assert(SortTotality.finalOrderItems("SELECT * FROM t ORDER BY coalesce(a, 'zz')")
+      === Some(Seq(Right("coalesce(a, 'zz')"))))
     assert(SortTotality.finalOrderCols("SELECT a FROM t") === None)
+    assert(SortTotality.finalOrderItems("SELECT a FROM t") === None)
+  }
+
+  test("stripNoise: comments cannot corrupt the depth scan (r14 ADVICE)") {
+    // a '--' comment containing ORDER BY used to register a fake final sort
+    assert(SortTotality.finalOrderCols(
+      "SELECT a FROM t -- ORDER BY b\n") === None)
+    // an unbalanced paren in a block comment used to corrupt depth-0
+    assert(SortTotality.finalOrderCols(
+      "SELECT a FROM t /* ( */ ORDER BY a") === Some(Seq("a")))
+    assert(SortTotality.finalOrderCols(
+      "SELECT a FROM t /* outer /* nested */ ( */ ORDER BY a") === Some(Seq("a")))
+    // a comment between ORDER BY and its keys, and '--' inside a literal
+    assert(SortTotality.finalOrderCols(
+      "SELECT a FROM t WHERE s <> '--x' ORDER BY a") === Some(Seq("a")))
+    // length preservation: item text after a stripped comment still slices
+    assert(SortTotality.finalOrderItems(
+      "SELECT a, b FROM t /* c */ ORDER BY a + b") === Some(Seq(Right("a + b"))))
+  }
+
+  test("check: expression sort keys evaluate over the dump (r14)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sorttot_expr").toString
+    try {
+      // abs(k) collides -1 and 1: distinct rows share the expression key
+      Seq((-1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$out/q_exprbad")
+      // k + 0 is injective over k, and (k) is a unique key here
+      Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$out/q_exprgood")
+      // references a pruned column: warned + exempt, never a false FAIL
+      Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$out/q_pruned")
+      val got = SortTotality.check(spark, out, Map(
+        "q_exprbad" -> "SELECT k, v FROM t ORDER BY abs(k)",
+        "q_exprgood" -> "SELECT k, v FROM t ORDER BY k + 0",
+        "q_pruned" -> "SELECT k, v FROM t ORDER BY missing_col + 1"))
+      assert(got === Seq("q_exprbad" -> 1L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
   test("check: flags a tie-ambiguous dump, passes a total one") {

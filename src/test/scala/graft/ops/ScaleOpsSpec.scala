@@ -150,14 +150,23 @@ class ScaleOpsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity")
     li.repartition(64).write.parquet(dir) // 64 tiny files
-    def files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files = new java.io.File(ScaleOps.compactDataDir(fs, p))
+      .listFiles().count(_.getName.endsWith(".parquet"))
     assert(files === 64)
     val n = ScaleOps.compact(spark, dir, targetMB = 128)
     assert(n === 1 && files === 1) // tiny table -> single target-size file
-    val back = spark.read.parquet(dir)
+    val back = ScaleOps.readCompacted(spark, dir)
     assert(back.count() === li.count() && back.except(li).count() === 0)
-    assert(!new java.io.File(dir + "_compact_staged").exists())
-    assert(!new java.io.File(dir + "_compact_old").exists())
+    // superseded raw files pruned; a SECOND compact rolls the version
+    // forward and prunes its predecessor
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) === 0)
+    ScaleOps.compact(spark, dir, targetMB = 128)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("_compact_v")) === 1)
+    val back2 = ScaleOps.readCompacted(spark, dir)
+    assert(back2.count() === li.count() && back2.except(li).count() === 0)
   }
 
   test("schema-evolved parquet reads merge added columns across file generations") {
@@ -178,16 +187,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 0)
   }
 
-  test("compact recovers a crash between the swap renames") {
+  test("compact survives a crash between commit and prune (r14 pointer protocol)") {
     val base = Files.createTempDirectory("graft_compact_rec").toString
     val dir = base + "/t"
     Tables.nation(spark, sfDir).write.parquet(dir)
     val rows = spark.read.parquet(dir).count()
-    // simulate: previous compact staged out the original and died
-    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "_compact_old")))
-    val n = ScaleOps.compact(spark, dir) // must restore, then compact
-    assert(n >= 1 && spark.read.parquet(dir).count() === rows)
-    assert(!new java.io.File(dir + "_compact_old").exists())
+    // simulate: a compact that died AFTER the marker commit but BEFORE
+    // pruning — readers already resolve the new version; the next
+    // compact rolls forward and prunes, with no recovery call
+    intercept[RuntimeException] {
+      ScaleOps.compact(spark, dir, onStep = {
+        case "committed" => sys.error("crash before prune")
+        case _ => ()
+      })
+    }
+    assert(ScaleOps.readCompacted(spark, dir).count() === rows)
+    val n = ScaleOps.compact(spark, dir)
+    assert(n >= 1 && ScaleOps.readCompacted(spark, dir).count() === rows)
+    // one committed survivor, predecessors and raw files pruned
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("_compact_v")) === 1)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) === 0)
   }
 
   test("versioned table: commits are snapshots, time travel reads any version (B1)") {
