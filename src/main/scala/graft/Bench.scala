@@ -119,6 +119,13 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
+    // r14 (VERDICT r13 #3): the artifact carries EVERY timed pass's
+    // total, not just the min aggregation — the round's band is
+    // auditable from the JSON itself instead of from which run happened
+    // to be committed
+    val passTotals = passes.map(p => p.values.filter(_ >= 0).sum)
+      .map(v => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
+      .mkString("[", ",", "]")
     // environment block: the round-2→3 drift saga (code-cache overflow,
     // cache churn) showed the JVM/bench configuration is half the signal —
     // record it so rounds can diff environment, not just numbers
@@ -148,6 +155,7 @@ object Bench {
       s""""page_cache_gb_at_end":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(cacheAtEnd))},""" +
       s""""cache_note":"<~3GB at start = cold page cache; expect ~1.08x median per-query inflation (r12 driver run)"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
+      s""""pass_totals_sec":$passTotals,""" +
       s""""n_benched":${results.size},"n_declared":${SparkEntry.queries.size},"sf":"$sfDir","env":$env}"""
     println(line)
     // full-artifact persistence (VERDICT r9 #7): the driver's BENCH_rNN

@@ -54,7 +54,18 @@ private[graft] object SnapshotStore {
     * derived data after a constant edit). */
   def apply(s: SparkSession, dir: String, sigTable: String, name: String,
       params: String = "")(
-      build: => DataFrame): DataFrame = {
+      build: => DataFrame): DataFrame =
+    s.read.parquet(path(s, dir, sigTable, name, params)(build))
+
+  /** [[apply]]'s materialize-once protocol, returning the published
+    * snapshot DIRECTORY instead of a DataFrame over it — the handle a
+    * by-reference consumer (r14: the ANN refresher's default
+    * `bootstrapByRef` seed pointers) records instead of copying the
+    * rows. The path is immutable once published (rebuilds key to a NEW
+    * path via sig/params/Version). */
+  def path(s: SparkSession, dir: String, sigTable: String, name: String,
+      params: String = "")(
+      build: => DataFrame): String = {
     import org.apache.hadoop.fs.{Path => HPath}
     sweepOldVersions()
     val conf = s.sparkContext.hadoopConfiguration
@@ -112,7 +123,7 @@ private[graft] object SnapshotStore {
       keyLocks.computeIfAbsent(cacheDir.toString, _ => new Object).synchronized {
         if (!fs.exists(success)) publish(retryOnStaleClaim = true)
       }
-    s.read.parquet(cacheDir.toString)
+    cacheDir.toString
   }
 
   private val keyLocks =

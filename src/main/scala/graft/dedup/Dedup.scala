@@ -525,6 +525,11 @@ object Dedup {
       .createOrReplaceTempView("graft_hamming_sketches")
     val prev = s.experimental.extraOptimizations
     s.experimental.extraOptimizations = prev :+ graft.plans.HammingJoinRewrite(s)
+    // this query EXISTS to drive the rewrite end to end, so pin the
+    // self-selection gate open for its scope — at gate scale the corpus
+    // sits below the crossover where the rule would (correctly) decline
+    val prevThreshold = s.conf.getOption(graft.plans.HammingJoinRewrite.MinBytesProductKey)
+    s.conf.set(graft.plans.HammingJoinRewrite.MinBytesProductKey, "0")
     try {
       s.sql("""
         SELECT a.doc_id AS a, b.doc_id AS b,
@@ -535,6 +540,10 @@ object Dedup {
         .orderBy(col("a"), col("b"))
     } finally {
       s.experimental.extraOptimizations = prev
+      prevThreshold match {
+        case Some(v) => s.conf.set(graft.plans.HammingJoinRewrite.MinBytesProductKey, v)
+        case None => s.conf.unset(graft.plans.HammingJoinRewrite.MinBytesProductKey)
+      }
       s.catalog.dropTempView("graft_hamming_sketches") // no stale catalog state
     }
   }

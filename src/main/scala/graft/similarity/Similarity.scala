@@ -769,16 +769,30 @@ object Similarity {
     * flagship, and the streamed ANN lifecycle gate
     * (b12_stream_ann_index), so all three certify against the same
     * artifact. */
-  private[graft] def standingAdjSnapshot(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def standingAdjSnapshotPath(s: SparkSession, dir: String): String = {
     val hp = hnswParamsFor(memoizedCount(s, dir, "emb_standing")(
       Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3).count()))
-    graft.SnapshotStore(s, dir, "embeddings.parquet",
+    graft.SnapshotStore.path(s, dir, "embeddings.parquet",
       s"hnsw_adj_old_$hp", params = hp) {
       hnswBuild(quantizedWithNorm(
         Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3)))
         .repartition(col("layer"), col("src"))
     }
   }
+
+  private[graft] def standingAdjSnapshot(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(standingAdjSnapshotPath(s, dir))
+
+  /** The standing vectors as a materialize-once snapshot PATH — the
+    * by-ref twin of the `% 10 =!= 3` filter the streamed-ANN gate seeds
+    * from (r14, VERDICT r13 #9: the refresher's default bootstrap now
+    * records seed POINTERS, so the O(standing) vector copy happens once
+    * here, never per ledger). */
+  private[graft] def standingVecsSnapshotPath(s: SparkSession, dir: String): String =
+    graft.SnapshotStore.path(s, dir, "embeddings.parquet", "hnsw_vecs_standing") {
+      Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3)
+        .select(col("vec_id"), col("embedding"))
+    }
 
   def hnswInsertQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)

@@ -1963,13 +1963,20 @@ object Streaming {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .localCheckpoint(true) // static join side for the trigger
-    val standing = emb.filter(col("vec_id") % 10 =!= 3)
     val ledgerDir = java.nio.file.Files.createTempDirectory("graft_b12sai_").toString
     try {
+      // r14 (VERDICT r13 #9): bootstrap-BY-REFERENCE is now the gate's
+      // (and the recommended) default — the ledger's seed commit records
+      // POINTERS to the materialize-once standing snapshots instead of
+      // re-writing O(standing) vector/adjacency copies per refresher,
+      // which r13 measured as the dominant residual cost of this gate.
+      // The copying bootstrap() remains for in-JVM seeding without a
+      // durable snapshot to point at.
       val refresh = new AnnIndexRefresh(compactEvery = Int.MaxValue,
         stateDir = Some(ledgerDir))
-        .bootstrap(standing,
-          graft.similarity.Similarity.standingAdjSnapshot(s, dir))
+        .bootstrapByRef(s,
+          graft.similarity.Similarity.standingVecsSnapshotPath(s, dir),
+          graft.similarity.Similarity.standingAdjSnapshotPath(s, dir))
       val ids = emb.select(col("vec_id")).collect().map(_.getLong(0))
       val input = MemoryStream[Long](s)
       val lastId = new java.util.concurrent.atomic.AtomicLong(-1L)
@@ -1991,6 +1998,40 @@ object Streaming {
       val served = new AnnIndexRefresh(compactEvery = Int.MaxValue,
         stateDir = Some(ledgerDir)).recover(s)
         .adjacency.get.localCheckpoint(true)
+      // in-gate SIGNATURE-REFUSAL probe (r14, the by-ref default's other
+      // half): recovery must REFUSE a tampered seed, never serve it. A
+      // tiny synthetic seed is committed by-ref in a scratch ledger,
+      // then rewritten IN PLACE preserving its byte length — exactly the
+      // alteration the per-file (path, length, mtime) signature exists
+      // to catch — and recover() must throw.
+      val probeDir = java.nio.file.Files.createTempDirectory("graft_b12sai_probe_").toString
+      try {
+        val seedVecs = s"$probeDir/seed_vecs"
+        val seedAdj = s"$probeDir/seed_adj"
+        Seq((1L, Seq(0.1f)), (2L, Seq(0.2f))).toDF("vec_id", "embedding")
+          .coalesce(1).write.parquet(seedVecs)
+        Seq((0, 1L, 2L)).toDF("layer", "src", "dst")
+          .coalesce(1).write.parquet(seedAdj)
+        new AnnIndexRefresh(compactEvery = Int.MaxValue,
+          stateDir = Some(s"$probeDir/ledger"))
+          .bootstrapByRef(s, seedVecs, seedAdj, provisionedLayers = Some(1))
+        val part = new java.io.File(seedVecs).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val raf = new java.io.RandomAccessFile(part, "rw")
+        try {
+          raf.seek(part.length() / 2)
+          val b = raf.read(); raf.seek(part.length() / 2); raf.write(b ^ 0xff)
+        } finally raf.close()
+        part.setLastModified(part.lastModified() + 2000) // coarse-mtime filesystems
+        val refused = scala.util.Try(new AnnIndexRefresh(compactEvery = Int.MaxValue,
+          stateDir = Some(s"$probeDir/ledger")).recover(s))
+        require(refused.isFailure && refused.failed.get.getMessage != null &&
+          refused.failed.get.getMessage.contains("changed or vanished"),
+          "b12_stream_ann_index: a tampered by-ref seed was NOT refused — " +
+            s"got ${refused.fold(e => e.toString, _ => "a successful recovery")}")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(probeDir))
+      }
       served.orderBy(col("layer"), col("src"), col("dst"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ledgerDir))

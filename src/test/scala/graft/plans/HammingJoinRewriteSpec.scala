@@ -26,10 +26,55 @@ class HammingJoinRewriteSpec extends SparkSpec {
       .select($"a", $"b")
   }
 
-  private def withRule[T](f: => T): T = {
+  private def withRule[T](f: => T): T = withRuleAt("0")(f)
+
+  /** Install the rule with the self-selection threshold pinned to
+    * `threshold` (the spec fixtures sit far below the production
+    * crossover default, so most tests force the gate open with "0"). */
+  private def withRuleAt[T](threshold: String)(f: => T): T = {
     val prev = spark.experimental.extraOptimizations
+    val prevThr = spark.conf.getOption(HammingJoinRewrite.MinBytesProductKey)
     spark.experimental.extraOptimizations = prev :+ HammingJoinRewrite(spark)
-    try f finally spark.experimental.extraOptimizations = prev
+    spark.conf.set(HammingJoinRewrite.MinBytesProductKey, threshold)
+    try f finally {
+      spark.experimental.extraOptimizations = prev
+      prevThr match {
+        case Some(v) => spark.conf.set(HammingJoinRewrite.MinBytesProductKey, v)
+        case None => spark.conf.unset(HammingJoinRewrite.MinBytesProductKey)
+      }
+    }
+  }
+
+  test("self-selection (r14): BNL below the estimated-size threshold, " +
+    "chunked equi-join union at and above it, same results") {
+    def q = {
+      val a = sigs.toDF("a", "sa")
+      val b = sigs.toDF("b", "sb")
+      a.join(b, bit_count($"sa".bitwiseXOR($"sb")) <= 3 && $"a" < $"b")
+        .select($"a", $"b")
+    }
+    // the plan's OWN estimate of this join's size product
+    val product = {
+      val j = q.queryExecution.optimizedPlan
+        .collectFirst { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.get
+      j.left.stats.sizeInBytes * j.right.stats.sizeInBytes
+    }
+    assert(product > 0)
+    val expected = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // threshold just ABOVE the product: the rule declines, BNL survives
+    withRuleAt((product * 2).toString) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+        plan.take(1500))
+    }
+    // threshold just BELOW: the rule fires and results are unchanged
+    withRuleAt((product / 2).toString) {
+      val df = q
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        plan.take(1500))
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === expected)
+    }
   }
 
   test("without the rule the hamming join is a nested-loop product") {

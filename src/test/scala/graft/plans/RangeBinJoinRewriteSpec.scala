@@ -97,7 +97,40 @@ class RangeBinJoinRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
-  test("an interval spanning more than maxBins bins fails with an actionable error") {
+  test("autoBinWidth with a planted outlier BEYOND the sample: width self-adjusts " +
+    "from the exact full max span, no guard trip, no user intervention (r14)") {
+    // 6 short intervals feed the 4-row sample median; the outlier sits
+    // last, past the sample prefix — under the old sample-max floor this
+    // query raise_error'd at execution time
+    val p = (0L to 40L).map(x => (x, x)).toDF("pid", "x")
+    val iv = ((1L to 6L).map(i => (i, i * 5L, i * 5L + 2L)) :+ (99L, 0L, 90000000L))
+      .toDF("iid", "lo", "hi")
+    def q = p.join(iv, $"x" >= $"lo" && $"x" <= $"hi").select($"pid", $"iid")
+    val expected = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeBinJoinRewrite(spark)
+    spark.conf.set("spark.graft.rangeJoin.autoBinWidth", "true")
+    spark.conf.set("spark.graft.rangeJoin.sampleRows", "4")
+    spark.conf.set("spark.graft.rangeJoin.maxBins", "1000")
+    try {
+      RangeBinJoinRewrite.lastDerivedWidth.set(0L)
+      val df = q
+      assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === expected) // no raise_error, same rows
+      // the derived width was floored by the OUTLIER's span, which the
+      // 4-row sample never saw: 90000000/1000 + 1, not the sample median 2
+      assert(RangeBinJoinRewrite.lastDerivedWidth.get() === 90001L)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.autoBinWidth")
+      spark.conf.unset("spark.graft.rangeJoin.sampleRows")
+      spark.conf.unset("spark.graft.rangeJoin.maxBins")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("an EXPLICIT width spanning more than maxBins bins still fails with " +
+    "an actionable error (the user chose that width; auto mode never trips)") {
     withRule(1L) { // width 1 -> the wide interval would need ~1e9 bins
       val p = Seq((1L, 5L)).toDF("pid", "x")
       val iv = Seq((10L, 0L, 1000000000L)).toDF("iid", "lo", "hi")

@@ -37,6 +37,15 @@ def final_order_by(sql):
     sort. Returns the clause text (without LIMIT/OFFSET) or None.
     """
     s = re.sub(r"'(?:[^']|'')*'", "''", sql)  # blind string literals
+    # strip comments BEFORE the depth scan (r14, mirroring SortTotality):
+    # a '--' or '/* */' comment containing ORDER BY or an unbalanced
+    # paren would otherwise corrupt the scan (fail-open)
+    s = re.sub(r"--[^\n]*", " ", s)
+    while True:  # nesting-tolerant block comments
+        s2 = re.sub(r"/\*(?:(?!/\*|\*/).)*\*/", " ", s, flags=re.S)
+        if s2 == s:
+            break
+        s = s2
     depth, pos = 0, None
     i = 0
     while i < len(s):
