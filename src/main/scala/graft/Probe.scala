@@ -765,8 +765,13 @@ object Probe {
         spark.experimental.extraOptimizations =
           prev ++ Seq(plans.HammingJoinRewrite(spark), plans.RangeBinJoinRewrite(spark))
         spark.conf.set("spark.graft.rangeJoin.binWidth", binWidth.toString)
+        // the A/B exists to measure the REWRITTEN plan; at probe SF the
+        // r14 self-selection gate would (correctly) decline below the
+        // crossover and the "rule" leg would silently time the naive plan
+        spark.conf.set(plans.HammingJoinRewrite.MinBytesProductKey, "0")
         try f finally {
           spark.conf.unset("spark.graft.rangeJoin.binWidth")
+          spark.conf.unset(plans.HammingJoinRewrite.MinBytesProductKey)
           spark.experimental.extraOptimizations = prev
         }
       }

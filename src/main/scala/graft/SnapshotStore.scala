@@ -28,9 +28,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * winner's `_SUCCESS`; a stale claim (crashed builder) is broken once
   * after the wait times out. */
 private[graft] object SnapshotStore {
-  private val Version = 4 // r9: builder params join the cache key
+  // r9: builder params join the cache key. r14: bumped for the
+  // (refPred, k) fold into the ref-table keys — the prescribed
+  // discipline when existing names change their key derivation, so the
+  // orphaned pre-fold dirs live under the OLD versioned root and
+  // sweepOldVersions ages the whole root out instead of leaking them
+  // inside a live one forever.
+  private val Version = 5
 
-  /** Snapshots live under a VERSIONED root (graft_scratch/v4/...) so
+  /** Snapshots live under a VERSIONED root (graft_scratch/v<N>/...) so
     * obsolete generations are identifiable by NAME: a version bump or a
     * key change orphans old snapshot dirs forever otherwise — the same
     * unbounded-tmpdir disease the r8 ADVICE flagged for the gate

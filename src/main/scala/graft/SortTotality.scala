@@ -147,11 +147,42 @@ object SortTotality {
           } else
             // DuckDB double-quotes identifiers; Spark's expr() wants
             // backticks (its double quote is a string literal — a
-            // MISPARSE, not an error, so rewrite rather than let it)
-            Right(it.replaceAll("\"([^\"]*)\"", "`$1`"))
+            // MISPARSE, not an error, so rewrite rather than let it).
+            // Positional, literal-aware (r14 review): a " INSIDE a
+            // single-quoted literal is data, not an identifier quote —
+            // a blind regex would rewrite the literal's content.
+            Right(rewriteQuotedIdents(it))
         })
       }
     }
+  }
+
+  /** `"ident"` → `` `ident` `` OUTSIDE single-quoted literals only;
+    * literal bodies (including any `"` they contain) pass through
+    * verbatim. */
+  private[graft] def rewriteQuotedIdents(it: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < it.length) {
+      it(i) match {
+        case '\'' =>
+          var j = i + 1
+          var open = true
+          while (j < it.length && open) {
+            if (it(j) == '\'') {
+              if (j + 1 < it.length && it(j + 1) == '\'') j += 2 else open = false
+            } else j += 1
+          }
+          sb.append(it.substring(i, math.min(j + 1, it.length)))
+          i = j + 1
+        case '"' =>
+          val j = it.indexOf('"', i + 1)
+          if (j < 0) { sb.append(it.substring(i)); i = it.length }
+          else { sb.append('`').append(it.substring(i + 1, j)).append('`'); i = j + 1 }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.result()
   }
 
   /** Back-compat shape used by older specs/tools: the all-plain-columns

@@ -37,6 +37,11 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class KmvEstimateAgg(k: Int) extends Aggregator[java.lang.Long, Seq[Long], Long] {
   require(k >= 2, "KmvEstimateAgg: k must be at least 2")
+  // (k-1)·2^48 must stay inside a signed 64-bit long (r14 review:
+  // k = 2^16 would wrap negative here while the DuckDB replay raises an
+  // out-of-range error — divergent failure modes with no guard)
+  require(k <= (1 << 15), s"KmvEstimateAgg: k must be <= 2^15, got $k " +
+    "(the integer estimator (k-1)*2^48 overflows beyond that)")
 
   override def zero: Seq[Long] = Vector.empty
 

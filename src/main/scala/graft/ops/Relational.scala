@@ -2173,15 +2173,16 @@ object Relational {
     * beyond — so the oracle certifies the sketch in BOTH regimes. */
   private def kmvReplay(table: String, group: String, valueCol: String,
       k: Int, alias: String): String = s"""
-    (SELECT g, CASE WHEN m < $k THEN m
-                    ELSE (${(k - 1).toLong} * ${1L << 48}) // greatest(kth, 1)
-               END AS $alias
-     FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS kth
+    (SELECT gx.g, CASE WHEN COALESCE(a.m, 0) < $k THEN COALESCE(a.m, 0)
+                       ELSE (${(k - 1).toLong} * ${1L << 48}) // greatest(a.kth, 1)
+                  END AS $alias
+     FROM (SELECT DISTINCT $group AS g FROM $table) gx
+     LEFT JOIN (SELECT g, CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS kth
            FROM (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
                  FROM (SELECT DISTINCT $group AS g,
                          CAST(('0x' || substr(md5('kmv:' || CAST($valueCol AS VARCHAR)), 1, 12)) AS BIGINT) AS h
                        FROM $table WHERE $valueCol IS NOT NULL))
-           WHERE rn <= $k GROUP BY g))"""
+           WHERE rn <= $k GROUP BY g) a ON gx.g IS NOT DISTINCT FROM a.g)"""
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> s"""
@@ -2461,12 +2462,15 @@ object Relational {
     // portable KMV replay per column (r14): exact below k, estimator
     // beyond — l_partkey goes lossy at sf0.1 and still hash-gates
     "b01_profile_kmv" -> (ProfileKmvCols.map { c =>
-      s"""SELECT '$c' AS column_name, s.n_rows, s.n_nulls, d.n_distinct
+      // scalar-subquery + COALESCE so an empty table still yields the
+      // row Spark's global aggregate emits (n_rows=0, n_distinct=0)
+      s"""SELECT '$c' AS column_name, s.n_rows, s.n_nulls,
+                 COALESCE((SELECT n_distinct
+                           FROM ${kmvReplay("lineitem", "'k'", c, 4096, "n_distinct")} r),
+                          0) AS n_distinct
           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                        CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
-                FROM lineitem) s
-          CROSS JOIN (SELECT n_distinct
-                      FROM ${kmvReplay("lineitem", "'k'", c, 4096, "n_distinct")}) d"""
+                FROM lineitem) s"""
     }.mkString(" UNION ALL ") + " ORDER BY column_name"),
     // exact decimal cents, signed deltas, magnitude rank; no division
     // (Spark div truncates, DuckDB // floors — diverge on negatives)

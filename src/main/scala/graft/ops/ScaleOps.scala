@@ -90,15 +90,26 @@ object ScaleOps {
     * needs putting back. Superseded data is pruned marker-first, so a
     * half-pruned version can never be resolved. Returns the output
     * file count. `onStep` is a test seam: called with "staged" /
-    * "committed" / "pruned" as the protocol advances. */
+    * "committed" / "pruned" as the protocol advances. A
+    * hive-partitioned RAW layout is sized recursively and compacts
+    * with its partition columns inferred into regular columns (the
+    * rewrite is flat — callers who need partition pruning should
+    * re-partitionBy downstream, as with any row-preserving rewrite). */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetMB: Int = 128,
               onStep: String => Unit = _ => ()): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcDir = compactDataDir(fs, path)
-    val bytes = dataFileStatuses(fs, new org.apache.hadoop.fs.Path(srcDir))
-      .map(_.getLen).sum
+    // size RECURSIVELY (r14 review): a hive-partitioned raw layout keeps
+    // its data in key=value subdirs with zero top-level files — a
+    // top-level-only sum would size it at 0 and squeeze any table into
+    // one file/one task
+    val bytes = dataEntryStatuses(fs, new org.apache.hadoop.fs.Path(srcDir))
+      .flatMap { st =>
+        if (st.isFile) Seq(st.getLen)
+        else Seq(fs.getContentSummary(st.getPath).getLength)
+      }.sum
     val n = math.max(1, math.ceil(bytes.toDouble / (targetMB.toLong << 20)).toInt)
     // next version must clear EVERY existing version dir, committed or
     // orphaned — a crashed run's uncommitted number is never reused
@@ -117,25 +128,28 @@ object ScaleOps {
       if (committed) fs.delete(new org.apache.hadoop.fs.Path(p, CompactMarker), false)
       fs.delete(p, true)
     }
-    // raw top-level files are superseded once ANY version is committed —
+    // raw data (files AND hive-partition subdirs — r14 review: a
+    // partitioned layout is directories, a file-only prune leaked it
+    // forever) is superseded once ANY version is committed —
     // unconditional so a predecessor's crash between commit and prune
-    // (raw files still present) rolls forward here, not via recovery
-    dataFileStatuses(fs, path).foreach(st => fs.delete(st.getPath, false))
+    // (raw data still present) rolls forward here, not via recovery
+    dataEntryStatuses(fs, path).foreach(st => fs.delete(st.getPath, true))
     onStep("pruned")
     n
   }
 
   private val CompactMarker = "_GRAFT_COMMITTED"
 
-  /** Top-level data files of a dir (skips `_`/`.`-prefixed names, the
-    * same visibility rule Spark's file index applies). */
-  private def dataFileStatuses(fs: org.apache.hadoop.fs.FileSystem,
+  /** Top-level DATA entries of a dir — files and (partition) subdirs,
+    * skipping `_`/`.`-prefixed names, the same visibility rule Spark's
+    * file index applies (so `_compact_v*` versions are never "data"). */
+  private def dataEntryStatuses(fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
     (if (fs.exists(path)) fs.listStatus(path) else
       Array.empty[org.apache.hadoop.fs.FileStatus])
-      .filter(st => st.isFile && {
+      .filter { st =>
         val nm = st.getPath.getName; !nm.startsWith("_") && !nm.startsWith(".")
-      }).toSeq
+      }.toSeq
 
   /** (version, dir, committed) for every `_compact_v<N>` under `dir`. */
   private def compactVersions(fs: org.apache.hadoop.fs.FileSystem,

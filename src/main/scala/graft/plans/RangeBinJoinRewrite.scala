@@ -114,10 +114,10 @@ case class RangeBinJoinRewrite(spark: SparkSession)
           .where(org.apache.spark.sql.functions.col("graft_w") >= 0)
       val med = spans(Limit(Literal(sampleRows), intervalSide))
         .selectExpr("CAST(percentile_approx(graft_w, 0.5) AS LONG) AS w").head()
-      val mx = spans(intervalSide)
-        .selectExpr("CAST(max(graft_w) AS LONG) AS mx").head()
-      if (med.isNullAt(0)) None
-      else {
+      if (med.isNullAt(0)) None // no derivable width — don't pay the full
+      else {                    // max scan just to discard it (r14 review)
+        val mx = spans(intervalSide)
+          .selectExpr("CAST(max(graft_w) AS LONG) AS mx").head()
         val maxBins = conf.getConfString(MaxBinsKey, "10000").toLong
         val minSafe =
           if (mx.isNullAt(0)) 1L else mx.getLong(0) / math.max(1L, maxBins) + 1L

@@ -1494,6 +1494,17 @@ object Streaming {
           .digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
         "v2-" + digest.map("%02x".format(_)).mkString
       }.toOption
+    /** The r13 signature form — (contentSummary length, dir mtime) —
+      * recomputed only to VALIDATE ledgers committed before the v2
+      * per-file fold (r14 review: a format change with no fallback
+      * would falsely refuse every untouched pre-v2 seed). */
+    private def legacyPathSig(s: SparkSession, p: String): Option[String] =
+      scala.util.Try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        s"${fs.getContentSummary(hp).getLength}-${fs.getFileStatus(hp).getModificationTime}"
+      }.toOption
+
     /** Re-read a by-ref seed table, REFUSING loudly when the referenced
       * snapshot changed or vanished — by-ref recovery must never
       * silently serve a different seed than the one committed. */
@@ -1501,7 +1512,9 @@ object Streaming {
         which: String): DataFrame = {
       val p = c.meta(s"${which}_ref")
       val want = c.meta(s"${which}_sig")
-      val got = pathSig(s, p)
+      val got =
+        if (want.startsWith("v2-")) pathSig(s, p)
+        else legacyPathSig(s, p) // pre-v2 ledger: validate in its own format
       require(got.contains(want),
         s"bootstrapByRef seed '$which' at $p changed or vanished " +
           s"(signature ${got.getOrElse("<missing>")} != committed $want) — " +

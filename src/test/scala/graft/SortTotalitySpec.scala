@@ -70,6 +70,13 @@ class SortTotalitySpec extends SparkSpec {
     // literals inside expression keys survive intact
     assert(SortTotality.finalOrderItems("SELECT * FROM t ORDER BY coalesce(a, 'zz')")
       === Some(Seq(Right("coalesce(a, 'zz')"))))
+    // a double quote INSIDE a single-quoted literal is data, not an
+    // identifier quote (r14 review): it must NOT become a backtick
+    assert(SortTotality.finalOrderItems(
+      """SELECT * FROM t ORDER BY strpos(v, '"a"')""")
+      === Some(Seq(Right("""strpos(v, '"a"')"""))))
+    assert(SortTotality.rewriteQuotedIdents(
+      """replace(v, '"', 'x') || abs("k")""") === """replace(v, '"', 'x') || abs(`k`)""")
     assert(SortTotality.finalOrderCols("SELECT a FROM t") === None)
     assert(SortTotality.finalOrderItems("SELECT a FROM t") === None)
   }

@@ -187,6 +187,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 0)
   }
 
+  test("compact of a hive-partitioned raw layout: sized recursively, " +
+    "partition dirs pruned, rows preserved (r14 review)") {
+    val dir = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity", ($"l_orderkey" % 4).as("bucket"))
+    li.write.partitionBy("bucket").parquet(dir) // zero top-level data files
+    val rows = li.count()
+    val n = ScaleOps.compact(spark, dir, targetMB = 128)
+    assert(n >= 1)
+    val back = ScaleOps.readCompacted(spark, dir)
+    // partition column inferred into a regular column; full row parity
+    assert(back.columns.toSet === Set("l_orderkey", "l_quantity", "bucket"))
+    assert(back.count() === rows &&
+      back.select($"l_orderkey", $"l_quantity", $"bucket".cast("long"))
+        .except(li.select($"l_orderkey", $"l_quantity", $"bucket")).count() === 0)
+    // the superseded partition SUBDIRS are pruned, not leaked
+    assert(new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && !f.getName.startsWith("_")) === 0)
+  }
+
   test("compact survives a crash between commit and prune (r14 pointer protocol)") {
     val base = Files.createTempDirectory("graft_compact_rec").toString
     val dir = base + "/t"

@@ -36,16 +36,47 @@ def final_order_by(sql):
     CTE sorts inside their own parens, so depth-0 is exactly the final
     sort. Returns the clause text (without LIMIT/OFFSET) or None.
     """
-    s = re.sub(r"'(?:[^']|'')*'", "''", sql)  # blind string literals
-    # strip comments BEFORE the depth scan (r14, mirroring SortTotality):
-    # a '--' or '/* */' comment containing ORDER BY or an unbalanced
-    # paren would otherwise corrupt the scan (fail-open)
-    s = re.sub(r"--[^\n]*", " ", s)
-    while True:  # nesting-tolerant block comments
-        s2 = re.sub(r"/\*(?:(?!/\*|\*/).)*\*/", " ", s, flags=re.S)
-        if s2 == s:
-            break
-        s = s2
+    # one positional left-to-right pass blinds literals AND blanks
+    # comments (r14, mirroring SortTotality.stripNoise): comments must
+    # consume embedded quotes ("-- don't") and literals must consume
+    # embedded comment starters ('--x') — two independent regex passes
+    # get either order wrong for one of those
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        elif c == "-" and sql[i:i + 2] == "--":
+            j = i
+            while j < n and sql[j] != "\n":
+                out[j] = " "
+                j += 1
+            i = j
+        elif c == "/" and sql[i:i + 2] == "/*":
+            depth_c, j = 1, i + 2
+            out[i] = out[i + 1] = " "
+            while j < n and depth_c > 0:
+                if sql[j:j + 2] == "/*":
+                    depth_c += 1; out[j] = out[j + 1] = " "; j += 2
+                elif sql[j:j + 2] == "*/":
+                    depth_c -= 1; out[j] = out[j + 1] = " "; j += 2
+                else:
+                    out[j] = " "; j += 1
+            i = j
+        else:
+            i += 1
+    s = "".join(out)
     depth, pos = 0, None
     i = 0
     while i < len(s):
