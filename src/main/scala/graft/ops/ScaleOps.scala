@@ -88,7 +88,21 @@ object ScaleOps {
     * compact, never readable) or an unpruned predecessor (re-pruned
     * next time) — no recovery rename exists because no state ever
     * needs putting back. Superseded data is pruned marker-first, so a
-    * half-pruned version can never be resolved. Returns the output
+    * half-pruned version can never be resolved.
+    *
+    * RETENTION (r14, found by the hammering-reader race spec): pruning
+    * a predecessor the instant its successor commits breaks a reader
+    * that RESOLVED the predecessor and is still scanning it — the
+    * marker-first discipline protects resolution, not in-flight reads
+    * (Spark opens data files lazily per task, well after the resolve).
+    * So superseded COMMITTED versions (and the raw pre-compact files)
+    * are pruned only once their successor's marker is older than
+    * `retainMs` — the Delta/Iceberg VACUUM retention contract: any
+    * read that starts within the window finishes safely; size the
+    * window to the longest expected scan. `retainMs = 0` restores
+    * eager pruning for callers that serialize readers themselves.
+    * Never-committed orphans prune immediately regardless (they were
+    * never resolvable). Returns the output
     * file count. `onStep` is a test seam: called with "staged" /
     * "committed" / "pruned" as the protocol advances. A
     * hive-partitioned RAW layout is sized recursively and compacts
@@ -97,6 +111,7 @@ object ScaleOps {
     * re-partitionBy downstream, as with any row-preserving rewrite). */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetMB: Int = 128,
+              retainMs: Long = 600000L,
               onStep: String => Unit = _ => ()): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -122,18 +137,42 @@ object ScaleOps {
     fs.create(new org.apache.hadoop.fs.Path(vdir, CompactMarker), false).close()
     onStep("committed")
     // prune superseded data, marker-FIRST so a partially-deleted
-    // version can never resolve; orphaned (never-committed) dirs from
-    // crashed runs go too — they were never readable
-    compactVersions(fs, path).filter(_._1 < next).foreach { case (_, p, committed) =>
-      if (committed) fs.delete(new org.apache.hadoop.fs.Path(p, CompactMarker), false)
-      fs.delete(p, true)
+    // version can never resolve — but only once the SUCCESSOR's marker
+    // has been live for `retainMs` (the vacuum-retention contract: an
+    // in-flight reader that resolved the predecessor finishes its scan
+    // inside the window). Never-committed orphans from crashed runs go
+    // immediately — they were never readable. This prune also rolls
+    // forward a predecessor's crash-between-commit-and-prune, so no
+    // recovery path exists.
+    val now = System.currentTimeMillis()
+    val versions = compactVersions(fs, path)
+    def markerMtime(p: org.apache.hadoop.fs.Path): Long =
+      scala.util.Try(fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(p, CompactMarker)).getModificationTime)
+        .getOrElse(Long.MaxValue)
+    val committedVs = versions.filter(_._3).sortBy(_._1)
+    // capture marker ages BEFORE pruning — the prune loop deletes
+    // markers, and a lazily-computed age would then read as "missing"
+    val markerAge: Map[Long, Long] =
+      committedVs.map { case (v, p, _) => v -> (now - markerMtime(p)) }.toMap
+    // age of the smallest committed version ABOVE v — how long v has
+    // been unresolvable to NEW readers
+    def supersededFor(v: Long): Long = committedVs.find(_._1 > v)
+      .map(s => markerAge(s._1)).getOrElse(Long.MinValue)
+    versions.filter(_._1 < next).foreach { case (v, p, committed) =>
+      if (!committed || supersededFor(v) >= retainMs) {
+        if (committed) fs.delete(new org.apache.hadoop.fs.Path(p, CompactMarker), false)
+        fs.delete(p, true)
+      }
     }
     // raw data (files AND hive-partition subdirs — r14 review: a
     // partitioned layout is directories, a file-only prune leaked it
-    // forever) is superseded once ANY version is committed —
-    // unconditional so a predecessor's crash between commit and prune
-    // (raw data still present) rolls forward here, not via recovery
-    dataEntryStatuses(fs, path).foreach(st => fs.delete(st.getPath, true))
+    // forever) is superseded by the OLDEST committed version; same
+    // retention window before it goes
+    val rawSupersededFor = committedVs.headOption
+      .map(c => markerAge(c._1)).getOrElse(Long.MinValue)
+    if (rawSupersededFor >= retainMs)
+      dataEntryStatuses(fs, path).foreach(st => fs.delete(st.getPath, true))
     onStep("pruned")
     n
   }

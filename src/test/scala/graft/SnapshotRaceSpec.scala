@@ -126,7 +126,7 @@ class SnapshotRaceSpec extends SparkSpec {
     // dir absent). The pointer protocol has no rename at all: probe the
     // reader at every step boundary and mid-"prune" equivalents.
     var steps = List.empty[String]
-    ScaleOps.compact(spark, dir, targetMB = 128, onStep = { step =>
+    ScaleOps.compact(spark, dir, targetMB = 128, retainMs = 0L, onStep = { step =>
       steps ::= step
       assert(readNow() === expect,
         s"reader at step '$step' lost rows — missing-path window regressed")
@@ -137,14 +137,14 @@ class SnapshotRaceSpec extends SparkSpec {
     // marker leaves an orphan version — the reader never resolves it,
     // and the next compact garbage-collects it without any recovery call
     val boom = intercept[RuntimeException] {
-      ScaleOps.compact(spark, dir, targetMB = 128, onStep = {
+      ScaleOps.compact(spark, dir, targetMB = 128, retainMs = 0L, onStep = {
         case "staged" => sys.error("crash before commit")
         case _ => ()
       })
     }
     assert(boom.getMessage === "crash before commit")
     assert(readNow() === expect, "orphaned stage changed what readers see")
-    ScaleOps.compact(spark, dir, targetMB = 128)
+    ScaleOps.compact(spark, dir, targetMB = 128, retainMs = 0L)
     assert(readNow() === expect)
     // exactly one committed version survives; the orphan is gone
     val vdirs = new java.io.File(dir).listFiles()
@@ -152,5 +152,42 @@ class SnapshotRaceSpec extends SparkSpec {
     assert(vdirs.length === 1,
       s"expected one surviving version dir, got ${vdirs.map(_.getName).mkString(",")}")
     assert(new java.io.File(vdirs.head, "_GRAFT_COMMITTED").exists())
+  }
+
+  test("compact under a HAMMERING concurrent reader (r14): every read during " +
+    "three consecutive compactions returns the full dataset — the executed " +
+    "form of the no-missing-path-window claim, not just step-boundary probes") {
+    import graft.ops.ScaleOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_hammer")
+      .toString + "/t"
+    val src = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    src.repartition(8).write.parquet(dir)
+    val expect = src.count()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reads = new AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(2)
+    val readers = (1 to 2).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = while (!stop.get() && bad.get() == null) {
+          try {
+            val n = ScaleOps.readCompacted(spark, dir).count()
+            reads.incrementAndGet()
+            if (n != expect) bad.compareAndSet(null, s"read $n rows, expected $expect")
+          } catch {
+            case e: Exception => bad.compareAndSet(null, s"reader threw: ${e.getMessage}")
+          }
+        }
+      })
+    }
+    try {
+      (1 to 3).foreach(_ => ScaleOps.compact(spark, dir, targetMB = 128))
+    } finally {
+      stop.set(true)
+      readers.foreach(_.get(60, TimeUnit.SECONDS))
+      pool.shutdown()
+    }
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(reads.get() > 0, "hammer never completed a read — vacuous race")
   }
 }

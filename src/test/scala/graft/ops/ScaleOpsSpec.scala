@@ -155,7 +155,7 @@ class ScaleOpsSpec extends SparkSpec {
     def files = new java.io.File(ScaleOps.compactDataDir(fs, p))
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(files === 64)
-    val n = ScaleOps.compact(spark, dir, targetMB = 128)
+    val n = ScaleOps.compact(spark, dir, targetMB = 128, retainMs = 0L)
     assert(n === 1 && files === 1) // tiny table -> single target-size file
     val back = ScaleOps.readCompacted(spark, dir)
     assert(back.count() === li.count() && back.except(li).count() === 0)
@@ -163,7 +163,7 @@ class ScaleOpsSpec extends SparkSpec {
     // forward and prunes its predecessor
     assert(new java.io.File(dir).listFiles()
       .count(_.getName.endsWith(".parquet")) === 0)
-    ScaleOps.compact(spark, dir, targetMB = 128)
+    ScaleOps.compact(spark, dir, targetMB = 128, retainMs = 0L)
     assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("_compact_v")) === 1)
     val back2 = ScaleOps.readCompacted(spark, dir)
     assert(back2.count() === li.count() && back2.except(li).count() === 0)
@@ -194,7 +194,7 @@ class ScaleOpsSpec extends SparkSpec {
       .select($"l_orderkey", $"l_quantity", ($"l_orderkey" % 4).as("bucket"))
     li.write.partitionBy("bucket").parquet(dir) // zero top-level data files
     val rows = li.count()
-    val n = ScaleOps.compact(spark, dir, targetMB = 128)
+    val n = ScaleOps.compact(spark, dir, targetMB = 128, retainMs = 0L)
     assert(n >= 1)
     val back = ScaleOps.readCompacted(spark, dir)
     // partition column inferred into a regular column; full row parity
@@ -216,13 +216,13 @@ class ScaleOpsSpec extends SparkSpec {
     // pruning — readers already resolve the new version; the next
     // compact rolls forward and prunes, with no recovery call
     intercept[RuntimeException] {
-      ScaleOps.compact(spark, dir, onStep = {
+      ScaleOps.compact(spark, dir, retainMs = 0L, onStep = {
         case "committed" => sys.error("crash before prune")
         case _ => ()
       })
     }
     assert(ScaleOps.readCompacted(spark, dir).count() === rows)
-    val n = ScaleOps.compact(spark, dir)
+    val n = ScaleOps.compact(spark, dir, retainMs = 0L)
     assert(n >= 1 && ScaleOps.readCompacted(spark, dir).count() === rows)
     // one committed survivor, predecessors and raw files pruned
     assert(new java.io.File(dir).listFiles()
