@@ -57,14 +57,24 @@ object Bench {
     // non-data-plane noise in bursts, so the two measurements of a query
     // are spaced apart rather than back-to-back.
     // a query that throws records the -1 sentinel, not its (near-zero)
-    // failure time — broken queries must not inflate the bench's health
-    def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { runOnce(fn, sfDir); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      releaseCaches()
-      name -> (if (ok) dt else -1.0)
-    }.toMap
+    // failure time — broken queries must not inflate the bench's health.
+    // r15 (VERDICT r14 #5): the five streaming-lifecycle gates report
+    // per-phase wall through graft.PhaseTimer — drained around each run
+    // so a pass's phases are its own, and emitted per pass so
+    // warm-vs-cold attribution reads straight from the artifact.
+    def timedPass(): (Map[String, Double], Map[String, Map[String, Double]]) = {
+      val rows = ordered.map { case (name, fn) =>
+        PhaseTimer.drain(name) // reset any residue from a prior pass
+        val t0 = System.nanoTime()
+        val ok = try { runOnce(fn, sfDir); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val ph = PhaseTimer.drain(name)
+        releaseCaches()
+        (name, if (ok) dt else -1.0, ph)
+      }
+      (rows.map(r => r._1 -> r._2).toMap,
+        rows.collect { case (n, _, ph) if ph.nonEmpty => n -> ph }.toMap)
+    }
     // r13 (VERDICT r12 #3): record the OS page-cache state per run — the
     // driver's independent r12 bench landed at the builder's "cold-cache
     // outlier" number (275 s vs the 233-256 s warmed band), so cold cache
@@ -84,10 +94,11 @@ object Bench {
     // mislabeling the operating point for anyone analyzing warm/cold
     // bands from the artifact. Now both points are real: _after_pass1
     // is the warm-entry state of the second pass, _at_end is post-run.
-    val pass1 = timedPass()
+    val (pass1, phases1) = timedPass()
     val cacheAfterPass1 = meminfoGb("Cached")
-    val pass2 = timedPass()
+    val (pass2, phases2) = timedPass()
     val passes = Seq(pass1, pass2)
+    val phasesByPass = Seq(phases1, phases2)
     val cacheAtEnd = meminfoGb("Cached")
     // min over SUCCESSFUL passes; the -1 failure sentinel only survives
     // when every pass failed (a one-pass hiccup must not discard the
@@ -122,10 +133,37 @@ object Bench {
     // r14 (VERDICT r13 #3): the artifact carries EVERY timed pass's
     // total, not just the min aggregation — the round's band is
     // auditable from the JSON itself instead of from which run happened
-    // to be committed
-    val passTotals = passes.map(p => p.values.filter(_ >= 0).sum)
-      .map(v => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
-      .mkString("[", ",", "]")
+    // to be committed. r15 (ADVICE r14): each total sums the
+    // INTERSECTION of queries successful in ALL passes — the old
+    // own-successes sum made the two entries cover different query sets
+    // whenever a query failed in exactly one pass, quietly distorting
+    // the band; per-pass failed counts ride alongside so a one-pass
+    // hiccup is visible rather than silently absorbed.
+    def fmt1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val inAllPasses = ordered.map(_._1).filter(n => passes.forall(_(n) >= 0))
+    val passTotals = passes.map(p => inAllPasses.map(p).sum)
+      .map(fmt1).mkString("[", ",", "]")
+    val passFailed = passes.map(_.values.count(_ < 0)).mkString("[", ",", "]")
+    // r15 (VERDICT r14 #4): the full per-pass per-query matrix — warm-
+    // vs-cold regression triage reads from the committed JSON instead
+    // of needing a rerun (min-over-passes alone hid which pass owned a
+    // delta). -1 stays the failure sentinel.
+    def fmt3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val perPass = ordered.map { case (name, _) =>
+      s"\"$name\":[${passes.map(p => fmt3(p(name))).mkString(",")}]"
+    }.mkString("{", ",", "}")
+    // r15 (VERDICT r14 #5): per-phase wall for the instrumented
+    // streaming gates, per pass — the committed answer to "which stage
+    // moved" that r14 had to reconstruct by hand for band_index
+    val phasesJson = phasesByPass.zipWithIndex.flatMap { case (phs, i) =>
+      phs.toSeq.sortBy(_._1).map { case (q, m) =>
+        val inner = m.toSeq.sortBy(_._1)
+          .map { case (p, v) => s"\"$p\":${fmt3(v)}" }.mkString("{", ",", "}")
+        s"\"${q}_pass${i + 1}\":$inner"
+      }
+    }.mkString("{", ",", "}")
     // environment block: the round-2→3 drift saga (code-cache overflow,
     // cache churn) showed the JVM/bench configuration is half the signal —
     // record it so rounds can diff environment, not just numbers
@@ -155,7 +193,8 @@ object Bench {
       s""""page_cache_gb_at_end":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(cacheAtEnd))},""" +
       s""""cache_note":"<~3GB at start = cold page cache; expect ~1.08x median per-query inflation (r12 driver run)"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
-      s""""pass_totals_sec":$passTotals,""" +
+      s""""pass_totals_sec":$passTotals,"pass_failed":$passFailed,""" +
+      s""""per_pass":$perPass,"phases":$phasesJson,""" +
       s""""n_benched":${results.size},"n_declared":${SparkEntry.queries.size},"sf":"$sfDir","env":$env}"""
     println(line)
     // full-artifact persistence (VERDICT r9 #7): the driver's BENCH_rNN

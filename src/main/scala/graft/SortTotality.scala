@@ -55,6 +55,24 @@ object SortTotality {
         }
         if (blindLiterals) { var k = i + 1; while (k < j) { out(k) = ' '; k += 1 } }
         i = j + 1
+      } else if (c == '"') {
+        // double-quoted IDENTIFIER (ANSI/DuckDB), "" escape aware: an
+        // atomic span, blinded like a literal when `blindLiterals` —
+        // r15 ADVICE: a '--', '(', ')' or ',' INSIDE an identifier is
+        // name text, not structure; it used to start a fake comment or
+        // corrupt the depth-0/comma scan (the fail-open class r14
+        // closed for comments). The clean copy keeps the name intact
+        // for item extraction.
+        var j = i + 1
+        var open = true
+        while (j < out.length && open) {
+          if (out(j) == '"') {
+            if (j + 1 < out.length && out(j + 1) == '"') j += 2
+            else open = false
+          } else j += 1
+        }
+        if (blindLiterals) { var k = i + 1; while (k < j) { out(k) = ' '; k += 1 } }
+        i = j + 1
       } else if (c == '-' && i + 1 < out.length && out(i + 1) == '-') {
         var j = i
         while (j < out.length && out(j) != '\n') { out(j) = ' '; j += 1 }
@@ -185,6 +203,45 @@ object SortTotality {
     sb.result()
   }
 
+  /** Cross-engine portability gate for EXPRESSION sort keys (r15
+    * ADVICE): `expr()` evaluates the key with SPARK semantics, but the
+    * oracle ran it under DuckDB — a function that parses in both
+    * engines yet computes differently (the canonical case:
+    * `CAST(x AS INT)` truncates in Spark, rounds-half-even in DuckDB)
+    * would silently mis-group and turn the tie check into a false red
+    * or false green. Only nodes on this bit-identical whitelist may
+    * appear in a machine-checked key; anything else routes to the same
+    * loud WARN-and-exempt path as an unresolvable key. Casts are
+    * allowed only between numeric types and never fractional→integral
+    * (the rounding divergence) — which admits the implicit widening
+    * casts Spark's analyzer inserts for mixed-type arithmetic.
+    * Returns the offending node names (empty = portable). */
+  private[graft] def nonPortableNodes(
+      root: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types._
+    val allowed = Set("AttributeReference", "Literal", "Alias",
+      "Abs", "UnaryMinus", "Add", "Subtract", "Multiply", "Divide",
+      "Coalesce", "Upper", "Lower", "Length", "Concat", "CheckOverflow")
+    def numeric(t: DataType) = t.isInstanceOf[NumericType]
+    def fractional(t: DataType) = t match {
+      case DoubleType | FloatType | _: DecimalType => true
+      case _ => false
+    }
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    root.collect {
+      case c: Cast =>
+        val ok = numeric(c.child.dataType) && numeric(c.dataType) &&
+          !(fractional(c.child.dataType) && integral(c.dataType))
+        if (ok) None
+        else Some(s"cast(${c.child.dataType.simpleString} as ${c.dataType.simpleString})")
+      case e if !allowed.contains(e.getClass.getSimpleName) => Some(e.prettyName)
+    }.flatten
+  }
+
   /** Back-compat shape used by older specs/tools: the all-plain-columns
     * view — None when any key is an expression. */
   private[graft] def finalOrderCols(sql: String): Option[Seq[String]] =
@@ -224,12 +281,24 @@ object SortTotality {
             else None
           case Left(k) => byLower.get(k.toLowerCase).map(col)
           case Right(e) =>
-            scala.util.Try { val c = expr(e); df.select(c).schema; c }.toOption
+            scala.util.Try {
+              val c = expr(e)
+              // resolve against the dump's schema, then verify every
+              // node is on the cross-engine bit-identical whitelist —
+              // a Spark-evaluated key whose semantics differ from the
+              // DuckDB oracle's must WARN, not silently mis-group
+              val analyzed = df.select(c).queryExecution.analyzed
+              val bad = analyzed.expressions.flatMap(nonPortableNodes)
+              require(bad.isEmpty,
+                s"non-portable sort-key node(s): ${bad.mkString(", ")}")
+              c
+            }.toOption
         }
         if (resolved.exists(_.isEmpty)) {
           System.err.println(s"[verify][sort-totality] WARN $name: sort key " +
-            s"not checkable against the dump (pruned column or unparseable " +
-            s"expression) — hand-check: ${raw.zip(resolved).collect {
+            s"not checkable against the dump (pruned column, unparseable " +
+            s"expression, or a function outside the cross-engine-portable " +
+            s"whitelist) — hand-check: ${raw.zip(resolved).collect {
               case (k, None) => k.merge }.mkString(", ")}")
           None
         } else {

@@ -846,9 +846,19 @@ object Dedup {
   /** Snapshot keys fold (refPred, k) via `params` (r14 ADVICE): two call
     * sites reusing one `name` with a different corpus predicate or
     * shingle size must rebuild, not silently share a bucketed table —
-    * distinct caller names were the only protection before. */
+    * distinct caller names were the only protection before.
+    *
+    * r15 (ADVICE r14): the rendered predicate is NORMALIZED by stripping
+    * Catalyst expression-ID suffixes (`doc_id#123` / `#123L`) — stable
+    * for today's unresolved `col()`/`lit()` call sites, but a caller
+    * passing a RESOLVED column would otherwise bake a fresh per-session
+    * ID into the key, silently defeating the materialize-once cache and
+    * accumulating duplicate snapshot dirs in scratch. Two semantically
+    * different resolved predicates that differ ONLY by expression ID
+    * would collide post-strip, but such predicates also render the same
+    * column names — the same ambiguity the unresolved form has. */
   private[graft] def refTableParams(refPred: Column, k: Int): String =
-    s"pred=${refPred.toString}|k=$k"
+    s"pred=${refPred.toString.replaceAll("#\\d+L?", "")}|k=$k"
 
   private[graft] def refPortableTables(s: SparkSession, dir: String,
       name: String, refPred: Column, k: Int = 3): (DataFrame, DataFrame) = {

@@ -838,8 +838,11 @@ object Similarity {
     // the same tables and BucketedLayoutSpec pins the bucket-local
     // plan) — a maintenance tick pays batch-sized probe work, never
     // the corpus derivation
-    val (shRef, bRef, statsRef) = graft.dedup.Dedup.refBucketedTables3(
-      s, dir, "e08_ref", col("doc_id") % 10 =!= 3)
+    val (shRef, bRef, statsRef) = graft.PhaseTimer.time("e08_index_maintenance",
+        "ref_tables") {
+      graft.dedup.Dedup.refBucketedTables3(
+        s, dir, "e08_ref", col("doc_id") % 10 =!= 3)
+    }
     val dupIds = graft.dedup.Dedup
       .minHashPortableAcrossWith(arriving, shRef, bRef, statsRef = Some(statsRef))
       .select(col("new_id").as("vec_id")).distinct()
@@ -855,9 +858,13 @@ object Similarity {
     // the insert leg and the serve leg share these materialized frames —
     // the old tick quantized the standing corpus inside hnswInsert and
     // then AGAIN for the serve leg's eAll
-    val eStand = quantizedWithNorm(standingVecs).localCheckpoint(true)
-    val eNewQ = quantizedWithNorm(survivors).localCheckpoint(true)
-    val ext = hnswInsertPre(eStand, eNewQ, adj, standingLayers)
+    val (eStand, eNewQ) = graft.PhaseTimer.time("e08_index_maintenance", "quantize") {
+      (quantizedWithNorm(standingVecs).localCheckpoint(true),
+        quantizedWithNorm(survivors).localCheckpoint(true))
+    }
+    val ext = graft.PhaseTimer.time("e08_index_maintenance", "insert") {
+      hnswInsertPre(eStand, eNewQ, adj, standingLayers)
+    }
     // r11 (VERDICT r10 #3): the serve leg used to pay the full descent —
     // re-routing the STANDING query set through the STANDING upper
     // layers every tick, right after the insert leg descended those same
@@ -867,7 +874,8 @@ object Similarity {
     // only the base-layer rounds over the extended graph per tick. The
     // DuckDB oracle replays the same definition (serve entry from the
     // standing vector set).
-    val routes = graft.SnapshotStore(s, dir, "embeddings.parquet",
+    val routes = graft.PhaseTimer.time("e08_index_maintenance", "routes") {
+      graft.SnapshotStore(s, dir, "embeddings.parquet",
       s"e08_routes_$hp", params = s"$hp|q100|b${HnswBeamU}x$HnswRoundsU") {
       val eStand = quantizedWithNorm(
         Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 3))
@@ -875,7 +883,7 @@ object Similarity {
         eStand.filter(col("vec_id") % 100 === 0).toDF("query_id", "qq", "qnorm"),
         standingLayers)
         .repartition(col("query_id"))
-    }
+    } }
     val eAll = eStand.unionByName(eNewQ)
     // %100 ≡ 0 and %10 ≡ 3 are disjoint, so the extended set's query
     // slice IS the standing one — one quantize pass serves both roles

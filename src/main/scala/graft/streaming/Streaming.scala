@@ -1926,18 +1926,24 @@ object Streaming {
         }
         .outputMode("update").start()
       try {
-        (0 until 3).foreach { r =>
-          input.addData(ids.filter(_ % 3 == r).toSeq)
-          q.processAllAvailable()
-          if (r == 1) refresh.compactSegments() // durable compact marker mid-stream
+        graft.PhaseTimer.time("b10_stream_band_index", "triggers") {
+          (0 until 3).foreach { r =>
+            input.addData(ids.filter(_ % 3 == r).toSeq)
+            q.processAllAvailable()
+            if (r == 1) refresh.compactSegments() // durable compact marker mid-stream
+          }
         }
       } finally q.stop() // a mid-stream failure must not leak the query
       // at-least-once re-delivery of the last committed batch: no-op
       if (lastId.get() >= 0)
-        refresh.update(docs.filter(col("doc_id") % 3 === 2), lastId.get())
+        graft.PhaseTimer.time("b10_stream_band_index", "redelivery") {
+          refresh.update(docs.filter(col("doc_id") % 3 === 2), lastId.get())
+        }
       // driver restart: a fresh instance recovers the ledger and serves
-      val served = new BandIndexRefresh(3, Some(ledgerDir), portable = true)
-        .recover(s).bandIndex.get.localCheckpoint(true)
+      val served = graft.PhaseTimer.time("b10_stream_band_index", "recover") {
+        new BandIndexRefresh(3, Some(ledgerDir), portable = true)
+          .recover(s).bandIndex.get.localCheckpoint(true)
+      }
       served.orderBy(col("doc_id"), col("band_idx"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ledgerDir))
@@ -1985,11 +1991,13 @@ object Streaming {
       // which r13 measured as the dominant residual cost of this gate.
       // The copying bootstrap() remains for in-JVM seeding without a
       // durable snapshot to point at.
-      val refresh = new AnnIndexRefresh(compactEvery = Int.MaxValue,
-        stateDir = Some(ledgerDir))
-        .bootstrapByRef(s,
-          graft.similarity.Similarity.standingVecsSnapshotPath(s, dir),
-          graft.similarity.Similarity.standingAdjSnapshotPath(s, dir))
+      val refresh = graft.PhaseTimer.time("b12_stream_ann_index", "bootstrap") {
+        new AnnIndexRefresh(compactEvery = Int.MaxValue,
+          stateDir = Some(ledgerDir))
+          .bootstrapByRef(s,
+            graft.similarity.Similarity.standingVecsSnapshotPath(s, dir),
+            graft.similarity.Similarity.standingAdjSnapshotPath(s, dir))
+      }
       val ids = emb.select(col("vec_id")).collect().map(_.getLong(0))
       val input = MemoryStream[Long](s)
       val lastId = new java.util.concurrent.atomic.AtomicLong(-1L)
@@ -2000,17 +2008,24 @@ object Streaming {
           ()
         }
         .outputMode("update").start()
-      try { input.addData(ids.filter(_ % 10 == 3).toSeq); q.processAllAvailable() }
-      finally q.stop() // a mid-stream failure must not leak the query
+      try {
+        graft.PhaseTimer.time("b12_stream_ann_index", "trigger") {
+          input.addData(ids.filter(_ % 10 == 3).toSeq); q.processAllAvailable()
+        }
+      } finally q.stop() // a mid-stream failure must not leak the query
       // at-least-once re-delivery: the retried insert batch must no-op,
       // not die on the collision guard
       if (lastId.get() >= 0)
-        refresh.update(emb.filter(col("vec_id") % 10 === 3), lastId.get())
+        graft.PhaseTimer.time("b12_stream_ann_index", "redelivery") {
+          refresh.update(emb.filter(col("vec_id") % 10 === 3), lastId.get())
+        }
       // driver restart: a fresh instance recovers bootstrap + insert
       // from the ledger and serves — the compared artifact
-      val served = new AnnIndexRefresh(compactEvery = Int.MaxValue,
-        stateDir = Some(ledgerDir)).recover(s)
-        .adjacency.get.localCheckpoint(true)
+      val served = graft.PhaseTimer.time("b12_stream_ann_index", "recover") {
+        new AnnIndexRefresh(compactEvery = Int.MaxValue,
+          stateDir = Some(ledgerDir)).recover(s)
+          .adjacency.get.localCheckpoint(true)
+      }
       // in-gate SIGNATURE-REFUSAL probe (r14, the by-ref default's other
       // half): recovery must REFUSE a tampered seed, never serve it. A
       // tiny synthetic seed is committed by-ref in a scratch ledger,
@@ -2018,7 +2033,7 @@ object Streaming {
       // alteration the per-file (path, length, mtime) signature exists
       // to catch — and recover() must throw.
       val probeDir = java.nio.file.Files.createTempDirectory("graft_b12sai_probe_").toString
-      try {
+      try graft.PhaseTimer.time("b12_stream_ann_index", "refusal_probe") {
         val seedVecs = s"$probeDir/seed_vecs"
         val seedAdj = s"$probeDir/seed_adj"
         Seq((1L, Seq(0.1f)), (2L, Seq(0.2f))).toDF("vec_id", "embedding")
@@ -2099,18 +2114,24 @@ object Streaming {
         }
         .outputMode("update").start()
       try {
-        cuts.foreach { pred =>
-          input.addData(events.filter(pred).select(col("event_id"))
-            .collect().map(_.getLong(0)).toSeq) // keys only, bounded
-          q.processAllAvailable()
+        graft.PhaseTimer.time("b10_stream_concurrency", "triggers") {
+          cuts.foreach { pred =>
+            input.addData(events.filter(pred).select(col("event_id"))
+              .collect().map(_.getLong(0)).toSeq) // keys only, bounded
+            q.processAllAvailable()
+          }
         }
       } finally q.stop() // a mid-stream failure must not leak the query
       // at-least-once re-delivery of the last batch: no-op
       if (lastId.get() >= 0)
-        refresh.update(events.filter(cuts.last), lastId.get())
+        graft.PhaseTimer.time("b10_stream_concurrency", "redelivery") {
+          refresh.update(events.filter(cuts.last), lastId.get())
+        }
       // driver restart: recover the bounded snapshot, serve the curve
-      val served = new SessionConcurrencyRefresh("1 hour", Some(ledgerDir))
-        .recover(s).curve.get.localCheckpoint(true)
+      val served = graft.PhaseTimer.time("b10_stream_concurrency", "recover") {
+        new SessionConcurrencyRefresh("1 hour", Some(ledgerDir))
+          .recover(s).curve.get.localCheckpoint(true)
+      }
       // back to the events table's native NTZ rendering (wall time
       // preserved under the pinned UTC session) — the type the
       // b10_concurrency twin emits and the oracle compare expects
@@ -2169,12 +2190,16 @@ object Streaming {
         }
         .outputMode("update").start()
       try {
-        inBatch.foreach { p => input.addData(ids.filter(p).toSeq); q.processAllAvailable() }
+        graft.PhaseTimer.time("b10_stream_harvest", "triggers") {
+          inBatch.foreach { p => input.addData(ids.filter(p).toSeq); q.processAllAvailable() }
+        }
       } finally q.stop() // a mid-stream failure must not leak the query
       // at-least-once re-delivery of the last batch: store-marker no-op
       if (lastId.get() >= 0)
-        harvestSink(storeDir, asOf)(
-          bindings.filter(cuts.last).drop("doc_id"), lastId.get())
+        graft.PhaseTimer.time("b10_stream_harvest", "redelivery") {
+          harvestSink(storeDir, asOf)(
+            bindings.filter(cuts.last).drop("doc_id"), lastId.get())
+        }
       // serve the store: both tables, ids included
       val terms = graft.harvest.Store.readTableOr(
         s, storeDir, "terms", graft.harvest.Schemas.terms)
@@ -2183,8 +2208,10 @@ object Streaming {
         s, storeDir, "term_fields", graft.harvest.Schemas.termFields)
         .select(col("term_id"), col("id").as("field_id"), col("field_uri"),
           col("field_term"), col("original_value"))
-      val served = terms.join(fields, Seq("term_id"), "left_outer")
-        .localCheckpoint(true) // cut from the store files before cleanup
+      val served = graft.PhaseTimer.time("b10_stream_harvest", "serve") {
+        terms.join(fields, Seq("term_id"), "left_outer")
+          .localCheckpoint(true) // cut from the store files before cleanup
+      }
       served.orderBy(col("term_id"), col("field_id").asc_nulls_first)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))

@@ -154,6 +154,96 @@ class SnapshotRaceSpec extends SparkSpec {
     assert(new java.io.File(vdirs.head, "_GRAFT_COMMITTED").exists())
   }
 
+  test("concurrent COMPACTORS (r15, ADVICE r14): two compacts racing on one " +
+    "table claim distinct version numbers — neither overwrites the other's " +
+    "committed data, both commit, readers see the full dataset throughout") {
+    import graft.ops.ScaleOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_claim")
+      .toString + "/t"
+    val src = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    src.repartition(8).write.parquet(dir)
+    val expect = src.count()
+    // a standing CLAIM (as if another compactor grabbed the next number
+    // moments ago and is still staging): this run must skip past it —
+    // the old max-over-dirs `next` would collide and its
+    // mode("overwrite") stage would delete the racer's work
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_compact_v1.claim"), false).close()
+    ScaleOps.compact(spark, dir, targetMB = 128)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("_compact_v2"),
+      s"compact did not skip the outstanding claim: $names")
+    assert(!names.contains("_compact_v1"),
+      "compact staged INTO the claimed number — claim not honored")
+    assert(names.contains("_compact_v1.claim"),
+      "a fresh racer's claim was reaped (it is younger than the sweep floor)")
+    // a genuinely concurrent pair: both must succeed with distinct
+    // numbers and the reader contract must hold after both
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val racers = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = { start.await(); ScaleOps.compact(spark, dir, targetMB = 128) }
+      })
+    }
+    start.countDown()
+    racers.foreach(_.get(120, TimeUnit.SECONDS)) // neither may throw
+    pool.shutdown()
+    assert(ScaleOps.readCompacted(spark, dir).count() === expect)
+    val committed = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.matches("_compact_v\\d+") &&
+        new java.io.File(f, "_GRAFT_COMMITTED").exists())
+    assert(committed.nonEmpty, "no committed version after the race")
+  }
+
+  test("compact retention is STORE-clock based and leaves the _GRAFT_COMPACTED " +
+    "sentinel (r15, VERDICT r14 #3/#6): marker ages compare against a " +
+    "filesystem-stamped now, a vacuumed raw dir fails readRaw loudly") {
+    import graft.ops.ScaleOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_skew")
+      .toString + "/t"
+    val src = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    src.repartition(8).write.parquet(dir)
+    val expect = src.count()
+    // before any compact, readRaw IS the raw read
+    assert(ScaleOps.readRaw(spark, dir).count() === expect)
+    val hourMs = 3600000L
+    ScaleOps.compact(spark, dir, targetMB = 128, retainMs = hourMs)
+    // raw files retained: v1's marker is seconds old, well inside 1 h
+    assert(new java.io.File(dir).listFiles().exists(f =>
+      f.getName.endsWith(".parquet") || (f.isDirectory && !f.getName.startsWith("_"))),
+      "raw files vacuumed inside the retention window")
+    // ... but a raw read already resolves stale data: readRaw refuses
+    val early = intercept[IllegalArgumentException] {
+      ScaleOps.readRaw(spark, dir)
+    }
+    assert(early.getMessage.contains("readCompacted"))
+    // simulate 2 h of STORE time elapsing by aging v1's marker — the
+    // retention decision must follow the marker's filesystem mtime
+    // (both sides of the comparison now come from the store clock; a
+    // skewed LOCAL clock no longer shrinks or stretches the window)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_compact_v1/_GRAFT_COMMITTED")
+    fs.setTimes(marker, System.currentTimeMillis() - 2 * hourMs, -1)
+    ScaleOps.compact(spark, dir, targetMB = 128, retainMs = hourMs)
+    // v1 superseded the raw files 2 h (store time) ago: raw vacuumed,
+    // sentinel stamped; v1 itself is superseded only seconds ago by
+    // v2's fresh marker, so it survives the window
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains(ScaleOps.CompactedSentinel), s"no sentinel in $names")
+    assert(names.contains("_compact_v1"), "v1 pruned inside its retention window")
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.getName.endsWith(".parquet")), "raw files survived an expired window")
+    assert(ScaleOps.readCompacted(spark, dir).count() === expect)
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.readRaw(spark, dir)
+    }
+    assert(e.getMessage.contains("vacuumed") && e.getMessage.contains("readCompacted"),
+      s"readRaw error not actionable: ${e.getMessage}")
+  }
+
   test("compact under a HAMMERING concurrent reader (r14): every read during " +
     "three consecutive compactions returns the full dataset — the executed " +
     "form of the no-missing-path-window claim, not just step-boundary probes") {

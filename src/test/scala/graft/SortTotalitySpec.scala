@@ -118,6 +118,47 @@ class SortTotalitySpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("stripNoise: double-quoted identifiers are atomic spans (r15 ADVICE)") {
+    // '--' inside a quoted identifier is name text, not a comment start
+    assert(SortTotality.finalOrderCols(
+      "SELECT a FROM t ORDER BY \"a--b\"") === Some(Seq("a--b")))
+    // parens/commas inside a quoted identifier must not corrupt the
+    // depth-0/comma scan: one key, not two, and depth stays balanced
+    assert(SortTotality.finalOrderCols(
+      "SELECT a FROM t ORDER BY \"a,b\"") === Some(Seq("a,b")))
+    assert(SortTotality.finalOrderCols(
+      "SELECT a FROM t ORDER BY \"a(b\", c") === Some(Seq("a(b", "c")))
+    // an identifier containing 'ORDER BY' is a name, not a final sort
+    assert(SortTotality.finalOrderCols(
+      "SELECT \"ORDER BY\" FROM t") === None)
+  }
+
+  test("check: a non-portable function in an expression key WARNs and " +
+    "exempts instead of evaluating with Spark-only semantics (r15 ADVICE)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sorttot_port").toString
+    try {
+      // CAST(double AS INT): truncates in Spark, rounds in DuckDB — the
+      // dump HAS ties under Spark's truncation (1.4, 1.6 → 1), but the
+      // key must be exempted (WARN), not machine-flagged with the wrong
+      // engine's semantics
+      Seq((1.4, "x"), (1.6, "y")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$out/q_cast")
+      // a non-whitelisted function that exists in both engines
+      Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$out/q_fn")
+      // the whitelisted shape the real surface uses (b04_delta_drivers)
+      Seq((-1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$out/q_absdiff")
+      val got = SortTotality.check(spark, out, Map(
+        "q_cast" -> "SELECT k, v FROM t ORDER BY CAST(k AS INT)",
+        "q_fn" -> "SELECT k, v FROM t ORDER BY sin(k)",
+        "q_absdiff" -> "SELECT k, v FROM t ORDER BY abs(k - 0)"))
+      // q_cast/q_fn exempted via WARN; abs(k-0) collides -1/1 → flagged
+      // by the PORTABLE whitelist evaluation, proving it still checks
+      assert(got === Seq("q_absdiff" -> 1L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("check: flags a tie-ambiguous dump, passes a total one") {
     val out = java.nio.file.Files.createTempDirectory("graft_sorttot").toString
     try {

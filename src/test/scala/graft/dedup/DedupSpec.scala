@@ -473,4 +473,21 @@ class DedupSpec extends SparkSpec {
     assert(got === brute)
     assert(got.nonEmpty) // the fixture actually crosses the threshold
   }
+
+  test("refTableParams is session-stable (r15 ADVICE): a RESOLVED column's " +
+    "expression IDs are stripped, so the snapshot key cannot churn per JVM") {
+    import org.apache.spark.sql.functions.col
+    val unresolved = Dedup.refTableParams(col("doc_id") % 2 === 0, 3)
+    // a resolved predicate renders with #<exprId> suffixes; the key
+    // must normalize to the unresolved rendering, not embed the ID
+    val docs = graft.Tables.documents(spark, sfDir)
+    val resolved = Dedup.refTableParams(docs("doc_id") % 2 === 0, 3)
+    assert(!resolved.matches(".*#\\d+.*"),
+      s"expression ID leaked into the snapshot key: $resolved")
+    assert(resolved === unresolved,
+      s"resolved vs unresolved key drift: $resolved != $unresolved")
+    // different predicates still produce different keys
+    assert(Dedup.refTableParams(col("doc_id") % 3 === 0, 3) !== unresolved)
+    assert(Dedup.refTableParams(col("doc_id") % 2 === 0, 4) !== unresolved)
+  }
 }

@@ -373,6 +373,50 @@ class StreamingDurabilitySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
 
+  test("bootstrapByRef soak r15 (VERDICT r14 #7): a seed that is a REAL " +
+    "SnapshotStore snapshot, legitimately swept mid-ledger-life (the " +
+    "version-bump sweep), turns recovery into the changed-or-vanished " +
+    "refusal — after insert ticks, and never an NPE") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").filter($"vec_id" < 400)
+    val key = s"refsoak_${System.nanoTime()}"
+    // the production shape: the seed IS a materialize-once snapshot
+    val seedVecs = graft.SnapshotStore(spark, sfDir, "embeddings.parquet",
+      s"${key}_vecs") { emb.filter($"vec_id" % 4 === 0).toDF() }
+    val layers = graft.similarity.Similarity.provisionLayers(seedVecs.count())
+    val adjDf = graft.similarity.Similarity.hnswCompact(seedVecs, Some(layers))
+      .localCheckpoint(true)
+    graft.SnapshotStore(spark, sfDir, "embeddings.parquet", s"${key}_adj") { adjDf }
+    // the published snapshot DIRS — the exact pointers a by-ref consumer
+    // records (already built above, so the builder must never re-run)
+    def snapDir(suffix: String): java.io.File = new java.io.File(
+      graft.SnapshotStore.path(spark, sfDir, "embeddings.parquet",
+        s"${key}_$suffix") { sys.error("snapshot must already be published") })
+    val refDir = tmpDir("annrefsoak")
+    val byRef = new Streaming.AnnIndexRefresh(compactEvery = 10, Some(refDir))
+      .bootstrapByRef(spark, snapDir("vecs").toString, snapDir("adj").toString,
+        Some(layers))
+    // MID-LEDGER-LIFE: two insert ticks after the pointer seed, so the
+    // refusal must fire from the seed re-read inside a recovery that
+    // also has insert segments to load
+    byRef.update(emb.filter($"vec_id" % 4 === 1).toDF(), 0L)
+    byRef.update(emb.filter($"vec_id" % 4 === 2).toDF(), 1L)
+    // sanity: recovery works while the snapshot lives
+    assert(new Streaming.AnnIndexRefresh(compactEvery = 10, Some(refDir))
+      .recover(spark).adjacency.get.count() > 0L)
+    // the legitimate sweep: SnapshotStore.sweepOldVersions deletes a
+    // superseded version root wholesale — same effect on this
+    // snapshot's path, simulated directly against the scratch layout
+    val swept = Seq(snapDir("vecs"), snapDir("adj"))
+    swept.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    val e = intercept[IllegalArgumentException] {
+      new Streaming.AnnIndexRefresh(compactEvery = 10, Some(refDir)).recover(spark)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("changed or vanished"),
+      s"expected the signature refusal, got: $e")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(refDir))
+  }
+
   test("restart: SessionConcurrencyRefresh recovers the bounded snapshot " +
     "(open/frozen/finished-days/carry/frontier); curve bit-identical") {
     def e(id: Long, u: Long, ts: String) = Evt(id, Timestamp.valueOf(ts), u, "view", 0)

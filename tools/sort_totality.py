@@ -57,6 +57,24 @@ def final_order_by(sql):
             for k in range(i + 1, min(j, n)):
                 out[k] = " "
             i = j + 1
+        elif c == '"':
+            # double-quoted IDENTIFIER ("" escape aware): atomic span,
+            # body blinded (r15 ADVICE, mirroring SortTotality): a '--',
+            # '(' , ')' or ',' inside an identifier is name text, not
+            # structure. Blinding loses the name, so such identifiers
+            # route to the hand-check list below — fail-safe for a
+            # dev tool; the Scala gate extracts names via a clean copy.
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
         elif c == "-" and sql[i:i + 2] == "--":
             j = i
             while j < n and sql[j] != "\n":
