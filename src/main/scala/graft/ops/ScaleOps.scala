@@ -117,9 +117,10 @@ object ScaleOps {
     * read that starts within the window finishes safely; size the
     * window to the longest expected scan. `retainMs = 0` restores
     * eager pruning for callers that serialize readers themselves.
-    * "Now" for the retention comparison is the CLAIM FILE's mtime —
-    * a file this run just created on the SAME filesystem that stamps
-    * the markers — not the local `System.currentTimeMillis()` (r15,
+    * "Now" for the retention comparison is this run's fresh COMMIT
+    * MARKER's mtime — a file this run just created on the SAME
+    * filesystem that stamped every predecessor's marker — not the
+    * local `System.currentTimeMillis()` (r15,
     * VERDICT r14 #3): on an object store whose clock is skewed from
     * the client's, a local-clock "now" silently shrinks or stretches
     * the vacuum window; drawing both timestamps from the store clock
@@ -208,8 +209,13 @@ object ScaleOps {
     // so the marker ages below are skew-free by construction. The old
     // local System.currentTimeMillis() vs a skewed object-store clock
     // silently shrank (store behind) or stretched (store ahead) the
-    // vacuum window by the skew amount.
-    val now = markerMtime(vdir)
+    // vacuum window by the skew amount. Local-clock fallback only if
+    // the just-created marker is unreadable (markerMtime's MaxValue
+    // sentinel means "missing" — as a "now" it would age every
+    // predecessor past any window and over-prune).
+    val now = scala.util.Try(fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(vdir, CompactMarker)).getModificationTime)
+      .getOrElse(System.currentTimeMillis())
     val committedVs = versions.filter(_._3).sortBy(_._1)
     // capture marker ages BEFORE pruning — the prune loop deletes
     // markers, and a lazily-computed age would then read as "missing"
