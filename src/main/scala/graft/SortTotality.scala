@@ -160,8 +160,16 @@ object SortTotality {
         val ident = "^(?:[A-Za-z_][A-Za-z0-9_]*\\.)?(?:[A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\"|\\d+)$".r
         Some(stripped.map { it =>
           if (ident.pattern.matcher(it).matches()) {
-            val last = it.substring(it.lastIndexOf('.') + 1)
-            Left(last.stripPrefix("\"").stripSuffix("\""))
+            // quoted trailing part first (r15 review): "a.b" is ONE
+            // identifier whose name contains a dot — lastIndexOf('.')
+            // before quote-stripping split inside the quotes and
+            // checked ties on the wrong column
+            val last =
+              if (it.endsWith("\"")) {
+                val open = it.lastIndexOf('"', it.length - 2)
+                it.substring(open + 1, it.length - 1)
+              } else it.substring(it.lastIndexOf('.') + 1)
+            Left(last)
           } else
             // DuckDB double-quotes identifiers; Spark's expr() wants
             // backticks (its double quote is a string literal — a
@@ -212,9 +220,13 @@ object SortTotality {
     * or false green. Only nodes on this bit-identical whitelist may
     * appear in a machine-checked key; anything else routes to the same
     * loud WARN-and-exempt path as an unresolvable key. Casts are
-    * allowed only between numeric types and never fractional→integral
-    * (the rounding divergence) — which admits the implicit widening
-    * casts Spark's analyzer inserts for mixed-type arithmetic.
+    * allowed only between numeric types, never fractional→integral
+    * (the rounding divergence) and never INTO a decimal (Spark-side
+    * HALF_UP rescale) — which still admits the implicit widening casts
+    * Spark's analyzer inserts for mixed-type arithmetic. Decimal
+    * ARITHMETIC is excluded wholesale: the engines derive different
+    * result types (Spark DECIMAL with HALF_UP rounding vs DuckDB's
+    * DOUBLE promotion for division).
     * Returns the offending node names (empty = portable). */
   private[graft] def nonPortableNodes(
       root: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
@@ -222,8 +234,10 @@ object SortTotality {
     import org.apache.spark.sql.types._
     val allowed = Set("AttributeReference", "Literal", "Alias",
       "Abs", "UnaryMinus", "Add", "Subtract", "Multiply", "Divide",
-      "Coalesce", "Upper", "Lower", "Length", "Concat", "CheckOverflow")
+      "Coalesce", "Upper", "Lower", "Length", "Concat")
+    val arith = Set("Abs", "UnaryMinus", "Add", "Subtract", "Multiply", "Divide")
     def numeric(t: DataType) = t.isInstanceOf[NumericType]
+    def decimal(t: DataType) = t.isInstanceOf[DecimalType]
     def fractional(t: DataType) = t match {
       case DoubleType | FloatType | _: DecimalType => true
       case _ => false
@@ -234,10 +248,21 @@ object SortTotality {
     }
     root.collect {
       case c: Cast =>
+        // a decimal TARGET rescales with Spark's HALF_UP — not portable
         val ok = numeric(c.child.dataType) && numeric(c.dataType) &&
-          !(fractional(c.child.dataType) && integral(c.dataType))
+          !(fractional(c.child.dataType) && integral(c.dataType)) &&
+          !decimal(c.dataType)
         if (ok) None
         else Some(s"cast(${c.child.dataType.simpleString} as ${c.dataType.simpleString})")
+      // DECIMAL arithmetic (r15 review): Spark derives precision/scale
+      // and rounds HALF_UP (CheckOverflow), DuckDB promotes decimal
+      // division to DOUBLE — same parse, different values. Integer and
+      // IEEE-double arithmetic are bit-identical in both engines;
+      // decimal operands route to WARN. (CheckOverflow itself is no
+      // longer whitelisted — it only ever wraps decimal arithmetic.)
+      case e if arith.contains(e.getClass.getSimpleName) &&
+          (decimal(e.dataType) || e.children.exists(ch => decimal(ch.dataType))) =>
+        Some(s"decimal-${e.prettyName}")
       case e if !allowed.contains(e.getClass.getSimpleName) => Some(e.prettyName)
     }.flatten
   }

@@ -848,17 +848,22 @@ object Dedup {
     * shingle size must rebuild, not silently share a bucketed table —
     * distinct caller names were the only protection before.
     *
-    * r15 (ADVICE r14): the rendered predicate is NORMALIZED by stripping
-    * Catalyst expression-ID suffixes (`doc_id#123` / `#123L`) — stable
-    * for today's unresolved `col()`/`lit()` call sites, but a caller
-    * passing a RESOLVED column would otherwise bake a fresh per-session
-    * ID into the key, silently defeating the materialize-once cache and
-    * accumulating duplicate snapshot dirs in scratch. Two semantically
-    * different resolved predicates that differ ONLY by expression ID
-    * would collide post-strip, but such predicates also render the same
-    * column names — the same ambiguity the unresolved form has. */
-  private[graft] def refTableParams(refPred: Column, k: Int): String =
-    s"pred=${refPred.toString.replaceAll("#\\d+L?", "")}|k=$k"
+    * r15 (ADVICE r14): the predicate renders through `Expression.sql`,
+    * which is SESSION-STABLE by construction — attributes render by
+    * name with no `#<exprId>` suffix (a caller passing a RESOLVED
+    * column no longer bakes a fresh per-session ID into the key and
+    * defeats the materialize-once cache) and string literals render
+    * QUOTED, so a literal that happens to contain `#42` can never be
+    * confused with an ID (the r15 review killed a `replaceAll("#\\d+")`
+    * normalization for exactly that collision). The raw `toString` is
+    * only a fallback for expressions `.sql` cannot render, with the ID
+    * strip applied there. */
+  private[graft] def refTableParams(refPred: Column, k: Int): String = {
+    val rendered = scala.util.Try(
+        org.apache.spark.sql.graftbridge.bridge.stableSql(refPred))
+      .getOrElse(refPred.toString.replaceAll("#\\d+L?", ""))
+    s"pred=$rendered|k=$k"
+  }
 
   private[graft] def refPortableTables(s: SparkSession, dir: String,
       name: String, refPred: Column, k: Int = 3): (DataFrame, DataFrame) = {

@@ -104,7 +104,12 @@ object ScaleOps {
     * claim left by a compactor that died before staging is swept only
     * after max(retainMs, 10 min) of store-clock age, so a live racer's
     * claim is never reaped mid-stage; one left by a death between
-    * stage and commit goes with its orphan dir.
+    * stage and commit goes with its orphan dir. ATOMICITY caveat (the
+    * one every claim-file protocol carries, incl. [[Versioned]] and
+    * SnapshotStore): `create(overwrite = false)` is atomic on
+    * HDFS/local/ABFS/GCS; on raw S3 it is HEAD-then-PUT, so concurrent
+    * compactors there need a conditional-put (If-None-Match) claim or
+    * an external lock — the standard S3A committer restriction.
     *
     * RETENTION (r14, found by the hammering-reader race spec): pruning
     * a predecessor the instant its successor commits breaks a reader
@@ -130,8 +135,12 @@ object ScaleOps {
     * fails with an actionable error instead of silently scanning
     * nothing (VERDICT r14 #6 — underscore-prefixed names are invisible
     * to `spark.read.parquet(dir)`).
-    * Never-committed orphans prune immediately regardless (they were
-    * never resolvable). Returns the output
+    * A never-committed dir is indistinguishable from a LIVE racer's
+    * in-flight stage (both are claim-plus-unmarked-dir), so it is
+    * swept only once its claim is gone or older than
+    * max(retainMs, 10 min) of store-clock age — the
+    * remove-orphan-files retention discipline; it was never resolvable
+    * either way. Returns the output
     * file count. `onStep` is a test seam: called with "staged" /
     * "committed" / "pruned" as the protocol advances. A
     * hive-partitioned RAW layout is sized recursively and compacts
@@ -164,18 +173,26 @@ object ScaleOps {
     var next = 0L
     var claimFile: org.apache.hadoop.fs.Path = null
     var attempts = 0
-    while (claimFile == null) {
-      attempts += 1
-      next = ((compactVersions(fs, path).map(_._1) ++
-        claimedVersions(fs, path)) :+ 0L).max + 1
-      val candidate = new org.apache.hadoop.fs.Path(path, s"_compact_v$next.claim")
-      try { fs.create(candidate, false).close(); claimFile = candidate }
-      catch { // lost the claim race: recompute — but a real IO failure
-              // (permissions, dead store) must surface, not spin
-        case e: java.io.IOException =>
-          if (attempts >= 100) throw new java.io.IOException(
-            s"compact: could not claim a version number under $dir " +
-              s"after $attempts attempts", e)
+    // per-table monitor around the claim attempt (the SnapshotStore
+    // keyLocks discipline): RawLocalFileSystem's create(overwrite =
+    // false) is CHECK-THEN-ACT, so two threads of the SAME JVM can both
+    // "win" one number and stage into one dir — the in-process race the
+    // file protocol cannot arbitrate. Cross-process racers still go
+    // through the create-exclusive file. Staging runs OUTSIDE the lock.
+    compactClaimLocks.computeIfAbsent(path.toString, _ => new Object).synchronized {
+      while (claimFile == null) {
+        attempts += 1
+        next = ((compactVersions(fs, path).map(_._1) ++
+          claimedVersions(fs, path)) :+ 0L).max + 1
+        val candidate = new org.apache.hadoop.fs.Path(path, s"_compact_v$next.claim")
+        try { fs.create(candidate, false).close(); claimFile = candidate }
+        catch { // lost the claim race: recompute — but a real IO failure
+                // (permissions, dead store) must surface, not spin
+          case e: java.io.IOException =>
+            if (attempts >= 100) throw new java.io.IOException(
+              s"compact: could not claim a version number under $dir " +
+                s"after $attempts attempts", e)
+        }
       }
     }
     val vdir = new org.apache.hadoop.fs.Path(path, s"_compact_v$next")
@@ -225,8 +242,24 @@ object ScaleOps {
     // been unresolvable to NEW readers
     def supersededFor(v: Long): Long = committedVs.find(_._1 > v)
       .map(s => markerAge(s._1)).getOrElse(Long.MinValue)
+    // a LIVE racer mid-stage looks exactly like a crashed stage: an
+    // uncommitted dir whose claim still exists (claims are deleted only
+    // at commit). Distinguish by store-clock AGE, the Delta/Iceberg
+    // remove-orphan-files discipline: an uncommitted dir is swept only
+    // once its claim is gone or older than max(retainMs, 10 min) —
+    // (r15 review: the unguarded `!committed` prune deleted a racing
+    // compactor's in-flight stage, the exact overwrite class the claim
+    // protocol exists to prevent).
+    val claimFloor = math.max(retainMs, 600000L)
+    def claimAge(v: Long): Long = scala.util.Try(
+      now - fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(path, s"_compact_v$v.claim")).getModificationTime)
+      .getOrElse(Long.MaxValue) // no claim: nothing is staging it
     versions.filter(_._1 < next).foreach { case (v, p, committed) =>
-      if (!committed || supersededFor(v) >= retainMs) {
+      val prune =
+        if (committed) supersededFor(v) >= retainMs
+        else claimAge(v) >= claimFloor
+      if (prune) {
         if (committed) fs.delete(new org.apache.hadoop.fs.Path(p, CompactMarker), false)
         fs.delete(p, true)
         fs.delete(new org.apache.hadoop.fs.Path(path, s"_compact_v$v.claim"), false)
@@ -237,7 +270,6 @@ object ScaleOps {
     // max(retainMs, 10 min) by the same store clock — a live racer is
     // never reaped mid-stage, and the floor keeps eager-mode callers
     // (retainMs = 0) from reaping a concurrent claimer either
-    val claimFloor = math.max(retainMs, 600000L)
     claimedVersions(fs, path).filter(v => v != next &&
         !versions.exists(_._1 == v)).foreach { v =>
       val cp = new org.apache.hadoop.fs.Path(path, s"_compact_v$v.claim")
@@ -266,6 +298,12 @@ object ScaleOps {
 
   private val CompactMarker = "_GRAFT_COMMITTED"
   private[graft] val CompactedSentinel = "_GRAFT_COMPACTED"
+
+  /** One monitor per table dir, never released (tables are few): the
+    * in-JVM half of the claim arbitration — see the comment at the
+    * claim loop in [[compact]]. */
+  private val compactClaimLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Version numbers with an outstanding `_compact_v<N>.claim` file —
     * counted alongside staged/committed dirs when choosing `next`, so a

@@ -12,6 +12,16 @@ object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Render a Column's predicate as SESSION-STABLE SQL text (r15):
+    * `ExpressionUtils.expression` returns a lazy `ColumnNodeExpression`
+    * whose `.sql` is the useless constant "columnnodeexpression()", so
+    * run the real converter — `AttributeReference.sql` renders by NAME
+    * with no `#<exprId>`, and string literals render quoted. Used for
+    * snapshot cache keys that must not churn per session or collide on
+    * literal content. */
+  def stableSql(c: Column): String =
+    classic.ColumnNodeToExpressionConverter(c.node).sql
+
   /** Wrap a (possibly custom) logical plan as a DataFrame —
     * `Dataset.ofRows` is private[sql] on Spark 4. Used by
     * [[graft.plans.AsOfJoin]] to surface its custom operator node. */

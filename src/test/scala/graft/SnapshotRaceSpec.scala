@@ -144,9 +144,19 @@ class SnapshotRaceSpec extends SparkSpec {
     }
     assert(boom.getMessage === "crash before commit")
     assert(readNow() === expect, "orphaned stage changed what readers see")
+    // r15: a fresh claim-plus-unmarked-dir is indistinguishable from a
+    // LIVE racer mid-stage, so the orphan is RETAINED (never readable
+    // either way) until its claim ages past the sweep floor; age it to
+    // simulate the crashed run receding into the past
     ScaleOps.compact(spark, dir, targetMB = 128, retainMs = 0L)
     assert(readNow() === expect)
-    // exactly one committed version survives; the orphan is gone
+    val orphanClaim = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".claim"))
+    assert(orphanClaim.length === 1, "crashed stage left no claim to age")
+    orphanClaim.head.setLastModified(System.currentTimeMillis() - 11 * 60000L)
+    ScaleOps.compact(spark, dir, targetMB = 128, retainMs = 0L)
+    assert(readNow() === expect)
+    // exactly one committed version survives; the aged orphan is gone
     val vdirs = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("_compact_v"))
     assert(vdirs.length === 1,

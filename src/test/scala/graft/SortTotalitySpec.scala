@@ -131,6 +131,13 @@ class SortTotalitySpec extends SparkSpec {
     // an identifier containing 'ORDER BY' is a name, not a final sort
     assert(SortTotality.finalOrderCols(
       "SELECT \"ORDER BY\" FROM t") === None)
+    // a DOT inside a quoted identifier is name text, not a qualifier
+    // split (r15 review: lastIndexOf('.') used to cut inside the
+    // quotes and resolve the wrong column)
+    assert(SortTotality.finalOrderCols(
+      "SELECT a FROM t ORDER BY \"a.b\"") === Some(Seq("a.b")))
+    assert(SortTotality.finalOrderCols(
+      "SELECT a FROM t ORDER BY t1.\"a.b\"") === Some(Seq("a.b")))
   }
 
   test("check: a non-portable function in an expression key WARNs and " +
@@ -149,12 +156,21 @@ class SortTotalitySpec extends SparkSpec {
       // the whitelisted shape the real surface uses (b04_delta_drivers)
       Seq((-1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
         .coalesce(1).write.parquet(s"$out/q_absdiff")
+      // DECIMAL arithmetic: Spark rounds HALF_UP at derived scale,
+      // DuckDB promotes division to DOUBLE — must WARN, not evaluate.
+      // The dump TIES under k/3 (distinct rows, same k), so a silent
+      // Spark-side evaluation would flag it; only the WARN path keeps
+      // it out of the result
+      Seq((BigDecimal("1.10"), "x"), (BigDecimal("1.10"), "y")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$out/q_decdiv")
       val got = SortTotality.check(spark, out, Map(
         "q_cast" -> "SELECT k, v FROM t ORDER BY CAST(k AS INT)",
         "q_fn" -> "SELECT k, v FROM t ORDER BY sin(k)",
+        "q_decdiv" -> "SELECT k, v FROM t ORDER BY k / 3",
         "q_absdiff" -> "SELECT k, v FROM t ORDER BY abs(k - 0)"))
-      // q_cast/q_fn exempted via WARN; abs(k-0) collides -1/1 → flagged
-      // by the PORTABLE whitelist evaluation, proving it still checks
+      // q_cast/q_fn/q_decdiv exempted via WARN; abs(k-0) collides -1/1
+      // → flagged by the PORTABLE whitelist evaluation, proving the
+      // machine check still runs
       assert(got === Seq("q_absdiff" -> 1L))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }

@@ -476,7 +476,7 @@ class DedupSpec extends SparkSpec {
 
   test("refTableParams is session-stable (r15 ADVICE): a RESOLVED column's " +
     "expression IDs are stripped, so the snapshot key cannot churn per JVM") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val unresolved = Dedup.refTableParams(col("doc_id") % 2 === 0, 3)
     // a resolved predicate renders with #<exprId> suffixes; the key
     // must normalize to the unresolved rendering, not embed the ID
@@ -489,5 +489,11 @@ class DedupSpec extends SparkSpec {
     // different predicates still produce different keys
     assert(Dedup.refTableParams(col("doc_id") % 3 === 0, 3) !== unresolved)
     assert(Dedup.refTableParams(col("doc_id") % 2 === 0, 4) !== unresolved)
+    // a string literal that LOOKS like an expression ID must not be
+    // normalized into a collision (r15 review: a blind #\d+ strip keyed
+    // `tag = 'item#42'` and `tag = 'item'` identically — literals render
+    // QUOTED through the stable-SQL path, so they stay distinct)
+    assert(Dedup.refTableParams(col("tag") === lit("item#42"), 3) !==
+      Dedup.refTableParams(col("tag") === lit("item"), 3))
   }
 }
