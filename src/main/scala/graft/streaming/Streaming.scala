@@ -1429,7 +1429,14 @@ object Streaming {
     * invariants hold at EVERY trigger, and search against the
     * maintained state clears the recall floor. */
   final class AnnIndexRefresh(compactEvery: Int = 4,
-      stateDir: Option[String] = None) {
+      stateDir: Option[String] = None,
+      phaseKey: Option[String] = None) {
+    /** Sub-phase attribution under the bench gate's [[graft.PhaseTimer]]
+      * key (r15): the gate's `trigger` phase is its dominant cost, so
+      * the insert tick reports its descent-vs-ledger-commit split too
+      * when a key is provided. No-op (and zero-cost) otherwise. */
+    private def timed[T](phase: String)(body: => T): T =
+      phaseKey.fold(body)(q => graft.PhaseTimer.time(q, phase)(body))
     // vector state is a SEGMENT LIST (each trigger checkpoints only its
     // own batch; the corpus view is the lazy union of immutable
     // segments — no trigger rewrites the accumulated vectors). The
@@ -1706,10 +1713,13 @@ object Streaming {
             // delta (hnswApplyDelta: anti-join + union) instead of
             // re-running the insert descent. One descent serves both the
             // in-JVM extended state and the payload (shared anchors).
-            val (inserted, delta) = graft.similarity.Similarity
-              .hnswInsertWithDelta(v, a, b, layersState)
-            ledger.commit(batchId, Seq("vecs" -> b, "adjdelta" -> delta),
-              Map("kind" -> "insert", "delta" -> "1"))
+            val (inserted, delta) = timed("trigger_descent") {
+              graft.similarity.Similarity.hnswInsertWithDelta(v, a, b, layersState)
+            }
+            timed("trigger_commit") {
+              ledger.commit(batchId, Seq("vecs" -> b, "adjdelta" -> delta),
+                Map("kind" -> "insert", "delta" -> "1"))
+            }
             vecSegs = b :: vecSegs
             sinceCompact += 1
             adjState = Some(inserted)
@@ -1993,7 +2003,8 @@ object Streaming {
       // durable snapshot to point at.
       val refresh = graft.PhaseTimer.time("b12_stream_ann_index", "bootstrap") {
         new AnnIndexRefresh(compactEvery = Int.MaxValue,
-          stateDir = Some(ledgerDir))
+          stateDir = Some(ledgerDir),
+          phaseKey = Some("b12_stream_ann_index"))
           .bootstrapByRef(s,
             graft.similarity.Similarity.standingVecsSnapshotPath(s, dir),
             graft.similarity.Similarity.standingAdjSnapshotPath(s, dir))
