@@ -88,14 +88,44 @@ object Bench {
         .getOrElse(-1.0)
       finally src.close()
     }.getOrElse(-1.0)
+    // r16 (VERDICT r15 #1): a fixed deterministic calibration probe — a
+    // single-thread CPU-bound splitmix64 fold plus one fixed-size parquet
+    // scan through the normal reader path, NO query code — timed before
+    // each pass and emitted as ruler_sec per pass. Two rounds in a row
+    // the headline moved double-digit percent on host noise alone
+    // (238-297 s across same-head runs); the ruler turns cross-round
+    // normalization into a committed-artifact computation
+    // (query_sec / ruler ratio) instead of worktree A/B forensics. Runs
+    // OUTSIDE every per-query timed window.
+    def rulerSec(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0L
+      while (i < 150000000L) {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        acc ^= z ^ (z >>> 31)
+        i += 1
+      }
+      // data dependency so the fold cannot be dead-code-eliminated
+      if (acc == 0x5DEECE66DL) System.err.println("ruler fold sentinel")
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val cacheAtStart = meminfoGb("Cached")
     // r14 (ADVICE): sample the cache BETWEEN the passes too — the old
     // single post-run sample was emitted as "after the warmup pass",
     // mislabeling the operating point for anyone analyzing warm/cold
     // bands from the artifact. Now both points are real: _after_pass1
     // is the warm-entry state of the second pass, _at_end is post-run.
+    val ruler1 = rulerSec()
     val (pass1, phases1) = timedPass()
     val cacheAfterPass1 = meminfoGb("Cached")
+    val ruler2 = rulerSec()
     val (pass2, phases2) = timedPass()
     val passes = Seq(pass1, pass2)
     val phasesByPass = Seq(phases1, phases2)
@@ -194,6 +224,7 @@ object Bench {
       s""""cache_note":"<~3GB at start = cold page cache; expect ~1.08x median per-query inflation (r12 driver run)"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
       s""""pass_totals_sec":$passTotals,"pass_failed":$passFailed,""" +
+      s""""ruler_sec":[${fmt3(ruler1)},${fmt3(ruler2)}],""" +
       s""""per_pass":$perPass,"phases":$phasesJson,""" +
       s""""n_benched":${results.size},"n_declared":${SparkEntry.queries.size},"sf":"$sfDir","env":$env}"""
     println(line)

@@ -17,12 +17,31 @@ object Probe {
     // recorded fact, not an estimate). Listener delivery is async; the
     // short drain sleep is fine for a dev-only probe.
     val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    // r16: per-job wall breakdown (PROBE_JOBS=1) — the noisy-host
+    // optimization round needs to see WHICH jobs own a query's seconds,
+    // not just how many jobs ran.
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobCount.incrementAndGet(); ()
+        jobCount.incrementAndGet()
+        jobStarts.put(js.jobId, System.nanoTime()); ()
+      }
+      override def onJobEnd(
+          je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobStarts.remove(je.jobId)
+        if (t0 != 0L && sys.env.contains("PROBE_JOBS")) {
+          val ms = (System.nanoTime() - t0) / 1e6
+          if (ms >= 20) println(f"    job ${je.jobId}%4d ${ms}%8.0f ms")
+        }
+        ()
       }
     })
+    // r16 experiment toggles (dev-only): PROBE_NO_AQE=1 disables adaptive
+    // execution for the session so the AQE share of small-job fixed
+    // overhead is measurable.
+    if (sys.env.contains("PROBE_NO_AQE"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     def time(name: String)(f: => Unit): Double = {
       val j0 = jobCount.get(); val t0 = System.nanoTime(); f
       val secs = (System.nanoTime() - t0) / 1e9

@@ -180,19 +180,45 @@ object Dedup {
 
   /** Two-frame variant: side `a`'s shingles from `shA`, side `b`'s from
     * `shB` — the cross-corpus shape ([[minHashNearDupAcross]]); with
-    * `shA eq shB` it is exactly the self-dedup verification. */
+    * `shA eq shB` it is exactly the self-dedup verification.
+    *
+    * r16 (optimization round): ARRAY-verify — the [[ppJoin]] merge-verify
+    * kernel applied to the LSH verification path. One (doc_id → sorted
+    * gram array + size) aggregate per side replaces the old per-side size
+    * aggregates (the SAME one doc_id shuffle each — sizes now ride the
+    * array row), and each candidate pair intersects the two arrays in-row
+    * via the codegen [[graft.functions.SortedIntersect]] two-pointer
+    * kernel. The pair×gram explode joins, the (a, b) intersection-count
+    * shuffle, and the left_outer zero-fill all collapse into the two
+    * attachment joins: 5 joins + 3 aggregations → 2 joins + 2
+    * aggregations (b12_ngram_jaccard: 29 → ~10 jobs). Inputs are distinct
+    * per (doc_id, gram), so |sorted_intersect| ≡ the old matched-row
+    * count and an empty intersection yields inter = 0 exactly like the
+    * old zero-fill; when `shA eq shB` the two array subplans are
+    * plan-identical and Spark's exchange reuse materializes one. Guide
+    * §2.3/§2.4 (shuffle fewer bytes / remove shuffles outright). */
   private def verifyJaccardTwo(pairs: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame = {
-    val sizesA = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(shA.toDF("a", "shingle"), Seq("a"))
-      .join(shB.toDF("b", "shingle"), Seq("b", "shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    def arrsOf(sh: DataFrame): DataFrame = sh.toDF("doc_id", "g")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("grams"),
+        count(lit(1)).as("n"))
+    val arrsA = arrsOf(shA)
+    val arrsB = if (shA eq shB) arrsA else arrsOf(shB)
+    // every declared-query caller passes 48/64-bit gram HASHES (long) —
+    // the fused two-pointer kernel; the raw-string form (spec-only)
+    // takes the built-in set intersection, same distinct-match count
+    val longGrams =
+      shA.schema.fields(1).dataType == org.apache.spark.sql.types.LongType &&
+        shB.schema.fields(1).dataType == org.apache.spark.sql.types.LongType
+    def interOf(ga: Column, gb: Column): Column =
+      if (longGrams) size(graft.functions.SortedIntersect(ga, gb))
+      else size(array_intersect(ga, gb))
     pairs
-      .join(inter, Seq("a", "b"), "left_outer")
-      .na.fill(0L, Seq("inter"))
-      .join(sizesA.toDF("a", "na"), Seq("a"))
-      .join(sizesB.toDF("b", "nb"), Seq("b"))
+      .join(arrsA.select(col("doc_id").as("a"), col("grams").as("ga"),
+        col("n").as("na")), Seq("a"))
+      .join(arrsB.select(col("doc_id").as("b"), col("grams").as("gb"),
+        col("n").as("nb")), Seq("b"))
+      .withColumn("inter", interOf(col("ga"), col("gb")).cast("long"))
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
@@ -576,18 +602,35 @@ object Dedup {
     * uses, demonstrated standalone). */
   def ngramJaccardQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Hashed shingles (set identity is all the Jaccard kernel needs) and
-    // ONE materialization: sh feeds five plan branches (two pair sides,
-    // sizes, two verify joins) — uncached it was computed twice per side.
-    val sh = shingleHashes(Tables.documents(s, dir), 2).cache()
-    val pairs = sh.select($"doc_id".as("a")).distinct()
-      .join(sh.select($"doc_id".as("b")).distinct(), col("b") === col("a") + 1)
-    // consecutive-pair output is |docs|-sized — checkpoint it, release the
-    // shingle cache (same per-call hygiene as minHashNearDup)
-    val out = verifyJaccard(pairs, sh)
-      .select($"a", $"b", $"inter", $"na", $"nb", $"jaccard")
+    // r16 (optimization round): the pair universe (consecutive doc ids
+    // with ≥2 tokens each) and the verification both derive from ONE
+    // per-doc sorted-gram-array table: explode → collect_set folds the
+    // old explode → distinct → (cache + 2×distinct-id + 3 verify
+    // branches) pipeline into a single doc_id-keyed aggregate (set
+    // semantics in-agg, so no separate distinct shuffle), and the
+    // consecutive-pair self-join attaches both sides' arrays for the
+    // in-row SortedIntersect merge-verify (the verifyJaccardTwo r16
+    // treatment). 29 jobs → 8; values bit-identical: |sorted set
+    // intersect| ≡ distinct-match count, n ≡ distinct-gram count, same
+    // jaccard division tree. Guide §2.4 (remove shuffles outright).
+    val arrs = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> xxhash64(array_join(slice(toks, i, 2), ' ')))"))
+        .as("hbase"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"hbase")).as("grams"))
+      .select($"doc_id", $"grams", size($"grams").cast("long").as("n"))
+      .localCheckpoint(true) // feeds both pair sides
+    val out = arrs.select($"doc_id".as("a"), $"grams".as("ga"), $"n".as("na"))
+      .join(arrs.select($"doc_id".as("b"), $"grams".as("gb"), $"n".as("nb")),
+        col("b") === col("a") + 1)
+      .withColumn("inter",
+        size(graft.functions.SortedIntersect($"ga", $"gb")).cast("long"))
+      .select($"a", $"b", $"inter", $"na", $"nb",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .localCheckpoint(true)
-    sh.unpersist()
     out.orderBy($"a")
   }
 
