@@ -55,6 +55,31 @@ object Probe {
       time(s"$n/noop2") { fn(spark, dir).write.format("noop").mode("overwrite").save() }
       time(s"$n/count") { fn(spark, dir).count() }
     }
+    // r16: decompose the b05_approx_stats_exact aggregate job — which of
+    // scan / md5 / KMV buffers / quantile sketch owns the seconds.
+    if (sys.env.contains("PROBE_B05")) {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+        col("l_orderkey"), col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qn"))
+      def h(c: org.apache.spark.sql.Column) =
+        graft.functions.Md5Prefix(concat(lit("kmv:"), c.cast("string")), 12)
+      val kmv = udaf(new graft.functions.KmvEstimateAgg(1 << 14),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[java.lang.Long]())
+      val qs = udaf(new graft.functions.QuantileSketchAgg(1 << 19,
+        Seq(1 -> 4, 1 -> 2, 3 -> 4)))
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      for (_ <- 1 to 2) {
+        time("b05/scan")(noop(li))
+        time("b05/md5")(noop(li.select(h(col("l_orderkey")).as("h1"), h(col("l_partkey")).as("h2"))))
+        time("b05/kmv1")(noop(li.groupBy(col("l_returnflag")).agg(kmv(h(col("l_orderkey"))).as("n1"))))
+        time("b05/kmv2")(noop(li.groupBy(col("l_returnflag")).agg(kmv(h(col("l_orderkey"))).as("n1"), kmv(h(col("l_partkey"))).as("n2"))))
+        time("b05/qsk")(noop(li.groupBy(col("l_returnflag")).agg(qs(col("cents")).as("q"))))
+        time("b05/sums")(noop(li.groupBy(col("l_returnflag")).agg(count(lit(1)), sum(col("qn")), sum(col("qn") * col("qn")))))
+      }
+    }
     if (sys.env.contains("PROBE_EXPLAIN"))
       for (n <- names; fn <- SparkEntry.queries.get(n)) fn(spark, dir).explain("formatted")
     if (sys.env.contains("PROBE_STRESS_REL")) {

@@ -44,28 +44,19 @@ class KmvDistinctAgg(k: Int) extends Aggregator[String, Seq[Long], Long] {
     XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, Seed) ^ Long.MinValue
   }
 
-  override def zero: Seq[Long] = Vector.empty
+  // r16 (optimization round): in-place [[KmvBuf]] insert/merge — see
+  // KmvEstimateAgg; set semantics and encoded partials bit-identical.
+  override def zero: Seq[Long] = KmvBuf.empty(k)
 
   override def reduce(buf: Seq[Long], item: String): Seq[Long] = {
     if (item == null) buf // nulls carry no cardinality, as in COUNT(DISTINCT)
-    else {
-      val h = hashFlipped(item)
-      if (buf.length >= k && h >= buf.last) buf // too large to matter
-      else {
-        val at = insertionPoint(buf, h)
-        if (at < buf.length && buf(at) == h) buf // already present
-        else {
-          val grown = (buf.take(at) :+ h) ++ buf.drop(at)
-          if (grown.length > k) grown.dropRight(1) else grown
-        }
-      }
-    }
+    else KmvBuf.from(buf, k).insert(hashFlipped(item))
   }
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
     if (a.isEmpty) b
     else if (b.isEmpty) a
-    else (a ++ b).distinct.sorted.take(k)
+    else KmvBuf.mergeSorted(a, b, k)
   }
 
   /** Exact count below k distinct; the KMV estimator at and beyond. */
@@ -78,16 +69,6 @@ class KmvDistinctAgg(k: Int) extends Aggregator[String, Seq[Long], Long] {
     }
   }
 
-  /** First index whose value is >= h (buf sorted ascending). */
-  private def insertionPoint(buf: Seq[Long], h: Long): Int = {
-    var lo = 0
-    var hi = buf.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (buf(mid) < h) lo = mid + 1 else hi = mid
-    }
-    lo
-  }
 
   override def bufferEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()

@@ -26,38 +26,20 @@ import org.apache.spark.sql.expressions.Aggregator
 class KmvSetSketchAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   require(k >= 2, "KmvSetSketchAgg: k must be at least 2")
 
-  override def zero: Seq[Long] = Vector.empty
+  // r16 (optimization round): in-place [[KmvBuf]] insert/merge — see
+  // KmvEstimateAgg; set semantics and encoded partials bit-identical.
+  override def zero: Seq[Long] = KmvBuf.empty(k)
 
-  override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
-    if (buf.length >= k && h >= buf.last) buf
-    else {
-      val at = insertionPoint(buf, h)
-      if (at < buf.length && buf(at) == h) buf
-      else {
-        val grown = (buf.take(at) :+ h) ++ buf.drop(at)
-        if (grown.length > k) grown.dropRight(1) else grown
-      }
-    }
-  }
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+    KmvBuf.from(buf, k).insert(h)
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
     if (a.isEmpty) b
     else if (b.isEmpty) a
-    else (a ++ b).distinct.sorted.take(k)
+    else KmvBuf.mergeSorted(a, b, k)
   }
 
   override def finish(buf: Seq[Long]): Seq[Long] = buf
-
-  /** First index whose value is >= h (buf sorted ascending). */
-  private def insertionPoint(buf: Seq[Long], h: Long): Int = {
-    var lo = 0
-    var hi = buf.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (buf(mid) < h) lo = mid + 1 else hi = mid
-    }
-    lo
-  }
 
   override def bufferEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
