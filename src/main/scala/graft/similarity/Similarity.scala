@@ -1086,22 +1086,31 @@ object Similarity {
       pool.join(e, Seq("vec_id")).join(qs, Seq("query_id"))
         .select(col("query_id"), col("vec_id"),
           cosinePre(col("qq"), col("q"), col("qnorm"), col("norm")).as("cosine"))
-    def topb(pool: DataFrame, b: Int): DataFrame = {
+    // r16 (optimization round): the beam CARRIES its cosine between
+    // rounds — only the newly-expanded neighbor rows are scored (the
+    // equi-joins against e/qs now see beam×R rows instead of the whole
+    // re-ranked pool), and the re-rank window reads the carried column.
+    // cosinePre is a fixed deterministic expression over the same
+    // operands, so carried == recomputed bit-for-bit and the dedup over
+    // (query_id, vec_id) collapses identical rows. Guide §1.2 step 1 /
+    // §2.3 (don't recompute what a round already computed).
+    def topbW(pool: DataFrame, b: Int): DataFrame = {
       val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-      scoreOf(pool).withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
-        .select(col("query_id"), col("vec_id"))
+      pool.withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
+        .select(col("query_id"), col("vec_id"), col("cosine"))
     }
     // ONE shuffle per round (r12, VERDICT r11 #2): the expansion
     // co-partitions by query_id and dedups INSIDE that partitioning —
     // HashPartitioning(query_id) satisfies the (query_id, vec_id)
-    // aggregation's clustering AND the scoring window's, so the old
+    // aggregation's clustering AND the re-rank window's, so the old
     // distinct-by-both-columns shuffle + window re-shuffle collapse
     // into the single repartition (set-identical output; the broadcast
     // scoring joins preserve the streamed side's partitioning)
-    def expand(beam: DataFrame, nbrs: DataFrame): DataFrame =
-      beam.unionByName(
-        beam.join(nbrs, col("vec_id") === col("src"))
-          .select(col("query_id"), col("dst").as("vec_id")))
+    def expandScored(beam: DataFrame, nbrs: DataFrame): DataFrame =
+      beam.select(col("query_id"), col("vec_id"), col("cosine"))
+        .unionByName(scoreOf(
+          beam.join(nbrs, col("vec_id") === col("src"))
+            .select(col("query_id"), col("dst").as("vec_id"))))
         .repartition(col("query_id"))
         .dropDuplicates("query_id", "vec_id")
     val layers = (0 until layerN).map(m =>
@@ -1111,7 +1120,7 @@ object Similarity {
     // empty-expansion re-rank is the identity on the beam SET, so the
     // skip is result-identical to the oracle's uniformly-unrolled chain
     require(HnswEntryN <= HnswBeamU, "empty-layer skip needs EntryN <= BeamU")
-    var beam = qs.select(col("query_id")).crossJoin(broadcast(entry))
+    var beam = scoreOf(qs.select(col("query_id")).crossJoin(broadcast(entry)))
       .localCheckpoint(true)
     // one eager cut per round: fusing rounds into one lazy expression was
     // MEASURED SLOWER in r12 (AQE jobs track shuffle stages, not actions,
@@ -1119,9 +1128,11 @@ object Similarity {
     // went 93 → 104 jobs), so the per-round cut stays
     for (m <- (layerN - 1) to 1 by -1; if counts.getOrElse(m, 0L) > 0L;
          _ <- 1 to HnswRoundsU)
-      beam = topb(expand(beam, layers(m)), HnswBeamU).localCheckpoint(true)
+      beam = topbW(expandScored(beam, layers(m)), HnswBeamU).localCheckpoint(true)
     qs.unpersist()
-    beam
+    // (query_id, vec_id) output — the route-snapshot schema (e08) and
+    // the seed shape hnswBaseDescend scores once at entry
+    beam.select(col("query_id"), col("vec_id"))
   }
 
   /** The BASE-LAYER stage of the descent: wide-beam rounds with the
@@ -1137,18 +1148,22 @@ object Similarity {
       pool.join(e, Seq("vec_id")).join(qs, Seq("query_id"))
         .select(col("query_id"), col("vec_id"),
           cosinePre(col("qq"), col("q"), col("qnorm"), col("norm")).as("cosine"))
-    def topb(pool: DataFrame, b: Int): DataFrame = {
+    // r16 (optimization round): the accumulating POOL carries its
+    // cosine — each round scores ONLY the newly-reached neighbor rows
+    // (beam×R equi-join rows) instead of re-joining the whole pool
+    // against e/qs for every re-rank, and the final top-k is a window
+    // over the carried column with no scoring joins at all. cosinePre
+    // is a fixed deterministic expression over the same operands, so
+    // carried == recomputed bit-for-bit; dedup over (query_id, vec_id)
+    // collapses identical rows. The old expandRaw's beam∪neighbors
+    // union dropped the redundant beam branch too — beam ⊆ pool by
+    // construction, so pool ∪ neighbors is the same set. Guide §1.2
+    // step 1 / §2.3.
+    def topbW(pool: DataFrame, b: Int): DataFrame = {
       val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-      scoreOf(pool).withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
-        .select(col("query_id"), col("vec_id"))
+      pool.withColumn("rn", row_number().over(w)).filter(col("rn") <= b)
+        .select(col("query_id"), col("vec_id"), col("cosine"))
     }
-    // expansion WITHOUT its own dedup: the pool union below dedups once
-    // for both (set-identical — the old expand.distinct() + outer
-    // distinct() deduped the same rows twice, two shuffles)
-    def expandRaw(beam: DataFrame, nbrs: DataFrame): DataFrame =
-      beam.unionByName(
-        beam.join(nbrs, col("vec_id") === col("src"))
-          .select(col("query_id"), col("dst").as("vec_id")))
     val layer0 = adj.filter(col("layer") === 0).select(col("src"), col("dst"))
     // base layer: the visited POOL accumulates (the ef-search candidate
     // set); one eager cut per round on the pool only — the sole frame
@@ -1157,17 +1172,24 @@ object Similarity {
     // pool subplan re-runs its shuffle under AQE instead of deduping.)
     // ONE shuffle per round (r12): co-partition by query_id, dedup and
     // window inside that partitioning — see hnswUpperBeam.
-    var beam = beam0
+    // beam0 arrives as (query_id, vec_id) — hnswUpperBeam's output and
+    // the e08 route-snapshot schema — and is scored ONCE here.
+    var beam =
+      (if (beam0.columns.contains("cosine"))
+        beam0.select(col("query_id"), col("vec_id"), col("cosine"))
+      else scoreOf(beam0)).localCheckpoint(true)
     var pool = beam
     for (_ <- 1 to HnswRounds0) {
-      pool = pool.unionByName(expandRaw(beam, layer0))
+      pool = pool.unionByName(scoreOf(
+          beam.join(layer0, col("vec_id") === col("src"))
+            .select(col("query_id"), col("dst").as("vec_id"))))
         .repartition(col("query_id"))
         .dropDuplicates("query_id", "vec_id")
         .localCheckpoint(true)
-      beam = topb(pool, HnswBeam0)
+      beam = topbW(pool, HnswBeam0)
     }
     val fw = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    val out = scoreOf(pool)
+    val out = pool
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rn", row_number().over(fw)).filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rn").cast("int").as("rn"))
