@@ -43,5 +43,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (e02's unexplained +50% in the r9 closing bench: code unchanged,
   // isolated probe 1.9 s, in-context 3.5-4.2 s). Reserved size is
   // virtual address space, not RSS — 1g costs nothing on this host.
-  "-XX:ReservedCodeCacheSize=1g",
+  // r16: 1g was sized for the ~285-query r10 suite; the 297-query suite
+  // plus the optimization round's new codegen shapes showed the late-
+  // query inflation signature again (e01 in-context ~2x its isolated
+  // wall, no subset reproduces it). Reserved size is virtual address
+  // space, not RSS — 2g costs nothing on this host.
+  "-XX:ReservedCodeCacheSize=2g",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

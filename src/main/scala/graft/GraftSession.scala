@@ -30,7 +30,14 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    .config("spark.sql.codegen.cache.maxEntries", "8192")
+    // r16: 8192 (sized in r10 for a ~285-query suite) was marginal again
+    // — the full 297-suite bench showed the r10 signature on the e*
+    // flagships (e01 ~8 s in-context vs ~4 s isolated or in any ≤130-
+    // query subset, flat across host-speed passes) while no subset
+    // reproduced it; the r16 optimization round added new codegen'd
+    // shapes (array-verify, carried-cosine descent). Entries are class
+    // references (metaspace-resident either way); double the headroom.
+    .config("spark.sql.codegen.cache.maxEntries", "16384")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests/dev. */

@@ -20,19 +20,20 @@ object Probe {
     // r16: per-job wall breakdown (PROBE_JOBS=1) — the noisy-host
     // optimization round needs to see WHICH jobs own a query's seconds,
     // not just how many jobs ran.
-    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobCount.incrementAndGet()
-        jobStarts.put(js.jobId, System.nanoTime()); ()
+        val tag = js.stageInfos.lastOption.map(_.name.take(90)).getOrElse("?")
+        jobStarts.put(js.jobId, (System.nanoTime(), tag)); ()
       }
       override def onJobEnd(
           je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val t0 = jobStarts.remove(je.jobId)
-        if (t0 != 0L && sys.env.contains("PROBE_JOBS")) {
-          val ms = (System.nanoTime() - t0) / 1e6
-          if (ms >= 20) println(f"    job ${je.jobId}%4d ${ms}%8.0f ms")
+        val st = jobStarts.remove(je.jobId)
+        if (st != null && sys.env.contains("PROBE_JOBS")) {
+          val ms = (System.nanoTime() - st._1) / 1e6
+          if (ms >= 10) println(f"    job ${je.jobId}%4d ${ms}%8.0f ms  ${st._2}")
         }
         ()
       }

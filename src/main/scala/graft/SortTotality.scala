@@ -254,6 +254,25 @@ object SortTotality {
           !decimal(c.dataType)
         if (ok) None
         else Some(s"cast(${c.child.dataType.simpleString} as ${c.dataType.simpleString})")
+      // r16 (ADVICE r15): Concat is only bit-identical when no child is
+      // nullable — Spark's Concat NULL-propagates while DuckDB's
+      // concat() skips NULL arguments, so a nullable operand silently
+      // mis-groups. Route nullable concats to WARN.
+      case e if e.getClass.getSimpleName == "Concat" &&
+          e.children.exists(_.nullable) =>
+        Some("concat-nullable-child")
+      // r16 (ADVICE r15): Divide diverges on a zero divisor — Spark
+      // (non-ANSI) returns NULL, DuckDB IEEE double division yields
+      // ±Infinity. Admit it only when the divisor is a provably nonzero
+      // literal; anything else WARNs. (Decimal divides are already
+      // caught by the decimal-arithmetic case below.)
+      case e if e.getClass.getSimpleName == "Divide" =>
+        e.children.lastOption match {
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v, _))
+            if v != null &&
+              scala.util.Try(v.toString.toDouble).toOption.exists(_ != 0.0) => None
+          case _ => Some("divide-unprovable-nonzero-divisor")
+        }
       // DECIMAL arithmetic (r15 review): Spark derives precision/scale
       // and rounds HALF_UP (CheckOverflow), DuckDB promotes decimal
       // division to DOUBLE — same parse, different values. Integer and

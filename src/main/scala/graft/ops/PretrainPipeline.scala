@@ -53,23 +53,43 @@ object PretrainPipeline {
       .groupBy(sha2(Dedup.canonicalText($"text"), 256).as("sha"))
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
-    val deduped = qual.join(keepers, Seq("doc_id"), "left_semi").cache()
+    // r16: eager checkpoint instead of cache — deduped feeds the
+    // near-dup stage AND the survivor joins; a cached copy is subject
+    // to storage eviction in a long session (the r2 churn lesson), and
+    // an evicted block silently re-runs the scan + sha aggregate per
+    // consumer. The frame is survivor-id + text, tiny.
+    val deduped = qual.join(keepers, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     // 4. near-dup removal: portable MinHash-LSH verified pairs (Jaccard
     // ≥ 0.5, division-free) among survivors; drop every doc that appears
     // as the LARGER id of a pair — the deterministic keep-first rule
-    val pairs = Dedup.minHashPortable(deduped)
+    // (r16: phase-timed — the full-bench context showed this query
+    // inflating far beyond its isolated wall; the phases pin which
+    // stage owns the in-context seconds, the b10/b12 gate discipline)
+    val pairs = graft.PhaseTimer.time("e01_pretrain_pipeline", "neardup") {
+      Dedup.minHashPortable(deduped)
+    }
     val nearDeduped = deduped
       .join(pairs.select($"b".as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
     // 5. decontamination vs the held-out eval slice (doc_id % 50 == 0 of
     // the ORIGINAL corpus — the b12_decontaminate convention): the bench
     // slice itself never ships, and any train doc sharing an 8-gram with
     // it is dropped
+    // r16: ONE materialization of the 8-gram table — the bench-slice and
+    // train-side branches below both contain the explode→distinct
+    // subplan, and relying on runtime exchange reuse to dedupe it proved
+    // fragile in long-session context (e01's shard/decontam stage
+    // measured 4.4–6.0 s in the full 297-query bench vs ~1.2 s in any
+    // subset — the duplicated gram derivation is exactly the re-run
+    // work). Guide §2.4: make the shared scan structural, not
+    // optimizer-dependent.
     val g8 = docs.select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= 8)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
         .as("gram"))
       .distinct()
+      .localCheckpoint(true)
     val bench = g8.filter($"doc_id" % 50 === 0).select($"gram").distinct()
     val contaminated = g8.filter($"doc_id" % 50 =!= 0).join(bench, Seq("gram"))
       .select($"doc_id").distinct()
@@ -77,7 +97,7 @@ object PretrainPipeline {
       .join(contaminated, Seq("doc_id"), "left_anti")
     // 6. portable global shuffle + de-biased shard id + per-shard position
     val w = Window.partitionBy($"shard").orderBy($"sort_key", $"doc_id")
-    val out = clean
+    val out = graft.PhaseTimer.time("e01_pretrain_pipeline", "shard_finish") { clean
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"),
         md5(concat(lit(s"$seed:"), $"doc_id".cast("string"))).as("sort_key"))
       .withColumn("shard",
@@ -85,8 +105,8 @@ object PretrainPipeline {
           lit(numShards.toLong)).cast("int"))
       .withColumn("shard_pos", row_number().over(w))
       .select($"doc_id", $"n_tokens", $"shard", $"shard_pos")
-      .localCheckpoint(true) // small id/stat frame; lets the cache release
-    deduped.unpersist()
+      .localCheckpoint(true) // small id/stat frame
+    }
     out.orderBy($"shard", $"shard_pos")
   }
 
